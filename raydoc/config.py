@@ -1,0 +1,63 @@
+"""Typed configuration for the extraction pipeline.
+
+Collects every threshold the reference scatters as literals (SURVEY.md §2.11):
+column gap (layout_analyzer.py:15), repeater thresholds (noise_filter.py:63,
+cleaner.py:15), confidence thresholds (confidence_tracker.py:34), caption
+proximity (caption_extractor.py:37), quality-gate limits
+(validation_framework.py:297-314), page geometry defaults
+(semantic_annotator.py:15, caption_extractor.py:221).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    # --- noise / repeater detection (noise_filter.py:62-77) ---
+    repeater_threshold: float = 0.5
+    min_turns_for_repeaters: int = 3
+    repeater_zone: float = 0.33          # top/bottom band fraction
+    repeater_max_len: int = 100
+
+    # --- cleaner-variant repeater detection, kept behind a flag (cleaner.py:15) ---
+    use_cleaner_repeaters: bool = False
+    cleaner_repeater_threshold: float = 0.6
+
+    # --- confidence (confidence_tracker.py:34; layout_analyzer.py:397) ---
+    low_confidence: float = 0.7
+    critical_confidence: float = 0.5
+    artifact_confidence: float = 0.3
+
+    # --- layout (layout_analyzer.py:15) ---
+    column_gap: int = 50
+    use_enhanced_classification: bool = True
+
+    # --- linking (caption_extractor.py:37, 195) ---
+    caption_proximity: float = 100.0
+    footnote_bottom: float = 0.8
+
+    # --- page geometry for text-derived elements ---
+    page_height: float = 800.0
+
+    # --- quality gate (validation_framework.py:297-314) ---
+    quality_threshold: float = 0.6
+    max_hallucinations: int = 0
+    max_errors: int = 2
+    min_content_lines: int = 5
+
+    # --- pipeline toggles (enhanced_pipeline.py:43-60) ---
+    enable_noise_filter: bool = True
+    enable_caption_extraction: bool = True
+    enable_semantic_annotation: bool = True
+    tag_mode: bool = True                # Tag-Don't-Remove (noise_filter.py:87)
+
+    # --- execution knobs (Ray side; not semantics) ---
+    extract_batch_size: int = 512
+    extract_concurrency: int | tuple[int, int] | None = None
+    num_output_partitions: int = 32
+    include_doc_markdown: bool = False   # carry full doc markdown on turn 0 rows
+
+
+DEFAULT_CONFIG = PipelineConfig()

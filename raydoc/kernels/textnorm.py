@@ -1,0 +1,116 @@
+"""Per-turn text normalization kernels.
+
+Semantics-equal reimplementations of the reference's string normalizers
+(SURVEY.md §2.2 M1-M6):
+
+- ``merge_hyphens_strict``  ≙ cleaner.py:5-13   (continuation must be [a-z]+)
+- ``merge_hyphens_loose``   ≙ noise_filter.py:302-310 (\\w+ continuation)
+- ``defragment``            ≙ cleaner.py:179-211
+- ``normalize_markdown``    ≙ cleaner.py:214-269 (6 ordered passes; order is
+                              semantics — see SURVEY.md §2.9)
+- ``clean_artifact_lines``  ≙ noise_filter.py:313-331
+- ``mask_digits``           ≙ noise_filter.py:192-196
+
+All regexes/constants are pinned to the reference's exact patterns; the
+surrounding code is our own. These run inside ``map_batches`` over string
+columns — Python ``re`` is C-backed, so a per-row loop over a batch column
+is the vectorization unit here.
+"""
+
+from __future__ import annotations
+
+import re
+
+# -- compiled once at import (module constants; stages that want per-actor
+#    state import this module inside __init__) -------------------------------
+
+_HYPHEN_STRICT = re.compile(r"([a-zA-Z]+)-\s*\n\s*([a-z]+)")
+_HYPHEN_LOOSE = re.compile(r"(\w+)-\s*\n\s*(\w+)")
+
+_DASH_TABLE = str.maketrans({
+    "−": "-",  # minus sign
+    "–": "-",  # en dash
+    "—": "-",  # em dash
+    "―": "-",  # horizontal bar
+})
+
+_LIST_DEINDENT = re.compile(r"(^|\n\n)[ ]{2,4}([-*+])\s", re.MULTILINE)
+_NL3 = re.compile(r"\n{3,}")
+_STAR_BULLET = re.compile(r"^(\s*)\* ", re.MULTILINE)
+_HEADING_SPACER = re.compile(r"([^\n])\n(#{1,6} )")
+_EMPTY_ROLE_TAG = re.compile(r"<!-- role:\w+ -->\s*<!-- /role -->")
+
+_ARTIFACT_LINE_START = re.compile(r"^[|_\-=+]+\s*", re.MULTILINE)
+_MULTISPACE = re.compile(r"[ \t]{2,}")
+_BLANK_RUNS = re.compile(r"\n\s*\n{2,}")
+
+_DIGIT_RUN = re.compile(r"\b\d+\b")
+
+_SENTENCE_END = (".", "?", "!", ":")
+
+
+def merge_hyphens_strict(text: str) -> str:
+    """Join line-broken words where the continuation is all-lowercase."""
+    return _HYPHEN_STRICT.sub(r"\1\2", text)
+
+
+def merge_hyphens_loose(text: str) -> str:
+    """Join line-broken words; continuation may be any word chars."""
+    return _HYPHEN_LOOSE.sub(r"\1\2", text)
+
+
+def defragment(text: str) -> str:
+    """Merge consecutive lines into paragraphs unless the running line
+    already ends with sentence punctuation; blank lines are kept as
+    paragraph breaks."""
+    out: list[str] = []
+    run = ""
+    for raw in text.split("\n"):
+        line = raw.strip()
+        if not line:
+            if run:
+                out.append(run)
+                run = ""
+            out.append("")
+            continue
+        if not run:
+            run = line
+        elif run.endswith(_SENTENCE_END):
+            out.append(run)
+            run = line
+        else:
+            run += " " + line
+    if run:
+        out.append(run)
+    return "\n".join(out)
+
+
+def normalize_markdown(text: str) -> str:
+    """Six ordered normalization passes over markdown text.
+
+    1. unicode dashes → ``-``;  2. de-indent 2-4-space top-level list items;
+    3. collapse 3+ newlines to 2;  4. ``* `` bullets → ``- ``;  5. blank line
+    before headings;  6. drop empty role-tag pairs;  then strip.
+    """
+    if not text:
+        return ""
+    text = text.translate(_DASH_TABLE)
+    text = _LIST_DEINDENT.sub(r"\1\2 ", text)
+    text = _NL3.sub("\n\n", text)
+    text = _STAR_BULLET.sub(r"\1- ", text)
+    text = _HEADING_SPACER.sub(r"\1\n\n\2", text)
+    text = _EMPTY_ROLE_TAG.sub("", text)
+    return text.strip()
+
+
+def clean_artifact_lines(text: str) -> str:
+    """Strip leading special-char runs, collapse spaces and blank-line runs."""
+    text = _ARTIFACT_LINE_START.sub("", text)
+    text = _MULTISPACE.sub(" ", text)
+    text = _BLANK_RUNS.sub("\n\n", text)
+    return text.strip()
+
+
+def mask_digits(text: str) -> str:
+    """Digit-mask a line for repeater matching ("Page 3" ≡ "Page 7")."""
+    return _DIGIT_RUN.sub("[NUM]", text.strip())
