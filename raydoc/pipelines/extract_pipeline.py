@@ -1,0 +1,178 @@
+"""End-to-end extraction pipeline (the rebuild of SURVEY.md §3.4).
+
+    read_parquet(transcripts)
+      → map_batches(ExtractorActor, batch_format="pyarrow")   # actor pool
+      → groupby("conv_id").map_groups(document_group_fn)      # THE shuffle
+      → write_parquet(out/part=k/) + per-partition manifests  # checkpointed
+
+Streaming throughout: nothing materializes the full dataset; the only
+all-to-all exchange is the conv_id groupby. Resume skips partitions whose
+manifest validates (raydoc.state.manifest).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any
+
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+from raydoc.config import DEFAULT_CONFIG, PipelineConfig
+from raydoc.stages.document_stage import document_group_fn
+from raydoc.stages.extract import ExtractorActor
+from raydoc.state import manifest as mstate
+
+TRANSCRIPT_COLUMNS = ["conv_id", "turn_idx", "text"]
+
+
+def read_transcripts(path: str) -> rd.Dataset:
+    """Column-pruned read: only (conv_id, turn_idx, text) leave storage."""
+    return rd.read_parquet(path, columns=TRANSCRIPT_COLUMNS)
+
+
+def dedup_turns(ds: rd.Dataset) -> rd.Dataset:
+    """Optional ingest dedup of duplicated (conv_id, turn_idx) rows — keep
+    first by text order (SURVEY.md §7.3). Costs a shuffle; off by default."""
+    import pandas as pd
+
+    def first_turn(g: pd.DataFrame) -> pd.DataFrame:
+        return g.iloc[:1]
+
+    return ds.groupby(["conv_id", "turn_idx"]).map_groups(
+        first_turn, batch_format="pandas")
+
+
+def _default_concurrency() -> tuple[int, int]:
+    """Autoscaling extractor pool: up to (cluster CPUs − 2) actors so the
+    read, shuffle and write stages are never starved (ray_guide actor-pool
+    sizing rule)."""
+    import ray
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return (1, max(1, cpus - 2))
+
+
+def build_extraction(ds: rd.Dataset,
+                     cfg: PipelineConfig = DEFAULT_CONFIG) -> rd.Dataset:
+    """Lazy pipeline: extractor actor pool → conv_id document stage."""
+    extracted = ds.map_batches(
+        ExtractorActor,
+        fn_constructor_kwargs={"cfg": cfg},
+        batch_format="pyarrow",
+        batch_size=cfg.extract_batch_size,
+        concurrency=cfg.extract_concurrency or _default_concurrency(),
+        num_cpus=1,
+    )
+    return extracted.groupby("conv_id").map_groups(
+        lambda g: document_group_fn(g, cfg), batch_format="pyarrow")
+
+
+def extract_dataset(path_or_ds, cfg: PipelineConfig = DEFAULT_CONFIG) -> rd.Dataset:
+    ds = read_transcripts(path_or_ds) if isinstance(path_or_ds, str) else path_or_ds
+    return build_extraction(ds, cfg)
+
+
+def input_fingerprint(path: str) -> str:
+    """Cheap lineage fingerprint of an input directory/file: names + sizes
+    (content hash would re-read 100 TB; size+name catches regeneration)."""
+    import hashlib
+    h = hashlib.sha256()
+    paths = []
+    if os.path.isdir(path):
+        for root, _, files in os.walk(path):
+            paths.extend(os.path.join(root, f) for f in sorted(files))
+    else:
+        paths = [path]
+    for p in sorted(paths):
+        try:
+            h.update(f"{os.path.basename(p)}:{os.path.getsize(p)};".encode())
+        except OSError:
+            pass
+    return h.hexdigest()[:16]
+
+
+def run_job(input_path: str, out_dir: str,
+            cfg: PipelineConfig = DEFAULT_CONFIG,
+            resume: bool = True) -> dict[str, Any]:
+    """Checkpointed job: skip completed partitions, write the rest, then
+    stamp per-partition manifests with extraction metrics.
+
+    Returns a job report (partitions written/skipped, rows, turns/sec).
+    """
+    fingerprint = input_fingerprint(input_path)
+    cfg_hash = mstate.config_fingerprint(cfg)
+    n_parts = cfg.num_output_partitions
+    done = (mstate.completed_partitions(out_dir, n_parts,
+                                        input_fingerprint=fingerprint,
+                                        config_hash=cfg_hash)
+            if resume else set())
+    pending = sorted(set(range(n_parts)) - done)
+    report: dict[str, Any] = {
+        "partitions_total": n_parts,
+        "partitions_skipped": sorted(done),
+        "partitions_written": pending,
+        "rows_written": 0,
+        "wall_sec": 0.0,
+    }
+    if not pending:
+        return report
+
+    # Rewritten partitions are replaced, not appended to: clear their dirs
+    # (including any half-written files from a crashed run) before writing.
+    import shutil
+    for part in pending:
+        pdir = mstate.partition_dir(out_dir, part)
+        if os.path.isdir(pdir):
+            shutil.rmtree(pdir, ignore_errors=True)
+
+    t0 = time.perf_counter()
+    ds = read_transcripts(input_path)
+    if done:
+        # Prune completed partitions BEFORE the expensive extraction stage:
+        # partition assignment depends only on conv_id, so a resumed run
+        # never re-parses finished conversations.
+        from raydoc.stages.extract import partition_of
+        pending_set = frozenset(pending)
+
+        def _only_pending(t):
+            import pyarrow as pa
+            mask = pa.array(
+                [partition_of(c, n_parts) in pending_set
+                 for c in t.column("conv_id").to_pylist()], pa.bool_())
+            return t.filter(mask)
+
+        ds = ds.map_batches(_only_pending, batch_format="pyarrow")
+    ds = build_extraction(ds, cfg)
+    ds.write_parquet(out_dir, partition_cols=["part"])
+    wall = time.perf_counter() - t0
+
+    # Per-partition metrics from the (small) written columns → manifests.
+    total_rows = 0
+    for part in pending:
+        pdir = mstate.partition_dir(out_dir, part)
+        try:
+            t = pq.read_table(pdir, columns=["conv_id", "strip_ratio",
+                                             "parse_failed"])
+        except Exception:
+            continue
+        rows = t.num_rows
+        total_rows += rows
+        metrics = {
+            "rows": rows,
+            "conversations": len(pc.unique(t.column("conv_id"))),
+            "parse_failures": pc.sum(pc.cast(t.column("parse_failed"),
+                                             "int64")).as_py() or 0,
+            "mean_strip_ratio": round(
+                (pc.mean(t.column("strip_ratio")).as_py() or 0.0), 6),
+            "wall_sec_job": round(wall, 3),
+            "turns_per_sec_job": round(rows / wall, 2) if wall > 0 else None,
+        }
+        mstate.write_manifest(out_dir, part, input_fingerprint=fingerprint,
+                              config_hash=cfg_hash, metrics=metrics)
+    report["rows_written"] = total_rows
+    report["wall_sec"] = round(wall, 3)
+    report["turns_per_sec"] = round(total_rows / wall, 2) if wall > 0 else None
+    return report

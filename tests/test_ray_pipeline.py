@@ -1,0 +1,95 @@
+"""Ray Data end-to-end pipeline tests: extraction equality through the
+actor-pool + groupby path, checkpoint/resume, and ingest dedup."""
+
+import json
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from raydoc.config import PipelineConfig
+from raydoc.kernels.document import process_conversation
+from raydoc.sources import transcripts as tgen
+
+FIXTURE_SEED = 123
+N_CONVS = 24
+
+
+@pytest.fixture(scope="module")
+def transcripts_path(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("transcripts") / "transcripts.parquet")
+    tgen.write_transcripts_parquet(path, n_convs=N_CONVS, seed=FIXTURE_SEED,
+                                   min_turns=1, max_turns=8,
+                                   skew_conv_turns=24)
+    return path
+
+
+def test_ray_pipeline_matches_local_kernel(ray_session, transcripts_path,
+                                           golden_documents):
+    from raydoc.pipelines.extract_pipeline import extract_dataset
+
+    ds = extract_dataset(transcripts_path)
+    rows = ds.take_all()
+    by_conv = {}
+    for row in rows:
+        by_conv.setdefault(row["conv_id"], []).append(row)
+
+    assert len(by_conv) == N_CONVS
+    golden = {c["conv_id"]: c for c in golden_documents}
+    for conv_id, conv_rows in by_conv.items():
+        conv_rows.sort(key=lambda r: r["turn_idx"])
+        exp = golden[conv_id]
+        assert [r["turn_idx"] for r in conv_rows] == exp["turn_idx"]
+        for row, seg in zip(conv_rows, exp["turn_segments"]):
+            assert row["extracted_text"] == seg
+        assert conv_rows[0]["language"] == exp["language"]
+        assert conv_rows[0]["gate_passed"] == exp["gate_passed"]
+        assert round(conv_rows[0]["quality_score"], 4) == exp["quality_score"]
+
+
+def test_run_job_checkpoint_resume(ray_session, transcripts_path, tmp_path):
+    from raydoc.pipelines.extract_pipeline import run_job
+
+    out = str(tmp_path / "out")
+    cfg = PipelineConfig(num_output_partitions=4)
+    rep1 = run_job(transcripts_path, out, cfg)
+    assert rep1["partitions_written"] == [0, 1, 2, 3]
+    assert rep1["rows_written"] > 0
+
+    # every partition has a validating manifest with metrics
+    for part in range(4):
+        mpath = os.path.join(out, f"part={part}", "_manifest.json")
+        m = json.load(open(mpath))
+        assert m["metrics"]["rows"] >= 0
+        assert "turns_per_sec_job" in m["metrics"]
+
+    # rerun: everything skipped, nothing rewritten
+    rep2 = run_job(transcripts_path, out, cfg)
+    assert rep2["partitions_skipped"] == [0, 1, 2, 3]
+    assert rep2["partitions_written"] == []
+
+    # invalidate one manifest → only that partition recomputes
+    os.remove(os.path.join(out, "part=2", "_manifest.json"))
+    rep3 = run_job(transcripts_path, out, cfg)
+    assert rep3["partitions_written"] == [2]
+    assert rep3["partitions_skipped"] == [0, 1, 3]
+
+    # written output is the full corpus, partitioned
+    table = pq.read_table(out, columns=["conv_id", "turn_idx"])
+    assert table.num_rows == rep1["rows_written"]
+
+
+def test_ingest_dedup(ray_session, tmp_path):
+    import pyarrow as pa
+    import ray.data as rd
+    from raydoc.pipelines.extract_pipeline import dedup_turns
+
+    t = pa.table({
+        "conv_id": ["a", "a", "a", "b"],
+        "turn_idx": [0, 0, 1, 0],
+        "text": ["x", "x-dup", "y", "z"],
+    })
+    ds = dedup_turns(rd.from_arrow(t))
+    rows = sorted(ds.take_all(), key=lambda r: (r["conv_id"], r["turn_idx"]))
+    assert [(r["conv_id"], r["turn_idx"]) for r in rows] == [
+        ("a", 0), ("a", 1), ("b", 0)]
