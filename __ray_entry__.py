@@ -1,16 +1,16 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship transcript-extraction pipeline on sf0.001;
+``queries()`` exposes every implemented operator from SURVEY.md §2 plus the
+large-scale-pipeline extensions (dedup family, ANN, text analysis, windows,
+multimodal); ``oracle_sql()`` gives the DuckDB twin for each
+SQL-expressible query (identical column names; integer/exact arithmetic so
+value hashes match bit-for-bit). Non-SQL-expressible ops (the extraction
+pipeline itself, langid heuristics, MinHash/SimHash, LSH ANN) omit the
+oracle → rows-only check.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -18,27 +18,207 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _extract_turns(sf_dir: str):
+    """Flagship: documents-derived transcripts → full extraction pipeline."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from raydoc.pipelines.extract_pipeline import build_extraction
+    from raydoc.sources.transcripts import transcripts_from_documents
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    transcripts = transcripts_from_documents(docs, turns_per_conv=6)
+    ds = rd.from_arrow(transcripts).select_columns(
+        ["conv_id", "turn_idx", "text"])
+    out = build_extraction(ds)
+    return out.select_columns([
+        "conv_id", "turn_idx", "extracted_text", "n_elements", "strip_ratio",
+        "parse_failed", "was_html", "language", "gate_passed"])
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    return _extract_turns(SF0001)
+
+
+def _normalize_documents(sf_dir: str):
+    """Standalone flagship normalizer (M4) over the documents table."""
+    import pyarrow as pa
+    import ray.data as rd
+    from raydoc.kernels.textnorm import normalize_markdown
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "normalized": pa.array(
+                [normalize_markdown(v or "")
+                 for v in t.column("text").to_pylist()], pa.large_string()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _embedding_neardup_pairs(sf_dir: str):
+    from raydoc.functions.dedup import embedding_neardups
+    return embedding_neardups(sf_dir, threshold=0.8).select(["a", "b"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from raydoc.functions import dedup, multimodal, relational, similarity
+    from raydoc.functions import textstats, windows
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- relational core (SURVEY.md §2.6/§2.7 analogs) ---
+        "pricing_summary": relational.q_pricing_summary,
+        "filter_project": relational.q_filter_project,
+        "distinct_flags": relational.q_distinct_flags,
+        "top_orders": relational.q_top_orders,
+        "revenue_by_nation": relational.q_revenue_by_nation,
+        "customer_order_stats": relational.q_customer_order_stats,
+        "brand_volume": relational.q_brand_volume,
+        "top_events": relational.q_top_events,
+        # --- windows / sessions (events) ---
+        "hourly_event_stats": windows.hourly_event_stats,
+        "sessionize": windows.sessionize,
+        # --- dedup family (documents) ---
+        "dedup_exact": dedup.exact_dedup,
+        "minhash_clusters": dedup.minhash_lsh_clusters,
+        "simhash_signatures": dedup.simhash_signatures,
+        "simhash_neardups": dedup.simhash_neardups,
+        "ngram_jaccard": dedup.ngram_jaccard_pairs,
+        "embedding_neardups": _embedding_neardup_pairs,
+        # --- similarity search (embeddings) ---
+        "ann_topk": similarity.brute_force_topk,
+        "ann_lsh_topk": similarity.lsh_topk,
+        # --- text analysis (documents) ---
+        "token_counts": textstats.token_counts,
+        "quality_counters": textstats.quality_counters,
+        "fingerprints": textstats.fingerprints,
+        "language_id": textstats.language_id,
+        # --- multimodal plumbing ---
+        "media_meta": multimodal.document_media_meta,
+        # --- the extraction engine itself ---
+        "extract_turns": _extract_turns,
+        "normalize_markdown": _normalize_documents,
+    }
+
+
+_CENTS = "CAST(ROUND(l_extendedprice*100) AS BIGINT)"
+_DISC = "CAST(ROUND(l_discount*100) AS BIGINT)"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": f"""
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(SUM({_CENTS}) AS BIGINT)/100.0 AS sum_base_price,
+                   CAST(SUM({_CENTS}*(100-{_DISC})) AS BIGINT)/10000.0 AS sum_disc_price,
+                   COUNT(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus""",
+        "filter_project": """
+            SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+            FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'""",
+        "distinct_flags": """
+            SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+            ORDER BY l_returnflag, l_linestatus""",
+        "top_orders": """
+            SELECT o_orderkey, o_custkey, o_totalprice, c_name
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+        "revenue_by_nation": f"""
+            SELECT n_name,
+                   CAST(SUM({_CENTS}*(100-{_DISC})) AS BIGINT)/10000.0 AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'AMERICA'
+            GROUP BY n_name ORDER BY n_name""",
+        "customer_order_stats": """
+            SELECT c_mktsegment, COUNT(*) AS n_orders,
+                   MAX(o_totalprice) AS max_price,
+                   MIN(o_totalprice) AS min_price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+        "brand_volume": """
+            SELECT p_brand,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   COUNT(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand ORDER BY p_brand""",
+        "top_events": """
+            SELECT event_id, event_type, value FROM events
+            ORDER BY value DESC, event_id LIMIT 100""",
+        "hourly_event_stats": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   COUNT(*) AS n_events, MIN(value) AS min_value,
+                   MAX(value) AS max_value
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+        "sessionize": """
+            WITH ordered AS (
+                SELECT user_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions,
+                   COUNT(*) AS n_events
+            FROM ordered GROUP BY user_id ORDER BY user_id""",
+        "dedup_exact": """
+            SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id FROM documents
+            GROUP BY md5(text) ORDER BY doc_id""",
+        "token_counts": r"""
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                   END AS n_tokens
+            FROM documents ORDER BY doc_id""",
+        "quality_counters": """
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
+                   CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit,
+                   CAST(length(regexp_replace(text, '[^.!?]', '', 'g')) AS BIGINT) AS n_sentences
+            FROM documents ORDER BY doc_id""",
+        "fingerprints": r"""
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+            FROM documents ORDER BY doc_id""",
+        "embedding_neardups": """
+            SELECT a.vec_id AS a, b.vec_id AS b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.8
+            ORDER BY a, b""",
+        "ann_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+                       WHERE vec_id < 5),
+                 sims AS (SELECT q.query_id, e.vec_id,
+                                 list_cosine_similarity(
+                                     CAST(q.embedding AS DOUBLE[]),
+                                     CAST(e.embedding AS DOUBLE[])) AS cosine
+                          FROM q CROSS JOIN embeddings e
+                          WHERE e.vec_id != q.query_id)
+            SELECT query_id,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank,
+                   vec_id
+            FROM sims QUALIFY rank <= 10 ORDER BY query_id, rank""",
+        "media_meta": """
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   sha256(text) AS sha256
+            FROM documents ORDER BY doc_id""",
+    }

@@ -1,0 +1,206 @@
+"""Relational operator coverage over the driver's TPC-H-ish tables, each
+with a DuckDB-oracle twin in ``__ray_entry__.oracle_sql``.
+
+Design rules for oracle-exact results:
+- monetary aggregates are computed on integer cents
+  (``round(x·100) as int64``) so summation order cannot perturb the result;
+  dollar values are derived from the exact integer at the end
+- joins: broadcast for dimension tables (``ray.put`` once), bucketed hash
+  join for large-large
+- every groupby is preceded by a per-batch pyarrow partial aggregation
+  (functions/agg.py) so the shuffle moves partials, not rows
+- ties in top-k are broken by explicit key order in BOTH engines
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+from raydoc.functions.agg import partial_groupby
+from raydoc.functions.joins import broadcast_join, bucket_hash_join
+
+
+def _read(sf_dir: str, table: str, columns: list[str]) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _cents(col: pa.ChunkedArray) -> pa.ChunkedArray:
+    return pc.cast(pc.round(pc.multiply(col, pa.scalar(100.0))), pa.int64())
+
+
+def q_pricing_summary(sf_dir: str) -> pa.Table:
+    """TPC-H Q1-shaped pricing summary: filter on ship date, grouped exact
+    aggregates by (returnflag, linestatus)."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount", "l_shipdate"])
+
+    import datetime
+    cutoff = pa.scalar(datetime.datetime(1998, 9, 2), pa.timestamp("us"))
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], cutoff))
+        qty = pc.cast(t["l_quantity"], pa.int64())
+        price_c = _cents(t["l_extendedprice"])
+        disc_pct = pc.cast(pc.round(pc.multiply(t["l_discount"], pa.scalar(100.0))), pa.int64())
+        disc_price = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_pct))
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "qty": qty,
+            "price_c": price_c,
+            "disc_price_c100": disc_price,
+        })
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    out = partial_groupby(prepped, ["l_returnflag", "l_linestatus"], {
+        "sum_qty": ("qty", "sum"),
+        "sum_base_price_c": ("price_c", "sum"),
+        "sum_disc_price_c100": ("disc_price_c100", "sum"),
+        "count_order": ("qty", "count"),
+    })
+
+    t = out.sort(["l_returnflag", "l_linestatus"]).take_all()
+    t = pa.Table.from_pylist(t)
+    return pa.table({
+        "l_returnflag": t["l_returnflag"],
+        "l_linestatus": t["l_linestatus"],
+        "sum_qty": t["sum_qty"],
+        "sum_base_price": pc.divide(pc.cast(t["sum_base_price_c"], pa.float64()), 100.0),
+        "sum_disc_price": pc.divide(pc.cast(t["sum_disc_price_c100"], pa.float64()), 10000.0),
+        "count_order": t["count_order"],
+    })
+
+
+def q_filter_project(sf_dir: str) -> rd.Dataset:
+    """Predicate + projection pushed to the read path."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"])
+    return ds.map_batches(
+        lambda t: t.filter(pc.and_(pc.greater(t["l_quantity"], 45.0),
+                                   pc.equal(t["l_returnflag"], "R"))),
+        batch_format="pyarrow")
+
+
+def q_distinct_flags(sf_dir: str) -> pa.Table:
+    """Distinct pairs via partial dedup per batch + tiny final groupby."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
+    out = partial_groupby(ds, ["l_returnflag", "l_linestatus"],
+                          {"n": ("l_returnflag", "count")})
+    t = pa.Table.from_pylist(out.take_all())
+    return t.select(["l_returnflag", "l_linestatus"]).sort_by(
+        [("l_returnflag", "ascending"), ("l_linestatus", "ascending")])
+
+
+def q_top_orders(sf_dir: str) -> pa.Table:
+    """Broadcast join orders ⋈ customer(BUILDING), global top-10 by price
+    with deterministic tiebreak."""
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment", "c_name"])
+    cust = cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING")) \
+               .select(["c_custkey", "c_name"]) \
+               .rename_columns(["o_custkey", "c_name"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    joined = broadcast_join(orders, cust, key="o_custkey")
+    top = joined.sort(["o_totalprice", "o_orderkey"], descending=[True, False]) \
+                .limit(10)
+    t = pa.Table.from_pylist(top.take_all())
+    return t.select(["o_orderkey", "o_custkey", "o_totalprice", "c_name"])
+
+
+def q_revenue_by_nation(sf_dir: str) -> pa.Table:
+    """Multi-way broadcast join lineitem ⋈ orders-keys ⋈ customer ⋈ nation,
+    grouped exact revenue per nation (TPC-H Q5 shape, single region)."""
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name", "n_regionkey"])
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    amerika = region.filter(pc.equal(region["r_name"], "AMERICA"))
+    rkeys = set(amerika["r_regionkey"].to_pylist())
+    nation = nation.filter(pc.is_in(nation["n_regionkey"],
+                                    value_set=pa.array(sorted(rkeys))))
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    orders = pq.read_table(f"{sf_dir}/orders.parquet",
+                           columns=["o_orderkey", "o_custkey"])
+
+    # driver-side dim prep (all small): customer → nation name
+    nat_of_cust = {}
+    n_name = dict(zip(nation["n_nationkey"].to_pylist(),
+                      nation["n_name"].to_pylist()))
+    for ck, nk in zip(cust["c_custkey"].to_pylist(),
+                      cust["c_nationkey"].to_pylist()):
+        if nk in n_name:
+            nat_of_cust[ck] = n_name[nk]
+    order_nation = pa.table({
+        "l_orderkey": orders["o_orderkey"],
+        "n_name": pa.array([nat_of_cust.get(ck) for ck in
+                            orders["o_custkey"].to_pylist()], pa.string()),
+    }).filter(pc.is_valid(pc.field("n_name")))
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount"])
+    joined = broadcast_join(li, order_nation, key="l_orderkey")
+
+    def prep(t: pa.Table) -> pa.Table:
+        price_c = _cents(t["l_extendedprice"])
+        disc_pct = pc.cast(pc.round(pc.multiply(t["l_discount"], pa.scalar(100.0))), pa.int64())
+        rev = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_pct))
+        return pa.table({"n_name": t["n_name"], "rev_c100": rev})
+
+    out = partial_groupby(joined.map_batches(prep, batch_format="pyarrow"),
+                          ["n_name"], {"revenue_c100": ("rev_c100", "sum"),
+                                       "n_items": ("rev_c100", "count")})
+    t = pa.Table.from_pylist(out.take_all()).sort_by("n_name")
+    return pa.table({
+        "n_name": t["n_name"],
+        "revenue": pc.divide(pc.cast(t["revenue_c100"], pa.float64()), 10000.0),
+        "n_items": t["n_items"],
+    })
+
+
+def q_customer_order_stats(sf_dir: str) -> pa.Table:
+    """Large-large bucketed hash join orders ⋈ customer + grouped stats per
+    market segment (count/max are order-insensitive exact)."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda t: t.rename_columns(["o_custkey", "c_mktsegment"]),
+        batch_format="pyarrow")
+    joined = bucket_hash_join(orders, cust, key="o_custkey", num_buckets=16)
+    out = partial_groupby(joined, ["c_mktsegment"], {
+        "n_orders": ("o_totalprice", "count"),
+        "max_price": ("o_totalprice", "max"),
+        "min_price": ("o_totalprice", "min"),
+    })
+    return pa.Table.from_pylist(out.take_all()).sort_by("c_mktsegment")
+
+
+def q_brand_volume(sf_dir: str) -> pa.Table:
+    """lineitem ⋈ part (broadcast) → exact quantity totals per brand."""
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand"])
+    part = part.rename_columns(["l_partkey", "p_brand"])
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+    joined = broadcast_join(li, part, key="l_partkey")
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"p_brand": t["p_brand"],
+                         "qty": pc.cast(t["l_quantity"], pa.int64())})
+
+    out = partial_groupby(joined.map_batches(prep, batch_format="pyarrow"),
+                          ["p_brand"], {"sum_qty": ("qty", "sum"),
+                                        "n_items": ("qty", "count")})
+    return pa.Table.from_pylist(out.take_all()).sort_by("p_brand")
+
+
+def q_top_events(sf_dir: str) -> pa.Table:
+    """Global sort + limit with deterministic tiebreak."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    top = ds.sort(["value", "event_id"], descending=[True, False]).limit(100)
+    return pa.Table.from_pylist(top.take_all()).select(
+        ["event_id", "event_type", "value"])

