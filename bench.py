@@ -1,0 +1,233 @@
+#!/usr/bin/env python
+"""Benchmark harness for the raydoc engine.
+
+Default mode runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) under ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and prints ONE JSON line::
+
+    {"metric": "raydoc_bench_total", "value": <total sec>, "unit": "sec",
+     "queries": {"extract_turns": sec, ...}, "sf": 0.1, "num_cpus": 32,
+     "extract_turns_per_sec": ..., "extract_rows": ...}
+
+``--scaling`` runs the headline extraction job twice in FRESH processes
+(num_cpus=8 then num_cpus=32) on the same input and reports both
+throughputs plus scaling efficiency = (thr_hi/thr_lo)/(hi/lo); the result
+is the sandbox stand-in for the N-node vs 4N-node cluster criterion
+(BASELINE.json) and is recorded in BASELINE.md.
+
+Internal ``--headline-only`` mode is the per-process worker for --scaling.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# Queries from __ray_entry__.queries() to time in the full bench, in run
+# order. extract_turns (the flagship) is timed separately via run_job so the
+# number includes the checkpointed parquet write + manifests.
+BENCH_QUERIES = [
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_orders",
+    "customer_order_stats",
+    "brand_volume",
+    "hourly_event_stats",
+    "sessionize",
+    "dedup_exact",
+    "minhash_clusters",
+    "simhash_neardups",
+    "ngram_jaccard",
+    "embedding_neardups",
+    "ann_topk",
+    "ann_lsh_topk",
+    "token_counts",
+    "quality_counters",
+    "fingerprints",
+    "language_id",
+    "media_meta",
+    "normalize_markdown",
+]
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def _init_ray(num_cpus: int) -> None:
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+
+
+def prepare_transcripts(sf_dir: str, out_dir: str, shards: int = 32) -> str:
+    """Materialize the deterministic transcript corpus derived from the
+    driver's documents table as SHARDED parquet (one file per conv range) so
+    read_parquet yields enough blocks for full parallelism."""
+    import pyarrow.parquet as pq
+    from raydoc.sources.transcripts import transcripts_from_documents
+
+    os.makedirs(out_dir, exist_ok=True)
+    marker = os.path.join(out_dir, "_DONE")
+    if os.path.exists(marker):
+        return out_dir
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    table = transcripts_from_documents(docs, turns_per_conv=6)
+    n = table.num_rows
+    step = max(1, (n + shards - 1) // shards)
+    # shard on row ranges; conversations are contiguous in generation order
+    # and a conv never spans a shard boundary (6 turns per conv, step % 6
+    # enforced) so the conv_id groupby shuffle stays balanced.
+    step = ((step + 5) // 6) * 6
+    i = part = 0
+    while i < n:
+        pq.write_table(table.slice(i, step),
+                       os.path.join(out_dir, f"shard-{part:04d}.parquet"))
+        i += step
+        part += 1
+    with open(marker, "w") as f:
+        f.write(str(n))
+    return out_dir
+
+
+def run_headline(transcripts_dir: str, out_dir: str) -> dict:
+    """The flagship job: read sharded transcripts → extractor actor pool →
+    conv_id document stage → checkpointed partitioned parquet write."""
+    from raydoc.pipelines.extract_pipeline import run_job
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    report = run_job(transcripts_dir, out_dir, resume=False)
+    wall = time.perf_counter() - t0
+    return {"rows": report["rows_written"], "wall_sec": round(wall, 3),
+            "turns_per_sec": round(report["rows_written"] / wall, 2)}
+
+
+def _consume(result) -> int:
+    """Force full execution of a query result; return row count."""
+    import pyarrow as pa
+    import ray.data as rd
+    if isinstance(result, rd.Dataset):
+        return result.count()
+    if isinstance(result, pa.Table):
+        return result.num_rows
+    return len(result)
+
+
+def full_bench(sf_dir: str, num_cpus: int) -> dict:
+    _init_ray(num_cpus)
+    import __ray_entry__ as entrymod
+    qs = entrymod.queries()
+
+    timings: dict[str, float] = {}
+    tdir = prepare_transcripts(sf_dir, f"/tmp/raydoc_bench_transcripts_{_sf_of(sf_dir)}")
+
+    t0 = time.perf_counter()
+    headline = run_headline(tdir, "/tmp/raydoc_bench_out")
+    timings["extract_turns"] = round(time.perf_counter() - t0, 3)
+
+    for name in BENCH_QUERIES:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        try:
+            _consume(fn(sf_dir))
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # a failed query is reported, not fatal
+            timings[name] = -1.0
+            print(f"# bench query {name} failed: {exc}", file=sys.stderr)
+
+    total = round(sum(v for v in timings.values() if v > 0), 3)
+    return {
+        "metric": "raydoc_bench_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_of(sf_dir),
+        "num_cpus": num_cpus,
+        "extract_rows": headline["rows"],
+        "extract_wall_sec": headline["wall_sec"],
+        "extract_turns_per_sec": headline["turns_per_sec"],
+    }
+
+
+def headline_only(sf_dir: str, num_cpus: int) -> dict:
+    _init_ray(num_cpus)
+    tdir = prepare_transcripts(sf_dir, f"/tmp/raydoc_bench_transcripts_{_sf_of(sf_dir)}")
+    out = run_headline(tdir, f"/tmp/raydoc_scaling_out_{num_cpus}")
+    out["num_cpus"] = num_cpus
+    return out
+
+
+def scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
+    """Fresh-process runs at two parallelism levels (cluster-size stand-in)."""
+    results = {}
+    for n in (lo, hi):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_SF_DIR=sf_dir)
+        proc = subprocess_run(
+            [sys.executable, os.path.abspath(__file__), "--headline-only"],
+            env=env)
+        results[n] = json.loads(proc.strip().splitlines()[-1])
+    thr_lo = results[lo]["turns_per_sec"]
+    thr_hi = results[hi]["turns_per_sec"]
+    eff = round((thr_hi / thr_lo) / (hi / lo), 3) if thr_lo else None
+    return {
+        "metric": "scaling_efficiency",
+        "value": eff,
+        "unit": "ratio",
+        "lo_cpus": lo, "hi_cpus": hi,
+        "lo_turns_per_sec": thr_lo, "hi_turns_per_sec": thr_hi,
+        "lo_wall_sec": results[lo]["wall_sec"],
+        "hi_wall_sec": results[hi]["wall_sec"],
+        "rows": results[hi]["rows"],
+        "sf": _sf_of(sf_dir),
+    }
+
+
+def subprocess_run(cmd: list[str], env: dict) -> str:
+    import subprocess
+    proc = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                          timeout=3600)
+    if proc.returncode != 0:
+        raise RuntimeError(f"worker failed:\n{proc.stderr[-4000:]}")
+    return proc.stdout
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--headline-only", action="store_true")
+    ap.add_argument("--sf-dir", default=SF_DIR)
+    ap.add_argument("--num-cpus", type=int, default=NUM_CPUS)
+    ap.add_argument("--lo", type=int, default=8)
+    ap.add_argument("--hi", type=int, default=32)
+    args = ap.parse_args()
+
+    if args.headline_only:
+        out = headline_only(args.sf_dir, args.num_cpus)
+    elif args.scaling:
+        out = scaling(args.sf_dir, args.lo, args.hi)
+    else:
+        out = full_bench(args.sf_dir, args.num_cpus)
+    print(json.dumps(out))
+
+    import ray
+    if ray.is_initialized():
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
