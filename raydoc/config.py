@@ -57,6 +57,10 @@ class PipelineConfig:
     extract_batch_size: int = 512
     extract_concurrency: int | tuple[int, int] | None = None
     num_output_partitions: int = 32
+    # document-stage shuffle buckets = num_output_partitions × fineness;
+    # finer than the checkpoint unit so reduce parallelism and straggler
+    # mitigation don't depend on the (coarse) resume granularity
+    shuffle_fineness: int = 4
     include_doc_markdown: bool = False   # carry full doc markdown on turn 0 rows
 
 

@@ -10,8 +10,9 @@ matches/|vocab(text)|·5). Round-4 confidences.
 from __future__ import annotations
 
 import re
-from collections import Counter
 from typing import Any
+
+import numpy as np
 
 _SCRIPT_RANGES = {
     "latin": (0x0000, 0x024F),
@@ -52,23 +53,54 @@ _LATIN_WORD = re.compile(r"\b[a-zA-Z]+\b")
 
 DEFAULT_LANGUAGE = "en"
 
+# Vectorized script histogram: sorted half-open boundary array for
+# np.searchsorted; odd bin index i*2+1 ↔ script i (ranges don't overlap).
+_SCRIPTS = sorted(_SCRIPT_RANGES, key=lambda s: _SCRIPT_RANGES[s][0])
+_BOUNDS = np.empty(2 * len(_SCRIPTS), dtype=np.uint32)
+for _i, _s in enumerate(_SCRIPTS):
+    _lo, _hi = _SCRIPT_RANGES[_s]
+    _BOUNDS[2 * _i] = _lo
+    _BOUNDS[2 * _i + 1] = _hi + 1  # half-open upper edge
+
+_ASCII_ALPHA = np.zeros(256, dtype=bool)
+for _c in range(256):
+    _ASCII_ALPHA[_c] = chr(_c).isalpha()
+
+
+def _codepoints(text: str) -> "np.ndarray":
+    return np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+
+
+def _alpha_mask(codes: "np.ndarray") -> "np.ndarray":
+    """Exact ``str.isalpha`` mask: table lookup below U+0100, per-unique
+    Python isalpha above (few uniques even in CJK text)."""
+    mask = np.zeros(codes.shape, dtype=bool)
+    low = codes < 256
+    mask[low] = _ASCII_ALPHA[codes[low]]
+    high = ~low
+    if high.any():
+        hi_codes = codes[high]
+        uniq = np.unique(hi_codes)
+        alpha_uniq = np.fromiter((chr(int(u)).isalpha() for u in uniq),
+                                 dtype=bool, count=len(uniq))
+        mask[high] = alpha_uniq[np.searchsorted(uniq, hi_codes)]
+    return mask
+
 
 def _detect_script(text: str) -> tuple[str, float]:
-    counts: Counter[str] = Counter()
-    letters = 0
-    for ch in text:
-        if not ch.isalpha():
-            continue
-        letters += 1
-        code = ord(ch)
-        for script, (lo, hi) in _SCRIPT_RANGES.items():
-            if lo <= code <= hi:
-                counts[script] += 1
-                break
-    if not counts or letters == 0:
+    codes = _codepoints(text)
+    alpha = codes[_alpha_mask(codes)]
+    letters = len(alpha)
+    if letters == 0:
         return "unknown", 0.0
-    script, n = counts.most_common(1)[0]
-    return script, n / letters
+    bins = np.searchsorted(_BOUNDS, alpha, side="right")
+    in_range = (bins & 1).astype(bool)
+    if not in_range.any():
+        return "unknown", 0.0
+    script_ids = bins[in_range] >> 1
+    counts = np.bincount(script_ids, minlength=len(_SCRIPTS))
+    best = int(counts.argmax())
+    return _SCRIPTS[best], int(counts[best]) / letters
 
 
 def _detect_latin(text: str) -> tuple[str, float]:
@@ -85,9 +117,10 @@ def _detect_latin(text: str) -> tuple[str, float]:
 
 
 def _detect_cjk(text: str) -> str:
-    hira = sum(1 for c in text if 0x3040 <= ord(c) <= 0x309F)
-    kata = sum(1 for c in text if 0x30A0 <= ord(c) <= 0x30FF)
-    hang = sum(1 for c in text if 0xAC00 <= ord(c) <= 0xD7AF)
+    codes = _codepoints(text)
+    hira = int(((codes >= 0x3040) & (codes <= 0x309F)).sum())
+    kata = int(((codes >= 0x30A0) & (codes <= 0x30FF)).sum())
+    hang = int(((codes >= 0xAC00) & (codes <= 0xD7AF)).sum())
     if hira + kata > 5:
         return "ja"
     if hang > 5:

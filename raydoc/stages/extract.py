@@ -31,6 +31,16 @@ def partition_of(conv_id: str, num_partitions: int) -> int:
     return int(hashlib.md5(conv_id.encode()).hexdigest()[:8], 16) % num_partitions
 
 
+def shuffle_key_of(conv_id: str, num_partitions: int, fineness: int) -> int:
+    """Finer-grained shuffle bucket for the document stage. Buckets =
+    num_partitions × fineness so reduce parallelism isn't capped by the
+    (coarser) checkpoint partition count; consistent with ``partition_of``
+    because (h mod P·F) mod P == h mod P — every conversation in a shuffle
+    bucket belongs to exactly one output partition."""
+    return int(hashlib.md5(conv_id.encode()).hexdigest()[:8], 16) % (
+        num_partitions * fineness)
+
+
 class ExtractorActor:
     """text → normalized text + element IR, one Arrow batch per call."""
 
@@ -51,10 +61,14 @@ class ExtractorActor:
         strip_ratio: list[float] = []
         parse_failed: list[bool] = []
         parts: list[int] = []
+        skeys: list[int] = []
         n_parts = self._cfg.num_output_partitions
+        fineness = self._cfg.shuffle_fineness
 
         for conv_id, text in zip(conv_ids, texts):
-            parts.append(partition_of(conv_id, n_parts))
+            h = int(hashlib.md5(conv_id.encode()).hexdigest()[:8], 16)
+            parts.append(h % n_parts)
+            skeys.append(h % (n_parts * fineness))
             try:
                 normalized, html_flag, ratio = self._extract(text or "")
                 elements = self._build(normalized, self._cfg)
@@ -76,4 +90,5 @@ class ExtractorActor:
             "strip_ratio": pa.array(strip_ratio, pa.float32()),
             "parse_failed": pa.array(parse_failed, pa.bool_()),
             "part": pa.array(parts, pa.int32()),
+            "shuffle_key": pa.array(skeys, pa.int32()),
         })
