@@ -72,10 +72,14 @@ def _init_ray(num_cpus: int) -> None:
                  include_dashboard=False, logging_level="ERROR")
 
 
-def prepare_transcripts(sf_dir: str, out_dir: str, shards: int = 32) -> str:
+def prepare_transcripts(sf_dir: str, out_dir: str, shards: int = 32,
+                        replicate: int = 1) -> str:
     """Materialize the deterministic transcript corpus derived from the
     driver's documents table as SHARDED parquet (one file per conv range) so
-    read_parquet yields enough blocks for full parallelism."""
+    read_parquet yields enough blocks for full parallelism. ``replicate``
+    appends a suffix to conv_id per copy (distinct conversations) to scale
+    the corpus for the scaling-efficiency measurement."""
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
     from raydoc.sources.transcripts import transcripts_from_documents
 
@@ -92,14 +96,21 @@ def prepare_transcripts(sf_dir: str, out_dir: str, shards: int = 32) -> str:
     # and a conv never spans a shard boundary (6 turns per conv, step % 6
     # enforced) so the conv_id groupby shuffle stays balanced.
     step = ((step + 5) // 6) * 6
-    i = part = 0
-    while i < n:
-        pq.write_table(table.slice(i, step),
-                       os.path.join(out_dir, f"shard-{part:04d}.parquet"))
-        i += step
-        part += 1
+    cidx = table.schema.get_field_index("conv_id")
+    part = 0
+    for rep in range(replicate):
+        t = table
+        if replicate > 1:
+            t = t.set_column(cidx, "conv_id", pc.binary_join_element_wise(
+                t.column("conv_id").cast("string"), f"r{rep}", "-"))
+        i = 0
+        while i < n:
+            pq.write_table(t.slice(i, step),
+                           os.path.join(out_dir, f"shard-{part:04d}.parquet"))
+            i += step
+            part += 1
     with open(marker, "w") as f:
-        f.write(str(n))
+        f.write(str(n * replicate))
     return out_dir
 
 
@@ -164,26 +175,58 @@ def full_bench(sf_dir: str, num_cpus: int) -> dict:
     }
 
 
-def headline_only(sf_dir: str, num_cpus: int) -> dict:
+def headline_only(sf_dir: str, num_cpus: int, replicate: int = 1) -> dict:
     _init_ray(num_cpus)
-    tdir = prepare_transcripts(sf_dir, f"/tmp/raydoc_bench_transcripts_{_sf_of(sf_dir)}")
+    tdir = prepare_transcripts(
+        sf_dir, f"/tmp/raydoc_bench_transcripts_{_sf_of(sf_dir)}_x{replicate}",
+        replicate=replicate)
     out = run_headline(tdir, f"/tmp/raydoc_scaling_out_{num_cpus}")
     out["num_cpus"] = num_cpus
     return out
 
 
-def scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
-    """Fresh-process runs at two parallelism levels (cluster-size stand-in)."""
+def _hw_ceiling(lo: int, hi: int) -> float:
+    """This box's best-case lo→hi scaling for ANY CPU-bound work: the same
+    regex microbenchmark under plain multiprocessing. All-core turbo/memory
+    bandwidth limits mean even embarrassingly parallel code scales below
+    1.0 here; on a real N→4N-node cluster each node keeps its own memory
+    bus, so engine efficiency should be read relative to this ceiling."""
+    import multiprocessing as mp
+    import re as _re
+
+    def work(_):
+        pat = _re.compile(r"\b\w+\b")
+        s = "the quick brown fox jumps-over the lazy dog " * 50
+        t0 = time.perf_counter()
+        for _ in range(2000):
+            pat.findall(s)
+        return time.perf_counter() - t0
+
+    thr = {}
+    for n in (lo, hi):
+        with mp.Pool(n) as p:
+            t0 = time.perf_counter()
+            p.map(work, range(n * 4))
+            thr[n] = n * 4 / (time.perf_counter() - t0)
+    return round((thr[hi] / thr[lo]) / (hi / lo), 3)
+
+
+def scaling(sf_dir: str, lo: int = 8, hi: int = 32, replicate: int = 4) -> dict:
+    """Fresh-process runs at two parallelism levels (the sandbox stand-in
+    for N-node vs 4N-node clusters, per BASELINE.md). The corpus is
+    replicated so compute dominates fixed startup/shuffle-barrier costs."""
     results = {}
     for n in (lo, hi):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_SF_DIR=sf_dir)
         proc = subprocess_run(
-            [sys.executable, os.path.abspath(__file__), "--headline-only"],
+            [sys.executable, os.path.abspath(__file__), "--headline-only",
+             "--replicate", str(replicate)],
             env=env)
         results[n] = json.loads(proc.strip().splitlines()[-1])
     thr_lo = results[lo]["turns_per_sec"]
     thr_hi = results[hi]["turns_per_sec"]
     eff = round((thr_hi / thr_lo) / (hi / lo), 3) if thr_lo else None
+    ceiling = _hw_ceiling(lo, hi)
     return {
         "metric": "scaling_efficiency",
         "value": eff,
@@ -193,6 +236,8 @@ def scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
         "lo_wall_sec": results[lo]["wall_sec"],
         "hi_wall_sec": results[hi]["wall_sec"],
         "rows": results[hi]["rows"],
+        "hw_ceiling": ceiling,
+        "normalized_efficiency": round(eff / ceiling, 3) if eff and ceiling else None,
         "sf": _sf_of(sf_dir),
     }
 
@@ -214,10 +259,11 @@ def main() -> None:
     ap.add_argument("--num-cpus", type=int, default=NUM_CPUS)
     ap.add_argument("--lo", type=int, default=8)
     ap.add_argument("--hi", type=int, default=32)
+    ap.add_argument("--replicate", type=int, default=1)
     args = ap.parse_args()
 
     if args.headline_only:
-        out = headline_only(args.sf_dir, args.num_cpus)
+        out = headline_only(args.sf_dir, args.num_cpus, args.replicate)
     elif args.scaling:
         out = scaling(args.sf_dir, args.lo, args.hi)
     else:

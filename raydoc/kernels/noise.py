@@ -62,22 +62,36 @@ _ARTIFACT = [re.compile(p) for p in (
 _CONSONANT_RUN = re.compile(r"[bcdfghjklmnpqrstvwxz]{5,}", re.IGNORECASE)
 _CHAR_REPEAT = re.compile(r"(.)\1{4,}")
 
+# Single-alternation versions of the banks: one C-level match instead of a
+# Python any() loop over 6-11 compiled patterns. Equivalent because every
+# member pattern is ^-anchored and the IGNORECASE flag applies bank-wide
+# (each watermark pattern carries its own (?i)).
+_PAGE_NUM_ONE = re.compile(
+    "|".join(f"(?:{p.pattern})" for p in _PAGE_NUM), re.IGNORECASE)
+# every watermark pattern carries its own (?i); hoist it to a bank-wide flag
+# (inline global flags are illegal mid-alternation in Python ≥3.11)
+_WATERMARK_ONE = re.compile(
+    "|".join(f"(?:{p.pattern.removeprefix('(?i)')})" for p in _WATERMARK),
+    re.IGNORECASE)
+_ARTIFACT_ONE = re.compile("|".join(f"(?:{p.pattern})" for p in _ARTIFACT))
+
+# chars that are neither alnum nor whitespace: [^\w\s] plus underscore
+# (str.isalnum("_") is False but "_" is \w)
+_SPECIAL = re.compile(r"[^\w\s]|_")
+
 
 def is_page_number(line: str) -> bool:
-    line = line.strip()
-    return any(p.match(line) for p in _PAGE_NUM)
+    return _PAGE_NUM_ONE.match(line.strip()) is not None
 
 
 def is_watermark(line: str) -> bool:
-    line = line.strip()
-    return any(p.match(line) for p in _WATERMARK)
+    return _WATERMARK_ONE.match(line.strip()) is not None
 
 
 def is_garbled(line: str) -> bool:
     if len(line) < 3:
         return False
-    specials = sum(1 for c in line if not c.isalnum() and not c.isspace())
-    if specials / len(line) > 0.5:
+    if len(_SPECIAL.findall(line)) / len(line) > 0.5:
         return True
     if _CONSONANT_RUN.search(line):
         return True
@@ -87,7 +101,7 @@ def is_garbled(line: str) -> bool:
 def is_artifact(line: str, confidence: float = 1.0,
                 artifact_confidence: float = 0.3) -> bool:
     line = line.strip()
-    if any(p.match(line) for p in _ARTIFACT):
+    if _ARTIFACT_ONE.match(line):
         return True
     if confidence < artifact_confidence and len(line) < 10:
         return True
@@ -165,13 +179,17 @@ def tag_noise(turns: list[list[Element]],
     detail["headers"] = list(repeaters["headers"])
     detail["footers"] = list(repeaters["footers"])
 
+    # mask_digits per line is only needed for repeater membership; skip the
+    # regex sub entirely when this conversation has no repeaters (common).
+    have_repeaters = bool(repeaters["headers"] or repeaters["footers"])
+
     out_turns: list[list[Element]] = []
     for elements in turns:
         kept: list[Element] = []
         for elem in elements:
             if elem.get("type") == "text":
                 line = elem.get("content", "").strip()
-                masked = mask_digits(line)
+                masked = mask_digits(line) if have_repeaters else ""
                 kind = None
                 if is_page_number(line):
                     kind = "page_number"

@@ -82,6 +82,20 @@ _EQUATION_BANK = [re.compile(p) for p in (
     r"=\s*[a-zA-Z0-9\+\-\*\/\^\(\)]+\s*$",
 )]
 
+# Single-pass combined banks: one C-level match per bank instead of a
+# Python loop; named groups preserve exactly which alternative matched first
+# (left-to-right alternation == the original first-match-wins loop).
+_HEADING_ONE = re.compile(
+    "|".join(f"(?P<h{i}>{p.pattern})" for i, p in enumerate(_HEADING_BANK)))
+_CHAPTER_IDX = next(i for i, p in enumerate(_HEADING_BANK)
+                    if "chapter" in p.pattern.lower())
+_LIST_ONE = re.compile(
+    "|".join(f"(?P<l{i}>{p.pattern})" for i, (p, _) in enumerate(_LIST_BANK)))
+_LIST_TYPES = [t for _, t in _LIST_BANK]
+_CAPTION_ONE = re.compile("|".join(f"(?:{p.pattern})" for p in _CAPTION_BANK))
+_FOOTNOTE_ONE = re.compile("|".join(f"(?:{p.pattern})" for p in _FOOTNOTE_BANK))
+_EQUATION_ONE = re.compile("|".join(f"(?:{p.pattern})" for p in _EQUATION_BANK))
+
 _NUM_DOT_DOT = re.compile(r"^\d+\.\d+")
 _NUM_DOT = re.compile(r"^\d+\.")
 _ANY_DIGITS = re.compile(r"\d+")
@@ -129,17 +143,17 @@ def classify_render_role(element: Element,
         level = 1 if ratio > 1.8 else 2 if ratio > 1.5 else 3 if ratio > 1.3 else 4
         return "heading", {"level": level}
 
-    for pat in _HEADING_BANK:
-        if pat.match(content):
-            if "chapter" in pat.pattern.lower():
-                level = 1
-            elif _NUM_DOT_DOT.match(content):
-                level = 3
-            elif _NUM_DOT.match(content):
-                level = 2
-            else:
-                level = 2
-            return "heading", {"level": level}
+    m = _HEADING_ONE.match(content)
+    if m:
+        if int(m.lastgroup[1:]) == _CHAPTER_IDX:
+            level = 1
+        elif _NUM_DOT_DOT.match(content):
+            level = 3
+        elif _NUM_DOT.match(content):
+            level = 2
+        else:
+            level = 2
+        return "heading", {"level": level}
 
     if len(content) < 60 and content and content[0].isupper():
         if content[-1] not in ".!?,;:":
@@ -147,24 +161,21 @@ def classify_render_role(element: Element,
                 if bbox[1] / ctx.page_height < 0.15:
                     return "heading", {"level": 2}
 
-    for pat, list_type in _LIST_BANK:
-        if pat.match(content):
-            return "list_item", {"type": list_type}
+    m = _LIST_ONE.match(content)
+    if m:
+        return "list_item", {"type": _LIST_TYPES[int(m.lastgroup[1:])]}
 
-    for pat in _CAPTION_BANK:
-        if pat.match(content):
-            lower = content.lower()
-            target = "table" if "table" in lower or "tbl" in lower else "figure"
-            return "caption", {"for": target}
+    if _CAPTION_ONE.match(content):
+        lower = content.lower()
+        target = "table" if "table" in lower or "tbl" in lower else "figure"
+        return "caption", {"for": target}
 
-    for pat in _FOOTNOTE_BANK:
-        if pat.match(content):
-            m = _ANY_DIGITS.search(content[:10])
-            return "footnote", {"id": m.group() if m else "1"}
+    if _FOOTNOTE_ONE.match(content):
+        m = _ANY_DIGITS.search(content[:10])
+        return "footnote", {"id": m.group() if m else "1"}
 
-    for pat in _EQUATION_BANK:
-        if pat.match(content):
-            return "equation", {"display": "block" if len(content) > 20 else "inline"}
+    if _EQUATION_ONE.match(content):
+        return "equation", {"display": "block" if len(content) > 20 else "inline"}
 
     if bbox and ctx.page_height:
         if bbox[1] / ctx.page_height > 0.85 and len(content) < 200:
@@ -255,9 +266,35 @@ def _mean(values: list[float], default: float) -> float:
     return sum(values) / len(values) if values else default
 
 
+class _PageAgg:
+    """Geometry aggregates of one page's elements, computed ONCE per page
+    (the classifier is called per element; recomputing these inside it made
+    classification O(n²) per turn). Values are exactly the per-call
+    quantities of layout_analyzer.py:153-323."""
+
+    __slots__ = ("boxes", "avg_height", "spacing", "page_width", "page_left",
+                 "page_height", "nonempty")
+
+    def __init__(self, page_elements: list[Element]):
+        self.nonempty = bool(page_elements)
+        boxes = [e["bbox"] for e in page_elements
+                 if "bbox" in e and len(e["bbox"]) >= 4]
+        self.boxes = boxes
+        self.avg_height = (_mean([b[3] - b[1] for b in boxes], 12.0)
+                           if page_elements else 12.0)
+        ys = sorted(b[1] for b in boxes)
+        self.spacing = (_mean([ys[i + 1] - ys[i]
+                               for i in range(len(ys) - 1)], 20.0)
+                        if len(ys) > 1 else 20.0)
+        self.page_width = max((b[2] for b in boxes), default=600)
+        self.page_left = min((b[0] for b in boxes), default=0)
+        self.page_height = max((b[3] for b in boxes), default=1000)
+
+
 def classify_layout_role_enhanced(elem: Element, page_elements: list[Element],
                                   prev_elem: Element | None = None,
-                                  next_elem: Element | None = None
+                                  next_elem: Element | None = None,
+                                  agg: "_PageAgg | None" = None
                                   ) -> tuple[str, float]:
     """5-signal weighted heading score with early list-item rules
     (layout_analyzer.py:153-323). Weights 0.35/0.25/0.20/0.15/0.05 and all
@@ -270,11 +307,10 @@ def classify_layout_role_enhanced(elem: Element, page_elements: list[Element],
     h = bbox[3] - bbox[1] if len(bbox) >= 4 else 0
     n = len(text)
 
-    boxes = [e["bbox"] for e in page_elements if "bbox" in e and len(e["bbox"]) >= 4]
-    avg_height = _mean([b[3] - b[1] for b in boxes], 12.0) if page_elements else 12.0
-    ys = sorted(b[1] for b in boxes)
-    spacing = _mean([ys[i + 1] - ys[i] for i in range(len(ys) - 1)], 20.0) \
-        if len(ys) > 1 else 20.0
+    if agg is None:
+        agg = _PageAgg(page_elements)
+    avg_height = agg.avg_height
+    spacing = agg.spacing
 
     # signal 1: font size
     if h > avg_height * 1.4:
@@ -324,11 +360,9 @@ def classify_layout_role_enhanced(elem: Element, page_elements: list[Element],
 
     # signal 5: indentation
     s_ind = 0.0
-    if page_elements:
-        rights = [b[2] for b in boxes]
-        lefts = [b[0] for b in boxes]
-        page_width = max(rights, default=600)
-        page_left = min(lefts, default=0)
+    if agg.nonempty:
+        page_width = agg.page_width
+        page_left = agg.page_left
         center = (bbox[0] + bbox[2]) / 2
         page_center = (page_left + page_width) / 2
         if abs(center - page_center) < page_width * 0.1:
@@ -341,8 +375,7 @@ def classify_layout_role_enhanced(elem: Element, page_elements: list[Element],
     if any(text.lower().startswith(k) for k in _CAPTION_KEYWORDS):
         return "caption", 0.85
 
-    page_height = max((b[3] for b in boxes), default=1000)
-    if bbox[1] > page_height * 0.85 and h < avg_height * 0.8:
+    if bbox[1] > agg.page_height * 0.85 and h < avg_height * 0.8:
         return "footnote", 0.8
 
     if score >= 0.45:
@@ -351,7 +384,8 @@ def classify_layout_role_enhanced(elem: Element, page_elements: list[Element],
 
 
 def classify_layout_role_legacy(elem: Element,
-                                page_elements: list[Element]) -> str:
+                                page_elements: list[Element],
+                                agg: "_PageAgg | None" = None) -> str:
     """Font-size-only variant (layout_analyzer.py:326-393)."""
     text = elem.get("text", "").strip()
     bbox = elem.get("bbox", (0, 0, 0, 0))
@@ -359,8 +393,9 @@ def classify_layout_role_legacy(elem: Element,
         return "paragraph"
 
     h = bbox[3] - bbox[1] if len(bbox) >= 4 else 0
-    boxes = [e["bbox"] for e in page_elements if "bbox" in e and len(e["bbox"]) >= 4]
-    avg_height = _mean([b[3] - b[1] for b in boxes], 12.0) if page_elements else 12.0
+    if agg is None:
+        agg = _PageAgg(page_elements)
+    avg_height = agg.avg_height
 
     if len(text) < 100 and h > avg_height * 1.2:
         return "heading"
@@ -370,8 +405,7 @@ def classify_layout_role_legacy(elem: Element,
         return "list_item"
     if any(text.lower().startswith(k) for k in _CAPTION_KEYWORDS):
         return "caption"
-    page_height = max((b[3] for b in boxes), default=1000)
-    if bbox[1] > page_height * 0.85 and h < avg_height * 0.8:
+    if bbox[1] > agg.page_height * 0.85 and h < avg_height * 0.8:
         return "footnote"
     return "paragraph"
 
@@ -390,16 +424,20 @@ def analyze_layout(elements: list[Element], confidence_threshold: float = 0.7,
     high = assign_columns(high, cols)
     ordered = xy_cut(high)
 
+    # geometry aggregates are loop-invariant (roles don't change bboxes)
+    agg = _PageAgg(ordered)
     if use_enhanced:
         for i, elem in enumerate(ordered):
             prev_e = ordered[i - 1] if i > 0 else None
             next_e = ordered[i + 1] if i < len(ordered) - 1 else None
-            role, conf = classify_layout_role_enhanced(elem, ordered, prev_e, next_e)
+            role, conf = classify_layout_role_enhanced(elem, ordered, prev_e,
+                                                       next_e, agg=agg)
             elem["semantic_role"] = role
             elem["role_confidence"] = conf
     else:
         for elem in ordered:
-            elem["semantic_role"] = classify_layout_role_legacy(elem, ordered)
+            elem["semantic_role"] = classify_layout_role_legacy(elem, ordered,
+                                                                agg=agg)
 
     for elem in low:
         elem["reading_order"] = len(ordered) + 1

@@ -108,14 +108,21 @@ def _check_content(text: str, issues: list[dict[str, Any]]) -> None:
                                  f"Document does not start with H1 (starts with H{first})"))
 
 
+_HALLUCINATION_ONE = re.compile(
+    "|".join(f"(?:{p.pattern.removeprefix('(?i)')})" for p in _HALLUCINATION),
+    re.IGNORECASE)
+
+
 def _check_hallucinations(text: str, issues: list[dict[str, Any]]) -> None:
+    # Cheap whole-text pre-scan: most documents contain no hallucination
+    # phrase at all, so skip the per-line loop entirely in that case.
+    if not _HALLUCINATION_ONE.search(text):
+        return
     for i, line in enumerate(text.split("\n"), 1):
-        for pat in _HALLUCINATION:
-            if pat.search(line):
-                issues.append(_issue("error", "hallucination",
-                                     "Potential hallucination detected",
-                                     line=i, context=line[:80]))
-                break
+        if _HALLUCINATION_ONE.search(line):
+            issues.append(_issue("error", "hallucination",
+                                 "Potential hallucination detected",
+                                 line=i, context=line[:80]))
 
 
 def _check_format(text: str, issues: list[dict[str, Any]]) -> None:
