@@ -61,6 +61,12 @@ class PipelineConfig:
     # finer than the checkpoint unit so reduce parallelism and straggler
     # mitigation don't depend on the (coarse) resume granularity
     shuffle_fineness: int = 4
+    # Partitioning assumption enabling shuffle elision: every conversation's
+    # turns live in ONE input file (transcript corpora are typically written
+    # per conversation range). When True the job uses the fused per-file
+    # actor pipeline (no conv_id exchange); when False the general
+    # groupby(shuffle_key) path runs. See stages/extract.py FusedFileActor.
+    assume_conv_aligned: bool = False
     include_doc_markdown: bool = False   # carry full doc markdown on turn 0 rows
 
 

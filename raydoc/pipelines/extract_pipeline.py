@@ -1,13 +1,28 @@
 """End-to-end extraction pipeline (the rebuild of SURVEY.md §3.4).
 
+GENERAL mode (arbitrary input layout):
+
     read_parquet(transcripts)
       → map_batches(ExtractorActor, batch_format="pyarrow")   # actor pool
       → groupby("shuffle_key").map_groups(document_block_fn)  # THE shuffle
       → write_parquet(out/part=k/) + per-partition manifests  # checkpointed
 
+ALIGNED mode (cfg.assume_conv_aligned — documented partitioning assumption:
+a conversation never spans input files, the standard layout for transcript
+corpora written per conversation range):
+
+    from_items(file list)
+      → map_batches(FusedFileActor, batch_size=1)   # fused extract+document
+         (each task: read one file → extract → document → write one output
+          file atomically + file-granular lineage manifest)
+
+Aligned mode elides the conv_id exchange entirely — the recommended 100 TB
+topology (zero shuffle, per-file work stealing, resume = skip files with
+valid manifests; measured 0.75 raw / 0.93 hw-normalized 8→32-CPU scaling
+efficiency vs 0.44 for the general path — see BASELINE.md).
+
 Streaming throughout: nothing materializes the full dataset; the only
-all-to-all exchange is the conv_id groupby. Resume skips partitions whose
-manifest validates (raydoc.state.manifest).
+all-to-all exchange is the general path's conv_id groupby.
 """
 
 from __future__ import annotations
@@ -82,7 +97,47 @@ def build_extraction(ds: rd.Dataset,
     return out
 
 
+def list_parquet_files(path: str) -> list[str]:
+    if os.path.isfile(path):
+        return [path]
+    out = []
+    for root, _, files in os.walk(path):
+        out.extend(os.path.join(root, f) for f in sorted(files)
+                   if f.endswith(".parquet"))
+    return sorted(out)
+
+
+def build_extraction_aligned(input_path: str,
+                             cfg: PipelineConfig = DEFAULT_CONFIG) -> rd.Dataset:
+    """Shuffle-elision pipeline for conversation-aligned input files
+    (cfg.assume_conv_aligned): file list → fused extract+document actor
+    pool, one file per task, zero exchange. Streaming end-to-end; skew is
+    handled by file-granular work stealing (many files ≫ actors)."""
+    from raydoc.stages.extract import FusedFileActor
+    files = list_parquet_files(input_path)
+    ds = rd.from_items([{"path": p} for p in files])
+    return ds.map_batches(
+        FusedFileActor,
+        fn_constructor_kwargs={"cfg": cfg},
+        batch_format="pyarrow",
+        batch_size=1,
+        concurrency=cfg.extract_concurrency or _aligned_concurrency(),
+        num_cpus=1,
+    )
+
+
+def _aligned_concurrency() -> int:
+    """cpus−1 actors for the fused path: the only other consumers are the
+    tiny file-list read and the parquet write tasks (one spare CPU is
+    enough; cpus−2 left 25% idle at 8 CPUs)."""
+    import ray
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(1, cpus - 1)
+
+
 def extract_dataset(path_or_ds, cfg: PipelineConfig = DEFAULT_CONFIG) -> rd.Dataset:
+    if isinstance(path_or_ds, str) and cfg.assume_conv_aligned:
+        return build_extraction_aligned(path_or_ds, cfg)
     ds = read_transcripts(path_or_ds) if isinstance(path_or_ds, str) else path_or_ds
     return build_extraction(ds, cfg)
 
@@ -114,6 +169,9 @@ def run_job(input_path: str, out_dir: str,
 
     Returns a job report (partitions written/skipped, rows, turns/sec).
     """
+    if cfg.assume_conv_aligned:
+        return run_job_aligned(input_path, out_dir, cfg, resume=resume)
+
     fingerprint = input_fingerprint(input_path)
     cfg_hash = mstate.config_fingerprint(cfg)
     n_parts = cfg.num_output_partitions
@@ -141,13 +199,13 @@ def run_job(input_path: str, out_dir: str,
             shutil.rmtree(pdir, ignore_errors=True)
 
     t0 = time.perf_counter()
+    pending_set = frozenset(pending)
     ds = read_transcripts(input_path)
     if done:
-        # Prune completed partitions BEFORE the expensive extraction stage:
-        # partition assignment depends only on conv_id, so a resumed run
-        # never re-parses finished conversations.
+        # Prune completed partitions BEFORE the expensive extraction
+        # stage: partition assignment depends only on conv_id, so a
+        # resumed run never re-parses finished conversations.
         from raydoc.stages.extract import partition_of
-        pending_set = frozenset(pending)
 
         def _only_pending(t):
             import pyarrow as pa
@@ -185,6 +243,58 @@ def run_job(input_path: str, out_dir: str,
         mstate.write_manifest(out_dir, part, input_fingerprint=fingerprint,
                               config_hash=cfg_hash, metrics=metrics)
     report["rows_written"] = total_rows
+    report["wall_sec"] = round(wall, 3)
+    report["turns_per_sec"] = round(total_rows / wall, 2) if wall > 0 else None
+    return report
+
+
+def run_job_aligned(input_path: str, out_dir: str,
+                    cfg: PipelineConfig = DEFAULT_CONFIG,
+                    resume: bool = True) -> dict[str, Any]:
+    """Checkpointed shuffle-elision job (cfg.assume_conv_aligned).
+
+    Topology: one fused extract+document actor task per INPUT FILE; each
+    task writes exactly one output parquet (atomic tmp+rename) plus a
+    file-granular lineage manifest with extraction metrics. No exchange, no
+    hive fan-out (one output file per input file — no tiny-file explosion),
+    and resume granularity = input file: a rerun processes only files whose
+    manifest is missing or stale. The dataset flowing through Ray is the
+    tiny metrics table, so the driver never touches row data.
+    """
+    from raydoc.stages.extract import FusedFileActor
+
+    cfg_hash = mstate.config_fingerprint(cfg)
+    files = list_parquet_files(input_path)
+    pending_files = (mstate.pending_input_files(out_dir, files,
+                                                config_hash=cfg_hash)
+                     if resume else list(files))
+    os.makedirs(out_dir, exist_ok=True)
+    report: dict[str, Any] = {
+        "mode": "aligned",
+        "files_total": len(files),
+        "files_skipped": len(files) - len(pending_files),
+        "files_written": len(pending_files),
+        "rows_written": 0,
+        "wall_sec": 0.0,
+    }
+    if not pending_files:
+        return report
+
+    t0 = time.perf_counter()
+    ds = rd.from_items([{"path": p} for p in pending_files])
+    metrics = ds.map_batches(
+        FusedFileActor,
+        fn_constructor_kwargs={"cfg": cfg, "out_dir": out_dir,
+                               "config_hash": cfg_hash},
+        batch_format="pyarrow", batch_size=1,
+        concurrency=cfg.extract_concurrency or _aligned_concurrency(),
+        num_cpus=1,
+    ).take_all()
+    wall = time.perf_counter() - t0
+
+    total_rows = sum(m["rows"] for m in metrics)
+    report["rows_written"] = total_rows
+    report["parse_failures"] = sum(m["parse_failures"] for m in metrics)
     report["wall_sec"] = round(wall, 3)
     report["turns_per_sec"] = round(total_rows / wall, 2) if wall > 0 else None
     return report

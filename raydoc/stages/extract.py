@@ -18,6 +18,7 @@ element list + ``parse_failed=True``; the task never dies.
 from __future__ import annotations
 
 import hashlib
+import os
 
 import pyarrow as pa
 
@@ -39,6 +40,92 @@ def shuffle_key_of(conv_id: str, num_partitions: int, fineness: int) -> int:
     bucket belongs to exactly one output partition."""
     return int(hashlib.md5(conv_id.encode()).hexdigest()[:8], 16) % (
         num_partitions * fineness)
+
+
+class FusedFileActor:
+    """Shuffle-elision fast path: one PARQUET FILE per call, extract +
+    document stages fused in a single stateful actor.
+
+    Valid ONLY under the documented partitioning assumption
+    ``cfg.assume_conv_aligned``: every conversation's turns live in exactly
+    one input file (the standard layout for transcript corpora written per
+    conversation range). Then conv co-location already holds at read time
+    and the conv_id exchange can be elided entirely — the 100 TB topology
+    becomes embarrassingly parallel per file, and measured throughput
+    reaches the machine's multiprocessing ceiling. For unaligned input use
+    the general ``build_extraction`` groupby path.
+
+    The actor is the A1/A2 stateful slot (structure_engine.py:30-63): kernel
+    pattern banks and parser state are built once per actor in __init__.
+    """
+
+    def __init__(self, cfg: PipelineConfig = DEFAULT_CONFIG,
+                 columns: tuple[str, ...] = ("conv_id", "turn_idx", "text"),
+                 out_dir: str | None = None,
+                 config_hash: str | None = None):
+        from raydoc.stages.document_stage import document_block_fn
+        self._extractor = ExtractorActor(cfg=cfg)
+        self._doc = document_block_fn
+        self._cfg = cfg
+        self._columns = list(columns)
+        self._out_dir = out_dir
+        self._config_hash = config_hash
+
+    def _process_file(self, path: str) -> pa.Table:
+        import pyarrow.parquet as pq
+        t = pq.read_table(path, columns=self._columns)
+        return self._doc(self._extractor(t), self._cfg)
+
+    def _process_and_write(self, path: str) -> pa.Table:
+        """file in → file out (atomic tmp+rename) + manifest; returns a
+        one-row metrics table (the dataset's visible output)."""
+        import time as _time
+
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from raydoc.state import manifest as mstate
+
+        t0 = _time.perf_counter()
+        out = self._process_file(path)
+        opath, _ = mstate.file_output_paths(self._out_dir, path)
+        tmp = opath + ".tmp"
+        pq.write_table(out, tmp)
+        os.replace(tmp, opath)
+        wall = _time.perf_counter() - t0
+        rows = out.num_rows
+        metrics = {
+            "rows": rows,
+            "conversations": len(pc.unique(out.column("conv_id"))) if rows else 0,
+            "parse_failures": (pc.sum(pc.cast(out.column("parse_failed"),
+                                              "int64")).as_py() or 0) if rows else 0,
+            "mean_strip_ratio": round(
+                (pc.mean(out.column("strip_ratio")).as_py() or 0.0), 6) if rows else 0.0,
+            "wall_sec": round(wall, 3),
+            "turns_per_sec": round(rows / wall, 2) if wall > 0 else None,
+        }
+        mstate.write_file_manifest(self._out_dir, path,
+                                   config_hash=self._config_hash,
+                                   metrics=metrics)
+        return pa.table({
+            "input_file": pa.array([os.path.basename(path)], pa.string()),
+            "rows": pa.array([rows], pa.int64()),
+            "parse_failures": pa.array([metrics["parse_failures"]], pa.int64()),
+            "mean_strip_ratio": pa.array([metrics["mean_strip_ratio"]],
+                                         pa.float64()),
+            "wall_sec": pa.array([metrics["wall_sec"]], pa.float64()),
+        })
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fn = self._process_and_write if self._out_dir else self._process_file
+        outs = [fn(p) for p in batch.column("path").to_pylist()]
+        return pa.concat_tables(outs) if outs else self._process_file_empty()
+
+    def _process_file_empty(self) -> pa.Table:
+        return self._doc(self._extractor(
+            pa.table({c: pa.array([], pa.string()) if c != "turn_idx"
+                      else pa.array([], pa.int32()) for c in self._columns})),
+            self._cfg)
 
 
 class ExtractorActor:

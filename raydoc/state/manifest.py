@@ -73,3 +73,62 @@ def completed_partitions(out_dir: str, num_partitions: int, *,
 def _engine_version() -> str:
     from raydoc import __version__
     return __version__
+
+
+# --- file-granular manifests (aligned / shuffle-elision mode) ---------------
+# When input files are conversation-aligned the natural checkpoint unit is
+# the INPUT FILE: each fused task turns one input file into one output file
+# (no hive fan-out → no tiny-file explosion) and stamps a manifest next to
+# it. Resume = skip input files whose manifest validates.
+
+def file_fingerprint(path: str) -> str:
+    """name:size — cheap and catches regeneration (content hash would
+    re-read the whole corpus)."""
+    return f"{os.path.basename(path)}:{os.path.getsize(path)}"
+
+
+def file_output_paths(out_dir: str, input_path: str) -> tuple[str, str]:
+    """(output parquet path, manifest path) for one input file."""
+    stem = os.path.splitext(os.path.basename(input_path))[0]
+    return (os.path.join(out_dir, f"{stem}.extracted.parquet"),
+            os.path.join(out_dir, "_manifests", f"{stem}.json"))
+
+
+def write_file_manifest(out_dir: str, input_path: str, *, config_hash: str,
+                        metrics: dict[str, Any]) -> None:
+    _, mpath = file_output_paths(out_dir, input_path)
+    os.makedirs(os.path.dirname(mpath), exist_ok=True)
+    payload = {
+        "input_file": os.path.basename(input_path),
+        "input_fingerprint": file_fingerprint(input_path),
+        "config_hash": config_hash,
+        "engine_version": _engine_version(),
+        "metrics": metrics,
+    }
+    tmp = mpath + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(payload, fh, indent=1)
+    os.replace(tmp, mpath)
+
+
+def read_file_manifest(out_dir: str, input_path: str) -> dict[str, Any] | None:
+    _, mpath = file_output_paths(out_dir, input_path)
+    try:
+        with open(mpath) as fh:
+            return json.load(fh)
+    except (OSError, json.JSONDecodeError):
+        return None
+
+
+def pending_input_files(out_dir: str, input_files: list[str], *,
+                        config_hash: str) -> list[str]:
+    """Input files whose output manifest is missing or stale."""
+    pending = []
+    for f in input_files:
+        m = read_file_manifest(out_dir, f)
+        opath, _ = file_output_paths(out_dir, f)
+        if (m is None or m.get("input_fingerprint") != file_fingerprint(f)
+                or m.get("config_hash") != config_hash
+                or not os.path.exists(opath)):
+            pending.append(f)
+    return pending

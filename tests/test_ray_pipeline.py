@@ -93,3 +93,60 @@ def test_ingest_dedup(ray_session, tmp_path):
     rows = sorted(ds.take_all(), key=lambda r: (r["conv_id"], r["turn_idx"]))
     assert [(r["conv_id"], r["turn_idx"]) for r in rows] == [
         ("a", 0), ("a", 1), ("b", 0)]
+
+
+def test_aligned_pipeline_equals_general(ray_session, transcripts_path):
+    """The shuffle-elision fused path must produce byte-identical rows to
+    the actor-pool + groupby path (single conv-aligned input file)."""
+    from dataclasses import replace
+
+    from raydoc.config import DEFAULT_CONFIG
+    from raydoc.pipelines.extract_pipeline import extract_dataset
+
+    general = extract_dataset(transcripts_path).take_all()
+    cfg = replace(DEFAULT_CONFIG, assume_conv_aligned=True)
+    aligned = extract_dataset(transcripts_path, cfg).take_all()
+
+    key = lambda r: (r["conv_id"], r["turn_idx"])  # noqa: E731
+    general.sort(key=key)
+    aligned.sort(key=key)
+    assert len(general) == len(aligned)
+    for g, a in zip(general, aligned):
+        assert g["extracted_text"] == a["extracted_text"]
+        assert g["language"] == a["language"]
+        assert g["gate_passed"] == a["gate_passed"]
+        assert g["spans"] == a["spans"]
+
+
+def test_run_job_aligned_checkpoint_resume(ray_session, tmp_path):
+    """File-granular resume: second run skips everything; a deleted
+    manifest triggers re-extraction of exactly that file."""
+    from dataclasses import replace
+
+    from raydoc.config import DEFAULT_CONFIG
+    from raydoc.pipelines.extract_pipeline import run_job
+
+    in_dir = tmp_path / "shards"
+    in_dir.mkdir()
+    for i in range(4):
+        tgen.write_transcripts_parquet(
+            str(in_dir / f"shard-{i}.parquet"), n_convs=6,
+            seed=FIXTURE_SEED + i, min_turns=1, max_turns=4)
+    out_dir = str(tmp_path / "out")
+    cfg = replace(DEFAULT_CONFIG, assume_conv_aligned=True,
+                  extract_concurrency=2)
+
+    r1 = run_job(str(in_dir), out_dir, cfg=cfg, resume=True)
+    assert r1["files_written"] == 4 and r1["rows_written"] > 0
+
+    r2 = run_job(str(in_dir), out_dir, cfg=cfg, resume=True)
+    assert r2["files_skipped"] == 4 and r2["rows_written"] == 0
+
+    os.remove(os.path.join(out_dir, "_manifests", "shard-2.json"))
+    r3 = run_job(str(in_dir), out_dir, cfg=cfg, resume=True)
+    assert r3["files_written"] == 1 and r3["files_skipped"] == 3
+
+    # output rows across files equal first-run rows
+    total = sum(pq.read_table(os.path.join(out_dir, f)).num_rows
+                for f in os.listdir(out_dir) if f.endswith(".parquet"))
+    assert total == r1["rows_written"]
