@@ -66,13 +66,42 @@ def exact_dedup(sf_dir: str, id_col: str = "doc_id",
     return t.select([id_col]).sort_by(id_col)
 
 
+# token → md5_64 memo (bounded; reset rather than evict — at corpus scale a
+# worker sees a Zipfian vocabulary, so a full cache is still ~all hits)
+_TOKEN_HASH_CACHE: dict[str, int] = {}
+_TOKEN_CACHE_MAX = 1_000_000
+
+# fixed odd mixing constants for combining k consecutive token hashes into a
+# shingle hash (uint64 wraparound arithmetic — deterministic everywhere)
+_SHINGLE_MIX = (_RNG.randint(1, 2**31, size=8).astype(np.uint64) * 2 + 1)
+
+
+def _token_hashes(toks: list[str]) -> np.ndarray:
+    cache = _TOKEN_HASH_CACHE
+    if len(cache) > _TOKEN_CACHE_MAX:
+        cache.clear()
+    out = np.empty(len(toks), dtype=np.uint64)
+    for i, t in enumerate(toks):
+        h = cache.get(t)
+        if h is None:
+            h = _md5_64(t)
+            cache[t] = h
+        out[i] = h
+    return out
+
+
 def _shingles(text: str, k: int = 3) -> np.ndarray:
+    """Unique hashes of word k-shingles: per-token md5 (memoized) combined
+    with a vectorized k-window mix — no per-shingle hashlib calls."""
     toks = _TOKEN.findall(text.lower())
     if len(toks) < k:
         toks = toks + [""] * (k - len(toks))
-    return np.unique(np.array(
-        [_md5_64(" ".join(toks[i:i + k])) for i in range(len(toks) - k + 1)],
-        dtype=np.uint64))
+    th = _token_hashes(toks)
+    n = len(th) - k + 1
+    v = np.zeros(n, dtype=np.uint64)
+    for j in range(k):
+        v += th[j:j + n] * _SHINGLE_MIX[j]
+    return np.unique(v)
 
 
 def minhash_signature(text: str, k: int = 3) -> np.ndarray:
@@ -90,14 +119,19 @@ def minhash_band_rows(ds: rd.Dataset, id_col: str = "doc_id",
     rows_per_band = 64 // bands
 
     def fn(t: pa.Table) -> pa.Table:
-        ids, band_ids, band_hashes, sigs = [], [], [], []
+        ids, band_ids, band_hashes, sigs, buckets = [], [], [], [], []
         for doc_id, text in zip(t.column(id_col).to_pylist(),
                                 t.column(col).to_pylist()):
             sig = minhash_signature(text or "", k)
             sig_hex = sig.tobytes().hex()
             for b in range(bands):
                 chunk = sig[b * rows_per_band:(b + 1) * rows_per_band]
-                band_hashes.append(hashlib.md5(chunk.tobytes()).hexdigest()[:16])
+                bh = hashlib.md5(chunk.tobytes()).hexdigest()[:16]
+                band_hashes.append(bh)
+                # coarse shuffle bucket: many (band, band_hash) groups per
+                # bucket so the reduce stage processes blocks, not
+                # per-bucket micro-groups
+                buckets.append((b * 1024 + int(bh[:4], 16)) % 256)
                 band_ids.append(b)
                 ids.append(doc_id)
                 sigs.append(sig_hex)
@@ -106,9 +140,50 @@ def minhash_band_rows(ds: rd.Dataset, id_col: str = "doc_id",
             "band": pa.array(band_ids, pa.int32()),
             "band_hash": pa.array(band_hashes, pa.string()),
             "sig": pa.array(sigs, pa.string()),
+            "bucket": pa.array(buckets, pa.int32()),
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _lsh_candidate_pairs(exploded: rd.Dataset, id_col: str,
+                         est_threshold: float | None = None) -> set[tuple[int, int]]:
+    """Candidate (a, b) pairs sharing any LSH band bucket. One reduce call
+    per COARSE bucket (≈256 groups total instead of one per band-hash);
+    inside, plain dict grouping over the block. With ``est_threshold`` the
+    signature-estimated Jaccard filter is applied during emission."""
+
+    def block_pairs(g: pa.Table) -> pa.Table:
+        ids = g.column(id_col).to_pylist()
+        bands = g.column("band").to_pylist()
+        hashes = g.column("band_hash").to_pylist()
+        sighex = g.column("sig").to_pylist() if est_threshold is not None else None
+        groups: dict[tuple[int, str], list[int]] = {}
+        for i, (b, h) in enumerate(zip(bands, hashes)):
+            groups.setdefault((b, h), []).append(i)
+        a_out, b_out = [], []
+        for members in groups.values():
+            if len(members) < 2:
+                continue
+            members.sort(key=lambda i: ids[i])
+            for x in range(len(members)):
+                for y in range(x + 1, len(members)):
+                    i, j = members[x], members[y]
+                    if ids[i] == ids[j]:
+                        continue
+                    if est_threshold is not None:
+                        si = np.frombuffer(bytes.fromhex(sighex[i]), np.uint64)
+                        sj = np.frombuffer(bytes.fromhex(sighex[j]), np.uint64)
+                        if float((si == sj).mean()) < est_threshold:
+                            continue
+                    a_out.append(int(ids[i]))
+                    b_out.append(int(ids[j]))
+        return pa.table({"a": pa.array(a_out, pa.int64()),
+                         "b": pa.array(b_out, pa.int64())})
+
+    pairs = exploded.groupby("bucket").map_groups(
+        block_pairs, batch_format="pyarrow")
+    return {(r["a"], r["b"]) for r in pairs.take_all()}
 
 
 def minhash_lsh_clusters(sf_dir: str, threshold: float = 0.5,
@@ -119,29 +194,7 @@ def minhash_lsh_clusters(sf_dir: str, threshold: float = 0.5,
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=[id_col, "text"])
     exploded = minhash_band_rows(ds, id_col=id_col, bands=bands, k=k)
-
-    import pandas as pd
-
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"a": [], "b": [], "est_j": []})
-        g = g.sort_values(id_col)
-        ids = g[id_col].to_numpy()
-        sigs = [np.frombuffer(bytes.fromhex(s), dtype=np.uint64)
-                for s in g["sig"]]
-        a_out, b_out, j_out = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                est = float((sigs[i] == sigs[j]).mean())
-                if est >= threshold:
-                    a_out.append(int(ids[i]))
-                    b_out.append(int(ids[j]))
-                    j_out.append(est)
-        return pd.DataFrame({"a": a_out, "b": b_out, "est_j": j_out})
-
-    pairs = exploded.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas")
-    pair_rows = {(r["a"], r["b"]) for r in pairs.take_all()}
+    pair_rows = _lsh_candidate_pairs(exploded, id_col, est_threshold=threshold)
 
     # union-find over the (small) candidate pair set
     all_ids = ds.select_columns([id_col]).take_all()
@@ -170,15 +223,12 @@ def simhash64(text: str) -> int:
     toks = _TOKEN.findall(text.lower())
     if not toks:
         return 0
-    hashes = np.array([_md5_64(t) for t in toks], dtype=np.uint64)
+    hashes = _token_hashes(toks)
     bits = ((hashes[:, None] >> np.arange(_SIMHASH_BITS, dtype=np.uint64)[None, :])
             & np.uint64(1)).astype(np.int64)
     votes = (2 * bits - 1).sum(axis=0)
-    out = 0
-    for i, v in enumerate(votes):
-        if v > 0:
-            out |= 1 << i
-    return out
+    powers = np.uint64(1) << np.arange(_SIMHASH_BITS, dtype=np.uint64)
+    return int(powers[votes > 0].sum())
 
 
 def simhash_signatures(sf_dir: str, id_col: str = "doc_id") -> pa.Table:
@@ -233,42 +283,59 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.4, k: int = 3,
                         id_col: str = "doc_id") -> pa.Table:
     """Exact word-k-gram Jaccard over LSH candidate pairs: LSH proposes,
     exact shingle sets (recomputed per pair inside the verify stage) decide."""
+    import ray
+
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=[id_col, "text"])
     exploded = minhash_band_rows(ds, id_col=id_col, bands=32, k=k)
-
-    import pandas as pd
-
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"a": [], "b": []})
-        ids = sorted(g[id_col].unique().tolist())
-        return pd.DataFrame(
-            [(ids[i], ids[j]) for i in range(len(ids))
-             for j in range(i + 1, len(ids))], columns=["a", "b"])
-
-    candidates = {(r["a"], r["b"]) for r in exploded.groupby(
-        ["band", "band_hash"]).map_groups(bucket_pairs,
-                                          batch_format="pandas").take_all()}
+    candidates = _lsh_candidate_pairs(exploded, id_col)
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64()),
+                      "jaccard": pa.array([], pa.float64())})
     if not candidates:
-        return pa.table({"a": pa.array([], pa.int64()),
-                         "b": pa.array([], pa.int64()),
-                         "jaccard": pa.array([], pa.float64())})
+        return empty
 
-    texts = {r[id_col]: r["text"] for r in ds.take_all()}
-    rows = []
-    for a, b in sorted(candidates):
-        sa, sb = set(_shingles(texts[a] or "", k)), set(_shingles(texts[b] or "", k))
-        inter = len(sa & sb)
-        union = len(sa | sb)
-        j = inter / union if union else 0.0
-        if j >= threshold:
-            rows.append({"a": a, "b": b, "jaccard": round(j, 6)})
+    # Distributed exact verify: candidate pairs become a Dataset; the text
+    # store is broadcast ONCE via ray.put and each task memoizes shingle
+    # sets per doc (a doc appears in many pairs). At corpus scale the
+    # small-side broadcast becomes a bucket join on doc id — the candidate
+    # set, not the corpus, is what's assumed small here (LSH regime).
+    texts_ref = ray.put({r[id_col]: r["text"] for r in ds.take_all()})
+    pairs_sorted = sorted(candidates)
+    pairs_ds = rd.from_arrow(pa.table({
+        "a": pa.array([p[0] for p in pairs_sorted], pa.int64()),
+        "b": pa.array([p[1] for p in pairs_sorted], pa.int64()),
+    }))
+
+    def verify(t: pa.Table) -> pa.Table:
+        texts = ray.get(texts_ref)
+        memo: dict[int, set] = {}
+
+        def sh(i: int) -> set:
+            s = memo.get(i)
+            if s is None:
+                s = set(_shingles(texts.get(i) or "", k))
+                memo[i] = s
+            return s
+
+        a_out, b_out, j_out = [], [], []
+        for a, b in zip(t.column("a").to_pylist(), t.column("b").to_pylist()):
+            sa, sb = sh(a), sh(b)
+            union = len(sa | sb)
+            j = len(sa & sb) / union if union else 0.0
+            if j >= threshold:
+                a_out.append(a)
+                b_out.append(b)
+                j_out.append(round(j, 6))
+        return pa.table({"a": pa.array(a_out, pa.int64()),
+                         "b": pa.array(b_out, pa.int64()),
+                         "jaccard": pa.array(j_out, pa.float64())})
+
+    rows = pairs_ds.map_batches(verify, batch_format="pyarrow").take_all()
     if not rows:
-        return pa.table({"a": pa.array([], pa.int64()),
-                         "b": pa.array([], pa.int64()),
-                         "jaccard": pa.array([], pa.float64())})
-    return pa.Table.from_pylist(rows)
+        return empty
+    return pa.Table.from_pylist(
+        sorted(rows, key=lambda r: (r["a"], r["b"])))
 
 
 def embedding_neardups(sf_dir: str, threshold: float = 0.8) -> pa.Table:

@@ -49,18 +49,30 @@ def sessionize(sf_dir: str, gap_minutes: int = 30) -> pa.Table:
                          columns=["user_id", "ts", "event_id"])
     gap = np.timedelta64(gap_minutes * 60, "s")
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        ts = g["ts"].to_numpy()
-        new_session = np.ones(len(ts), dtype=np.int64)
-        if len(ts) > 1:
-            new_session[1:] = (np.diff(ts) > gap).astype(np.int64)
-        return pd.DataFrame({
-            "user_id": [int(g["user_id"].iloc[0])],
-            "n_sessions": [int(new_session.sum())],
-            "n_events": [len(g)],
-        })
+    def add_bucket(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return t.append_column(
+            "bucket", pc.cast(pc.bit_wise_and(t.column("user_id"), 63),
+                              pa.int32()))
 
-    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        """One coarse bucket (many complete users) per call; the session
+        scan is a vectorized sort + diff over the whole block."""
+        g = g.sort_values(["user_id", "ts", "event_id"], ignore_index=True)
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy()
+        new_user = np.empty(len(g), dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        new_session = new_user.copy()
+        if len(g) > 1:
+            new_session[1:] |= np.diff(ts) > gap
+        df = pd.DataFrame({"user_id": uid, "s": new_session.astype(np.int64)})
+        agg = df.groupby("user_id", sort=True).agg(
+            n_sessions=("s", "sum"), n_events=("s", "size")).reset_index()
+        return agg
+
+    out = (ds.map_batches(add_bucket, batch_format="pyarrow")
+           .groupby("bucket").map_groups(per_bucket, batch_format="pandas"))
     t = pa.Table.from_pylist(out.take_all())
     return t.sort_by("user_id")
