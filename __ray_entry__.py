@@ -82,6 +82,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_stats": relational.q_customer_order_stats,
         "brand_volume": relational.q_brand_volume,
         "top_events": relational.q_top_events,
+        "supplier_by_nation": relational.q_supplier_by_nation,
+        "user_topk_events": relational.q_user_topk_events,
+        "pdf_dates": relational.q_pdf_dates,
         # --- windows / sessions (events) ---
         "hourly_event_stats": windows.hourly_event_stats,
         "sessionize": windows.sessionize,
@@ -160,6 +163,22 @@ def oracle_sql() -> dict[str, str]:
         "top_events": """
             SELECT event_id, event_type, value FROM events
             ORDER BY value DESC, event_id LIMIT 100""",
+        "supplier_by_nation": """
+            SELECT n_name, COUNT(*) AS n_suppliers,
+                   CAST(SUM(CAST(ROUND(s_acctbal*100) AS BIGINT)) AS BIGINT)
+                       AS total_acctbal_cents
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY n_name ORDER BY n_name""",
+        "user_topk_events": """
+            SELECT user_id,
+                   CAST(row_number() OVER (PARTITION BY user_id
+                        ORDER BY value DESC, event_id) AS BIGINT) AS rank,
+                   event_id, value
+            FROM events QUALIFY rank <= 3
+            ORDER BY user_id, rank""",
+        "pdf_dates": """
+            SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%S') AS iso_date
+            FROM events ORDER BY event_id""",
         "hourly_event_stats": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    COUNT(*) AS n_events, MIN(value) AS min_value,

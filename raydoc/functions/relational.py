@@ -204,3 +204,68 @@ def q_top_events(sf_dir: str) -> pa.Table:
     top = ds.sort(["value", "event_id"], descending=[True, False]).limit(100)
     return pa.Table.from_pylist(top.take_all()).select(
         ["event_id", "event_type", "value"])
+
+
+def q_supplier_by_nation(sf_dir: str) -> pa.Table:
+    """supplier ⋈ nation (broadcast small side) → per-nation supplier count
+    and exact total account balance in cents."""
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    nation = nation.rename_columns(["s_nationkey", "n_name"])
+    sup = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+    joined = broadcast_join(sup, nation, key="s_nationkey")
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["s_acctbal"], 100)), pa.int64())
+        return pa.table({"n_name": t["n_name"], "bal_cents": cents})
+
+    out = partial_groupby(joined.map_batches(prep, batch_format="pyarrow"),
+                          ["n_name"], {"n_suppliers": ("bal_cents", "count"),
+                                       "total_acctbal_cents": ("bal_cents", "sum")})
+    return pa.Table.from_pylist(out.take_all()).sort_by("n_name")
+
+
+def q_user_topk_events(sf_dir: str, k: int = 3) -> pa.Table:
+    """Per-user top-k events by value (windowed rank): coarse-bucket the
+    users, rank inside each block with a vectorized sort — the grouped
+    top-k pattern that avoids per-user micro-groups."""
+    import numpy as np
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "value"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "bucket", pc.cast(pc.bit_wise_and(t["user_id"], 63), pa.int32()))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "value", "event_id"],
+                          ascending=[True, False, True], ignore_index=True)
+        rank = g.groupby("user_id", sort=False).cumcount() + 1
+        g = g.assign(rank=rank.astype(np.int64))
+        return g[g["rank"] <= k][["user_id", "rank", "event_id", "value"]]
+
+    out = (ds.map_batches(add_bucket, batch_format="pyarrow")
+           .groupby("bucket").map_groups(per_bucket, batch_format="pandas"))
+    return pa.Table.from_pylist(out.take_all()).sort_by(
+        [("user_id", "ascending"), ("rank", "ascending")])
+
+
+def q_pdf_dates(sf_dir: str) -> pa.Table:
+    """M12 round-trip over real timestamps: events.ts → PDF ``D:`` string →
+    parse_pdf_date → ISO 8601 (oracle: strftime)."""
+    from raydoc.kernels.textnorm import parse_pdf_date
+
+    ds = _read(sf_dir, "events", ["event_id", "ts"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        import datetime as _dt
+        isos = []
+        for us in pc.cast(t["ts"], pa.int64()).to_pylist():
+            dt = _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=us)
+            isos.append(parse_pdf_date(dt.strftime("D:%Y%m%d%H%M%S")))
+        return pa.table({"event_id": t["event_id"],
+                         "iso_date": pa.array(isos, pa.string())})
+
+    out = ds.map_batches(fn, batch_format="pyarrow")
+    return pa.Table.from_pylist(out.take_all()).sort_by("event_id")

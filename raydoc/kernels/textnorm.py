@@ -114,3 +114,26 @@ def clean_artifact_lines(text: str) -> str:
 def mask_digits(text: str) -> str:
     """Digit-mask a line for repeater matching ("Page 3" ≡ "Page 7")."""
     return _DIGIT_RUN.sub("[NUM]", text.strip())
+
+
+def parse_pdf_date(date_str: str) -> str:
+    """PDF ``D:YYYYMMDDHHmmSS`` → ISO 8601; '' on parse failure — exact
+    semantics of metadata_extractor.py:18-55 (M12), including the
+    partial-string defaults (missing month/day → '01', time → '00')."""
+    if not date_str:
+        return ""
+    if date_str.startswith("D:"):
+        date_str = date_str[2:]
+    if len(date_str) < 4:
+        return ""
+    year = date_str[0:4]
+    month = date_str[4:6] if len(date_str) >= 6 else "01"
+    day = date_str[6:8] if len(date_str) >= 8 else "01"
+    hour = date_str[8:10] if len(date_str) >= 10 else "00"
+    minute = date_str[10:12] if len(date_str) >= 12 else "00"
+    second = date_str[12:14] if len(date_str) >= 14 else "00"
+    try:
+        int(year)
+    except ValueError:
+        return ""
+    return f"{year}-{month}-{day}T{hour}:{minute}:{second}"

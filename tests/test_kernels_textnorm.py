@@ -33,3 +33,16 @@ def test_mask_digits():
     assert textnorm.mask_digits(" Page 3 of 12 ") == "Page [NUM] of [NUM]"
     assert textnorm.mask_digits("v1.2") == "v1.[NUM]"  # \b excludes digits glued to words
     assert textnorm.mask_digits("abc") == "abc"
+
+
+def test_parse_pdf_date_matches_reference_semantics():
+    from raydoc.kernels.textnorm import parse_pdf_date
+
+    assert parse_pdf_date("D:20240115120000") == "2024-01-15T12:00:00"
+    assert parse_pdf_date("20240115120000") == "2024-01-15T12:00:00"
+    assert parse_pdf_date("D:2024") == "2024-01-01T00:00:00"
+    assert parse_pdf_date("D:202401") == "2024-01-01T00:00:00"
+    assert parse_pdf_date("D:2024011512") == "2024-01-15T12:00:00"
+    assert parse_pdf_date("") == ""
+    assert parse_pdf_date("D:20") == ""
+    assert parse_pdf_date("D:abcd0115") == ""
