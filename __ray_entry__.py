@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search (embeddings) ---
         "ann_topk": similarity.brute_force_topk,
         "ann_lsh_topk": similarity.lsh_topk,
+        "ann_ivf_topk": similarity.ivf_topk,
         # --- text analysis (documents) ---
         "token_counts": textstats.token_counts,
         "quality_counters": textstats.quality_counters,

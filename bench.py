@@ -156,6 +156,11 @@ def full_bench(sf_dir: str, num_cpus: int) -> dict:
     headline = run_headline(tdir, "/tmp/raydoc_bench_out")
     timings["extract_turns"] = round(time.perf_counter() - t0, 3)
 
+    t0 = time.perf_counter()
+    headline_aligned = run_headline(tdir, "/tmp/raydoc_bench_out_aligned",
+                                    mode="aligned")
+    timings["extract_turns_aligned"] = round(time.perf_counter() - t0, 3)
+
     for name in BENCH_QUERIES:
         fn = qs.get(name)
         if fn is None:
@@ -179,6 +184,8 @@ def full_bench(sf_dir: str, num_cpus: int) -> dict:
         "extract_rows": headline["rows"],
         "extract_wall_sec": headline["wall_sec"],
         "extract_turns_per_sec": headline["turns_per_sec"],
+        "extract_aligned_wall_sec": headline_aligned["wall_sec"],
+        "extract_aligned_turns_per_sec": headline_aligned["turns_per_sec"],
     }
 
 

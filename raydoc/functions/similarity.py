@@ -137,3 +137,86 @@ def lsh_topk(sf_dir: str, query_ids: list[int] | None = None, k: int = 10,
     cands = bucketed.groupby("bucket").map_groups(
         probe, batch_format="pandas").take_all()
     return _final_topk(cands, k)
+
+
+def _train_centroids(sample: np.ndarray, n_lists: int, iters: int,
+                     seed: int) -> np.ndarray:
+    """Seeded mini k-means (spherical: centroids re-normalized each round)
+    on a driver-side sample — the IVF coarse quantizer."""
+    rng = np.random.RandomState(seed)
+    sample = _normalize(sample)
+    cents = sample[rng.choice(len(sample), size=min(n_lists, len(sample)),
+                              replace=False)]
+    for _ in range(iters):
+        assign = (sample @ cents.T).argmax(axis=1)
+        for c in range(len(cents)):
+            members = sample[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+        cents = _normalize(cents)
+    return cents
+
+
+def ivf_topk(sf_dir: str, query_ids: list[int] | None = None, k: int = 10,
+             n_lists: int = 16, nprobe: int = 4, seed: int = 7,
+             train_sample: int = 2048, iters: int = 10) -> pa.Table:
+    """IVF approximate top-k: a coarse k-means quantizer partitions vectors
+    into inverted lists; each query probes its ``nprobe`` nearest lists.
+
+    Scale path: the quantizer trains on a driver-side sample (tiny), the
+    assignment is one vectorized map over the corpus, the probe stage
+    shuffles each vector ONCE (by list id) and queries broadcast. Recall
+    grows with nprobe (nprobe = n_lists ⇒ exact brute force)."""
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    sample_rows = ds.take(train_sample)
+    sample = np.array([np.asarray(r["embedding"], dtype=np.float64)
+                       for r in sample_rows])
+    cents = _train_centroids(sample, n_lists, iters, seed)
+    cents_ref = ray.put(cents)
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = ray.get(cents_ref)
+        mat = _normalize(np.array(t["embedding"].to_pylist(), dtype=np.float64))
+        lists = (mat @ c.T).argmax(axis=1).astype(np.int64)
+        return t.append_column("list_id", pa.array(lists))
+
+    listed = ds.map_batches(assign, batch_format="pyarrow")
+
+    query_ids = query_ids if query_ids is not None else [0, 1, 2, 3, 4]
+    qset = set(query_ids)
+    qrows = sorted((r for r in ds.take_all() if r["vec_id"] in qset),
+                   key=lambda r: r["vec_id"])
+    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    q = _normalize(np.array([np.asarray(r["embedding"], dtype=np.float64)
+                             for r in qrows]))
+    probes = np.argsort(-(q @ cents.T), axis=1)[:, :nprobe]   # (Q, nprobe)
+    q_by_list: dict[int, list[int]] = {}
+    for qi in range(len(q_ids)):
+        for li in probes[qi]:
+            q_by_list.setdefault(int(li), []).append(qi)
+    q_by_list_ref = ray.put({
+        li: (q_ids[rows], q[rows]) for li, rows in q_by_list.items()})
+
+    def probe(group: pd.DataFrame) -> pd.DataFrame:
+        qmap = ray.get(q_by_list_ref)
+        li = int(group["list_id"].iloc[0])
+        if li not in qmap:
+            return pd.DataFrame({"query_id": [], "vec_id": [], "cosine": []})
+        gq_ids, gq = qmap[li]
+        ids = group["vec_id"].to_numpy()
+        mat = _normalize(np.stack(group["embedding"].to_numpy()).astype(np.float64))
+        sims = gq @ mat.T
+        rows = []
+        for row, qid in enumerate(gq_ids):
+            for h in np.argsort(-sims[row])[:k + 1]:
+                if ids[h] != qid:
+                    rows.append({"query_id": int(qid), "vec_id": int(ids[h]),
+                                 "cosine": float(sims[row, h])})
+        return pd.DataFrame(rows) if rows else pd.DataFrame(
+            {"query_id": [], "vec_id": [], "cosine": []})
+
+    cands = listed.groupby("list_id").map_groups(
+        probe, batch_format="pandas").take_all()
+    return _final_topk(cands, k)

@@ -53,7 +53,8 @@ def test_query_matches_oracle(ray_session, oracle, name):
 
 @pytest.mark.parametrize("name", [
     "minhash_clusters", "simhash_signatures", "simhash_neardups",
-    "ngram_jaccard", "ann_lsh_topk", "language_id", "normalize_markdown",
+    "ngram_jaccard", "ann_lsh_topk", "ann_ivf_topk", "language_id",
+    "normalize_markdown",
 ])
 def test_rows_only_queries_run(ray_session, name):
     import __ray_entry__ as entrymod
@@ -114,3 +115,22 @@ def test_media_decode_stub(ray_session):
                   key=lambda r: r["media_id"])
     assert rows[0]["decoded"] and rows[0]["width"] == 640
     assert not rows[1]["decoded"] and rows[1]["width"] is None
+
+
+def test_ivf_topk_recall_vs_brute_force(ray_session):
+    """Deterministic (seeded) IVF recall against the exact baseline."""
+    from raydoc.functions import similarity
+
+    exact = similarity.brute_force_topk(SF, k=10)
+    approx = similarity.ivf_topk(SF, k=10)
+
+    def sets(t):
+        out = {}
+        for r in t.to_pylist():
+            out.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return out
+
+    e, a = sets(exact), sets(approx)
+    assert set(e) == set(a)
+    recall = sum(len(e[q] & a[q]) for q in e) / sum(len(e[q]) for q in e)
+    assert recall >= 0.5, recall
