@@ -46,8 +46,12 @@ BENCH_QUERIES = [
     "simhash_neardups",
     "ngram_jaccard",
     "embedding_neardups",
+    "supplier_by_nation",
+    "user_topk_events",
+    "pdf_dates",
     "ann_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "token_counts",
     "quality_counters",
     "fingerprints",
