@@ -106,3 +106,102 @@ def document_media_meta(sf_dir: str) -> pa.Table:
     t = pa.Table.from_pylist(rows)
     return pa.table({"doc_id": t["media_id"], "n_bytes": t["n_bytes"],
                      "sha256": t["sha256"]})
+
+
+def resize_image(payload: bytes, max_side: int) -> tuple[bytes, int, int]:
+    """STUB resize: real decode unavailable. For the deterministic fake
+    format the dimensions are rescaled (aspect preserved, payload header
+    rewritten); real codecs raise like a missing library would."""
+    w, h = decode_image(payload)   # raises NotImplementedError for real bytes
+    scale = min(1.0, max_side / max(w, h))
+    nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+    rest = payload[payload.index(b";") + 1:]
+    return b"RAWDIM:%dx%d;" % (nw, nh) + rest, nw, nh
+
+
+class MediaResizeActor:
+    """Actor-pool resize stage: payload → resized payload + dims. Output
+    rows stay wide (binary out), so callers keep batch_size small; the
+    once-per-worker slot would hold the codec/GPU context."""
+
+    def __init__(self, max_side: int = 512) -> None:
+        self._max_side = max_side
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_payload, widths, heights, ok = [], [], [], []
+        for p in batch.column("payload").to_pylist():
+            try:
+                np_, w, h = resize_image(p or b"", self._max_side)
+                out_payload.append(np_)
+                widths.append(w)
+                heights.append(h)
+                ok.append(True)
+            except NotImplementedError:
+                out_payload.append(p or b"")
+                widths.append(None)
+                heights.append(None)
+                ok.append(False)
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "payload": pa.array(out_payload, pa.binary()),
+            "width": pa.array(widths, pa.int32()),
+            "height": pa.array(heights, pa.int32()),
+            "resized": pa.array(ok, pa.bool_()),
+        })
+
+
+def sample_frames(payload: bytes, every_n: int) -> list[bytes]:
+    """STUB frame sampler for the deterministic fake video format
+    ``RAWVID:<n_frames>;<frame0>|<frame1>|...`` — real containers raise."""
+    if not payload.startswith(b"RAWVID:"):
+        raise NotImplementedError("video demuxers not available in this build")
+    body = payload[payload.index(b";") + 1:]
+    frames = body.split(b"|")
+    return frames[::every_n]
+
+
+class FrameSampleActor:
+    """Actor-pool frame-sampling stage: one video payload row →
+    MANY frame rows (flat_map-shaped output from map_batches)."""
+
+    def __init__(self, every_n: int = 2) -> None:
+        self._every_n = every_n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, frame_idx, frames, ok = [], [], [], []
+        for mid, p in zip(batch.column("media_id").to_pylist(),
+                          batch.column("payload").to_pylist()):
+            try:
+                sampled = sample_frames(p or b"", self._every_n)
+                for i, f in enumerate(sampled):
+                    ids.append(mid)
+                    frame_idx.append(i)
+                    frames.append(f)
+                    ok.append(True)
+            except NotImplementedError:
+                ids.append(mid)
+                frame_idx.append(-1)
+                frames.append(b"")
+                ok.append(False)
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "frame_idx": pa.array(frame_idx, pa.int32()),
+            "frame": pa.array(frames, pa.binary()),
+            "sampled": pa.array(ok, pa.bool_()),
+        })
+
+
+def resize_pipeline(ds: rd.Dataset, max_side: int = 512,
+                    concurrency=(1, 4), batch_size: int = 32) -> rd.Dataset:
+    return ds.map_batches(MediaResizeActor,
+                          fn_constructor_kwargs={"max_side": max_side},
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=concurrency, num_cpus=1)
+
+
+def frame_sample_pipeline(ds: rd.Dataset, every_n: int = 2,
+                          concurrency=(1, 4), batch_size: int = 16) -> rd.Dataset:
+    return ds.map_batches(FrameSampleActor,
+                          fn_constructor_kwargs={"every_n": every_n},
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=concurrency, num_cpus=1)

@@ -295,6 +295,11 @@ def run_job_aligned(input_path: str, out_dir: str,
     total_rows = sum(m["rows"] for m in metrics)
     report["rows_written"] = total_rows
     report["parse_failures"] = sum(m["parse_failures"] for m in metrics)
+    failed = [m for m in metrics if m.get("error")]
+    if failed:
+        report["files_failed"] = len(failed)
+        report["failures"] = [{"file": m["input_file"], "error": m["error"]}
+                              for m in failed[:20]]
     report["wall_sec"] = round(wall, 3)
     report["turns_per_sec"] = round(total_rows / wall, 2) if wall > 0 else None
     return report

@@ -114,12 +114,33 @@ class FusedFileActor:
             "mean_strip_ratio": pa.array([metrics["mean_strip_ratio"]],
                                          pa.float64()),
             "wall_sec": pa.array([metrics["wall_sec"]], pa.float64()),
+            "error": pa.array([None], pa.string()),
         })
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        fn = self._process_and_write if self._out_dir else self._process_file
-        outs = [fn(p) for p in batch.column("path").to_pylist()]
-        return pa.concat_tables(outs) if outs else self._process_file_empty()
+        if not self._out_dir:
+            outs = [self._process_file(p)
+                    for p in batch.column("path").to_pylist()]
+            return pa.concat_tables(outs) if outs else self._process_file_empty()
+        # job mode: per-FILE failure isolation (≙ the reference's per-page
+        # try/except, structure_engine.py:442-445, lifted to the file level):
+        # a corrupt/unreadable input yields a failure metrics row, never a
+        # dead task — and no manifest, so a rerun retries exactly that file.
+        outs = []
+        for p in batch.column("path").to_pylist():
+            try:
+                outs.append(self._process_and_write(p))
+            except Exception as exc:  # noqa: BLE001
+                outs.append(pa.table({
+                    "input_file": pa.array([os.path.basename(p)], pa.string()),
+                    "rows": pa.array([0], pa.int64()),
+                    "parse_failures": pa.array([0], pa.int64()),
+                    "mean_strip_ratio": pa.array([0.0], pa.float64()),
+                    "wall_sec": pa.array([0.0], pa.float64()),
+                    "error": pa.array([f"{type(exc).__name__}: {exc}"[:200]],
+                                      pa.string()),
+                }))
+        return pa.concat_tables(outs)
 
     def _process_file_empty(self) -> pa.Table:
         return self._doc(self._extractor(

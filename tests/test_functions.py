@@ -134,3 +134,36 @@ def test_ivf_topk_recall_vs_brute_force(ray_session):
     assert set(e) == set(a)
     recall = sum(len(e[q] & a[q]) for q in e) / sum(len(e[q]) for q in e)
     assert recall >= 0.5, recall
+
+
+def test_media_resize_and_frame_sample_stubs(ray_session):
+    """Stubbed decode kernels, real Ray plumbing: resize rescales the fake
+    format and passes real bytes through; the frame sampler explodes one
+    video row into frame rows."""
+    import ray.data as rd
+    from raydoc.functions.multimodal import (frame_sample_pipeline,
+                                             resize_pipeline)
+
+    imgs = pa.table({
+        "media_id": pa.array([1, 2], pa.int64()),
+        "payload": pa.array([b"RAWDIM:1024x768;data", b"\xff\xd8\xff JPEG"],
+                            pa.binary()),
+        "mime": ["image/raw", "image/jpeg"],
+    })
+    rows = sorted(resize_pipeline(rd.from_arrow(imgs), max_side=512).take_all(),
+                  key=lambda r: r["media_id"])
+    assert rows[0]["resized"] and (rows[0]["width"], rows[0]["height"]) == (512, 384)
+    assert rows[0]["payload"].startswith(b"RAWDIM:512x384;")
+    assert not rows[1]["resized"] and rows[1]["payload"].startswith(b"\xff\xd8")
+
+    vids = pa.table({
+        "media_id": pa.array([7, 8], pa.int64()),
+        "payload": pa.array([b"RAWVID:5;f0|f1|f2|f3|f4", b"mp4 real bytes"],
+                            pa.binary()),
+        "mime": ["video/raw", "video/mp4"],
+    })
+    frames = sorted(frame_sample_pipeline(rd.from_arrow(vids), every_n=2).take_all(),
+                    key=lambda r: (r["media_id"], r["frame_idx"]))
+    sampled = [f for f in frames if f["media_id"] == 7]
+    assert [f["frame"] for f in sampled] == [b"f0", b"f2", b"f4"]
+    assert frames[-1]["media_id"] == 8 and not frames[-1]["sampled"]

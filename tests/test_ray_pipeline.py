@@ -150,3 +150,32 @@ def test_run_job_aligned_checkpoint_resume(ray_session, tmp_path):
     total = sum(pq.read_table(os.path.join(out_dir, f)).num_rows
                 for f in os.listdir(out_dir) if f.endswith(".parquet"))
     assert total == r1["rows_written"]
+
+
+def test_run_job_aligned_isolates_corrupt_file(ray_session, tmp_path):
+    """A corrupt input file yields a failure row + no manifest; healthy
+    files complete; the rerun retries only the corrupt one."""
+    from dataclasses import replace
+
+    from raydoc.config import DEFAULT_CONFIG
+    from raydoc.pipelines.extract_pipeline import run_job
+
+    in_dir = tmp_path / "shards"
+    in_dir.mkdir()
+    for i in range(3):
+        tgen.write_transcripts_parquet(
+            str(in_dir / f"shard-{i}.parquet"), n_convs=4,
+            seed=FIXTURE_SEED + i, min_turns=1, max_turns=3)
+    (in_dir / "shard-bad.parquet").write_bytes(b"this is not parquet")
+    out_dir = str(tmp_path / "out")
+    cfg = replace(DEFAULT_CONFIG, assume_conv_aligned=True,
+                  extract_concurrency=2)
+
+    r1 = run_job(str(in_dir), out_dir, cfg=cfg, resume=True)
+    assert r1["rows_written"] > 0
+    assert r1.get("files_failed") == 1
+    assert "shard-bad" in r1["failures"][0]["file"]
+
+    r2 = run_job(str(in_dir), out_dir, cfg=cfg, resume=True)
+    assert r2["files_skipped"] == 3          # healthy files not redone
+    assert r2.get("files_failed") == 1       # bad file retried, fails again
