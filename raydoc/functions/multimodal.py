@@ -77,12 +77,19 @@ class MediaMetaActor:
         })
 
 
-def media_pipeline(ds: rd.Dataset, concurrency=(1, 4),
+def _pool_size() -> int:
+    import ray
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(1, min(8, cpus - 2))
+
+
+def media_pipeline(ds: rd.Dataset, concurrency=None,
                    batch_size: int = 64) -> rd.Dataset:
     """Binary payloads → metadata rows through the actor pool. Small batch
-    size on purpose: rows are wide."""
+    size on purpose: rows are wide (batch × concurrency must fit heaps)."""
     return ds.map_batches(MediaMetaActor, batch_format="pyarrow",
-                          batch_size=batch_size, concurrency=concurrency,
+                          batch_size=batch_size,
+                          concurrency=concurrency or _pool_size(),
                           num_cpus=1)
 
 

@@ -57,14 +57,29 @@ def read_transcripts(path: str) -> rd.Dataset:
 
 def dedup_turns(ds: rd.Dataset) -> rd.Dataset:
     """Optional ingest dedup of duplicated (conv_id, turn_idx) rows — keep
-    first by text order (SURVEY.md §7.3). Costs a shuffle; off by default."""
+    first by text order (SURVEY.md §7.3). Costs a shuffle; off by default.
+
+    Shuffles on a coarse hash bucket of conv_id (all copies of a key land in
+    one block) and deduplicates per block with one vectorized
+    drop_duplicates — not one map_groups call per (conv_id, turn_idx)."""
+    import hashlib as _hashlib
+
     import pandas as pd
+    import pyarrow as pa
 
-    def first_turn(g: pd.DataFrame) -> pd.DataFrame:
-        return g.iloc[:1]
+    def add_bucket(t: pa.Table) -> pa.Table:
+        keys = [int(_hashlib.md5(c.encode()).hexdigest()[:8], 16) % 256
+                for c in t.column("conv_id").to_pylist()]
+        return t.append_column("dedup_bucket", pa.array(keys, pa.int32()))
 
-    return ds.groupby(["conv_id", "turn_idx"]).map_groups(
-        first_turn, batch_format="pandas")
+    def dedupe_block(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx", "text"], ignore_index=True)
+        g = g.drop_duplicates(subset=["conv_id", "turn_idx"], keep="first")
+        return g.drop(columns=["dedup_bucket"])
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("dedup_bucket").map_groups(dedupe_block,
+                                                batch_format="pandas"))
 
 
 def _default_concurrency() -> int:

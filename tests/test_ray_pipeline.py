@@ -179,3 +179,23 @@ def test_run_job_aligned_isolates_corrupt_file(ray_session, tmp_path):
     r2 = run_job(str(in_dir), out_dir, cfg=cfg, resume=True)
     assert r2["files_skipped"] == 3          # healthy files not redone
     assert r2.get("files_failed") == 1       # bad file retried, fails again
+
+
+def test_skewed_conversation_general_path(ray_session, tmp_path):
+    """One conversation 100× longer than the rest (hot key): the general
+    shuffle path must still produce exactly one output row per turn with
+    correct in-group ordering."""
+    path = str(tmp_path / "skew.parquet")
+    tgen.write_transcripts_parquet(path, n_convs=10, seed=FIXTURE_SEED,
+                                   min_turns=2, max_turns=4,
+                                   skew_conv_turns=400)
+    from raydoc.pipelines.extract_pipeline import extract_dataset
+
+    rows = extract_dataset(path).take_all()
+    by_conv = {}
+    for r in rows:
+        by_conv.setdefault(r["conv_id"], []).append(r["turn_idx"])
+    sizes = sorted(len(v) for v in by_conv.values())
+    assert sizes[-1] == 400 and sizes[0] <= 4
+    for idxs in by_conv.values():
+        assert sorted(idxs) == list(range(len(idxs)))   # every turn, once
