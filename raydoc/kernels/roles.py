@@ -372,7 +372,7 @@ def classify_layout_role_enhanced(elem: Element, page_elements: list[Element],
 
     score = s_font * 0.35 + s_ws * 0.25 + s_cap * 0.20 + s_len * 0.15 + s_ind * 0.05
 
-    if any(text.lower().startswith(k) for k in _CAPTION_KEYWORDS):
+    if text[:7].lower().startswith(_CAPTION_KEYWORDS):
         return "caption", 0.85
 
     if bbox[1] > agg.page_height * 0.85 and h < avg_height * 0.8:
@@ -403,7 +403,7 @@ def classify_layout_role_legacy(elem: Element,
         return "list_item"
     if text and text[0].isdigit() and len(text) > 2 and text[1:3] in (". ", ") ", ": "):
         return "list_item"
-    if any(text.lower().startswith(k) for k in _CAPTION_KEYWORDS):
+    if text[:7].lower().startswith(_CAPTION_KEYWORDS):
         return "caption"
     if bbox[1] > agg.page_height * 0.85 and h < avg_height * 0.8:
         return "footnote"
