@@ -29,6 +29,8 @@ import pyarrow as pa
 
 import ray.data as rd
 
+from raydoc.functions._collect import collect_table
+
 from raydoc.functions.agg import partial_groupby
 
 _TOKEN = re.compile(r"\w+")
@@ -62,7 +64,7 @@ def exact_dedup(sf_dir: str, id_col: str = "doc_id",
     hashed = add_content_hash(ds, col)
     out = partial_groupby(hashed.select_columns([id_col, "content_hash"]),
                           ["content_hash"], {id_col: (id_col, "min")})
-    t = pa.Table.from_pylist(out.take_all())
+    t = collect_table(out)
     return t.select([id_col]).sort_by(id_col)
 
 
@@ -183,7 +185,8 @@ def _lsh_candidate_pairs(exploded: rd.Dataset, id_col: str,
 
     pairs = exploded.groupby("bucket").map_groups(
         block_pairs, batch_format="pyarrow")
-    return {(r["a"], r["b"]) for r in pairs.take_all()}
+    t = collect_table(pairs)
+    return set(zip(t.column("a").to_pylist(), t.column("b").to_pylist()))
 
 
 def minhash_lsh_clusters(sf_dir: str, threshold: float = 0.5,
@@ -197,7 +200,7 @@ def minhash_lsh_clusters(sf_dir: str, threshold: float = 0.5,
     pair_rows = _lsh_candidate_pairs(exploded, id_col, est_threshold=threshold)
 
     # union-find over the (small) candidate pair set
-    all_ids = ds.select_columns([id_col]).take_all()
+    all_id_list = collect_table(ds.select_columns([id_col])).column(id_col).to_pylist()
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -212,7 +215,7 @@ def minhash_lsh_clusters(sf_dir: str, threshold: float = 0.5,
             lo, hi = min(ra, rb), max(ra, rb)
             parent[hi] = lo
 
-    ids = sorted(r[id_col] for r in all_ids)
+    ids = sorted(all_id_list)
     return pa.table({
         id_col: pa.array(ids, pa.int64()),
         "cluster": pa.array([find(i) for i in ids], pa.int64()),
@@ -241,8 +244,8 @@ def simhash_signatures(sf_dir: str, id_col: str = "doc_id") -> pa.Table:
         return pa.table({id_col: t.column(id_col),
                          "simhash": pa.array(sigs, pa.string())})
 
-    rows = ds.map_batches(fn, batch_format="pyarrow").take_all()
-    return pa.Table.from_pylist(sorted(rows, key=lambda r: r[id_col]))
+    out = ds.map_batches(fn, batch_format="pyarrow")
+    return collect_table(out).sort_by(id_col)
 
 
 def simhash_neardups(sf_dir: str, max_hamming: int = 3,
@@ -300,7 +303,9 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.4, k: int = 3,
     # sets per doc (a doc appears in many pairs). At corpus scale the
     # small-side broadcast becomes a bucket join on doc id — the candidate
     # set, not the corpus, is what's assumed small here (LSH regime).
-    texts_ref = ray.put({r[id_col]: r["text"] for r in ds.take_all()})
+    tt = collect_table(ds)
+    texts_ref = ray.put(dict(zip(tt.column(id_col).to_pylist(),
+                                 tt.column("text").to_pylist())))
     pairs_sorted = sorted(candidates)
     pairs_ds = rd.from_arrow(pa.table({
         "a": pa.array([p[0] for p in pairs_sorted], pa.int64()),
@@ -331,11 +336,10 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.4, k: int = 3,
                          "b": pa.array(b_out, pa.int64()),
                          "jaccard": pa.array(j_out, pa.float64())})
 
-    rows = pairs_ds.map_batches(verify, batch_format="pyarrow").take_all()
-    if not rows:
+    out = collect_table(pairs_ds.map_batches(verify, batch_format="pyarrow"))
+    if out.num_rows == 0:
         return empty
-    return pa.Table.from_pylist(
-        sorted(rows, key=lambda r: (r["a"], r["b"])))
+    return out.sort_by([("a", "ascending"), ("b", "ascending")])
 
 
 def embedding_neardups(sf_dir: str, threshold: float = 0.8) -> pa.Table:
@@ -346,7 +350,7 @@ def embedding_neardups(sf_dir: str, threshold: float = 0.8) -> pa.Table:
 
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                           columns=["vec_id", "embedding"])
-    full = pa.Table.from_pylist(emb.take_all())
+    full = collect_table(emb)
     ids = np.array(full["vec_id"].to_pylist(), dtype=np.int64)
     mat = np.array(full["embedding"].to_pylist(), dtype=np.float64)
     mat /= np.linalg.norm(mat, axis=1, keepdims=True).clip(min=1e-12)
@@ -370,10 +374,9 @@ def embedding_neardups(sf_dir: str, threshold: float = 0.8) -> pa.Table:
                          "b": pa.array(b_out, pa.int64()),
                          "cosine": pa.array(s_out, pa.float64())})
 
-    rows = emb.map_batches(fn, batch_format="pyarrow").take_all()
-    rows.sort(key=lambda r: (r["a"], r["b"]))
-    if not rows:
+    out = collect_table(emb.map_batches(fn, batch_format="pyarrow"))
+    if out.num_rows == 0:
         return pa.table({"a": pa.array([], pa.int64()),
                          "b": pa.array([], pa.int64()),
                          "cosine": pa.array([], pa.float64())})
-    return pa.Table.from_pylist(rows)
+    return out.sort_by([("a", "ascending"), ("b", "ascending")])

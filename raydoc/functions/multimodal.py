@@ -107,10 +107,9 @@ def document_media_meta(sf_dir: str) -> pa.Table:
             "mime": pa.array(["text/plain"] * t.num_rows, pa.string()),
         })
 
+    from raydoc.functions._collect import collect_table
     media = ds.map_batches(to_media, batch_format="pyarrow")
-    rows = media_pipeline(media).take_all()
-    rows.sort(key=lambda r: r["media_id"])
-    t = pa.Table.from_pylist(rows)
+    t = collect_table(media_pipeline(media)).sort_by("media_id")
     return pa.table({"doc_id": t["media_id"], "n_bytes": t["n_bytes"],
                      "sha256": t["sha256"]})
 

@@ -21,6 +21,8 @@ import pyarrow.parquet as pq
 
 import ray.data as rd
 
+from raydoc.functions._collect import collect_table
+
 from raydoc.functions.agg import partial_groupby
 from raydoc.functions.joins import broadcast_join, bucket_hash_join
 
@@ -93,7 +95,7 @@ def q_distinct_flags(sf_dir: str) -> pa.Table:
     ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
     out = partial_groupby(ds, ["l_returnflag", "l_linestatus"],
                           {"n": ("l_returnflag", "count")})
-    t = pa.Table.from_pylist(out.take_all())
+    t = collect_table(out)
     return t.select(["l_returnflag", "l_linestatus"]).sort_by(
         [("l_returnflag", "ascending"), ("l_linestatus", "ascending")])
 
@@ -110,7 +112,7 @@ def q_top_orders(sf_dir: str) -> pa.Table:
     joined = broadcast_join(orders, cust, key="o_custkey")
     top = joined.sort(["o_totalprice", "o_orderkey"], descending=[True, False]) \
                 .limit(10)
-    t = pa.Table.from_pylist(top.take_all())
+    t = collect_table(top)
     return t.select(["o_orderkey", "o_custkey", "o_totalprice", "c_name"])
 
 
@@ -156,7 +158,7 @@ def q_revenue_by_nation(sf_dir: str) -> pa.Table:
     out = partial_groupby(joined.map_batches(prep, batch_format="pyarrow"),
                           ["n_name"], {"revenue_c100": ("rev_c100", "sum"),
                                        "n_items": ("rev_c100", "count")})
-    t = pa.Table.from_pylist(out.take_all()).sort_by("n_name")
+    t = collect_table(out).sort_by("n_name")
     return pa.table({
         "n_name": t["n_name"],
         "revenue": pc.divide(pc.cast(t["revenue_c100"], pa.float64()), 10000.0),
@@ -177,7 +179,7 @@ def q_customer_order_stats(sf_dir: str) -> pa.Table:
         "max_price": ("o_totalprice", "max"),
         "min_price": ("o_totalprice", "min"),
     })
-    return pa.Table.from_pylist(out.take_all()).sort_by("c_mktsegment")
+    return collect_table(out).sort_by("c_mktsegment")
 
 
 def q_brand_volume(sf_dir: str) -> pa.Table:
@@ -195,14 +197,14 @@ def q_brand_volume(sf_dir: str) -> pa.Table:
     out = partial_groupby(joined.map_batches(prep, batch_format="pyarrow"),
                           ["p_brand"], {"sum_qty": ("qty", "sum"),
                                         "n_items": ("qty", "count")})
-    return pa.Table.from_pylist(out.take_all()).sort_by("p_brand")
+    return collect_table(out).sort_by("p_brand")
 
 
 def q_top_events(sf_dir: str) -> pa.Table:
     """Global sort + limit with deterministic tiebreak."""
     ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
     top = ds.sort(["value", "event_id"], descending=[True, False]).limit(100)
-    return pa.Table.from_pylist(top.take_all()).select(
+    return collect_table(top).select(
         ["event_id", "event_type", "value"])
 
 
@@ -222,7 +224,7 @@ def q_supplier_by_nation(sf_dir: str) -> pa.Table:
     out = partial_groupby(joined.map_batches(prep, batch_format="pyarrow"),
                           ["n_name"], {"n_suppliers": ("bal_cents", "count"),
                                        "total_acctbal_cents": ("bal_cents", "sum")})
-    return pa.Table.from_pylist(out.take_all()).sort_by("n_name")
+    return collect_table(out).sort_by("n_name")
 
 
 def q_user_topk_events(sf_dir: str, k: int = 3) -> pa.Table:
@@ -247,7 +249,7 @@ def q_user_topk_events(sf_dir: str, k: int = 3) -> pa.Table:
 
     out = (ds.map_batches(add_bucket, batch_format="pyarrow")
            .groupby("bucket").map_groups(per_bucket, batch_format="pandas"))
-    return pa.Table.from_pylist(out.take_all()).sort_by(
+    return collect_table(out).sort_by(
         [("user_id", "ascending"), ("rank", "ascending")])
 
 
@@ -268,4 +270,4 @@ def q_pdf_dates(sf_dir: str) -> pa.Table:
                          "iso_date": pa.array(isos, pa.string())})
 
     out = ds.map_batches(fn, batch_format="pyarrow")
-    return pa.Table.from_pylist(out.take_all()).sort_by("event_id")
+    return collect_table(out).sort_by("event_id")

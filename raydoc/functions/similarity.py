@@ -47,8 +47,7 @@ def _batch_candidates(ref, k: int, exclude_self: bool):
     return fn
 
 
-def _final_topk(candidates: list[dict], k: int) -> pa.Table:
-    df = pd.DataFrame(candidates)
+def _final_topk(df: pd.DataFrame, k: int) -> pa.Table:
     if df.empty:
         return pa.table({"query_id": pa.array([], pa.int64()),
                          "rank": pa.array([], pa.int32()),
@@ -76,7 +75,7 @@ def brute_force_topk(sf_dir: str, query_ids: list[int] | None = None,
                              for r in qrows]))
     ref = ray.put((q_ids, q))
     cands = ds.map_batches(_batch_candidates(ref, k + 1, exclude_self),
-                           batch_format="pyarrow").take_all()
+                           batch_format="pyarrow").to_pandas()
     return _final_topk(cands, k)
 
 
@@ -135,7 +134,7 @@ def lsh_topk(sf_dir: str, query_ids: list[int] | None = None, k: int = 10,
             {"query_id": [], "vec_id": [], "cosine": []})
 
     cands = bucketed.groupby("bucket").map_groups(
-        probe, batch_format="pandas").take_all()
+        probe, batch_format="pandas").to_pandas()
     return _final_topk(cands, k)
 
 
@@ -218,5 +217,5 @@ def ivf_topk(sf_dir: str, query_ids: list[int] | None = None, k: int = 10,
             {"query_id": [], "vec_id": [], "cosine": []})
 
     cands = listed.groupby("list_id").map_groups(
-        probe, batch_format="pandas").take_all()
+        probe, batch_format="pandas").to_pandas()
     return _final_topk(cands, k)

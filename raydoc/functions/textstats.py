@@ -12,6 +12,8 @@ import pyarrow as pa
 
 import ray.data as rd
 
+from raydoc.functions._collect import collect_table
+
 from raydoc.kernels.lang import detect_language
 
 _WS_RUN = re.compile(r"\s+")
@@ -32,8 +34,8 @@ def token_counts(sf_dir: str) -> pa.Table:
         return pa.table({"doc_id": t.column("doc_id"),
                          "n_tokens": pa.array(counts, pa.int64())})
 
-    rows = ds.map_batches(fn, batch_format="pyarrow").take_all()
-    return pa.Table.from_pylist(sorted(rows, key=lambda r: r["doc_id"]))
+    out = ds.map_batches(fn, batch_format="pyarrow")
+    return collect_table(out).sort_by("doc_id")
 
 
 def quality_counters(sf_dir: str) -> pa.Table:
@@ -56,8 +58,8 @@ def quality_counters(sf_dir: str) -> pa.Table:
                          "n_digit": pa.array(n_digit, pa.int64()),
                          "n_sentences": pa.array(n_sent, pa.int64())})
 
-    rows = ds.map_batches(fn, batch_format="pyarrow").take_all()
-    return pa.Table.from_pylist(sorted(rows, key=lambda r: r["doc_id"]))
+    out = ds.map_batches(fn, batch_format="pyarrow")
+    return collect_table(out).sort_by("doc_id")
 
 
 def fingerprints(sf_dir: str) -> pa.Table:
@@ -73,8 +75,8 @@ def fingerprints(sf_dir: str) -> pa.Table:
         return pa.table({"doc_id": t.column("doc_id"),
                          "fingerprint": pa.array(fps, pa.string())})
 
-    rows = ds.map_batches(fn, batch_format="pyarrow").take_all()
-    return pa.Table.from_pylist(sorted(rows, key=lambda r: r["doc_id"]))
+    out = ds.map_batches(fn, batch_format="pyarrow")
+    return collect_table(out).sort_by("doc_id")
 
 
 def language_id(sf_dir: str) -> pa.Table:
@@ -93,5 +95,5 @@ def language_id(sf_dir: str) -> pa.Table:
                          "language": pa.array(langs, pa.string()),
                          "script": pa.array(scripts, pa.string())})
 
-    rows = ds.map_batches(fn, batch_format="pyarrow").take_all()
-    return pa.Table.from_pylist(sorted(rows, key=lambda r: r["doc_id"]))
+    out = ds.map_batches(fn, batch_format="pyarrow")
+    return collect_table(out).sort_by("doc_id")

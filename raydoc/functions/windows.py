@@ -15,6 +15,8 @@ import pyarrow.compute as pc
 
 import ray.data as rd
 
+from raydoc.functions._collect import collect_table
+
 from raydoc.functions.agg import partial_groupby
 
 
@@ -36,7 +38,7 @@ def hourly_event_stats(sf_dir: str) -> pa.Table:
                               "min_value": ("value", "min"),
                               "max_value": ("value", "max"),
                           })
-    t = pa.Table.from_pylist(out.take_all())
+    t = collect_table(out)
     return t.sort_by([("window_start", "ascending"),
                       ("event_type", "ascending")])
 
@@ -74,5 +76,5 @@ def sessionize(sf_dir: str, gap_minutes: int = 30) -> pa.Table:
 
     out = (ds.map_batches(add_bucket, batch_format="pyarrow")
            .groupby("bucket").map_groups(per_bucket, batch_format="pandas"))
-    t = pa.Table.from_pylist(out.take_all())
+    t = collect_table(out)
     return t.sort_by("user_id")
