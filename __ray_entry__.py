@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": similarity.ivf_topk,
         # --- text analysis (documents) ---
         "token_counts": textstats.token_counts,
+        "markdown_to_txt": textstats.markdown_to_txt_docs,
         "quality_counters": textstats.quality_counters,
         "fingerprints": textstats.fingerprints,
         "language_id": textstats.language_id,
@@ -236,6 +237,14 @@ def oracle_sql() -> dict[str, str]:
                                            ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank,
                    vec_id
             FROM sims QUALIFY rank <= 10 ORDER BY query_id, rank""",
+        "markdown_to_txt": r"""
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                       text, '#{1,6}\s', '', 'g'),
+                       '\*\*(.+?)\*\*', '\1', 'g'),
+                       '\*(.+?)\*', '\1', 'g'),
+                       '\[(.+?)\]\(.+?\)', '\1', 'g') AS plain_text
+            FROM documents ORDER BY doc_id""",
         "media_meta": """
             SELECT doc_id,
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -97,3 +97,20 @@ def language_id(sf_dir: str) -> pa.Table:
 
     out = ds.map_batches(fn, batch_format="pyarrow")
     return collect_table(out).sort_by("doc_id")
+
+
+def markdown_to_txt_docs(sf_dir: str) -> pa.Table:
+    """(doc_id, plain_text): the K3 markdown→plain-text writer
+    (utils/formatters.py:74-83) applied per document."""
+    from raydoc.kernels.textnorm import markdown_to_txt
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        txts = [markdown_to_txt(v or "") for v in t.column("text").to_pylist()]
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "plain_text": pa.array(txts, pa.large_string())})
+
+    return collect_table(ds.map_batches(fn, batch_format="pyarrow")).sort_by(
+        "doc_id")

@@ -137,3 +137,19 @@ def parse_pdf_date(date_str: str) -> str:
     except ValueError:
         return ""
     return f"{year}-{month}-{day}T{hour}:{minute}:{second}"
+
+
+_MD_HEADER = re.compile(r"#{1,6}\s")
+_MD_BOLD = re.compile(r"\*\*(.+?)\*\*")
+_MD_ITALIC = re.compile(r"\*(.+?)\*")
+_MD_LINK = re.compile(r"\[(.+?)\]\(.+?\)")
+
+
+def markdown_to_txt(markdown_text: str) -> str:
+    """Markdown → plain text, exact semantics of utils/formatters.py:74-83
+    (K3): strip headers, bold, italic, links — in that order."""
+    text = _MD_HEADER.sub("", markdown_text)
+    text = _MD_BOLD.sub(r"\1", text)
+    text = _MD_ITALIC.sub(r"\1", text)
+    text = _MD_LINK.sub(r"\1", text)
+    return text
