@@ -43,6 +43,38 @@ def entry() -> Any:
     return _extract_turns(SF0001)
 
 
+def _extract_turns_aligned(sf_dir: str):
+    """Same extraction through the shuffle-elision fused path: transcripts
+    are materialized as conv-aligned parquet shards (scratch, cached) and
+    processed one-file-per-actor-task. Row-identical to extract_turns
+    (asserted in tests/test_ray_pipeline.py)."""
+    import os
+
+    import pyarrow.parquet as pq
+    from raydoc.pipelines.extract_pipeline import build_extraction_aligned
+    from raydoc.sources.transcripts import transcripts_from_documents
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    tdir = f"/tmp/raydoc_alignedq_{tag}"
+    os.makedirs(tdir, exist_ok=True)
+    if not os.path.exists(f"{tdir}/_DONE"):
+        docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"])
+        table = transcripts_from_documents(docs, turns_per_conv=6)
+        step = ((max(1, table.num_rows // 16) + 5) // 6) * 6
+        i = part = 0
+        while i < table.num_rows:
+            pq.write_table(table.slice(i, step),
+                           f"{tdir}/shard-{part:04d}.parquet")
+            i += step
+            part += 1
+        open(f"{tdir}/_DONE", "w").write(str(table.num_rows))
+    out = build_extraction_aligned(tdir)
+    return out.select_columns([
+        "conv_id", "turn_idx", "extracted_text", "n_elements", "strip_ratio",
+        "parse_failed", "was_html", "language", "gate_passed"])
+
+
 def _normalize_documents(sf_dir: str):
     """Standalone flagship normalizer (M4) over the documents table."""
     import pyarrow as pa
@@ -109,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_meta": multimodal.document_media_meta,
         # --- the extraction engine itself ---
         "extract_turns": _extract_turns,
+        "extract_turns_aligned": _extract_turns_aligned,
         "normalize_markdown": _normalize_documents,
     }
 
