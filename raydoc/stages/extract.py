@@ -174,7 +174,9 @@ class ExtractorActor:
         fineness = self._cfg.shuffle_fineness
 
         for conv_id, text in zip(conv_ids, texts):
-            h = int(hashlib.md5(conv_id.encode()).hexdigest()[:8], 16)
+            # defensive: a null conv_id must not kill the task (it groups
+            # under the empty key instead)
+            h = int(hashlib.md5((conv_id or "").encode()).hexdigest()[:8], 16)
             parts.append(h % n_parts)
             skeys.append(h % (n_parts * fineness))
             try:
@@ -191,7 +193,7 @@ class ExtractorActor:
                 parse_failed.append(True)
 
         return pa.table({
-            "conv_id": batch.column("conv_id"),
+            "conv_id": pa.compute.fill_null(batch.column("conv_id"), ""),
             "turn_idx": batch.column("turn_idx"),
             "elements": pa.array(elements_col, type=ELEMENTS_COLUMN),
             "was_html": pa.array(was_html, pa.bool_()),
