@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import re
 from collections import Counter
+from functools import lru_cache
 from typing import Any
 
 from raydoc.kernels.textnorm import mask_digits
@@ -80,14 +81,20 @@ _ARTIFACT_ONE = re.compile("|".join(f"(?:{p.pattern})" for p in _ARTIFACT))
 _SPECIAL = re.compile(r"[^\w\s]|_")
 
 
+# Line-level predicates are pure functions of the string, and boilerplate
+# lines repeat heavily across documents (~33% dupes even in the synthetic
+# corpus; more in real crawls) — memoize per worker.
+@lru_cache(maxsize=65536)
 def is_page_number(line: str) -> bool:
     return _PAGE_NUM_ONE.match(line.strip()) is not None
 
 
+@lru_cache(maxsize=65536)
 def is_watermark(line: str) -> bool:
     return _WATERMARK_ONE.match(line.strip()) is not None
 
 
+@lru_cache(maxsize=65536)
 def is_garbled(line: str) -> bool:
     if len(line) < 3:
         return False
@@ -98,14 +105,20 @@ def is_garbled(line: str) -> bool:
     return bool(_CHAR_REPEAT.search(line))
 
 
+@lru_cache(maxsize=65536)
+def _is_artifact_line(line: str) -> bool:
+    """Confidence-independent part of the artifact predicate."""
+    if _ARTIFACT_ONE.match(line):
+        return True
+    return is_garbled(line)
+
+
 def is_artifact(line: str, confidence: float = 1.0,
                 artifact_confidence: float = 0.3) -> bool:
     line = line.strip()
-    if _ARTIFACT_ONE.match(line):
-        return True
     if confidence < artifact_confidence and len(line) < 10:
         return True
-    return is_garbled(line)
+    return _is_artifact_line(line)
 
 
 def _elem_y(elem: Element) -> float:
