@@ -134,6 +134,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- text analysis (documents) ---
         "token_counts": textstats.token_counts,
         "markdown_to_txt": textstats.markdown_to_txt_docs,
+        "train_test_split": textstats.train_test_split,
+        "shuffle_sample": textstats.shuffle_sample,
         "quality_counters": textstats.quality_counters,
         "fingerprints": textstats.fingerprints,
         "language_id": textstats.language_id,
@@ -270,6 +272,11 @@ def oracle_sql() -> dict[str, str]:
                                            ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank,
                    vec_id
             FROM sims QUALIFY rank <= 10 ORDER BY query_id, rank""",
+        "train_test_split": """
+            SELECT doc_id,
+                   CASE WHEN substr(md5(text), 1, 1) < 'c' THEN 'train'
+                        ELSE 'test' END AS split
+            FROM documents ORDER BY doc_id""",
         "markdown_to_txt": r"""
             SELECT doc_id,
                    regexp_replace(regexp_replace(regexp_replace(regexp_replace(

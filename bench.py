@@ -54,6 +54,8 @@ BENCH_QUERIES = [
     "ann_ivf_topk",
     "token_counts",
     "markdown_to_txt",
+    "train_test_split",
+    "shuffle_sample",
     "quality_counters",
     "fingerprints",
     "language_id",

@@ -114,3 +114,33 @@ def markdown_to_txt_docs(sf_dir: str) -> pa.Table:
 
     return collect_table(ds.map_batches(fn, batch_format="pyarrow")).sort_by(
         "doc_id")
+
+
+def train_test_split(sf_dir: str, train_hex_max: str = "c") -> pa.Table:
+    """(doc_id, split): deterministic content-hash split — md5 of the text's
+    first hex digit < ``train_hex_max`` ⇒ 'train' (12/16 = 75%), else
+    'test'. Pure function of the row ⇒ stable across runs, cluster sizes
+    and input order (the training-pipeline splitter; SQL-replicable)."""
+    import hashlib as _hl
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        splits = ["train" if _hl.md5((v or "").encode()).hexdigest()[0]
+                  < train_hex_max else "test"
+                  for v in t.column("text").to_pylist()]
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "split": pa.array(splits, pa.string())})
+
+    return collect_table(ds.map_batches(fn, batch_format="pyarrow")).sort_by(
+        "doc_id")
+
+
+def shuffle_sample(sf_dir: str, n: int = 100, seed: int = 7) -> pa.Table:
+    """Seeded global ``random_shuffle`` + limit — the example-shuffling step
+    of a training-data pipeline (a full all-to-all exchange; rows-only
+    check, ordering is not SQL-replicable)."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    out = ds.random_shuffle(seed=seed).limit(n)
+    return collect_table(out)

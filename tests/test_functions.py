@@ -42,7 +42,7 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
     "token_counts", "quality_counters", "fingerprints",
     "embedding_neardups", "ann_topk", "media_meta",
     "supplier_by_nation", "user_topk_events", "pdf_dates",
-    "markdown_to_txt",
+    "markdown_to_txt", "train_test_split",
 ])
 def test_query_matches_oracle(ray_session, oracle, name):
     import __ray_entry__ as entrymod
@@ -55,6 +55,7 @@ def test_query_matches_oracle(ray_session, oracle, name):
 @pytest.mark.parametrize("name", [
     "minhash_clusters", "simhash_signatures", "simhash_neardups",
     "ngram_jaccard", "ann_lsh_topk", "ann_ivf_topk", "language_id",
+    "shuffle_sample", "extract_turns_aligned",
     "normalize_markdown",
 ])
 def test_rows_only_queries_run(ray_session, name):
