@@ -51,11 +51,15 @@ _SENTENCE_END = (".", "?", "!", ":")
 
 def merge_hyphens_strict(text: str) -> str:
     """Join line-broken words where the continuation is all-lowercase."""
+    if "-" not in text:   # memchr pre-filter; both patterns require a '-'
+        return text
     return _HYPHEN_STRICT.sub(r"\1\2", text)
 
 
 def merge_hyphens_loose(text: str) -> str:
     """Join line-broken words; continuation may be any word chars."""
+    if "-" not in text:
+        return text
     return _HYPHEN_LOOSE.sub(r"\1\2", text)
 
 

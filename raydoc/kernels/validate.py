@@ -112,10 +112,22 @@ _HALLUCINATION_ONE = re.compile(
     "|".join(f"(?:{p.pattern.removeprefix('(?i)')})" for p in _HALLUCINATION),
     re.IGNORECASE)
 
+# distinctive literal substrings, one per pattern: a text matching any
+# hallucination regex necessarily contains one of these (lowercased) —
+# memchr-speed pre-filter before the expensive alternation scan
+_HALLUCINATION_LITERALS = ("based on", "as shown", "as seen", "as visible",
+                           "it appears", "it seems", "i can see",
+                           "i can observe", "image", "document",
+                           "looking at", "from what i can", "this appears",
+                           "this seems")
+
 
 def _check_hallucinations(text: str, issues: list[dict[str, Any]]) -> None:
     # Cheap whole-text pre-scan: most documents contain no hallucination
-    # phrase at all, so skip the per-line loop entirely in that case.
+    # phrase at all, so skip the regex scans entirely in that case.
+    lo = text.lower()
+    if not any(k in lo for k in _HALLUCINATION_LITERALS):
+        return
     if not _HALLUCINATION_ONE.search(text):
         return
     for i, line in enumerate(text.split("\n"), 1):
