@@ -73,13 +73,33 @@ def document_block_fn(block: pa.Table,
     Arrow↔Python boundary over ~hundreds of conversations instead of paying
     per-conversation ``map_groups`` overhead (measured ~2× of kernel time at
     6-turn conversations: 5k fn calls + 70k tiny array builds per job)."""
-    conv_ids = block.column("conv_id").to_pylist()
-    turn_idxs = block.column("turn_idx").to_pylist()
-    elements_col = block.column("elements").to_pylist()
-    was_html = block.column("was_html").to_pylist()
-    strip_ratio = block.column("strip_ratio").to_pylist()
-    parse_failed = block.column("parse_failed").to_pylist()
-    parts = block.column("part").to_pylist()
+    raw = {
+        "conv_id": block.column("conv_id").to_pylist(),
+        "turn_idx": block.column("turn_idx").to_pylist(),
+        "elements": [[struct_to_element(s) for s in elems] if elems else []
+                     for elems in block.column("elements").to_pylist()],
+        "was_html": block.column("was_html").to_pylist(),
+        "strip_ratio": block.column("strip_ratio").to_pylist(),
+        "parse_failed": block.column("parse_failed").to_pylist(),
+        "part": block.column("part").to_pylist(),
+    }
+    return document_rows_from_raw(raw, cfg)
+
+
+def document_rows_from_raw(raw: dict,
+                           cfg: PipelineConfig = DEFAULT_CONFIG) -> pa.Table:
+    """Core document stage over plain-Python inputs: ``raw`` carries
+    parallel lists (conv_id, turn_idx, elements as Element dicts, was_html,
+    strip_ratio, parse_failed, part). Used directly by the fused per-file
+    path (no Arrow struct round-trip) and via document_block_fn after a
+    shuffle."""
+    conv_ids = raw["conv_id"]
+    turn_idxs = raw["turn_idx"]
+    prebuilt_col = raw["elements"]
+    was_html = raw["was_html"]
+    strip_ratio = raw["strip_ratio"]
+    parse_failed = raw["parse_failed"]
+    parts = raw["part"]
 
     by_conv: dict[str, list[int]] = {}
     for i, cid in enumerate(conv_ids):
@@ -102,8 +122,7 @@ def document_block_fn(block: pa.Table,
     o_docmd: list[str] = []
 
     for cid, ix in by_conv.items():
-        prebuilt = [[struct_to_element(s) for s in elements_col[i]]
-                    if elements_col[i] else [] for i in ix]
+        prebuilt = [prebuilt_col[i] for i in ix]
         stats = [(was_html[i], strip_ratio[i], parse_failed[i]) for i in ix]
         result = process_conversation(
             cid, [turn_idxs[i] for i in ix], [""] * len(ix), cfg=cfg,

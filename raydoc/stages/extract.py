@@ -63,9 +63,9 @@ class FusedFileActor:
                  columns: tuple[str, ...] = ("conv_id", "turn_idx", "text"),
                  out_dir: str | None = None,
                  config_hash: str | None = None):
-        from raydoc.stages.document_stage import document_block_fn
+        from raydoc.stages.document_stage import document_rows_from_raw
         self._extractor = ExtractorActor(cfg=cfg)
-        self._doc = document_block_fn
+        self._doc_raw = document_rows_from_raw
         self._cfg = cfg
         self._columns = list(columns)
         self._out_dir = out_dir
@@ -74,7 +74,9 @@ class FusedFileActor:
     def _process_file(self, path: str) -> pa.Table:
         import pyarrow.parquet as pq
         t = pq.read_table(path, columns=self._columns)
-        return self._doc(self._extractor(t), self._cfg)
+        # in-process handoff: elements stay plain Python dicts (no Arrow
+        # struct round-trip — that cost exists only to cross the shuffle)
+        return self._doc_raw(self._extractor.extract_raw(t), self._cfg)
 
     def _process_and_write(self, path: str) -> pa.Table:
         """file in → file out (atomic tmp+rename) + manifest; returns a
@@ -143,10 +145,10 @@ class FusedFileActor:
         return pa.concat_tables(outs)
 
     def _process_file_empty(self) -> pa.Table:
-        return self._doc(self._extractor(
-            pa.table({c: pa.array([], pa.string()) if c != "turn_idx"
-                      else pa.array([], pa.int32()) for c in self._columns})),
-            self._cfg)
+        empty = pa.table({c: pa.array([], pa.string()) if c != "turn_idx"
+                          else pa.array([], pa.int32())
+                          for c in self._columns})
+        return self._doc_raw(self._extractor.extract_raw(empty), self._cfg)
 
 
 class ExtractorActor:
@@ -160,7 +162,10 @@ class ExtractorActor:
         self._build = build_turn_elements
         self._cfg = cfg
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def extract_raw(self, batch: pa.Table) -> dict:
+        """Per-turn extraction with elements as plain Python dict lists —
+        the in-process handoff for the fused path (no Arrow struct
+        round-trip)."""
         conv_ids = batch.column("conv_id").to_pylist()
         texts = batch.column("text").to_pylist()
 
@@ -181,8 +186,7 @@ class ExtractorActor:
             skeys.append(h % (n_parts * fineness))
             try:
                 normalized, html_flag, ratio = self._extract(text or "")
-                elements = self._build(normalized, self._cfg)
-                elements_col.append([element_to_struct(e) for e in elements])
+                elements_col.append(self._build(normalized, self._cfg))
                 was_html.append(html_flag)
                 strip_ratio.append(ratio)
                 parse_failed.append(False)
@@ -192,13 +196,28 @@ class ExtractorActor:
                 strip_ratio.append(0.0)
                 parse_failed.append(True)
 
+        return {
+            "conv_id": [c or "" for c in conv_ids],
+            "turn_idx": batch.column("turn_idx").to_pylist(),
+            "elements": elements_col,
+            "was_html": was_html,
+            "strip_ratio": strip_ratio,
+            "parse_failed": parse_failed,
+            "part": parts,
+            "shuffle_key": skeys,
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        raw = self.extract_raw(batch)
         return pa.table({
-            "conv_id": pa.compute.fill_null(batch.column("conv_id"), ""),
-            "turn_idx": batch.column("turn_idx"),
-            "elements": pa.array(elements_col, type=ELEMENTS_COLUMN),
-            "was_html": pa.array(was_html, pa.bool_()),
-            "strip_ratio": pa.array(strip_ratio, pa.float32()),
-            "parse_failed": pa.array(parse_failed, pa.bool_()),
-            "part": pa.array(parts, pa.int32()),
-            "shuffle_key": pa.array(skeys, pa.int32()),
+            "conv_id": pa.array(raw["conv_id"], pa.string()),
+            "turn_idx": pa.array(raw["turn_idx"], pa.int32()),
+            "elements": pa.array(
+                [[element_to_struct(e) for e in elems]
+                 for elems in raw["elements"]], type=ELEMENTS_COLUMN),
+            "was_html": pa.array(raw["was_html"], pa.bool_()),
+            "strip_ratio": pa.array(raw["strip_ratio"], pa.float32()),
+            "parse_failed": pa.array(raw["parse_failed"], pa.bool_()),
+            "part": pa.array(raw["part"], pa.int32()),
+            "shuffle_key": pa.array(raw["shuffle_key"], pa.int32()),
         })
