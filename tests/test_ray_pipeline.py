@@ -199,3 +199,29 @@ def test_skewed_conversation_general_path(ray_session, tmp_path):
     assert sizes[-1] == 400 and sizes[0] <= 4
     for idxs in by_conv.values():
         assert sorted(idxs) == list(range(len(idxs)))   # every turn, once
+
+
+def test_manifest_invalidation_on_config_change(ray_session, tmp_path):
+    """A config change must invalidate file manifests (different cfg hash ⇒
+    full re-run), while an identical config resumes."""
+    from dataclasses import replace
+
+    from raydoc.config import DEFAULT_CONFIG
+    from raydoc.pipelines.extract_pipeline import run_job
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    tgen.write_transcripts_parquet(str(in_dir / "a.parquet"), n_convs=4,
+                                   seed=FIXTURE_SEED)
+    out = str(tmp_path / "out")
+    cfg1 = replace(DEFAULT_CONFIG, assume_conv_aligned=True,
+                   extract_concurrency=2)
+    r1 = run_job(str(in_dir), out, cfg=cfg1, resume=True)
+    assert r1["files_written"] == 1
+
+    r2 = run_job(str(in_dir), out, cfg=cfg1, resume=True)
+    assert r2["files_skipped"] == 1
+
+    cfg2 = replace(cfg1, quality_threshold=0.7)   # semantic config change
+    r3 = run_job(str(in_dir), out, cfg=cfg2, resume=True)
+    assert r3["files_written"] == 1               # stale manifest → re-run
