@@ -31,7 +31,12 @@ def _extract_turns(sf_dir: str):
     docs = pq.read_table(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     transcripts = transcripts_from_documents(docs, turns_per_conv=6)
-    ds = rd.from_arrow(transcripts).select_columns(
+    # split into conv-aligned slices: from_arrow of ONE table is one block,
+    # which would serialize the whole actor pool onto a single task
+    n = transcripts.num_rows
+    step = ((max(1, n // 16) + 5) // 6) * 6
+    slices = [transcripts.slice(i, step) for i in range(0, n, step)]
+    ds = rd.from_arrow(slices).select_columns(
         ["conv_id", "turn_idx", "text"])
     out = build_extraction(ds)
     return out.select_columns([
