@@ -107,7 +107,7 @@ def _embedding_neardup_pairs(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from raydoc.functions import dedup, multimodal, relational, similarity
-    from raydoc.functions import textstats, windows
+    from raydoc.functions import sketches, textstats, windows
 
     return {
         # --- relational core (SURVEY.md §2.6/§2.7 analogs) ---
@@ -144,6 +144,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_counters": textstats.quality_counters,
         "fingerprints": textstats.fingerprints,
         "language_id": textstats.language_id,
+        # --- sketches (cardinality) ---
+        "distinct_users": sketches.distinct_users_exact,
+        "distinct_users_hll": sketches.distinct_users_hll,
         # --- multimodal plumbing ---
         "media_meta": multimodal.document_media_meta,
         # --- the extraction engine itself ---
@@ -218,6 +221,9 @@ def oracle_sql() -> dict[str, str]:
                    event_id, value
             FROM events QUALIFY rank <= 3
             ORDER BY user_id, rank""",
+        "distinct_users": """
+            SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events""",
         "pdf_dates": """
             SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%S') AS iso_date
             FROM events ORDER BY event_id""",

@@ -59,6 +59,8 @@ BENCH_QUERIES = [
     "quality_counters",
     "fingerprints",
     "language_id",
+    "distinct_users",
+    "distinct_users_hll",
     "media_meta",
     "normalize_markdown",
 ]

@@ -42,7 +42,7 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
     "token_counts", "quality_counters", "fingerprints",
     "embedding_neardups", "ann_topk", "media_meta",
     "supplier_by_nation", "user_topk_events", "pdf_dates",
-    "markdown_to_txt", "train_test_split",
+    "markdown_to_txt", "train_test_split", "distinct_users",
 ])
 def test_query_matches_oracle(ray_session, oracle, name):
     import __ray_entry__ as entrymod
@@ -169,3 +169,12 @@ def test_media_resize_and_frame_sample_stubs(ray_session):
     sampled = [f for f in frames if f["media_id"] == 7]
     assert [f["frame"] for f in sampled] == [b"f0", b"f2", b"f4"]
     assert frames[-1]["media_id"] == 8 and not frames[-1]["sampled"]
+
+
+def test_hll_estimate_within_error_bound(ray_session, oracle):
+    """HLL (p=12, ~1.6% typical error) must land within 5% of exact."""
+    from raydoc.functions import sketches
+
+    exact = sketches.distinct_users_exact(SF)["n_users"][0].as_py()
+    est = sketches.distinct_users_hll(SF)["n_users_estimate"][0].as_py()
+    assert abs(est - exact) / exact < 0.05, (exact, est)
