@@ -39,13 +39,26 @@ def hll_partial(values: list) -> np.ndarray:
     h = _hash64(values)
     idx = (h >> np.uint64(64 - P)).astype(np.int64)
     suffix = h << np.uint64(P)  # drop the index bits (wraps, fine)
-    # rank = leading zeros of the 64-bit suffix + 1, capped at 64-P+1
-    ranks = np.empty(len(h), dtype=np.uint8)
-    for i, s in enumerate(suffix):
-        s = int(s)
-        ranks[i] = (65 - s.bit_length()) if s else (64 - P + 1)
+    # rank = leading zeros of the 64-bit suffix + 1 (s==0 ⇒ 64-P+1),
+    # vectorized binary-search clz (float log2 would mis-round near powers
+    # of two for 64-bit values)
+    ranks = _clz64(suffix) + np.uint8(1)
+    ranks[suffix == 0] = 64 - P + 1
     np.maximum.at(regs, idx, ranks)
     return regs
+
+
+def _clz64(x: np.ndarray) -> np.ndarray:
+    """Vectorized count-leading-zeros for uint64 (0 maps to 64)."""
+    zero = x == 0
+    x = x.copy()
+    n = np.zeros(x.shape, dtype=np.uint8)
+    for s in (32, 16, 8, 4, 2, 1):
+        m = x < (np.uint64(1) << np.uint64(64 - s))
+        n[m] += s
+        x[m] <<= np.uint64(s)
+    n[zero] = 64
+    return n
 
 
 def hll_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
