@@ -144,6 +144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_counters": textstats.quality_counters,
         "fingerprints": textstats.fingerprints,
         "language_id": textstats.language_id,
+        "validate_docs": textstats.validate_docs,
         # --- sketches (cardinality) ---
         "distinct_users": sketches.distinct_users_exact,
         "distinct_users_hll": sketches.distinct_users_hll,

@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "quality_counters",
     "fingerprints",
     "language_id",
+    "validate_docs",
     "distinct_users",
     "distinct_users_hll",
     "media_meta",

@@ -144,3 +144,34 @@ def shuffle_sample(sf_dir: str, n: int = 100, seed: int = 7) -> pa.Table:
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
     out = ds.random_shuffle(seed=seed).limit(n)
     return collect_table(out)
+
+
+def validate_docs(sf_dir: str) -> pa.Table:
+    """(doc_id, quality_score, syntax_valid, schema_compliant,
+    hallucination_count): the MarkdownValidator port (validator.py:12-313)
+    applied per document through a map_batches stage (rows-only check —
+    the scoring rubric has no SQL analog; kernel equality is golden-tested
+    against the reference in tests/test_kernels_validator_basic.py)."""
+    from raydoc.kernels.validator_basic import validate_markdown_basic
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        scores, syntax, schema, halluc = [], [], [], []
+        for v in t.column("text").to_pylist():
+            r = validate_markdown_basic(v or "")
+            scores.append(round(r["quality_score"], 6))
+            syntax.append(r["syntax_valid"])
+            schema.append(r["schema_compliant"])
+            halluc.append(len(r["hallucination_markers"]))
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "quality_score": pa.array(scores, pa.float64()),
+            "syntax_valid": pa.array(syntax, pa.bool_()),
+            "schema_compliant": pa.array(schema, pa.bool_()),
+            "hallucination_count": pa.array(halluc, pa.int64()),
+        })
+
+    return collect_table(ds.map_batches(fn, batch_format="pyarrow")).sort_by(
+        "doc_id")

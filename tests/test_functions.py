@@ -55,7 +55,7 @@ def test_query_matches_oracle(ray_session, oracle, name):
 @pytest.mark.parametrize("name", [
     "minhash_clusters", "simhash_signatures", "simhash_neardups",
     "ngram_jaccard", "ann_lsh_topk", "ann_ivf_topk", "language_id",
-    "shuffle_sample", "extract_turns_aligned",
+    "shuffle_sample", "extract_turns_aligned", "validate_docs",
     "normalize_markdown",
 ])
 def test_rows_only_queries_run(ray_session, name):
