@@ -453,3 +453,20 @@ def analyze_layout(elements: list[Element], confidence_threshold: float = 0.7,
         "low_confidence_count": len(low),
         "enhanced_classification": use_enhanced,
     }
+
+
+def body_font_size_mode(blocks: list[Element]) -> float:
+    """Most common span font size → body-size estimate for heading
+    detection (G6; fast_converter.py:6-15 semantics: round(size, 1),
+    Counter mode, default 11 when no spans)."""
+    from collections import Counter
+    sizes = []
+    for b in blocks:
+        if "lines" not in b:
+            continue
+        for ln in b["lines"]:
+            for s in ln["spans"]:
+                sizes.append(round(s["size"], 1))
+    if not sizes:
+        return 11
+    return Counter(sizes).most_common(1)[0][0]

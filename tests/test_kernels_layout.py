@@ -105,3 +105,17 @@ def test_full_analysis():
     assert len(result["elements"]) == 4
     for elem in result["elements"]:
         assert "reading_order" in elem and "semantic_role" in elem
+
+
+def test_body_font_size_mode_matches_reference_semantics():
+    from raydoc.kernels.roles import body_font_size_mode
+
+    blocks = [
+        {"lines": [{"spans": [{"size": 11.04}, {"size": 11.02}]},
+                   {"spans": [{"size": 18.0}]}]},
+        {"no_lines_key": True},
+        {"lines": [{"spans": [{"size": 11.01}]}]},
+    ]
+    assert body_font_size_mode(blocks) == 11.0   # three 11.0x spans round to 11.0
+    assert body_font_size_mode([]) == 11
+    assert body_font_size_mode([{"lines": []}]) == 11
