@@ -10,7 +10,7 @@ proximity (caption_extractor.py:37), quality-gate limits
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 @dataclass(frozen=True)
