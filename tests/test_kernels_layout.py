@@ -119,3 +119,26 @@ def test_body_font_size_mode_matches_reference_semantics():
     assert body_font_size_mode(blocks) == 11.0   # three 11.0x spans round to 11.0
     assert body_font_size_mode([]) == 11
     assert body_font_size_mode([{"lines": []}]) == 11
+
+
+def test_numbered_item_length_rule():
+    """Port of test_numbered_headings.py:11-35 — `N. short` (< 80 chars) is
+    a list item; `N. long...` (≥ 80) falls through to heading scoring."""
+    from raydoc.kernels.roles import classify_layout_role_enhanced
+
+    page = [{"bbox": (0, 0, 100, 20)}]
+    shorts = ["1. Buy milk", "10. Call dentist", "2. Review document"]
+    longs = [
+        "1. For investments in sectors listed in a notification to be "
+        "issued by the Commission",
+        "2. Income tax exemptions shall only be granted to sectors that "
+        "the Commission has specified",
+    ]
+    for text in shorts:
+        role, conf = classify_layout_role_enhanced(
+            {"text": text, "bbox": (0, 0, 100, 20)}, page)
+        assert role == "list_item" and conf == 0.9, text
+    for text in longs:
+        role, _ = classify_layout_role_enhanced(
+            {"text": text, "bbox": (0, 0, 400, 30)}, page)
+        assert role != "list_item", text

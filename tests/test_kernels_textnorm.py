@@ -46,3 +46,33 @@ def test_parse_pdf_date_matches_reference_semantics():
     assert parse_pdf_date("") == ""
     assert parse_pdf_date("D:20") == ""
     assert parse_pdf_date("D:abcd0115") == ""
+
+
+def test_unicode_dash_normalization_regression():
+    """Port of test_list_normalization.py:12-18."""
+    from raydoc.kernels.textnorm import normalize_markdown
+
+    assert (normalize_markdown("− Item 1\n− Item 2\n– Item 3\n— Item 4")
+            == "- Item 1\n- Item 2\n- Item 3\n- Item 4")
+
+
+def test_indented_list_cleanup_regression():
+    """Port of test_list_normalization.py:21-29."""
+    from raydoc.kernels.textnorm import normalize_markdown
+
+    result = normalize_markdown("    - Item 1\n    - Item 2")
+    assert not result.startswith("    ")
+    assert result.startswith("- ")
+
+
+def test_combined_dash_indent_regression():
+    """Port of test_list_normalization.py:31-48 (the code-block bug)."""
+    from raydoc.kernels.textnorm import normalize_markdown
+
+    result = normalize_markdown(
+        "    − Goods imported or exported\n    − Motor vehicles imported")
+    assert "−" not in result
+    assert not result.startswith("    ")
+    for line in result.split("\n"):
+        if line.strip():
+            assert line.startswith("- "), repr(line)
