@@ -167,6 +167,8 @@ def _pad_table(rows: list[str]) -> list[str]:
 
 
 def _standardize_tables(text: str) -> str:
+    if "|" not in text:   # no table rows anywhere → pass is a no-op
+        return text
     result: list[str] = []
     buf: list[str] = []
     in_table = False
