@@ -39,6 +39,10 @@ def hourly_event_stats(sf_dir: str) -> pa.Table:
                               "max_value": ("value", "max"),
                           })
     t = collect_table(out)
+    # pin to µs precision (pandas round-trips as ns; DuckDB emits µs — keep
+    # the driver's arrow-level compare precision-stable)
+    t = t.set_column(t.schema.get_field_index("window_start"), "window_start",
+                     t.column("window_start").cast(pa.timestamp("us")))
     return t.sort_by([("window_start", "ascending"),
                       ("event_type", "ascending")])
 
