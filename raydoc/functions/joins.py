@@ -48,11 +48,21 @@ def broadcast_join(ds: rd.Dataset, small: pa.Table, key: str,
     small_ref = ray.put(small)
 
     def _join(batch: pa.Table) -> pa.Table:
-        right = ray.get(small_ref).to_pandas()
+        # per-worker cache: the object-store read is zero-copy but the
+        # pandas conversion isn't — do it once per worker, not per batch
+        right = _BROADCAST_CACHE.get(small_ref)
+        if right is None:
+            if len(_BROADCAST_CACHE) > 8:
+                _BROADCAST_CACHE.clear()
+            right = ray.get(small_ref).to_pandas()
+            _BROADCAST_CACHE[small_ref] = right
         out = batch.to_pandas().merge(right, on=key, how=how)
         return pa.Table.from_pandas(out, preserve_index=False)
 
     return ds.map_batches(_join, batch_format="pyarrow")
+
+
+_BROADCAST_CACHE: dict = {}
 
 
 def bucket_hash_join(left: rd.Dataset, right: rd.Dataset, key: str,
