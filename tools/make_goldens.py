@@ -219,6 +219,81 @@ def golden_documents():
     return out
 
 
+
+
+def _norm_sets(o):
+    if isinstance(o, dict):
+        return {k: _norm_sets(v) for k, v in o.items()}
+    if isinstance(o, (list, tuple)):
+        return [_norm_sets(v) for v in o]
+    if isinstance(o, set):
+        return sorted(_norm_sets(v) for v in o)
+    return o
+
+
+def golden_validator_basic() -> list:
+    """MarkdownValidator reports (validator.py:12-313)."""
+    from validator import MarkdownValidator
+    cases = [
+        "# Title\n\nSome **bold** text.\n",
+        "---\ndocument:\n  source_file: x\n  document_id: abc\n---\n# T\n"
+        "<!-- role:heading -->\n| a | b |\n|---|---|\n- item\n",
+        "```python\ncode\n",
+        "[text]() empty link",
+        "Based on the image, things look good.\nI can see that it works.",
+        "no frontmatter here [unmatched\n",
+        "---\nnot closed frontmatter",
+        "",
+        "| a | b |\nplain | pipe | line | x",
+    ]
+    out = []
+    for c in cases:
+        for method in ("", "RapidOCR", "OpenRouter extraction"):
+            for conf in (None, 0.42):
+                out.append({"input": c, "method": method, "confidence": conf,
+                            "report": MarkdownValidator().get_validation_report(
+                                c, method, conf)})
+    return out
+
+
+def golden_validator_variants() -> dict:
+    """OpenRouter / RapidOCR validator reports (sets normalized)."""
+    import openrouter_validator as orv
+    import rapidocr_validator as rcv
+    or_cases = [
+        ("<!-- page:1 -->\n<!-- role:heading level:1 -->\n# T\n"
+         "<!-- role:paragraph -->\nBody text here with enough words "
+         + "w " * 200, 1, "OpenRouter", None),
+        ("<!-- page:1 -->\n<!-- page:3 -->\n<!-- role:weirdrole -->\nx\n"
+         "It appears that this probably works.", 2, "OpenRouter", 100),
+        ("no annotations at all, I can see that it fails. " + "t " * 50,
+         1, "RapidOCR", None),
+        ("<!-- reading-order:1 -->\n<!-- reading-order:3 -->\ncontent here",
+         1, "OpenRouter", 10),
+        ("", 1, "OpenRouter", None),
+    ]
+    rc_cases = [
+        ("<!-- page:1 -->\n<!-- role:heading -->\n# T\n"
+         "<!-- role:paragraph -->\n" + "word " * 300, 1, "RapidOCR", None),
+        ("<!-- page:1 -->\n" + "".join(
+            f"<!-- reading-order:{i} -->\nx\n" for i in range(1, 30))
+         + "word " * 300, 1, "RapidOCR", 2),
+        ("<!-- role:figure -->\n[uncertain: blurry]\n"
+         "<!-- confidence:0.42 -->\nshort", 2, "RapidOCR", None),
+        ("", 1, "RapidOCR", None),
+        ("<!-- reading-order:2 -->\n<!-- reading-order:1 -->\ncontent "
+         + "w " * 200, 1, "RapidOCR", 1),
+    ]
+    return {
+        "openrouter": [{"args": list(a),
+                        "report": _norm_sets(orv.validate_openrouter_output(*a))}
+                       for a in or_cases],
+        "rapidocr": [{"args": list(a),
+                      "report": _norm_sets(rcv.validate_rapidocr_output(*a))}
+                     for a in rc_cases],
+    }
+
+
 def main() -> None:
     GOLDENS.mkdir(parents=True, exist_ok=True)
     jobs = {
@@ -227,6 +302,8 @@ def main() -> None:
         "language.json": golden_language,
         "validation.json": golden_validation,
         "documents.json": golden_documents,
+        "validator_basic.json": golden_validator_basic,
+        "validator_variants.json": golden_validator_variants,
     }
     for name, fn in jobs.items():
         data = fn()
