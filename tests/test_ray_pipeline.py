@@ -225,3 +225,45 @@ def test_manifest_invalidation_on_config_change(ray_session, tmp_path):
     cfg2 = replace(cfg1, quality_threshold=0.7)   # semantic config change
     r3 = run_job(str(in_dir), out, cfg=cfg2, resume=True)
     assert r3["files_written"] == 1               # stale manifest → re-run
+
+
+def test_aligned_assumption_boundary(ray_session, tmp_path):
+    """Documents the aligned-mode precondition: when a conversation SPANS
+    input files, the general path still groups it correctly (one output row
+    per turn, doc-level fields computed over all turns), while aligned mode
+    — whose contract requires conv-aligned files — treats each fragment as
+    its own conversation. This is why assume_conv_aligned is an explicit
+    opt-in config, not an inference."""
+    import pyarrow as pa
+
+    full = tgen.generate_transcripts(n_convs=3, seed=FIXTURE_SEED,
+                                     min_turns=6, max_turns=6)
+    in_dir = tmp_path / "split"
+    in_dir.mkdir()
+    # split mid-conversation: rows 0..8 / 9..end (conv of 6 turns spans both)
+    pq.write_table(full.slice(0, 9), in_dir / "a.parquet")
+    pq.write_table(full.slice(9), in_dir / "b.parquet")
+
+    from dataclasses import replace
+
+    from raydoc.config import DEFAULT_CONFIG
+    from raydoc.pipelines.extract_pipeline import extract_dataset
+
+    general = extract_dataset(str(in_dir)).take_all()
+    by_conv = {}
+    for r in general:
+        by_conv.setdefault(r["conv_id"], []).append(r)
+    assert all(len(v) == 6 for v in by_conv.values())
+    for rows in by_conv.values():
+        langs = {r["language"] for r in rows}
+        assert len(langs) == 1          # doc-level field spans the whole conv
+
+    cfg = replace(DEFAULT_CONFIG, assume_conv_aligned=True,
+                  extract_concurrency=2)
+    aligned = extract_dataset(str(in_dir), cfg).take_all()
+    assert len(aligned) == len(general)           # turn count conserved...
+    mismatch = any(a["extracted_text"] != g["extracted_text"]
+                   for a, g in zip(
+                       sorted(aligned, key=lambda r: (r["conv_id"], r["turn_idx"])),
+                       sorted(general, key=lambda r: (r["conv_id"], r["turn_idx"]))))
+    assert mismatch                                # ...but cross-turn stages differ
