@@ -58,3 +58,17 @@ def test_tag_noise_conserves_elements(turns):
                              tag_mode=True,
                              threshold=DEFAULT_CONFIG.repeater_threshold)
     assert sum(len(t) for t in out) == n_in   # tag, don't remove
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(_text, min_size=1, max_size=4))
+def test_span_slices_carry_role_annotations(texts):
+    """Each span slice is the rendered element block: it embeds the role
+    annotation it reports (spans are the machine-readable index into the
+    extracted text)."""
+    r = process_conversation("conv", list(range(len(texts))), texts)
+    for md, spans in zip(r["turn_markdown"], r["turn_spans"]):
+        for s in spans:
+            block = md[s["start"]:s["end"]]
+            assert f'role:{s["role"]}' in block or s["role"] in (
+                "table", "figure", "text"), (s, block[:80])
