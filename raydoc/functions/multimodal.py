@@ -211,3 +211,55 @@ def frame_sample_pipeline(ds: rd.Dataset, every_n: int = 2,
                           fn_constructor_kwargs={"every_n": every_n},
                           batch_format="pyarrow", batch_size=batch_size,
                           concurrency=concurrency, num_cpus=1)
+
+
+def decode_audio(payload: bytes) -> tuple[int, "np.ndarray"]:
+    """STUB audio decode: deterministic fake format
+    ``RAWPCM:<rate>;<int16 little-endian samples>`` — real codecs raise."""
+    import numpy as np
+    if not payload.startswith(b"RAWPCM:"):
+        raise NotImplementedError("audio codecs not available in this build")
+    sep = payload.index(b";")
+    rate = int(payload[7:sep])
+    samples = np.frombuffer(payload[sep + 1:], dtype=np.int16)
+    return rate, samples
+
+
+class AudioFeatureActor:
+    """Actor-pool audio feature extraction: payload → (duration_sec, rms,
+    peak). The __init__ slot would hold the real decoder/featurizer model."""
+
+    def __init__(self) -> None:
+        self._decode = decode_audio
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+        durs, rms, peak, ok = [], [], [], []
+        for p in batch.column("payload").to_pylist():
+            try:
+                rate, samples = self._decode(p or b"")
+                x = samples.astype(np.float64) / 32768.0
+                durs.append(len(samples) / rate if rate else 0.0)
+                rms.append(float(np.sqrt(np.mean(x * x))) if len(x) else 0.0)
+                peak.append(float(np.abs(x).max()) if len(x) else 0.0)
+                ok.append(True)
+            except NotImplementedError:
+                durs.append(None)
+                rms.append(None)
+                peak.append(None)
+                ok.append(False)
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "duration_sec": pa.array(durs, pa.float64()),
+            "rms": pa.array(rms, pa.float64()),
+            "peak": pa.array(peak, pa.float64()),
+            "decoded": pa.array(ok, pa.bool_()),
+        })
+
+
+def audio_feature_pipeline(ds: rd.Dataset, concurrency=None,
+                           batch_size: int = 32) -> rd.Dataset:
+    return ds.map_batches(AudioFeatureActor, batch_format="pyarrow",
+                          batch_size=batch_size,
+                          concurrency=concurrency or _pool_size(),
+                          num_cpus=1)

@@ -178,3 +178,24 @@ def test_hll_estimate_within_error_bound(ray_session, oracle):
     exact = sketches.distinct_users_exact(SF)["n_users"][0].as_py()
     est = sketches.distinct_users_hll(SF)["n_users_estimate"][0].as_py()
     assert abs(est - exact) / exact < 0.05, (exact, est)
+
+
+def test_audio_feature_stub(ray_session):
+    """Stubbed audio decode + real feature math on the fake PCM format."""
+    import numpy as np
+    import ray.data as rd
+    from raydoc.functions.multimodal import audio_feature_pipeline
+
+    samples = (np.sin(np.linspace(0, 2 * np.pi * 10, 16000))
+               * 16384).astype(np.int16)
+    t = pa.table({
+        "media_id": pa.array([1, 2], pa.int64()),
+        "payload": pa.array([b"RAWPCM:16000;" + samples.tobytes(),
+                             b"ID3 real mp3 bytes"], pa.binary()),
+        "mime": ["audio/raw", "audio/mpeg"],
+    })
+    rows = sorted(audio_feature_pipeline(rd.from_arrow(t)).take_all(),
+                  key=lambda r: r["media_id"])
+    assert rows[0]["decoded"] and abs(rows[0]["duration_sec"] - 1.0) < 1e-9
+    assert 0.3 < rows[0]["rms"] < 0.4          # sine rms ≈ A/√2 = 0.3536
+    assert not rows[1]["decoded"] and rows[1]["duration_sec"] is None
