@@ -145,6 +145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": textstats.fingerprints,
         "language_id": textstats.language_id,
         "validate_docs": textstats.validate_docs,
+        "html_docs": textstats.html_docs,
         # --- sketches (cardinality) ---
         "distinct_users": sketches.distinct_users_exact,
         "distinct_users_hll": sketches.distinct_users_hll,
@@ -222,6 +223,21 @@ def oracle_sql() -> dict[str, str]:
                    event_id, value
             FROM events QUALIFY rank <= 3
             ORDER BY user_id, rank""",
+        "html_docs": r"""
+            WITH h AS (
+                SELECT doc_id,
+                       lower(ltrim(substr(text, 1, 256),
+                                   ' ' || chr(9) || chr(10) || chr(13) ||
+                                   chr(12) || chr(11))) AS head,
+                       substr(text, 1, 2000) AS head2
+                FROM documents)
+            SELECT doc_id,
+                   (head LIKE '<!doctype html%' OR head LIKE '<html%'
+                    OR head LIKE '%<body%'
+                    OR (head2 LIKE '%</%'
+                        AND (head LIKE '%<p%' OR head LIKE '%<div%'
+                             OR head LIKE '%<main%'))) AS is_html
+            FROM h ORDER BY doc_id""",
         "distinct_users": """
             SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
             FROM events""",

@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "fingerprints",
     "language_id",
     "validate_docs",
+    "html_docs",
     "distinct_users",
     "distinct_users_hll",
     "media_meta",

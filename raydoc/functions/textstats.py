@@ -175,3 +175,20 @@ def validate_docs(sf_dir: str) -> pa.Table:
 
     return collect_table(ds.map_batches(fn, batch_format="pyarrow")).sort_by(
         "doc_id")
+
+
+def html_docs(sf_dir: str) -> pa.Table:
+    """(doc_id, is_html): the router stage's payload-kind sniff
+    (kernels/htmlstrip.py:looks_like_html) — SQL-replicable."""
+    from raydoc.kernels.htmlstrip import looks_like_html
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        flags = [looks_like_html(v or "") for v in t.column("text").to_pylist()]
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "is_html": pa.array(flags, pa.bool_())})
+
+    return collect_table(ds.map_batches(fn, batch_format="pyarrow")).sort_by(
+        "doc_id")
