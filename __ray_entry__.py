@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- windows / sessions (events) ---
         "hourly_event_stats": windows.hourly_event_stats,
         "sessionize": windows.sessionize,
+        "events_with_prev": windows.events_with_prev,
         # --- dedup family (documents) ---
         "dedup_exact": dedup.exact_dedup,
         "minhash_clusters": dedup.minhash_lsh_clusters,
@@ -260,6 +261,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions,
                    COUNT(*) AS n_events
             FROM ordered GROUP BY user_id ORDER BY user_id""",
+        "events_with_prev": """
+            SELECT event_id, user_id,
+                   lag(event_id) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev_event_id
+            FROM events ORDER BY event_id""",
         "dedup_exact": """
             SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id FROM documents
             GROUP BY md5(text) ORDER BY doc_id""",

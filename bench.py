@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "brand_volume",
     "hourly_event_stats",
     "sessionize",
+    "events_with_prev",
     "dedup_exact",
     "minhash_clusters",
     "simhash_neardups",

@@ -82,3 +82,33 @@ def sessionize(sf_dir: str, gap_minutes: int = 30) -> pa.Table:
            .groupby("bucket").map_groups(per_bucket, batch_format="pandas"))
     t = collect_table(out)
     return t.sort_by("user_id")
+
+
+def events_with_prev(sf_dir: str) -> pa.Table:
+    """(event_id, user_id, prev_event_id): each event joined to the previous
+    event of the same user under (ts, event_id) ordering — the lag / as-of
+    pattern: coarse-bucket the users, one vectorized sort + shift per block
+    (no per-user micro-groups). Oracle: LAG() OVER."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "bucket", pc.cast(pc.bit_wise_and(t["user_id"], 63), pa.int32()))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], ignore_index=True)
+        uid = g["user_id"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        prev = np.empty(len(g), dtype=object)
+        prev[0] = None
+        prev[1:] = np.where(uid[1:] == uid[:-1], eid[:-1], None)
+        return pd.DataFrame({"event_id": eid, "user_id": uid,
+                             "prev_event_id": prev})
+
+    out = (ds.map_batches(add_bucket, batch_format="pyarrow")
+           .groupby("bucket").map_groups(per_bucket, batch_format="pandas"))
+    t = collect_table(out)
+    return t.set_column(
+        t.schema.get_field_index("prev_event_id"), "prev_event_id",
+        t.column("prev_event_id").cast(pa.int64())).sort_by("event_id")
