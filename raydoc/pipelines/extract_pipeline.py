@@ -242,6 +242,17 @@ def run_job(input_path: str, out_dir: str,
             t = pq.read_table(pdir, columns=["conv_id", "strip_ratio",
                                              "parse_failed"])
         except Exception:
+            # a pending partition that got NO rows (no conversation hashes
+            # into it at this corpus size) is still complete — stamp an
+            # empty manifest so resume doesn't re-run it forever
+            mstate.write_manifest(out_dir, part,
+                                  input_fingerprint=fingerprint,
+                                  config_hash=cfg_hash,
+                                  metrics={"rows": 0, "conversations": 0,
+                                           "parse_failures": 0,
+                                           "mean_strip_ratio": 0.0,
+                                           "wall_sec_job": round(wall, 3),
+                                           "turns_per_sec_job": None})
             continue
         rows = t.num_rows
         total_rows += rows

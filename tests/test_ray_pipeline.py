@@ -267,3 +267,23 @@ def test_aligned_assumption_boundary(ray_session, tmp_path):
                        sorted(aligned, key=lambda r: (r["conv_id"], r["turn_idx"])),
                        sorted(general, key=lambda r: (r["conv_id"], r["turn_idx"]))))
     assert mismatch                                # ...but cross-turn stages differ
+
+
+def test_empty_partition_gets_manifest(ray_session, tmp_path):
+    """A partition no conversation hashes into must still complete (empty
+    manifest) so resume converges instead of re-running it every time."""
+    from dataclasses import replace
+
+    from raydoc.config import DEFAULT_CONFIG
+    from raydoc.pipelines.extract_pipeline import run_job
+
+    path = str(tmp_path / "tiny.parquet")
+    tgen.write_transcripts_parquet(path, n_convs=2, seed=FIXTURE_SEED)
+    out = str(tmp_path / "out")
+    cfg = replace(DEFAULT_CONFIG, num_output_partitions=16,
+                  extract_concurrency=2)
+
+    r1 = run_job(path, out, cfg=cfg, resume=True)
+    assert r1["rows_written"] > 0
+    r2 = run_job(path, out, cfg=cfg, resume=True)
+    assert r2["partitions_written"] == []      # everything resumed, incl. empties
