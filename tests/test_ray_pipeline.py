@@ -287,3 +287,27 @@ def test_empty_partition_gets_manifest(ray_session, tmp_path):
     assert r1["rows_written"] > 0
     r2 = run_job(path, out, cfg=cfg, resume=True)
     assert r2["partitions_written"] == []      # everything resumed, incl. empties
+
+
+def test_jsonl_source(ray_session, tmp_path):
+    """The same pipeline over a JSONL transcripts corpus (source-format
+    dispatch in read_transcripts)."""
+    import json as _json
+
+    table = tgen.generate_transcripts(n_convs=3, seed=FIXTURE_SEED,
+                                      min_turns=2, max_turns=4)
+    path = tmp_path / "transcripts.jsonl"
+    with open(path, "w") as fh:
+        for row in table.select(["conv_id", "turn_idx", "role", "text",
+                                 "tool"]).to_pylist():
+            fh.write(_json.dumps(row) + "\n")
+
+    from raydoc.pipelines.extract_pipeline import extract_dataset
+
+    rows = extract_dataset(str(path)).take_all()
+    assert len(rows) == table.num_rows
+    by_conv = {}
+    for r in rows:
+        by_conv.setdefault(r["conv_id"], []).append(r["turn_idx"])
+    for idxs in by_conv.values():
+        assert sorted(idxs) == list(range(len(idxs)))
