@@ -1,0 +1,109 @@
+"""Composed training-data pipeline: the engine's pieces chained end-to-end.
+
+    transcripts ──extract──▶ per-turn rows
+        │  quality filter (gate_passed ∧ ¬parse_failed ∧ non-empty)
+        ▼
+    exact near-dup removal on extracted_text (hash-bucket shuffle,
+    keep first by (conv_id, turn_idx))
+        ▼
+    deterministic content-hash train/test split
+        ▼
+    out_dir/train/ + out_dir/test/ parquet + corpus stats
+
+Everything stays a streaming Dataset until the final writes; the only
+exchanges are the extraction pipeline's own (none in aligned mode) plus one
+hash-bucket shuffle of (text-hash, key) for dedup.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from typing import Any
+
+import pyarrow as pa
+
+import ray.data as rd
+
+from raydoc.config import DEFAULT_CONFIG, PipelineConfig
+from raydoc.pipelines.extract_pipeline import extract_dataset
+from raydoc.state import manifest as mstate
+
+
+def read_extracted(out_dir: str, validate: bool = True) -> rd.Dataset:
+    """Consumer-side reader for checkpointed extraction output: optionally
+    require every file-granular manifest to be present and well-formed
+    before reading (catches half-finished jobs)."""
+    mdir = os.path.join(out_dir, "_manifests")
+    # only managed (aligned-mode) outputs carry a _manifests dir; partition
+    # outputs validate via completed_partitions at job level instead
+    if validate and os.path.isdir(mdir):
+        outs = [f for f in os.listdir(out_dir) if f.endswith(".parquet")]
+        manifests = set(os.listdir(mdir))
+        missing = [f for f in outs
+                   if f.replace(".extracted.parquet", ".json") not in manifests]
+        if missing:
+            raise ValueError(
+                f"{len(missing)} output files lack manifests (incomplete "
+                f"job?): {missing[:5]}")
+    return rd.read_parquet(out_dir)
+
+
+def _quality_filter(t: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+    keep = pc.and_(
+        pc.and_(t.column("gate_passed"),
+                pc.invert(t.column("parse_failed"))),
+        pc.greater(pc.utf8_length(
+            pc.utf8_trim_whitespace(t.column("extracted_text"))), 0))
+    return t.filter(keep)
+
+
+def _add_dedup_cols(t: pa.Table) -> pa.Table:
+    hashes, buckets, splits = [], [], []
+    for v in t.column("extracted_text").to_pylist():
+        h = hashlib.md5((v or "").encode()).hexdigest()
+        hashes.append(h)
+        buckets.append(int(h[:4], 16) % 256)
+        splits.append("train" if h[0] < "c" else "test")
+    return (t.append_column("text_hash", pa.array(hashes, pa.string()))
+             .append_column("dedup_bucket", pa.array(buckets, pa.int32()))
+             .append_column("split", pa.array(splits, pa.string())))
+
+
+def _dedupe_bucket(g):
+    g = g.sort_values(["text_hash", "conv_id", "turn_idx"],
+                      ignore_index=True)
+    g = g.drop_duplicates(subset=["text_hash"], keep="first")
+    return g.drop(columns=["dedup_bucket"])
+
+
+def build_training_corpus(transcripts_path: str, out_dir: str,
+                          cfg: PipelineConfig = DEFAULT_CONFIG
+                          ) -> dict[str, Any]:
+    """Run the composed pipeline and write train/test parquet; returns corpus
+    stats (rows in/kept/deduped, split sizes)."""
+    ds = extract_dataset(transcripts_path, cfg)
+    ds = ds.map_batches(_quality_filter, batch_format="pyarrow")
+    ds = ds.map_batches(_add_dedup_cols, batch_format="pyarrow")
+    ds = ds.groupby("dedup_bucket").map_groups(_dedupe_bucket,
+                                               batch_format="pandas")
+
+    cols = ["conv_id", "turn_idx", "extracted_text", "language",
+            "quality_score", "text_hash", "split"]
+    ds = ds.select_columns(cols)
+    os.makedirs(out_dir, exist_ok=True)
+    ds.write_parquet(out_dir, partition_cols=["split"])
+
+    import pyarrow.dataset as pads
+    written = pads.dataset(out_dir, partitioning="hive").to_table(
+        columns=["split"])
+    splits = written.column("split").to_pylist()
+    stats = {
+        "rows": len(splits),
+        "train_rows": sum(1 for s in splits if s == "train"),
+        "test_rows": sum(1 for s in splits if s == "test"),
+        "out_dir": out_dir,
+        "config_hash": mstate.config_fingerprint(cfg),
+    }
+    return stats

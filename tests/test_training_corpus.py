@@ -1,0 +1,62 @@
+"""End-to-end composed training-corpus pipeline: extraction → quality
+filter → exact dedup on extracted text → content-hash split → partitioned
+write. Asserts the corpus invariants a downstream trainer relies on."""
+
+import pyarrow.dataset as pads
+import pytest
+
+from raydoc.sources import transcripts as tgen
+
+
+@pytest.fixture()
+def corpus(ray_session, tmp_path):
+    path = str(tmp_path / "transcripts.parquet")
+    tgen.write_transcripts_parquet(path, n_convs=20, seed=77,
+                                   min_turns=3, max_turns=8)
+    out = str(tmp_path / "corpus")
+    from raydoc.pipelines.training_corpus import build_training_corpus
+    stats = build_training_corpus(path, out)
+    return out, stats
+
+
+def test_corpus_invariants(corpus):
+    out, stats = corpus
+    t = pads.dataset(out, partitioning="hive").to_table()
+    assert t.num_rows == stats["rows"] > 0
+    assert stats["train_rows"] + stats["test_rows"] == stats["rows"]
+    assert stats["train_rows"] > stats["test_rows"] > 0   # ~75/25 split
+
+    hashes = t.column("text_hash").to_pylist()
+    assert len(hashes) == len(set(hashes))                # exact-dedup held
+
+    splits = dict(zip(hashes, t.column("split").to_pylist()))
+    for h, s in splits.items():
+        assert s == ("train" if h[0] < "c" else "test")   # split is pure fn
+
+    texts = t.column("extracted_text").to_pylist()
+    assert all(x and x.strip() for x in texts)            # quality filter held
+
+
+def test_read_extracted_validates_manifests(ray_session, tmp_path):
+    from dataclasses import replace
+
+    from raydoc.config import DEFAULT_CONFIG
+    from raydoc.pipelines.extract_pipeline import run_job
+    from raydoc.pipelines.training_corpus import read_extracted
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    tgen.write_transcripts_parquet(str(in_dir / "a.parquet"), n_convs=4,
+                                   seed=5)
+    out = str(tmp_path / "out")
+    cfg = replace(DEFAULT_CONFIG, assume_conv_aligned=True,
+                  extract_concurrency=2)
+    run_job(str(in_dir), out, cfg=cfg)
+
+    ds = read_extracted(out)
+    assert ds.count() > 0
+
+    import os
+    os.remove(os.path.join(out, "_manifests", "a.json"))
+    with pytest.raises(ValueError, match="lack manifests"):
+        read_extracted(out)
