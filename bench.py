@@ -193,6 +193,18 @@ def full_bench(sf_dir: str, num_cpus: int) -> dict:
                                     mode="aligned")
     timings["extract_turns_aligned"] = round(time.perf_counter() - t0, 3)
 
+    # the composed downstream pipeline (extract → quality filter → dedup →
+    # split → partitioned write)
+    from dataclasses import replace
+    from raydoc.config import DEFAULT_CONFIG
+    from raydoc.pipelines.training_corpus import build_training_corpus
+    shutil.rmtree("/tmp/raydoc_bench_corpus", ignore_errors=True)
+    t0 = time.perf_counter()
+    corpus_stats = build_training_corpus(
+        tdir, "/tmp/raydoc_bench_corpus",
+        cfg=replace(DEFAULT_CONFIG, assume_conv_aligned=True))
+    timings["training_corpus"] = round(time.perf_counter() - t0, 3)
+
     total = round(sum(v for v in timings.values() if v > 0), 3)
     return {
         "metric": "raydoc_bench_total",
@@ -206,6 +218,8 @@ def full_bench(sf_dir: str, num_cpus: int) -> dict:
         "extract_turns_per_sec": headline["turns_per_sec"],
         "extract_aligned_wall_sec": headline_aligned["wall_sec"],
         "extract_aligned_turns_per_sec": headline_aligned["turns_per_sec"],
+        "corpus_rows": corpus_stats["rows"],
+        "corpus_train_rows": corpus_stats["train_rows"],
     }
 
 
