@@ -20,3 +20,21 @@ the reference.
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy public API (keeps `import raydoc` light — no Ray import)."""
+    api = {
+        "extract_dataset": ("raydoc.pipelines.extract_pipeline", "extract_dataset"),
+        "run_job": ("raydoc.pipelines.extract_pipeline", "run_job"),
+        "read_extracted": ("raydoc.pipelines.training_corpus", "read_extracted"),
+        "build_training_corpus": ("raydoc.pipelines.training_corpus",
+                                  "build_training_corpus"),
+        "PipelineConfig": ("raydoc.config", "PipelineConfig"),
+        "DEFAULT_CONFIG": ("raydoc.config", "DEFAULT_CONFIG"),
+    }
+    if name in api:
+        import importlib
+        mod, attr = api[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(name)
