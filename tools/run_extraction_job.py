@@ -36,6 +36,9 @@ def main() -> int:
                     help="extractor pool size (0 = auto from cluster CPUs)")
     ap.add_argument("--partitions", type=int, default=0,
                     help="output partitions in general mode (0 = default)")
+    ap.add_argument("--validate-output", action="store_true",
+                    help="after the job, verify every output file has a "
+                         "valid manifest and count rows")
     args = ap.parse_args()
 
     import ray
@@ -59,6 +62,11 @@ def main() -> int:
 
     report = run_job(args.input, args.output, cfg=cfg,
                      resume=not args.no_resume)
+
+    if args.validate_output:
+        from raydoc.pipelines.training_corpus import read_extracted
+        report["validated_rows"] = read_extracted(args.output).count()
+
     print(json.dumps(report))
 
     ray.shutdown()
