@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pdf_dates": relational.q_pdf_dates,
         # --- windows / sessions (events) ---
         "hourly_event_stats": windows.hourly_event_stats,
+        "sliding_event_stats": windows.sliding_event_stats,
         "sessionize": windows.sessionize,
         "events_with_prev": windows.events_with_prev,
         # --- dedup family (documents) ---
@@ -250,6 +251,14 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events, MIN(value) AS min_value,
                    MAX(value) AS max_value
             FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+        "sliding_event_stats": """
+            SELECT window_start, COUNT(*) AS n_events FROM (
+                SELECT CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800)
+                            AS TIMESTAMP) AS window_start FROM events
+                UNION ALL
+                SELECT CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800
+                                         - 1800) AS TIMESTAMP) FROM events)
+            GROUP BY window_start ORDER BY window_start""",
         "sessionize": """
             WITH ordered AS (
                 SELECT user_id,

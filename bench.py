@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "customer_order_stats",
     "brand_volume",
     "hourly_event_stats",
+    "sliding_event_stats",
     "sessionize",
     "events_with_prev",
     "dedup_exact",

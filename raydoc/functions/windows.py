@@ -112,3 +112,30 @@ def events_with_prev(sf_dir: str) -> pa.Table:
     return t.set_column(
         t.schema.get_field_index("prev_event_id"), "prev_event_id",
         t.column("prev_event_id").cast(pa.int64())).sort_by("event_id")
+
+
+def sliding_event_stats(sf_dir: str) -> pa.Table:
+    """Sliding window (60-min window, 30-min slide): each event belongs to
+    exactly two windows (its 30-min bucket's window and the previous one),
+    so the op is an explode-by-2 inside map_batches + a combiner groupby —
+    no cross-row state. Oracle: the same bucket arithmetic in SQL."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    half = 30 * 60 * 1_000_000   # 30 min in µs
+
+    def explode(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        bucket = pc.multiply(pc.divide(us, half), half)   # floor to 30 min
+        prev = pc.subtract(bucket, half)
+        starts = pa.concat_arrays([
+            pc.cast(bucket, pa.timestamp("us")).combine_chunks(),
+            pc.cast(prev, pa.timestamp("us")).combine_chunks(),
+        ])
+        return pa.table({"window_start": starts,
+                         "one": pa.array([1] * len(starts), pa.int64())})
+
+    out = partial_groupby(ds.map_batches(explode, batch_format="pyarrow"),
+                          ["window_start"], {"n_events": ("one", "count")})
+    t = collect_table(out)
+    t = t.set_column(t.schema.get_field_index("window_start"), "window_start",
+                     t.column("window_start").cast(pa.timestamp("us")))
+    return t.sort_by("window_start")

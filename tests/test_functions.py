@@ -38,7 +38,8 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
 @pytest.mark.parametrize("name", [
     "pricing_summary", "filter_project", "distinct_flags", "top_orders",
     "revenue_by_nation", "customer_order_stats", "brand_volume",
-    "top_events", "hourly_event_stats", "sessionize", "events_with_prev",
+    "top_events", "hourly_event_stats", "sliding_event_stats",
+    "sessionize", "events_with_prev",
     "dedup_exact",
     "token_counts", "quality_counters", "fingerprints",
     "embedding_neardups", "ann_topk", "media_meta",
