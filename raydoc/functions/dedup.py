@@ -132,8 +132,10 @@ def minhash_band_rows(ds: rd.Dataset, id_col: str = "doc_id",
                 band_hashes.append(bh)
                 # coarse shuffle bucket: many (band, band_hash) groups per
                 # bucket so the reduce stage processes blocks, not
-                # per-bucket micro-groups
-                buckets.append((b * 1024 + int(bh[:4], 16)) % 256)
+                # per-bucket micro-groups (1021 is coprime to the bucket
+                # count so the band term actually spreads — b*1024 % 256
+                # would be a no-op)
+                buckets.append((b * 1021 + int(bh[:4], 16)) % 256)
                 band_ids.append(b)
                 ids.append(doc_id)
                 sigs.append(sig_hex)

@@ -257,13 +257,12 @@ def run_job(input_path: str, out_dir: str,
     total_rows = 0
     for part in pending:
         pdir = mstate.partition_dir(out_dir, part)
-        try:
-            t = pq.read_table(pdir, columns=["conv_id", "strip_ratio",
-                                             "parse_failed"])
-        except Exception:
+        if not os.path.isdir(pdir):
             # a pending partition that got NO rows (no conversation hashes
             # into it at this corpus size) is still complete — stamp an
-            # empty manifest so resume doesn't re-run it forever
+            # empty manifest so resume doesn't re-run it forever. Only the
+            # directory being absent qualifies: a transient read error below
+            # must propagate so the partition stays pending for the retry.
             mstate.write_manifest(out_dir, part,
                                   input_fingerprint=fingerprint,
                                   config_hash=cfg_hash,
@@ -273,6 +272,8 @@ def run_job(input_path: str, out_dir: str,
                                            "wall_sec_job": round(wall, 3),
                                            "turns_per_sec_job": None})
             continue
+        t = pq.read_table(pdir, columns=["conv_id", "strip_ratio",
+                                         "parse_failed"])
         rows = t.num_rows
         total_rows += rows
         metrics = {
@@ -310,8 +311,13 @@ def run_job_aligned(input_path: str, out_dir: str,
 
     cfg_hash = mstate.config_fingerprint(cfg)
     files = list_parquet_files(input_path)
+    # Output stems are relpaths from the input root so nested layouts like
+    # a/part-0.parquet + b/part-0.parquet never collide on basename.
+    input_root = input_path if os.path.isdir(input_path) else \
+        os.path.dirname(input_path)
     pending_files = (mstate.pending_input_files(out_dir, files,
-                                                config_hash=cfg_hash)
+                                                config_hash=cfg_hash,
+                                                input_root=input_root)
                      if resume else list(files))
     os.makedirs(out_dir, exist_ok=True)
     report: dict[str, Any] = {
@@ -330,7 +336,8 @@ def run_job_aligned(input_path: str, out_dir: str,
     metrics = ds.map_batches(
         FusedFileActor,
         fn_constructor_kwargs={"cfg": cfg, "out_dir": out_dir,
-                               "config_hash": cfg_hash},
+                               "config_hash": cfg_hash,
+                               "input_root": input_root},
         batch_format="pyarrow", batch_size=1,
         concurrency=cfg.extract_concurrency or _aligned_concurrency(),
         num_cpus=1,

@@ -92,6 +92,10 @@ def build_training_corpus(transcripts_path: str, out_dir: str,
     cols = ["conv_id", "turn_idx", "extracted_text", "language",
             "quality_score", "text_hash", "split"]
     ds = ds.select_columns(cols)
+    # replace, never append: a rerun against an existing directory must not
+    # leave stale uniquely-named files beside the new ones (duplicate rows)
+    import shutil
+    shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
     ds.write_parquet(out_dir, partition_cols=["split"])
 

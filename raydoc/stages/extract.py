@@ -62,7 +62,8 @@ class FusedFileActor:
     def __init__(self, cfg: PipelineConfig = DEFAULT_CONFIG,
                  columns: tuple[str, ...] = ("conv_id", "turn_idx", "text"),
                  out_dir: str | None = None,
-                 config_hash: str | None = None):
+                 config_hash: str | None = None,
+                 input_root: str | None = None):
         from raydoc.stages.document_stage import document_rows_from_raw
         self._extractor = ExtractorActor(cfg=cfg)
         self._doc_raw = document_rows_from_raw
@@ -70,6 +71,7 @@ class FusedFileActor:
         self._columns = list(columns)
         self._out_dir = out_dir
         self._config_hash = config_hash
+        self._input_root = input_root
 
     def _process_file(self, path: str) -> pa.Table:
         import pyarrow.parquet as pq
@@ -90,7 +92,8 @@ class FusedFileActor:
 
         t0 = _time.perf_counter()
         out = self._process_file(path)
-        opath, _ = mstate.file_output_paths(self._out_dir, path)
+        opath, _ = mstate.file_output_paths(self._out_dir, path,
+                                            self._input_root)
         tmp = opath + ".tmp"
         pq.write_table(out, tmp)
         os.replace(tmp, opath)
@@ -108,7 +111,8 @@ class FusedFileActor:
         }
         mstate.write_file_manifest(self._out_dir, path,
                                    config_hash=self._config_hash,
-                                   metrics=metrics)
+                                   metrics=metrics,
+                                   input_root=self._input_root)
         return pa.table({
             "input_file": pa.array([os.path.basename(path)], pa.string()),
             "rows": pa.array([rows], pa.int64()),

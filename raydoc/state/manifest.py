@@ -87,16 +87,30 @@ def file_fingerprint(path: str) -> str:
     return f"{os.path.basename(path)}:{os.path.getsize(path)}"
 
 
-def file_output_paths(out_dir: str, input_path: str) -> tuple[str, str]:
+def file_stem(input_path: str, input_root: str | None = None) -> str:
+    """Unique output stem for one input file. With ``input_root`` the stem
+    is the path RELATIVE to the root with separators folded (so the
+    standard Spark/Hive layout ``a/part-0.parquet`` + ``b/part-0.parquet``
+    never collides on basename); without a root, the basename."""
+    if input_root:
+        rel = os.path.relpath(input_path, input_root)
+        if not rel.startswith(".."):
+            return os.path.splitext(rel)[0].replace(os.sep, "__")
+    return os.path.splitext(os.path.basename(input_path))[0]
+
+
+def file_output_paths(out_dir: str, input_path: str,
+                      input_root: str | None = None) -> tuple[str, str]:
     """(output parquet path, manifest path) for one input file."""
-    stem = os.path.splitext(os.path.basename(input_path))[0]
+    stem = file_stem(input_path, input_root)
     return (os.path.join(out_dir, f"{stem}.extracted.parquet"),
             os.path.join(out_dir, "_manifests", f"{stem}.json"))
 
 
 def write_file_manifest(out_dir: str, input_path: str, *, config_hash: str,
-                        metrics: dict[str, Any]) -> None:
-    _, mpath = file_output_paths(out_dir, input_path)
+                        metrics: dict[str, Any],
+                        input_root: str | None = None) -> None:
+    _, mpath = file_output_paths(out_dir, input_path, input_root)
     os.makedirs(os.path.dirname(mpath), exist_ok=True)
     payload = {
         "input_file": os.path.basename(input_path),
@@ -111,8 +125,9 @@ def write_file_manifest(out_dir: str, input_path: str, *, config_hash: str,
     os.replace(tmp, mpath)
 
 
-def read_file_manifest(out_dir: str, input_path: str) -> dict[str, Any] | None:
-    _, mpath = file_output_paths(out_dir, input_path)
+def read_file_manifest(out_dir: str, input_path: str,
+                       input_root: str | None = None) -> dict[str, Any] | None:
+    _, mpath = file_output_paths(out_dir, input_path, input_root)
     try:
         with open(mpath) as fh:
             return json.load(fh)
@@ -121,12 +136,13 @@ def read_file_manifest(out_dir: str, input_path: str) -> dict[str, Any] | None:
 
 
 def pending_input_files(out_dir: str, input_files: list[str], *,
-                        config_hash: str) -> list[str]:
+                        config_hash: str,
+                        input_root: str | None = None) -> list[str]:
     """Input files whose output manifest is missing or stale."""
     pending = []
     for f in input_files:
-        m = read_file_manifest(out_dir, f)
-        opath, _ = file_output_paths(out_dir, f)
+        m = read_file_manifest(out_dir, f, input_root)
+        opath, _ = file_output_paths(out_dir, f, input_root)
         if (m is None or m.get("input_fingerprint") != file_fingerprint(f)
                 or m.get("config_hash") != config_hash
                 or not os.path.exists(opath)):

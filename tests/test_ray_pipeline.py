@@ -311,3 +311,39 @@ def test_jsonl_source(ray_session, tmp_path):
         by_conv.setdefault(r["conv_id"], []).append(r["turn_idx"])
     for idxs in by_conv.values():
         assert sorted(idxs) == list(range(len(idxs)))
+
+
+def test_aligned_nested_layout_no_basename_collision(ray_session, tmp_path):
+    """Spark/Hive-style nested inputs (a/part-0.parquet + b/part-0.parquet)
+    must map to distinct outputs + manifests, and resume must see them all
+    complete (the round-1 collision silently dropped one file's rows and
+    re-ran the pair forever)."""
+    from dataclasses import replace
+
+    from raydoc.config import DEFAULT_CONFIG
+    from raydoc.pipelines.extract_pipeline import run_job
+
+    in_dir = tmp_path / "nested"
+    for sub in ("a", "b"):
+        (in_dir / sub).mkdir(parents=True)
+        tgen.write_transcripts_parquet(
+            str(in_dir / sub / "part-0.parquet"), n_convs=4,
+            seed=FIXTURE_SEED + (0 if sub == "a" else 7),
+            min_turns=1, max_turns=4)
+    out_dir = str(tmp_path / "out")
+    cfg = replace(DEFAULT_CONFIG, assume_conv_aligned=True,
+                  extract_concurrency=2)
+
+    r1 = run_job(str(in_dir), out_dir, cfg=cfg, resume=True)
+    assert r1["files_written"] == 2
+    outs = sorted(f for f in os.listdir(out_dir) if f.endswith(".parquet"))
+    assert len(outs) == 2, outs
+
+    in_rows = sum(pq.read_table(str(in_dir / s / "part-0.parquet")).num_rows
+                  for s in ("a", "b"))
+    out_rows = sum(pq.read_table(os.path.join(out_dir, f)).num_rows
+                   for f in outs)
+    assert out_rows == in_rows
+
+    r2 = run_job(str(in_dir), out_dir, cfg=cfg, resume=True)
+    assert r2["files_skipped"] == 2 and r2["files_written"] == 0

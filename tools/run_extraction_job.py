@@ -39,11 +39,14 @@ def main() -> int:
     ap.add_argument("--validate-output", action="store_true",
                     help="after the job, verify every output file has a "
                          "valid manifest and count rows")
+    ap.add_argument("--address", default="local",
+                    help="Ray cluster address (default: local; use 'auto' "
+                         "under ray job submit)")
     args = ap.parse_args()
 
     import ray
     if not ray.is_initialized():
-        ray.init(address="auto" if "--address" in sys.argv else "local",
+        ray.init(address=args.address,
                  include_dashboard=False, ignore_reinit_error=True)
 
     from raydoc.config import DEFAULT_CONFIG
