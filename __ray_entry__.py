@@ -101,8 +101,10 @@ def _normalize_documents(sf_dir: str):
 
 
 def _embedding_neardup_pairs(sf_dir: str):
+    # τ=0.4 so the oracle verifies a NON-EMPTY pair set on the driver's
+    # synthetic embeddings (τ=0.8 matches zero pairs at every sf — vacuous)
     from raydoc.functions.dedup import embedding_neardups
-    return embedding_neardups(sf_dir, threshold=0.8).select(["a", "b"])
+    return embedding_neardups(sf_dir, threshold=0.4).select(["a", "b"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -299,7 +301,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id AS a, b.vec_id AS b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                         CAST(b.embedding AS DOUBLE[])) >= 0.8
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.4
             ORDER BY a, b""",
         "ann_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings

@@ -195,14 +195,20 @@ def minhash_lsh_clusters(sf_dir: str, threshold: float = 0.5,
                          bands: int = 16, k: int = 3,
                          id_col: str = "doc_id") -> pa.Table:
     """(doc_id, cluster) where cluster = min doc id of the near-dup
-    component; singletons cluster with themselves."""
+    component; singletons cluster with themselves.
+
+    Scale shape: only CANDIDATE PAIRS reach the driver (the standard LSH
+    regime — union-find over pairs is tiny). The non-trivial component map
+    is broadcast back through one map_batches over the id column; the full
+    id list is never materialized driver-side."""
+    import ray
+
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=[id_col, "text"])
     exploded = minhash_band_rows(ds, id_col=id_col, bands=bands, k=k)
     pair_rows = _lsh_candidate_pairs(exploded, id_col, est_threshold=threshold)
 
     # union-find over the (small) candidate pair set
-    all_id_list = collect_table(ds.select_columns([id_col])).column(id_col).to_pylist()
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -217,11 +223,23 @@ def minhash_lsh_clusters(sf_dir: str, threshold: float = 0.5,
             lo, hi = min(ra, rb), max(ra, rb)
             parent[hi] = lo
 
-    ids = sorted(all_id_list)
-    return pa.table({
-        id_col: pa.array(ids, pa.int64()),
-        "cluster": pa.array([find(i) for i in ids], pa.int64()),
-    })
+    nodes = {x for pair in pair_rows for x in pair}
+    labels = {x: find(x) for x in nodes}
+    labels = {x: r for x, r in labels.items() if r != x}   # non-trivial only
+    labels_ref = ray.put(labels)
+
+    def label_fn(t: pa.Table) -> pa.Table:
+        lab = ray.get(labels_ref)
+        ids = t.column(id_col).to_pylist()
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "cluster": pa.array([lab.get(i, i) for i in ids], pa.int64()),
+        })
+
+    out = collect_table(
+        ds.select_columns([id_col]).map_batches(label_fn,
+                                                batch_format="pyarrow"))
+    return out.sort_by(id_col)
 
 
 def simhash64(text: str) -> int:
@@ -253,43 +271,82 @@ def simhash_signatures(sf_dir: str, id_col: str = "doc_id") -> pa.Table:
 def simhash_neardups(sf_dir: str, max_hamming: int = 3,
                      id_col: str = "doc_id") -> pa.Table:
     """Near-dup pairs by SimHash hamming distance, blocked on 16-bit bands
-    (any pair within distance 3 shares at least one of 4 bands)."""
-    sigs = simhash_signatures(sf_dir, id_col)
-    ids = sigs[id_col].to_pylist()
-    vals = [int(s, 16) for s in sigs["simhash"].to_pylist()]
-    buckets: dict[tuple[int, int], list[int]] = {}
-    for idx, v in enumerate(vals):
-        for b in range(4):
-            buckets.setdefault((b, (v >> (16 * b)) & 0xFFFF), []).append(idx)
-    seen: set[tuple[int, int]] = set()
-    a_out, b_out, d_out = [], [], []
-    for members in buckets.values():
-        for i in range(len(members)):
-            for j in range(i + 1, len(members)):
-                x, y = members[i], members[j]
-                key = (min(ids[x], ids[y]), max(ids[x], ids[y]))
-                if key in seen:
-                    continue
-                seen.add(key)
-                d = bin(vals[x] ^ vals[y]).count("1")
-                if d <= max_hamming:
-                    a_out.append(key[0])
-                    b_out.append(key[1])
-                    d_out.append(d)
-    order = np.argsort(np.array(a_out) * 10**9 + np.array(b_out)) if a_out else []
-    return pa.table({
-        "a": pa.array([a_out[i] for i in order], pa.int64()),
-        "b": pa.array([b_out[i] for i in order], pa.int64()),
-        "hamming": pa.array([d_out[i] for i in order], pa.int32()),
-    })
+    (any pair within distance 3 shares at least one of 4 bands).
+
+    Scale shape: signatures never touch the driver. Each doc explodes into
+    4 (band, band_key) rows inside map_batches; one coarse-bucket shuffle
+    co-locates equal band keys; pair generation + hamming check run
+    per-block in the reduce. Only surviving pairs are collected (deduped —
+    a close pair can share several bands)."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=[id_col, "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids_o, band_o, key_o, sig_o, bucket_o = [], [], [], [], []
+        for doc_id, text in zip(t.column(id_col).to_pylist(),
+                                t.column("text").to_pylist()):
+            v = simhash64(text or "")
+            for b in range(4):
+                key = (v >> (16 * b)) & 0xFFFF
+                ids_o.append(doc_id)
+                band_o.append(b)
+                key_o.append(key)
+                sig_o.append(v)
+                bucket_o.append((b * 1021 + key) % 64)
+        return pa.table({
+            id_col: pa.array(ids_o, pa.int64()),
+            "band": pa.array(band_o, pa.int32()),
+            "band_key": pa.array(key_o, pa.int32()),
+            "sig": pa.array(sig_o, pa.uint64()),
+            "bucket": pa.array(bucket_o, pa.int32()),
+        })
+
+    def block_pairs(g: pa.Table) -> pa.Table:
+        ids = g.column(id_col).to_pylist()
+        bands = g.column("band").to_pylist()
+        keys = g.column("band_key").to_pylist()
+        sigs = g.column("sig").to_pylist()
+        groups: dict[tuple[int, int], list[int]] = {}
+        for i, (b, k) in enumerate(zip(bands, keys)):
+            groups.setdefault((b, k), []).append(i)
+        a_out, b_out, d_out = [], [], []
+        for members in groups.values():
+            for x in range(len(members)):
+                for y in range(x + 1, len(members)):
+                    i, j = members[x], members[y]
+                    if ids[i] == ids[j]:
+                        continue
+                    d = bin(sigs[i] ^ sigs[j]).count("1")
+                    if d <= max_hamming:
+                        lo, hi = min(ids[i], ids[j]), max(ids[i], ids[j])
+                        a_out.append(lo)
+                        b_out.append(hi)
+                        d_out.append(d)
+        return pa.table({"a": pa.array(a_out, pa.int64()),
+                         "b": pa.array(b_out, pa.int64()),
+                         "hamming": pa.array(d_out, pa.int32())})
+
+    pairs = (ds.map_batches(explode, batch_format="pyarrow")
+             .groupby("bucket").map_groups(block_pairs,
+                                           batch_format="pyarrow"))
+    t = collect_table(pairs)
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64()),
+                      "hamming": pa.array([], pa.int32())})
+    if t.num_rows == 0:
+        return empty
+    # dedupe pairs found via multiple bands, then deterministic ordering
+    df = t.to_pandas().drop_duplicates(subset=["a", "b"])
+    df = df.sort_values(["a", "b"], ignore_index=True)
+    return pa.table({"a": pa.array(df["a"], pa.int64()),
+                     "b": pa.array(df["b"], pa.int64()),
+                     "hamming": pa.array(df["hamming"], pa.int32())})
 
 
 def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.4, k: int = 3,
                         id_col: str = "doc_id") -> pa.Table:
     """Exact word-k-gram Jaccard over LSH candidate pairs: LSH proposes,
     exact shingle sets (recomputed per pair inside the verify stage) decide."""
-    import ray
-
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=[id_col, "text"])
     exploded = minhash_band_rows(ds, id_col=id_col, bands=32, k=k)
@@ -300,34 +357,46 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.4, k: int = 3,
     if not candidates:
         return empty
 
-    # Distributed exact verify: candidate pairs become a Dataset; the text
-    # store is broadcast ONCE via ray.put and each task memoizes shingle
-    # sets per doc (a doc appears in many pairs). At corpus scale the
-    # small-side broadcast becomes a bucket join on doc id — the candidate
-    # set, not the corpus, is what's assumed small here (LSH regime).
-    tt = collect_table(ds)
-    texts_ref = ray.put(dict(zip(tt.column(id_col).to_pylist(),
-                                 tt.column("text").to_pylist())))
+    # Distributed exact verify: candidate pairs become a Dataset and pick
+    # up each side's text via a bucketed hash join against the documents
+    # table — the corpus text NEVER lands on the driver or in a broadcast
+    # dict. Only the candidate-pair set (the LSH regime's small output) is
+    # driver-side; per-batch shingle sets are memoized by doc id.
+    from raydoc.functions.joins import bucket_hash_join
+
     pairs_sorted = sorted(candidates)
     pairs_ds = rd.from_arrow(pa.table({
         "a": pa.array([p[0] for p in pairs_sorted], pa.int64()),
         "b": pa.array([p[1] for p in pairs_sorted], pa.int64()),
     }))
 
+    def _side(name: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({name: t.column(id_col),
+                             f"text_{name}": t.column("text")})
+        return fn
+
+    docs_a = ds.map_batches(_side("a"), batch_format="pyarrow")
+    docs_b = ds.map_batches(_side("b"), batch_format="pyarrow")
+    with_a = bucket_hash_join(pairs_ds, docs_a, key="a", num_buckets=16)
+    with_b = bucket_hash_join(with_a, docs_b, key="b", num_buckets=16)
+
     def verify(t: pa.Table) -> pa.Table:
-        texts = ray.get(texts_ref)
         memo: dict[int, set] = {}
 
-        def sh(i: int) -> set:
+        def sh(i: int, text: str) -> set:
             s = memo.get(i)
             if s is None:
-                s = set(_shingles(texts.get(i) or "", k))
+                s = set(_shingles(text or "", k))
                 memo[i] = s
             return s
 
         a_out, b_out, j_out = [], [], []
-        for a, b in zip(t.column("a").to_pylist(), t.column("b").to_pylist()):
-            sa, sb = sh(a), sh(b)
+        for a, b, ta, tb in zip(t.column("a").to_pylist(),
+                                t.column("b").to_pylist(),
+                                t.column("text_a").to_pylist(),
+                                t.column("text_b").to_pylist()):
+            sa, sb = sh(a, ta), sh(b, tb)
             union = len(sa | sb)
             j = len(sa & sb) / union if union else 0.0
             if j >= threshold:
@@ -338,45 +407,68 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.4, k: int = 3,
                          "b": pa.array(b_out, pa.int64()),
                          "jaccard": pa.array(j_out, pa.float64())})
 
-    out = collect_table(pairs_ds.map_batches(verify, batch_format="pyarrow"))
+    out = collect_table(with_b.map_batches(verify, batch_format="pyarrow"))
     if out.num_rows == 0:
         return empty
     return out.sort_by([("a", "ascending"), ("b", "ascending")])
 
 
-def embedding_neardups(sf_dir: str, threshold: float = 0.8) -> pa.Table:
-    """Cosine ≥ τ pairs: per-batch numpy matmul against the broadcast
-    normalized matrix (the all-pairs small-corpus path; LSH-bucketed
-    variant in functions/similarity.py scales this out)."""
+def embedding_neardups(sf_dir: str, threshold: float = 0.4,
+                       n_blocks: int = 8) -> pa.Table:
+    """EXACT cosine ≥ τ pairs, distributed block-pair style: the corpus is
+    split into ``n_blocks`` object-store blocks; each (i, j ≥ i) block pair
+    is one task fetching exactly two blocks (zero-copy refs — the full
+    matrix exists on no node, driver included). Exact all-pairs is O(n²)
+    compute by definition; this shapes it as n_blocks·(n_blocks+1)/2
+    independent tasks whose memory is 2 blocks each. Raise ``n_blocks``
+    with corpus size; for approximate-at-scale use the LSH/IVF paths in
+    functions/similarity.py."""
     import ray
 
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                           columns=["vec_id", "embedding"])
-    full = collect_table(emb)
-    ids = np.array(full["vec_id"].to_pylist(), dtype=np.int64)
-    mat = np.array(full["embedding"].to_pylist(), dtype=np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True).clip(min=1e-12)
-    ref = ray.put((ids, mat))
+    refs = emb.repartition(n_blocks).to_arrow_refs()
+    refs_ref = ray.put(refs)
+    n = len(refs)
+    tasks = rd.from_items([{"i": i, "j": j}
+                           for i in range(n) for j in range(i, n)])
 
-    def fn(t: pa.Table) -> pa.Table:
-        all_ids, all_mat = ray.get(ref)
-        q_ids = np.array(t["vec_id"].to_pylist(), dtype=np.int64)
-        q = np.array(t["embedding"].to_pylist(), dtype=np.float64)
-        q /= np.linalg.norm(q, axis=1, keepdims=True).clip(min=1e-12)
-        sims = q @ all_mat.T
+    def _unpack(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        ids = np.array(t["vec_id"].to_pylist(), dtype=np.int64)
+        mat = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True).clip(min=1e-12)
+        return ids, mat
+
+    def pair_fn(t: pa.Table) -> pa.Table:
+        all_refs = ray.get(refs_ref)
         a_out, b_out, s_out = [], [], []
-        for row, qid in enumerate(q_ids):
-            hits = np.where(sims[row] >= threshold)[0]
-            for h in hits:
-                if all_ids[h] > qid:
-                    a_out.append(qid)
-                    b_out.append(int(all_ids[h]))
-                    s_out.append(round(float(sims[row, h]), 6))
+        for i, j in zip(t["i"].to_pylist(), t["j"].to_pylist()):
+            ids_i, mat_i = _unpack(ray.get(all_refs[i]))
+            ids_j, mat_j = (ids_i, mat_i) if j == i else \
+                _unpack(ray.get(all_refs[j]))
+            if not len(ids_i) or not len(ids_j):
+                continue
+            sims = mat_i @ mat_j.T
+            xs, ys = np.where(sims >= threshold)
+            diagonal = (j == i)
+            for x, y in zip(xs, ys):
+                ia, ib = int(ids_i[x]), int(ids_j[y])
+                if diagonal:
+                    # each unordered pair appears as (x,y) AND (y,x) here —
+                    # keep one orientation (also drops the self-pairs)
+                    if ia >= ib:
+                        continue
+                elif ia > ib:
+                    ia, ib = ib, ia
+                a_out.append(ia)
+                b_out.append(ib)
+                s_out.append(round(float(sims[x, y]), 6))
         return pa.table({"a": pa.array(a_out, pa.int64()),
                          "b": pa.array(b_out, pa.int64()),
                          "cosine": pa.array(s_out, pa.float64())})
 
-    out = collect_table(emb.map_batches(fn, batch_format="pyarrow"))
+    out = collect_table(tasks.map_batches(pair_fn, batch_format="pyarrow",
+                                          batch_size=1))
     if out.num_rows == 0:
         return pa.table({"a": pa.array([], pa.int64()),
                          "b": pa.array([], pa.int64()),

@@ -5,16 +5,15 @@
   shuffle. Right choice for dimension tables (nation/region/customer…).
 - ``bucket_hash_join``: both sides large → explicit partitioned hash join:
   add ``bucket = hash(key) % B`` to both sides, union under a padded common
-  schema, group by bucket, join each bucket pairwise with pandas inside
-  ``map_groups``. This is the portable large-large pattern (ray_guide
-  "Joins and lookups"); B sizes the shuffle granularity and hot keys can be
-  salted into sub-buckets by raising B.
+  schema, group by bucket, join each bucket with pyarrow's C++ hash join
+  inside ``map_groups``. This is the portable large-large pattern
+  (ray_guide "Joins and lookups"); B sizes the shuffle granularity and hot
+  keys can be salted into sub-buckets by raising B.
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 import ray
@@ -35,42 +34,39 @@ def _key_hash(arr: pa.Array, num_buckets: int) -> np.ndarray:
          for v in arr.to_pylist()], dtype=np.int32)
 
 
+_PA_HOW = {"inner": "inner", "left": "left outer"}
+
+
 def broadcast_join(ds: rd.Dataset, small: pa.Table, key: str,
                    select: list[str] | None = None,
                    how: str = "inner") -> rd.Dataset:
     """Join ``ds`` against a small in-memory table without a shuffle.
 
-    The dimension table is put into the object store ONCE; every task reads
-    it zero-copy instead of re-shipping it per batch.
+    The dimension table is put into the object store ONCE and read
+    zero-copy in every task; the per-batch join is pyarrow's C++ hash join
+    (no pandas round-trip on the hot path).
     """
     if select:
         small = small.select([key] + [c for c in select if c != key])
     small_ref = ray.put(small)
+    join_type = _PA_HOW[how]
 
     def _join(batch: pa.Table) -> pa.Table:
-        # per-worker cache: the object-store read is zero-copy but the
-        # pandas conversion isn't — do it once per worker, not per batch
-        right = _BROADCAST_CACHE.get(small_ref)
-        if right is None:
-            if len(_BROADCAST_CACHE) > 8:
-                _BROADCAST_CACHE.clear()
-            right = ray.get(small_ref).to_pandas()
-            _BROADCAST_CACHE[small_ref] = right
-        out = batch.to_pandas().merge(right, on=key, how=how)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        right = ray.get(small_ref)          # zero-copy object-store read
+        return batch.join(right, keys=key, join_type=join_type)
 
     return ds.map_batches(_join, batch_format="pyarrow")
 
 
-_BROADCAST_CACHE: dict = {}
-
-
 def bucket_hash_join(left: rd.Dataset, right: rd.Dataset, key: str,
                      num_buckets: int = 32, how: str = "inner") -> rd.Dataset:
-    """Large-large equi-join via explicit hash bucketing + per-bucket merge.
+    """Large-large equi-join via explicit hash bucketing + per-bucket Arrow
+    hash join.
 
     Requires disjoint non-key column names. Each bucket must fit in one
     worker's memory — raise ``num_buckets`` for bigger inputs or hot keys.
+    Emits Arrow blocks with a fixed schema, so the result chains into
+    further joins / groupbys.
     """
     left_schema = left.schema()
     right_schema = right.schema()
@@ -79,9 +75,21 @@ def bucket_hash_join(left: rd.Dataset, right: rd.Dataset, key: str,
     overlap = (set(left_cols) & set(right_cols)) - {key}
     if overlap:
         raise ValueError(f"column collision in bucket_hash_join: {overlap}")
-    all_fields = [(n, left_schema.base_schema.field(n).type) for n in left_cols]
-    all_fields += [(n, right_schema.base_schema.field(n).type)
+
+    def _arrow_type(schema, name):
+        base = getattr(schema, "base_schema", None)
+        if isinstance(base, pa.Schema):
+            return base.field(name).type
+        # pandas-block dataset upstream: infer from numpy dtype
+        dtype = dict(zip(schema.names, schema.types))[name]
+        return pa.string() if dtype == np.dtype("O") else \
+            pa.from_numpy_dtype(dtype)
+
+    all_fields = [(n, _arrow_type(left_schema, n)) for n in left_cols]
+    all_fields += [(n, _arrow_type(right_schema, n))
                    for n in right_cols if n != key]
+    out_schema = pa.schema(all_fields)
+    join_type = _PA_HOW[how]
 
     def _widen(side: int):
         def fn(batch: pa.Table) -> pa.Table:
@@ -89,7 +97,7 @@ def bucket_hash_join(left: rd.Dataset, right: rd.Dataset, key: str,
             cols = {}
             for name, typ in all_fields:
                 if name in batch.column_names:
-                    cols[name] = batch.column(name)
+                    cols[name] = batch.column(name).cast(typ)
                 else:
                     cols[name] = pa.nulls(n, typ)
             cols["__bucket"] = pa.array(
@@ -104,12 +112,16 @@ def bucket_hash_join(left: rd.Dataset, right: rd.Dataset, key: str,
 
     out_cols = [n for n, _ in all_fields]
 
-    def _join_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        l = group.loc[group["__side"] == 0, left_cols]
-        r = group.loc[group["__side"] == 1, right_cols]
-        if l.empty or r.empty:
-            return pd.DataFrame({c: [] for c in out_cols})
-        return l.merge(r, on=key, how=how)[out_cols]
+    def _join_bucket(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        side = group.column("__side")
+        l = group.filter(pc.equal(side, 0)).select(left_cols)
+        r = group.filter(pc.equal(side, 1)).select(
+            [key] + [c for c in right_cols if c != key])
+        if l.num_rows == 0 or (r.num_rows == 0 and join_type == "inner"):
+            return out_schema.empty_table()
+        joined = l.join(r, keys=key, join_type=join_type)
+        return joined.select(out_cols).cast(out_schema)
 
     return tagged.groupby("__bucket").map_groups(_join_bucket,
-                                                 batch_format="pandas")
+                                                 batch_format="pyarrow")

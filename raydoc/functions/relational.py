@@ -117,8 +117,10 @@ def q_top_orders(sf_dir: str) -> pa.Table:
 
 
 def q_revenue_by_nation(sf_dir: str) -> pa.Table:
-    """Multi-way broadcast join lineitem ⋈ orders-keys ⋈ customer ⋈ nation,
-    grouped exact revenue per nation (TPC-H Q5 shape, single region)."""
+    """TPC-H Q5 shape, single region: only the GENUINELY small side
+    (customer→nation-name, region-filtered) is broadcast; orders and
+    lineitem — both fact tables — stream and meet in one bucketed hash
+    join. No fact table ever lands on the driver."""
     nation = pq.read_table(f"{sf_dir}/nation.parquet",
                            columns=["n_nationkey", "n_name", "n_regionkey"])
     region = pq.read_table(f"{sf_dir}/region.parquet")
@@ -128,26 +130,25 @@ def q_revenue_by_nation(sf_dir: str) -> pa.Table:
                                     value_set=pa.array(sorted(rkeys))))
     cust = pq.read_table(f"{sf_dir}/customer.parquet",
                          columns=["c_custkey", "c_nationkey"])
-    orders = pq.read_table(f"{sf_dir}/orders.parquet",
-                           columns=["o_orderkey", "o_custkey"])
+    cust_nation = cust.join(
+        nation.select(["n_nationkey", "n_name"]),
+        keys="c_nationkey", right_keys="n_nationkey",
+        join_type="inner").select(["c_custkey", "n_name"]) \
+        .rename_columns(["o_custkey", "n_name"])
 
-    # driver-side dim prep (all small): customer → nation name
-    nat_of_cust = {}
-    n_name = dict(zip(nation["n_nationkey"].to_pylist(),
-                      nation["n_name"].to_pylist()))
-    for ck, nk in zip(cust["c_custkey"].to_pylist(),
-                      cust["c_nationkey"].to_pylist()):
-        if nk in n_name:
-            nat_of_cust[ck] = n_name[nk]
-    order_nation = pa.table({
-        "l_orderkey": orders["o_orderkey"],
-        "n_name": pa.array([nat_of_cust.get(ck) for ck in
-                            orders["o_custkey"].to_pylist()], pa.string()),
-    }).filter(pc.is_valid(pc.field("n_name")))
+    # orders (fact) streams; broadcast-join it to the small cust→nation map,
+    # keep only the join key + nation name for the lineitem join
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    order_nation = broadcast_join(orders, cust_nation,
+                                  key="o_custkey").map_batches(
+        lambda t: pa.table({"l_orderkey": t["o_orderkey"],
+                            "n_name": t["n_name"]}),
+        batch_format="pyarrow")
 
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_extendedprice", "l_discount"])
-    joined = broadcast_join(li, order_nation, key="l_orderkey")
+    joined = bucket_hash_join(li, order_nation, key="l_orderkey",
+                              num_buckets=32)
 
     def prep(t: pa.Table) -> pa.Table:
         price_c = _cents(t["l_extendedprice"])

@@ -24,6 +24,21 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / np.linalg.norm(mat, axis=1, keepdims=True).clip(min=1e-12)
 
 
+def _read_query_vectors(sf_dir: str,
+                        query_ids: list[int]) -> tuple[np.ndarray, np.ndarray]:
+    """Driver-side read of ONLY the query rows via a parquet predicate
+    (row-group pushdown) — never materializes the corpus. Returns
+    (ids sorted ascending, L2-normalized matrix)."""
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "in", sorted(set(query_ids)))])
+    t = t.sort_by("vec_id")
+    q_ids = np.array(t["vec_id"].to_pylist(), dtype=np.int64)
+    q = _normalize(np.array(t["embedding"].to_pylist(), dtype=np.float64))
+    return q_ids, q
+
+
 def _batch_candidates(ref, k: int, exclude_self: bool):
     def fn(t: pa.Table) -> pa.Table:
         q_ids, q = ray.get(ref)
@@ -67,12 +82,7 @@ def brute_force_topk(sf_dir: str, query_ids: list[int] | None = None,
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
     query_ids = query_ids if query_ids is not None else [0, 1, 2, 3, 4]
-    qset = set(query_ids)
-    qrows = [r for r in ds.take_all() if r["vec_id"] in qset]
-    qrows.sort(key=lambda r: r["vec_id"])
-    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
-    q = _normalize(np.array([np.asarray(r["embedding"], dtype=np.float64)
-                             for r in qrows]))
+    q_ids, q = _read_query_vectors(sf_dir, query_ids)
     ref = ray.put((q_ids, q))
     cands = ds.map_batches(_batch_candidates(ref, k + 1, exclude_self),
                            batch_format="pyarrow").to_pandas()
@@ -88,8 +98,12 @@ def lsh_topk(sf_dir: str, query_ids: list[int] | None = None, k: int = 10,
     smaller buckets, lower for higher recall)."""
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
+    query_ids = query_ids if query_ids is not None else [0, 1, 2, 3, 4]
+    # queries come from a tiny predicate-pushdown read; their buckets are
+    # computed driver-side with the same planes the corpus stage uses
+    q_ids, q = _read_query_vectors(sf_dir, query_ids)
     rng = np.random.RandomState(seed)
-    dim = len(ds.take(1)[0]["embedding"])
+    dim = q.shape[1]
     planes = rng.standard_normal((n_planes, dim))
     planes_ref = ray.put(planes)
 
@@ -102,18 +116,13 @@ def lsh_topk(sf_dir: str, query_ids: list[int] | None = None, k: int = 10,
 
     bucketed = ds.map_batches(bucketize, batch_format="pyarrow")
 
-    query_ids = query_ids if query_ids is not None else [0, 1, 2, 3, 4]
-    qset = set(query_ids)
-    qrows = sorted((r for r in bucketed.take_all() if r["vec_id"] in qset),
-                   key=lambda r: r["vec_id"])
-    by_bucket: dict[int, list] = {}
-    for r in qrows:
-        by_bucket.setdefault(r["bucket"], []).append(r)
+    q_signs = (q @ planes.T) > 0
+    q_buckets = (q_signs * (1 << np.arange(n_planes))).sum(axis=1)
+    by_bucket: dict[int, list[int]] = {}
+    for qi, b in enumerate(q_buckets):
+        by_bucket.setdefault(int(b), []).append(qi)
     q_by_bucket_ref = ray.put({
-        b: (np.array([r["vec_id"] for r in rows], dtype=np.int64),
-            _normalize(np.array([np.asarray(r["embedding"], dtype=np.float64)
-                                 for r in rows])))
-        for b, rows in by_bucket.items()})
+        b: (q_ids[rows], q[rows]) for b, rows in by_bucket.items()})
 
     def probe(group: pd.DataFrame) -> pd.DataFrame:
         qmap = ray.get(q_by_bucket_ref)
@@ -184,12 +193,7 @@ def ivf_topk(sf_dir: str, query_ids: list[int] | None = None, k: int = 10,
     listed = ds.map_batches(assign, batch_format="pyarrow")
 
     query_ids = query_ids if query_ids is not None else [0, 1, 2, 3, 4]
-    qset = set(query_ids)
-    qrows = sorted((r for r in ds.take_all() if r["vec_id"] in qset),
-                   key=lambda r: r["vec_id"])
-    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
-    q = _normalize(np.array([np.asarray(r["embedding"], dtype=np.float64)
-                             for r in qrows]))
+    q_ids, q = _read_query_vectors(sf_dir, query_ids)
     probes = np.argsort(-(q @ cents.T), axis=1)[:, :nprobe]   # (Q, nprobe)
     q_by_list: dict[int, list[int]] = {}
     for qi in range(len(q_ids)):
