@@ -228,18 +228,22 @@ def q_supplier_by_nation(sf_dir: str) -> pa.Table:
     return collect_table(out).sort_by("n_name")
 
 
-def q_user_topk_events(sf_dir: str, k: int = 3) -> pa.Table:
+def q_user_topk_events(sf_dir: str, k: int = 3,
+                       num_buckets: int | None = None) -> pa.Table:
     """Per-user top-k events by value (windowed rank): coarse-bucket the
     users, rank inside each block with a vectorized sort — the grouped
     top-k pattern that avoids per-user micro-groups."""
     import numpy as np
     import pandas as pd
 
+    from raydoc.functions._buckets import reduce_bucket_count
+    mask = (num_buckets or reduce_bucket_count()) - 1
     ds = _read(sf_dir, "events", ["user_id", "event_id", "value"])
 
     def add_bucket(t: pa.Table) -> pa.Table:
         return t.append_column(
-            "bucket", pc.cast(pc.bit_wise_and(t["user_id"], 63), pa.int32()))
+            "bucket", pc.cast(pc.bit_wise_and(t["user_id"], mask),
+                              pa.int32()))
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "value", "event_id"],

@@ -47,10 +47,13 @@ def hourly_event_stats(sf_dir: str) -> pa.Table:
                       ("event_type", "ascending")])
 
 
-def sessionize(sf_dir: str, gap_minutes: int = 30) -> pa.Table:
+def sessionize(sf_dir: str, gap_minutes: int = 30,
+               num_buckets: int | None = None) -> pa.Table:
     """(user_id, n_sessions, n_events): a new session starts when the gap
     to the previous event of the same user exceeds ``gap_minutes``. Ordering
     inside a user is (ts, event_id) — deterministic under ts ties."""
+    from raydoc.functions._buckets import reduce_bucket_count
+    mask = (num_buckets or reduce_bucket_count()) - 1
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["user_id", "ts", "event_id"])
     gap = np.timedelta64(gap_minutes * 60, "s")
@@ -58,7 +61,7 @@ def sessionize(sf_dir: str, gap_minutes: int = 30) -> pa.Table:
     def add_bucket(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
         return t.append_column(
-            "bucket", pc.cast(pc.bit_wise_and(t.column("user_id"), 63),
+            "bucket", pc.cast(pc.bit_wise_and(t.column("user_id"), mask),
                               pa.int32()))
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -84,17 +87,20 @@ def sessionize(sf_dir: str, gap_minutes: int = 30) -> pa.Table:
     return t.sort_by("user_id")
 
 
-def events_with_prev(sf_dir: str) -> pa.Table:
+def events_with_prev(sf_dir: str, num_buckets: int | None = None) -> pa.Table:
     """(event_id, user_id, prev_event_id): each event joined to the previous
     event of the same user under (ts, event_id) ordering — the lag / as-of
     pattern: coarse-bucket the users, one vectorized sort + shift per block
     (no per-user micro-groups). Oracle: LAG() OVER."""
+    from raydoc.functions._buckets import reduce_bucket_count
+    mask = (num_buckets or reduce_bucket_count()) - 1
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["user_id", "ts", "event_id"])
 
     def add_bucket(t: pa.Table) -> pa.Table:
         return t.append_column(
-            "bucket", pc.cast(pc.bit_wise_and(t["user_id"], 63), pa.int32()))
+            "bucket", pc.cast(pc.bit_wise_and(t["user_id"], mask),
+                              pa.int32()))
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"], ignore_index=True)

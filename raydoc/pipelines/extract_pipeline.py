@@ -86,8 +86,11 @@ def dedup_turns(ds: rd.Dataset) -> rd.Dataset:
     import pandas as pd
     import pyarrow as pa
 
+    from raydoc.functions._buckets import reduce_bucket_count
+    nbuckets = reduce_bucket_count()
+
     def add_bucket(t: pa.Table) -> pa.Table:
-        keys = [int(_hashlib.md5(c.encode()).hexdigest()[:8], 16) % 256
+        keys = [int(_hashlib.md5(c.encode()).hexdigest()[:8], 16) % nbuckets
                 for c in t.column("conv_id").to_pylist()]
         return t.append_column("dedup_bucket", pa.array(keys, pa.int32()))
 

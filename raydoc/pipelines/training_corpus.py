@@ -59,16 +59,18 @@ def _quality_filter(t: pa.Table) -> pa.Table:
     return t.filter(keep)
 
 
-def _add_dedup_cols(t: pa.Table) -> pa.Table:
-    hashes, buckets, splits = [], [], []
-    for v in t.column("extracted_text").to_pylist():
-        h = hashlib.md5((v or "").encode()).hexdigest()
-        hashes.append(h)
-        buckets.append(int(h[:4], 16) % 256)
-        splits.append("train" if h[0] < "c" else "test")
-    return (t.append_column("text_hash", pa.array(hashes, pa.string()))
-             .append_column("dedup_bucket", pa.array(buckets, pa.int32()))
-             .append_column("split", pa.array(splits, pa.string())))
+def _add_dedup_cols_fn(num_buckets: int):
+    def _add_dedup_cols(t: pa.Table) -> pa.Table:
+        hashes, buckets, splits = [], [], []
+        for v in t.column("extracted_text").to_pylist():
+            h = hashlib.md5((v or "").encode()).hexdigest()
+            hashes.append(h)
+            buckets.append(int(h[:4], 16) % num_buckets)
+            splits.append("train" if h[0] < "c" else "test")
+        return (t.append_column("text_hash", pa.array(hashes, pa.string()))
+                 .append_column("dedup_bucket", pa.array(buckets, pa.int32()))
+                 .append_column("split", pa.array(splits, pa.string())))
+    return _add_dedup_cols
 
 
 def _dedupe_bucket(g):
@@ -83,9 +85,11 @@ def build_training_corpus(transcripts_path: str, out_dir: str,
                           ) -> dict[str, Any]:
     """Run the composed pipeline and write train/test parquet; returns corpus
     stats (rows in/kept/deduped, split sizes)."""
+    from raydoc.functions._buckets import reduce_bucket_count
     ds = extract_dataset(transcripts_path, cfg)
     ds = ds.map_batches(_quality_filter, batch_format="pyarrow")
-    ds = ds.map_batches(_add_dedup_cols, batch_format="pyarrow")
+    ds = ds.map_batches(_add_dedup_cols_fn(reduce_bucket_count()),
+                        batch_format="pyarrow")
     ds = ds.groupby("dedup_bucket").map_groups(_dedupe_bucket,
                                                batch_format="pandas")
 
