@@ -46,6 +46,14 @@ class PipelineConfig:
     max_hallucinations: int = 0
     max_errors: int = 2
     min_content_lines: int = 5
+    # Bounded engine-fallback hop (SURVEY §7.4.7; ≙ app.py:284-288): a
+    # gate-failed document re-extracts ONCE through the named document
+    # variant (kernels/registry.py). Off by default — the per-document
+    # equality surface mirrors the reference's EnhancedPipeline, which
+    # does not itself fall back (the app layer does); enable via config
+    # or the job CLI's --gate-fallback.
+    enable_gate_fallback: bool = False
+    fallback_variant: str = "legacy"
 
     # --- pipeline toggles (enhanced_pipeline.py:43-60) ---
     enable_noise_filter: bool = True

@@ -32,17 +32,21 @@ from raydoc.kernels import confidence as conf_k
 from raydoc.kernels import noise as noise_k
 from raydoc.kernels.elementize import assemble_turn_elements, elementize
 from raydoc.kernels.enforce import enforce_schema
-from raydoc.kernels.htmlstrip import looks_like_html, strip_html
 from raydoc.kernels.lang import detect_language
 from raydoc.kernels.linking import link_captions, link_footnotes
 from raydoc.kernels.render import TurnContext, render_element
 from raydoc.kernels.roles import analyze_layout
-from raydoc.kernels.textnorm import merge_hyphens_loose, normalize_markdown
+from raydoc.kernels.textnorm import merge_hyphens_loose
 from raydoc.kernels.validate import quality_gate, validate_markdown
 
 Element = dict[str, Any]
 
 _ROLE_OF_BLOCK = re.compile(r"<!-- role:(\w+)")
+
+# gate suggested_actions that trigger the one-hop engine fallback
+# (validation_framework.py:362-376 action names)
+_FALLBACK_ACTIONS = frozenset({
+    "fallback_to_local_ocr", "fallback_to_alternative", "reject_and_retry"})
 
 
 def conv_document_id(conv_id: str) -> str:
@@ -52,16 +56,20 @@ def conv_document_id(conv_id: str) -> str:
 
 
 def extract_turn_text(text: str) -> tuple[str, bool, float]:
-    """Per-turn payload routing: HTML → DOM text-density strip; then the
-    flagship markdown normalization (≙ digital path structure_engine.py:76-79).
+    """Per-turn payload routing through the extractor REGISTRY
+    (kernels/registry.py; ≙ the reference's engine router app.py:254-299):
+    detected payload kind → registered extractor. The built-ins are
+    HTML → DOM text-density strip + markdown normalization, and
+    markdown → normalization (≙ digital path structure_engine.py:76-79);
+    a cloud/model extractor slots in via ``register_text_extractor``.
 
     Returns (normalized_text, was_html, strip_ratio)."""
-    was_html = looks_like_html(text)
-    body = strip_html(text) if was_html else text
-    normalized = normalize_markdown(body)
+    from raydoc.kernels import registry
+    kind = registry.detect_payload_kind(text)
+    normalized = registry.get_text_extractor(kind)(text)
     n = len(text)
     strip_ratio = (n - len(normalized)) / n if n else 0.0
-    return normalized, was_html, strip_ratio
+    return normalized, kind == "html", strip_ratio
 
 
 def build_turn_elements(normalized_text: str,
@@ -152,77 +160,113 @@ def process_conversation(conv_id: str,
                 was_html.append(False)
                 strip_ratios.append(0.0)
 
-    # --- cross-turn stages (enhanced_pipeline.py:98-131) ---
-    noise_detail: dict[str, list[str]] = {
-        "headers": [], "footers": [], "watermarks": [],
-        "page_numbers": [], "artifacts": []}
-    if cfg.enable_noise_filter:
-        turns, noise_detail = noise_k.tag_noise(
-            turns, tag_mode=cfg.tag_mode, threshold=cfg.repeater_threshold,
-            min_turns=cfg.min_turns_for_repeaters,
-            artifact_confidence=cfg.artifact_confidence)
-    captions: list[dict[str, Any]] = []
-    if cfg.enable_caption_extraction:
-        turns, captions = link_captions(turns)
-        turns, footnotes = link_footnotes(turns, None, cfg.footnote_bottom)
-    else:
-        footnotes = []
+    # snapshot pristine element dicts for the bounded fallback hop BEFORE
+    # the cross-turn stages mutate them (noise tags, caption removal)
+    pristine: list[list[Element]] | None = None
+    if cfg.enable_gate_fallback:
+        pristine = [[{**e} for e in t] for t in turns]
 
-    records = conf_k.collect_scores(turns)
-    stats = conf_k.confidence_stats(records, cfg.low_confidence,
-                                    cfg.critical_confidence)
+    def _run_stages(run_turns: list[list[Element]]) -> dict[str, Any]:
+        # --- cross-turn stages (enhanced_pipeline.py:98-131) ---
+        noise_detail: dict[str, list[str]] = {
+            "headers": [], "footers": [], "watermarks": [],
+            "page_numbers": [], "artifacts": []}
+        if cfg.enable_noise_filter:
+            run_turns, noise_detail = noise_k.tag_noise(
+                run_turns, tag_mode=cfg.tag_mode,
+                threshold=cfg.repeater_threshold,
+                min_turns=cfg.min_turns_for_repeaters,
+                artifact_confidence=cfg.artifact_confidence)
+        captions: list[dict[str, Any]] = []
+        if cfg.enable_caption_extraction:
+            run_turns, captions = link_captions(run_turns)
+            run_turns, footnotes = link_footnotes(run_turns, None,
+                                                  cfg.footnote_bottom)
+        else:
+            footnotes = []
 
-    # --- render (enhanced_pipeline.py:136-174) ---
-    turn_markdown: list[str] = []
-    turn_spans: list[list[dict[str, Any]]] = []
-    doc = ""
-    for page_num, elements in enumerate(turns, 1):
-        segment, spans = render_turn_with_spans(elements, page_num,
-                                                cfg.page_height)
-        turn_markdown.append(segment)
-        turn_spans.append(spans)
-        doc += segment
-    doc = merge_hyphens_loose(doc)
+        records = conf_k.collect_scores(run_turns)
+        stats = conf_k.confidence_stats(records, cfg.low_confidence,
+                                        cfg.critical_confidence)
 
-    metadata: dict[str, Any] = {
-        "source_file": conv_id,
-        "document_id": conv_document_id(conv_id),
-        "pages": len(turns),
-        "extraction_method": "raydoc",
-        "extraction_date": extraction_date,
-    }
-    metadata.update(conf_k.quality_frontmatter_fields(stats))
-    lang = detect_language(doc)
-    metadata["language"] = lang["language"]
-    doc, violations = enforce_schema(doc, metadata)
+        # --- render (enhanced_pipeline.py:136-174) ---
+        turn_markdown: list[str] = []
+        turn_spans: list[list[dict[str, Any]]] = []
+        doc = ""
+        for page_num, elements in enumerate(run_turns, 1):
+            segment, spans = render_turn_with_spans(elements, page_num,
+                                                    cfg.page_height)
+            turn_markdown.append(segment)
+            turn_spans.append(spans)
+            doc += segment
+        doc = merge_hyphens_loose(doc)
 
-    # --- validate + gate (enhanced_pipeline.py:176-204) ---
-    report = validate_markdown(doc)
-    gate = quality_gate(doc, report,
-                        min_quality_score=cfg.quality_threshold,
-                        max_hallucinations=cfg.max_hallucinations,
-                        max_errors=cfg.max_errors,
-                        min_content_lines=cfg.min_content_lines)
+        metadata: dict[str, Any] = {
+            "source_file": conv_id,
+            "document_id": conv_document_id(conv_id),
+            "pages": len(run_turns),
+            "extraction_method": "raydoc",
+            "extraction_date": extraction_date,
+        }
+        metadata.update(conf_k.quality_frontmatter_fields(stats))
+        lang = detect_language(doc)
+        metadata["language"] = lang["language"]
+        doc, violations = enforce_schema(doc, metadata)
+
+        # --- validate + gate (enhanced_pipeline.py:176-204) ---
+        report = validate_markdown(doc)
+        gate = quality_gate(doc, report,
+                            min_quality_score=cfg.quality_threshold,
+                            max_hallucinations=cfg.max_hallucinations,
+                            max_errors=cfg.max_errors,
+                            min_content_lines=cfg.min_content_lines)
+        return {
+            "turns": run_turns, "turn_markdown": turn_markdown,
+            "turn_spans": turn_spans, "doc": doc, "lang": lang,
+            "metadata": metadata, "report": report, "gate": gate,
+            "captions": captions, "footnotes": footnotes,
+            "noise_detail": noise_detail,
+        }
+
+    r = _run_stages(turns)
+    engine = "enhanced" if cfg.use_enhanced_classification else "legacy"
+    fallback_applied = False
+    # --- bounded quality-gate fallback (SURVEY §7.4.7; ≙ app.py:284-288):
+    # a gate-failed document whose suggested_action asks for an alternate
+    # engine is re-extracted EXACTLY ONCE through the configured document
+    # variant (kernels/registry.py); the better result wins.
+    if (cfg.enable_gate_fallback and not r["gate"]["passed"]
+            and r["gate"]["suggested_action"] in _FALLBACK_ACTIONS):
+        from raydoc.kernels.registry import get_document_variant
+        rebuilt = get_document_variant(cfg.fallback_variant)(pristine, cfg)
+        alt = _run_stages(rebuilt)
+        fallback_applied = True
+        if (alt["gate"]["passed"] or
+                alt["report"]["quality_score"] > r["report"]["quality_score"]):
+            r = alt
+            engine = cfg.fallback_variant
 
     return {
         "conv_id": conv_id,
         "turn_idx": idxs,
-        "turn_markdown": turn_markdown,
-        "turn_spans": turn_spans,
-        "n_elements": [len(t) for t in turns],
+        "turn_markdown": r["turn_markdown"],
+        "turn_spans": r["turn_spans"],
+        "n_elements": [len(t) for t in r["turns"]],
         "parse_failed": parse_failed,
         "was_html": was_html,
         "strip_ratio": strip_ratios,
-        "doc_markdown": doc,
-        "language": lang["language"],
-        "language_confidence": lang["confidence"],
-        "quality_score": report["quality_score"],
-        "confidence_score": metadata["confidence_score"],
-        "gate_passed": gate["passed"],
-        "suggested_action": gate["suggested_action"],
-        "n_captions": len(captions),
-        "n_footnotes": len(footnotes),
-        "noise_counts": {k: len(v) for k, v in noise_detail.items()},
-        "validation_errors": report["errors"],
-        "hallucination_count": report["hallucination_count"],
+        "doc_markdown": r["doc"],
+        "language": r["lang"]["language"],
+        "language_confidence": r["lang"]["confidence"],
+        "quality_score": r["report"]["quality_score"],
+        "confidence_score": r["metadata"]["confidence_score"],
+        "gate_passed": r["gate"]["passed"],
+        "suggested_action": r["gate"]["suggested_action"],
+        "fallback_applied": fallback_applied,
+        "extraction_engine": engine,
+        "n_captions": len(r["captions"]),
+        "n_footnotes": len(r["footnotes"]),
+        "noise_counts": {k: len(v) for k, v in r["noise_detail"].items()},
+        "validation_errors": r["report"]["errors"],
+        "hallucination_count": r["report"]["hallucination_count"],
     }

@@ -55,6 +55,8 @@ def document_group_fn(group: pa.Table,
         "confidence_score": pa.array([result["confidence_score"]] * n, pa.float32()),
         "gate_passed": pa.array([result["gate_passed"]] * n, pa.bool_()),
         "suggested_action": pa.array([result["suggested_action"]] * n, pa.string()),
+        "fallback_applied": pa.array([result["fallback_applied"]] * n, pa.bool_()),
+        "extraction_engine": pa.array([result["extraction_engine"]] * n, pa.string()),
         "part": pa.array([part] * n, pa.int32()),
     }
     if cfg.include_doc_markdown:
@@ -118,6 +120,8 @@ def document_rows_from_raw(raw: dict,
     o_conf: list[float] = []
     o_gate: list[bool] = []
     o_act: list[str] = []
+    o_fb: list[bool] = []
+    o_eng: list[str] = []
     o_part: list[int] = []
     o_docmd: list[str] = []
 
@@ -141,6 +145,8 @@ def document_rows_from_raw(raw: dict,
         o_conf.extend([result["confidence_score"]] * n)
         o_gate.extend([result["gate_passed"]] * n)
         o_act.extend([result["suggested_action"]] * n)
+        o_fb.extend([result["fallback_applied"]] * n)
+        o_eng.extend([result["extraction_engine"]] * n)
         o_part.extend([parts[ix[0]]] * n)
         if cfg.include_doc_markdown:
             o_docmd.extend([result["doc_markdown"]] + [""] * (n - 1))
@@ -159,6 +165,8 @@ def document_rows_from_raw(raw: dict,
         "confidence_score": pa.array(o_conf, pa.float32()),
         "gate_passed": pa.array(o_gate, pa.bool_()),
         "suggested_action": pa.array(o_act, pa.string()),
+        "fallback_applied": pa.array(o_fb, pa.bool_()),
+        "extraction_engine": pa.array(o_eng, pa.string()),
         "part": pa.array(o_part, pa.int32()),
     }
     if cfg.include_doc_markdown:

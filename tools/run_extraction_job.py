@@ -36,6 +36,9 @@ def main() -> int:
                     help="extractor pool size (0 = auto from cluster CPUs)")
     ap.add_argument("--partitions", type=int, default=0,
                     help="output partitions in general mode (0 = default)")
+    ap.add_argument("--gate-fallback", action="store_true",
+                    help="re-extract gate-failed documents once through the "
+                         "alternate (legacy) kernel path")
     ap.add_argument("--validate-output", action="store_true",
                     help="after the job, verify every output file has a "
                          "valid manifest and count rows")
@@ -60,6 +63,8 @@ def main() -> int:
         overrides["extract_concurrency"] = args.concurrency
     if args.partitions:
         overrides["num_output_partitions"] = args.partitions
+    if args.gate_fallback:
+        overrides["enable_gate_fallback"] = True
     if overrides:
         cfg = replace(cfg, **overrides)
 
