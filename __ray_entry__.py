@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- text analysis (documents) ---
         "token_counts": textstats.token_counts,
         "markdown_to_txt": textstats.markdown_to_txt_docs,
+        "markdown_to_html": textstats.markdown_to_html_docs,
         "train_test_split": textstats.train_test_split,
         "shuffle_sample": textstats.shuffle_sample,
         "quality_counters": textstats.quality_counters,
@@ -164,6 +165,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 _CENTS = "CAST(ROUND(l_extendedprice*100) AS BIGINT)"
 _DISC = "CAST(ROUND(l_discount*100) AS BIGINT)"
+
+
+def _md_html_expr() -> str:
+    """The K2 regex chain as nested DuckDB regexp_replace (same pass
+    order as kernels/textnorm.py:markdown_to_html)."""
+    expr = "text"
+    for i in range(6, 0, -1):
+        expr = (rf"regexp_replace({expr}, '(?m)^{'#' * i}\s(.*)$', "
+                rf"'<h{i}>\1</h{i}>', 'g')")
+    expr = rf"regexp_replace({expr}, '\*\*(.+?)\*\*', '<strong>\1</strong>', 'g')"
+    expr = rf"regexp_replace({expr}, '\*(.+?)\*', '<em>\1</em>', 'g')"
+    link_repl = '<a href="\\2">\\1</a>'
+    expr = (rf"regexp_replace({expr}, '\[(.+?)\]\((.+?)\)', "
+            f"'{link_repl}', 'g')")
+    return expr
+
+
+_MD_HTML_ORACLE = f"""
+    SELECT doc_id, {_md_html_expr()} AS html
+    FROM documents ORDER BY doc_id"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -330,6 +351,7 @@ def oracle_sql() -> dict[str, str]:
                        '\*(.+?)\*', '\1', 'g'),
                        '\[(.+?)\]\(.+?\)', '\1', 'g') AS plain_text
             FROM documents ORDER BY doc_id""",
+        "markdown_to_html": _MD_HTML_ORACLE,
         "media_meta": """
             SELECT doc_id,
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -37,8 +37,11 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # number includes the checkpointed parquet write + manifests.
 BENCH_QUERIES = [
     "pricing_summary",
+    "filter_project",
+    "distinct_flags",
     "revenue_by_nation",
     "top_orders",
+    "top_events",
     "customer_order_stats",
     "brand_volume",
     "hourly_event_stats",
@@ -47,6 +50,7 @@ BENCH_QUERIES = [
     "events_with_prev",
     "dedup_exact",
     "minhash_clusters",
+    "simhash_signatures",
     "simhash_neardups",
     "ngram_jaccard",
     "embedding_neardups",
@@ -58,6 +62,7 @@ BENCH_QUERIES = [
     "ann_ivf_topk",
     "token_counts",
     "markdown_to_txt",
+    "markdown_to_html",
     "train_test_split",
     "shuffle_sample",
     "quality_counters",

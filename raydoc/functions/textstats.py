@@ -116,6 +116,24 @@ def markdown_to_txt_docs(sf_dir: str) -> pa.Table:
         "doc_id")
 
 
+def markdown_to_html_docs(sf_dir: str) -> pa.Table:
+    """(doc_id, html): the K2 markdown→HTML writer
+    (kernels/textnorm.py:markdown_to_html) applied per document."""
+    from raydoc.kernels.textnorm import markdown_to_html
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        htmls = [markdown_to_html(v or "")
+                 for v in t.column("text").to_pylist()]
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "html": pa.array(htmls, pa.large_string())})
+
+    return collect_table(ds.map_batches(fn, batch_format="pyarrow")).sort_by(
+        "doc_id")
+
+
 def train_test_split(sf_dir: str, train_hex_max: str = "c") -> pa.Table:
     """(doc_id, split): deterministic content-hash split — md5 of the text's
     first hex digit < ``train_hex_max`` ⇒ 'train' (12/16 = 75%), else

@@ -157,3 +157,26 @@ def markdown_to_txt(markdown_text: str) -> str:
     text = _MD_ITALIC.sub(r"\1", text)
     text = _MD_LINK.sub(r"\1", text)
     return text
+
+
+_MD_HTML_HEADINGS = [
+    (re.compile(rf"(?m)^{'#' * i}\s(.*)$"), rf"<h{i}>\1</h{i}>")
+    for i in range(6, 0, -1)]
+_MD_LINK_HREF = re.compile(r"\[(.+?)\]\((.+?)\)")
+
+
+def markdown_to_html(markdown_text: str) -> str:
+    """Markdown → HTML (K2, ≙ utils/formatters.py:69-71). The reference
+    delegates to the ``markdown2`` library (extras: tables +
+    fenced-code-blocks), which is not available in this environment —
+    this is a deterministic regex-chain SUBSET over the same inline
+    surface the K3 txt writer covers (headings → <hN>, bold → <strong>,
+    italic → <em>, links → <a href>), in the same pass order, and is
+    SQL-oracle-checkable. Tables and fenced code pass through verbatim."""
+    text = markdown_text
+    for pat, repl in _MD_HTML_HEADINGS:
+        text = pat.sub(repl, text)
+    text = _MD_BOLD.sub(r"<strong>\1</strong>", text)
+    text = _MD_ITALIC.sub(r"<em>\1</em>", text)
+    text = _MD_LINK_HREF.sub(r'<a href="\2">\1</a>', text)
+    return text

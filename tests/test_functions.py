@@ -44,7 +44,8 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
     "token_counts", "quality_counters", "fingerprints",
     "embedding_neardups", "ann_topk", "media_meta",
     "supplier_by_nation", "user_topk_events", "pdf_dates",
-    "markdown_to_txt", "train_test_split", "distinct_users", "html_docs",
+    "markdown_to_txt", "markdown_to_html", "train_test_split",
+    "distinct_users", "html_docs",
 ])
 def test_query_matches_oracle(ray_session, oracle, name):
     import __ray_entry__ as entrymod

@@ -76,3 +76,32 @@ def test_combined_dash_indent_regression():
     for line in result.split("\n"):
         if line.strip():
             assert line.startswith("- "), repr(line)
+
+
+def test_markdown_to_html_inline_surface():
+    """K2 subset converter: headings/bold/italic/links in the K3 pass
+    order; tables and fenced code pass through verbatim."""
+    from raydoc.kernels.textnorm import markdown_to_html
+
+    md = ("# Title\n"
+          "## Sub *section*\n"
+          "Body with **bold** and *ital* and [a link](http://x/y).\n"
+          "| a | b |\n"
+          "```\ncode **stays**\n```")
+    out = markdown_to_html(md)
+    assert "<h1>Title</h1>" in out
+    assert "<h2>Sub <em>section</em></h2>" in out
+    assert "<strong>bold</strong>" in out
+    assert "<em>ital</em>" in out
+    assert '<a href="http://x/y">a link</a>' in out
+    assert "| a | b |" in out            # tables pass through
+    # fenced code is NOT protected in the regex-chain subset: inline
+    # emphasis inside it converts like normal text (documented divergence
+    # from markdown2)
+    assert "<strong>stays</strong>" in out
+
+
+def test_markdown_to_html_no_false_heading_match():
+    from raydoc.kernels.textnorm import markdown_to_html
+    assert markdown_to_html("a # not heading") == "a # not heading"
+    assert markdown_to_html("####### seven") == "####### seven"
