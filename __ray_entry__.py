@@ -108,8 +108,8 @@ def _embedding_neardup_pairs(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from raydoc.functions import dedup, multimodal, relational, similarity
-    from raydoc.functions import sketches, textstats, windows
+    from raydoc.functions import dedup, export, multimodal, relational
+    from raydoc.functions import similarity, sketches, textstats, windows
 
     return {
         # --- relational core (SURVEY.md §2.6/§2.7 analogs) ---
@@ -144,6 +144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": textstats.token_counts,
         "markdown_to_txt": textstats.markdown_to_txt_docs,
         "markdown_to_html": textstats.markdown_to_html_docs,
+        "docx_meta": export.docx_meta,
         "train_test_split": textstats.train_test_split,
         "shuffle_sample": textstats.shuffle_sample,
         "quality_counters": textstats.quality_counters,

@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "token_counts",
     "markdown_to_txt",
     "markdown_to_html",
+    "docx_meta",
     "train_test_split",
     "shuffle_sample",
     "quality_counters",
@@ -144,7 +145,15 @@ def run_headline(transcripts_dir: str, out_dir: str,
     from dataclasses import replace
     from raydoc.config import DEFAULT_CONFIG
     from raydoc.pipelines.extract_pipeline import run_job
-    cfg = replace(DEFAULT_CONFIG, assume_conv_aligned=(mode == "aligned"))
+    overrides: dict = {"assume_conv_aligned": mode == "aligned"}
+    # experiment knobs for the scaling investigation (BASELINE.md)
+    if os.environ.get("RAYDOC_SHUFFLE_FINENESS"):
+        overrides["shuffle_fineness"] = int(os.environ["RAYDOC_SHUFFLE_FINENESS"])
+    if os.environ.get("RAYDOC_EXTRACT_CONCURRENCY"):
+        overrides["extract_concurrency"] = int(os.environ["RAYDOC_EXTRACT_CONCURRENCY"])
+    if os.environ.get("RAYDOC_OUTPUT_PARTITIONS"):
+        overrides["num_output_partitions"] = int(os.environ["RAYDOC_OUTPUT_PARTITIONS"])
+    cfg = replace(DEFAULT_CONFIG, **overrides)
     shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.perf_counter()
     report = run_job(transcripts_dir, out_dir, cfg=cfg, resume=False)

@@ -294,7 +294,34 @@ def run_job(input_path: str, out_dir: str,
     report["rows_written"] = total_rows
     report["wall_sec"] = round(wall, 3)
     report["turns_per_sec"] = round(total_rows / wall, 2) if wall > 0 else None
+    _append_history(out_dir, report)
     return report
+
+
+HISTORY_LIMIT = 10
+
+
+def _append_history(out_dir: str, report: dict[str, Any]) -> None:
+    """O6 usage-history sink (≙ the reference's session history keeping the
+    last 10 entries, app.py history limit): append this job's report to
+    ``_history.json`` in the output dir, capped at HISTORY_LIMIT entries.
+    Atomic tmp+rename; best-effort (history must never fail a job)."""
+    import json
+    path = os.path.join(out_dir, "_history.json")
+    try:
+        try:
+            with open(path) as fh:
+                history = json.load(fh)
+        except (OSError, ValueError):
+            history = []
+        history.append(report)
+        history = history[-HISTORY_LIMIT:]
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(history, fh, indent=1, default=str)
+        os.replace(tmp, path)
+    except OSError:
+        pass
 
 
 def run_job_aligned(input_path: str, out_dir: str,
@@ -357,4 +384,5 @@ def run_job_aligned(input_path: str, out_dir: str,
                               for m in failed[:20]]
     report["wall_sec"] = round(wall, 3)
     report["turns_per_sec"] = round(total_rows / wall, 2) if wall > 0 else None
+    _append_history(out_dir, report)
     return report

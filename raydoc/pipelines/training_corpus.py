@@ -103,15 +103,22 @@ def build_training_corpus(transcripts_path: str, out_dir: str,
     os.makedirs(out_dir, exist_ok=True)
     ds.write_parquet(out_dir, partition_cols=["split"])
 
-    import pyarrow.dataset as pads
-    written = pads.dataset(out_dir, partitioning="hive").to_table(
-        columns=["split"])
-    splits = written.column("split").to_pylist()
-    stats = {
-        "rows": len(splits),
-        "train_rows": sum(1 for s in splits if s == "train"),
-        "test_rows": sum(1 for s in splits if s == "test"),
+    # split sizes from parquet FOOTER metadata only (num_rows per file) —
+    # no row data is re-read on the driver
+    import glob
+
+    import pyarrow.parquet as pq
+
+    def _rows(split: str) -> int:
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in
+                   glob.glob(os.path.join(out_dir, f"split={split}",
+                                          "*.parquet")))
+
+    train_rows, test_rows = _rows("train"), _rows("test")
+    return {
+        "rows": train_rows + test_rows,
+        "train_rows": train_rows,
+        "test_rows": test_rows,
         "out_dir": out_dir,
         "config_hash": mstate.config_fingerprint(cfg),
     }
-    return stats

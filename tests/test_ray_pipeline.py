@@ -347,3 +347,28 @@ def test_aligned_nested_layout_no_basename_collision(ray_session, tmp_path):
 
     r2 = run_job(str(in_dir), out_dir, cfg=cfg, resume=True)
     assert r2["files_skipped"] == 2 and r2["files_written"] == 0
+
+
+def test_job_history_sink_caps_at_ten(ray_session, tmp_path):
+    """O6 usage-history sink: every completed job appends its report to
+    _history.json in the output dir, capped at the last 10 entries."""
+    import json as _json
+    from dataclasses import replace
+
+    from raydoc.config import DEFAULT_CONFIG
+    from raydoc.pipelines.extract_pipeline import run_job
+
+    in_dir = tmp_path / "shards"
+    in_dir.mkdir()
+    tgen.write_transcripts_parquet(str(in_dir / "s.parquet"), n_convs=3,
+                                   seed=FIXTURE_SEED, min_turns=1,
+                                   max_turns=3)
+    out = str(tmp_path / "out")
+    cfg = replace(DEFAULT_CONFIG, assume_conv_aligned=True,
+                  extract_concurrency=2)
+    for i in range(12):
+        run_job(str(in_dir), out, cfg=cfg, resume=False)
+    with open(os.path.join(out, "_history.json")) as fh:
+        history = _json.load(fh)
+    assert len(history) == 10
+    assert all(h["rows_written"] > 0 for h in history)
