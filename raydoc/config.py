@@ -67,8 +67,10 @@ class PipelineConfig:
     num_output_partitions: int = 32
     # document-stage shuffle buckets = num_output_partitions × fineness;
     # finer than the checkpoint unit so reduce parallelism and straggler
-    # mitigation don't depend on the (coarse) resume granularity
-    shuffle_fineness: int = 4
+    # mitigation don't depend on the (coarse) resume granularity.
+    # 8 measured best at 16-32 CPUs (BASELINE.md round-2 A/B: +6-12% over 4
+    # at 16 CPUs, ~flat at 4 CPUs).
+    shuffle_fineness: int = 8
     # Partitioning assumption enabling shuffle elision: every conversation's
     # turns live in ONE input file (transcript corpora are typically written
     # per conversation range). When True the job uses the fused per-file

@@ -357,12 +357,29 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.4, k: int = 3,
     if not candidates:
         return empty
 
-    # Distributed exact verify: candidate pairs become a Dataset and pick
-    # up each side's text via a bucketed hash join against the documents
-    # table — the corpus text NEVER lands on the driver or in a broadcast
-    # dict. Only the candidate-pair set (the LSH regime's small output) is
-    # driver-side; per-batch shingle sets are memoized by doc id.
-    from raydoc.functions.joins import bucket_hash_join
+    # Distributed exact verify via CANDIDATE-TEXT semi-join: the corpus is
+    # scanned ONCE with a distributed filter keeping only docs that appear
+    # in some candidate pair; only those texts (bounded by the LSH regime's
+    # small candidate set — the documented invariant here) come back and
+    # are broadcast to the verify stage. The full corpus text never lands
+    # on the driver. If candidates ever outgrow memory, chunk the pair set
+    # and repeat the semi-join per chunk — same shape.
+    import ray
+
+    cand_ids = sorted({x for p in candidates for x in p})
+    ids_ref = ray.put(frozenset(cand_ids))
+
+    def keep_candidates(t: pa.Table) -> pa.Table:
+        wanted = ray.get(ids_ref)
+        import pyarrow.compute as pc
+        mask = pa.array([i in wanted for i in t.column(id_col).to_pylist()],
+                        pa.bool_())
+        return t.filter(mask)
+
+    small = collect_table(ds.map_batches(keep_candidates,
+                                         batch_format="pyarrow"))
+    texts_ref = ray.put(dict(zip(small.column(id_col).to_pylist(),
+                                 small.column("text").to_pylist())))
 
     pairs_sorted = sorted(candidates)
     pairs_ds = rd.from_arrow(pa.table({
@@ -370,33 +387,20 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.4, k: int = 3,
         "b": pa.array([p[1] for p in pairs_sorted], pa.int64()),
     }))
 
-    def _side(name: str):
-        def fn(t: pa.Table) -> pa.Table:
-            return pa.table({name: t.column(id_col),
-                             f"text_{name}": t.column("text")})
-        return fn
-
-    docs_a = ds.map_batches(_side("a"), batch_format="pyarrow")
-    docs_b = ds.map_batches(_side("b"), batch_format="pyarrow")
-    with_a = bucket_hash_join(pairs_ds, docs_a, key="a", num_buckets=16)
-    with_b = bucket_hash_join(with_a, docs_b, key="b", num_buckets=16)
-
     def verify(t: pa.Table) -> pa.Table:
+        texts = ray.get(texts_ref)
         memo: dict[int, set] = {}
 
-        def sh(i: int, text: str) -> set:
+        def sh(i: int) -> set:
             s = memo.get(i)
             if s is None:
-                s = set(_shingles(text or "", k))
+                s = set(_shingles(texts.get(i) or "", k))
                 memo[i] = s
             return s
 
         a_out, b_out, j_out = [], [], []
-        for a, b, ta, tb in zip(t.column("a").to_pylist(),
-                                t.column("b").to_pylist(),
-                                t.column("text_a").to_pylist(),
-                                t.column("text_b").to_pylist()):
-            sa, sb = sh(a, ta), sh(b, tb)
+        for a, b in zip(t.column("a").to_pylist(), t.column("b").to_pylist()):
+            sa, sb = sh(a), sh(b)
             union = len(sa | sb)
             j = len(sa & sb) / union if union else 0.0
             if j >= threshold:
@@ -407,7 +411,7 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.4, k: int = 3,
                          "b": pa.array(b_out, pa.int64()),
                          "jaccard": pa.array(j_out, pa.float64())})
 
-    out = collect_table(with_b.map_batches(verify, batch_format="pyarrow"))
+    out = collect_table(pairs_ds.map_batches(verify, batch_format="pyarrow"))
     if out.num_rows == 0:
         return empty
     return out.sort_by([("a", "ascending"), ("b", "ascending")])

@@ -145,20 +145,29 @@ def q_revenue_by_nation(sf_dir: str) -> pa.Table:
                             "n_name": t["n_name"]}),
         batch_format="pyarrow")
 
+    # map-side pre-aggregation: lineitem collapses to one partial row per
+    # (batch, orderkey) BEFORE the join, so the bucket shuffle moves ~1/4
+    # of the rows (exact: sum/count are order-insensitive on integer cents)
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_extendedprice", "l_discount"])
-    joined = bucket_hash_join(li, order_nation, key="l_orderkey",
-                              num_buckets=32)
 
-    def prep(t: pa.Table) -> pa.Table:
+    def li_partial(t: pa.Table) -> pa.Table:
         price_c = _cents(t["l_extendedprice"])
         disc_pct = pc.cast(pc.round(pc.multiply(t["l_discount"], pa.scalar(100.0))), pa.int64())
         rev = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_pct))
-        return pa.table({"n_name": t["n_name"], "rev_c100": rev})
+        g = pa.table({"l_orderkey": t["l_orderkey"], "rev_c100": rev}) \
+            .group_by("l_orderkey").aggregate([("rev_c100", "sum"),
+                                               ("rev_c100", "count")])
+        return pa.table({"l_orderkey": g["l_orderkey"],
+                         "rev_c100": g["rev_c100_sum"],
+                         "li_count": g["rev_c100_count"]})
 
-    out = partial_groupby(joined.map_batches(prep, batch_format="pyarrow"),
-                          ["n_name"], {"revenue_c100": ("rev_c100", "sum"),
-                                       "n_items": ("rev_c100", "count")})
+    li_part = li.map_batches(li_partial, batch_format="pyarrow")
+    joined = bucket_hash_join(li_part, order_nation, key="l_orderkey",
+                              num_buckets=32)
+    out = partial_groupby(joined, ["n_name"],
+                          {"revenue_c100": ("rev_c100", "sum"),
+                           "n_items": ("li_count", "sum")})
     t = collect_table(out).sort_by("n_name")
     return pa.table({
         "n_name": t["n_name"],
