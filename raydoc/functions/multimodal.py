@@ -263,3 +263,44 @@ def audio_feature_pipeline(ds: rd.Dataset, concurrency=None,
                           batch_size=batch_size,
                           concurrency=concurrency or _pool_size(),
                           num_cpus=1)
+
+
+def export_media(ds: rd.Dataset, out_dir: str,
+                 concurrency: int | None = None) -> int:
+    """K8 extracted-media sink (≙ the reference's extracted-image file sink,
+    app.py:94-119): write each media payload to ``out_dir/<media_id>.bin``
+    from WORKER tasks (atomic tmp+rename; bytes never visit the driver),
+    stamp a ``_media_manifest.json`` with count + total bytes, return the
+    number of files written. Expects (media_id, payload) columns."""
+    import json
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_batch(t: pa.Table) -> pa.Table:
+        n, total = 0, 0
+        for mid, payload in zip(t.column("media_id").to_pylist(),
+                                t.column("payload").to_pylist()):
+            path = os.path.join(out_dir, f"{mid}.bin")
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as fh:
+                fh.write(payload or b"")
+            os.replace(tmp, path)
+            n += 1
+            total += len(payload or b"")
+        return pa.table({"files": pa.array([n], pa.int64()),
+                         "bytes": pa.array([total], pa.int64())})
+
+    from raydoc.functions._collect import collect_table
+    counts = collect_table(ds.map_batches(
+        write_batch, batch_format="pyarrow", batch_size=64,
+        concurrency=concurrency))
+    import pyarrow.compute as pc
+    files = pc.sum(counts.column("files")).as_py() or 0
+    total = pc.sum(counts.column("bytes")).as_py() or 0
+    manifest = {"files": files, "bytes": total}
+    tmp = os.path.join(out_dir, "_media_manifest.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, os.path.join(out_dir, "_media_manifest.json"))
+    return files

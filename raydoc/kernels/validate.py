@@ -117,9 +117,12 @@ _HALLUCINATION_ONE = re.compile(
 # memchr-speed pre-filter before the expensive alternation scan
 _HALLUCINATION_LITERALS = ("based on", "as shown", "as seen", "as visible",
                            "it appears", "it seems", "i can see",
-                           "i can observe", "image", "document",
+                           "i can observe", "shows",
                            "looking at", "from what i can", "this appears",
                            "this seems")
+# NOTE: pattern 5 is "the (image|document) shows" — its literal is "shows",
+# not "image"/"document" (those appear in EVERY doc's frontmatter, which
+# made the pre-filter a no-op and ran the full alternation scan per doc).
 
 
 def _check_hallucinations(text: str, issues: list[dict[str, Any]]) -> None:

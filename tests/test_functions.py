@@ -220,3 +220,29 @@ def test_reduce_bucket_count_scales_with_cluster(ray_session):
     from raydoc.functions._buckets import reduce_bucket_count
     n = reduce_bucket_count()
     assert n >= 64 and (n & (n - 1)) == 0   # power of two, >= floor
+
+
+def test_export_media_sink(ray_session, tmp_path):
+    """K8 media sink: payloads written by workers, manifest stamped."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raydoc.functions.multimodal import export_media
+
+    payloads = [b"RAWDIM:8x6;" + bytes(range(48)), b"", b"\x00\xff" * 10]
+    ds = rd.from_arrow(pa.table({
+        "media_id": pa.array(["m1", "m2", "m3"]),
+        "payload": pa.array(payloads, pa.binary()),
+    }))
+    out = str(tmp_path / "media")
+    n = export_media(ds, out)
+    assert n == 3
+    for mid, data in zip(("m1", "m2", "m3"), payloads):
+        with open(os.path.join(out, f"{mid}.bin"), "rb") as fh:
+            assert fh.read() == data
+    with open(os.path.join(out, "_media_manifest.json")) as fh:
+        m = json.load(fh)
+    assert m["files"] == 3 and m["bytes"] == sum(len(p) for p in payloads)
