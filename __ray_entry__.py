@@ -100,6 +100,11 @@ def _normalize_documents(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def _asof_last_view(sf_dir: str):
+    from raydoc.functions.asof import q_asof_last_view
+    return q_asof_last_view(sf_dir)
+
+
 def _embedding_neardup_pairs(sf_dir: str):
     # τ=0.4 so the oracle verifies a NON-EMPTY pair set on the driver's
     # synthetic embeddings (τ=0.8 matches zero pairs at every sf — vacuous)
@@ -129,6 +134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_event_stats": windows.sliding_event_stats,
         "sessionize": windows.sessionize,
         "events_with_prev": windows.events_with_prev,
+        "asof_last_view": _asof_last_view,
         # --- dedup family (documents) ---
         "dedup_exact": dedup.exact_dedup,
         "minhash_clusters": dedup.minhash_lsh_clusters,
@@ -299,6 +305,17 @@ def oracle_sql() -> dict[str, str]:
                    lag(event_id) OVER (PARTITION BY user_id
                                        ORDER BY ts, event_id) AS prev_event_id
             FROM events ORDER BY event_id""",
+        "asof_last_view": """
+            WITH l AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'click'),
+                 r AS (SELECT user_id, ts,
+                              CAST(MAX(event_id) AS BIGINT) AS view_id
+                       FROM events WHERE event_type = 'view'
+                       GROUP BY user_id, ts)
+            SELECT l.event_id, l.user_id, r.view_id
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+            ORDER BY l.event_id""",
         "dedup_exact": """
             SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id FROM documents
             GROUP BY md5(text) ORDER BY doc_id""",

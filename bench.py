@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "sliding_event_stats",
     "sessionize",
     "events_with_prev",
+    "asof_last_view",
     "dedup_exact",
     "minhash_clusters",
     "simhash_signatures",

@@ -1,0 +1,124 @@
+"""As-of (time-travel) join — an operator Ray Data lacks natively.
+
+``asof_join(left, right, key, ts)`` joins every left row to the latest
+right row of the same key with ``right.ts <= left.ts`` (direction
+"backward"; "forward" gives the earliest ``>=``). Semantics match DuckDB's
+``ASOF LEFT JOIN`` (the oracle for the wired query).
+
+Shape: both sides are tagged and padded under one schema, hash-bucketed on
+the key (ONE all-to-all exchange, coarse buckets sized from the cluster),
+and each bucket block — containing every row of its keys from both sides —
+is resolved with one vectorized ``pandas.merge_asof`` over the ts-sorted
+block. No per-key micro-groups; the partitioning assumption is the same as
+every keyed operator here: one bucket's rows fit in a worker.
+
+Determinism: callers must ensure at most one right row per (key, ts) —
+``merge_asof`` ties on equal ts are positional. The wired query pre-dedupes
+with a max-id partial aggregate; the same GROUP BY is in the SQL oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from raydoc.functions._buckets import reduce_bucket_count
+from raydoc.functions.joins import _key_hash
+
+
+def asof_join(left: rd.Dataset, right: rd.Dataset, key: str, ts: str,
+              direction: str = "backward",
+              num_buckets: int | None = None) -> rd.Dataset:
+    """Left as-of join; output = left columns + right's non-(key, ts)
+    columns (null where no right row qualifies)."""
+    nbuckets = num_buckets or reduce_bucket_count()
+    left_schema = left.schema()
+    right_schema = right.schema()
+    left_cols = list(left_schema.names)
+    right_only = [c for c in right_schema.names if c not in (key, ts)]
+    overlap = set(left_cols) & set(right_only)
+    if overlap:
+        raise ValueError(f"column collision in asof_join: {overlap}")
+
+    def _type(schema, name):
+        return schema.base_schema.field(name).type
+
+    all_fields = [(n, _type(left_schema, n)) for n in left_cols]
+    all_fields += [(n, _type(right_schema, n)) for n in right_only]
+    out_cols = [n for n, _ in all_fields]
+
+    def _widen(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            cols = {}
+            for name, typ in all_fields:
+                cols[name] = (batch.column(name).cast(typ)
+                              if name in batch.column_names
+                              else pa.nulls(n, typ))
+            cols["__bucket"] = pa.array(
+                _key_hash(batch.column(key).combine_chunks(), nbuckets),
+                pa.int32())
+            cols["__side"] = pa.array(np.full(n, side, dtype=np.int8))
+            return pa.table(cols)
+        return fn
+
+    tagged = left.map_batches(_widen(0), batch_format="pyarrow").union(
+        right.map_batches(_widen(1), batch_format="pyarrow"))
+
+    def _resolve(group: pd.DataFrame) -> pd.DataFrame:
+        l = group.loc[group["__side"] == 0, left_cols]
+        r = group.loc[group["__side"] == 1, [key, ts] + right_only]
+        if l.empty:
+            return pd.DataFrame({c: [] for c in out_cols})
+        if r.empty:
+            out = l.copy()
+            for c in right_only:
+                out[c] = None
+            return out[out_cols]
+        l = l.sort_values(ts, kind="stable", ignore_index=True)
+        r = r.sort_values(ts, kind="stable", ignore_index=True)
+        merged = pd.merge_asof(l, r, on=ts, by=key, direction=direction)
+        return merged[out_cols]
+
+    return tagged.groupby("__bucket").map_groups(_resolve,
+                                                 batch_format="pandas")
+
+
+def q_asof_last_view(sf_dir: str) -> pa.Table:
+    """For every 'click' event: the id of the same user's most recent
+    'view' at or before the click (null if none). Oracle: DuckDB
+    ASOF LEFT JOIN."""
+    import pyarrow.compute as pc
+
+    from raydoc.functions.agg import partial_groupby
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id", "event_type"])
+
+    def _typed(kind: str, keep_id: str):
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t["event_type"], kind))
+            return pa.table({"user_id": t["user_id"], "ts": t["ts"],
+                             keep_id: t["event_id"]})
+        return fn
+
+    clicks = ev.map_batches(_typed("click", "event_id"),
+                            batch_format="pyarrow")
+    views = ev.map_batches(_typed("view", "view_id"), batch_format="pyarrow")
+    # determinism: one right row per (user_id, ts) — keep max view_id
+    views = partial_groupby(views, ["user_id", "ts"],
+                            {"view_id": ("view_id", "max")})
+
+    joined = asof_join(clicks, views, key="user_id", ts="ts")
+    df = joined.to_pandas()
+    t = pa.table({
+        "event_id": pa.array(df["event_id"].astype("int64")),
+        "user_id": pa.array(df["user_id"].astype("int64")),
+        # unmatched clicks carry NaN → nullable int64
+        "view_id": pa.Array.from_pandas(df["view_id"].astype("Int64"),
+                                        type=pa.int64()),
+    })
+    return t.sort_by("event_id")

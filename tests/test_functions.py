@@ -39,7 +39,7 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
     "pricing_summary", "filter_project", "distinct_flags", "top_orders",
     "revenue_by_nation", "customer_order_stats", "brand_volume",
     "top_events", "hourly_event_stats", "sliding_event_stats",
-    "sessionize", "events_with_prev",
+    "sessionize", "events_with_prev", "asof_last_view",
     "dedup_exact",
     "token_counts", "quality_counters", "fingerprints",
     "embedding_neardups", "ann_topk", "media_meta",
@@ -246,3 +246,45 @@ def test_export_media_sink(ray_session, tmp_path):
     with open(os.path.join(out, "_media_manifest.json")) as fh:
         m = json.load(fh)
     assert m["files"] == 3 and m["bytes"] == sum(len(p) for p in payloads)
+
+
+def test_asof_join_generic(ray_session):
+    """Generic as-of operator: backward/forward directions, unmatched left
+    rows null-filled, column collisions rejected."""
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from raydoc.functions.asof import asof_join
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1, 2, 3], pa.int64()),
+        "t": pa.array([10, 25, 10, 5], pa.int64()),
+        "lid": pa.array(["a", "b", "c", "d"]),
+    }))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1, 2], pa.int64()),
+        "t": pa.array([8, 20, 30], pa.int64()),
+        "rv": pa.array([100, 200, 300], pa.int64()),
+    }))
+
+    back = asof_join(left, right, key="k", ts="t",
+                     num_buckets=4).to_pandas().sort_values("lid")
+    got = {r.lid: (None if r.rv != r.rv else int(r.rv))
+           for r in back.itertuples()}
+    # a: t=10, latest right <=10 for k=1 is t=8 -> 100
+    # b: t=25 -> t=20 -> 200; c: k=2 t=10, right t=30 > 10 -> null
+    # d: k=3 no right rows -> null
+    assert got == {"a": 100, "b": 200, "c": None, "d": None}
+
+    fwd = asof_join(left, right, key="k", ts="t", direction="forward",
+                    num_buckets=4).to_pandas().sort_values("lid")
+    got = {r.lid: (None if r.rv != r.rv else int(r.rv))
+           for r in fwd.itertuples()}
+    assert got == {"a": 200, "b": None, "c": 300, "d": None}
+
+    bad = rd.from_arrow(pa.table({"k": pa.array([1], pa.int64()),
+                                  "t": pa.array([1], pa.int64()),
+                                  "lid": pa.array(["x"])}))
+    with pytest.raises(ValueError):
+        asof_join(left, bad, key="k", ts="t")
