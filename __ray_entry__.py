@@ -105,6 +105,11 @@ def _asof_last_view(sf_dir: str):
     return q_asof_last_view(sf_dir)
 
 
+def _clicks_after_error(sf_dir: str):
+    from raydoc.functions.rangejoin import q_clicks_after_error
+    return q_clicks_after_error(sf_dir)
+
+
 def _embedding_neardup_pairs(sf_dir: str):
     # τ=0.4 so the oracle verifies a NON-EMPTY pair set on the driver's
     # synthetic embeddings (τ=0.8 matches zero pairs at every sf — vacuous)
@@ -135,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": windows.sessionize,
         "events_with_prev": windows.events_with_prev,
         "asof_last_view": _asof_last_view,
+        "clicks_after_error": _clicks_after_error,
         # --- dedup family (documents) ---
         "dedup_exact": dedup.exact_dedup,
         "minhash_clusters": dedup.minhash_lsh_clusters,
@@ -316,6 +322,14 @@ def oracle_sql() -> dict[str, str]:
             FROM l ASOF LEFT JOIN r
               ON l.user_id = r.user_id AND l.ts >= r.ts
             ORDER BY l.event_id""",
+        "clicks_after_error": """
+            SELECT e.event_id AS error_id, c.event_id AS click_id
+            FROM events e JOIN events c
+              ON c.user_id = e.user_id
+             AND c.ts >= e.ts
+             AND c.ts <= e.ts + INTERVAL 30 MINUTE
+            WHERE e.event_type = 'error' AND c.event_type = 'click'
+            ORDER BY error_id, click_id""",
         "dedup_exact": """
             SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id FROM documents
             GROUP BY md5(text) ORDER BY doc_id""",

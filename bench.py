@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "sessionize",
     "events_with_prev",
     "asof_last_view",
+    "clicks_after_error",
     "dedup_exact",
     "minhash_clusters",
     "simhash_signatures",

@@ -40,6 +40,7 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
     "revenue_by_nation", "customer_order_stats", "brand_volume",
     "top_events", "hourly_event_stats", "sliding_event_stats",
     "sessionize", "events_with_prev", "asof_last_view",
+    "clicks_after_error",
     "dedup_exact",
     "token_counts", "quality_counters", "fingerprints",
     "embedding_neardups", "ann_topk", "media_meta",
@@ -288,3 +289,31 @@ def test_asof_join_generic(ray_session):
                                   "lid": pa.array(["x"])}))
     with pytest.raises(ValueError):
         asof_join(left, bad, key="k", ts="t")
+
+
+def test_range_join_generic(ray_session):
+    """Granule-binned containment join: intervals spanning multiple
+    granules, inclusive bounds, per-key separation, no duplicate pairs."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raydoc.functions.rangejoin import range_join
+
+    points = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1, 1, 2], pa.int64()),
+        "ts": pa.array([5, 10, 99, 10], pa.int64()),
+        "pid": pa.array(["p1", "p2", "p3", "p4"]),
+    }))
+    intervals = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1, 2], pa.int64()),
+        "start": pa.array([0, 10, 0], pa.int64()),
+        "end": pa.array([50, 12, 9], pa.int64()),
+        "iid": pa.array(["i1", "i2", "i3"]),
+    }))
+    # granule far smaller than interval i1 (explodes into 6 granules)
+    got = range_join(points, intervals, key="k", granule_us=10,
+                     num_buckets=4).to_pandas()
+    pairs = sorted(zip(got["pid"], got["iid"]))
+    # p1(ts=5): i1 only; p2(ts=10): i1 and i2 (inclusive start);
+    # p3(ts=99): none; p4(k=2, ts=10): none (i3 ends at 9)
+    assert pairs == [("p1", "i1"), ("p2", "i1"), ("p2", "i2")]
