@@ -167,6 +167,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- sketches (cardinality) ---
         "distinct_users": sketches.distinct_users_exact,
         "distinct_users_hll": sketches.distinct_users_hll,
+        "heavy_hitter_users": sketches.heavy_hitter_users,
+        "cms_user_counts": sketches.cms_user_counts,
         # --- multimodal plumbing ---
         "media_meta": multimodal.document_media_meta,
         # --- the extraction engine itself ---
@@ -279,6 +281,9 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users": """
             SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
             FROM events""",
+        "heavy_hitter_users": """
+            SELECT user_id, COUNT(*) AS n_events FROM events
+            GROUP BY user_id HAVING COUNT(*) >= 70 ORDER BY user_id""",
         "pdf_dates": """
             SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%S') AS iso_date
             FROM events ORDER BY event_id""",

@@ -75,6 +75,8 @@ BENCH_QUERIES = [
     "html_docs",
     "distinct_users",
     "distinct_users_hll",
+    "heavy_hitter_users",
+    "cms_user_counts",
     "media_meta",
     "normalize_markdown",
 ]

@@ -104,3 +104,85 @@ def distinct_users_hll(sf_dir: str) -> pa.Table:
         regs = hll_merge(regs, np.frombuffer(blob, dtype=np.uint8))
     return pa.table({"n_users_estimate": pa.array([round(hll_estimate(regs))],
                                                   pa.int64())})
+
+
+# --- Count-Min sketch + heavy hitters ---------------------------------------
+
+_CMS_D = 4
+_CMS_W = 1 << 13               # 8192 counters per row -> 256 KB int64 sketch
+_CMS_SALTS = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+                       0x165667B19E3779F9, 0x27D4EB2F165667C5],
+                      dtype=np.uint64)
+
+
+def _cms_buckets(keys: np.ndarray) -> np.ndarray:
+    """(D, n) bucket indices via a splitmix64-style scramble per row."""
+    k = keys.astype(np.uint64)
+    out = np.empty((_CMS_D, len(k)), dtype=np.int64)
+    for d in range(_CMS_D):
+        v = k ^ _CMS_SALTS[d]
+        v = (v ^ (v >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        v = (v ^ (v >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        out[d] = ((v ^ (v >> np.uint64(31))) % np.uint64(_CMS_W)).astype(np.int64)
+    return out
+
+
+def cms_user_counts(sf_dir: str, k: int = 20, local_k: int = 64) -> pa.Table:
+    """Approximate top-k user event counts via Count-Min: each batch folds
+    its counts into a fixed (D, W) counter matrix (a ~256 KB partial —
+    never a per-key row) plus its ``local_k`` locally-heaviest keys as
+    candidates. Sketches merge by elementwise SUM (associative ⇒ any
+    topology), candidates by union; final estimates = min over rows at the
+    candidate's buckets. Guarantees estimate ≥ true count (one-sided);
+    heavy keys are always local-top in some batch at this skew, but
+    formally recall < 1 — the exact twin is ``heavy_hitter_users``."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        uids, counts = np.unique(
+            t.column("user_id").to_numpy(zero_copy_only=False),
+            return_counts=True)
+        sketch = np.zeros((_CMS_D, _CMS_W), dtype=np.int64)
+        if len(uids):
+            b = _cms_buckets(uids)
+            for d in range(_CMS_D):
+                np.add.at(sketch[d], b[d], counts)
+        top = np.argsort(-counts)[:local_k]
+        return pa.table({
+            "sketch": pa.array([sketch.tobytes()], pa.binary()),
+            "candidates": pa.array([uids[top].astype(np.int64).tolist()],
+                                   pa.list_(pa.int64())),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    sketch = np.zeros((_CMS_D, _CMS_W), dtype=np.int64)
+    cands: set[int] = set()
+    for blob, cl in zip(parts["sketch"], parts["candidates"]):
+        sketch += np.frombuffer(blob, dtype=np.int64).reshape(_CMS_D, _CMS_W)
+        cands.update(int(c) for c in cl)
+    if not cands:
+        return pa.table({"user_id": pa.array([], pa.int64()),
+                         "est_count": pa.array([], pa.int64())})
+    cand_arr = np.array(sorted(cands), dtype=np.int64)
+    b = _cms_buckets(cand_arr)
+    est = np.min(np.stack([sketch[d][b[d]] for d in range(_CMS_D)]), axis=0)
+    order = np.lexsort((cand_arr, -est))[:k]
+    return pa.table({"user_id": pa.array(cand_arr[order], pa.int64()),
+                     "est_count": pa.array(est[order], pa.int64())})
+
+
+def heavy_hitter_users(sf_dir: str, threshold: int = 70) -> pa.Table:
+    """EXACT heavy hitters (users with ≥ ``threshold`` events): per-batch
+    combiner counts → one small groupby of partials → filter. The
+    SQL-oracle twin of the Count-Min path."""
+    import pyarrow.compute as pc
+
+    from raydoc.functions._collect import collect_table
+    from raydoc.functions.agg import partial_groupby
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    counts = partial_groupby(ds, ["user_id"],
+                             {"n_events": ("user_id", "count")})
+    t = collect_table(counts)
+    t = t.filter(pc.greater_equal(t["n_events"], threshold))
+    return t.select(["user_id", "n_events"]).sort_by("user_id")

@@ -46,7 +46,7 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
     "embedding_neardups", "ann_topk", "media_meta",
     "supplier_by_nation", "user_topk_events", "pdf_dates",
     "markdown_to_txt", "markdown_to_html", "train_test_split",
-    "distinct_users", "html_docs",
+    "distinct_users", "heavy_hitter_users", "html_docs",
 ])
 def test_query_matches_oracle(ray_session, oracle, name):
     import __ray_entry__ as entrymod
@@ -317,3 +317,19 @@ def test_range_join_generic(ray_session):
     # p1(ts=5): i1 only; p2(ts=10): i1 and i2 (inclusive start);
     # p3(ts=99): none; p4(k=2, ts=10): none (i3 ends at 9)
     assert pairs == [("p1", "i1"), ("p2", "i1"), ("p2", "i2")]
+
+
+def test_cms_estimates_bound_exact_counts(ray_session, oracle):
+    """Count-Min property: every returned estimate >= the true count
+    (one-sided error), and the true heaviest user is in the candidate set
+    with a tight estimate (width 8192 >> distinct users here)."""
+    from raydoc.functions.sketches import cms_user_counts
+
+    got = cms_user_counts(SF, k=10).to_pandas()
+    true = dict(oracle.sql(
+        "SELECT user_id, count(*) FROM events GROUP BY user_id").fetchall())
+    assert len(got) > 0
+    for r in got.itertuples():
+        assert r.est_count >= true[r.user_id]
+    top_true = max(true, key=lambda u: (true[u], -u))
+    assert top_true in set(got["user_id"])
