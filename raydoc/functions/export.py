@@ -50,12 +50,15 @@ def export_docx(sf_dir: str, out_dir: str) -> int:
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
 
+    from raydoc.kernels.docx import sanitize_filename
+
     def fn(t: pa.Table) -> pa.Table:
         n = 0
         for doc_id, text in zip(t.column("doc_id").to_pylist(),
                                 t.column("text").to_pylist()):
             data = markdown_to_docx_bytes(text or "")
-            path = os.path.join(out_dir, f"doc-{doc_id}.docx")
+            path = os.path.join(out_dir,
+                                f"doc-{sanitize_filename(str(doc_id))}.docx")
             tmp = path + ".tmp"
             with open(tmp, "wb") as fh:
                 fh.write(data)

@@ -277,11 +277,13 @@ def export_media(ds: rd.Dataset, out_dir: str,
 
     os.makedirs(out_dir, exist_ok=True)
 
+    from raydoc.kernels.docx import sanitize_filename
+
     def write_batch(t: pa.Table) -> pa.Table:
         n, total = 0, 0
         for mid, payload in zip(t.column("media_id").to_pylist(),
                                 t.column("payload").to_pylist()):
-            path = os.path.join(out_dir, f"{mid}.bin")
+            path = os.path.join(out_dir, f"{sanitize_filename(str(mid))}.bin")
             tmp = path + ".tmp"
             with open(tmp, "wb") as fh:
                 fh.write(payload or b"")

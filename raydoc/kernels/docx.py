@@ -90,3 +90,24 @@ def docx_paragraphs(docx_bytes: bytes) -> list[tuple[str | None, str]]:
             text = text.replace(ent, ch)
         out.append((sm.group(1) if sm else None, text))
     return out
+
+
+def sanitize_filename(filename: str) -> str:
+    """M17 filename sanitizer, exact semantics of the reference
+    (services/cache_manager.py:29-58): invalid chars → underscore, '$' →
+    'USD', parens/space/comma → underscore, collapse runs, strip edge
+    underscores, cap at 200 chars. Used by every file-emitting sink
+    (docx/media) so an id like '../x' can never escape the output dir."""
+    for char in '<>:"/\\|?*':
+        filename = filename.replace(char, "_")
+    filename = filename.replace("$", "USD")
+    filename = filename.replace("(", "_")
+    filename = filename.replace(")", "_")
+    filename = filename.replace(" ", "_")
+    filename = filename.replace(",", "_")
+    while "__" in filename:
+        filename = filename.replace("__", "_")
+    filename = filename.strip("_")
+    if len(filename) > 200:
+        filename = filename[:200]
+    return filename

@@ -63,3 +63,13 @@ def test_export_docx_sink(ray_session, tmp_path):
         data = fh.read()
     assert len(data) == row["n_bytes"]
     assert hashlib.sha256(data).hexdigest() == row["sha256"]
+
+
+def test_sanitize_filename_reference_semantics():
+    from raydoc.kernels.docx import sanitize_filename
+
+    assert sanitize_filename("a/b\\c:d") == "a_b_c_d"
+    assert sanitize_filename("price $5 (draft), v2?") == "price_USD5_draft_v2"
+    assert sanitize_filename("__x__") == "x"
+    assert sanitize_filename("../../etc/passwd") == ".._.._etc_passwd"
+    assert len(sanitize_filename("x" * 500)) == 200
