@@ -26,8 +26,20 @@ def _mk(seed: int, n_left: int = 2000, n_right: int = 300):
 
 
 def _canon(df: pd.DataFrame) -> list[tuple]:
+    """Sort columns+rows; numerics via float so int64 vs NaN-promoted
+    float64 columns compare equal (nulls → the same NaN token)."""
     df = df[sorted(df.columns)]
-    return sorted(tuple(str(v) for v in r) for r in df.itertuples(index=False))
+
+    def norm(v):
+        if v is None or v != v:
+            return "<null>"
+        try:
+            return repr(float(v))
+        except (TypeError, ValueError):
+            return str(v)
+
+    return sorted(tuple(norm(v) for v in r)
+                  for r in df.itertuples(index=False))
 
 
 @pytest.mark.parametrize("seed", [1, 2, 3])
@@ -59,3 +71,71 @@ def test_broadcast_join_matches_duckdb(ray_session, seed):
                          pa.Table.from_pandas(right),
                          key="k").to_pandas()
     assert _canon(got) == _canon(want)
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13])
+def test_asof_join_matches_duckdb(ray_session, seed):
+    """Random (key, ts) streams: asof_join == DuckDB ASOF LEFT JOIN.
+    Right side deduped per (key, ts) for deterministic ties."""
+    from raydoc.functions.asof import asof_join
+
+    rng = np.random.RandomState(seed)
+    left = pd.DataFrame({
+        "k": rng.randint(0, 20, 500),
+        "t": rng.randint(0, 10**6, 500).astype("int64"),
+        "lid": np.arange(500, dtype="int64"),
+    })
+    right = pd.DataFrame({
+        "k": rng.randint(0, 25, 300),
+        "t": rng.randint(0, 10**6, 300).astype("int64"),
+        "rv": np.arange(300, dtype="int64"),
+    })
+    right = right.groupby(["k", "t"], as_index=False).agg(rv=("rv", "max"))
+
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    want = con.sql("""
+        SELECT l.k, l.t, l.lid, r.rv FROM l
+        ASOF LEFT JOIN r ON l.k = r.k AND l.t >= r.t""").df()
+
+    got = asof_join(rd.from_arrow(pa.Table.from_pandas(left)),
+                    rd.from_arrow(pa.Table.from_pandas(right)),
+                    key="k", ts="t", num_buckets=8).to_pandas()
+    assert _canon(got) == _canon(want)
+
+
+@pytest.mark.parametrize("seed", [21, 22])
+def test_range_join_matches_duckdb(ray_session, seed):
+    """Random points vs random intervals: range_join == DuckDB's
+    inequality join, across granule sizes straddling interval lengths."""
+    from raydoc.functions.rangejoin import range_join
+
+    rng = np.random.RandomState(seed)
+    points = pd.DataFrame({
+        "k": rng.randint(0, 15, 400),
+        "ts": rng.randint(0, 10**5, 400).astype("int64"),
+        "pid": np.arange(400, dtype="int64"),
+    })
+    starts = rng.randint(0, 10**5, 120).astype("int64")
+    intervals = pd.DataFrame({
+        "k": rng.randint(0, 18, 120),
+        "start": starts,
+        "end": starts + rng.randint(0, 5000, 120),
+        "iid": np.arange(120, dtype="int64"),
+    })
+
+    con = duckdb.connect()
+    con.register("p", points)
+    con.register("i", intervals)
+    want = con.sql("""
+        SELECT p.k, p.ts, p.pid, i.start, i."end", i.iid
+        FROM p JOIN i ON p.k = i.k AND p.ts >= i.start
+                     AND p.ts <= i."end" """).df()
+
+    for granule in (1000, 7777):
+        got = range_join(rd.from_arrow(pa.Table.from_pandas(points)),
+                         rd.from_arrow(pa.Table.from_pandas(intervals)),
+                         key="k", granule_us=granule,
+                         num_buckets=8).to_pandas()
+        assert _canon(got) == _canon(want), f"granule={granule}"
