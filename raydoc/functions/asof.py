@@ -12,9 +12,11 @@ is resolved with one vectorized ``pandas.merge_asof`` over the ts-sorted
 block. No per-key micro-groups; the partitioning assumption is the same as
 every keyed operator here: one bucket's rows fit in a worker.
 
-Determinism: callers must ensure at most one right row per (key, ts) —
-``merge_asof`` ties on equal ts are positional. The wired query pre-dedupes
-with a max-id partial aggregate; the same GROUP BY is in the SQL oracle.
+Determinism: ``merge_asof`` ties on equal ts are positional, so either
+pass ``right_tiebreak`` (ordering columns; last wins — resolved inside the
+join block, no extra shuffle) or guarantee at most one right row per
+(key, ts). The wired query uses a max-id tiebreak; the SQL oracle's
+equivalent is a GROUP BY max.
 """
 
 from __future__ import annotations
@@ -31,9 +33,15 @@ from raydoc.functions.joins import _key_hash
 
 def asof_join(left: rd.Dataset, right: rd.Dataset, key: str, ts: str,
               direction: str = "backward",
+              right_tiebreak: list[str] | None = None,
               num_buckets: int | None = None) -> rd.Dataset:
     """Left as-of join; output = left columns + right's non-(key, ts)
-    columns (null where no right row qualifies)."""
+    columns (null where no right row qualifies).
+
+    ``right_tiebreak``: columns that order right rows sharing (key, ts) —
+    the row sorting LAST wins (backward direction), making ties
+    deterministic without a separate dedup shuffle. Without it, callers
+    must guarantee at most one right row per (key, ts)."""
     nbuckets = num_buckets or reduce_bucket_count()
     left_schema = left.schema()
     right_schema = right.schema()
@@ -79,7 +87,8 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, key: str, ts: str,
                 out[c] = None
             return out[out_cols]
         l = l.sort_values(ts, kind="stable", ignore_index=True)
-        r = r.sort_values(ts, kind="stable", ignore_index=True)
+        r = r.sort_values([ts] + (right_tiebreak or []), kind="stable",
+                          ignore_index=True)
         merged = pd.merge_asof(l, r, on=ts, by=key, direction=direction)
         return merged[out_cols]
 
@@ -92,8 +101,6 @@ def q_asof_last_view(sf_dir: str) -> pa.Table:
     'view' at or before the click (null if none). Oracle: DuckDB
     ASOF LEFT JOIN."""
     import pyarrow.compute as pc
-
-    from raydoc.functions.agg import partial_groupby
 
     ev = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["event_id", "ts", "user_id", "event_type"])
@@ -108,11 +115,10 @@ def q_asof_last_view(sf_dir: str) -> pa.Table:
     clicks = ev.map_batches(_typed("click", "event_id"),
                             batch_format="pyarrow")
     views = ev.map_batches(_typed("view", "view_id"), batch_format="pyarrow")
-    # determinism: one right row per (user_id, ts) — keep max view_id
-    views = partial_groupby(views, ["user_id", "ts"],
-                            {"view_id": ("view_id", "max")})
-
-    joined = asof_join(clicks, views, key="user_id", ts="ts")
+    # ties on (user_id, ts) resolve to max view_id INSIDE the join block
+    # (right_tiebreak) — no separate dedup shuffle
+    joined = asof_join(clicks, views, key="user_id", ts="ts",
+                       right_tiebreak=["view_id"])
     df = joined.to_pandas()
     t = pa.table({
         "event_id": pa.array(df["event_id"].astype("int64")),
