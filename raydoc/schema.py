@@ -16,6 +16,11 @@ TRANSCRIPTS_SCHEMA = pa.schema([
 # Element IR crossing the extract → document shuffle boundary. Closed field
 # set (SURVEY.md §1.2); noise/caption/footnote fields are added *after* the
 # shuffle inside the document stage, so they are not part of this schema.
+# NOTE: this is the LOGICAL schema of the boundary; the wire format is one
+# pickled blob per turn (stages/extract.py — measured 6x cheaper round-trip
+# than the Arrow struct encoding). element_to_struct/struct_to_element
+# remain the canonical normalization for any consumer that wants the IR as
+# Arrow structs.
 ELEMENT_TYPE = pa.struct([
     ("type", pa.string()),
     ("content", pa.large_string()),

@@ -18,12 +18,13 @@ import pyarrow as pa
 
 from raydoc.config import DEFAULT_CONFIG, PipelineConfig
 from raydoc.kernels.document import process_conversation
-from raydoc.schema import SPAN_TYPE, struct_to_element
+from raydoc.schema import SPAN_TYPE
 
 
 def document_group_fn(group: pa.Table,
                       cfg: PipelineConfig = DEFAULT_CONFIG) -> pa.Table:
     """One conversation in (any turn order) → per-turn extracted rows out."""
+    import pickle
     conv_id = group.column("conv_id")[0].as_py()
     turn_idxs = group.column("turn_idx").to_pylist()
     elements_col = group.column("elements").to_pylist()
@@ -32,8 +33,7 @@ def document_group_fn(group: pa.Table,
     parse_failed = group.column("parse_failed").to_pylist()
     part = group.column("part")[0].as_py()
 
-    prebuilt = [[struct_to_element(s) for s in elems] if elems else []
-                for elems in elements_col]
+    prebuilt = [pickle.loads(b) if b else [] for b in elements_col]
     stats = list(zip(was_html, strip_ratio, parse_failed))
 
     result = process_conversation(
@@ -75,11 +75,12 @@ def document_block_fn(block: pa.Table,
     Arrow↔Python boundary over ~hundreds of conversations instead of paying
     per-conversation ``map_groups`` overhead (measured ~2× of kernel time at
     6-turn conversations: 5k fn calls + 70k tiny array builds per job)."""
+    import pickle
     raw = {
         "conv_id": block.column("conv_id").to_pylist(),
         "turn_idx": block.column("turn_idx").to_pylist(),
-        "elements": [[struct_to_element(s) for s in elems] if elems else []
-                     for elems in block.column("elements").to_pylist()],
+        "elements": [pickle.loads(b) if b else []
+                     for b in block.column("elements").to_pylist()],
         "was_html": block.column("was_html").to_pylist(),
         "strip_ratio": block.column("strip_ratio").to_pylist(),
         "parse_failed": block.column("parse_failed").to_pylist(),
