@@ -32,6 +32,19 @@ def __getattr__(name):
                                   "build_training_corpus"),
         "PipelineConfig": ("raydoc.config", "PipelineConfig"),
         "DEFAULT_CONFIG": ("raydoc.config", "DEFAULT_CONFIG"),
+        # operators Ray Data lacks natively
+        "asof_join": ("raydoc.functions.asof", "asof_join"),
+        "range_join": ("raydoc.functions.rangejoin", "range_join"),
+        "broadcast_join": ("raydoc.functions.joins", "broadcast_join"),
+        "bucket_hash_join": ("raydoc.functions.joins", "bucket_hash_join"),
+        # extension surface
+        "register_text_extractor": ("raydoc.kernels.registry",
+                                    "register_text_extractor"),
+        "register_document_variant": ("raydoc.kernels.registry",
+                                      "register_document_variant"),
+        # export sinks
+        "export_docx": ("raydoc.functions.export", "export_docx"),
+        "export_media": ("raydoc.functions.multimodal", "export_media"),
     }
     if name in api:
         import importlib
