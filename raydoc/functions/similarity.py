@@ -90,12 +90,14 @@ def brute_force_topk(sf_dir: str, query_ids: list[int] | None = None,
 
 
 def lsh_topk(sf_dir: str, query_ids: list[int] | None = None, k: int = 10,
-             n_planes: int = 8, seed: int = 7) -> pa.Table:
-    """Approximate top-k via signed-random-projection buckets.
-
-    Exact within the probed bucket; documents its recall tradeoff (vectors
-    whose true neighbors hash elsewhere are missed — raise n_planes for
-    smaller buckets, lower for higher recall)."""
+             n_planes: int = 8, seed: int = 7,
+             multiprobe: int = 2) -> pa.Table:
+    """Approximate top-k via signed-random-projection buckets with
+    MULTI-PROBE: each query probes its own bucket plus the ``multiprobe``
+    buckets reached by flipping its lowest-margin hyperplane bits (the
+    bits most likely to disagree for true neighbors). Exact within probed
+    buckets; recall grows with ``multiprobe`` and falls with ``n_planes``
+    (smaller buckets)."""
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
     query_ids = query_ids if query_ids is not None else [0, 1, 2, 3, 4]
@@ -116,11 +118,19 @@ def lsh_topk(sf_dir: str, query_ids: list[int] | None = None, k: int = 10,
 
     bucketed = ds.map_batches(bucketize, batch_format="pyarrow")
 
-    q_signs = (q @ planes.T) > 0
+    q_proj = q @ planes.T                        # (Q, n_planes) margins
+    q_signs = q_proj > 0
     q_buckets = (q_signs * (1 << np.arange(n_planes))).sum(axis=1)
     by_bucket: dict[int, list[int]] = {}
     for qi, b in enumerate(q_buckets):
-        by_bucket.setdefault(int(b), []).append(qi)
+        probes = {int(b)}
+        # flip the lowest-|margin| bits — the planes this query is closest
+        # to, i.e. where a true neighbor most plausibly lands on the other
+        # side
+        for bit in np.argsort(np.abs(q_proj[qi]))[:multiprobe]:
+            probes.add(int(b) ^ (1 << int(bit)))
+        for pb in probes:
+            by_bucket.setdefault(pb, []).append(qi)
     q_by_bucket_ref = ray.put({
         b: (q_ids[rows], q[rows]) for b, rows in by_bucket.items()})
 

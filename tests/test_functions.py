@@ -333,3 +333,20 @@ def test_cms_estimates_bound_exact_counts(ray_session, oracle):
         assert r.est_count >= true[r.user_id]
     top_true = max(true, key=lambda u: (true[u], -u))
     assert top_true in set(got["user_id"])
+
+
+def test_lsh_multiprobe_improves_recall(ray_session):
+    """Multi-probe LSH: probing low-margin bit-flip buckets can only add
+    candidates — recall vs brute force is monotone in `multiprobe`."""
+    from raydoc.functions.similarity import brute_force_topk, lsh_topk
+
+    brute = {(r["query_id"], r["vec_id"])
+             for r in brute_force_topk(SF).to_pylist()}
+
+    def recall(mp):
+        got = {(r["query_id"], r["vec_id"])
+               for r in lsh_topk(SF, multiprobe=mp).to_pylist()}
+        return len(got & brute) / len(brute)
+
+    r0, r2, r4 = recall(0), recall(2), recall(4)
+    assert r0 <= r2 <= r4

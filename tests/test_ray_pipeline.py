@@ -372,3 +372,26 @@ def test_job_history_sink_caps_at_ten(ray_session, tmp_path):
         history = _json.load(fh)
     assert len(history) == 10
     assert all(h["rows_written"] > 0 for h in history)
+
+
+def test_csv_source(ray_session, tmp_path):
+    """Source-format dispatch: the same pipeline over a CSV corpus."""
+    import csv as _csv
+
+    table = tgen.generate_transcripts(n_convs=3, seed=FIXTURE_SEED,
+                                      min_turns=2, max_turns=4)
+    path = tmp_path / "transcripts.csv"
+    rows_in = table.select(["conv_id", "turn_idx", "text"]).to_pylist()
+    with open(path, "w", newline="") as fh:
+        w = _csv.DictWriter(fh, fieldnames=["conv_id", "turn_idx", "text"])
+        w.writeheader()
+        for row in rows_in:
+            # keep the CSV payload newline-free (csv quoting handles commas)
+            row = dict(row, text=row["text"].replace("\n", " "))
+            w.writerow(row)
+
+    from raydoc.pipelines.extract_pipeline import extract_dataset
+
+    rows = extract_dataset(str(path)).take_all()
+    assert len(rows) == table.num_rows
+    assert {r["conv_id"] for r in rows} == {r["conv_id"] for r in rows_in}
