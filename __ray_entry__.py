@@ -160,6 +160,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_test_split": textstats.train_test_split,
         "shuffle_sample": textstats.shuffle_sample,
         "quality_counters": textstats.quality_counters,
+        "gopher_quality": textstats.gopher_quality,
+        "ngram_logprob": textstats.ngram_logprob,
         "fingerprints": textstats.fingerprints,
         "language_id": textstats.language_id,
         "validate_docs": textstats.validate_docs,
@@ -355,6 +357,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
             FROM documents ORDER BY doc_id""",
+        "gopher_quality": r"""
+            WITH m AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                       END AS n_words,
+                       CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS n_nonws_chars,
+                       CAST(len(regexp_extract_all(text, '[#@\^~\\|<>{}\[\]]')) AS BIGINT) AS n_symbols,
+                       CAST(len(regexp_extract_all(text, '(?m)^[-*•]')) AS BIGINT) AS n_bullet_lines,
+                       CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines
+                FROM documents)
+            SELECT doc_id, n_words, n_nonws_chars, n_symbols,
+                   n_bullet_lines, n_lines,
+                   (n_words >= 50 AND 3*n_words <= n_nonws_chars
+                    AND n_nonws_chars <= 10*n_words
+                    AND 10*n_symbols < n_words
+                    AND 10*n_bullet_lines < 9*n_lines) AS quality_ok
+            FROM m ORDER BY doc_id""",
         "embedding_neardups": """
             SELECT a.vec_id AS a, b.vec_id AS b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

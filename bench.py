@@ -69,6 +69,8 @@ BENCH_QUERIES = [
     "train_test_split",
     "shuffle_sample",
     "quality_counters",
+    "gopher_quality",
+    "ngram_logprob",
     "fingerprints",
     "language_id",
     "validate_docs",

@@ -210,3 +210,112 @@ def html_docs(sf_dir: str) -> pa.Table:
 
     return collect_table(ds.map_batches(fn, batch_format="pyarrow")).sort_by(
         "doc_id")
+
+
+def ngram_logprob(sf_dir: str, n: int = 3) -> pa.Table:
+    """(doc_id, logprob): per-doc mean char-n-gram log-probability under a
+    model TRAINED ON THE CORPUS ITSELF — the classic LM-based quality
+    filter (low scores ⇒ garbled/unnatural text).
+
+    Two Ray passes, both scale-shaped: (1) per-batch n-gram Counter
+    partials → combiner groupby → the (small: bounded by |charset|^n seen)
+    count table collects and becomes a broadcast log-prob map with add-one
+    smoothing; (2) one vectorized scoring map over the corpus. The model
+    never exceeds the seen-vocabulary size; document text never leaves its
+    batch."""
+    import math
+
+    import ray
+
+    from raydoc.functions.agg import partial_groupby
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def grams(text: str):
+        s = _WS_RUN.sub(" ", (text or "").lower())
+        return (s[i:i + n] for i in range(len(s) - n + 1))
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+        c: Counter = Counter()
+        for v in t.column("text").to_pylist():
+            c.update(grams(v))
+        ks = list(c.keys())
+        return pa.table({"gram": pa.array(ks, pa.string()),
+                         "cnt": pa.array([c[k] for k in ks], pa.int64())})
+
+    counts = partial_groupby(ds.map_batches(count_partial,
+                                            batch_format="pyarrow"),
+                             ["gram"], {"cnt": ("cnt", "sum")})
+    model_t = collect_table(counts)
+    total = sum(model_t.column("cnt").to_pylist())
+    vocab = model_t.num_rows
+    denom = math.log(total + vocab)
+    logp = {g: math.log(c + 1) - denom
+            for g, c in zip(model_t.column("gram").to_pylist(),
+                            model_t.column("cnt").to_pylist())}
+    unseen = math.log(1) - denom
+    model_ref = ray.put((logp, unseen))
+
+    def score(t: pa.Table) -> pa.Table:
+        mdl, uns = ray.get(model_ref)
+        out = []
+        for v in t.column("text").to_pylist():
+            gs = list(grams(v))
+            if not gs:
+                out.append(0.0)
+                continue
+            out.append(round(sum(mdl.get(g, uns) for g in gs) / len(gs), 6))
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "logprob": pa.array(out, pa.float64())})
+
+    return collect_table(ds.map_batches(score, batch_format="pyarrow")).sort_by(
+        "doc_id")
+
+
+_SYMBOLS = re.compile(r"[#@\^~\\|<>{}\[\]]")
+_BULLET_LINE = re.compile(r"^[-*•]", re.MULTILINE)
+
+
+def gopher_quality(sf_dir: str) -> pa.Table:
+    """Gopher-style per-doc quality signals (Rae et al. 2021 §A1.1 rules,
+    the subset expressible both here and in the SQL oracle). ALL-INTEGER
+    outputs + the combined gate, with the ratio thresholds evaluated as
+    exact integer comparisons (3 ≤ mean word length ≤ 10 ⇔
+    3·n_words ≤ n_nonws_chars ≤ 10·n_words; symbol ratio < 0.1 ⇔
+    10·n_symbols < n_words; bullet-line ratio < 0.9 ⇔
+    10·n_bullet_lines < 9·n_lines; n_words ≥ 50) so the oracle hashes
+    bit-identically — no float rounding-mode hazards."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        nw_o, nc_o, sym_o, bl_o, nl_o, ok_o = [], [], [], [], [], []
+        for v in t.column("text").to_pylist():
+            text = v or ""
+            words = _TOKEN.findall(text)
+            nw = len(words)
+            nonws = sum(len(w) for w in words)
+            sym = len(_SYMBOLS.findall(text))
+            nl = len(text.split("\n"))
+            bl = len(_BULLET_LINE.findall(text))
+            nw_o.append(nw)
+            nc_o.append(nonws)
+            sym_o.append(sym)
+            bl_o.append(bl)
+            nl_o.append(nl)
+            ok_o.append(nw >= 50 and 3 * nw <= nonws <= 10 * nw
+                        and 10 * sym < nw and 10 * bl < 9 * nl)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_words": pa.array(nw_o, pa.int64()),
+            "n_nonws_chars": pa.array(nc_o, pa.int64()),
+            "n_symbols": pa.array(sym_o, pa.int64()),
+            "n_bullet_lines": pa.array(bl_o, pa.int64()),
+            "n_lines": pa.array(nl_o, pa.int64()),
+            "quality_ok": pa.array(ok_o, pa.bool_()),
+        })
+
+    return collect_table(ds.map_batches(fn, batch_format="pyarrow")).sort_by(
+        "doc_id")

@@ -42,7 +42,7 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
     "sessionize", "events_with_prev", "asof_last_view",
     "clicks_after_error",
     "dedup_exact",
-    "token_counts", "quality_counters", "fingerprints",
+    "token_counts", "quality_counters", "gopher_quality", "fingerprints",
     "embedding_neardups", "ann_topk", "media_meta",
     "supplier_by_nation", "user_topk_events", "pdf_dates",
     "markdown_to_txt", "markdown_to_html", "train_test_split",
@@ -59,6 +59,7 @@ def test_query_matches_oracle(ray_session, oracle, name):
 @pytest.mark.parametrize("name", [
     "minhash_clusters", "simhash_signatures", "simhash_neardups",
     "ngram_jaccard", "ann_lsh_topk", "ann_ivf_topk", "language_id",
+    "ngram_logprob",
     "shuffle_sample", "extract_turns_aligned", "validate_docs",
     "normalize_markdown",
 ])
@@ -350,3 +351,28 @@ def test_lsh_multiprobe_improves_recall(ray_session):
 
     r0, r2, r4 = recall(0), recall(2), recall(4)
     assert r0 <= r2 <= r4
+
+
+def test_ngram_logprob_ranks_garbled_below_natural(ray_session, tmp_path):
+    """LM quality scorer property: corpus-trained char-trigram logprob of a
+    natural English doc beats uniformly-random character noise."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raydoc.functions.textstats import ngram_logprob
+
+    rng = random.Random(5)
+    natural = ("the quick brown fox jumps over the lazy dog and then "
+               "returns home for a quiet evening of reading books. ") * 20
+    garbled = "".join(rng.choice("abcdefghijklmnopqrstuvwxyz .,!?")
+                      for _ in range(len(natural)))
+    docs = pa.table({
+        "doc_id": pa.array(list(range(12)), pa.int64()),
+        "text": pa.array([natural] * 10 + [natural, garbled]),
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+
+    out = ngram_logprob(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert out.loc[10, "logprob"] > out.loc[11, "logprob"]
