@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_by_nation": relational.q_supplier_by_nation,
         "user_topk_events": relational.q_user_topk_events,
         "pdf_dates": relational.q_pdf_dates,
+        "json_props_stats": relational.q_json_props_stats,
         # --- windows / sessions (events) ---
         "hourly_event_stats": windows.hourly_event_stats,
         "sliding_event_stats": windows.sliding_event_stats,
@@ -154,6 +155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": similarity.ivf_topk,
         # --- text analysis (documents) ---
         "token_counts": textstats.token_counts,
+        "bpe_token_counts": textstats.bpe_token_counts,
         "markdown_to_txt": textstats.markdown_to_txt_docs,
         "markdown_to_html": textstats.markdown_to_html_docs,
         "docx_meta": export.docx_meta,
@@ -289,6 +291,20 @@ def oracle_sql() -> dict[str, str]:
         "pdf_dates": """
             SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%S') AS iso_date
             FROM events ORDER BY event_id""",
+        "json_props_stats": """
+            SELECT event_type, COUNT(*) AS n_events,
+                   CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS sum_k,
+                   CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS max_k
+            FROM events WHERE json_extract(props, '$.k') IS NOT NULL
+            GROUP BY event_type ORDER BY event_type""",
+        "bpe_token_counts": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                        '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+'))
+                        AS BIGINT) AS n_bpe_tokens
+            FROM documents ORDER BY doc_id""",
         "hourly_event_stats": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    COUNT(*) AS n_events, MIN(value) AS min_value,

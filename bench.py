@@ -63,6 +63,8 @@ BENCH_QUERIES = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "token_counts",
+    "bpe_token_counts",
+    "json_props_stats",
     "markdown_to_txt",
     "markdown_to_html",
     "docx_meta",

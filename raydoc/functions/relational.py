@@ -285,3 +285,32 @@ def q_pdf_dates(sf_dir: str) -> pa.Table:
 
     out = ds.map_batches(fn, batch_format="pyarrow")
     return collect_table(out).sort_by("event_id")
+
+
+def q_json_props_stats(sf_dir: str) -> pa.Table:
+    """Semi-structured extraction: parse the events JSON ``props`` column
+    per batch, pull ``k``, and aggregate exactly per event_type (combiner
+    partials; null-safe — unparseable/absent k drops the row, matching the
+    SQL oracle's json_extract semantics)."""
+    import json
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        types, ks = [], []
+        for et, pr in zip(t.column("event_type").to_pylist(),
+                          t.column("props").to_pylist()):
+            try:
+                k = json.loads(pr)["k"]
+            except (TypeError, ValueError, KeyError):
+                continue
+            types.append(et)
+            ks.append(int(k))
+        return pa.table({"event_type": pa.array(types, pa.string()),
+                         "k": pa.array(ks, pa.int64())})
+
+    out = partial_groupby(ds.map_batches(prep, batch_format="pyarrow"),
+                          ["event_type"], {"n_events": ("k", "count"),
+                                           "sum_k": ("k", "sum"),
+                                           "max_k": ("k", "max")})
+    return collect_table(out).sort_by("event_type")

@@ -319,3 +319,27 @@ def gopher_quality(sf_dir: str) -> pa.Table:
 
     return collect_table(ds.map_batches(fn, batch_format="pyarrow")).sort_by(
         "doc_id")
+
+
+# GPT-2-style pre-tokenizer pattern, ASCII classes, no lookahead (RE2-safe
+# so the DuckDB oracle runs the IDENTICAL pattern)
+_BPE_SPLIT = re.compile(
+    r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+")
+
+
+def bpe_token_counts(sf_dir: str) -> pa.Table:
+    """(doc_id, n_bpe_tokens): GPT-2-style pre-tokenizer segmentation count
+    — the "BPE-ish regex" token estimate a training pipeline budgets with
+    (a pre-tokenizer piece maps to ≥1 BPE tokens, so this lower-bounds the
+    real count). Same regex in the SQL oracle."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        counts = [len(_BPE_SPLIT.findall(v or ""))
+                  for v in t.column("text").to_pylist()]
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_bpe_tokens": pa.array(counts, pa.int64())})
+
+    return collect_table(ds.map_batches(fn, batch_format="pyarrow")).sort_by(
+        "doc_id")

@@ -42,7 +42,8 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
     "sessionize", "events_with_prev", "asof_last_view",
     "clicks_after_error",
     "dedup_exact",
-    "token_counts", "quality_counters", "gopher_quality", "fingerprints",
+    "token_counts", "bpe_token_counts", "quality_counters",
+    "gopher_quality", "fingerprints", "json_props_stats",
     "embedding_neardups", "ann_topk", "media_meta",
     "supplier_by_nation", "user_topk_events", "pdf_dates",
     "markdown_to_txt", "markdown_to_html", "train_test_split",
