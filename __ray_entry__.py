@@ -156,6 +156,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- text analysis (documents) ---
         "token_counts": textstats.token_counts,
         "bpe_token_counts": textstats.bpe_token_counts,
+        "redact_pii": textstats.redact_pii,
+        "paragraph_dedup_stats": textstats.paragraph_dedup_stats,
         "markdown_to_txt": textstats.markdown_to_txt_docs,
         "markdown_to_html": textstats.markdown_to_html_docs,
         "docx_meta": export.docx_meta,
@@ -299,6 +301,22 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS max_k
             FROM events WHERE json_extract(props, '$.k') IS NOT NULL
             GROUP BY event_type ORDER BY event_type""",
+        "redact_pii": r"""
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(
+                       text,
+                       'https?://[^\s]+', '<URL>', 'g'),
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')
+                       AS redacted
+            FROM documents ORDER BY doc_id""",
+        "paragraph_dedup_stats": """
+            SELECT doc_id,
+                   CAST(len(string_split(text, chr(10)||chr(10))) AS BIGINT)
+                       AS n_paragraphs,
+                   CAST(len(list_distinct(string_split(text, chr(10)||chr(10))))
+                       AS BIGINT) AS n_unique_paragraphs
+            FROM documents ORDER BY doc_id""",
         "bpe_token_counts": r"""
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text,

@@ -65,6 +65,8 @@ BENCH_QUERIES = [
     "token_counts",
     "bpe_token_counts",
     "json_props_stats",
+    "redact_pii",
+    "paragraph_dedup_stats",
     "markdown_to_txt",
     "markdown_to_html",
     "docx_meta",

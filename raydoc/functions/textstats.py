@@ -343,3 +343,51 @@ def bpe_token_counts(sf_dir: str) -> pa.Table:
 
     return collect_table(ds.map_batches(fn, batch_format="pyarrow")).sort_by(
         "doc_id")
+
+
+_PII_URL = re.compile(r"https?://[^\s]+")
+_PII_EMAIL = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+_PII_IP = re.compile(r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b")
+
+
+def redact_pii(sf_dir: str) -> pa.Table:
+    """(doc_id, redacted): C4-style PII scrub — URLs, then emails, then
+    IPv4 literals replaced with placeholder tags, in that order (URL first
+    so credentials-in-URL never survive as an email match). Pure
+    vectorized regex chain; identical patterns in the SQL oracle."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        out = []
+        for v in t.column("text").to_pylist():
+            s = _PII_URL.sub("<URL>", v or "")
+            s = _PII_EMAIL.sub("<EMAIL>", s)
+            s = _PII_IP.sub("<IP>", s)
+            out.append(s)
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "redacted": pa.array(out, pa.large_string())})
+
+    return collect_table(ds.map_batches(fn, batch_format="pyarrow")).sort_by(
+        "doc_id")
+
+
+def paragraph_dedup_stats(sf_dir: str) -> pa.Table:
+    """(doc_id, n_paragraphs, n_unique_paragraphs): the within-document
+    repetition signal used by repetition-removal filters (Gopher §A1.1) —
+    blank-line-delimited paragraphs, exact duplicate counting."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        n_p, n_u = [], []
+        for v in t.column("text").to_pylist():
+            paras = (v or "").split("\n\n")
+            n_p.append(len(paras))
+            n_u.append(len(set(paras)))
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_paragraphs": pa.array(n_p, pa.int64()),
+                         "n_unique_paragraphs": pa.array(n_u, pa.int64())})
+
+    return collect_table(ds.map_batches(fn, batch_format="pyarrow")).sort_by(
+        "doc_id")

@@ -44,6 +44,7 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
     "dedup_exact",
     "token_counts", "bpe_token_counts", "quality_counters",
     "gopher_quality", "fingerprints", "json_props_stats",
+    "redact_pii", "paragraph_dedup_stats",
     "embedding_neardups", "ann_topk", "media_meta",
     "supplier_by_nation", "user_topk_events", "pdf_dates",
     "markdown_to_txt", "markdown_to_html", "train_test_split",
