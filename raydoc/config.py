@@ -65,6 +65,12 @@ class PipelineConfig:
     extract_batch_size: int = 512
     extract_concurrency: int | tuple[int, int] | None = None
     num_output_partitions: int = 32
+    # General-mode crash granularity: partitions process in this many
+    # sequential waves, each ending with its manifests stamped — a crash
+    # loses at most one wave. 1 = single barrier (fastest); raise for long
+    # jobs where restartability matters more than the extra read+barrier
+    # per wave. (Aligned mode checkpoints per FILE and ignores this.)
+    checkpoint_waves: int = 1
     # document-stage shuffle buckets = num_output_partitions × fineness;
     # finer than the checkpoint unit so reduce parallelism and straggler
     # mitigation don't depend on the (coarse) resume granularity.

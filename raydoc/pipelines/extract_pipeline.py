@@ -227,38 +227,72 @@ def run_job(input_path: str, out_dir: str,
     if not pending:
         return report
 
+    # Checkpoint WAVES: partitions process in `cfg.checkpoint_waves`
+    # sequential groups, each ending with its manifests stamped — so a
+    # mid-job crash loses at most one wave, making the general path's
+    # restartability real (one monolithic write would lose everything;
+    # the aligned path already checkpoints per file). waves=1 keeps the
+    # single-barrier topology for maximum throughput. Waves pay one extra
+    # read + sort barrier each; extraction work is NOT repeated (the wave
+    # filter runs before the extractor).
+    waves = max(1, min(cfg.checkpoint_waves, len(pending)))
+    wave_lists = [pending[i::waves] for i in range(waves)]
+    report["checkpoint_waves"] = waves
+
+    t0 = time.perf_counter()
+    total_rows = 0
+    for wave_parts in wave_lists:
+        total_rows += _run_partition_wave(
+            input_path, out_dir, wave_parts, cfg,
+            fingerprint=fingerprint, cfg_hash=cfg_hash, n_parts=n_parts,
+            filter_needed=bool(done) or waves > 1)
+    wall = time.perf_counter() - t0
+
+    report["rows_written"] = total_rows
+    report["wall_sec"] = round(wall, 3)
+    report["turns_per_sec"] = round(total_rows / wall, 2) if wall > 0 else None
+    _append_history(out_dir, report)
+    return report
+
+
+def _run_partition_wave(input_path: str, out_dir: str, wave_parts: list[int],
+                        cfg: PipelineConfig, *, fingerprint: str,
+                        cfg_hash: str, n_parts: int,
+                        filter_needed: bool) -> int:
+    """Extract + write + stamp manifests for ONE group of partitions;
+    returns rows written. Partition assignment depends only on conv_id, so
+    the wave filter runs BEFORE the expensive extraction stage and no
+    conversation is ever parsed twice across waves/resumes."""
+    import shutil
+
     # Rewritten partitions are replaced, not appended to: clear their dirs
     # (including any half-written files from a crashed run) before writing.
-    import shutil
-    for part in pending:
+    for part in wave_parts:
         pdir = mstate.partition_dir(out_dir, part)
         if os.path.isdir(pdir):
             shutil.rmtree(pdir, ignore_errors=True)
 
     t0 = time.perf_counter()
-    pending_set = frozenset(pending)
+    wave_set = frozenset(wave_parts)
     ds = read_transcripts(input_path)
-    if done:
-        # Prune completed partitions BEFORE the expensive extraction
-        # stage: partition assignment depends only on conv_id, so a
-        # resumed run never re-parses finished conversations.
+    if filter_needed:
         from raydoc.stages.extract import partition_of
 
-        def _only_pending(t):
+        def _only_wave(t):
             import pyarrow as pa
             mask = pa.array(
-                [partition_of(c, n_parts) in pending_set
+                [partition_of(c, n_parts) in wave_set
                  for c in t.column("conv_id").to_pylist()], pa.bool_())
             return t.filter(mask)
 
-        ds = ds.map_batches(_only_pending, batch_format="pyarrow")
+        ds = ds.map_batches(_only_wave, batch_format="pyarrow")
     ds = build_extraction(ds, cfg)
     ds.write_parquet(out_dir, partition_cols=["part"])
     wall = time.perf_counter() - t0
 
     # Per-partition metrics from the (small) written columns → manifests.
     total_rows = 0
-    for part in pending:
+    for part in wave_parts:
         pdir = mstate.partition_dir(out_dir, part)
         if not os.path.isdir(pdir):
             # a pending partition that got NO rows (no conversation hashes
@@ -291,11 +325,7 @@ def run_job(input_path: str, out_dir: str,
         }
         mstate.write_manifest(out_dir, part, input_fingerprint=fingerprint,
                               config_hash=cfg_hash, metrics=metrics)
-    report["rows_written"] = total_rows
-    report["wall_sec"] = round(wall, 3)
-    report["turns_per_sec"] = round(total_rows / wall, 2) if wall > 0 else None
-    _append_history(out_dir, report)
-    return report
+    return total_rows
 
 
 HISTORY_LIMIT = 10

@@ -395,3 +395,38 @@ def test_csv_source(ray_session, tmp_path):
     rows = extract_dataset(str(path)).take_all()
     assert len(rows) == table.num_rows
     assert {r["conv_id"] for r in rows} == {r["conv_id"] for r in rows_in}
+
+
+def test_checkpoint_waves_equal_single_barrier(ray_session, transcripts_path,
+                                               tmp_path):
+    """waves=3 must produce row-identical output to waves=1 with every
+    partition manifest stamped, and a wave-killed job (simulated by
+    deleting one wave's manifests) resumes only those partitions."""
+    from raydoc.pipelines.extract_pipeline import run_job
+
+    out1 = str(tmp_path / "w1")
+    out3 = str(tmp_path / "w3")
+    cfg1 = PipelineConfig(num_output_partitions=6)
+    cfg3 = PipelineConfig(num_output_partitions=6, checkpoint_waves=3)
+
+    r1 = run_job(transcripts_path, out1, cfg1)
+    r3 = run_job(transcripts_path, out3, cfg3)
+    assert r3["checkpoint_waves"] == 3
+    assert r1["rows_written"] == r3["rows_written"] > 0
+
+    import pyarrow.dataset as pads
+    t1 = pads.dataset(out1, partitioning="hive").to_table(
+        columns=["conv_id", "turn_idx", "extracted_text"]).to_pandas() \
+        .sort_values(["conv_id", "turn_idx"], ignore_index=True)
+    t3 = pads.dataset(out3, partitioning="hive").to_table(
+        columns=["conv_id", "turn_idx", "extracted_text"]).to_pandas() \
+        .sort_values(["conv_id", "turn_idx"], ignore_index=True)
+    assert t1.equals(t3)
+
+    # simulate a crash that lost the last wave: drop 2 manifests → resume
+    # rewrites exactly those partitions
+    for part in (1, 4):
+        os.remove(os.path.join(out3, f"part={part}", "_manifest.json"))
+    r = run_job(transcripts_path, out3, cfg3, resume=True)
+    assert sorted(r["partitions_written"]) == [1, 4]
+    assert sorted(r["partitions_skipped"]) == [0, 2, 3, 5]

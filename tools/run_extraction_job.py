@@ -36,6 +36,9 @@ def main() -> int:
                     help="extractor pool size (0 = auto from cluster CPUs)")
     ap.add_argument("--partitions", type=int, default=0,
                     help="output partitions in general mode (0 = default)")
+    ap.add_argument("--waves", type=int, default=0,
+                    help="general-mode checkpoint waves (crash loses at "
+                         "most one wave; 0 = single barrier)")
     ap.add_argument("--gate-fallback", action="store_true",
                     help="re-extract gate-failed documents once through the "
                          "alternate (legacy) kernel path")
@@ -65,6 +68,8 @@ def main() -> int:
         overrides["num_output_partitions"] = args.partitions
     if args.gate_fallback:
         overrides["enable_gate_fallback"] = True
+    if args.waves:
+        overrides["checkpoint_waves"] = args.waves
     if overrides:
         cfg = replace(cfg, **overrides)
 
