@@ -81,10 +81,16 @@ def _dedupe_bucket(g):
 
 
 def build_training_corpus(transcripts_path: str, out_dir: str,
-                          cfg: PipelineConfig = DEFAULT_CONFIG
+                          cfg: PipelineConfig = DEFAULT_CONFIG,
+                          global_dedup_dir: str | None = None
                           ) -> dict[str, Any]:
     """Run the composed pipeline and write train/test parquet; returns corpus
-    stats (rows in/kept/deduped, split sizes)."""
+    stats (rows in/kept/deduped, split sizes).
+
+    ``global_dedup_dir``: enable CROSS-JOB dedup — rows whose extracted
+    text was seen by any previous corpus build sharing this directory are
+    dropped (sharded-actor index, state/dedup_index.py); the updated index
+    persists back to the directory after the write."""
     from raydoc.functions._buckets import reduce_bucket_count
     ds = extract_dataset(transcripts_path, cfg)
     ds = ds.map_batches(_quality_filter, batch_format="pyarrow")
@@ -93,9 +99,21 @@ def build_training_corpus(transcripts_path: str, out_dir: str,
     ds = ds.groupby("dedup_bucket").map_groups(_dedupe_bucket,
                                                batch_format="pandas")
 
+
     cols = ["conv_id", "turn_idx", "extracted_text", "language",
             "quality_score", "text_hash", "split"]
     ds = ds.select_columns(cols)
+
+    index = None
+    if global_dedup_dir:
+        # after the projection (the spans object column can't cross a
+        # pandas→arrow boundary); only digests travel to the index actors
+        from raydoc.state.dedup_index import (create_dedup_index,
+                                              incremental_dedup, load_index)
+        index = (load_index(global_dedup_dir)
+                 if os.path.isdir(global_dedup_dir)
+                 else create_dedup_index())
+        ds = incremental_dedup(ds, index, col="extracted_text")
     # replace, never append: a rerun against an existing directory must not
     # leave stale uniquely-named files beside the new ones (duplicate rows)
     import shutil
@@ -115,6 +133,9 @@ def build_training_corpus(transcripts_path: str, out_dir: str,
                                           "*.parquet")))
 
     train_rows, test_rows = _rows("train"), _rows("test")
+    if index is not None:
+        from raydoc.state.dedup_index import save_index
+        save_index(index, global_dedup_dir)
     return {
         "rows": train_rows + test_rows,
         "train_rows": train_rows,

@@ -60,3 +60,29 @@ def test_read_extracted_validates_manifests(ray_session, tmp_path):
     os.remove(os.path.join(out, "_manifests", "a.json"))
     with pytest.raises(ValueError, match="lack manifests"):
         read_extracted(out)
+
+
+def test_corpus_global_dedup_across_builds(ray_session, tmp_path):
+    """Two corpus builds sharing a global_dedup_dir: the second build over
+    the SAME transcripts yields zero rows (everything already seen)."""
+    from raydoc.pipelines.training_corpus import build_training_corpus
+    from raydoc.sources import transcripts as tgen
+
+    in_dir = tmp_path / "shards"
+    in_dir.mkdir()
+    tgen.write_transcripts_parquet(str(in_dir / "s.parquet"), n_convs=5,
+                                   seed=321, min_turns=2, max_turns=4)
+    from dataclasses import replace
+
+    from raydoc.config import DEFAULT_CONFIG
+    cfg = replace(DEFAULT_CONFIG, assume_conv_aligned=True,
+                  extract_concurrency=2)
+    idx = str(tmp_path / "global_index")
+
+    s1 = build_training_corpus(str(in_dir), str(tmp_path / "c1"), cfg=cfg,
+                               global_dedup_dir=idx)
+    assert s1["rows"] > 0
+
+    s2 = build_training_corpus(str(in_dir), str(tmp_path / "c2"), cfg=cfg,
+                               global_dedup_dir=idx)
+    assert s2["rows"] == 0

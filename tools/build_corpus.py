@@ -29,6 +29,10 @@ def main() -> int:
                          "(shuffle-elision extraction)")
     ap.add_argument("--gate-fallback", action="store_true")
     ap.add_argument("--concurrency", type=int, default=0)
+    ap.add_argument("--global-dedup-dir", default=None,
+                    help="cross-job dedup index directory (rows whose "
+                         "text was seen by any prior build here are "
+                         "dropped; index persists back)")
     ap.add_argument("--address", default="local")
     args = ap.parse_args()
 
@@ -49,7 +53,8 @@ def main() -> int:
         overrides["extract_concurrency"] = args.concurrency
     cfg = replace(DEFAULT_CONFIG, **overrides) if overrides else DEFAULT_CONFIG
 
-    stats = build_training_corpus(args.input, args.output, cfg=cfg)
+    stats = build_training_corpus(args.input, args.output, cfg=cfg,
+                              global_dedup_dir=args.global_dedup_dir)
     print(json.dumps(stats))
     ray.shutdown()
     return 0
