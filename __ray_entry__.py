@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_topk_events": relational.q_user_topk_events,
         "pdf_dates": relational.q_pdf_dates,
         "json_props_stats": relational.q_json_props_stats,
+        "stratified_sample": relational.q_stratified_sample,
         # --- windows / sessions (events) ---
         "hourly_event_stats": windows.hourly_event_stats,
         "sliding_event_stats": windows.sliding_event_stats,
@@ -153,6 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": similarity.brute_force_topk,
         "ann_lsh_topk": similarity.lsh_topk,
         "ann_ivf_topk": similarity.ivf_topk,
+        "embedding_kmeans": similarity.embedding_kmeans,
         # --- text analysis (documents) ---
         "token_counts": textstats.token_counts,
         "bpe_token_counts": textstats.bpe_token_counts,
@@ -293,6 +295,14 @@ def oracle_sql() -> dict[str, str]:
         "pdf_dates": """
             SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%S') AS iso_date
             FROM events ORDER BY event_id""",
+        "stratified_sample": """
+            WITH ranked AS (
+                SELECT event_id, event_type,
+                       row_number() OVER (PARTITION BY event_type
+                           ORDER BY md5(CAST(event_id AS VARCHAR))) AS rk
+                FROM events)
+            SELECT event_id, event_type FROM ranked WHERE rk <= 20
+            ORDER BY event_type, event_id""",
         "json_props_stats": """
             SELECT event_type, COUNT(*) AS n_events,
                    CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT))

@@ -62,6 +62,8 @@ BENCH_QUERIES = [
     "ann_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "embedding_kmeans",
+    "stratified_sample",
     "token_counts",
     "bpe_token_counts",
     "json_props_stats",

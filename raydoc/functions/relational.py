@@ -314,3 +314,35 @@ def q_json_props_stats(sf_dir: str) -> pa.Table:
                                            "sum_k": ("k", "sum"),
                                            "max_k": ("k", "max")})
     return collect_table(out).sort_by("event_type")
+
+
+def q_stratified_sample(sf_dir: str, per_type: int = 20) -> pa.Table:
+    """Deterministic stratified sample: ``per_type`` events per event_type
+    under a content-derived pseudo-random order (md5 of the event id) —
+    stable across runs, cluster sizes and input order, and EXACTLY
+    replicable in SQL (same md5 ranking). Coarse-bucket rank pattern, no
+    per-type micro-groups."""
+    import hashlib as _hl
+
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type"])
+
+    def add_rank_key(t: pa.Table) -> pa.Table:
+        keys = [_hl.md5(str(v).encode()).hexdigest()
+                for v in t.column("event_id").to_pylist()]
+        return t.append_column("rk", pa.array(keys, pa.string()))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["event_type", "rk"], ignore_index=True)
+        rank = g.groupby("event_type", sort=False).cumcount()
+        return g[rank < per_type][["event_id", "event_type"]]
+
+    # event_type is low-cardinality: ONE group per type is fine here (the
+    # per-type top-N needs global ordering per type; N strata ≪ CPUs is
+    # the regime where a grouped rank is the exact, portable answer)
+    out = (ds.map_batches(add_rank_key, batch_format="pyarrow")
+           .groupby("event_type").map_groups(per_bucket,
+                                             batch_format="pandas"))
+    return collect_table(out).sort_by(
+        [("event_type", "ascending"), ("event_id", "ascending")])

@@ -233,3 +233,61 @@ def ivf_topk(sf_dir: str, query_ids: list[int] | None = None, k: int = 10,
     cands = listed.groupby("list_id").map_groups(
         probe, batch_format="pandas").to_pandas()
     return _final_topk(cands, k)
+
+
+def embedding_kmeans(sf_dir: str, k: int = 8, iters: int = 10,
+                     seed: int = 7) -> pa.Table:
+    """(vec_id, cluster): distributed Lloyd's k-means over the embedding
+    column — the corpus-bucketing / semantic-dedup workhorse.
+
+    Scale shape per iteration: centroids broadcast via ``ray.put``; each
+    batch emits ONE (k×d sums, k counts) partial — rows never leave their
+    batch; the driver folds the tiny partials and updates centroids.
+    Deterministic: seeded init from the first rows, fixed iteration count,
+    ties break to the lowest centroid index."""
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    init_rows = ds.take(max(k * 4, 64))
+    rng = np.random.RandomState(seed)
+    init = _normalize(np.array([np.asarray(r["embedding"], dtype=np.float64)
+                                for r in init_rows]))
+    cents = init[rng.choice(len(init), size=min(k, len(init)),
+                            replace=False)]
+
+    for _ in range(iters):
+        ref = ray.put(cents)
+
+        def partial(t: pa.Table) -> pa.Table:
+            c = ray.get(ref)
+            mat = _normalize(np.array(t["embedding"].to_pylist(),
+                                      dtype=np.float64))
+            assign = (mat @ c.T).argmax(axis=1)
+            sums = np.zeros_like(c)
+            counts = np.zeros(len(c), dtype=np.int64)
+            np.add.at(sums, assign, mat)
+            np.add.at(counts, assign, 1)
+            return pa.table({"sums": pa.array([sums.tobytes()], pa.binary()),
+                             "counts": pa.array([counts.tobytes()],
+                                                pa.binary())})
+
+        parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        sums = np.zeros_like(cents)
+        counts = np.zeros(len(cents), dtype=np.int64)
+        for sb, cb in zip(parts["sums"], parts["counts"]):
+            sums += np.frombuffer(sb, dtype=np.float64).reshape(cents.shape)
+            counts += np.frombuffer(cb, dtype=np.int64)
+        nz = counts > 0
+        cents[nz] = _normalize(sums[nz] / counts[nz, None])
+
+    ref = ray.put(cents)
+
+    def label(t: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        mat = _normalize(np.array(t["embedding"].to_pylist(),
+                                  dtype=np.float64))
+        assign = (mat @ c.T).argmax(axis=1).astype(np.int64)
+        return pa.table({"vec_id": t["vec_id"],
+                         "cluster": pa.array(assign)})
+
+    out = ds.map_batches(label, batch_format="pyarrow").to_pandas()
+    return pa.Table.from_pandas(out, preserve_index=False).sort_by("vec_id")

@@ -44,7 +44,7 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
     "dedup_exact",
     "token_counts", "bpe_token_counts", "quality_counters",
     "gopher_quality", "fingerprints", "json_props_stats",
-    "redact_pii", "paragraph_dedup_stats",
+    "redact_pii", "paragraph_dedup_stats", "stratified_sample",
     "embedding_neardups", "ann_topk", "media_meta",
     "supplier_by_nation", "user_topk_events", "pdf_dates",
     "markdown_to_txt", "markdown_to_html", "train_test_split",
@@ -61,7 +61,7 @@ def test_query_matches_oracle(ray_session, oracle, name):
 @pytest.mark.parametrize("name", [
     "minhash_clusters", "simhash_signatures", "simhash_neardups",
     "ngram_jaccard", "ann_lsh_topk", "ann_ivf_topk", "language_id",
-    "ngram_logprob",
+    "ngram_logprob", "embedding_kmeans",
     "shuffle_sample", "extract_turns_aligned", "validate_docs",
     "normalize_markdown",
 ])
@@ -378,3 +378,14 @@ def test_ngram_logprob_ranks_garbled_below_natural(ray_session, tmp_path):
 
     out = ngram_logprob(str(tmp_path)).to_pandas().set_index("doc_id")
     assert out.loc[10, "logprob"] > out.loc[11, "logprob"]
+
+
+def test_embedding_kmeans_deterministic_and_complete(ray_session):
+    from raydoc.functions.similarity import embedding_kmeans
+
+    a = embedding_kmeans(SF, k=4, iters=5).to_pandas()
+    b = embedding_kmeans(SF, k=4, iters=5).to_pandas()
+    assert a.equals(b)                         # seeded + fixed iterations
+    assert a["cluster"].between(0, 3).all()
+    assert len(a) == len(set(a["vec_id"]))     # every vector labeled once
+    assert a["cluster"].nunique() >= 2         # non-degenerate on this data
