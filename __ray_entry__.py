@@ -110,6 +110,11 @@ def _clicks_after_error(sf_dir: str):
     return q_clicks_after_error(sf_dir)
 
 
+def _embedding_neardup_clustered(sf_dir: str):
+    from raydoc.functions.dedup import embedding_neardups_clustered
+    return embedding_neardups_clustered(sf_dir, threshold=0.4, k=4)
+
+
 def _embedding_neardup_pairs(sf_dir: str):
     # τ=0.4 so the oracle verifies a NON-EMPTY pair set on the driver's
     # synthetic embeddings (τ=0.8 matches zero pairs at every sf — vacuous)
@@ -150,6 +155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_neardups": dedup.simhash_neardups,
         "ngram_jaccard": dedup.ngram_jaccard_pairs,
         "embedding_neardups": _embedding_neardup_pairs,
+        "embedding_neardups_clustered": _embedding_neardup_clustered,
         # --- similarity search (embeddings) ---
         "ann_topk": similarity.brute_force_topk,
         "ann_lsh_topk": similarity.lsh_topk,

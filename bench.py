@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "simhash_neardups",
     "ngram_jaccard",
     "embedding_neardups",
+    "embedding_neardups_clustered",
     "supplier_by_nation",
     "user_topk_events",
     "pdf_dates",

@@ -9,9 +9,11 @@
                              64-bit SimHash + 4-band hamming blocking
 - ``ngram_jaccard_pairs``    exact n-gram Jaccard verification of LSH
                              candidates
-- ``embedding_neardups``     cosine ≥ τ pairs against a broadcast matrix
-                             (brute force; LSH-bucketed path for scale in
-                             functions/similarity.py)
+- ``embedding_neardups``     EXACT cosine ≥ τ pairs via distributed
+                             block-pair matmul (object-store block refs)
+- ``embedding_neardups_clustered``
+                             approximate scale path: k-means buckets →
+                             within-cluster pairs only
 
 All per-batch kernels are vectorized numpy; shuffles move only hashes and
 signatures, never document text. Candidate-pair sets are assumed small
@@ -478,3 +480,54 @@ def embedding_neardups(sf_dir: str, threshold: float = 0.4,
                          "b": pa.array([], pa.int64()),
                          "cosine": pa.array([], pa.float64())})
     return out.sort_by([("a", "ascending"), ("b", "ascending")])
+
+
+def embedding_neardups_clustered(sf_dir: str, threshold: float = 0.4,
+                                 k: int = 8, iters: int = 5,
+                                 seed: int = 7) -> pa.Table:
+    """APPROXIMATE cosine ≥ τ pairs, clustered: k-means buckets the corpus
+    (similarity.embedding_kmeans's broadcast-centroid partials), then pairs
+    are generated WITHIN each cluster only — one shuffle by cluster id,
+    per-cluster vectorized matmul. Misses cross-cluster pairs by design
+    (recall grows as k shrinks; k=1 degenerates to exact). The exact twin
+    is ``embedding_neardups``; the recall property test compares the two."""
+    import pandas as pd
+
+    import ray
+
+    from raydoc.functions.similarity import _normalize, embedding_kmeans
+
+    labels = embedding_kmeans(sf_dir, k=k, iters=iters, seed=seed)
+    label_ref = ray.put(dict(zip(labels["vec_id"].to_pylist(),
+                                 labels["cluster"].to_pylist())))
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        lab = ray.get(label_ref)
+        clusters = [lab[v] for v in t.column("vec_id").to_pylist()]
+        return t.append_column("cluster", pa.array(clusters, pa.int64()))
+
+    def cluster_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["vec_id"].to_numpy()
+        mat = _normalize(np.stack(g["embedding"].to_numpy())
+                         .astype(np.float64))
+        sims = mat @ mat.T
+        xs, ys = np.where(sims >= threshold)
+        rows = [(int(ids[x]), int(ids[y]), round(float(sims[x, y]), 6))
+                for x, y in zip(xs, ys) if ids[x] < ids[y]]
+        return pd.DataFrame(rows, columns=["a", "b", "cosine"]) if rows \
+            else pd.DataFrame({"a": [], "b": [], "cosine": []})
+
+    out = (emb.map_batches(tag, batch_format="pyarrow")
+           .groupby("cluster").map_groups(cluster_pairs,
+                                          batch_format="pandas"))
+    df = out.to_pandas()
+    if df.empty:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64()),
+                         "cosine": pa.array([], pa.float64())})
+    df = df.sort_values(["a", "b"], ignore_index=True)
+    return pa.table({"a": pa.array(df["a"], pa.int64()),
+                     "b": pa.array(df["b"], pa.int64()),
+                     "cosine": pa.array(df["cosine"], pa.float64())})

@@ -61,7 +61,7 @@ def test_query_matches_oracle(ray_session, oracle, name):
 @pytest.mark.parametrize("name", [
     "minhash_clusters", "simhash_signatures", "simhash_neardups",
     "ngram_jaccard", "ann_lsh_topk", "ann_ivf_topk", "language_id",
-    "ngram_logprob", "embedding_kmeans",
+    "ngram_logprob", "embedding_kmeans", "embedding_neardups_clustered",
     "shuffle_sample", "extract_turns_aligned", "validate_docs",
     "normalize_markdown",
 ])
@@ -389,3 +389,20 @@ def test_embedding_kmeans_deterministic_and_complete(ray_session):
     assert a["cluster"].between(0, 3).all()
     assert len(a) == len(set(a["vec_id"]))     # every vector labeled once
     assert a["cluster"].nunique() >= 2         # non-degenerate on this data
+
+
+def test_clustered_neardups_subset_of_exact(ray_session):
+    """Cluster-bucketed near-dup pairs are a SUBSET of the exact pairs
+    (within-cluster only), with recall that improves as k shrinks and
+    reaches 1.0 at k=1 (degenerate = exact)."""
+    from raydoc.functions.dedup import (embedding_neardups,
+                                        embedding_neardups_clustered)
+
+    exact = {(r["a"], r["b"])
+             for r in embedding_neardups(SF, threshold=0.4).to_pylist()}
+    approx = {(r["a"], r["b"]) for r in embedding_neardups_clustered(
+        SF, threshold=0.4, k=4).to_pylist()}
+    assert approx <= exact
+    one = {(r["a"], r["b"]) for r in embedding_neardups_clustered(
+        SF, threshold=0.4, k=1).to_pylist()}
+    assert one == exact
