@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_event_stats": windows.sliding_event_stats,
         "sessionize": windows.sessionize,
         "events_with_prev": windows.events_with_prev,
+        "value_percentiles": windows.value_percentiles,
         "asof_last_view": _asof_last_view,
         "clicks_after_error": _clicks_after_error,
         # --- dedup family (documents) ---
@@ -352,6 +353,15 @@ def oracle_sql() -> dict[str, str]:
                 SELECT CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800
                                          - 1800) AS TIMESTAMP) FROM events)
             GROUP BY window_start ORDER BY window_start""",
+        "value_percentiles": """
+            WITH ord AS (SELECT value,
+                         row_number() OVER (ORDER BY value, event_id) AS rn
+                         FROM events),
+                 n AS (SELECT COUNT(*) AS c FROM events)
+            SELECT CAST(t.q AS DOUBLE) AS q, ord.value
+            FROM (VALUES (0.25),(0.5),(0.75),(0.9),(0.99)) t(q), ord, n
+            WHERE ord.rn = CAST(floor((n.c - 1) * t.q) AS BIGINT) + 1
+            ORDER BY q""",
         "sessionize": """
             WITH ordered AS (
                 SELECT user_id,

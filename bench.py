@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "sliding_event_stats",
     "sessionize",
     "events_with_prev",
+    "value_percentiles",
     "asof_last_view",
     "clicks_after_error",
     "dedup_exact",

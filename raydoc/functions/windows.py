@@ -145,3 +145,24 @@ def sliding_event_stats(sf_dir: str) -> pa.Table:
     t = t.set_column(t.schema.get_field_index("window_start"), "window_start",
                      t.column("window_start").cast(pa.timestamp("us")))
     return t.sort_by("window_start")
+
+
+def value_percentiles(sf_dir: str,
+                      qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99)
+                      ) -> pa.Table:
+    """(q, value): EXACT percentiles of events.value by rank-element
+    semantics (1-based rank = floor((n−1)·q)+1 under (value, event_id)
+    order — deterministic under value ties, bit-identical in SQL).
+
+    Distributed shape: ONE global sort (Ray's sample-based range
+    partitioning), then ``split_at_indices`` at the precomputed ranks —
+    only the first row of each split is fetched; no full materialization
+    on the driver."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["value", "event_id"])
+    n = ds.count()
+    idxs = [int((n - 1) * q) for q in qs]
+    splits = ds.sort(["value", "event_id"]).split_at_indices(idxs)
+    vals = [splits[i + 1].take(1)[0]["value"] for i in range(len(idxs))]
+    return pa.table({"q": pa.array(list(qs), pa.float64()),
+                     "value": pa.array(vals, pa.float64())})

@@ -39,7 +39,7 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
     "pricing_summary", "filter_project", "distinct_flags", "top_orders",
     "revenue_by_nation", "customer_order_stats", "brand_volume",
     "top_events", "hourly_event_stats", "sliding_event_stats",
-    "sessionize", "events_with_prev", "asof_last_view",
+    "sessionize", "events_with_prev", "value_percentiles", "asof_last_view",
     "clicks_after_error",
     "dedup_exact",
     "token_counts", "bpe_token_counts", "quality_counters",
