@@ -60,7 +60,36 @@ def read_transcripts(path: str) -> rd.Dataset:
     if fmt == "csv":
         ds = rd.read_csv(path)
         return ds.select_columns(TRANSCRIPT_COLUMNS)
+    if fmt == "feather":
+        return _read_feather_dataset(path)
     return rd.read_parquet(path, columns=TRANSCRIPT_COLUMNS)
+
+
+_FEATHER_EXTS = {".feather", ".arrow", ".ipc"}
+
+
+def _read_feather_dataset(path: str) -> rd.Dataset:
+    """Arrow IPC / Feather corpus: one read task per file (Ray has no
+    native IPC reader; the file list fans out and each task returns its
+    table column-pruned — same per-file parallelism as the parquet path)."""
+    import pyarrow as pa
+    import pyarrow.feather as pf
+
+    if os.path.isfile(path):
+        files = [path]
+    else:
+        files = sorted(
+            os.path.join(root, f)
+            for root, _, fs in os.walk(path) for f in fs
+            if os.path.splitext(f)[1].lower() in _FEATHER_EXTS)
+
+    def read_files(t: pa.Table) -> pa.Table:
+        tables = [pf.read_table(p, columns=TRANSCRIPT_COLUMNS)
+                  for p in t.column("path").to_pylist()]
+        return pa.concat_tables(tables)
+
+    return rd.from_items([{"path": p} for p in files]).map_batches(
+        read_files, batch_format="pyarrow", batch_size=1)
 
 
 def _input_format(path: str) -> str:
@@ -71,6 +100,8 @@ def _input_format(path: str) -> str:
         return "json"
     if ".csv" in exts:
         return "csv"
+    if exts & _FEATHER_EXTS:
+        return "feather"
     return "parquet"
 
 

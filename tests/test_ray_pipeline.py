@@ -430,3 +430,22 @@ def test_checkpoint_waves_equal_single_barrier(ray_session, transcripts_path,
     r = run_job(transcripts_path, out3, cfg3, resume=True)
     assert sorted(r["partitions_written"]) == [1, 4]
     assert sorted(r["partitions_skipped"]) == [0, 2, 3, 5]
+
+
+def test_feather_source(ray_session, tmp_path):
+    """Source-format dispatch: Arrow IPC / Feather corpus (one read task
+    per file)."""
+    import pyarrow.feather as pf
+
+    table = tgen.generate_transcripts(n_convs=4, seed=FIXTURE_SEED,
+                                      min_turns=2, max_turns=4)
+    half = (table.num_rows // 2 // 2) * 2
+    pf.write_feather(table.slice(0, half), str(tmp_path / "a.feather"))
+    pf.write_feather(table.slice(half), str(tmp_path / "b.arrow"))
+
+    from raydoc.pipelines.extract_pipeline import extract_dataset
+
+    rows = extract_dataset(str(tmp_path)).take_all()
+    assert len(rows) == table.num_rows
+    assert {r["conv_id"] for r in rows} == \
+        set(table.column("conv_id").to_pylist())
