@@ -449,3 +449,35 @@ def test_feather_source(ray_session, tmp_path):
     assert len(rows) == table.num_rows
     assert {r["conv_id"] for r in rows} == \
         set(table.column("conv_id").to_pylist())
+
+
+def test_multi_megabyte_turn(ray_session, tmp_path):
+    """SURVEY §7 pitfall 4: a multi-MB HTML turn must flow through the
+    pipeline (large_string columns, block splitting) without OOM or
+    truncation, and still strip to its text content."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    big_html = ("<html><body>" +
+                "".join(f"<p>paragraph {i} with meaningful text content "
+                        f"that survives the strip</p>" for i in range(45000))
+                + "</body></html>")          # ~3.5 MB
+    assert len(big_html) > 3_000_000
+    t = pa.table({
+        "conv_id": pa.array(["huge", "huge", "tiny"]),
+        "turn_idx": pa.array([0, 1, 0], pa.int32()),
+        "text": pa.array([big_html, "a normal turn", "another"],
+                         pa.large_string()),
+    })
+    path = str(tmp_path / "huge.parquet")
+    pq.write_table(t, path)
+
+    from raydoc.pipelines.extract_pipeline import extract_dataset
+
+    rows = extract_dataset(path).take_all()
+    assert len(rows) == 3
+    huge = next(r for r in rows if r["conv_id"] == "huge"
+                and r["turn_idx"] == 0)
+    assert huge["was_html"] and not huge["parse_failed"]
+    assert "paragraph 44999" in huge["extracted_text"]
+    assert "<p>" not in huge["extracted_text"]
