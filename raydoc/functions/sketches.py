@@ -154,7 +154,27 @@ def cms_user_counts(sf_dir: str, k: int = 20, local_k: int = 64) -> pa.Table:
                                    pa.list_(pa.int64())),
         })
 
-    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    def fold(t: pa.Table) -> pa.Table:
+        """Tree-reduce level: sum this batch's sketches, union candidates
+        — merging happens in WORKERS, so the driver only ever sees a
+        handful of 256 KB partials regardless of corpus size."""
+        acc = np.zeros((_CMS_D, _CMS_W), dtype=np.int64)
+        cand: set[int] = set()
+        for blob, cl in zip(t.column("sketch").to_pylist(),
+                            t.column("candidates").to_pylist()):
+            acc += np.frombuffer(blob, dtype=np.int64).reshape(_CMS_D, _CMS_W)
+            cand.update(int(c) for c in cl)
+        return pa.table({
+            "sketch": pa.array([acc.tobytes()], pa.binary()),
+            "candidates": pa.array([sorted(cand)], pa.list_(pa.int64())),
+        })
+
+    parts_ds = ds.map_batches(partial, batch_format="pyarrow")
+    # two fold levels cut partial count by 64× each (1M batches → 245 → 4)
+    for _ in range(2):
+        parts_ds = parts_ds.map_batches(fold, batch_format="pyarrow",
+                                        batch_size=64)
+    parts = parts_ds.to_pandas()
     sketch = np.zeros((_CMS_D, _CMS_W), dtype=np.int64)
     cands: set[int] = set()
     for blob, cl in zip(parts["sketch"], parts["candidates"]):
