@@ -74,18 +74,14 @@ def hll_estimate(regs: np.ndarray) -> float:
 
 
 def distinct_users_exact(sf_dir: str) -> pa.Table:
-    """Exact COUNT(DISTINCT user_id) via per-batch set partials → driver
-    union (distinct values ≪ rows; SQL-oracle-checkable)."""
+    """Exact COUNT(DISTINCT user_id): per-batch dedup partials → one
+    distributed groupby → ``count()`` — the distinct ID SET never lands on
+    the driver (only the final scalar does). SQL-oracle-checkable."""
+    from raydoc.functions.agg import partial_groupby
+
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
-
-    def partial(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        u = pc.unique(t.column("user_id"))
-        return pa.table({"user_id": u})
-
-    from raydoc.functions._collect import collect_table
-    t = collect_table(ds.map_batches(partial, batch_format="pyarrow"))
-    n = len(set(t.column("user_id").to_pylist()))
+    n = partial_groupby(ds, ["user_id"],
+                        {"n": ("user_id", "count")}).count()
     return pa.table({"n_users": pa.array([n], pa.int64())})
 
 
@@ -203,6 +199,10 @@ def heavy_hitter_users(sf_dir: str, threshold: int = 70) -> pa.Table:
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
     counts = partial_groupby(ds, ["user_id"],
                              {"n_events": ("user_id", "count")})
-    t = collect_table(counts)
-    t = t.filter(pc.greater_equal(t["n_events"], threshold))
-    return t.select(["user_id", "n_events"]).sort_by("user_id")
+    # filter INSIDE the dataset: only the (small by definition) heavy-
+    # hitter rows ever reach the driver, not one row per distinct user
+    heavy = counts.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n_events"], threshold)),
+        batch_format="pyarrow")
+    return collect_table(heavy).select(
+        ["user_id", "n_events"]).sort_by("user_id")
