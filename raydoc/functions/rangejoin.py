@@ -106,3 +106,69 @@ def q_clicks_after_error(sf_dir: str,
                     "click_id": t["click_id"].cast(pa.int64())})
     return out.sort_by([("error_id", "ascending"),
                         ("click_id", "ascending")])
+
+
+def bbox_containment_antijoin(elements: rd.Dataset, regions: rd.Dataset,
+                              key: str = "page_id",
+                              num_buckets: int = 32) -> rd.Dataset:
+    """Geometric anti-join (J2, ≙ the reference's text-in-table removal,
+    structure_engine.py text/bbox containment): drop every element whose
+    bbox lies fully inside ANY same-key region bbox. The extraction path
+    keeps its domain analog (pipe-row absorption at elementize); this is
+    the general operator for layouts that carry real geometry.
+
+    Shape: both sides hash-bucket on the page key (one exchange); each
+    block resolves containment with a vectorized interval test
+    (elements × regions within one page — the per-page region count is
+    small by construction). Expects ``bbox`` = [x0, y0, x1, y1] on both
+    sides; region rows need no other columns."""
+    import pyarrow.compute as pc
+
+    ekey_cols = [c for c in elements.schema().names]
+
+    def _widen(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            from raydoc.functions.joins import _key_hash
+            n = batch.num_rows
+            cols = {c: batch.column(c) for c in batch.column_names}
+            if side == 1:
+                cols = {key: batch.column(key), "bbox": batch.column("bbox")}
+                # pad element-only columns with nulls
+                for c in ekey_cols:
+                    if c not in cols:
+                        cols[c] = pa.nulls(
+                            n, elements.schema().base_schema.field(c).type)
+            cols["__bucket"] = pa.array(
+                _key_hash(batch.column(key).combine_chunks(), num_buckets),
+                pa.int32())
+            cols["__side"] = pa.array(np.full(n, side, dtype=np.int8))
+            return pa.table({c: cols[c] for c in
+                             [*ekey_cols, "__bucket", "__side"]})
+        return fn
+
+    tagged = elements.map_batches(_widen(0), batch_format="pyarrow").union(
+        regions.map_batches(_widen(1), batch_format="pyarrow"))
+
+    def resolve(g: pa.Table) -> pa.Table:
+        side = g.column("__side").to_numpy(zero_copy_only=False)
+        keys = np.asarray(g.column(key).to_pylist())
+        boxes = np.array(g.column("bbox").to_pylist(), dtype=np.float64)
+        elem_ix = np.where(side == 0)[0]
+        reg_ix = np.where(side == 1)[0]
+        if len(reg_ix) == 0 or len(elem_ix) == 0:
+            keep_rows = elem_ix
+        else:
+            eb, rb = boxes[elem_ix], boxes[reg_ix]
+            ek, rk = keys[elem_ix], keys[reg_ix]
+            # (E, R) containment: inside in all four coordinates + same key
+            inside = ((eb[:, None, 0] >= rb[None, :, 0]) &
+                      (eb[:, None, 1] >= rb[None, :, 1]) &
+                      (eb[:, None, 2] <= rb[None, :, 2]) &
+                      (eb[:, None, 3] <= rb[None, :, 3]) &
+                      (ek[:, None] == rk[None, :]))
+            keep_rows = elem_ix[~inside.any(axis=1)]
+        out = g.take(pa.array(np.sort(keep_rows)))
+        return out.select(ekey_cols)
+
+    return tagged.groupby("__bucket").map_groups(resolve,
+                                                 batch_format="pyarrow")

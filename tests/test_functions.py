@@ -406,3 +406,48 @@ def test_clustered_neardups_subset_of_exact(ray_session):
     one = {(r["a"], r["b"]) for r in embedding_neardups_clustered(
         SF, threshold=0.4, k=1).to_pylist()}
     assert one == exact
+
+
+def test_bbox_containment_antijoin(ray_session):
+    """J2 geometric anti-join vs a brute-force reference on random boxes."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raydoc.functions.rangejoin import bbox_containment_antijoin
+
+    rng = np.random.RandomState(3)
+    n_el, n_reg = 400, 40
+    pages_e = rng.randint(0, 12, n_el)
+    x0 = rng.uniform(0, 500, n_el); y0 = rng.uniform(0, 700, n_el)
+    eboxes = np.stack([x0, y0, x0 + rng.uniform(5, 60, n_el),
+                       y0 + rng.uniform(5, 30, n_el)], axis=1)
+    pages_r = rng.randint(0, 12, n_reg)
+    rx0 = rng.uniform(0, 400, n_reg); ry0 = rng.uniform(0, 600, n_reg)
+    rboxes = np.stack([rx0, ry0, rx0 + rng.uniform(50, 250, n_reg),
+                       ry0 + rng.uniform(50, 200, n_reg)], axis=1)
+
+    elements = rd.from_arrow(pa.table({
+        "page_id": pa.array(pages_e, pa.int64()),
+        "bbox": pa.array(eboxes.tolist(), pa.list_(pa.float64(), 4)),
+        "eid": pa.array(np.arange(n_el), pa.int64()),
+    }))
+    regions = rd.from_arrow(pa.table({
+        "page_id": pa.array(pages_r, pa.int64()),
+        "bbox": pa.array(rboxes.tolist(), pa.list_(pa.float64(), 4)),
+    }))
+
+    got = sorted(bbox_containment_antijoin(
+        elements, regions, num_buckets=4).to_pandas()["eid"])
+
+    def contained(e, pg):
+        for rp, rb in zip(pages_r, rboxes):
+            if rp == pg and e[0] >= rb[0] and e[1] >= rb[1] \
+                    and e[2] <= rb[2] and e[3] <= rb[3]:
+                return True
+        return False
+
+    want = sorted(i for i in range(n_el)
+                  if not contained(eboxes[i], pages_e[i]))
+    assert got == want
+    assert len(want) < n_el        # some elements actually got absorbed
