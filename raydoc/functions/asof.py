@@ -21,14 +21,13 @@ equivalent is a GROUP BY max.
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 import pyarrow as pa
 
 import ray.data as rd
 
 from raydoc.functions._buckets import reduce_bucket_count
-from raydoc.functions.joins import _key_hash
+from raydoc.functions.joins import arrow_field_types, tag_union
 
 
 def asof_join(left: rd.Dataset, right: rd.Dataset, key: str, ts: str,
@@ -51,30 +50,11 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, key: str, ts: str,
     if overlap:
         raise ValueError(f"column collision in asof_join: {overlap}")
 
-    def _type(schema, name):
-        return schema.base_schema.field(name).type
-
-    all_fields = [(n, _type(left_schema, n)) for n in left_cols]
-    all_fields += [(n, _type(right_schema, n)) for n in right_only]
+    all_fields = arrow_field_types(left_schema, left_cols)
+    all_fields += arrow_field_types(right_schema, right_only)
     out_cols = [n for n, _ in all_fields]
 
-    def _widen(side: int):
-        def fn(batch: pa.Table) -> pa.Table:
-            n = batch.num_rows
-            cols = {}
-            for name, typ in all_fields:
-                cols[name] = (batch.column(name).cast(typ)
-                              if name in batch.column_names
-                              else pa.nulls(n, typ))
-            cols["__bucket"] = pa.array(
-                _key_hash(batch.column(key).combine_chunks(), nbuckets),
-                pa.int32())
-            cols["__side"] = pa.array(np.full(n, side, dtype=np.int8))
-            return pa.table(cols)
-        return fn
-
-    tagged = left.map_batches(_widen(0), batch_format="pyarrow").union(
-        right.map_batches(_widen(1), batch_format="pyarrow"))
+    tagged = tag_union(left, right, key, all_fields, nbuckets)
 
     def _resolve(group: pd.DataFrame) -> pd.DataFrame:
         l = group.loc[group["__side"] == 0, left_cols]

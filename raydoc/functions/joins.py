@@ -37,6 +37,54 @@ def _key_hash(arr: pa.Array, num_buckets: int) -> np.ndarray:
 _PA_HOW = {"inner": "inner", "left": "left outer"}
 
 
+def _pa_join_type(how: str) -> str:
+    if how not in _PA_HOW:
+        raise ValueError(f"unsupported how={how!r}; "
+                         f"supported: {sorted(_PA_HOW)}")
+    return _PA_HOW[how]
+
+
+def arrow_field_types(schema, names) -> list[tuple[str, pa.DataType]]:
+    """(name, arrow type) pairs from a Dataset schema — handles both
+    Arrow-block and pandas-block datasets (the latter report numpy
+    dtypes; object columns map to string)."""
+    base = getattr(schema, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return [(n, base.field(n).type) for n in names]
+    dtypes = dict(zip(schema.names, schema.types))
+    return [(n, pa.string() if dtypes[n] == np.dtype("O")
+             else pa.from_numpy_dtype(dtypes[n])) for n in names]
+
+
+def tag_union(left: rd.Dataset, right: rd.Dataset, key: str,
+              all_fields: list[tuple[str, pa.DataType]],
+              num_buckets: int) -> rd.Dataset:
+    """Shared machinery for the keyed two-sided operators (bucket join,
+    as-of join, containment anti-join): pad BOTH sides to one schema
+    (nulls for the other side's columns), tag ``__side`` and a hash
+    ``__bucket`` of the key, and union — ready for a per-bucket reduce.
+    ``all_fields`` is computed ONCE by the caller (never per batch, never
+    from inside a closure that captures a Dataset)."""
+
+    def _widen(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            cols = {}
+            for name, typ in all_fields:
+                cols[name] = (batch.column(name).cast(typ)
+                              if name in batch.column_names
+                              else pa.nulls(n, typ))
+            cols["__bucket"] = pa.array(
+                _key_hash(batch.column(key).combine_chunks(), num_buckets),
+                pa.int32())
+            cols["__side"] = pa.array(np.full(n, side, dtype=np.int8))
+            return pa.table(cols)
+        return fn
+
+    return left.map_batches(_widen(0), batch_format="pyarrow").union(
+        right.map_batches(_widen(1), batch_format="pyarrow"))
+
+
 def broadcast_join(ds: rd.Dataset, small: pa.Table, key: str,
                    select: list[str] | None = None,
                    how: str = "inner") -> rd.Dataset:
@@ -49,7 +97,7 @@ def broadcast_join(ds: rd.Dataset, small: pa.Table, key: str,
     if select:
         small = small.select([key] + [c for c in select if c != key])
     small_ref = ray.put(small)
-    join_type = _PA_HOW[how]
+    join_type = _pa_join_type(how)
 
     def _join(batch: pa.Table) -> pa.Table:
         right = ray.get(small_ref)          # zero-copy object-store read
@@ -76,39 +124,13 @@ def bucket_hash_join(left: rd.Dataset, right: rd.Dataset, key: str,
     if overlap:
         raise ValueError(f"column collision in bucket_hash_join: {overlap}")
 
-    def _arrow_type(schema, name):
-        base = getattr(schema, "base_schema", None)
-        if isinstance(base, pa.Schema):
-            return base.field(name).type
-        # pandas-block dataset upstream: infer from numpy dtype
-        dtype = dict(zip(schema.names, schema.types))[name]
-        return pa.string() if dtype == np.dtype("O") else \
-            pa.from_numpy_dtype(dtype)
-
-    all_fields = [(n, _arrow_type(left_schema, n)) for n in left_cols]
-    all_fields += [(n, _arrow_type(right_schema, n))
-                   for n in right_cols if n != key]
+    all_fields = arrow_field_types(left_schema, left_cols)
+    all_fields += arrow_field_types(right_schema,
+                                    [c for c in right_cols if c != key])
     out_schema = pa.schema(all_fields)
-    join_type = _PA_HOW[how]
+    join_type = _pa_join_type(how)
 
-    def _widen(side: int):
-        def fn(batch: pa.Table) -> pa.Table:
-            n = batch.num_rows
-            cols = {}
-            for name, typ in all_fields:
-                if name in batch.column_names:
-                    cols[name] = batch.column(name).cast(typ)
-                else:
-                    cols[name] = pa.nulls(n, typ)
-            cols["__bucket"] = pa.array(
-                _key_hash(batch.column(key).combine_chunks(), num_buckets),
-                pa.int32())
-            cols["__side"] = pa.array(np.full(n, side, dtype=np.int8))
-            return pa.table(cols)
-        return fn
-
-    tagged = left.map_batches(_widen(0), batch_format="pyarrow").union(
-        right.map_batches(_widen(1), batch_format="pyarrow"))
+    tagged = tag_union(left, right, key, all_fields, num_buckets)
 
     out_cols = [n for n, _ in all_fields]
 

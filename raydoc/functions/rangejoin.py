@@ -36,9 +36,13 @@ def range_join(points: rd.Dataset, intervals: rd.Dataset, key: str,
         return pc.cast(col, pa.int64())
 
     def pt_widen(t: pa.Table) -> pa.Table:
-        g = pc.divide(_us(t[ts]), granule_us)
+        # numpy floor division, NOT pc.divide (which truncates toward
+        # zero) — must match the interval side's // so pre-epoch
+        # timestamps land in the same granule on both sides
+        g = _us(t[ts]).to_numpy() // granule_us
         ck = pc.binary_join_element_wise(
-            pc.cast(t[key], pa.string()), pc.cast(g, pa.string()), "|")
+            pc.cast(t[key], pa.string()),
+            pc.cast(pa.array(g, pa.int64()), pa.string()), "|")
         return t.append_column("__ck", ck)
 
     def iv_widen(t: pa.Table) -> pa.Table:
@@ -122,32 +126,15 @@ def bbox_containment_antijoin(elements: rd.Dataset, regions: rd.Dataset,
     (elements × regions within one page — the per-page region count is
     small by construction). Expects ``bbox`` = [x0, y0, x1, y1] on both
     sides; region rows need no other columns."""
-    import pyarrow.compute as pc
+    from raydoc.functions.joins import arrow_field_types, tag_union
 
-    ekey_cols = [c for c in elements.schema().names]
-
-    def _widen(side: int):
-        def fn(batch: pa.Table) -> pa.Table:
-            from raydoc.functions.joins import _key_hash
-            n = batch.num_rows
-            cols = {c: batch.column(c) for c in batch.column_names}
-            if side == 1:
-                cols = {key: batch.column(key), "bbox": batch.column("bbox")}
-                # pad element-only columns with nulls
-                for c in ekey_cols:
-                    if c not in cols:
-                        cols[c] = pa.nulls(
-                            n, elements.schema().base_schema.field(c).type)
-            cols["__bucket"] = pa.array(
-                _key_hash(batch.column(key).combine_chunks(), num_buckets),
-                pa.int32())
-            cols["__side"] = pa.array(np.full(n, side, dtype=np.int8))
-            return pa.table({c: cols[c] for c in
-                             [*ekey_cols, "__bucket", "__side"]})
-        return fn
-
-    tagged = elements.map_batches(_widen(0), batch_format="pyarrow").union(
-        regions.map_batches(_widen(1), batch_format="pyarrow"))
+    ekey_cols = list(elements.schema().names)
+    # schema computed ONCE on the driver; regions contribute no new
+    # columns (key + bbox are shared names, other element columns pad to
+    # null on region rows)
+    all_fields = arrow_field_types(elements.schema(), ekey_cols)
+    regions = regions.select_columns([key, "bbox"])
+    tagged = tag_union(elements, regions, key, all_fields, num_buckets)
 
     def resolve(g: pa.Table) -> pa.Table:
         side = g.column("__side").to_numpy(zero_copy_only=False)

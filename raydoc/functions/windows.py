@@ -162,7 +162,12 @@ def value_percentiles(sf_dir: str,
                          columns=["value", "event_id"])
     n = ds.count()
     idxs = [int((n - 1) * q) for q in qs]
-    splits = ds.sort(["value", "event_id"]).split_at_indices(idxs)
-    vals = [splits[i + 1].take(1)[0]["value"] for i in range(len(idxs))]
+    # duplicate rank indices (small n) would yield EMPTY splits — split at
+    # the unique ranks and map each q back to its (possibly shared) value
+    uniq = sorted(set(idxs))
+    splits = ds.sort(["value", "event_id"]).split_at_indices(uniq)
+    at_rank = {ix: splits[i + 1].take(1)[0]["value"]
+               for i, ix in enumerate(uniq)}
     return pa.table({"q": pa.array(list(qs), pa.float64()),
-                     "value": pa.array(vals, pa.float64())})
+                     "value": pa.array([at_rank[ix] for ix in idxs],
+                                       pa.float64())})

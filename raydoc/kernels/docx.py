@@ -86,7 +86,9 @@ def docx_paragraphs(docx_bytes: bytes) -> list[tuple[str | None, str]]:
         sm = re.search(r'<w:pStyle w:val="([^"]+)"/>', seg)
         tm = re.search(r"<w:t[^>]*>(.*?)</w:t>", seg, re.S)
         text = tm.group(1) if tm else ""
-        for ent, ch in (("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">")):
+        # standard XML unescape order: '&amp;' LAST, or a literal '&lt;'
+        # in the source (stored as '&amp;lt;') would double-unescape
+        for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&amp;", "&")):
             text = text.replace(ent, ch)
         out.append((sm.group(1) if sm else None, text))
     return out

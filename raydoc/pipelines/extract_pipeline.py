@@ -256,6 +256,7 @@ def run_job(input_path: str, out_dir: str,
         "wall_sec": 0.0,
     }
     if not pending:
+        _append_history(out_dir, report)   # no-op resumes appear too (O6)
         return report
 
     # Checkpoint WAVES: partitions process in `cfg.checkpoint_waves`
@@ -420,6 +421,7 @@ def run_job_aligned(input_path: str, out_dir: str,
         "wall_sec": 0.0,
     }
     if not pending_files:
+        _append_history(out_dir, report)
         return report
 
     t0 = time.perf_counter()

@@ -36,15 +36,27 @@ import ray.data as rd
 @ray.remote(num_cpus=0.1)
 class DedupIndexShard:
     """One hash-partition of the global seen-set. Actor semantics give
-    atomic first-wins: concurrent callers serialize per shard."""
+    atomic first-wins: concurrent callers serialize per shard.
+
+    Idempotent under Ray task RETRIES: each call carries a caller token;
+    the shard memoizes its answer per token, so a re-executed map task
+    (whose digests are now 'seen' from its own first attempt) gets the
+    ORIGINAL answer back instead of silently dropping the whole batch."""
+
+    _MEMO_MAX = 4096
 
     def __init__(self) -> None:
         self._seen: set[bytes] = set()
+        self._memo: dict[bytes, list[bool]] = {}
 
-    def seen_then_add(self, digests: list[bytes]) -> list[bool]:
+    def seen_then_add(self, digests: list[bytes],
+                      token: bytes | None = None) -> list[bool]:
         """For each digest: True if it was already in the index (dup);
         afterwards every digest is in the index. Duplicates WITHIN the
-        call keep the first occurrence."""
+        call keep the first occurrence. ``token`` (unique per logical
+        batch) makes retried calls return their first-attempt answer."""
+        if token is not None and token in self._memo:
+            return self._memo[token]
         seen = self._seen
         out = []
         for d in digests:
@@ -53,6 +65,10 @@ class DedupIndexShard:
             else:
                 seen.add(d)
                 out.append(False)
+        if token is not None:
+            if len(self._memo) >= self._MEMO_MAX:
+                self._memo.clear()
+            self._memo[token] = out
         return out
 
     def size(self) -> int:
@@ -74,8 +90,15 @@ def create_dedup_index(n_shards: int = 8) -> list:
 def incremental_dedup(ds: rd.Dataset, index: list,
                       col: str = "text") -> rd.Dataset:
     """Drop rows whose ``col`` content hash was ever seen by ``index``
-    (across ALL prior and concurrent ingests); first occurrence wins."""
+    (across ALL prior and concurrent ingests); first occurrence wins.
+    Safe under Ray task retries (per-batch token memoization in the
+    shards — see DedupIndexShard)."""
+    if not index:
+        raise ValueError("incremental_dedup needs at least one index shard")
     n = len(index)
+
+    seq = [0]   # per-task batch ordinal (fresh copy per task, identical
+                # sequence on a retry of the same task)
 
     def fn(t: pa.Table) -> pa.Table:
         digests = [hashlib.md5((v or "").encode()).digest()
@@ -84,9 +107,15 @@ def incremental_dedup(ds: rd.Dataset, index: list,
         for i, d in enumerate(digests):
             by_shard.setdefault(d[0] % n, []).append(i)
         keep = [False] * t.num_rows
-        # one batched RPC per shard actor, issued concurrently
+        # one batched RPC per shard actor, issued concurrently; the token
+        # (Ray task id — STABLE across retries — + batch ordinal) makes a
+        # re-executed task get its first-attempt answers back instead of
+        # seeing its own digests as duplicates
+        task_id = ray.get_runtime_context().get_task_id() or "driver"
+        token = hashlib.md5(f"{task_id}:{seq[0]}".encode()).digest()
+        seq[0] += 1
         futures = {s: index[s].seen_then_add.remote(
-            [digests[i] for i in rows]) for s, rows in by_shard.items()}
+            [digests[i] for i in rows], token) for s, rows in by_shard.items()}
         for s, rows in by_shard.items():
             for i, dup in zip(rows, ray.get(futures[s])):
                 keep[i] = not dup
@@ -114,13 +143,17 @@ def save_index(index: list, out_dir: str) -> None:
         pq.write_table(t, os.path.join(out_dir, f"shard-{s:04d}.parquet"))
 
 
-def load_index(out_dir: str) -> list:
-    """Recreate index actors from a saved dump."""
+def load_index(out_dir: str, default_shards: int = 8) -> list:
+    """Recreate index actors from a saved dump. A directory with no shard
+    files (pre-created mount, first run) yields a FRESH default-sized
+    index rather than a zero-shard one."""
     import glob
     import os
 
     import pyarrow.parquet as pq
     files = sorted(glob.glob(os.path.join(out_dir, "shard-*.parquet")))
+    if not files:
+        return create_dedup_index(default_shards)
     index = [DedupIndexShard.remote() for _ in files]
     ray.get([sh.restore.remote(
         b"".join(pq.read_table(f).column("digest").to_pylist()))

@@ -43,3 +43,30 @@ def test_index_save_load_roundtrip(ray_session, tmp_path):
     assert index_stats(restored)["total_digests"] == 3
     out = incremental_dedup(_ds(["two", "four"]), restored).to_pandas()
     assert sorted(out["text"]) == ["four"]
+
+
+def test_load_index_from_empty_dir(ray_session, tmp_path):
+    """A pre-created empty index directory must yield a working fresh
+    index (not a zero-shard one that ZeroDivisionErrors every batch)."""
+    d = tmp_path / "empty_idx"
+    d.mkdir()
+    index = load_index(str(d))
+    out = incremental_dedup(_ds(["x", "x", "y"]), index).to_pandas()
+    assert sorted(out["text"]) == ["x", "y"]
+
+
+def test_seen_then_add_idempotent_under_retry(ray_session):
+    """A retried call with the same token gets its first-attempt answer
+    (no silent batch drop on Ray task re-execution)."""
+    import ray as _ray
+
+    from raydoc.state.dedup_index import DedupIndexShard
+
+    sh = DedupIndexShard.remote()
+    digs = [b"a" * 16, b"b" * 16]
+    first = _ray.get(sh.seen_then_add.remote(digs, b"tok1"))
+    assert first == [False, False]
+    retry = _ray.get(sh.seen_then_add.remote(digs, b"tok1"))
+    assert retry == [False, False]          # memoized, not re-evaluated
+    other = _ray.get(sh.seen_then_add.remote(digs, b"tok2"))
+    assert other == [True, True]            # a NEW batch sees the dups

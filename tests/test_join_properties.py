@@ -139,3 +139,28 @@ def test_range_join_matches_duckdb(ray_session, seed):
                          key="k", granule_us=granule,
                          num_buckets=8).to_pandas()
         assert _canon(got) == _canon(want), f"granule={granule}"
+
+
+def test_unsupported_how_raises_clearly(ray_session):
+    left, right = _mk(9)
+    with pytest.raises(ValueError, match="supported"):
+        bucket_hash_join(rd.from_arrow(pa.Table.from_pandas(left)),
+                         rd.from_arrow(pa.Table.from_pandas(right)),
+                         key="k", how="outer")
+
+
+def test_range_join_negative_timestamps(ray_session):
+    """Floor-vs-truncate division regression: pre-epoch timestamps must
+    land in the same granule on both sides."""
+    from raydoc.functions.rangejoin import range_join
+
+    points = pd.DataFrame({"k": [1], "ts": np.array([-1], dtype="int64"),
+                           "pid": np.array([0], dtype="int64")})
+    intervals = pd.DataFrame({
+        "k": [1], "start": np.array([-1800], dtype="int64"),
+        "end": np.array([-1], dtype="int64"),
+        "iid": np.array([7], dtype="int64")})
+    got = range_join(rd.from_arrow(pa.Table.from_pandas(points)),
+                     rd.from_arrow(pa.Table.from_pandas(intervals)),
+                     key="k", granule_us=1000, num_buckets=2).to_pandas()
+    assert list(got["iid"]) == [7]
