@@ -119,15 +119,18 @@ def minhash_signature(text: str, k: int = 3) -> np.ndarray:
 def minhash_band_rows(ds: rd.Dataset, id_col: str = "doc_id",
                       col: str = "text", bands: int = 16,
                       k: int = 3) -> rd.Dataset:
-    """Explode each doc into (band, band_hash, id, signature-hex) rows."""
+    """Explode each doc into (id, band, band_hash) rows — the LSH shuffle
+    moves ONLY the 16-hex band digest per row, never the full 128-hex
+    signature (which would multiply shuffle volume ×bands; the
+    estimated-Jaccard filter instead recomputes signatures for the small
+    candidate set in a second pass — see ``_candidate_signatures``)."""
     rows_per_band = 64 // bands
 
     def fn(t: pa.Table) -> pa.Table:
-        ids, band_ids, band_hashes, sigs, buckets = [], [], [], [], []
+        ids, band_ids, band_hashes, buckets = [], [], [], []
         for doc_id, text in zip(t.column(id_col).to_pylist(),
                                 t.column(col).to_pylist()):
             sig = minhash_signature(text or "", k)
-            sig_hex = sig.tobytes().hex()
             for b in range(bands):
                 chunk = sig[b * rows_per_band:(b + 1) * rows_per_band]
                 bh = hashlib.md5(chunk.tobytes()).hexdigest()[:16]
@@ -140,30 +143,26 @@ def minhash_band_rows(ds: rd.Dataset, id_col: str = "doc_id",
                 buckets.append((b * 1021 + int(bh[:4], 16)) % 256)
                 band_ids.append(b)
                 ids.append(doc_id)
-                sigs.append(sig_hex)
         return pa.table({
             id_col: pa.array(ids),
             "band": pa.array(band_ids, pa.int32()),
             "band_hash": pa.array(band_hashes, pa.string()),
-            "sig": pa.array(sigs, pa.string()),
             "bucket": pa.array(buckets, pa.int32()),
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
-def _lsh_candidate_pairs(exploded: rd.Dataset, id_col: str,
-                         est_threshold: float | None = None) -> set[tuple[int, int]]:
+def _lsh_candidate_pairs(exploded: rd.Dataset,
+                         id_col: str) -> set[tuple[int, int]]:
     """Candidate (a, b) pairs sharing any LSH band bucket. One reduce call
     per COARSE bucket (≈256 groups total instead of one per band-hash);
-    inside, plain dict grouping over the block. With ``est_threshold`` the
-    signature-estimated Jaccard filter is applied during emission."""
+    inside, plain dict grouping over the block."""
 
     def block_pairs(g: pa.Table) -> pa.Table:
         ids = g.column(id_col).to_pylist()
         bands = g.column("band").to_pylist()
         hashes = g.column("band_hash").to_pylist()
-        sighex = g.column("sig").to_pylist() if est_threshold is not None else None
         groups: dict[tuple[int, str], list[int]] = {}
         for i, (b, h) in enumerate(zip(bands, hashes)):
             groups.setdefault((b, h), []).append(i)
@@ -177,11 +176,6 @@ def _lsh_candidate_pairs(exploded: rd.Dataset, id_col: str,
                     i, j = members[x], members[y]
                     if ids[i] == ids[j]:
                         continue
-                    if est_threshold is not None:
-                        si = np.frombuffer(bytes.fromhex(sighex[i]), np.uint64)
-                        sj = np.frombuffer(bytes.fromhex(sighex[j]), np.uint64)
-                        if float((si == sj).mean()) < est_threshold:
-                            continue
                     a_out.append(int(ids[i]))
                     b_out.append(int(ids[j]))
         return pa.table({"a": pa.array(a_out, pa.int64()),
@@ -191,6 +185,35 @@ def _lsh_candidate_pairs(exploded: rd.Dataset, id_col: str,
         block_pairs, batch_format="pyarrow")
     t = collect_table(pairs)
     return set(zip(t.column("a").to_pylist(), t.column("b").to_pylist()))
+
+
+def _candidate_signatures(ds: rd.Dataset, cand_ids: set, id_col: str,
+                          col: str, k: int) -> dict[int, np.ndarray]:
+    """Recompute MinHash signatures for ONLY the candidate docs via a
+    distributed semi-join filter (same shape as the n-gram verify's text
+    semi-join): the corpus streams once, non-candidates drop in the
+    workers, and the driver receives |candidates| signatures — bounded by
+    the LSH regime's small candidate set, never corpus-sized."""
+    import ray
+
+    ids_ref = ray.put(frozenset(cand_ids))
+
+    def sig_rows(t: pa.Table) -> pa.Table:
+        wanted = ray.get(ids_ref)
+        out_ids, out_sigs = [], []
+        for doc_id, text in zip(t.column(id_col).to_pylist(),
+                                t.column(col).to_pylist()):
+            if doc_id in wanted:
+                out_ids.append(doc_id)
+                out_sigs.append(minhash_signature(text or "", k)
+                                .tobytes())
+        return pa.table({id_col: pa.array(out_ids, pa.int64()),
+                         "sig": pa.array(out_sigs, pa.binary())})
+
+    t = collect_table(ds.map_batches(sig_rows, batch_format="pyarrow"))
+    return {i: np.frombuffer(s, np.uint64)
+            for i, s in zip(t.column(id_col).to_pylist(),
+                            t.column("sig").to_pylist())}
 
 
 def minhash_lsh_clusters(sf_dir: str, threshold: float = 0.5,
@@ -208,7 +231,14 @@ def minhash_lsh_clusters(sf_dir: str, threshold: float = 0.5,
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=[id_col, "text"])
     exploded = minhash_band_rows(ds, id_col=id_col, bands=bands, k=k)
-    pair_rows = _lsh_candidate_pairs(exploded, id_col, est_threshold=threshold)
+    candidates = _lsh_candidate_pairs(exploded, id_col)
+
+    # estimated-Jaccard filter: signatures for the candidate docs only
+    # (distributed semi-join recompute — band rows stay signature-free)
+    sigs = _candidate_signatures(ds, {x for p in candidates for x in p},
+                                 id_col, "text", k)
+    pair_rows = {(a, b) for a, b in candidates
+                 if float((sigs[a] == sigs[b]).mean()) >= threshold}
 
     # union-find over the (small) candidate pair set
     parent: dict[int, int] = {}
@@ -484,44 +514,87 @@ def embedding_neardups(sf_dir: str, threshold: float = 0.4,
 
 def embedding_neardups_clustered(sf_dir: str, threshold: float = 0.4,
                                  k: int = 8, iters: int = 5,
-                                 seed: int = 7) -> pa.Table:
-    """APPROXIMATE cosine ≥ τ pairs, clustered: k-means buckets the corpus
-    (similarity.embedding_kmeans's broadcast-centroid partials), then pairs
-    are generated WITHIN each cluster only — one shuffle by cluster id,
-    per-cluster vectorized matmul. Misses cross-cluster pairs by design
-    (recall grows as k shrinks; k=1 degenerates to exact). The exact twin
-    is ``embedding_neardups``; the recall property test compares the two."""
+                                 seed: int = 7, n_sub: int = 4) -> pa.Table:
+    """APPROXIMATE cosine ≥ τ pairs, clustered: k-means buckets the corpus,
+    then pairs are generated WITHIN each cluster only. Misses cross-cluster
+    pairs by design (recall grows as k shrinks; k=1 degenerates to exact).
+    The exact twin is ``embedding_neardups``; the recall property test
+    compares the two.
+
+    Scale shape: cluster assignment is recomputed in the map stage from the
+    BROADCAST (k × d) centroids (similarity.kmeans_centroids — no per-id
+    label map ever exists on the driver or in the object store), and each
+    cluster is split into ``n_sub`` sub-blocks by vec_id: every vector
+    rides to the n_sub (sub_i, sub_j) pair-groups it participates in
+    (i ≤ j), so one group does an O((c/n_sub)²) matmul instead of O(c²) on
+    a whole dominant cluster — the within-cluster version of
+    ``embedding_neardups``'s block-pair pattern, as a shuffle. Each
+    qualifying pair meets exactly once (in the single group holding its
+    sub-block combination), so no dedup pass is needed. Raise ``n_sub``
+    with corpus size."""
     import pandas as pd
 
     import ray
 
-    from raydoc.functions.similarity import _normalize, embedding_kmeans
+    from raydoc.functions.similarity import (_normalize, assign_clusters_fn,
+                                             kmeans_centroids)
 
-    labels = embedding_kmeans(sf_dir, k=k, iters=iters, seed=seed)
-    label_ref = ray.put(dict(zip(labels["vec_id"].to_pylist(),
-                                 labels["cluster"].to_pylist())))
+    cents = kmeans_centroids(sf_dir, k=k, iters=iters, seed=seed)
+    cents_ref = ray.put(cents)
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                           columns=["vec_id", "embedding"])
+    tagged = emb.map_batches(
+        assign_clusters_fn(cents_ref, extra_cols=("embedding",)),
+        batch_format="pyarrow")
+    m = n_sub
 
-    def tag(t: pa.Table) -> pa.Table:
-        lab = ray.get(label_ref)
-        clusters = [lab[v] for v in t.column("vec_id").to_pylist()]
-        return t.append_column("cluster", pa.array(clusters, pa.int64()))
+    def explode(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+        clusters = np.asarray(t.column("cluster").to_pylist(), dtype=np.int64)
+        subs = ids % m
+        # row r joins every pair-group (i, j), i ≤ j, with i == sub or
+        # j == sub → exactly m groups per row
+        take_ix, gks, gsubs = [], [], []
+        for r in range(len(ids)):
+            s, c = int(subs[r]), int(clusters[r])
+            for o in range(m):
+                i, j = (o, s) if o < s else (s, o)
+                take_ix.append(r)
+                gks.append((c * m + i) * m + j)
+                gsubs.append(s)
+        out = t.select(["vec_id", "embedding"]).take(
+            pa.array(take_ix, pa.int64()))
+        return (out.append_column("gk", pa.array(gks, pa.int64()))
+                   .append_column("sub", pa.array(gsubs, pa.int32())))
 
-    def cluster_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def group_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        gk = int(g["gk"].iloc[0])
+        i, j = (gk // m) % m, gk % m
         ids = g["vec_id"].to_numpy()
+        subs = g["sub"].to_numpy()
         mat = _normalize(np.stack(g["embedding"].to_numpy())
                          .astype(np.float64))
-        sims = mat @ mat.T
-        xs, ys = np.where(sims >= threshold)
-        rows = [(int(ids[x]), int(ids[y]), round(float(sims[x, y]), 6))
-                for x, y in zip(xs, ys) if ids[x] < ids[y]]
+        if i == j:
+            sims = mat @ mat.T
+            xs, ys = np.where(sims >= threshold)
+            rows = [(int(ids[x]), int(ids[y]), round(float(sims[x, y]), 6))
+                    for x, y in zip(xs, ys) if ids[x] < ids[y]]
+        else:
+            ai = np.where(subs == i)[0]
+            bj = np.where(subs == j)[0]
+            if not len(ai) or not len(bj):
+                rows = []
+            else:
+                sims = mat[ai] @ mat[bj].T
+                xs, ys = np.where(sims >= threshold)
+                rows = [(*sorted((int(ids[ai[x]]), int(ids[bj[y]]))),
+                         round(float(sims[x, y]), 6))
+                        for x, y in zip(xs, ys)]
         return pd.DataFrame(rows, columns=["a", "b", "cosine"]) if rows \
             else pd.DataFrame({"a": [], "b": [], "cosine": []})
 
-    out = (emb.map_batches(tag, batch_format="pyarrow")
-           .groupby("cluster").map_groups(cluster_pairs,
-                                          batch_format="pandas"))
+    out = (tagged.map_batches(explode, batch_format="pyarrow")
+           .groupby("gk").map_groups(group_pairs, batch_format="pandas"))
     df = out.to_pandas()
     if df.empty:
         return pa.table({"a": pa.array([], pa.int64()),

@@ -316,33 +316,48 @@ def q_json_props_stats(sf_dir: str) -> pa.Table:
     return collect_table(out).sort_by("event_type")
 
 
-def q_stratified_sample(sf_dir: str, per_type: int = 20) -> pa.Table:
+def q_stratified_sample(sf_dir: str, per_type: int = 20,
+                        num_buckets: int | None = None) -> pa.Table:
     """Deterministic stratified sample: ``per_type`` events per event_type
     under a content-derived pseudo-random order (md5 of the event id) —
     stable across runs, cluster sizes and input order, and EXACTLY
-    replicable in SQL (same md5 ranking). Coarse-bucket rank pattern, no
-    per-type micro-groups."""
+    replicable in SQL (same md5 ranking).
+
+    Two-phase rank so no stratum ever lands in a single task: phase 1
+    keeps the LOCAL md5-top-``per_type`` per stratum within each coarse
+    event_id-hash bucket (the global per-type top-N is always a subset of
+    the union of per-bucket top-Ns), phase 2 merges the tiny survivor set
+    (≤ buckets × strata × per_type rows) with one final rank. A dominant
+    event_type spreads across all buckets instead of one pandas group."""
     import hashlib as _hl
 
     import pandas as pd
 
+    from raydoc.functions._buckets import reduce_bucket_count
+    mask = (num_buckets or reduce_bucket_count()) - 1
     ds = _read(sf_dir, "events", ["event_id", "event_type"])
 
-    def add_rank_key(t: pa.Table) -> pa.Table:
+    def add_keys(t: pa.Table) -> pa.Table:
         keys = [_hl.md5(str(v).encode()).hexdigest()
                 for v in t.column("event_id").to_pylist()]
-        return t.append_column("rk", pa.array(keys, pa.string()))
+        t = t.append_column("rk", pa.array(keys, pa.string()))
+        return t.append_column(
+            "bucket", pc.cast(pc.bit_wise_and(t["event_id"], mask),
+                              pa.int32()))
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def local_top(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["event_type", "rk"], ignore_index=True)
         rank = g.groupby("event_type", sort=False).cumcount()
-        return g[rank < per_type][["event_id", "event_type"]]
+        return g[rank < per_type][["event_id", "event_type", "rk"]]
 
-    # event_type is low-cardinality: ONE group per type is fine here (the
-    # per-type top-N needs global ordering per type; N strata ≪ CPUs is
-    # the regime where a grouped rank is the exact, portable answer)
-    out = (ds.map_batches(add_rank_key, batch_format="pyarrow")
-           .groupby("event_type").map_groups(per_bucket,
-                                             batch_format="pandas"))
-    return collect_table(out).sort_by(
+    survivors = collect_table(
+        ds.map_batches(add_keys, batch_format="pyarrow")
+          .groupby("bucket").map_groups(local_top, batch_format="pandas"))
+    df = survivors.to_pandas().sort_values(["event_type", "rk"],
+                                           ignore_index=True)
+    rank = df.groupby("event_type", sort=False).cumcount()
+    out = pa.Table.from_pandas(
+        df[rank < per_type][["event_id", "event_type"]],
+        preserve_index=False)
+    return out.sort_by(
         [("event_type", "ascending"), ("event_id", "ascending")])

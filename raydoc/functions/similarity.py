@@ -91,13 +91,21 @@ def brute_force_topk(sf_dir: str, query_ids: list[int] | None = None,
 
 def lsh_topk(sf_dir: str, query_ids: list[int] | None = None, k: int = 10,
              n_planes: int = 8, seed: int = 7,
-             multiprobe: int = 2) -> pa.Table:
+             multiprobe: int = 2, sub_buckets: int = 4) -> pa.Table:
     """Approximate top-k via signed-random-projection buckets with
     MULTI-PROBE: each query probes its own bucket plus the ``multiprobe``
     buckets reached by flipping its lowest-margin hyperplane bits (the
     bits most likely to disagree for true neighbors). Exact within probed
     buckets; recall grows with ``multiprobe`` and falls with ``n_planes``
-    (smaller buckets)."""
+    (smaller buckets).
+
+    A probe group is a SUB-bucket (bucket × vec_id-salt, ``sub_buckets``
+    per bucket), not the whole hash bucket — a hot bucket splits across
+    ``sub_buckets`` tasks and per-query candidates merge in the final
+    exact top-k, so no single task ever stacks an entire popular bucket.
+    Raise ``sub_buckets`` with corpus size. Results are identical for any
+    value (the per-sub-group top-(k+1) always contains the global
+    top-(k+1) members that live in that sub-group)."""
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
     query_ids = query_ids if query_ids is not None else [0, 1, 2, 3, 4]
@@ -108,13 +116,16 @@ def lsh_topk(sf_dir: str, query_ids: list[int] | None = None, k: int = 10,
     dim = q.shape[1]
     planes = rng.standard_normal((n_planes, dim))
     planes_ref = ray.put(planes)
+    S = sub_buckets
 
     def bucketize(t: pa.Table) -> pa.Table:
         pl = ray.get(planes_ref)
         mat = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        ids = np.array(t["vec_id"].to_pylist(), dtype=np.int64)
         signs = (mat @ pl.T) > 0
         buckets = (signs * (1 << np.arange(n_planes))).sum(axis=1)
-        return t.append_column("bucket", pa.array(buckets.astype(np.int64)))
+        gk = buckets.astype(np.int64) * S + (ids % S)
+        return t.append_column("bucket", pa.array(gk))
 
     bucketed = ds.map_batches(bucketize, batch_format="pyarrow")
 
@@ -136,7 +147,7 @@ def lsh_topk(sf_dir: str, query_ids: list[int] | None = None, k: int = 10,
 
     def probe(group: pd.DataFrame) -> pd.DataFrame:
         qmap = ray.get(q_by_bucket_ref)
-        bucket = int(group["bucket"].iloc[0])
+        bucket = int(group["bucket"].iloc[0]) // S   # sub-bucket → bucket
         if bucket not in qmap:
             return pd.DataFrame({"query_id": [], "vec_id": [], "cosine": []})
         q_ids, q = qmap[bucket]
@@ -177,14 +188,19 @@ def _train_centroids(sample: np.ndarray, n_lists: int, iters: int,
 
 def ivf_topk(sf_dir: str, query_ids: list[int] | None = None, k: int = 10,
              n_lists: int = 16, nprobe: int = 4, seed: int = 7,
-             train_sample: int = 2048, iters: int = 10) -> pa.Table:
+             train_sample: int = 2048, iters: int = 10,
+             sub_buckets: int = 4) -> pa.Table:
     """IVF approximate top-k: a coarse k-means quantizer partitions vectors
     into inverted lists; each query probes its ``nprobe`` nearest lists.
 
     Scale path: the quantizer trains on a driver-side sample (tiny), the
     assignment is one vectorized map over the corpus, the probe stage
-    shuffles each vector ONCE (by list id) and queries broadcast. Recall
-    grows with nprobe (nprobe = n_lists ⇒ exact brute force)."""
+    shuffles each vector ONCE (by list id × vec_id-salt — a probe group is
+    a SUB-list of ~|list|/``sub_buckets`` vectors, so no single task holds
+    a whole n/n_lists inverted list; per-query candidates merge in the
+    final exact top-k, results identical for any ``sub_buckets``) and
+    queries broadcast. Recall grows with nprobe (nprobe = n_lists ⇒ exact
+    brute force)."""
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
 
@@ -193,12 +209,14 @@ def ivf_topk(sf_dir: str, query_ids: list[int] | None = None, k: int = 10,
                        for r in sample_rows])
     cents = _train_centroids(sample, n_lists, iters, seed)
     cents_ref = ray.put(cents)
+    S = sub_buckets
 
     def assign(t: pa.Table) -> pa.Table:
         c = ray.get(cents_ref)
         mat = _normalize(np.array(t["embedding"].to_pylist(), dtype=np.float64))
+        ids = np.array(t["vec_id"].to_pylist(), dtype=np.int64)
         lists = (mat @ c.T).argmax(axis=1).astype(np.int64)
-        return t.append_column("list_id", pa.array(lists))
+        return t.append_column("list_id", pa.array(lists * S + (ids % S)))
 
     listed = ds.map_batches(assign, batch_format="pyarrow")
 
@@ -214,7 +232,7 @@ def ivf_topk(sf_dir: str, query_ids: list[int] | None = None, k: int = 10,
 
     def probe(group: pd.DataFrame) -> pd.DataFrame:
         qmap = ray.get(q_by_list_ref)
-        li = int(group["list_id"].iloc[0])
+        li = int(group["list_id"].iloc[0]) // S      # sub-list → list
         if li not in qmap:
             return pd.DataFrame({"query_id": [], "vec_id": [], "cosine": []})
         gq_ids, gq = qmap[li]
@@ -235,16 +253,16 @@ def ivf_topk(sf_dir: str, query_ids: list[int] | None = None, k: int = 10,
     return _final_topk(cands, k)
 
 
-def embedding_kmeans(sf_dir: str, k: int = 8, iters: int = 10,
-                     seed: int = 7) -> pa.Table:
-    """(vec_id, cluster): distributed Lloyd's k-means over the embedding
-    column — the corpus-bucketing / semantic-dedup workhorse.
+def kmeans_centroids(sf_dir: str, k: int = 8, iters: int = 10,
+                     seed: int = 7) -> np.ndarray:
+    """Distributed Lloyd's k-means fit → the (k × d) centroid matrix.
 
     Scale shape per iteration: centroids broadcast via ``ray.put``; each
     batch emits ONE (k×d sums, k counts) partial — rows never leave their
-    batch; the driver folds the tiny partials and updates centroids.
-    Deterministic: seeded init from the first rows, fixed iteration count,
-    ties break to the lowest centroid index."""
+    batch; partials merge in WORKER-side tree-fold levels (sum is
+    associative) so the driver folds a handful of blobs, not one per
+    batch. Deterministic: seeded init from the first rows, fixed iteration
+    count, ties break to the lowest centroid index."""
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
     init_rows = ds.take(max(k * 4, 64))
@@ -253,6 +271,17 @@ def embedding_kmeans(sf_dir: str, k: int = 8, iters: int = 10,
                                 for r in init_rows]))
     cents = init[rng.choice(len(init), size=min(k, len(init)),
                             replace=False)]
+    shape = cents.shape
+
+    def fold(t: pa.Table) -> pa.Table:
+        sums = np.zeros(shape, dtype=np.float64)
+        counts = np.zeros(shape[0], dtype=np.int64)
+        for sb, cb in zip(t.column("sums").to_pylist(),
+                          t.column("counts").to_pylist()):
+            sums += np.frombuffer(sb, dtype=np.float64).reshape(shape)
+            counts += np.frombuffer(cb, dtype=np.int64)
+        return pa.table({"sums": pa.array([sums.tobytes()], pa.binary()),
+                         "counts": pa.array([counts.tobytes()], pa.binary())})
 
     for _ in range(iters):
         ref = ray.put(cents)
@@ -270,7 +299,12 @@ def embedding_kmeans(sf_dir: str, k: int = 8, iters: int = 10,
                              "counts": pa.array([counts.tobytes()],
                                                 pa.binary())})
 
-        parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        parts_ds = ds.map_batches(partial, batch_format="pyarrow")
+        # two fold levels: 1M batches → 245 → 4 partials reach the driver
+        for _ in range(2):
+            parts_ds = parts_ds.map_batches(fold, batch_format="pyarrow",
+                                            batch_size=64)
+        parts = parts_ds.to_pandas()
         sums = np.zeros_like(cents)
         counts = np.zeros(len(cents), dtype=np.int64)
         for sb, cb in zip(parts["sums"], parts["counts"]):
@@ -278,16 +312,37 @@ def embedding_kmeans(sf_dir: str, k: int = 8, iters: int = 10,
             counts += np.frombuffer(cb, dtype=np.int64)
         nz = counts > 0
         cents[nz] = _normalize(sums[nz] / counts[nz, None])
+    return cents
 
-    ref = ray.put(cents)
 
+def assign_clusters_fn(cents_ref, extra_cols: tuple[str, ...] = ()):
+    """Batch fn: append ``cluster`` = argmax-cosine centroid (broadcast
+    centroids — NOT a per-id label map; assignment is recomputed anywhere
+    it's needed, so no O(n) state ever exists on the driver)."""
     def label(t: pa.Table) -> pa.Table:
-        c = ray.get(ref)
+        c = ray.get(cents_ref)
         mat = _normalize(np.array(t["embedding"].to_pylist(),
                                   dtype=np.float64))
         assign = (mat @ c.T).argmax(axis=1).astype(np.int64)
-        return pa.table({"vec_id": t["vec_id"],
-                         "cluster": pa.array(assign)})
+        cols = {"vec_id": t["vec_id"], "cluster": pa.array(assign)}
+        for name in extra_cols:
+            cols[name] = t[name]
+        return pa.table(cols)
+    return label
 
-    out = ds.map_batches(label, batch_format="pyarrow").to_pandas()
-    return pa.Table.from_pandas(out, preserve_index=False).sort_by("vec_id")
+
+def embedding_kmeans(sf_dir: str, k: int = 8, iters: int = 10,
+                     seed: int = 7) -> pa.Table:
+    """(vec_id, cluster): distributed Lloyd's k-means over the embedding
+    column — the corpus-bucketing / semantic-dedup workhorse. Fit via
+    ``kmeans_centroids`` (tree-folded partials), then one streamed
+    labeling pass from the broadcast centroids."""
+    from raydoc.functions._collect import collect_table
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    cents = kmeans_centroids(sf_dir, k=k, iters=iters, seed=seed)
+    ref = ray.put(cents)
+    out = collect_table(ds.map_batches(assign_clusters_fn(ref),
+                                       batch_format="pyarrow"))
+    return out.sort_by("vec_id")

@@ -86,15 +86,28 @@ def distinct_users_exact(sf_dir: str) -> pa.Table:
 
 
 def distinct_users_hll(sf_dir: str) -> pa.Table:
-    """HLL sketch of distinct user_id: per-batch register partials shuffle
-    as 4 KB blobs, merged by max — the 10¹²-row cardinality path."""
+    """HLL sketch of distinct user_id: per-batch register partials merge by
+    elementwise max in WORKER-side tree-fold levels (same shape as the CMS
+    fold below), so the driver folds a handful of 4 KB blobs — not one per
+    input batch — regardless of corpus size. The 10¹²-row cardinality path."""
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
 
     def partial(t: pa.Table) -> pa.Table:
         regs = hll_partial(t.column("user_id").to_pylist())
         return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
 
-    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    def fold(t: pa.Table) -> pa.Table:
+        acc = np.zeros(M, dtype=np.uint8)
+        for blob in t.column("regs").to_pylist():
+            acc = hll_merge(acc, np.frombuffer(blob, dtype=np.uint8))
+        return pa.table({"regs": pa.array([acc.tobytes()], pa.binary())})
+
+    parts_ds = ds.map_batches(partial, batch_format="pyarrow")
+    # two fold levels cut partial count by 64× each (1M batches → 245 → 4)
+    for _ in range(2):
+        parts_ds = parts_ds.map_batches(fold, batch_format="pyarrow",
+                                        batch_size=64)
+    parts = parts_ds.to_pandas()
     regs = np.zeros(M, dtype=np.uint8)
     for blob in parts["regs"]:
         regs = hll_merge(regs, np.frombuffer(blob, dtype=np.uint8))
