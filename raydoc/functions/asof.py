@@ -38,9 +38,11 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, key: str, ts: str,
     columns (null where no right row qualifies).
 
     ``right_tiebreak``: columns that order right rows sharing (key, ts) —
-    the row sorting LAST wins (backward direction), making ties
-    deterministic without a separate dedup shuffle. Without it, callers
-    must guarantee at most one right row per (key, ts)."""
+    the HIGHEST-sorting row wins in both directions (the sort order is
+    flipped internally for ``forward``, where merge_asof keeps the first
+    qualifying row instead of the last), making ties deterministic
+    without a separate dedup shuffle. Without it, callers must guarantee
+    at most one right row per (key, ts)."""
     nbuckets = num_buckets or reduce_bucket_count()
     left_schema = left.schema()
     right_schema = right.schema()
@@ -67,8 +69,14 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, key: str, ts: str,
                 out[c] = None
             return out[out_cols]
         l = l.sort_values(ts, kind="stable", ignore_index=True)
-        r = r.sort_values([ts] + (right_tiebreak or []), kind="stable",
-                          ignore_index=True)
+        # merge_asof keeps the LAST qualifying row for backward but the
+        # FIRST for forward — so the tiebreak columns sort ascending for
+        # backward and DESCENDING for forward, making "highest tiebreak
+        # wins" hold in both directions (ts itself always ascends, as
+        # merge_asof requires)
+        tb = right_tiebreak or []
+        r = r.sort_values([ts] + tb, kind="stable", ignore_index=True,
+                          ascending=[True] + [direction != "forward"] * len(tb))
         merged = pd.merge_asof(l, r, on=ts, by=key, direction=direction)
         return merged[out_cols]
 

@@ -34,7 +34,8 @@ def _key_hash(arr: pa.Array, num_buckets: int) -> np.ndarray:
          for v in arr.to_pylist()], dtype=np.int32)
 
 
-_PA_HOW = {"inner": "inner", "left": "left outer"}
+_PA_HOW = {"inner": "inner", "left": "left outer",
+           "right": "right outer", "full": "full outer"}
 
 
 def _pa_join_type(how: str) -> str:
@@ -46,8 +47,11 @@ def _pa_join_type(how: str) -> str:
 
 def arrow_field_types(schema, names) -> list[tuple[str, pa.DataType]]:
     """(name, arrow type) pairs from a Dataset schema — handles both
-    Arrow-block and pandas-block datasets (the latter report numpy
-    dtypes; object columns map to string)."""
+    Arrow-block and pandas-block datasets. A pandas-block object-dtype
+    column is ASSUMED to hold strings (the schema carries no more
+    information); if it actually holds bytes/lists the widen stage raises
+    a typed error naming the column instead of silently miscasting —
+    convert such pipelines to Arrow-block batches before a keyed join."""
     base = getattr(schema, "base_schema", None)
     if isinstance(base, pa.Schema):
         return [(n, base.field(n).type) for n in names]
@@ -71,9 +75,20 @@ def tag_union(left: rd.Dataset, right: rd.Dataset, key: str,
             n = batch.num_rows
             cols = {}
             for name, typ in all_fields:
-                cols[name] = (batch.column(name).cast(typ)
-                              if name in batch.column_names
-                              else pa.nulls(n, typ))
+                if name not in batch.column_names:
+                    cols[name] = pa.nulls(n, typ)
+                    continue
+                col = batch.column(name)
+                try:
+                    cols[name] = col.cast(typ)
+                except (pa.ArrowInvalid, pa.ArrowNotImplementedError,
+                        pa.ArrowTypeError) as exc:
+                    raise TypeError(
+                        f"column {name!r} arrived as {col.type} but the "
+                        f"declared join schema says {typ} — object-dtype "
+                        f"pandas columns are assumed string; use "
+                        f"Arrow-block batches for non-string object "
+                        f"columns") from exc
             cols["__bucket"] = pa.array(
                 _key_hash(batch.column(key).combine_chunks(), num_buckets),
                 pa.int32())
@@ -96,6 +111,11 @@ def broadcast_join(ds: rd.Dataset, small: pa.Table, key: str,
     """
     if select:
         small = small.select([key] + [c for c in select if c != key])
+    if how not in ("inner", "left"):
+        # an unmatched small-side row would be re-emitted by EVERY map
+        # task; right/full outer need the bucketed join's co-location
+        raise ValueError(f"broadcast_join supports inner/left only, not "
+                         f"{how!r} — use bucket_hash_join")
     small_ref = ray.put(small)
     join_type = _pa_join_type(how)
 
@@ -140,7 +160,12 @@ def bucket_hash_join(left: rd.Dataset, right: rd.Dataset, key: str,
         l = group.filter(pc.equal(side, 0)).select(left_cols)
         r = group.filter(pc.equal(side, 1)).select(
             [key] + [c for c in right_cols if c != key])
-        if l.num_rows == 0 or (r.num_rows == 0 and join_type == "inner"):
+        # short-circuit only provably-empty results; pyarrow handles empty
+        # sides of outer joins correctly (unmatched rows pad with null)
+        if ((join_type == "inner" and (l.num_rows == 0 or r.num_rows == 0))
+                or (join_type == "left outer" and l.num_rows == 0)
+                or (join_type == "right outer" and r.num_rows == 0)
+                or (l.num_rows == 0 and r.num_rows == 0)):
             return out_schema.empty_table()
         joined = l.join(r, keys=key, join_type=join_type)
         return joined.select(out_cols).cast(out_schema)

@@ -28,9 +28,20 @@ from raydoc.functions.joins import bucket_hash_join
 def range_join(points: rd.Dataset, intervals: rd.Dataset, key: str,
                ts: str = "ts", start: str = "start", end: str = "end",
                granule_us: int = 30 * 60 * 1_000_000,
-               num_buckets: int = 32) -> rd.Dataset:
+               num_buckets: int = 32,
+               on_invalid: str = "raise") -> rd.Dataset:
     """Inner containment join; output = point columns + interval columns
-    (minus the interval side's ``key``, folded into the composite)."""
+    (minus the interval side's ``key``, folded into the composite).
+
+    ``on_invalid``: what to do with interval rows where end < start —
+    ``"raise"`` (default, a clear ValueError instead of a cryptic
+    np.repeat failure deep in the pipeline) or ``"drop"``. A warning is
+    emitted when some interval explodes into > 10 000 granules (pick a
+    coarser ``granule_us`` — the explosion factor is interval length /
+    granule)."""
+    if on_invalid not in ("raise", "drop"):
+        raise ValueError(f"on_invalid must be 'raise' or 'drop', "
+                         f"got {on_invalid!r}")
 
     def _us(col) -> pa.ChunkedArray:
         return pc.cast(col, pa.int64())
@@ -48,9 +59,25 @@ def range_join(points: rd.Dataset, intervals: rd.Dataset, key: str,
     def iv_widen(t: pa.Table) -> pa.Table:
         s_us = _us(t[start]).to_numpy()
         e_us = _us(t[end]).to_numpy()
+        invalid = e_us < s_us
+        if invalid.any():
+            if on_invalid == "raise":
+                raise ValueError(
+                    f"range_join: {int(invalid.sum())} interval row(s) "
+                    f"with {end} < {start} (first at batch offset "
+                    f"{int(np.argmax(invalid))}); pass on_invalid='drop' "
+                    f"to skip them")
+            t = t.filter(pa.array(~invalid))
+            s_us, e_us = s_us[~invalid], e_us[~invalid]
         g0 = s_us // granule_us
         g1 = e_us // granule_us
         reps = (g1 - g0 + 1).astype(np.int64)
+        if len(reps) and reps.max() > 10_000:
+            import warnings
+            warnings.warn(
+                f"range_join: an interval spans {int(reps.max())} granules "
+                f"(granule_us={granule_us}); consider a coarser granule",
+                RuntimeWarning, stacklevel=2)
         idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), reps)
         # granule sequence per exploded row
         offs = np.concatenate([np.arange(r) for r in reps]) if len(reps) else \

@@ -114,12 +114,16 @@ def build_training_corpus(transcripts_path: str, out_dir: str,
                  if os.path.isdir(global_dedup_dir)
                  else create_dedup_index())
         ds = incremental_dedup(ds, index, col="extracted_text")
-    # replace, never append: a rerun against an existing directory must not
-    # leave stale uniquely-named files beside the new ones (duplicate rows)
+    # replace, never append — but via a STAGING dir + swap-on-success: the
+    # previous corpus stays intact until the new one is fully written, so
+    # a crash mid-build (or a fully-deduped empty rerun) can never destroy
+    # the existing output (the same tmp+rename discipline as the file
+    # sinks, at directory granularity)
     import shutil
-    shutil.rmtree(out_dir, ignore_errors=True)
-    os.makedirs(out_dir, exist_ok=True)
-    ds.write_parquet(out_dir, partition_cols=["split"])
+    staging = out_dir.rstrip("/") + ".staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    os.makedirs(staging, exist_ok=True)
+    ds.write_parquet(staging, partition_cols=["split"])
 
     # split sizes from parquet FOOTER metadata only (num_rows per file) —
     # no row data is re-read on the driver
@@ -129,10 +133,23 @@ def build_training_corpus(transcripts_path: str, out_dir: str,
 
     def _rows(split: str) -> int:
         return sum(pq.ParquetFile(f).metadata.num_rows for f in
-                   glob.glob(os.path.join(out_dir, f"split={split}",
+                   glob.glob(os.path.join(staging, f"split={split}",
                                           "*.parquet")))
 
     train_rows, test_rows = _rows("train"), _rows("test")
+    if (global_dedup_dir and train_rows + test_rows == 0
+            and os.path.isdir(out_dir) and any(os.scandir(out_dir))):
+        # 0 rows into a FRESH directory is legitimate (the documented
+        # already-ingested case); 0 rows REPLACING an existing corpus is
+        # almost certainly a rerun that would silently destroy it
+        shutil.rmtree(staging, ignore_errors=True)
+        raise RuntimeError(
+            "build_training_corpus: global dedup dropped 100% of rows — "
+            "this input was already ingested into the shared index; "
+            "refusing to replace the existing non-empty corpus at "
+            f"{out_dir} with an empty one (left untouched)")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.replace(staging, out_dir)
     if index is not None:
         from raydoc.state.dedup_index import save_index
         save_index(index, global_dedup_dir)

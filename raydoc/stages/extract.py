@@ -148,9 +148,15 @@ class FusedFileActor:
         return pa.concat_tables(outs)
 
     def _process_file_empty(self) -> pa.Table:
-        empty = pa.table({c: pa.array([], pa.string()) if c != "turn_idx"
-                          else pa.array([], pa.int32())
-                          for c in self._columns})
+        # column types come from the canonical transcript schema (not a
+        # blanket string default) so a non-string column — ts, a future
+        # numeric field — round-trips through an empty file correctly
+        from raydoc.schema import TRANSCRIPTS_SCHEMA
+        empty = pa.table({
+            c: pa.array([], TRANSCRIPTS_SCHEMA.field(c).type
+                        if TRANSCRIPTS_SCHEMA.get_field_index(c) >= 0
+                        else pa.string())
+            for c in self._columns})
         return self._doc_raw(self._extractor.extract_raw(empty), self._cfg)
 
 

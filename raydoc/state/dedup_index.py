@@ -38,24 +38,36 @@ class DedupIndexShard:
     """One hash-partition of the global seen-set. Actor semantics give
     atomic first-wins: concurrent callers serialize per shard.
 
-    Idempotent under Ray task RETRIES: each call carries a caller token;
-    the shard memoizes its answer per token, so a re-executed map task
-    (whose digests are now 'seen' from its own first attempt) gets the
-    ORIGINAL answer back instead of silently dropping the whole batch."""
+    Idempotent under Ray task RETRIES: each call carries a token derived
+    from the BATCH CONTENT (md5 of the digest list — identical on any
+    re-execution of the same logical batch, independent of task ids or
+    batch-slicing stability, neither of which is a documented Ray
+    contract); the shard memoizes its answer per token, so a re-executed
+    map task (whose digests are now 'seen' from its own first attempt)
+    gets the ORIGINAL answer back instead of silently dropping the whole
+    batch. The memo evicts LRU-style one entry at a time (never wholesale,
+    which would strip protection from every in-flight retry at once).
+    Trade-off: two DISTINCT batches with byte-identical content share a
+    token, so the second keeps rows the index already saw — duplicates
+    leak (bounded by the memo window) rather than unique rows being
+    dropped, the safe failure direction for corpus building."""
 
     _MEMO_MAX = 4096
 
     def __init__(self) -> None:
+        from collections import OrderedDict
         self._seen: set[bytes] = set()
-        self._memo: dict[bytes, list[bool]] = {}
+        self._memo: OrderedDict[bytes, list[bool]] = OrderedDict()
 
     def seen_then_add(self, digests: list[bytes],
                       token: bytes | None = None) -> list[bool]:
         """For each digest: True if it was already in the index (dup);
         afterwards every digest is in the index. Duplicates WITHIN the
-        call keep the first occurrence. ``token`` (unique per logical
-        batch) makes retried calls return their first-attempt answer."""
+        call keep the first occurrence. ``token`` (content-derived per
+        logical batch) makes retried calls return their first-attempt
+        answer."""
         if token is not None and token in self._memo:
+            self._memo.move_to_end(token)
             return self._memo[token]
         seen = self._seen
         out = []
@@ -66,8 +78,8 @@ class DedupIndexShard:
                 seen.add(d)
                 out.append(False)
         if token is not None:
-            if len(self._memo) >= self._MEMO_MAX:
-                self._memo.clear()
+            while len(self._memo) >= self._MEMO_MAX:
+                self._memo.popitem(last=False)
             self._memo[token] = out
         return out
 
@@ -97,9 +109,6 @@ def incremental_dedup(ds: rd.Dataset, index: list,
         raise ValueError("incremental_dedup needs at least one index shard")
     n = len(index)
 
-    seq = [0]   # per-task batch ordinal (fresh copy per task, identical
-                # sequence on a retry of the same task)
-
     def fn(t: pa.Table) -> pa.Table:
         digests = [hashlib.md5((v or "").encode()).digest()
                    for v in t.column(col).to_pylist()]
@@ -108,12 +117,11 @@ def incremental_dedup(ds: rd.Dataset, index: list,
             by_shard.setdefault(d[0] % n, []).append(i)
         keep = [False] * t.num_rows
         # one batched RPC per shard actor, issued concurrently; the token
-        # (Ray task id — STABLE across retries — + batch ordinal) makes a
-        # re-executed task get its first-attempt answers back instead of
-        # seeing its own digests as duplicates
-        task_id = ray.get_runtime_context().get_task_id() or "driver"
-        token = hashlib.md5(f"{task_id}:{seq[0]}".encode()).digest()
-        seq[0] += 1
+        # is derived from the BATCH CONTENT (md5 over the digest list), so
+        # any re-execution of the same logical batch — regardless of task
+        # id or slicing stability — gets its first-attempt answers back
+        # instead of seeing its own digests as duplicates
+        token = hashlib.md5(b"".join(digests)).digest()
         futures = {s: index[s].seen_then_add.remote(
             [digests[i] for i in rows], token) for s, rows in by_shard.items()}
         for s, rows in by_shard.items():

@@ -43,20 +43,30 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
 
 
 @pytest.mark.parametrize("seed", [1, 2, 3])
-@pytest.mark.parametrize("how", ["inner", "left"])
+@pytest.mark.parametrize("how", ["inner", "left", "right", "full"])
 def test_bucket_hash_join_matches_duckdb(ray_session, seed, how):
     left, right = _mk(seed)
     con = duckdb.connect()
     con.register("l", left)
     con.register("r", right)
-    jt = "JOIN" if how == "inner" else "LEFT JOIN"
-    want = con.sql(f"SELECT l.k, l.lv, r.rv FROM l {jt} r USING (k)").df()
+    jt = {"inner": "JOIN", "left": "LEFT JOIN",
+          "right": "RIGHT JOIN", "full": "FULL JOIN"}[how]
+    # USING(k) coalesces the key for RIGHT/FULL the same way pyarrow does
+    want = con.sql(f"SELECT k, l.lv, r.rv FROM l {jt} r USING (k)").df()
 
     got = bucket_hash_join(
         rd.from_arrow(pa.Table.from_pandas(left)),
         rd.from_arrow(pa.Table.from_pandas(right)),
         key="k", num_buckets=8, how=how).to_pandas()
     assert _canon(got) == _canon(want)
+
+
+def test_broadcast_join_rejects_right_full(ray_session):
+    left, right = _mk(8)
+    for how in ("right", "full"):
+        with pytest.raises(ValueError, match="bucket_hash_join"):
+            broadcast_join(rd.from_arrow(pa.Table.from_pandas(left)),
+                           pa.Table.from_pandas(right), key="k", how=how)
 
 
 @pytest.mark.parametrize("seed", [4, 5])
@@ -139,6 +149,66 @@ def test_range_join_matches_duckdb(ray_session, seed):
                          key="k", granule_us=granule,
                          num_buckets=8).to_pandas()
         assert _canon(got) == _canon(want), f"granule={granule}"
+
+
+@pytest.mark.parametrize("seed", [31, 32])
+def test_asof_forward_tiebreak_matches_duckdb(ray_session, seed):
+    """direction='forward' with a right_tiebreak must keep MAX-tiebreak
+    semantics (regression: merge_asof picks the FIRST qualifying row
+    forward, silently inverting ties unless the sort is flipped)."""
+    from raydoc.functions.asof import asof_join
+
+    rng = np.random.RandomState(seed)
+    left = pd.DataFrame({
+        "k": rng.randint(0, 10, 300),
+        "t": rng.randint(0, 1000, 300).astype("int64"),
+        "lid": np.arange(300, dtype="int64"),
+    })
+    # many right rows per (k, t) so ties are common
+    right = pd.DataFrame({
+        "k": rng.randint(0, 12, 400),
+        "t": rng.randint(0, 1000, 400).astype("int64"),
+        "rv": rng.permutation(400).astype("int64"),
+    })
+
+    con = duckdb.connect()
+    con.register("l", left)
+    # the oracle resolves ties by MAX(rv) per (k, t) before the asof
+    con.register("rd_", right.groupby(["k", "t"], as_index=False)
+                 .agg(rv=("rv", "max")))
+    want = con.sql("""
+        SELECT l.k, l.t, l.lid, r.rv FROM l
+        ASOF LEFT JOIN rd_ r ON l.k = r.k AND l.t <= r.t""").df()
+
+    got = asof_join(rd.from_arrow(pa.Table.from_pandas(left)),
+                    rd.from_arrow(pa.Table.from_pandas(right)),
+                    key="k", ts="t", direction="forward",
+                    right_tiebreak=["rv"], num_buckets=4).to_pandas()
+    assert _canon(got) == _canon(want)
+
+
+def test_range_join_invalid_intervals(ray_session):
+    """end < start: clear ValueError by default, on_invalid='drop' skips
+    the bad rows and keeps the valid ones."""
+    from raydoc.functions.rangejoin import range_join
+
+    points = pd.DataFrame({"k": [1, 1], "ts": np.array([5, 50], "int64"),
+                           "pid": np.array([0, 1], "int64")})
+    intervals = pd.DataFrame({
+        "k": [1, 1], "start": np.array([0, 100], "int64"),
+        "end": np.array([10, 40], "int64"),     # second is inverted
+        "iid": np.array([1, 2], "int64")})
+
+    def run(**kw):
+        return range_join(
+            rd.from_arrow(pa.Table.from_pandas(points)),
+            rd.from_arrow(pa.Table.from_pandas(intervals)),
+            key="k", granule_us=10, num_buckets=2, **kw).to_pandas()
+
+    with pytest.raises(Exception, match="interval row"):
+        run()
+    got = run(on_invalid="drop")
+    assert list(got["iid"]) == [1] and list(got["pid"]) == [0]
 
 
 def test_unsupported_how_raises_clearly(ray_session):

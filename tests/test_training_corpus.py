@@ -86,3 +86,40 @@ def test_corpus_global_dedup_across_builds(ray_session, tmp_path):
     s2 = build_training_corpus(str(in_dir), str(tmp_path / "c2"), cfg=cfg,
                                global_dedup_dir=idx)
     assert s2["rows"] == 0
+
+
+def test_corpus_rerun_never_destroys_existing_output(ray_session, tmp_path):
+    """A fully-deduped rerun into the SAME out_dir must refuse to replace
+    the existing corpus with an empty one (staging-swap discipline); the
+    previous output stays readable."""
+    import glob
+    import os
+
+    from raydoc.pipelines.training_corpus import build_training_corpus
+    from raydoc.sources import transcripts as tgen
+
+    in_dir = tmp_path / "shards"
+    in_dir.mkdir()
+    tgen.write_transcripts_parquet(str(in_dir / "s.parquet"), n_convs=5,
+                                   seed=321, min_turns=2, max_turns=4)
+    from dataclasses import replace
+
+    from raydoc.config import DEFAULT_CONFIG
+    cfg = replace(DEFAULT_CONFIG, assume_conv_aligned=True,
+                  extract_concurrency=2)
+    idx = str(tmp_path / "global_index")
+    out = str(tmp_path / "corpus")
+
+    s1 = build_training_corpus(str(in_dir), out, cfg=cfg,
+                               global_dedup_dir=idx)
+    assert s1["rows"] > 0
+    files_before = sorted(glob.glob(f"{out}/**/*.parquet", recursive=True))
+    assert files_before
+
+    with pytest.raises(RuntimeError, match="refusing to replace"):
+        build_training_corpus(str(in_dir), out, cfg=cfg,
+                              global_dedup_dir=idx)
+    # previous corpus intact, staging cleaned up
+    assert sorted(glob.glob(f"{out}/**/*.parquet",
+                            recursive=True)) == files_before
+    assert not os.path.isdir(out + ".staging")
