@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "top_orders",
     "top_events",
     "customer_order_stats",
+    "click_error_matrix",
     "brand_volume",
     "hourly_event_stats",
     "sliding_event_stats",
@@ -213,14 +214,20 @@ def full_bench(sf_dir: str, num_cpus: int) -> dict:
             print(f"# bench query {name} failed: {exc}", file=sys.stderr)
 
     # headline jobs LAST so actor-pool teardown doesn't pollute the first
-    # query timings
-    t0 = time.perf_counter()
-    headline = run_headline(tdir, "/tmp/raydoc_bench_out")
-    timings["extract_turns"] = round(time.perf_counter() - t0, 3)
-    t0 = time.perf_counter()
-    headline_aligned = run_headline(tdir, "/tmp/raydoc_bench_out_aligned",
-                                    mode="aligned")
-    timings["extract_turns_aligned"] = round(time.perf_counter() - t0, 3)
+    # query timings. INTERLEAVED best-of-2 per mode (general, aligned,
+    # general, aligned): the sandbox host's load drifts ±40% on the
+    # minutes scale, so a single timing of either mode is noise — the
+    # repo-wide measurement rule (BASELINE.md / CLAUDE.md).
+    runs: dict[str, list[dict]] = {"general": [], "aligned": []}
+    for mode in ("general", "aligned", "general", "aligned"):
+        t0 = time.perf_counter()
+        r = run_headline(tdir, f"/tmp/raydoc_bench_out_{mode}", mode=mode)
+        r["timed"] = round(time.perf_counter() - t0, 3)
+        runs[mode].append(r)
+    headline = max(runs["general"], key=lambda r: r["turns_per_sec"])
+    headline_aligned = max(runs["aligned"], key=lambda r: r["turns_per_sec"])
+    timings["extract_turns"] = headline["timed"]
+    timings["extract_turns_aligned"] = headline_aligned["timed"]
 
     # the composed downstream pipeline (extract → quality filter → dedup →
     # split → partitioned write)

@@ -210,6 +210,56 @@ def q_brand_volume(sf_dir: str) -> pa.Table:
     return collect_table(out).sort_by("p_brand")
 
 
+_HOUR_US = 3_600_000_000
+
+
+def q_click_error_matrix(sf_dir: str) -> pa.Table:
+    """Per-(user, hour) click AND error counts via the FULL OUTER bucketed
+    hash join: hours where a user clicked but never errored (and vice
+    versa) survive as null-padded rows — both directions are non-empty on
+    the driver's events table. Each side is a combiner-pre-aggregated
+    count stream keyed on the fused (user_id, hour) composite; one bucket
+    exchange joins them."""
+
+    def counts(kind: str, out: str) -> rd.Dataset:
+        ev = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+        def prep(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t["event_type"], kind))
+            hours = pc.divide(pc.cast(t["ts"], pa.int64()),
+                              pa.scalar(_HOUR_US, pa.int64()))
+            k = pc.binary_join_element_wise(
+                pc.cast(t["user_id"], pa.string()),
+                pc.cast(hours, pa.string()), "|")
+            return pa.table({"k": k, out: pc.cast(hours, pa.int64())})
+
+        return partial_groupby(ev.map_batches(prep, batch_format="pyarrow"),
+                               ["k"], {out: (out, "count")})
+
+    joined = bucket_hash_join(counts("click", "n_clicks"),
+                              counts("error", "n_errors"),
+                              key="k", num_buckets=16, how="full")
+
+    def finish(t: pa.Table) -> pa.Table:
+        import numpy as np
+        parts = [v.split("|") for v in t.column("k").to_pylist()]
+        users = np.array([int(p[0]) for p in parts], dtype=np.int64)
+        hours = np.array([int(p[1]) for p in parts], dtype=np.int64)
+        return pa.table({
+            "user_id": pa.array(users),
+            "window_start": pa.array(hours * _HOUR_US).cast(
+                pa.timestamp("us")),
+            "n_clicks": pc.coalesce(t["n_clicks"],
+                                    pa.scalar(0, pa.int64())),
+            "n_errors": pc.coalesce(t["n_errors"],
+                                    pa.scalar(0, pa.int64())),
+        })
+
+    out = joined.map_batches(finish, batch_format="pyarrow")
+    return collect_table(out).sort_by(
+        [("user_id", "ascending"), ("window_start", "ascending")])
+
+
 def q_top_events(sf_dir: str) -> pa.Table:
     """Global sort + limit with deterministic tiebreak."""
     ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])

@@ -73,3 +73,17 @@ def test_sanitize_filename_reference_semantics():
     assert sanitize_filename("__x__") == "x"
     assert sanitize_filename("../../etc/passwd") == ".._.._etc_passwd"
     assert len(sanitize_filename("x" * 500)) == 200
+
+
+def test_docx_bytes_golden_pin():
+    """Byte-level golden: the writer's exact output is pinned by sha256 so
+    any silent change to the OOXML serialization (zip ordering, timestamps,
+    XML layout) fails loudly — the docx_meta query's hashes inherit this
+    stability."""
+    import hashlib
+
+    assert len(markdown_to_docx_bytes(MD)) == 1800
+    assert hashlib.sha256(markdown_to_docx_bytes(MD)).hexdigest() == (
+        "01f3718e47d7985699591eb1eff3f9839520eb27f92a2460c58d261b96c6e88f")
+    assert hashlib.sha256(markdown_to_docx_bytes("")).hexdigest() == (
+        "c2eb1993ab98426cefe41eafca0e13d007ed611be7bdb83acefe4d8bd40e24b1")
