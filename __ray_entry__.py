@@ -158,6 +158,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pdf_dates": relational.q_pdf_dates,
         "json_props_stats": relational.q_json_props_stats,
         "stratified_sample": relational.q_stratified_sample,
+        "status_priority_pivot": relational.q_status_priority_pivot,
+        "rollup_pricing": relational.q_rollup_pricing,
+        "customers_semi_f": relational.q_customers_semi_f,
+        "customers_anti_f": relational.q_customers_anti_f,
+        "order_status_except": relational.q_order_status_except,
         # --- windows / sessions (events) ---
         "hourly_event_stats": windows.hourly_event_stats,
         "sliding_event_stats": windows.sliding_event_stats,
@@ -317,6 +322,37 @@ def oracle_sql() -> dict[str, str]:
                 FROM events)
             SELECT event_id, event_type FROM ranked WHERE rk <= 20
             ORDER BY event_type, event_id""",
+        "status_priority_pivot": """
+            SELECT o_orderpriority,
+                   CAST(SUM(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_F,
+                   CAST(SUM(CASE WHEN o_orderstatus='O' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_O,
+                   CAST(SUM(CASE WHEN o_orderstatus='P' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_P
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+        "rollup_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   COUNT(*) AS n_items
+            FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+            ORDER BY l_returnflag, l_linestatus""",
+        "customers_semi_f": """
+            SELECT c_custkey, c_mktsegment FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderstatus = 'F')
+            ORDER BY c_custkey""",
+        "customers_anti_f": """
+            SELECT c_custkey, c_mktsegment FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderstatus = 'F')
+            ORDER BY c_custkey""",
+        "order_status_except": """
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+            EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+            ORDER BY o_custkey""",
         "json_props_stats": """
             SELECT event_type, COUNT(*) AS n_events,
                    CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT))

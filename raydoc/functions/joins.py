@@ -23,6 +23,10 @@ import ray.data as rd
 def _key_hash(arr: pa.Array, num_buckets: int) -> np.ndarray:
     """Deterministic bucket of an int/string key column."""
     if pa.types.is_integer(arr.type):
+        if arr.null_count:
+            # nulls bucket as 0 — the per-bucket logic applies SQL null
+            # semantics (a null key never equi-matches anything)
+            arr = arr.fill_null(0)
         vals = arr.to_numpy(zero_copy_only=False).astype(np.uint64)
         # splitmix64-style scramble so sequential keys spread
         vals = (vals ^ (vals >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
@@ -171,4 +175,87 @@ def bucket_hash_join(left: rd.Dataset, right: rd.Dataset, key: str,
         return joined.select(out_cols).cast(out_schema)
 
     return tagged.groupby("__bucket").map_groups(_join_bucket,
+                                                 batch_format="pyarrow")
+
+
+def bucket_semi_join(left: rd.Dataset, right: rd.Dataset, key: str,
+                     num_buckets: int = 32, anti: bool = False) -> rd.Dataset:
+    """Distributed semi-join (``EXISTS``) or anti-join (``NOT EXISTS``):
+    keep the ``left`` rows whose ``key`` does (semi) / does not (anti)
+    appear in ``right``.
+
+    Scale shape: the right side is reduced to per-batch-distinct keys
+    BEFORE the exchange (duplicates across batches land in the same bucket
+    and dedup there via set membership), so the shuffle moves left rows +
+    right keys only — never right payload columns. Null left keys follow
+    SQL semantics: they never match, so semi drops them and anti keeps
+    them.
+    """
+    left_schema = left.schema()
+    all_fields = arrow_field_types(left_schema, list(left_schema.names))
+    key_type = dict(all_fields)[key]
+    out_schema = pa.schema(all_fields)
+    left_cols = [n for n, _ in all_fields]
+
+    def _dedup_keys(batch: pa.Table) -> pa.Table:
+        keys_arr = batch.column(key).combine_chunks().unique().drop_null()
+        return pa.table({key: keys_arr.cast(key_type)})
+
+    right_keys = right.map_batches(_dedup_keys, batch_format="pyarrow")
+    tagged = tag_union(left, right_keys, key, all_fields, num_buckets)
+
+    def _filter_bucket(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        side = group.column("__side")
+        l = group.filter(pc.equal(side, 0)).select(left_cols)
+        r_keys = group.filter(pc.equal(side, 1)).column(key).combine_chunks()
+        if l.num_rows == 0:
+            return out_schema.empty_table()
+        if len(r_keys) == 0:
+            return l.cast(out_schema) if anti else out_schema.empty_table()
+        hit = pc.fill_null(
+            pc.is_in(l.column(key), value_set=r_keys.unique()), False)
+        return l.filter(pc.invert(hit) if anti else hit).cast(out_schema)
+
+    return tagged.groupby("__bucket").map_groups(_filter_bucket,
+                                                 batch_format="pyarrow")
+
+
+def except_distinct(left: rd.Dataset, right: rd.Dataset, key: str,
+                    num_buckets: int = 32) -> rd.Dataset:
+    """SQL ``EXCEPT`` on a single key column: the distinct non-null
+    ``key`` values of ``left`` that never appear in ``right``.
+
+    Both sides are reduced to per-batch-distinct keys before the exchange
+    (the combiner pattern), so the shuffle carries keys only; the global
+    distinct falls out of the bucket co-location (equal keys share a
+    bucket) with a final ``unique`` per bucket.
+    """
+    left_schema = left.schema()
+    key_type = dict(arrow_field_types(left_schema, [key]))[key]
+    all_fields = [(key, key_type)]
+    out_schema = pa.schema(all_fields)
+
+    def _dedup_keys(batch: pa.Table) -> pa.Table:
+        keys_arr = batch.column(key).combine_chunks().unique().drop_null()
+        return pa.table({key: keys_arr.cast(key_type)})
+
+    tagged = tag_union(left.map_batches(_dedup_keys, batch_format="pyarrow"),
+                       right.map_batches(_dedup_keys, batch_format="pyarrow"),
+                       key, all_fields, num_buckets)
+
+    def _except_bucket(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        side = group.column("__side")
+        l_keys = group.filter(pc.equal(side, 0)).column(key) \
+                      .combine_chunks().unique()
+        if len(l_keys) == 0:
+            return out_schema.empty_table()
+        r_keys = group.filter(pc.equal(side, 1)).column(key).combine_chunks()
+        if len(r_keys):
+            l_keys = l_keys.filter(
+                pc.invert(pc.is_in(l_keys, value_set=r_keys.unique())))
+        return pa.table({key: l_keys.cast(key_type)})
+
+    return tagged.groupby("__bucket").map_groups(_except_bucket,
                                                  batch_format="pyarrow")

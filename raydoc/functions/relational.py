@@ -366,6 +366,143 @@ def q_json_props_stats(sf_dir: str) -> pa.Table:
     return collect_table(out).sort_by("event_type")
 
 
+def pivot_agg(ds: rd.Dataset, index: list[str], pivot_col: str,
+              values: list[str] | None = None,
+              value_col: str | None = None,
+              prefix: str = "n_") -> pa.Table:
+    """Wide pivot: one output column per ``pivot_col`` value, counting rows
+    (or summing int64 ``value_col``) per ``index`` group.
+
+    The pivot happens INSIDE the per-batch combiner — each batch reduces to
+    one row per local index key with k indicator-sum columns — so the
+    shuffle moves partials with k extra int columns, never raw rows. With
+    ``values=None`` the distinct pivot values are discovered first via
+    their own combiner pass (small: the set of distinct categories).
+    """
+    if values is None:
+        vals = collect_table(partial_groupby(
+            ds, [pivot_col], {"__n": (pivot_col, "count")}))
+        values = sorted(v for v in vals.column(pivot_col).to_pylist()
+                        if v is not None)
+
+    def prep(t: pa.Table) -> pa.Table:
+        cols = {k: t.column(k) for k in index}
+        pv = t.column(pivot_col)
+        src = (pc.cast(t.column(value_col), pa.int64()) if value_col
+               else pa.nulls(t.num_rows, pa.int64()).fill_null(1))
+        for v in values:
+            ind = pc.cast(pc.equal(pv, v), pa.int64()).fill_null(0)
+            cols[f"{prefix}{v}"] = pc.multiply(ind, src)
+        return pa.table(cols)
+
+    out = partial_groupby(
+        ds.map_batches(prep, batch_format="pyarrow"), index,
+        {f"{prefix}{v}": (f"{prefix}{v}", "sum") for v in values})
+    return collect_table(out).sort_by([(k, "ascending") for k in index])
+
+
+def q_status_priority_pivot(sf_dir: str) -> pa.Table:
+    """Orders count matrix: rows = o_orderpriority, one column per
+    o_orderstatus (discovered) — the pivot/crosstab operator."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus"])
+    return pivot_agg(ds, ["o_orderpriority"], "o_orderstatus")
+
+
+def rollup_aggregate(ds: rd.Dataset, keys: list[str],
+                     spec: dict[str, tuple[str, str]]) -> pa.Table:
+    """``GROUP BY ROLLUP(keys)``: aggregates at every key prefix, rolled-up
+    key columns null (SQL rollup semantics).
+
+    One distributed combiner pass computes the finest level; every coarser
+    level re-aggregates the finest RESULT (size = #distinct groups — the
+    already-reduced aggregate output, never the input), so the input is
+    scanned once and no extra shuffle runs.
+    """
+    finest = collect_table(partial_groupby(ds, keys, spec))
+    # coarser levels re-aggregate sums/mins/maxes; partial counts add up
+    refold = {out: (out, "sum" if kind in ("sum", "count") else kind)
+              for out, (_, kind) in spec.items()}
+    levels = [finest]
+    for depth in range(len(keys) - 1, -1, -1):
+        kept = keys[:depth]
+        aggs = [(col, {"sum": "sum", "min": "min", "max": "max"}[kind])
+                for col, kind in refold.values()]
+        if kept:
+            g = finest.group_by(kept).aggregate(aggs)
+        else:
+            g = finest.group_by([]).aggregate(aggs)
+        renames = {f"{col}_{kind}": out
+                   for out, (col, kind) in refold.items()}
+        g = g.rename_columns([renames.get(c, c) for c in g.column_names])
+        for missing in keys[depth:]:
+            g = g.append_column(
+                missing, pa.nulls(g.num_rows, finest.schema.field(missing).type))
+        levels.append(g.select(finest.column_names))
+    out = pa.concat_tables(levels)
+    return out.sort_by([(k, "ascending") for k in keys] )
+
+
+def q_rollup_pricing(sf_dir: str) -> pa.Table:
+    """ROLLUP(l_returnflag, l_linestatus) over lineitem — subtotals and a
+    grand total in one pass."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "qty": pc.cast(t["l_quantity"], pa.int64()),
+        })
+
+    return rollup_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        {"sum_qty": ("qty", "sum"), "n_items": ("qty", "count")})
+
+
+def q_customers_semi_f(sf_dir: str) -> pa.Table:
+    """Semi-join: customers with at least one F-status order (EXISTS)."""
+    from raydoc.functions.joins import bucket_semi_join
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    f_orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_custkey", "o_orderstatus"]) \
+        .map_batches(lambda t: t.filter(
+            pc.equal(t["o_orderstatus"], "F")).select(["o_custkey"])
+            .rename_columns(["c_custkey"]), batch_format="pyarrow")
+    out = bucket_semi_join(cust, f_orders, key="c_custkey")
+    return collect_table(out).sort_by("c_custkey")
+
+
+def q_customers_anti_f(sf_dir: str) -> pa.Table:
+    """Anti-join: customers with NO F-status order (NOT EXISTS)."""
+    from raydoc.functions.joins import bucket_semi_join
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    f_orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_custkey", "o_orderstatus"]) \
+        .map_batches(lambda t: t.filter(
+            pc.equal(t["o_orderstatus"], "F")).select(["o_custkey"])
+            .rename_columns(["c_custkey"]), batch_format="pyarrow")
+    out = bucket_semi_join(cust, f_orders, key="c_custkey", anti=True)
+    return collect_table(out).sort_by("c_custkey")
+
+
+def q_order_status_except(sf_dir: str) -> pa.Table:
+    """Set difference: custkeys holding an O-status order but never an
+    F-status order (SQL EXCEPT on a key column)."""
+    from raydoc.functions.joins import except_distinct
+
+    def side(status: str) -> rd.Dataset:
+        return rd.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_custkey", "o_orderstatus"]) \
+            .map_batches(lambda t, s=status: t.filter(
+                pc.equal(t["o_orderstatus"], s)).select(["o_custkey"]),
+                batch_format="pyarrow")
+
+    out = except_distinct(side("O"), side("F"), key="o_custkey")
+    return collect_table(out).sort_by("o_custkey")
+
+
 def q_stratified_sample(sf_dir: str, per_type: int = 20,
                         num_buckets: int | None = None) -> pa.Table:
     """Deterministic stratified sample: ``per_type`` events per event_type

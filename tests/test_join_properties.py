@@ -211,6 +211,55 @@ def test_range_join_invalid_intervals(ray_session):
     assert list(got["iid"]) == [1] and list(got["pid"]) == [0]
 
 
+@pytest.mark.parametrize("seed", [41, 42, 43])
+@pytest.mark.parametrize("anti", [False, True])
+def test_bucket_semi_join_matches_duckdb(ray_session, seed, anti):
+    """Semi/anti vs DuckDB EXISTS / NOT EXISTS, with null left keys
+    (semi drops them, anti keeps them — SQL three-valued semantics)."""
+    from raydoc.functions.joins import bucket_semi_join
+
+    left, right = _mk(seed)
+    left["k"] = left["k"].astype("Int64")
+    left.loc[left.index % 17 == 0, "k"] = None
+
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    op = "NOT EXISTS" if anti else "EXISTS"
+    want = con.sql(f"SELECT k, lv FROM l WHERE {op} "
+                   f"(SELECT 1 FROM r WHERE r.k = l.k)").df()
+
+    got = bucket_semi_join(
+        rd.from_arrow(pa.Table.from_pandas(left)),
+        rd.from_arrow(pa.Table.from_pandas(right)),
+        key="k", num_buckets=8, anti=anti).to_pandas()
+    assert _canon(got) == _canon(want)
+
+
+@pytest.mark.parametrize("seed", [51, 52])
+def test_except_distinct_matches_duckdb(ray_session, seed):
+    """except_distinct == DuckDB EXCEPT on duplicated, overlapping keys."""
+    from raydoc.functions.joins import except_distinct
+
+    rng = np.random.RandomState(seed)
+    left = pd.DataFrame({"k": rng.randint(0, 120, 3000),
+                         "junk": rng.randint(0, 9, 3000)})
+    right = pd.DataFrame({"k": rng.randint(60, 200, 800),
+                          "junk2": rng.randint(0, 9, 800)})
+
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    want = con.sql("SELECT k FROM l EXCEPT SELECT k FROM r").df()
+
+    got = except_distinct(
+        rd.from_arrow(pa.Table.from_pandas(left)),
+        rd.from_arrow(pa.Table.from_pandas(right)),
+        key="k", num_buckets=8).to_pandas()
+    assert _canon(got) == _canon(want)
+    assert got["k"].is_unique
+
+
 def test_unsupported_how_raises_clearly(ray_session):
     left, right = _mk(9)
     with pytest.raises(ValueError, match="supported"):
