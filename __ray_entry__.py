@@ -168,6 +168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_event_stats": windows.sliding_event_stats,
         "sessionize": windows.sessionize,
         "events_with_prev": windows.events_with_prev,
+        "user_running_value": windows.user_running_value,
         "value_percentiles": windows.value_percentiles,
         "asof_last_view": _asof_last_view,
         "clicks_after_error": _clicks_after_error,
@@ -184,6 +185,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "markdown_to_txt": textstats.markdown_to_txt_docs,
         "markdown_to_html": textstats.markdown_to_html_docs,
         "train_test_split": textstats.train_test_split,
+        "pack_sequences": textstats.pack_sequences,
+        "decontaminate": textstats.decontaminate,
         "quality_counters": textstats.quality_counters,
         "gopher_quality": textstats.gopher_quality,
         "fingerprints": textstats.fingerprints,
@@ -539,6 +542,43 @@ def oracle_sql() -> dict[str, str]:
                                            ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank,
                    vec_id
             FROM sims QUALIFY rank <= 10 ORDER BY query_id, rank""",
+        "user_running_value": """
+            SELECT event_id, user_id,
+                   CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)
+                        AS BIGINT) AS running_cents
+            FROM events ORDER BY event_id""",
+        "pack_sequences": r"""
+            WITH c AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE CAST(len(regexp_split_to_array(trim(text),
+                                 '\s+')) AS BIGINT) END AS n_tokens
+                FROM documents),
+            s AS (
+                SELECT doc_id, n_tokens,
+                       CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                            0) AS BIGINT) AS tok_offset
+                FROM c)
+            SELECT doc_id, n_tokens, tok_offset,
+                   CAST(tok_offset // 2048 AS BIGINT) AS seq_id
+            FROM s ORDER BY doc_id""",
+        "decontaminate": r"""
+            WITH tl AS (SELECT doc_id,
+                               regexp_extract_all(lower(text), '\w+') AS l
+                        FROM documents),
+            g AS (SELECT doc_id,
+                         unnest(list_transform(range(1, len(l)-2),
+                                i -> l[i] || ' ' || l[i+1] || ' ' ||
+                                     l[i+2] || ' ' || l[i+3])) AS gram
+                  FROM tl),
+            bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+            c AS (SELECT DISTINCT g.doc_id FROM g JOIN bg USING (gram)
+                  WHERE g.doc_id % 50 != 0)
+            SELECT d.doc_id, (c.doc_id IS NOT NULL) AS contaminated
+            FROM documents d LEFT JOIN c ON d.doc_id = c.doc_id
+            WHERE d.doc_id % 50 != 0 ORDER BY d.doc_id""",
         "train_test_split": """
             SELECT doc_id,
                    CASE WHEN substr(md5(text), 1, 1) < 'c' THEN 'train'

@@ -155,6 +155,132 @@ def train_test_split(sf_dir: str, train_hex_max: str = "c") -> pa.Table:
         "doc_id")
 
 
+def pack_sequences(sf_dir: str, seq_len: int = 2048,
+                   num_buckets: int = 64) -> pa.Table:
+    """(doc_id, n_tokens, tok_offset, seq_id): GPT-style sequence packing —
+    concatenate all documents in doc_id order and chunk the token stream
+    into ``seq_len`` sequences; each doc's ``tok_offset`` is its start in
+    the global stream, ``seq_id`` the sequence its first token lands in.
+
+    The global running offset is a distributed prefix sum (the classic
+    scan decomposition): (1) one pass reduces each doc to its token count;
+    (2) doc_ids are range-bucketed (order-preserving) and per-bucket token
+    totals are combined with a tiny shuffle; (3) the driver exclusive-scans
+    the B bucket totals (B rows, never doc rows) and each bucket adds its
+    base to a local vectorized cumsum. No global sort, no driver-side doc
+    loop — scales to any corpus the combiner pattern scales to."""
+    import numpy as np
+    import pandas as pd
+
+    from raydoc.functions.agg import partial_groupby
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def count_fn(t: pa.Table) -> pa.Table:
+        counts = [len(_TOKEN.findall(v or ""))
+                  for v in t.column("text").to_pylist()]
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_tokens": pa.array(counts, pa.int64())})
+
+    # metadata-sized (16 B/doc) — materialized so the two downstream passes
+    # don't re-read and re-tokenize the corpus text
+    counts = ds.map_batches(count_fn, batch_format="pyarrow").materialize()
+    max_id = counts.max("doc_id")
+    span = max_id + 1
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        b = pc.cast(pc.divide(pc.multiply(t["doc_id"], num_buckets), span),
+                    pa.int32())
+        return t.append_column("bucket", b)
+
+    bucketed = counts.map_batches(add_bucket, batch_format="pyarrow")
+    totals = collect_table(partial_groupby(
+        bucketed, ["bucket"], {"tot": ("n_tokens", "sum")})).sort_by("bucket")
+    base_of = {}
+    acc = 0
+    for b, tot in zip(totals.column("bucket").to_pylist(),
+                      totals.column("tot").to_pylist()):
+        base_of[b] = acc
+        acc += tot
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", ignore_index=True)
+        n = g["n_tokens"].to_numpy()
+        off = base_of[int(g["bucket"].iloc[0])] + n.cumsum() - n
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(),
+            "n_tokens": n,
+            "tok_offset": off,
+            "seq_id": off // np.int64(seq_len),
+        })
+
+    out = bucketed.groupby("bucket").map_groups(per_bucket,
+                                                batch_format="pandas")
+    return collect_table(out).sort_by("doc_id")
+
+
+def _word_4gram_hashes(text: str) -> "np.ndarray":
+    """Sorted unique 64-bit hashes (md5 prefix) of the lowercase word
+    4-grams of ``text`` — the decontamination match unit."""
+    import numpy as np
+    toks = re.findall(r"\w+", (text or "").lower())
+    if len(toks) < 4:
+        return np.empty(0, dtype=np.uint64)
+    grams = {" ".join(toks[i:i + 4]) for i in range(len(toks) - 3)}
+    return np.unique(np.fromiter(
+        (int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "big")
+         for g in grams), dtype=np.uint64, count=len(grams)))
+
+
+def decontaminate(sf_dir: str, bench_mod: int = 50) -> pa.Table:
+    """(doc_id, contaminated) for every non-benchmark document: flag docs
+    sharing ANY lowercase word 4-gram with the benchmark slice
+    (``doc_id % bench_mod == 0``) — the classic test-set decontamination
+    op of a training-data pipeline.
+
+    Scale shape: the benchmark side (small by definition) reduces to
+    per-batch-unique 4-gram hashes, lands once in the object store
+    (``ray.put``) and every corpus task probes it with a vectorized
+    ``np.isin`` — a broadcast semi-join, no shuffle of corpus text."""
+    import numpy as np
+
+    import ray
+
+    bench = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def bench_grams(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(ids % bench_mod == 0))
+        hs = [_word_4gram_hashes(v) for v in t.column("text").to_pylist()]
+        merged = (np.unique(np.concatenate(hs)) if hs
+                  else np.empty(0, dtype=np.uint64))
+        return pa.table({"h": pa.array(merged, pa.uint64())})
+
+    gram_tbl = collect_table(
+        bench.map_batches(bench_grams, batch_format="pyarrow"))
+    bench_set = np.unique(gram_tbl.column("h").to_numpy(zero_copy_only=False))
+    bench_ref = ray.put(bench_set)
+
+    corpus = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"])
+
+    def flag(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(ids % bench_mod != 0))
+        grams = ray.get(bench_ref)
+        flags = [bool(np.isin(_word_4gram_hashes(v), grams,
+                              assume_unique=True).any())
+                 for v in t.column("text").to_pylist()]
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "contaminated": pa.array(flags, pa.bool_())})
+
+    out = corpus.map_batches(flag, batch_format="pyarrow")
+    return collect_table(out).sort_by("doc_id")
+
+
 def shuffle_sample(sf_dir: str, n: int = 100, seed: int = 7) -> pa.Table:
     """Seeded global ``random_shuffle`` + limit — the example-shuffling step
     of a training-data pipeline (a full all-to-all exchange; rows-only

@@ -120,6 +120,48 @@ def events_with_prev(sf_dir: str, num_buckets: int | None = None) -> pa.Table:
         t.column("prev_event_id").cast(pa.int64())).sort_by("event_id")
 
 
+def user_running_value(sf_dir: str,
+                       num_buckets: int | None = None) -> pa.Table:
+    """(event_id, user_id, running_cents): per-user cumulative sum of the
+    event value under (ts, event_id) ordering — the running-total window
+    aggregate. Values sum as integer cents so accumulation order can never
+    perturb the result (bit-identical to SUM() OVER in SQL).
+
+    Same scale shape as ``events_with_prev``: coarse-bucket the users so a
+    block holds many complete users, one vectorized sort + segmented
+    cumsum per block — no per-user micro-groups, no global sort."""
+    from raydoc.functions._buckets import reduce_bucket_count
+    mask = (num_buckets or reduce_bucket_count()) - 1
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id", "value"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        t = t.append_column(
+            "cents", pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                             pa.int64()))
+        return t.drop_columns(["value"]).append_column(
+            "bucket", pc.cast(pc.bit_wise_and(t["user_id"], mask),
+                              pa.int32()))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], ignore_index=True)
+        cum = g["cents"].to_numpy().cumsum()
+        uid = g["user_id"].to_numpy()
+        # subtract each user's preceding-segment total (segmented cumsum;
+        # np.repeat, not maximum.accumulate — cents may be negative)
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        seg_base = np.zeros(len(starts), dtype=np.int64)
+        seg_base[1:] = cum[starts[1:] - 1]
+        base = np.repeat(seg_base, np.diff(np.r_[starts, len(g)]))
+        return pd.DataFrame({"event_id": g["event_id"].to_numpy(),
+                             "user_id": uid,
+                             "running_cents": cum - base})
+
+    out = (ds.map_batches(add_bucket, batch_format="pyarrow")
+           .groupby("bucket").map_groups(per_bucket, batch_format="pandas"))
+    return collect_table(out).sort_by("event_id")
+
+
 def sliding_event_stats(sf_dir: str) -> pa.Table:
     """Sliding window (60-min window, 30-min slide): each event belongs to
     exactly two windows (its 30-min bucket's window and the previous one),

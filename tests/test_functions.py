@@ -49,6 +49,7 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
     "supplier_by_nation", "user_topk_events", "pdf_dates",
     "markdown_to_txt", "markdown_to_html", "train_test_split",
     "distinct_users", "heavy_hitter_users", "html_docs",
+    "user_running_value", "pack_sequences", "decontaminate",
 ])
 def test_query_matches_oracle(ray_session, oracle, name):
     import __ray_entry__ as entrymod
