@@ -169,11 +169,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": windows.sessionize,
         "events_with_prev": windows.events_with_prev,
         "user_running_value": windows.user_running_value,
+        "funnel_counts": windows.funnel_counts,
         "value_percentiles": windows.value_percentiles,
         "asof_last_view": _asof_last_view,
         "clicks_after_error": _clicks_after_error,
         # --- dedup / similarity (oracle-backed members) ---
         "dedup_exact": dedup.exact_dedup,
+        "paragraph_dedup_global": dedup.paragraph_dedup_global,
         "simhash_signatures": dedup.simhash_signatures,
         "embedding_neardups": _embedding_neardup_pairs,
         "ann_topk": similarity.brute_force_topk,
@@ -187,6 +189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_test_split": textstats.train_test_split,
         "pack_sequences": textstats.pack_sequences,
         "decontaminate": textstats.decontaminate,
+        "tfidf_top_terms": textstats.tfidf_top_terms,
         "quality_counters": textstats.quality_counters,
         "gopher_quality": textstats.gopher_quality,
         "fingerprints": textstats.fingerprints,
@@ -542,6 +545,51 @@ def oracle_sql() -> dict[str, str]:
                                            ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank,
                    vec_id
             FROM sims QUALIFY rank <= 10 ORDER BY query_id, rank""",
+        "paragraph_dedup_global": """
+            WITH p AS (
+                SELECT doc_id,
+                       unnest(string_split(text, chr(10)||chr(10))) AS para,
+                       generate_subscripts(string_split(text,
+                           chr(10)||chr(10)), 1) - 1 AS para_idx
+                FROM documents),
+            r AS (SELECT doc_id, para_idx,
+                         row_number() OVER (PARTITION BY para
+                             ORDER BY doc_id, para_idx) AS rn
+                  FROM p)
+            SELECT doc_id, CAST(para_idx AS BIGINT) AS para_idx
+            FROM r WHERE rn = 1 ORDER BY doc_id, para_idx""",
+        "tfidf_top_terms": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '\w+')) AS term
+                FROM documents),
+            tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+                   GROUP BY doc_id, term),
+            df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+            s AS (SELECT doc_id, term,
+                         CAST(tf * 1000000 // df AS BIGINT) AS score
+                  FROM tf JOIN df USING (term)),
+            r AS (SELECT doc_id, term, score,
+                         row_number() OVER (PARTITION BY doc_id
+                             ORDER BY score DESC, term) AS rank FROM s)
+            SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, score
+            FROM r WHERE rank <= 3 ORDER BY doc_id, rank""",
+        "funnel_counts": """
+            WITH v AS (SELECT user_id, MIN(ts) AS t FROM events
+                       WHERE event_type='view' GROUP BY user_id),
+            c AS (SELECT e.user_id, MIN(e.ts) AS t
+                  FROM events e JOIN v USING (user_id)
+                  WHERE e.event_type='click' AND e.ts >= v.t
+                  GROUP BY e.user_id),
+            p AS (SELECT e.user_id FROM events e JOIN c USING (user_id)
+                  WHERE e.event_type='purchase' AND e.ts >= c.t
+                  GROUP BY e.user_id)
+            SELECT * FROM (
+                SELECT CAST(0 AS BIGINT) AS stage_idx, 'view' AS stage,
+                       CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_users
+                UNION ALL SELECT 1, 'click', (SELECT COUNT(*) FROM c)
+                UNION ALL SELECT 2, 'purchase', (SELECT COUNT(*) FROM p))
+            ORDER BY stage_idx""",
         "user_running_value": """
             SELECT event_id, user_id,
                    CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) OVER (

@@ -90,6 +90,17 @@ BENCH_QUERIES = [
     "cms_user_counts",
     "media_meta",
     "normalize_markdown",
+    "status_priority_pivot",
+    "rollup_pricing",
+    "customers_semi_f",
+    "customers_anti_f",
+    "order_status_except",
+    "user_running_value",
+    "pack_sequences",
+    "decontaminate",
+    "paragraph_dedup_global",
+    "tfidf_top_terms",
+    "funnel_counts",
 ]
 
 

@@ -604,3 +604,57 @@ def embedding_neardups_clustered(sf_dir: str, threshold: float = 0.4,
     return pa.table({"a": pa.array(df["a"], pa.int64()),
                      "b": pa.array(df["b"], pa.int64()),
                      "cosine": pa.array(df["cosine"], pa.float64())})
+
+
+def paragraph_dedup_global(sf_dir: str,
+                           num_buckets: int | None = None) -> pa.Table:
+    """(doc_id, para_idx) of the FIRST occurrence (lowest doc_id, then
+    para_idx) of every distinct paragraph across the WHOLE corpus —
+    global paragraph-level exact dedup, the CCNet/FineWeb line-dedup
+    step at paragraph granularity (vs ``paragraph_dedup_stats``, which
+    is doc-local).
+
+    Scale shape: docs explode to (md5(paragraph), doc_id, para_idx) rows
+    with a batch-local combiner (one candidate row per hash per batch),
+    then one hash-bucket shuffle and a per-bucket vectorized min — only
+    32-byte hash rows ever cross the wire; paragraph text never leaves
+    the map stage. Output is one row per distinct paragraph: collected
+    here for the oracle check, but at corpus scale the survivors stream
+    straight to ``write_parquet`` (keep-set join back to the docs)."""
+    import pandas as pd
+
+    from raydoc.functions._buckets import reduce_bucket_count
+
+    mask = (num_buckets or reduce_bucket_count()) - 1
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids, idxs, hs = [], [], []
+        for d, txt in zip(t.column("doc_id").to_pylist(),
+                          t.column("text").to_pylist()):
+            for i, p in enumerate((txt or "").split("\n\n")):
+                ids.append(d)
+                idxs.append(i)
+                hs.append(hashlib.md5(p.encode()).hexdigest())
+        df = pd.DataFrame({"h": hs, "doc_id": ids, "para_idx": idxs})
+        # batch-local combiner: min (doc_id, para_idx) per hash
+        df = df.sort_values(["h", "doc_id", "para_idx"],
+                            ignore_index=True).drop_duplicates("h")
+        return pa.table({
+            "h": pa.array(df["h"], pa.string()),
+            "doc_id": pa.array(df["doc_id"], pa.int64()),
+            "para_idx": pa.array(df["para_idx"], pa.int64()),
+            "bucket": pa.array(
+                [int(x[:4], 16) & mask for x in df["h"]], pa.int32()),
+        })
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", "doc_id", "para_idx"],
+                          ignore_index=True).drop_duplicates("h")
+        return g[["doc_id", "para_idx"]]
+
+    out = (ds.map_batches(explode, batch_format="pyarrow")
+           .groupby("bucket").map_groups(per_bucket, batch_format="pandas"))
+    return collect_table(out).sort_by(
+        [("doc_id", "ascending"), ("para_idx", "ascending")])

@@ -517,3 +517,73 @@ def paragraph_dedup_stats(sf_dir: str) -> pa.Table:
 
     return collect_table(ds.map_batches(fn, batch_format="pyarrow")).sort_by(
         "doc_id")
+
+
+def tfidf_top_terms(sf_dir: str, top_n: int = 3,
+                    num_buckets: int | None = None) -> pa.Table:
+    """(doc_id, rank, term, score): each document's ``top_n`` terms by an
+    integer-exact tf-idf surrogate ``score = tf * 1_000_000 // df`` (ties
+    broken by term asc) — the keyword-extraction step of a corpus
+    analysis pipeline, kept in integer arithmetic so the DuckDB oracle
+    hashes bit-identically (float idf would tie-break nondeterministically
+    across runtimes).
+
+    Scale shape: tf is doc-local (one Counter per row, no shuffle); df is
+    a combiner groupby over the exploded (doc_id, term) rows (partials
+    only cross the wire); df lands back on the rows via the repo's
+    bucketed hash join (both sides large → no broadcast); the final
+    per-doc top-N reduces on a coarse doc bucket, never one group per
+    doc."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from raydoc.functions._buckets import reduce_bucket_count
+    from raydoc.functions.agg import partial_groupby
+    from raydoc.functions.joins import bucket_hash_join
+
+    word = re.compile(r"\w+")
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def explode_tf(t: pa.Table) -> pa.Table:
+        ids, terms, tfs = [], [], []
+        for d, txt in zip(t.column("doc_id").to_pylist(),
+                          t.column("text").to_pylist()):
+            for tok, tf in Counter(word.findall((txt or "").lower())).items():
+                ids.append(d)
+                terms.append(tok)
+                tfs.append(tf)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "term": pa.array(terms, pa.string()),
+                         "tf": pa.array(tfs, pa.int64())})
+
+    # one (doc_id, term) row per distinct term per doc -> df = row count
+    tf_rows = ds.map_batches(explode_tf, batch_format="pyarrow")
+    df_rows = partial_groupby(tf_rows, ["term"], {"df": ("term", "count")})
+    joined = bucket_hash_join(tf_rows, df_rows, "term")
+
+    mask = (num_buckets or reduce_bucket_count()) - 1
+
+    def score_and_bucket(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        score = pc.divide(pc.multiply(t["tf"], 1_000_000), t["df"])
+        return pa.table({
+            "doc_id": t["doc_id"], "term": t["term"], "score": score,
+            "bucket": pc.cast(pc.bit_wise_and(t["doc_id"], mask),
+                              pa.int32())})
+
+    def per_bucket_topn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "score", "term"],
+                          ascending=[True, False, True], ignore_index=True)
+        g = g.groupby("doc_id", sort=False).head(top_n).reset_index(drop=True)
+        g["rank"] = g.groupby("doc_id", sort=False).cumcount() + 1
+        return g[["doc_id", "rank", "term", "score"]]
+
+    out = (joined.map_batches(score_and_bucket, batch_format="pyarrow")
+           .groupby("bucket").map_groups(per_bucket_topn,
+                                         batch_format="pandas"))
+    t = collect_table(out)
+    return t.set_column(t.schema.get_field_index("rank"), "rank",
+                        t.column("rank").cast(pa.int64())).sort_by(
+        [("doc_id", "ascending"), ("rank", "ascending")])

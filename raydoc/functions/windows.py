@@ -213,3 +213,54 @@ def value_percentiles(sf_dir: str,
     return pa.table({"q": pa.array(list(qs), pa.float64()),
                      "value": pa.array([at_rank[ix] for ix in idxs],
                                        pa.float64())})
+
+
+def funnel_counts(sf_dir: str, num_buckets: int | None = None) -> pa.Table:
+    """(stage_idx, stage, n_users) for the view → click → purchase funnel:
+    users with a view, users with a click at-or-after their first view,
+    users with a purchase at-or-after that first qualifying click — the
+    ordered-sequence (funnel) analysis of an event pipeline.
+
+    Scale shape: the read keeps only the three funnel event types; users
+    are coarse-bucketed so each shuffle group holds many complete users;
+    each stage inside a bucket is a vectorized pandas groupby-min +
+    merge (no per-user Python loop); buckets emit 3 partial counts each
+    and only B×3 tiny rows reach the final combine."""
+    from raydoc.functions._buckets import reduce_bucket_count
+
+    mask = (num_buckets or reduce_bucket_count()) - 1
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["event_type"],
+                              pa.array(["view", "click", "purchase"])))
+        return t.append_column(
+            "bucket", pc.cast(pc.bit_wise_and(t["user_id"], mask),
+                              pa.int32()))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        v = (g[g["event_type"] == "view"]
+             .groupby("user_id", sort=False)["ts"].min().rename("t_view"))
+        c = g[g["event_type"] == "click"].merge(v, on="user_id")
+        c = (c[c["ts"] >= c["t_view"]]
+             .groupby("user_id", sort=False)["ts"].min().rename("t_click"))
+        p = g[g["event_type"] == "purchase"].merge(c, on="user_id")
+        p = (p[p["ts"] >= p["t_click"]]
+             .groupby("user_id", sort=False)["ts"].min())
+        return pd.DataFrame({"stage_idx": [0, 1, 2],
+                             "n": [len(v), len(c), len(p)]})
+
+    partials = (ds.map_batches(prep, batch_format="pyarrow")
+                .groupby("bucket").map_groups(per_bucket,
+                                              batch_format="pandas"))
+    agg = collect_table(partial_groupby(
+        partials, ["stage_idx"], {"n_users": ("n", "sum")})).sort_by(
+        "stage_idx")
+    names = {0: "view", 1: "click", 2: "purchase"}
+    return pa.table({
+        "stage_idx": agg.column("stage_idx").cast(pa.int64()),
+        "stage": pa.array([names[i] for i in
+                           agg.column("stage_idx").to_pylist()], pa.string()),
+        "n_users": agg.column("n_users").cast(pa.int64()),
+    })

@@ -50,6 +50,7 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
     "markdown_to_txt", "markdown_to_html", "train_test_split",
     "distinct_users", "heavy_hitter_users", "html_docs",
     "user_running_value", "pack_sequences", "decontaminate",
+    "paragraph_dedup_global", "tfidf_top_terms", "funnel_counts",
 ])
 def test_query_matches_oracle(ray_session, oracle, name):
     import __ray_entry__ as entrymod
