@@ -177,6 +177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": dedup.exact_dedup,
         "paragraph_dedup_global": dedup.paragraph_dedup_global,
         "simhash_signatures": dedup.simhash_signatures,
+        "simhash_neardups": dedup.simhash_neardups,
         "embedding_neardups": _embedding_neardup_pairs,
         "ann_topk": similarity.brute_force_topk,
         # --- text analysis (documents) ---
@@ -196,7 +197,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_docs": textstats.html_docs,
         # --- rows-only family (no SQL oracle; property/golden-tested) ---
         "minhash_clusters": dedup.minhash_lsh_clusters,
-        "simhash_neardups": dedup.simhash_neardups,
         "ngram_jaccard": dedup.ngram_jaccard_pairs,
         "embedding_neardups_clustered": _embedding_neardup_clustered,
         "ann_lsh_topk": similarity.lsh_topk,
@@ -233,6 +233,32 @@ def _md_html_expr() -> str:
 _MD_HTML_ORACLE = f"""
     SELECT doc_id, {_md_html_expr()} AS html
     FROM documents ORDER BY doc_id"""
+
+# shared CTE chain: (doc_id, sig UBIGINT) simhash signatures, the SQL twin
+# of raydoc.functions.dedup.simhash64 (empty-token docs -> sig 0)
+_SIMHASH_SIG_CTE = r"""toks AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '\w+')) AS tok
+                FROM documents),
+            th AS (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT) AS h
+                FROM toks),
+            bits AS (
+                SELECT doc_id, b.b AS b,
+                       SUM(CASE WHEN (h >> CAST(b.b AS UBIGINT)) & 1 = 1
+                                THEN 1 ELSE -1 END) AS vote
+                FROM th, (SELECT unnest(range(64)) AS b) b
+                GROUP BY doc_id, b.b),
+            sigs AS (
+                SELECT doc_id,
+                       CAST(SUM(CASE WHEN vote > 0
+                                THEN CAST(1 AS HUGEINT) << CAST(b AS INTEGER)
+                                ELSE 0 END) AS UBIGINT) AS sig
+                FROM bits GROUP BY doc_id),
+            s AS (
+                SELECT d.doc_id, COALESCE(sg.sig, 0) AS sig
+                FROM documents d LEFT JOIN sigs sg USING (doc_id))"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -462,34 +488,23 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id FROM documents
             GROUP BY md5(text) ORDER BY doc_id""",
-        "simhash_signatures": r"""
+        "simhash_signatures": f"""
             -- bit-exact SQL twin of dedup.simhash64: per-token 64-bit
             -- hash = first 8 md5 bytes (big-endian); per-bit majority
             -- vote over token OCCURRENCES; empty-token docs -> 0
-            WITH toks AS (
-                SELECT doc_id,
-                       unnest(regexp_extract_all(lower(text), '\w+')) AS tok
-                FROM documents),
-            th AS (
-                SELECT doc_id,
-                       CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT) AS h
-                FROM toks),
-            bits AS (
-                SELECT doc_id, b.b AS b,
-                       SUM(CASE WHEN (h >> CAST(b.b AS UBIGINT)) & 1 = 1
-                                THEN 1 ELSE -1 END) AS vote
-                FROM th, (SELECT unnest(range(64)) AS b) b
-                GROUP BY doc_id, b.b),
-            sigs AS (
-                SELECT doc_id,
-                       CAST(SUM(CASE WHEN vote > 0
-                                THEN CAST(1 AS HUGEINT) << CAST(b AS INTEGER)
-                                ELSE 0 END) AS UBIGINT) AS sig
-                FROM bits GROUP BY doc_id)
-            SELECT d.doc_id,
-                   lower(lpad(hex(COALESCE(s.sig, 0)), 16, '0')) AS simhash
-            FROM documents d LEFT JOIN sigs s USING (doc_id)
-            ORDER BY doc_id""",
+            WITH {_SIMHASH_SIG_CTE}
+            SELECT doc_id, lower(lpad(hex(sig), 16, '0')) AS simhash
+            FROM s ORDER BY doc_id""",
+        "simhash_neardups": f"""
+            -- banding with 4 bands is EXACT for hamming <= 3 (pigeonhole:
+            -- 3 differing bits leave at least one 16-bit band identical),
+            -- so the Ray banded pipeline equals this all-pairs twin
+            WITH {_SIMHASH_SIG_CTE}
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sig, b.sig)) <= 3
+            ORDER BY a, b""",
         "token_counts": r"""
             SELECT doc_id,
                    CASE WHEN trim(text) = '' THEN 0

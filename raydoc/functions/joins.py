@@ -259,3 +259,118 @@ def except_distinct(left: rd.Dataset, right: rd.Dataset, key: str,
 
     return tagged.groupby("__bucket").map_groups(_except_bucket,
                                                  batch_format="pyarrow")
+
+
+def detect_hot_keys(ds: rd.Dataset, key: str, min_count: int = 100_000,
+                    top_n: int = 64) -> list:
+    """The ``top_n`` key values whose row count exceeds ``min_count`` —
+    the skew-detection pass for ``salted_hash_join``. A combiner
+    pre-aggregation means only (key, partial_count) rows cross the wire,
+    and only the tiny top-N result lands on the driver."""
+    from raydoc.functions._collect import collect_table
+    from raydoc.functions.agg import partial_groupby
+
+    counts = partial_groupby(ds, [key], {"n": (key, "count")})
+    t = collect_table(counts.sort("n", descending=True).limit(top_n))
+    return [k for k, n in zip(t.column(key).to_pylist(),
+                              t.column("n").to_pylist()) if n >= min_count]
+
+
+def salted_hash_join(left: rd.Dataset, right: rd.Dataset, key: str,
+                     hot_keys: list, num_buckets: int = 32,
+                     salt: int = 8, how: str = "inner") -> rd.Dataset:
+    """``bucket_hash_join`` with explicit hot-key salting: rows of a hot
+    key would all land in ONE bucket group (a single-task straggler at
+    scale), so each hot key instead gets ``salt`` dedicated sub-buckets —
+    left hot rows spread round-robin across them, right hot rows
+    REPLICATE into all of them. Every (left row, right row) pair of a hot
+    key meets in exactly one sub-bucket, so the output equals the unsalted
+    join (randomized DuckDB-equivalence-tested under a zipf-skewed key).
+
+    Inner/left only: an unmatched right hot row is replicated ``salt``
+    times and no sub-bucket can decide unmatchedness locally, so
+    right/full outer would emit duplicate null-padded rows — use
+    ``bucket_hash_join`` (or pre-aggregate the hot side) for those.
+
+    ``hot_keys`` comes from the caller or ``detect_hot_keys`` (an explicit
+    pass, not magic): at 100 TB you detect once on a sample or reuse the
+    previous run's histogram.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_hash_join supports inner/left only, "
+                         f"not {how!r} — see docstring")
+    if salt < 2:
+        raise ValueError("salt must be >= 2 (salt=1 is bucket_hash_join)")
+    left_schema = left.schema()
+    right_schema = right.schema()
+    left_cols = list(left_schema.names)
+    right_cols = list(right_schema.names)
+    overlap = (set(left_cols) & set(right_cols)) - {key}
+    if overlap:
+        raise ValueError(f"column collision in salted_hash_join: {overlap}")
+
+    all_fields = arrow_field_types(left_schema, left_cols)
+    all_fields += arrow_field_types(right_schema,
+                                    [c for c in right_cols if c != key])
+    out_schema = pa.schema(all_fields)
+    join_type = _pa_join_type(how)
+    hot_index = {k: i for i, k in enumerate(hot_keys)}
+
+    def _widen(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            cols = {name: (batch.column(name).cast(typ)
+                           if name in batch.column_names
+                           else pa.nulls(n, typ))
+                    for name, typ in all_fields}
+            base = _key_hash(batch.column(key).combine_chunks(), num_buckets)
+            keys_py = batch.column(key).to_pylist()
+            hot = np.array([hot_index.get(k, -1) for k in keys_py],
+                           dtype=np.int64)
+            is_hot = hot >= 0
+            bucket = base.astype(np.int64)
+            t = pa.table(cols)
+            if side == 0:
+                # left hot rows: round-robin over the key's salt range
+                # (any assignment is correct — the right side is in all)
+                rr = np.arange(n, dtype=np.int64) % salt
+                bucket = np.where(is_hot,
+                                  num_buckets + hot * salt + rr, bucket)
+            elif is_hot.any():
+                # right hot rows: replicate into every salt sub-bucket
+                hot_ix = np.flatnonzero(is_hot)
+                reps = np.repeat(hot_ix, salt)
+                extra = (num_buckets + hot[hot_ix].repeat(salt) * salt
+                         + np.tile(np.arange(salt, dtype=np.int64),
+                                   len(hot_ix)))
+                # non-hot rows keep their hash bucket; hot originals are
+                # dropped (they live only in their salt sub-buckets)
+                keep = np.flatnonzero(~is_hot)
+                take = np.concatenate([keep, reps])
+                bucket = np.concatenate([bucket[keep], extra])
+                t = t.take(pa.array(take, pa.int64()))
+            return (t.append_column("__bucket",
+                                    pa.array(bucket, pa.int32()))
+                     .append_column("__side",
+                                    pa.array(np.full(t.num_rows, side,
+                                                     dtype=np.int8))))
+        return fn
+
+    tagged = left.map_batches(_widen(0), batch_format="pyarrow").union(
+        right.map_batches(_widen(1), batch_format="pyarrow"))
+    out_cols = [n for n, _ in all_fields]
+
+    def _join_bucket(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        side = group.column("__side")
+        l = group.filter(pc.equal(side, 0)).select(left_cols)
+        r = group.filter(pc.equal(side, 1)).select(
+            [key] + [c for c in right_cols if c != key])
+        if ((join_type == "inner" and (l.num_rows == 0 or r.num_rows == 0))
+                or l.num_rows == 0):
+            return out_schema.empty_table()
+        joined = l.join(r, keys=key, join_type=join_type)
+        return joined.select(out_cols).cast(out_schema)
+
+    return tagged.groupby("__bucket").map_groups(_join_bucket,
+                                                 batch_format="pyarrow")

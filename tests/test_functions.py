@@ -51,6 +51,7 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
     "distinct_users", "heavy_hitter_users", "html_docs",
     "user_running_value", "pack_sequences", "decontaminate",
     "paragraph_dedup_global", "tfidf_top_terms", "funnel_counts",
+    "simhash_neardups", "simhash_signatures",
 ])
 def test_query_matches_oracle(ray_session, oracle, name):
     import __ray_entry__ as entrymod
@@ -61,7 +62,7 @@ def test_query_matches_oracle(ray_session, oracle, name):
 
 
 @pytest.mark.parametrize("name", [
-    "minhash_clusters", "simhash_signatures", "simhash_neardups",
+    "minhash_clusters",
     "ngram_jaccard", "ann_lsh_topk", "ann_ivf_topk", "language_id",
     "ngram_logprob", "embedding_kmeans", "embedding_neardups_clustered",
     "shuffle_sample", "extract_turns_aligned", "validate_docs",

@@ -283,3 +283,63 @@ def test_range_join_negative_timestamps(ray_session):
                      rd.from_arrow(pa.Table.from_pandas(intervals)),
                      key="k", granule_us=1000, num_buckets=2).to_pandas()
     assert list(got["iid"]) == [7]
+
+
+def _mk_skewed(seed: int, n_left: int = 3000, n_right: int = 800,
+               hot: int = 7):
+    """Half the left rows and a quarter of the right rows share ONE hot
+    key (many-to-many) — the straggler regime salting exists for."""
+    rng = np.random.RandomState(seed)
+    lk = (rng.zipf(1.3, n_left) % 50).astype(np.int64)
+    lk[: n_left // 2] = hot
+    rk = rng.randint(0, 60, n_right).astype(np.int64)
+    rk[: n_right // 4] = hot
+    left = pd.DataFrame({"k": lk, "lv": rng.randint(0, 10**6, n_left)})
+    right = pd.DataFrame({"k": rk, "rv": rng.randint(0, 10**6, n_right)})
+    return left, right
+
+
+@pytest.mark.parametrize("seed", [11, 12])
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_salted_hash_join_matches_duckdb(ray_session, seed, how):
+    from raydoc.functions.joins import salted_hash_join
+    left, right = _mk_skewed(seed)
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    jt = {"inner": "JOIN", "left": "LEFT JOIN"}[how]
+    want = con.sql(f"SELECT k, l.lv, r.rv FROM l {jt} r USING (k)").df()
+
+    got = salted_hash_join(
+        rd.from_arrow(pa.Table.from_pandas(left)),
+        rd.from_arrow(pa.Table.from_pandas(right)),
+        key="k", hot_keys=[7], num_buckets=8, salt=4, how=how).to_pandas()
+    assert _canon(got) == _canon(want)
+
+
+def test_salted_hash_join_with_detected_hot_keys(ray_session):
+    from raydoc.functions.joins import detect_hot_keys, salted_hash_join
+    left, right = _mk_skewed(13)
+    lds = rd.from_arrow(pa.Table.from_pandas(left))
+    hot = detect_hot_keys(lds, "k", min_count=500, top_n=4)
+    assert 7 in hot
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    want = con.sql("SELECT k, l.lv, r.rv FROM l JOIN r USING (k)").df()
+    got = salted_hash_join(
+        lds, rd.from_arrow(pa.Table.from_pandas(right)),
+        key="k", hot_keys=hot, num_buckets=8, salt=4).to_pandas()
+    assert _canon(got) == _canon(want)
+
+
+def test_salted_hash_join_rejects_outer_and_low_salt(ray_session):
+    from raydoc.functions.joins import salted_hash_join
+    left, right = _mk_skewed(14)
+    lds = rd.from_arrow(pa.Table.from_pandas(left))
+    rds = rd.from_arrow(pa.Table.from_pandas(right))
+    for how in ("right", "full"):
+        with pytest.raises(ValueError, match="inner/left only"):
+            salted_hash_join(lds, rds, key="k", hot_keys=[7], how=how)
+    with pytest.raises(ValueError, match="salt must be"):
+        salted_hash_join(lds, rds, key="k", hot_keys=[7], salt=1)
