@@ -1,18 +1,25 @@
 """Multimodal-column plumbing: opaque ``binary`` payloads + typed metadata
 processed by an actor-pool decode stage.
 
-The image/audio decode libraries are not available in this container, so
-the decode kernel itself is STUBBED (``decode_image`` raises
-``NotImplementedError`` unless a known deterministic test header is seen),
-but the Ray-side plumbing — binary column schema, small batch sizes for
-wide rows, actor signature with once-per-worker "model" setup, output
-layout — is real and tested. Swapping in PIL/ffmpeg later only changes the
-kernel body.
+Codec support is tiered by what this container can honestly do:
+
+- **REAL, dependency-free codecs**: uncompressed 24-bit BMP (struct +
+  numpy: decode + nearest-neighbor resize re-emitting valid BMP bytes)
+  and PCM WAV (stdlib ``wave``: decode + channel downmix). These paths
+  are fully functional, not stubs.
+- **Deterministic test formats** (``RAWDIM:``/``RAWVID:``/``RAWPCM:``)
+  keep the plumbing exercisable with arbitrary dims in tests.
+- **Everything else** (JPEG/PNG/MP4/MP3…) raises ``NotImplementedError``
+  exactly like a missing codec library would; swapping in PIL/ffmpeg
+  later only changes the kernel body, not the Ray plumbing — binary
+  column schema, small batch sizes for wide rows, actor signature with
+  once-per-worker "model" setup, output layout.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 
 import pyarrow as pa
 
@@ -25,18 +32,64 @@ MEDIA_SCHEMA = pa.schema([
 ])
 
 
-def decode_image(payload: bytes) -> tuple[int, int]:
-    """STUB: real image decode is unavailable in this environment.
+def _parse_bmp(payload: bytes) -> tuple[int, int, int, int, int]:
+    """(width, height, bpp, pixel_offset, top_down) of a Windows BMP.
+    Raises ValueError on malformed headers."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (pixel_offset,) = struct.unpack_from("<I", payload, 10)
+    hdr_size, w, h, _planes, bpp, comp = struct.unpack_from(
+        "<IiiHHI", payload, 14)
+    if hdr_size < 40 or comp != 0:  # BITMAPINFOHEADER+, BI_RGB only
+        raise ValueError("unsupported BMP variant")
+    return w, abs(h), bpp, pixel_offset, int(h < 0)
 
-    Recognizes only the deterministic fake header ``RAWDIM:<w>x<h>;`` used
-    by tests; any other payload raises NotImplementedError exactly like a
-    missing codec would."""
+
+def bmp_pixels(payload: bytes) -> "object":
+    """Decode an uncompressed 24-bit BMP to an (h, w, 3) uint8 BGR numpy
+    array — a REAL dependency-free image decode."""
+    import numpy as np
+    w, h, bpp, off, top_down = _parse_bmp(payload)
+    if bpp != 24:
+        raise ValueError(f"only 24-bit BMP supported, got {bpp}")
+    stride = (w * 3 + 3) & ~3  # rows pad to 4 bytes
+    data = np.frombuffer(payload, dtype=np.uint8,
+                         count=stride * h, offset=off)
+    rows = data.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    return rows if top_down else rows[::-1]
+
+
+def make_bmp(pixels) -> bytes:
+    """Encode an (h, w, 3) uint8 BGR array as an uncompressed 24-bit
+    bottom-up BMP (the exact inverse of ``bmp_pixels``)."""
+    import numpy as np
+    arr = np.ascontiguousarray(pixels, dtype=np.uint8)
+    h, w = arr.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    body = np.zeros((h, stride), dtype=np.uint8)
+    body[:, : w * 3] = arr[::-1].reshape(h, w * 3)
+    size = 54 + body.size
+    header = (b"BM" + struct.pack("<IHHI", size, 0, 0, 54)
+              + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                            body.size, 2835, 2835, 0, 0))
+    return header + body.tobytes()
+
+
+def decode_image(payload: bytes) -> tuple[int, int]:
+    """(width, height) of an image payload.
+
+    REAL decode for uncompressed BMP (pure struct); the deterministic
+    test header ``RAWDIM:<w>x<h>;`` also resolves; any other format
+    raises NotImplementedError exactly like a missing codec would."""
     head = payload[:32]
     if head.startswith(b"RAWDIM:"):
         dims = head[7:head.index(b";")].decode()
         w, h = dims.split("x")
         return int(w), int(h)
-    raise NotImplementedError("image codecs not available in this build")
+    if head.startswith(b"BM"):
+        w, h, _bpp, _off, _td = _parse_bmp(payload)
+        return w, h
+    raise NotImplementedError("image codec not available in this build")
 
 
 class MediaMetaActor:
@@ -63,7 +116,7 @@ class MediaMetaActor:
                 widths.append(w)
                 heights.append(h)
                 decoded.append(True)
-            except NotImplementedError:
+            except (NotImplementedError, ValueError):
                 widths.append(None)
                 heights.append(None)
                 decoded.append(False)
@@ -115,12 +168,20 @@ def document_media_meta(sf_dir: str) -> pa.Table:
 
 
 def resize_image(payload: bytes, max_side: int) -> tuple[bytes, int, int]:
-    """STUB resize: real decode unavailable. For the deterministic fake
-    format the dimensions are rescaled (aspect preserved, payload header
-    rewritten); real codecs raise like a missing library would."""
+    """Aspect-preserving downscale to ``max_side``.
+
+    REAL nearest-neighbor resize for 24-bit BMP (numpy index math,
+    re-emitting valid BMP bytes); the ``RAWDIM:`` test format rescales
+    its header; other formats raise like a missing codec would."""
+    import numpy as np
     w, h = decode_image(payload)   # raises NotImplementedError for real bytes
     scale = min(1.0, max_side / max(w, h))
     nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+    if payload[:2] == b"BM":
+        px = bmp_pixels(payload)
+        ys = (np.arange(nh) * (h / nh)).astype(np.int64)
+        xs = (np.arange(nw) * (w / nw)).astype(np.int64)
+        return make_bmp(px[ys][:, xs]), nw, nh
     rest = payload[payload.index(b";") + 1:]
     return b"RAWDIM:%dx%d;" % (nw, nh) + rest, nw, nh
 
@@ -142,7 +203,7 @@ class MediaResizeActor:
                 widths.append(w)
                 heights.append(h)
                 ok.append(True)
-            except NotImplementedError:
+            except (NotImplementedError, ValueError):
                 out_payload.append(p or b"")
                 widths.append(None)
                 heights.append(None)
@@ -184,7 +245,7 @@ class FrameSampleActor:
                     frame_idx.append(i)
                     frames.append(f)
                     ok.append(True)
-            except NotImplementedError:
+            except (NotImplementedError, ValueError):
                 ids.append(mid)
                 frame_idx.append(-1)
                 frames.append(b"")
@@ -214,15 +275,52 @@ def frame_sample_pipeline(ds: rd.Dataset, every_n: int = 2,
 
 
 def decode_audio(payload: bytes) -> tuple[int, "np.ndarray"]:
-    """STUB audio decode: deterministic fake format
-    ``RAWPCM:<rate>;<int16 little-endian samples>`` — real codecs raise."""
+    """(sample_rate, int16 mono samples) of an audio payload.
+
+    REAL decode for PCM WAV via the stdlib ``wave`` module (16-bit;
+    multi-channel downmixed by mean); the deterministic test format
+    ``RAWPCM:<rate>;<int16 LE samples>`` also resolves; compressed
+    codecs (MP3/AAC/…) raise like a missing library would."""
     import numpy as np
-    if not payload.startswith(b"RAWPCM:"):
-        raise NotImplementedError("audio codecs not available in this build")
-    sep = payload.index(b";")
-    rate = int(payload[7:sep])
-    samples = np.frombuffer(payload[sep + 1:], dtype=np.int16)
-    return rate, samples
+    if payload.startswith(b"RAWPCM:"):
+        sep = payload.index(b";")
+        rate = int(payload[7:sep])
+        return rate, np.frombuffer(payload[sep + 1:], dtype=np.int16)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        import io
+        import wave
+        try:
+            with wave.open(io.BytesIO(payload)) as wf:
+                rate = wf.getframerate()
+                width = wf.getsampwidth()
+                ch = wf.getnchannels()
+                raw = wf.readframes(wf.getnframes())
+        except (wave.Error, EOFError) as exc:
+            raise ValueError(f"malformed WAV: {exc}") from exc
+        if width != 2:
+            raise NotImplementedError(f"{8 * width}-bit WAV not supported")
+        samples = np.frombuffer(raw, dtype="<i2")
+        if ch > 1:
+            samples = (samples.reshape(-1, ch).astype(np.int32)
+                       .mean(axis=1).astype(np.int16))
+        return rate, samples
+    raise NotImplementedError("audio codec not available in this build")
+
+
+def make_wav(rate: int, samples) -> bytes:
+    """Encode int16 mono samples as a PCM WAV (inverse of
+    ``decode_audio`` for the mono case) — test/fixture helper."""
+    import io
+    import wave
+
+    import numpy as np
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
 
 
 class AudioFeatureActor:
@@ -243,7 +341,7 @@ class AudioFeatureActor:
                 rms.append(float(np.sqrt(np.mean(x * x))) if len(x) else 0.0)
                 peak.append(float(np.abs(x).max()) if len(x) else 0.0)
                 ok.append(True)
-            except NotImplementedError:
+            except (NotImplementedError, ValueError):
                 durs.append(None)
                 rms.append(None)
                 peak.append(None)

@@ -1,0 +1,112 @@
+"""The REAL dependency-free codecs: uncompressed 24-bit BMP (struct +
+numpy) and PCM WAV (stdlib wave) — decoded, resized, and featurized
+through the actual actor-pool pipelines, not just the kernel functions."""
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from raydoc.functions.multimodal import (
+    audio_feature_pipeline, bmp_pixels, decode_audio, decode_image,
+    make_bmp, make_wav, media_pipeline, resize_image, resize_pipeline)
+
+
+def _gradient_bmp(w: int, h: int) -> bytes:
+    px = np.zeros((h, w, 3), dtype=np.uint8)
+    px[..., 0] = np.arange(w, dtype=np.uint8)[None, :]       # B ramp
+    px[..., 1] = np.arange(h, dtype=np.uint8)[:, None]       # G ramp
+    px[..., 2] = 7
+    return make_bmp(px)
+
+
+def test_bmp_roundtrip_exact():
+    px = (np.arange(5 * 3 * 3, dtype=np.uint8)).reshape(5, 3, 3)
+    out = bmp_pixels(make_bmp(px))
+    assert out.shape == (5, 3, 3)
+    assert np.array_equal(out, px)
+
+
+def test_bmp_decode_dims_and_padding():
+    # w=3 -> 9-byte rows pad to 12: exercises the stride logic
+    assert decode_image(_gradient_bmp(3, 5)) == (3, 5)
+    assert decode_image(_gradient_bmp(64, 48)) == (64, 48)
+
+
+def test_bmp_resize_real_pixels():
+    payload, nw, nh = resize_image(_gradient_bmp(64, 48), max_side=16)
+    assert (nw, nh) == (16, 12)
+    px = bmp_pixels(payload)
+    assert px.shape == (12, 16, 3)
+    assert (px[..., 2] == 7).all()          # constant channel survives
+    assert (np.diff(px[0, :, 0].astype(int)) >= 0).all()  # B ramp keeps order
+
+
+def test_wav_roundtrip_and_features():
+    rate = 8000
+    samples = (np.sin(np.arange(rate) * 0.05) * 20000).astype(np.int16)
+    got_rate, got = decode_audio(make_wav(rate, samples))
+    assert got_rate == rate
+    assert np.array_equal(got, samples)
+
+
+def test_media_pipeline_decodes_real_bmp(ray_session):
+    t = pa.table({
+        "media_id": pa.array([1, 2], pa.int64()),
+        "payload": pa.array([_gradient_bmp(32, 8), b"\x89PNG\r\n"],
+                            pa.binary()),
+        "mime": ["image/bmp", "image/png"],
+    })
+    rows = sorted(media_pipeline(rd.from_arrow(t)).take_all(),
+                  key=lambda r: r["media_id"])
+    assert rows[0]["decoded"] and (rows[0]["width"], rows[0]["height"]) == (32, 8)
+    assert not rows[1]["decoded"]
+
+
+def test_resize_pipeline_real_bmp(ray_session):
+    t = pa.table({
+        "media_id": pa.array([1], pa.int64()),
+        "payload": pa.array([_gradient_bmp(100, 40)], pa.binary()),
+        "mime": ["image/bmp"],
+    })
+    rows = resize_pipeline(rd.from_arrow(t), max_side=25).take_all()
+    assert rows[0]["resized"]
+    assert (rows[0]["width"], rows[0]["height"]) == (25, 10)
+    assert bmp_pixels(rows[0]["payload"]).shape == (10, 25, 3)
+
+
+def test_audio_pipeline_real_wav(ray_session):
+    rate = 4000
+    # 2-second full-scale square wave: rms == peak == 1.0 exactly
+    samples = np.full(2 * rate, 32767, dtype=np.int16)
+    samples[::2] = -32767
+    t = pa.table({
+        "media_id": pa.array([1, 2], pa.int64()),
+        "payload": pa.array([make_wav(rate, samples), b"ID3\x04mp3junk"],
+                            pa.binary()),
+        "mime": ["audio/wav", "audio/mpeg"],
+    })
+    rows = sorted(audio_feature_pipeline(rd.from_arrow(t)).take_all(),
+                  key=lambda r: r["media_id"])
+    assert rows[0]["decoded"]
+    assert abs(rows[0]["duration_sec"] - 2.0) < 1e-9
+    assert abs(rows[0]["rms"] - 32767 / 32768) < 1e-9
+    assert not rows[1]["decoded"]
+
+
+def test_malformed_payloads_fail_soft(ray_session):
+    """Truncated BMP/WAV headers must mark decoded=False, never kill the
+    actor (ValueError is caught alongside NotImplementedError)."""
+    bad_bmp = _gradient_bmp(8, 8)[:30]
+    bad_wav = make_wav(8000, np.zeros(16, dtype=np.int16))[:20]
+    t = pa.table({
+        "media_id": pa.array([1, 2], pa.int64()),
+        "payload": pa.array([bad_bmp, bad_wav], pa.binary()),
+        "mime": ["image/bmp", "audio/wav"],
+    })
+    rows = sorted(media_pipeline(rd.from_arrow(t)).take_all(),
+                  key=lambda r: r["media_id"])
+    assert [r["decoded"] for r in rows] == [False, False]
+    arows = sorted(audio_feature_pipeline(rd.from_arrow(t)).take_all(),
+                   key=lambda r: r["media_id"])
+    assert [r["decoded"] for r in arows] == [False, False]
