@@ -208,6 +208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "language_id": textstats.language_id,
         "validate_docs": textstats.validate_docs,
         "distinct_users_hll": sketches.distinct_users_hll,
+        "value_percentiles_sketch": sketches.value_percentiles_sketch,
     }
 
 

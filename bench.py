@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "paragraph_dedup_global",
     "tfidf_top_terms",
     "funnel_counts",
+    "value_percentiles_sketch",
 ]
 
 

@@ -219,3 +219,76 @@ def heavy_hitter_users(sf_dir: str, threshold: int = 70) -> pa.Table:
         batch_format="pyarrow")
     return collect_table(heavy).select(
         ["user_id", "n_events"]).sort_by("user_id")
+
+
+# --- DDSketch-style quantiles (Masson, Rim, Lee; VLDB 2019) -----------
+# Relative-error quantile sketch: log-spaced bins with base gamma; a
+# value x > 0 lands in bin ceil(log(x)/log(gamma)), negatives mirror
+# into negated bins, and a dedicated zero bin catches |x| < _DD_MIN.
+# Quantile answers carry relative error <= (gamma-1)/(gamma+1).
+
+_DD_GAMMA = 1.02
+_DD_MIN = 1e-9
+
+
+def _dd_bins(vals: "np.ndarray") -> "np.ndarray":
+    """Signed DDSketch bin index per value (0 = the zero bin)."""
+    out = np.zeros(len(vals), dtype=np.int64)
+    lg = np.log(_DD_GAMMA)
+    pos = vals >= _DD_MIN
+    neg = vals <= -_DD_MIN
+    out[pos] = np.ceil(np.log(vals[pos]) / lg).astype(np.int64)
+    out[neg] = -np.ceil(np.log(-vals[neg]) / lg).astype(np.int64)
+    return out
+
+
+def value_percentiles_sketch(sf_dir: str,
+                             qs=(0.25, 0.5, 0.75, 0.9, 0.99)) -> pa.Table:
+    """(q, value_est) over events.value via a DDSketch histogram — the
+    mergeable approximate-quantile twin of the exact
+    ``windows.value_percentiles`` (which needs a global sort). Answers
+    are within ~1% RELATIVE error (gamma=1.02; property-tested against
+    the exact op).
+
+    Scale shape: each batch reduces to (bin, count) rows; a combiner
+    groupby sums them — the sketch itself IS the aggregation result
+    (≤ a few thousand bins regardless of row count), so there is no
+    driver fold at all, no sort, and no whole-column collection; only
+    the final histogram lands on the driver."""
+    from raydoc.functions._collect import collect_table
+    from raydoc.functions.agg import partial_groupby
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+
+    def to_bins(t: pa.Table) -> pa.Table:
+        vals = t.column("value").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        bins, counts = np.unique(_dd_bins(vals), return_counts=True)
+        return pa.table({"bin": pa.array(bins, pa.int64()),
+                         "n": pa.array(counts, pa.int64())})
+
+    hist = collect_table(partial_groupby(
+        ds.map_batches(to_bins, batch_format="pyarrow"),
+        ["bin"], {"n": ("n", "sum")})).sort_by("bin")
+
+    bins = hist.column("bin").to_numpy(zero_copy_only=False)
+    counts = hist.column("n").to_numpy(zero_copy_only=False)
+    total = counts.sum()
+    cum = counts.cumsum()
+
+    def bin_value(b: int) -> float:
+        if b == 0:
+            return 0.0
+        mag = 2.0 * _DD_GAMMA ** abs(b) / (_DD_GAMMA + 1)  # bin midpoint
+        return mag if b > 0 else -mag
+
+    out_q, out_v = [], []
+    for q in qs:
+        # the value at rank floor((n-1)*q) — same rank convention as the
+        # exact windows.value_percentiles
+        rank = int(np.floor((total - 1) * q))
+        ix = int(np.searchsorted(cum, rank + 1))
+        out_q.append(float(q))
+        out_v.append(bin_value(int(bins[ix])))
+    return pa.table({"q": pa.array(out_q, pa.float64()),
+                     "value_est": pa.array(out_v, pa.float64())})

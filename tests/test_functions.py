@@ -454,3 +454,15 @@ def test_bbox_containment_antijoin(ray_session):
                   if not contained(eboxes[i], pages_e[i]))
     assert got == want
     assert len(want) < n_el        # some elements actually got absorbed
+
+
+def test_ddsketch_quantiles_within_relative_error(ray_session):
+    """DDSketch estimates vs the exact sort-based percentiles: relative
+    error must stay under the gamma bound (~1%) plus slack."""
+    from raydoc.functions.sketches import value_percentiles_sketch
+    from raydoc.functions.windows import value_percentiles
+    est = value_percentiles_sketch(SF).to_pandas()
+    exact = value_percentiles(SF).to_pandas()
+    assert list(est["q"]) == list(exact["q"])
+    for ve, vx in zip(est["value_est"], exact["value"]):
+        assert abs(ve - vx) / max(abs(vx), 1e-9) < 0.02
