@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- sketches (cardinality) ---
         "cms_user_counts": sketches.cms_user_counts,
         "distinct_users": sketches.distinct_users_exact,
+        "distinct_users_by_type": sketches.distinct_users_by_type,
         "heavy_hitter_users": sketches.heavy_hitter_users,
         # --- relational core (SURVEY.md §2.6/§2.7 analogs) ---
         "pricing_summary": relational.q_pricing_summary,
@@ -209,6 +210,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "validate_docs": textstats.validate_docs,
         "distinct_users_hll": sketches.distinct_users_hll,
         "value_percentiles_sketch": sketches.value_percentiles_sketch,
+        "distinct_users_by_type_hll": sketches.distinct_users_by_type_hll,
+        "value_percentiles_by_type_sketch":
+            sketches.value_percentiles_by_type_sketch,
     }
 
 
@@ -341,6 +345,10 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users": """
             SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
             FROM events""",
+        "distinct_users_by_type": """
+            SELECT event_type,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY event_type ORDER BY event_type""",
         "heavy_hitter_users": """
             SELECT user_id, COUNT(*) AS n_events FROM events
             GROUP BY user_id HAVING COUNT(*) >= 70 ORDER BY user_id""",

@@ -102,6 +102,9 @@ BENCH_QUERIES = [
     "tfidf_top_terms",
     "funnel_counts",
     "value_percentiles_sketch",
+    "distinct_users_by_type",
+    "distinct_users_by_type_hll",
+    "value_percentiles_by_type_sketch",
 ]
 
 

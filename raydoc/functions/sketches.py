@@ -292,3 +292,110 @@ def value_percentiles_sketch(sf_dir: str,
         out_v.append(bin_value(int(bins[ix])))
     return pa.table({"q": pa.array(out_q, pa.float64()),
                      "value_est": pa.array(out_v, pa.float64())})
+
+
+def distinct_users_by_type(sf_dir: str) -> pa.Table:
+    """Exact per-group COUNT(DISTINCT user_id) per event_type: per-batch
+    (type, user) dedup partials → distributed distinct → combiner count.
+    SQL-oracle-checkable; the grouped twin of ``distinct_users_exact``."""
+    from raydoc.functions._collect import collect_table
+    from raydoc.functions.agg import partial_groupby
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+    pairs = partial_groupby(ds, ["event_type", "user_id"],
+                            {"n": ("user_id", "count")})
+    out = collect_table(partial_groupby(
+        pairs, ["event_type"], {"n_users": ("user_id", "count")}))
+    return out.sort_by("event_type")
+
+
+def distinct_users_by_type_hll(sf_dir: str) -> pa.Table:
+    """HLL AS A GROUPED AGGREGATE: one register array per event_type,
+    merged group-wise — the sketch shape for per-key cardinality over
+    10¹²-row tables (e.g. distinct users per country/domain).
+
+    Scale shape: each batch emits ONE (group, 4 KB registers) row per
+    group it saw; a groupby co-locates each group's partials and a
+    worker-side fold leaves one row per group; only #groups tiny rows
+    reach the driver. Accurate to ~1.6% (p=12) — property-tested
+    against the exact grouped twin."""
+    from raydoc.functions._collect import collect_table
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = pd.DataFrame({"g": t.column("event_type").to_pylist(),
+                           "u": t.column("user_id").to_pylist()})
+        groups, blobs = [], []
+        for g, sub in df.groupby("g", sort=False):
+            groups.append(g)
+            blobs.append(hll_partial(sub["u"].tolist()).tobytes())
+        return pa.table({"event_type": pa.array(groups, pa.string()),
+                         "regs": pa.array(blobs, pa.binary())})
+
+    def fold_group(t: pa.Table) -> pa.Table:
+        acc = np.zeros(M, dtype=np.uint8)
+        for blob in t.column("regs").to_pylist():
+            acc = hll_merge(acc, np.frombuffer(blob, dtype=np.uint8))
+        return pa.table({
+            "event_type": t.column("event_type").slice(0, 1),
+            "n_users_estimate": pa.array([round(hll_estimate(acc))],
+                                         pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    out = parts.groupby("event_type").map_groups(fold_group,
+                                                 batch_format="pyarrow")
+    return collect_table(out).sort_by("event_type")
+
+
+def value_percentiles_by_type_sketch(
+        sf_dir: str, qs=(0.5, 0.9, 0.99)) -> pa.Table:
+    """(event_type, q, value_est): per-group DDSketch quantiles — the
+    scale-correct grouped percentile. An EXACT grouped percentile needs
+    either a whole group in one task (the single-stratum straggler the
+    round-2 review flagged on low-cardinality keys) or distributed
+    selection; the mergeable histogram sidesteps both: batches emit
+    (group, bin, count) rows, a combiner groupby sums them, and the
+    per-group quantile read-off happens on the tiny final histogram.
+    ~1% relative error (property-tested against exact numpy per group)."""
+    from raydoc.functions._collect import collect_table
+    from raydoc.functions.agg import partial_groupby
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+
+    def to_bins(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = pd.DataFrame({"g": t.column("event_type").to_pylist()})
+        df["bin"] = _dd_bins(t.column("value").to_numpy(
+            zero_copy_only=False).astype(np.float64))
+        agg = df.groupby(["g", "bin"], sort=False).size().reset_index(name="n")
+        return pa.table({"event_type": pa.array(agg["g"], pa.string()),
+                         "bin": pa.array(agg["bin"], pa.int64()),
+                         "n": pa.array(agg["n"], pa.int64())})
+
+    hist = collect_table(partial_groupby(
+        ds.map_batches(to_bins, batch_format="pyarrow"),
+        ["event_type", "bin"], {"n": ("n", "sum")})).sort_by(
+        [("event_type", "ascending"), ("bin", "ascending")])
+
+    df = hist.to_pandas()
+    out_g, out_q, out_v = [], [], []
+    for g, sub in df.groupby("event_type", sort=True):
+        bins = sub["bin"].to_numpy()
+        cum = sub["n"].to_numpy().cumsum()
+        total = cum[-1]
+        for q in qs:
+            rank = int(np.floor((total - 1) * q))
+            ix = int(np.searchsorted(cum, rank + 1))
+            b = int(bins[ix])
+            mag = 0.0 if b == 0 else 2.0 * _DD_GAMMA ** abs(b) / (_DD_GAMMA + 1)
+            out_g.append(g)
+            out_q.append(float(q))
+            out_v.append(mag if b >= 0 else -mag)
+    return pa.table({"event_type": pa.array(out_g, pa.string()),
+                     "q": pa.array(out_q, pa.float64()),
+                     "value_est": pa.array(out_v, pa.float64())})

@@ -51,7 +51,7 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
     "distinct_users", "heavy_hitter_users", "html_docs",
     "user_running_value", "pack_sequences", "decontaminate",
     "paragraph_dedup_global", "tfidf_top_terms", "funnel_counts",
-    "simhash_neardups", "simhash_signatures",
+    "simhash_neardups", "simhash_signatures", "distinct_users_by_type",
 ])
 def test_query_matches_oracle(ray_session, oracle, name):
     import __ray_entry__ as entrymod
@@ -466,3 +466,28 @@ def test_ddsketch_quantiles_within_relative_error(ray_session):
     assert list(est["q"]) == list(exact["q"])
     for ve, vx in zip(est["value_est"], exact["value"]):
         assert abs(ve - vx) / max(abs(vx), 1e-9) < 0.02
+
+
+def test_grouped_hll_within_error_of_exact(ray_session):
+    from raydoc.functions.sketches import (distinct_users_by_type,
+                                           distinct_users_by_type_hll)
+    exact = distinct_users_by_type(SF).to_pandas().set_index("event_type")
+    est = distinct_users_by_type_hll(SF).to_pandas().set_index("event_type")
+    assert sorted(exact.index) == sorted(est.index)
+    for g in exact.index:
+        e, a = exact.loc[g, "n_users"], est.loc[g, "n_users_estimate"]
+        assert abs(a - e) / e < 0.05, (g, e, a)
+
+
+def test_grouped_ddsketch_within_relative_error(ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+    from raydoc.functions.sketches import value_percentiles_by_type_sketch
+    est = value_percentiles_by_type_sketch(SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "value"]).to_pandas()
+    for (g, q), sub in est.groupby(["event_type", "q"]):
+        vals = np.sort(ev.loc[ev["event_type"] == g, "value"].to_numpy())
+        exact = vals[int(np.floor((len(vals) - 1) * q))]
+        got = sub["value_est"].iloc[0]
+        assert abs(got - exact) / max(abs(exact), 1e-9) < 0.02, (g, q)
