@@ -177,6 +177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- dedup / similarity (oracle-backed members) ---
         "dedup_exact": dedup.exact_dedup,
         "paragraph_dedup_global": dedup.paragraph_dedup_global,
+        "minhash_clusters": dedup.minhash_lsh_clusters,
         "simhash_signatures": dedup.simhash_signatures,
         "simhash_neardups": dedup.simhash_neardups,
         "embedding_neardups": _embedding_neardup_pairs,
@@ -197,7 +198,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": textstats.fingerprints,
         "html_docs": textstats.html_docs,
         # --- rows-only family (no SQL oracle; property/golden-tested) ---
-        "minhash_clusters": dedup.minhash_lsh_clusters,
         "ngram_jaccard": dedup.ngram_jaccard_pairs,
         "embedding_neardups_clustered": _embedding_neardup_clustered,
         "ann_lsh_topk": similarity.lsh_topk,
@@ -238,6 +238,73 @@ def _md_html_expr() -> str:
 _MD_HTML_ORACLE = f"""
     SELECT doc_id, {_md_html_expr()} AS html
     FROM documents ORDER BY doc_id"""
+
+def _minhash_oracle() -> str:
+    """Bit-exact SQL twin of dedup.minhash_lsh_clusters: word-3-shingle
+    hashes (per-token md5-64 × mix constants, uint64 wraparound), the 64
+    universal-hash permutations as a VALUES table (numpy's mod-2^64 wrap
+    replicated via HUGEINT % 2^64 before the Mersenne mod), band keys as
+    4-component lists, candidate pairs = band-key self-join, edges =
+    estimated Jaccard ≥ 1/2 (≥32 equal components), connected components
+    via a recursive transitive-closure CTE with min-label read-off."""
+    from raydoc.functions.dedup import _MH_A, _MH_B, _SHINGLE_MIX
+    w = 1 << 64
+    prime = (1 << 61) - 1
+    perms = ",".join(f"({p},{int(a)},{int(b)})"
+                     for p, (a, b) in enumerate(zip(_MH_A, _MH_B)))
+    m0, m1, m2 = (int(x) for x in _SHINGLE_MIX[:3])
+    return rf"""
+WITH RECURSIVE
+toklist AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS l0
+  FROM documents),
+padded AS (
+  SELECT doc_id, l0 || list_transform(range(3 - len(l0)), i -> '') AS l
+  FROM toklist),
+tok AS (
+  SELECT doc_id, unnest(l) AS t, generate_subscripts(l, 1) AS i
+  FROM padded),
+th AS (
+  SELECT doc_id, i,
+         CAST(CAST(('0x' || substr(md5(t), 1, 16)) AS UBIGINT) AS HUGEINT)
+             AS h
+  FROM tok),
+sh AS (
+  SELECT DISTINCT a.doc_id, (a.h*{m0} + b.h*{m1} + c.h*{m2}) % {w} AS v
+  FROM th a JOIN th b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+            JOIN th c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+perms(p, a, b) AS (VALUES {perms}),
+sigv AS (
+  SELECT doc_id, p.p AS p,
+         MIN(((sh.v * CAST(p.a AS HUGEINT)) % {w} + p.b) % {w} % {prime})
+             AS v
+  FROM sh, perms p GROUP BY doc_id, p.p),
+bandv AS (
+  SELECT doc_id, CAST(p // 4 AS INTEGER) AS band,
+         list(v ORDER BY p) AS key
+  FROM sigv GROUP BY doc_id, p // 4),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bandv x JOIN bandv y ON x.band = y.band AND x.key = y.key
+  WHERE x.doc_id < y.doc_id),
+eqc AS (
+  SELECT c.a, c.b, SUM(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) AS eq
+  FROM cand c JOIN sigv sa ON sa.doc_id = c.a
+              JOIN sigv sb ON sb.doc_id = c.b AND sb.p = sa.p
+  GROUP BY c.a, c.b),
+sym AS (
+  SELECT a, b FROM eqc WHERE 2*eq >= 64
+  UNION ALL SELECT b, a FROM eqc WHERE 2*eq >= 64),
+reach(id, n) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.id, s.b FROM reach r JOIN sym s ON s.a = r.n),
+labels AS (SELECT id, MIN(n) AS mn FROM reach GROUP BY id)
+SELECT d.doc_id,
+       CAST(LEAST(d.doc_id, COALESCE(l.mn, d.doc_id)) AS BIGINT) AS cluster
+FROM documents d LEFT JOIN labels l ON l.id = d.doc_id
+ORDER BY doc_id"""
+
 
 # shared CTE chain: (doc_id, sig UBIGINT) simhash signatures, the SQL twin
 # of raydoc.functions.dedup.simhash64 (empty-token docs -> sig 0)
@@ -670,4 +737,5 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                    sha256(text) AS sha256
             FROM documents ORDER BY doc_id""",
+        "minhash_clusters": _minhash_oracle(),
     }
