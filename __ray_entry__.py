@@ -178,6 +178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": dedup.exact_dedup,
         "paragraph_dedup_global": dedup.paragraph_dedup_global,
         "minhash_clusters": dedup.minhash_lsh_clusters,
+        "ngram_jaccard": dedup.ngram_jaccard_pairs,
         "simhash_signatures": dedup.simhash_signatures,
         "simhash_neardups": dedup.simhash_neardups,
         "embedding_neardups": _embedding_neardup_pairs,
@@ -198,7 +199,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": textstats.fingerprints,
         "html_docs": textstats.html_docs,
         # --- rows-only family (no SQL oracle; property/golden-tested) ---
-        "ngram_jaccard": dedup.ngram_jaccard_pairs,
         "embedding_neardups_clustered": _embedding_neardup_clustered,
         "ann_lsh_topk": similarity.lsh_topk,
         "ann_ivf_topk": similarity.ivf_topk,
@@ -239,14 +239,14 @@ _MD_HTML_ORACLE = f"""
     SELECT doc_id, {_md_html_expr()} AS html
     FROM documents ORDER BY doc_id"""
 
-def _minhash_oracle() -> str:
-    """Bit-exact SQL twin of dedup.minhash_lsh_clusters: word-3-shingle
-    hashes (per-token md5-64 × mix constants, uint64 wraparound), the 64
-    universal-hash permutations as a VALUES table (numpy's mod-2^64 wrap
-    replicated via HUGEINT % 2^64 before the Mersenne mod), band keys as
-    4-component lists, candidate pairs = band-key self-join, edges =
-    estimated Jaccard ≥ 1/2 (≥32 equal components), connected components
-    via a recursive transitive-closure CTE with min-label read-off."""
+def _lsh_ctes(rows_per_band: int) -> str:
+    """Shared CTE chain for the MinHash/LSH SQL twins (minhash_clusters
+    and ngram_jaccard): word-3-shingle hashes (per-token md5-64 × mix
+    constants, uint64 wraparound), the 64 universal-hash permutations as
+    a VALUES table (numpy's mod-2^64 wrap replicated via HUGEINT % 2^64
+    before the Mersenne mod), band keys as ``rows_per_band``-component
+    lists, candidate pairs = band-key self-join. Produces CTEs
+    toklist..cand and ``sh`` (the exact shingle sets)."""
     from raydoc.functions.dedup import _MH_A, _MH_B, _SHINGLE_MIX
     w = 1 << 64
     prime = (1 << 61) - 1
@@ -254,7 +254,6 @@ def _minhash_oracle() -> str:
                      for p, (a, b) in enumerate(zip(_MH_A, _MH_B)))
     m0, m1, m2 = (int(x) for x in _SHINGLE_MIX[:3])
     return rf"""
-WITH RECURSIVE
 toklist AS (
   SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS l0
   FROM documents),
@@ -280,13 +279,22 @@ sigv AS (
              AS v
   FROM sh, perms p GROUP BY doc_id, p.p),
 bandv AS (
-  SELECT doc_id, CAST(p // 4 AS INTEGER) AS band,
+  SELECT doc_id, CAST(p // {rows_per_band} AS INTEGER) AS band,
          list(v ORDER BY p) AS key
-  FROM sigv GROUP BY doc_id, p // 4),
+  FROM sigv GROUP BY doc_id, p // {rows_per_band}),
 cand AS (
   SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
   FROM bandv x JOIN bandv y ON x.band = y.band AND x.key = y.key
-  WHERE x.doc_id < y.doc_id),
+  WHERE x.doc_id < y.doc_id)"""
+
+
+def _minhash_oracle() -> str:
+    """dedup.minhash_lsh_clusters twin: LSH candidates (16 bands × 4) →
+    estimated-Jaccard ≥ 1/2 edges (≥32 equal components) → connected
+    components via a recursive transitive-closure CTE, min-label."""
+    return rf"""
+WITH RECURSIVE
+{_lsh_ctes(4)},
 eqc AS (
   SELECT c.a, c.b, SUM(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) AS eq
   FROM cand c JOIN sigv sa ON sa.doc_id = c.a
@@ -304,6 +312,30 @@ SELECT d.doc_id,
        CAST(LEAST(d.doc_id, COALESCE(l.mn, d.doc_id)) AS BIGINT) AS cluster
 FROM documents d LEFT JOIN labels l ON l.id = d.doc_id
 ORDER BY doc_id"""
+
+
+def _ngram_jaccard_oracle() -> str:
+    """dedup.ngram_jaccard_pairs twin: LSH candidates (32 bands × 2
+    components) → EXACT shingle-set Jaccard (|A∩B| / |A∪B| over the same
+    mixed word-3-gram hashes), filter on the unrounded value ≥ 0.4, then
+    round_even(j, 6) — DuckDB's banker rounding matches Python round()
+    (verified on 20 000 rational ratios)."""
+    return rf"""
+WITH
+{_lsh_ctes(2)},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.a, c.b, COUNT(sb.v) AS i
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.a
+  LEFT JOIN sh sb ON sb.doc_id = c.b AND sb.v = sa.v
+  GROUP BY c.a, c.b),
+jac AS (
+  SELECT i.a, i.b, CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) AS j
+  FROM inter i JOIN sizes sa ON sa.doc_id = i.a
+               JOIN sizes sb ON sb.doc_id = i.b)
+SELECT a, b, round_even(j, 6) AS jaccard
+FROM jac WHERE j >= 0.4 ORDER BY a, b"""
 
 
 # shared CTE chain: (doc_id, sig UBIGINT) simhash signatures, the SQL twin
@@ -738,4 +770,5 @@ def oracle_sql() -> dict[str, str]:
                    sha256(text) AS sha256
             FROM documents ORDER BY doc_id""",
         "minhash_clusters": _minhash_oracle(),
+        "ngram_jaccard": _ngram_jaccard_oracle(),
     }

@@ -52,7 +52,7 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
     "user_running_value", "pack_sequences", "decontaminate",
     "paragraph_dedup_global", "tfidf_top_terms", "funnel_counts",
     "simhash_neardups", "simhash_signatures", "distinct_users_by_type",
-    "minhash_clusters",
+    "minhash_clusters", "ngram_jaccard",
 ])
 def test_query_matches_oracle(ray_session, oracle, name):
     import __ray_entry__ as entrymod
@@ -63,7 +63,7 @@ def test_query_matches_oracle(ray_session, oracle, name):
 
 
 @pytest.mark.parametrize("name", [
-    "ngram_jaccard", "ann_lsh_topk", "ann_ivf_topk", "language_id",
+    "ann_lsh_topk", "ann_ivf_topk", "language_id",
     "ngram_logprob", "embedding_kmeans", "embedding_neardups_clustered",
     "shuffle_sample", "extract_turns_aligned", "validate_docs",
     "normalize_markdown",
