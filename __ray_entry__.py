@@ -314,6 +314,27 @@ FROM documents d LEFT JOIN labels l ON l.id = d.doc_id
 ORDER BY doc_id"""
 
 
+def _normalize_markdown_oracle() -> str:
+    """SQL twin of kernels.textnorm.normalize_markdown (M4): the six
+    ordered passes as nested regexp_replace (dash folding as plain
+    replace; RE2 '(?m)' for the MULTILINE passes) + the final strip as
+    an explicit-whitespace trim. Verified char-exact against the Python
+    kernel on every sf0.001 document."""
+    expr = "text"
+    for d in ("−", "–", "—", "―"):
+        expr = f"replace({expr}, '{d}', '-')"
+    expr = (rf"regexp_replace({expr}, "
+            rf"'(?m)(^|\n\n)[ ]{{2,4}}([-*+])\s', '\1\2 ', 'g')")
+    expr = rf"regexp_replace({expr}, '\n{{3,}}', '\n\n', 'g')"
+    expr = rf"regexp_replace({expr}, '(?m)^(\s*)\* ', '\1- ', 'g')"
+    expr = rf"regexp_replace({expr}, '([^\n])\n(#{{1,6}} )', '\1\n\n\2', 'g')"
+    expr = (rf"regexp_replace({expr}, "
+            rf"'<!-- role:\w+ -->\s*<!-- /role -->', '', 'g')")
+    ws = "' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)"
+    return (f"SELECT doc_id, trim({expr}, {ws}) AS normalized "
+            f"FROM documents ORDER BY doc_id")
+
+
 def _ngram_jaccard_oracle() -> str:
     """dedup.ngram_jaccard_pairs twin: LSH candidates (32 bands × 2
     components) → EXACT shingle-set Jaccard (|A∩B| / |A∪B| over the same
@@ -771,4 +792,5 @@ def oracle_sql() -> dict[str, str]:
             FROM documents ORDER BY doc_id""",
         "minhash_clusters": _minhash_oracle(),
         "ngram_jaccard": _ngram_jaccard_oracle(),
+        "normalize_markdown": _normalize_markdown_oracle(),
     }

@@ -52,7 +52,7 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
     "user_running_value", "pack_sequences", "decontaminate",
     "paragraph_dedup_global", "tfidf_top_terms", "funnel_counts",
     "simhash_neardups", "simhash_signatures", "distinct_users_by_type",
-    "minhash_clusters", "ngram_jaccard",
+    "minhash_clusters", "ngram_jaccard", "normalize_markdown",
 ])
 def test_query_matches_oracle(ray_session, oracle, name):
     import __ray_entry__ as entrymod
@@ -66,7 +66,6 @@ def test_query_matches_oracle(ray_session, oracle, name):
     "ann_lsh_topk", "ann_ivf_topk", "language_id",
     "ngram_logprob", "embedding_kmeans", "embedding_neardups_clustered",
     "shuffle_sample", "extract_turns_aligned", "validate_docs",
-    "normalize_markdown",
 ])
 def test_rows_only_queries_run(ray_session, name):
     import __ray_entry__ as entrymod
