@@ -117,6 +117,11 @@ def _embedding_neardup_clustered(sf_dir: str):
     return embedding_neardups_clustered(sf_dir, threshold=0.4, k=4)
 
 
+def _neardup_components(sf_dir: str):
+    from raydoc.functions.graph import neardup_components
+    return neardup_components(sf_dir)
+
+
 def _embedding_neardup_pairs(sf_dir: str):
     # τ=0.4 so the oracle verifies a NON-EMPTY pair set on the driver's
     # synthetic embeddings (τ=0.8 matches zero pairs at every sf — vacuous)
@@ -181,6 +186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": dedup.ngram_jaccard_pairs,
         "simhash_signatures": dedup.simhash_signatures,
         "simhash_neardups": dedup.simhash_neardups,
+        "neardup_components": _neardup_components,
         "embedding_neardups": _embedding_neardup_pairs,
         "ann_topk": similarity.brute_force_topk,
         # --- text analysis (documents) ---
@@ -634,6 +640,27 @@ def oracle_sql() -> dict[str, str]:
             FROM s a JOIN s b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.sig, b.sig)) <= 3
             ORDER BY a, b""",
+        "neardup_components": f"""
+            -- twin of graph.neardup_components: the simhash near-dup
+            -- pair graph's connected components, min doc id per
+            -- component, via a recursive transitive-closure CTE
+            WITH RECURSIVE {_SIMHASH_SIG_CTE},
+            pairs AS (
+                SELECT a.doc_id AS a, b.doc_id AS b
+                FROM s a JOIN s b ON a.doc_id < b.doc_id
+                WHERE bit_count(xor(a.sig, b.sig)) <= 3),
+            sym2 AS (SELECT a, b FROM pairs
+                     UNION ALL SELECT b, a FROM pairs),
+            reach(id, n) AS (
+                SELECT a, b FROM sym2
+                UNION
+                SELECT r.id, s2.b FROM reach r JOIN sym2 s2 ON s2.a = r.n),
+            lab AS (SELECT id, MIN(n) AS mn FROM reach GROUP BY id)
+            SELECT d.doc_id,
+                   CAST(LEAST(d.doc_id, COALESCE(l.mn, d.doc_id)) AS BIGINT)
+                       AS component
+            FROM documents d LEFT JOIN lab l ON l.id = d.doc_id
+            ORDER BY doc_id""",
         "token_counts": r"""
             SELECT doc_id,
                    CASE WHEN trim(text) = '' THEN 0

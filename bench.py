@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "distinct_users_by_type",
     "distinct_users_by_type_hll",
     "value_percentiles_by_type_sketch",
+    "neardup_components",
 ]
 
 

@@ -53,6 +53,7 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
     "paragraph_dedup_global", "tfidf_top_terms", "funnel_counts",
     "simhash_neardups", "simhash_signatures", "distinct_users_by_type",
     "minhash_clusters", "ngram_jaccard", "normalize_markdown",
+    "neardup_components",
 ])
 def test_query_matches_oracle(ray_session, oracle, name):
     import __ray_entry__ as entrymod
