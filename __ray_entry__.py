@@ -134,8 +134,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     first: the flagship extraction queries, then every oracle-backed
     query, then the rows-only (no-oracle) family last — round 2's five
     missing CORRECTNESS rows were exactly the last five dict entries."""
-    from raydoc.functions import dedup, export, multimodal, relational
-    from raydoc.functions import similarity, sketches, textstats, windows
+    from raydoc.functions import dedup, export, graph, multimodal, profile
+    from raydoc.functions import relational, similarity, sketches
+    from raydoc.functions import textstats, windows
 
     return {
         # --- the extraction engine itself (the flagship) ---
@@ -169,6 +170,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_semi_f": relational.q_customers_semi_f,
         "customers_anti_f": relational.q_customers_anti_f,
         "order_status_except": relational.q_order_status_except,
+        "cube_orders": relational.q_cube_orders,
+        "profile_events": profile.profile_events,
+        "weighted_sample": textstats.weighted_sample,
+        "user_type_pagerank": graph.user_type_pagerank,
         # --- windows / sessions (events) ---
         "hourly_event_stats": windows.hourly_event_stats,
         "sliding_event_stats": windows.sliding_event_stats,
@@ -205,6 +210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": textstats.fingerprints,
         "html_docs": textstats.html_docs,
         # --- rows-only family (no SQL oracle; property/golden-tested) ---
+        "bloom_novel_docs": dedup.bloom_novel_docs,
         "embedding_neardups_clustered": _embedding_neardup_clustered,
         "ann_lsh_topk": similarity.lsh_topk,
         "ann_ivf_topk": similarity.ivf_topk,
@@ -392,6 +398,54 @@ _SIMHASH_SIG_CTE = r"""toks AS (
                 FROM documents d LEFT JOIN sigs sg USING (doc_id))"""
 
 
+def _pagerank_oracle(n_iter: int = 5, scale: int = 10 ** 12,
+                     damping: int = 85) -> str:
+    """Chained-CTE twin of functions/graph.py:pagerank over the bipartite
+    user↔event-type graph. All-integer fixed-point arithmetic (``//``
+    floor division on positive values) makes the per-node contribution
+    sums order-independent, so the hash matches bit-for-bit."""
+    head = f"""
+        edges AS (
+          SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS src,
+                          't:' || event_type AS dst FROM events
+          UNION
+          SELECT DISTINCT 't:' || event_type,
+                          'u:' || CAST(user_id AS VARCHAR) FROM events),
+        nodes AS (SELECT DISTINCT src AS node FROM edges
+                  UNION SELECT DISTINCT dst FROM edges),
+        deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+        nn AS (SELECT COUNT(*) AS n FROM nodes),
+        r0 AS (SELECT node, {scale} // (SELECT n FROM nn) AS r FROM nodes)"""
+    iters = []
+    for i in range(1, n_iter + 1):
+        iters.append(f"""
+        r{i} AS (
+          SELECT n.node,
+                 (({100 - damping} * ({scale} // (SELECT n FROM nn))) // 100)
+                 + ({damping} * COALESCE(s.s, 0)) // 100 AS r
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node, SUM(r.r // d.outdeg) AS s
+            FROM edges e JOIN r{i - 1} r ON e.src = r.node
+            JOIN deg d ON e.src = d.src GROUP BY e.dst) s
+          ON n.node = s.node)""")
+    return ("WITH " + head + "," + ",".join(iters) +
+            f"\n        SELECT node, CAST(r AS BIGINT) AS rank_fp "
+            f"FROM r{n_iter} ORDER BY node")
+
+
+def _profile_oracle() -> str:
+    cols = ["event_id", "user_id", "event_type", "props"]
+    parts = [f"""
+        SELECT '{c}' AS "column", COUNT(*) AS n_rows,
+               COUNT({c}) AS n_nonnull,
+               COUNT(DISTINCT {c}) AS n_distinct,
+               CAST(MIN({c}) AS VARCHAR) AS min_val,
+               CAST(MAX({c}) AS VARCHAR) AS max_val
+        FROM events""" for c in cols]
+    return ("SELECT * FROM (" + " UNION ALL ".join(parts) +
+            ') ORDER BY "column"')
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "pricing_summary": f"""
@@ -520,6 +574,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
             EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
             ORDER BY o_custkey""",
+        "cube_orders": """
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))
+                        AS BIGINT) AS total_cents,
+                   COUNT(*) AS n_orders
+            FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+            ORDER BY o_orderstatus, o_orderpriority""",
+        "profile_events": _profile_oracle(),
+        "weighted_sample": """
+            SELECT doc_id, n_chars FROM (
+                SELECT doc_id, n_chars,
+                       md5_number_lower(CAST(doc_id AS VARCHAR))
+                       // GREATEST(n_chars, 1) AS key
+                FROM documents ORDER BY key, doc_id LIMIT 100)
+            ORDER BY doc_id""",
+        "user_type_pagerank": _pagerank_oracle(),
         "json_props_stats": """
             SELECT event_type, COUNT(*) AS n_events,
                    CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT))

@@ -658,3 +658,108 @@ def paragraph_dedup_global(sf_dir: str,
            .groupby("bucket").map_groups(per_bucket, batch_format="pandas"))
     return collect_table(out).sort_by(
         [("doc_id", "ascending"), ("para_idx", "ascending")])
+
+
+# --- Bloom-filter incremental dedup ------------------------------------------
+
+_BLOOM_SALTS = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+                         0x165667B19E3779F9, 0x27D4EB2F165667C5,
+                         0xD6E8FEB86659FD93], dtype=np.uint64)
+
+
+def _bloom_positions(hashes64: np.ndarray, n_bits: int) -> np.ndarray:
+    """(n, k) bit positions for 64-bit content hashes: k salted
+    multiplicative scrambles, mod a power-of-two bit count."""
+    h = hashes64[:, None] * _BLOOM_SALTS[None, :]
+    h ^= h >> np.uint64(29)
+    return (h & np.uint64(n_bits - 1)).astype(np.int64)
+
+
+def bloom_build(ds: rd.Dataset, col: str = "text",
+                n_bits: int = 1 << 20) -> bytes:
+    """OR-fold a Bloom filter of md5-64 content hashes over a Dataset.
+
+    Per-batch partials are ``n_bits/8``-byte numpy bitmaps OR-merged in
+    worker-side tree-fold levels (the HLL/CMS fold shape) — the driver
+    ORs a handful of blobs no matter how many batches streamed. The
+    result is the broadcastable seen-set for ZERO-shuffle incremental
+    dedup: a new shard filters against ``ray.put(bloom)`` locally, where
+    the sharded-actor dedup index (state/dedup_index.py) would cost an
+    RPC per digest batch. False-positive rate ≈ (1-e^(-kn/m))^k — size
+    ``n_bits`` ≥ ~10 bits/doc for <1% FP; false negatives: never."""
+    if n_bits & (n_bits - 1):
+        raise ValueError("n_bits must be a power of two")
+
+    def partial(t: pa.Table) -> pa.Table:
+        bits = np.zeros(n_bits // 8, dtype=np.uint8)
+        hs = np.array([_md5_64(v or "")
+                       for v in t.column(col).to_pylist()], dtype=np.uint64)
+        if len(hs):
+            pos = _bloom_positions(hs, n_bits).ravel()
+            np.bitwise_or.at(bits, pos >> 3,
+                             np.uint8(1) << (pos & 7).astype(np.uint8))
+        return pa.table({"bloom": pa.array([bits.tobytes()], pa.binary())})
+
+    def fold(t: pa.Table) -> pa.Table:
+        acc = np.zeros(n_bits // 8, dtype=np.uint8)
+        for blob in t.column("bloom").to_pylist():
+            acc |= np.frombuffer(blob, dtype=np.uint8)
+        return pa.table({"bloom": pa.array([acc.tobytes()], pa.binary())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    for _ in range(2):
+        parts = parts.map_batches(fold, batch_format="pyarrow",
+                                  batch_size=64)
+    acc = np.zeros(n_bits // 8, dtype=np.uint8)
+    for blob in collect_table(parts).column("bloom").to_pylist():
+        acc |= np.frombuffer(blob, dtype=np.uint8)
+    return acc.tobytes()
+
+
+def bloom_filter_novel(ds: rd.Dataset, bloom: bytes, col: str = "text",
+                       n_bits: int | None = None) -> rd.Dataset:
+    """Keep only rows whose content hash is NOT in ``bloom`` (possibly-seen
+    rows drop; no false negatives ⇒ every true duplicate of the seen set
+    is removed). The filter broadcasts ONCE via ``ray.put`` and each task
+    tests its batch vectorized — no shuffle, no driver pass."""
+    import ray as _ray
+    n_bits = n_bits or len(bloom) * 8
+    bloom_ref = _ray.put(np.frombuffer(bloom, dtype=np.uint8))
+
+    def fn(t: pa.Table) -> pa.Table:
+        bits = _ray.get(bloom_ref)
+        hs = np.array([_md5_64(v or "")
+                       for v in t.column(col).to_pylist()], dtype=np.uint64)
+        if not len(hs):
+            return t
+        pos = _bloom_positions(hs, n_bits)
+        hit = (bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+        return t.filter(pa.array(~hit.all(axis=1)))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def bloom_novel_docs(sf_dir: str, n_bits: int = 1 << 20) -> pa.Table:
+    """(doc_id,) of documents NOT already covered by the "historical"
+    corpus slice (doc_id % 10 < 3): the cross-shipment incremental-dedup
+    query shaped as build-bloom-once, broadcast, filter-new-shard.
+    Approximate by design (FPs drop a few novel docs; never the reverse)
+    ⇒ rows-only driver check + FP/no-false-negative property tests."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    import pyarrow.compute as pc
+
+    def _mod10(col):
+        # pyarrow has no mod kernel; doc_id >= 0 so truncating divide works
+        return pc.subtract(col, pc.multiply(pc.divide(col, 10), 10))
+
+    seen = docs.map_batches(
+        lambda t: t.filter(pc.less(_mod10(t["doc_id"]), 3)),
+        batch_format="pyarrow")
+    new = docs.map_batches(
+        lambda t: t.filter(pc.greater_equal(_mod10(t["doc_id"]), 3)),
+        batch_format="pyarrow")
+    bloom = bloom_build(seen, col="text", n_bits=n_bits)
+    novel = bloom_filter_novel(new, bloom, col="text", n_bits=n_bits)
+    out = collect_table(novel.select_columns(["doc_id"]))
+    return out.sort_by("doc_id")

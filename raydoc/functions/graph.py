@@ -130,6 +130,121 @@ def connected_components(edges: rd.Dataset, num_buckets: int = 64,
                        f"{max_iters} iterations — raise max_iters")
 
 
+def pagerank(edges: rd.Dataset, n_iter: int = 5,
+             scale: int = 10 ** 12, damping_pct: int = 85,
+             num_buckets: int = 64) -> rd.Dataset:
+    """(node, rank_fp): fixed-iteration PageRank in INTEGER fixed-point
+    arithmetic — every quantity is an int64 multiple of 1/``scale``, so
+    per-node contribution sums are order-independent and the result is
+    bit-identical across runs, cluster sizes, and the DuckDB SQL twin
+    (float PageRank can never hash-match a SQL oracle; fixed-point can).
+
+    Update rule (all ``//`` floor divisions):
+        base      = ((100-damping_pct) * (scale // n)) // 100
+        r'[v]     = base + (damping_pct * Σ_{(u→v)} r[u] // outdeg[u]) // 100
+
+    Distribution per iteration: one bucket hash join (edges ⋈ ranks on
+    src), a combiner groupby summing contributions per dst, and a left
+    join back onto the node list (sinks keep base rank). Ranks live as a
+    Dataset throughout — no rank vector on the driver (the k-means
+    broadcast pattern would cap n at driver memory; this one doesn't).
+    Each round ends with repartition+materialize to cap lineage and block
+    growth (see connected_components). Assumes every node has outdeg ≥ 1
+    (callers with true dangling nodes add self-loops first)."""
+    from raydoc.functions.joins import bucket_hash_join
+
+    def to_nodes(t: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.concat_arrays(
+            [t["src"].combine_chunks(), t["dst"].combine_chunks()])})
+
+    from raydoc.functions.agg import partial_groupby
+    nodes = partial_groupby(
+        edges.map_batches(to_nodes, batch_format="pyarrow"),
+        ["node"], {"__n": ("node", "count")}).select_columns(
+        ["node"]).materialize()
+    n = nodes.count()
+
+    outdeg = partial_groupby(edges, ["src"],
+                             {"outdeg": ("src", "count")})
+    edges_deg = bucket_hash_join(edges, outdeg, key="src",
+                                 num_buckets=num_buckets) \
+        .repartition(min(num_buckets, 16)).materialize()
+
+    init = scale // n
+    base = ((100 - damping_pct) * init) // 100
+    ranks = nodes.map_batches(
+        lambda t: pa.table({"node": t["node"],
+                            "rank_fp": pa.array([init] * t.num_rows,
+                                                pa.int64())}),
+        batch_format="pyarrow").repartition(
+        min(num_buckets, 16)).materialize()
+
+    for _ in range(n_iter):
+        offered = bucket_hash_join(
+            edges_deg,
+            ranks.map_batches(
+                lambda t: pa.table({"src": t["node"], "r": t["rank_fp"]}),
+                batch_format="pyarrow"),
+            key="src", num_buckets=num_buckets)
+
+        def contrib(t: pa.Table) -> pa.Table:
+            import numpy as np
+            r = t.column("r").to_numpy(zero_copy_only=False)
+            d = t.column("outdeg").to_numpy(zero_copy_only=False)
+            return pa.table({"node": t["dst"],
+                             "c": pa.array(r // d, pa.int64())})
+
+        sums = partial_groupby(
+            offered.map_batches(contrib, batch_format="pyarrow"),
+            ["node"], {"s": ("c", "sum")})
+        joined = bucket_hash_join(nodes, sums, key="node",
+                                  num_buckets=num_buckets, how="left")
+
+        def update(t: pa.Table) -> pa.Table:
+            s = pc.coalesce(t["s"], pa.scalar(0, pa.int64()))
+            import numpy as np
+            sv = s.to_numpy(zero_copy_only=False)
+            newr = base + (damping_pct * sv) // 100
+            return pa.table({"node": t["node"],
+                             "rank_fp": pa.array(newr, pa.int64())})
+
+        ranks = joined.map_batches(update, batch_format="pyarrow") \
+            .repartition(min(num_buckets, 16)).materialize()
+    return ranks
+
+
+def user_type_pagerank(sf_dir: str, n_iter: int = 5) -> pa.Table:
+    """PageRank over the bipartite user↔event-type interaction graph:
+    nodes 'u:<user_id>' and 't:<event_type>', one edge per DISTINCT
+    (user, type) pair in each direction (so outdeg ≥ 1 everywhere).
+    Heavily-used event types and broadly-active users rank high — the
+    graph-centrality operator with a bit-exact chained-CTE SQL oracle."""
+    from raydoc.functions.agg import partial_groupby
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+    pairs = partial_groupby(ev, ["user_id", "event_type"],
+                            {"__n": ("user_id", "count")})
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        u = pc.binary_join_element_wise(
+            pa.array(["u:"] * t.num_rows, pa.string()),
+            pc.cast(t["user_id"], pa.string()), "")
+        ty = pc.binary_join_element_wise(
+            pa.array(["t:"] * t.num_rows, pa.string()),
+            t["event_type"], "")
+        return pa.table({
+            "src": pa.concat_arrays([u.combine_chunks(),
+                                     ty.combine_chunks()]),
+            "dst": pa.concat_arrays([ty.combine_chunks(),
+                                     u.combine_chunks()]),
+        })
+
+    edges = pairs.map_batches(to_edges, batch_format="pyarrow")
+    ranks = pagerank(edges, n_iter=n_iter, num_buckets=16)
+    return collect_table(ranks).sort_by("node")
+
+
 def neardup_components(sf_dir: str) -> pa.Table:
     """(doc_id, component) for every document: connected components over
     the SimHash near-dup pair graph (hamming ≤ 3), labels = min doc id;

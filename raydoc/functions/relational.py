@@ -461,6 +461,61 @@ def q_rollup_pricing(sf_dir: str) -> pa.Table:
         {"sum_qty": ("qty", "sum"), "n_items": ("qty", "count")})
 
 
+def cube_aggregate(ds: rd.Dataset, keys: list[str],
+                   spec: dict[str, tuple[str, str]]) -> pa.Table:
+    """``GROUP BY CUBE(keys)``: aggregates at EVERY key subset (2^k
+    grouping sets), absent key columns null — SQL cube semantics.
+
+    Same shape as ``rollup_aggregate``: one distributed combiner pass
+    computes the finest level; every other grouping set re-aggregates the
+    finest RESULT (size = #distinct finest groups, already tiny), so the
+    input streams once and only one shuffle runs regardless of k.
+    """
+    from itertools import combinations
+
+    finest = collect_table(partial_groupby(ds, keys, spec))
+    refold = {out: (out, "sum" if kind in ("sum", "count") else kind)
+              for out, (_, kind) in spec.items()}
+    aggs = [(col, {"sum": "sum", "min": "min", "max": "max"}[kind])
+            for col, kind in refold.values()]
+    renames = {f"{col}_{kind}": out for out, (col, kind) in refold.items()}
+
+    levels = [finest]
+    subsets = [list(c) for r in range(len(keys))
+               for c in combinations(keys, r)]
+    for kept in subsets:
+        g = finest.group_by(kept).aggregate(aggs) if kept \
+            else finest.group_by([]).aggregate(aggs)
+        g = g.rename_columns([renames.get(c, c) for c in g.column_names])
+        for missing in (k for k in keys if k not in kept):
+            g = g.append_column(
+                missing, pa.nulls(g.num_rows,
+                                  finest.schema.field(missing).type))
+        levels.append(g.select(finest.column_names))
+    out = pa.concat_tables(levels)
+    return out.sort_by([(k, "ascending") for k in keys])
+
+
+def q_cube_orders(sf_dir: str) -> pa.Table:
+    """CUBE(o_orderstatus, o_orderpriority) over orders: exact totals in
+    cents at all four grouping sets."""
+    ds = _read(sf_dir, "orders",
+               ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderstatus": t["o_orderstatus"],
+            "o_orderpriority": t["o_orderpriority"],
+            "price_c": pc.cast(pc.round(pc.multiply(
+                t["o_totalprice"], pa.scalar(100.0))), pa.int64()),
+        })
+
+    return cube_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["o_orderstatus", "o_orderpriority"],
+        {"total_cents": ("price_c", "sum"), "n_orders": ("price_c", "count")})
+
+
 def q_customers_semi_f(sf_dir: str) -> pa.Table:
     """Semi-join: customers with at least one F-status order (EXISTS)."""
     from raydoc.functions.joins import bucket_semi_join

@@ -155,6 +155,53 @@ def train_test_split(sf_dir: str, train_hex_max: str = "c") -> pa.Table:
         "doc_id")
 
 
+def weighted_sample(sf_dir: str, k: int = 100) -> pa.Table:
+    """(doc_id, n_chars): deterministic weight-proportional sample of k
+    documents, biased toward LONGER documents — the data-mixing primitive
+    (sample a corpus proportional to length/quality weight).
+
+    Scheme: key(doc) = md5_lower64(doc_id) // n_chars (all uint64 integer
+    arithmetic); keep the k smallest keys. A document with twice the
+    weight has (in distribution) half the key — weight-biased selection
+    that is a pure function of the row: stable across runs, cluster sizes
+    and input order, and bit-exactly replicable in SQL (DuckDB
+    ``md5_number_lower`` = little-endian LAST 8 md5 digest bytes,
+    verified against this implementation).
+
+    Distribution: each batch computes keys vectorized and keeps its LOCAL
+    top-k (the global top-k is a subset of the union of local top-ks), so
+    the driver merges #batches × k candidate rows, never the corpus."""
+    import hashlib as _hl
+
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "n_chars"])
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        w = t.column("n_chars").to_numpy(zero_copy_only=False) \
+             .astype(np.uint64)
+        lo64 = np.array([int.from_bytes(
+            _hl.md5(str(int(i)).encode()).digest()[8:], "little")
+            for i in ids], dtype=np.uint64)
+        key = lo64 // np.maximum(w, np.uint64(1))
+        order = np.lexsort((ids, key))[:k]
+        return pa.table({
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "n_chars": pa.array(w[order].astype(np.int64), pa.int64()),
+            "key": pa.array(key[order], pa.uint64()),
+        })
+
+    cand = collect_table(ds.map_batches(local_topk, batch_format="pyarrow"))
+    import pandas as pd
+    df = cand.to_pandas().sort_values(["key", "doc_id"]).head(k)
+    return pa.Table.from_pandas(
+        df[["doc_id", "n_chars"]], preserve_index=False).cast(
+        pa.schema([("doc_id", pa.int64()), ("n_chars", pa.int64())])) \
+        .sort_by("doc_id")
+
+
 def pack_sequences(sf_dir: str, seq_len: int = 2048,
                    num_buckets: int = 64) -> pa.Table:
     """(doc_id, n_tokens, tok_offset, seq_id): GPT-style sequence packing —

@@ -1,0 +1,179 @@
+"""Round-3 additions: table profiler, integer fixed-point PageRank,
+weighted sampling, CUBE, and Bloom-filter incremental dedup — each checked
+against a local single-process reference on synthetic data (the SQL twins
+are additionally driver-checked at sf0.01)."""
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+
+# --- profiler ----------------------------------------------------------------
+
+def test_profile_columns_counts_and_extremes(ray_session):
+    from raydoc.functions.profile import profile_columns
+    t = pa.table({
+        "a": pa.array([5, None, 3, 10, 3], pa.int64()),
+        "s": pa.array(["b", "a", None, "a", "c"], pa.string()),
+    })
+    ds = rd.from_arrow([t.slice(0, 2), t.slice(2)])
+    out = profile_columns(ds, ["a", "s"]).to_pydict()
+    assert out["column"] == ["a", "s"]
+    assert out["n_rows"] == [5, 5]
+    assert out["n_nonnull"] == [4, 4]
+    assert out["n_distinct"] == [3, 3]
+    # int extremes fold NUMERICALLY ("10" > "9" would fail a string fold)
+    assert out["min_val"] == ["3", "a"]
+    assert out["max_val"] == ["10", "c"]
+
+
+def test_profile_events_sf0001(ray_session):
+    from raydoc.functions.profile import profile_events
+    out = profile_events("/root/testdata/sf0.001")
+    d = {r["column"]: r for r in out.to_pylist()}
+    assert d["event_id"]["n_distinct"] == d["event_id"]["n_rows"]
+    assert d["event_type"]["n_distinct"] <= 10
+
+
+# --- pagerank ----------------------------------------------------------------
+
+def _pagerank_ref(edges, n_iter=5, scale=10 ** 12, damping=85):
+    """Single-process reference with the exact integer update rule."""
+    nodes = sorted({x for e in edges for x in e})
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    n = len(nodes)
+    r = {v: scale // n for v in nodes}
+    base = ((100 - damping) * (scale // n)) // 100
+    for _ in range(n_iter):
+        s = {v: 0 for v in nodes}
+        for u, v in edges:
+            s[v] += r[u] // deg[u]
+        r = {v: base + (damping * s[v]) // 100 for v in nodes}
+    return r
+
+
+@pytest.mark.parametrize("seed", [3, 4])
+def test_pagerank_matches_reference(ray_session, seed):
+    from raydoc.functions.graph import pagerank
+    rng = np.random.RandomState(seed)
+    # random digraph where every node has outdeg >= 1 (ring + chords)
+    n = 30
+    edges = [(f"n{i}", f"n{(i + 1) % n}") for i in range(n)]
+    for _ in range(40):
+        a, b = rng.randint(0, n, 2)
+        edges.append((f"n{a}", f"n{b}"))
+    edges = sorted(set(edges))
+    ds = rd.from_arrow(pa.table({
+        "src": pa.array([e[0] for e in edges], pa.string()),
+        "dst": pa.array([e[1] for e in edges], pa.string()),
+    }))
+    got = {r["node"]: r["rank_fp"]
+           for r in pagerank(ds, n_iter=3, num_buckets=8).take_all()}
+    assert got == _pagerank_ref(edges, n_iter=3)
+
+
+def test_pagerank_rank_mass_conserved_modulo_rounding(ray_session):
+    from raydoc.functions.graph import pagerank
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("b", "a")]
+    ds = rd.from_arrow(pa.table({
+        "src": pa.array([e[0] for e in edges], pa.string()),
+        "dst": pa.array([e[1] for e in edges], pa.string()),
+    }))
+    ranks = pagerank(ds, n_iter=5, num_buckets=4).take_all()
+    total = sum(r["rank_fp"] for r in ranks)
+    # floor divisions only ever LOSE mass, and at most a few units per
+    # node per round
+    assert 0.99 * 10 ** 12 < total <= 10 ** 12
+
+
+# --- weighted sampling --------------------------------------------------------
+
+def test_weighted_sample_matches_bruteforce(ray_session):
+    import pyarrow.parquet as pq
+    from raydoc.functions.textstats import weighted_sample
+    sf = "/root/testdata/sf0.001"
+    got = weighted_sample(sf, k=25).to_pydict()
+    docs = pq.read_table(f"{sf}/documents.parquet",
+                         columns=["doc_id", "n_chars"]).to_pydict()
+    keyed = sorted(
+        (int.from_bytes(hashlib.md5(str(d).encode()).digest()[8:],
+                        "little") // max(c, 1), d, c)
+        for d, c in zip(docs["doc_id"], docs["n_chars"]))
+    want = sorted((d, c) for _, d, c in keyed[:25])
+    assert list(zip(got["doc_id"], got["n_chars"])) == want
+
+
+def test_weighted_sample_biases_toward_long_docs(ray_session):
+    import pyarrow.parquet as pq
+    from raydoc.functions.textstats import weighted_sample
+    sf = "/root/testdata/sf0.001"
+    got = weighted_sample(sf, k=50)
+    docs = pq.read_table(f"{sf}/documents.parquet", columns=["n_chars"])
+    import pyarrow.compute as pc
+    corpus_mean = pc.mean(docs["n_chars"]).as_py()
+    sample_mean = pc.mean(got["n_chars"]).as_py()
+    assert sample_mean > corpus_mean
+
+
+# --- cube ----------------------------------------------------------------
+
+def test_cube_aggregate_matches_pandas(ray_session):
+    from raydoc.functions.relational import cube_aggregate
+    import pandas as pd
+    rng = np.random.RandomState(7)
+    df = pd.DataFrame({
+        "x": rng.choice(["p", "q"], 200),
+        "y": rng.choice(["u", "v", "w"], 200),
+        "v": rng.randint(0, 100, 200).astype(np.int64),
+    })
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    out = cube_aggregate(ds, ["x", "y"],
+                         {"s": ("v", "sum"), "n": ("v", "count")}).to_pandas()
+    # 4 grouping sets: (x,y), (x), (y), ()
+    assert len(out) == 6 + 2 + 3 + 1
+    grand = out[out["x"].isna() & out["y"].isna()]
+    assert grand["s"].iloc[0] == df["v"].sum()
+    assert grand["n"].iloc[0] == 200
+    per_x = out[out["x"].notna() & out["y"].isna()].set_index("x")["s"]
+    assert per_x.to_dict() == df.groupby("x")["v"].sum().to_dict()
+
+
+# --- bloom filter dedup --------------------------------------------------
+
+def test_bloom_no_false_negatives(ray_session):
+    from raydoc.functions.dedup import bloom_build, bloom_filter_novel
+    seen_texts = [f"document body {i}" for i in range(500)]
+    seen = rd.from_arrow(pa.table({"text": pa.array(seen_texts)}))
+    bloom = bloom_build(seen, n_bits=1 << 16)
+    # every true duplicate must drop — bloom filters never false-negative
+    dups = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(100)), pa.int64()),
+        "text": pa.array(seen_texts[:100]),
+    }))
+    assert bloom_filter_novel(dups, bloom).count() == 0
+
+
+def test_bloom_low_false_positive_rate(ray_session):
+    from raydoc.functions.dedup import bloom_build, bloom_filter_novel
+    seen = rd.from_arrow(pa.table(
+        {"text": pa.array([f"seen {i}" for i in range(1000)])}))
+    bloom = bloom_build(seen, n_bits=1 << 16)   # 65 bits/doc
+    novel = rd.from_arrow(pa.table(
+        {"text": pa.array([f"novel {i}" for i in range(1000)])}))
+    kept = bloom_filter_novel(novel, bloom).count()
+    assert kept >= 990    # <1% false positives at 65 bits/doc, 5 hashes
+
+
+def test_bloom_novel_docs_partitions(ray_session):
+    from raydoc.functions.dedup import bloom_novel_docs
+    out = bloom_novel_docs("/root/testdata/sf0.001")
+    ids = out.column("doc_id").to_pylist()
+    # only new-shard ids (doc_id % 10 >= 3) can appear
+    assert all(i % 10 >= 3 for i in ids)
+    assert len(ids) > 0
