@@ -58,8 +58,10 @@ def _pagerank_ref(edges, n_iter=5, scale=10 ** 12, damping=85):
     return r
 
 
-@pytest.mark.parametrize("seed", [3, 4])
-def test_pagerank_matches_reference(ray_session, seed):
+@pytest.mark.parametrize("seed,ranks_in", [(3, "dataset"), (4, "dataset"),
+                                           (3, "broadcast"),
+                                           (4, "broadcast")])
+def test_pagerank_matches_reference(ray_session, seed, ranks_in):
     from raydoc.functions.graph import pagerank
     rng = np.random.RandomState(seed)
     # random digraph where every node has outdeg >= 1 (ring + chords)
@@ -74,7 +76,8 @@ def test_pagerank_matches_reference(ray_session, seed):
         "dst": pa.array([e[1] for e in edges], pa.string()),
     }))
     got = {r["node"]: r["rank_fp"]
-           for r in pagerank(ds, n_iter=3, num_buckets=8).take_all()}
+           for r in pagerank(ds, n_iter=3, num_buckets=8,
+                             ranks_in=ranks_in).take_all()}
     assert got == _pagerank_ref(edges, n_iter=3)
 
 
