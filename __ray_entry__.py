@@ -171,6 +171,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_anti_f": relational.q_customers_anti_f,
         "order_status_except": relational.q_order_status_except,
         "cube_orders": relational.q_cube_orders,
+        "order_status_intersect": relational.q_order_status_intersect,
+        "collapse_repeats": textstats.collapse_repeats,
+        "median_by_type": windows.median_by_type,
         "profile_events": profile.profile_events,
         "weighted_sample": textstats.weighted_sample,
         "user_type_pagerank": graph.user_type_pagerank,
@@ -182,6 +185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_running_value": windows.user_running_value,
         "funnel_counts": windows.funnel_counts,
         "value_percentiles": windows.value_percentiles,
+        "global_rank_ntile": windows.global_rank_ntile,
         "asof_last_view": _asof_last_view,
         "clicks_after_error": _clicks_after_error,
         # --- dedup / similarity (oracle-backed members) ---
@@ -590,6 +594,33 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents ORDER BY key, doc_id LIMIT 100)
             ORDER BY doc_id""",
         "user_type_pagerank": _pagerank_oracle(),
+        "global_rank_ntile": """
+            SELECT event_id,
+                   ROW_NUMBER() OVER (ORDER BY value, event_id) AS rn,
+                   NTILE(4) OVER (ORDER BY value, event_id) AS tile
+            FROM events ORDER BY event_id""",
+        "order_status_intersect": """
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+            INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+            ORDER BY o_custkey""",
+        "collapse_repeats": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents),
+            t AS (SELECT doc_id, ws[i] AS word, i AS ord
+                  FROM w, UNNEST(generate_series(1, len(ws))) AS s(i)),
+            k AS (SELECT doc_id, word, ord,
+                         LAG(word) OVER (PARTITION BY doc_id
+                                         ORDER BY ord) AS prev
+                  FROM t)
+            SELECT doc_id,
+                   COALESCE(string_agg(word, ' ' ORDER BY ord)
+                            FILTER (WHERE prev IS NULL OR word != prev),
+                            '') AS cleaned
+            FROM k GROUP BY doc_id ORDER BY doc_id""",
+        "median_by_type": """
+            SELECT event_type,
+                   quantile_disc(value, 0.5) AS median_value
+            FROM events GROUP BY event_type ORDER BY event_type""",
         "json_props_stats": """
             SELECT event_type, COUNT(*) AS n_events,
                    CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT))

@@ -106,6 +106,15 @@ BENCH_QUERIES = [
     "distinct_users_by_type_hll",
     "value_percentiles_by_type_sketch",
     "neardup_components",
+    "cube_orders",
+    "profile_events",
+    "weighted_sample",
+    "user_type_pagerank",
+    "bloom_novel_docs",
+    "global_rank_ntile",
+    "order_status_intersect",
+    "collapse_repeats",
+    "median_by_type",
 ]
 
 

@@ -261,6 +261,40 @@ def except_distinct(left: rd.Dataset, right: rd.Dataset, key: str,
                                                  batch_format="pyarrow")
 
 
+def intersect_distinct(left: rd.Dataset, right: rd.Dataset, key: str,
+                       num_buckets: int = 32) -> rd.Dataset:
+    """SQL ``INTERSECT`` on a single key column: the distinct non-null
+    ``key`` values present in BOTH sides. Same shape as
+    ``except_distinct``: per-batch-distinct combiner on both sides, one
+    bucket exchange, set intersection per bucket."""
+    left_schema = left.schema()
+    key_type = dict(arrow_field_types(left_schema, [key]))[key]
+    all_fields = [(key, key_type)]
+    out_schema = pa.schema(all_fields)
+
+    def _dedup_keys(batch: pa.Table) -> pa.Table:
+        keys_arr = batch.column(key).combine_chunks().unique().drop_null()
+        return pa.table({key: keys_arr.cast(key_type)})
+
+    tagged = tag_union(left.map_batches(_dedup_keys, batch_format="pyarrow"),
+                       right.map_batches(_dedup_keys, batch_format="pyarrow"),
+                       key, all_fields, num_buckets)
+
+    def _intersect_bucket(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        side = group.column("__side")
+        l_keys = group.filter(pc.equal(side, 0)).column(key) \
+                      .combine_chunks().unique()
+        r_keys = group.filter(pc.equal(side, 1)).column(key).combine_chunks()
+        if len(l_keys) == 0 or len(r_keys) == 0:
+            return out_schema.empty_table()
+        both = l_keys.filter(pc.is_in(l_keys, value_set=r_keys.unique()))
+        return pa.table({key: both.cast(key_type)})
+
+    return tagged.groupby("__bucket").map_groups(_intersect_bucket,
+                                                 batch_format="pyarrow")
+
+
 def detect_hot_keys(ds: rd.Dataset, key: str, min_count: int = 100_000,
                     top_n: int = 64) -> list:
     """The ``top_n`` key values whose row count exceeds ``min_count`` —

@@ -558,6 +558,22 @@ def q_order_status_except(sf_dir: str) -> pa.Table:
     return collect_table(out).sort_by("o_custkey")
 
 
+def q_order_status_intersect(sf_dir: str) -> pa.Table:
+    """Set intersection: custkeys holding BOTH an O-status and an
+    F-status order (SQL INTERSECT on a key column)."""
+    from raydoc.functions.joins import intersect_distinct
+
+    def side(status: str) -> rd.Dataset:
+        return rd.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_custkey", "o_orderstatus"]) \
+            .map_batches(lambda t, s=status: t.filter(
+                pc.equal(t["o_orderstatus"], s)).select(["o_custkey"]),
+                batch_format="pyarrow")
+
+    out = intersect_distinct(side("O"), side("F"), key="o_custkey")
+    return collect_table(out).sort_by("o_custkey")
+
+
 def q_stratified_sample(sf_dir: str, per_type: int = 20,
                         num_buckets: int | None = None) -> pa.Table:
     """Deterministic stratified sample: ``per_type`` events per event_type

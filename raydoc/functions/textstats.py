@@ -634,3 +634,31 @@ def tfidf_top_terms(sf_dir: str, top_n: int = 3,
     return t.set_column(t.schema.get_field_index("rank"), "rank",
                         t.column("rank").cast(pa.int64())).sort_by(
         [("doc_id", "ascending"), ("rank", "ascending")])
+
+
+def collapse_repeats(sf_dir: str) -> pa.Table:
+    """(doc_id, cleaned): collapse CONSECUTIVE repeated words within each
+    document ("part part part" → "part") — the stutter-removal cleanup for
+    OCR/ASR output, one embarrassingly-parallel vectorized pass (numpy
+    shift-compare per doc; no shuffle). Split/join on single spaces keeps
+    empty tokens, matching the SQL twin's string_split semantics exactly."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        cleaned = []
+        for txt in t.column("text").to_pylist():
+            w = np.array((txt or "").split(" "), dtype=object)
+            if len(w) <= 1:
+                cleaned.append(txt or "")
+                continue
+            keep = np.ones(len(w), dtype=bool)
+            keep[1:] = w[1:] != w[:-1]
+            cleaned.append(" ".join(w[keep]))
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "cleaned": pa.array(cleaned, pa.string())})
+
+    return collect_table(ds.map_batches(fn, batch_format="pyarrow")) \
+        .sort_by("doc_id")

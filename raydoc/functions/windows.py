@@ -264,3 +264,142 @@ def funnel_counts(sf_dir: str, num_buckets: int | None = None) -> pa.Table:
                            agg.column("stage_idx").to_pylist()], pa.string()),
         "n_users": agg.column("n_users").cast(pa.int64()),
     })
+
+
+def global_rank_ntile(sf_dir: str, n_tiles: int = 4,
+                      num_buckets: int = 64) -> pa.Table:
+    """(event_id, rn, tile): exact global ROW_NUMBER (1-based) and
+    NTILE(``n_tiles``) over the total order (value, event_id) — the
+    quantile-bucketing primitive (perplexity binning, difficulty tiers)
+    as a distributed dense rank.
+
+    Shape (no global sort): rows go to ORDER-PRESERVING range buckets cut
+    linearly between the observed min/max value (cut choice affects only
+    balance, never the output — order within and between buckets is
+    exact); a combiner pass counts each bucket; the driver exclusive-scans
+    the B bucket counts into per-bucket base ranks (B rows, never data
+    rows); each bucket then sorts locally and adds its base — the same
+    prefix-sum decomposition as ``pack_sequences``. NTILE follows SQL
+    semantics: the first n % k tiles take ceil(n/k) rows."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "value"])
+
+    mm = collect_table(partial_groupby(
+        ds.map_batches(lambda t: pa.table({"k": pa.array([0] * t.num_rows,
+                                                         pa.int8()),
+                                           "value": t["value"]}),
+                       batch_format="pyarrow"),
+        ["k"], {"lo": ("value", "min"), "hi": ("value", "max")}))
+    lo, hi = mm.column("lo")[0].as_py(), mm.column("hi")[0].as_py()
+    cuts = np.linspace(lo, hi, num_buckets + 1)[1:-1]
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "bucket", pa.array(np.searchsorted(cuts, v, side="right")
+                               .astype(np.int32)))
+
+    bucketed = ds.map_batches(add_bucket,
+                              batch_format="pyarrow").materialize()
+    counts = collect_table(partial_groupby(
+        bucketed, ["bucket"], {"cnt": ("value", "count")})).sort_by("bucket")
+    bids = counts.column("bucket").to_pylist()
+    cnts = counts.column("cnt").to_pylist()
+    n = int(sum(cnts))
+    bases = dict(zip(bids, np.concatenate(
+        ([0], np.cumsum(cnts)[:-1])).astype(np.int64)))
+
+    size_small = n // n_tiles
+    n_big = n % n_tiles
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["value", "event_id"], ignore_index=True)
+        r0 = bases[int(g["bucket"].iloc[0])] + np.arange(len(g),
+                                                         dtype=np.int64)
+        big_span = n_big * (size_small + 1)
+        tile = np.where(
+            r0 < big_span,
+            r0 // (size_small + 1) + 1,
+            (r0 - big_span) // max(size_small, 1) + n_big + 1)
+        return pd.DataFrame({"event_id": g["event_id"],
+                             "rn": r0 + 1,
+                             "tile": tile.astype(np.int64)})
+
+    out = bucketed.groupby("bucket").map_groups(per_bucket,
+                                                batch_format="pandas")
+    return collect_table(out).sort_by("event_id")
+
+
+def median_by_type(sf_dir: str, q: float = 0.5,
+                   num_buckets: int = 256) -> pa.Table:
+    """(event_type, median_value): EXACT per-group quantile (rank-element
+    semantics, 0-based rank floor((n_g−1)·q) in value order — DuckDB
+    ``quantile_disc`` convention) WITHOUT putting any group in one task.
+
+    Two-pass distributed selection (the scale-exact complement to the
+    DDSketch per-group quantiles): pass A counts (group, value-range
+    bucket) cells with a combiner — only G×B tiny count rows reach the
+    driver, which locates each group's target bucket and the rank within
+    it; pass B fetches ONLY the target buckets (≈ n/B of the data per
+    group) and selects the exact element. A pathological bucket (all of a
+    group's mass on one value range) degrades to that bucket's size —
+    recurse with finer cuts inside the bucket if that matters."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+
+    mm = collect_table(partial_groupby(
+        ds.map_batches(lambda t: pa.table({"k": pa.array([0] * t.num_rows,
+                                                         pa.int8()),
+                                           "value": t["value"]}),
+                       batch_format="pyarrow"),
+        ["k"], {"lo": ("value", "min"), "hi": ("value", "max")}))
+    lo, hi = mm.column("lo")[0].as_py(), mm.column("hi")[0].as_py()
+    cuts = np.linspace(lo, hi, num_buckets + 1)[1:-1]
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": t["event_type"],
+            "value": t["value"],
+            "bucket": pa.array(np.searchsorted(cuts, v, side="right")
+                               .astype(np.int32)),
+        })
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow") \
+                 .materialize()
+    cells = collect_table(partial_groupby(
+        bucketed, ["event_type", "bucket"],
+        {"cnt": ("value", "count")})).to_pandas() \
+        .sort_values(["event_type", "bucket"])
+
+    targets: dict[str, tuple[int, int]] = {}
+    for g, sub in cells.groupby("event_type", sort=True):
+        n_g = int(sub["cnt"].sum())
+        k = int((n_g - 1) * q)
+        cum = 0
+        for b, c in zip(sub["bucket"], sub["cnt"]):
+            if cum + c > k:
+                targets[g] = (int(b), k - cum)
+                break
+            cum += int(c)
+
+    keep = {(g, b) for g, (b, _) in targets.items()}
+
+    def only_targets(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        mask = [(g, b) in keep for g, b in
+                zip(t.column("event_type").to_pylist(),
+                    t.column("bucket").to_pylist())]
+        return t.filter(pa.array(mask))
+
+    picked = collect_table(
+        bucketed.map_batches(only_targets,
+                             batch_format="pyarrow")).to_pandas()
+    out_g, out_v = [], []
+    for g, (b, local_k) in sorted(targets.items()):
+        vals = np.sort(picked[picked["event_type"] == g]["value"]
+                       .to_numpy())
+        out_g.append(g)
+        out_v.append(float(vals[local_k]))
+    return pa.table({"event_type": pa.array(out_g, pa.string()),
+                     "median_value": pa.array(out_v, pa.float64())})

@@ -180,3 +180,61 @@ def test_bloom_novel_docs_partitions(ray_session):
     # only new-shard ids (doc_id % 10 >= 3) can appear
     assert all(i % 10 >= 3 for i in ids)
     assert len(ids) > 0
+
+
+# --- global rank / ntile / grouped median / intersect / collapse ----------
+
+def test_global_rank_ntile_matches_local(ray_session):
+    from raydoc.functions.windows import global_rank_ntile
+    import pyarrow.parquet as pq
+    import pandas as pd
+    sf = "/root/testdata/sf0.001"
+    got = global_rank_ntile(sf, n_tiles=4, num_buckets=8).to_pandas()
+    df = pq.read_table(f"{sf}/events.parquet",
+                       columns=["event_id", "value"]).to_pandas()
+    df = df.sort_values(["value", "event_id"], ignore_index=True)
+    n = len(df)
+    r0 = np.arange(n)
+    size_small, n_big = n // 4, n % 4
+    big_span = n_big * (size_small + 1)
+    tile = np.where(r0 < big_span, r0 // (size_small + 1) + 1,
+                    (r0 - big_span) // size_small + n_big + 1)
+    want = pd.DataFrame({"event_id": df["event_id"], "rn": r0 + 1,
+                         "tile": tile}).sort_values("event_id",
+                                                    ignore_index=True)
+    got = got.sort_values("event_id", ignore_index=True)
+    assert (got["rn"].to_numpy() == want["rn"].to_numpy()).all()
+    assert (got["tile"].to_numpy() == want["tile"].to_numpy()).all()
+
+
+def test_median_by_type_matches_numpy(ray_session):
+    from raydoc.functions.windows import median_by_type
+    import pyarrow.parquet as pq
+    sf = "/root/testdata/sf0.001"
+    got = {r["event_type"]: r["median_value"]
+           for r in median_by_type(sf).to_pylist()}
+    df = pq.read_table(f"{sf}/events.parquet",
+                       columns=["event_type", "value"]).to_pandas()
+    for g, sub in df.groupby("event_type"):
+        v = np.sort(sub["value"].to_numpy())
+        assert got[g] == v[(len(v) - 1) // 2]
+
+
+def test_intersect_distinct(ray_session):
+    from raydoc.functions.joins import intersect_distinct
+    left = rd.from_arrow(pa.table({"k": pa.array([1, 2, 2, 3, None],
+                                                 pa.int64())}))
+    right = rd.from_arrow(pa.table({"k": pa.array([2, 3, 3, 4],
+                                                  pa.int64())}))
+    got = sorted(r["k"] for r in
+                 intersect_distinct(left, right, key="k").take_all())
+    assert got == [2, 3]
+
+
+def test_collapse_repeats_kernel(ray_session):
+    # exercised through the sf0.001 query; semantics pinned here
+    from raydoc.functions.textstats import collapse_repeats
+    out = collapse_repeats("/root/testdata/sf0.001")
+    for row in out.to_pylist():
+        words = row["cleaned"].split(" ")
+        assert all(a != b for a, b in zip(words, words[1:]))
