@@ -174,6 +174,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_status_intersect": relational.q_order_status_intersect,
         "collapse_repeats": textstats.collapse_repeats,
         "median_by_type": windows.median_by_type,
+        "orders_upsert": relational.q_orders_upsert,
+        "cohort_retention": windows.cohort_retention,
+        "value_histogram": windows.value_histogram,
+        "dup_ngram_fraction": textstats.dup_ngram_fraction,
         "profile_events": profile.profile_events,
         "weighted_sample": textstats.weighted_sample,
         "user_type_pagerank": graph.user_type_pagerank,
@@ -621,6 +625,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    quantile_disc(value, 0.5) AS median_value
             FROM events GROUP BY event_type ORDER BY event_type""",
+        "orders_upsert": """
+            WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice,
+                                 CAST(1 AS BIGINT) AS version FROM orders),
+                 upd AS (SELECT o_orderkey, o_custkey,
+                                o_totalprice + 1.0 AS o_totalprice,
+                                CAST(2 AS BIGINT) AS version
+                         FROM orders WHERE o_orderkey % 7 = 0),
+                 allr AS (SELECT * FROM base
+                          UNION ALL SELECT * FROM upd)
+            SELECT o_orderkey, o_custkey, o_totalprice, version FROM allr
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                                       ORDER BY version DESC) = 1
+            ORDER BY o_orderkey""",
+        "cohort_retention": """
+            WITH d AS (SELECT DISTINCT user_id,
+                              CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+                                  AS day FROM events),
+                 f AS (SELECT user_id, MIN(day) AS cohort_day
+                       FROM d GROUP BY user_id)
+            SELECT f.cohort_day, d.day - f.cohort_day AS day_offset,
+                   COUNT(DISTINCT d.user_id) AS n_users
+            FROM d JOIN f USING (user_id)
+            GROUP BY f.cohort_day, day_offset
+            ORDER BY f.cohort_day, day_offset""",
+        "value_histogram": """
+            WITH s AS (SELECT MIN(value) AS lo, MAX(value) AS hi
+                       FROM events)
+            SELECT LEAST(CAST(FLOOR((value - lo) / ((hi - lo) / 20.0))
+                              AS BIGINT), 19) AS bin,
+                   COUNT(*) AS n
+            FROM events, s GROUP BY bin ORDER BY bin""",
+        "dup_ngram_fraction": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents),
+            g AS (SELECT doc_id, md5(array_to_string(ws[i:i+7], ' '))
+                         AS gram
+                  FROM w, UNNEST(generate_series(1, len(ws) - 7)) AS s(i)),
+            c AS (SELECT gram, COUNT(*) AS cnt FROM g GROUP BY gram)
+            SELECT g.doc_id, COUNT(*) AS n_grams,
+                   CAST(SUM(CASE WHEN c.cnt >= 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_dup
+            FROM g JOIN c USING (gram)
+            GROUP BY g.doc_id ORDER BY g.doc_id""",
         "json_props_stats": """
             SELECT event_type, COUNT(*) AS n_events,
                    CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT))

@@ -115,6 +115,10 @@ BENCH_QUERIES = [
     "order_status_intersect",
     "collapse_repeats",
     "median_by_type",
+    "orders_upsert",
+    "cohort_retention",
+    "value_histogram",
+    "dup_ngram_fraction",
 ]
 
 

@@ -408,3 +408,30 @@ def salted_hash_join(left: rd.Dataset, right: rd.Dataset, key: str,
 
     return tagged.groupby("__bucket").map_groups(_join_bucket,
                                                  batch_format="pyarrow")
+
+
+def merge_upsert(base: rd.Dataset, updates: rd.Dataset, key: str,
+                 version_col: str, num_buckets: int = 32) -> rd.Dataset:
+    """Last-writer-wins merge (the CDC/lakehouse UPSERT): one row per
+    ``key``, the one with the highest ``version_col`` across base ∪
+    updates; an equal-version tie goes to the UPDATES side (documented,
+    deterministic). Both sides must share a schema.
+
+    Shape: pad+tag union (the shared keyed-two-sided machinery), one
+    bucket exchange, vectorized per-bucket keep-max — the merge-on-read
+    compaction shape; at 100 TB the bucket count is the parallelism knob
+    and hot keys salt like any bucketed reduce."""
+    schema = base.schema()
+    all_fields = arrow_field_types(schema, schema.names)
+    tagged = tag_union(base, updates, key, all_fields, num_buckets)
+    out_names = [n for n, _ in all_fields]
+
+    def keep_latest(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values([key, version_col, "__side"],
+                          ascending=[True, False, False],
+                          ignore_index=True)
+        return g.drop_duplicates(key)[out_names]
+
+    import pandas as pd  # noqa: F401  (annotation-only import above)
+    return tagged.groupby("__bucket").map_groups(keep_latest,
+                                                 batch_format="pandas")

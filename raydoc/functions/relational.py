@@ -619,3 +619,37 @@ def q_stratified_sample(sf_dir: str, per_type: int = 20,
         preserve_index=False)
     return out.sort_by(
         [("event_type", "ascending"), ("event_id", "ascending")])
+
+
+def q_orders_upsert(sf_dir: str) -> pa.Table:
+    """CDC merge: orders (version 1) upserted with a derived update stream
+    (every 7th orderkey, price bumped by 1.00, version 2) — one surviving
+    row per orderkey, last writer wins. The lakehouse merge-on-read
+    operator (functions/joins.py:merge_upsert) with a QUALIFY
+    ROW_NUMBER SQL twin."""
+    from raydoc.functions.joins import merge_upsert
+
+    cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+
+    def base_fn(t: pa.Table) -> pa.Table:
+        return t.append_column("version",
+                               pa.array([1] * t.num_rows, pa.int64()))
+
+    def upd_fn(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"]
+        m = pc.equal(pc.subtract(k, pc.multiply(pc.divide(k, 7), 7)), 0)
+        t = t.filter(m)
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "o_custkey": t["o_custkey"],
+            "o_totalprice": pc.add(t["o_totalprice"], 1.0),
+            "version": pa.array([2] * t.num_rows, pa.int64()),
+        })
+
+    base = _read(sf_dir, "orders", cols).map_batches(
+        base_fn, batch_format="pyarrow")
+    updates = _read(sf_dir, "orders", cols).map_batches(
+        upd_fn, batch_format="pyarrow")
+    out = merge_upsert(base, updates, key="o_orderkey",
+                       version_col="version", num_buckets=16)
+    return collect_table(out).sort_by("o_orderkey")

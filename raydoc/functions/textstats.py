@@ -662,3 +662,57 @@ def collapse_repeats(sf_dir: str) -> pa.Table:
 
     return collect_table(ds.map_batches(fn, batch_format="pyarrow")) \
         .sort_by("doc_id")
+
+
+def dup_ngram_fraction(sf_dir: str, n: int = 8) -> pa.Table:
+    """(doc_id, n_grams, n_dup): per document, how many of its word
+    ``n``-gram positions carry a gram that occurs ≥2 times corpus-wide —
+    the RefinedWeb/Gopher "duplicated n-gram fraction" quality signal as
+    exact integers (callers divide; integer outputs keep the SQL twin
+    hash-exact). Docs shorter than ``n`` words emit no row (no grams).
+
+    Shape: one tokenize+md5 explode pass (materialized — consumed twice),
+    a combiner groupby counting occurrences per gram, a bucketed semi-join
+    marking duplicated occurrences, and two per-doc combiner counts. The
+    shuffles move 32-hex gram digests, never text."""
+    import hashlib as _hl
+
+    from raydoc.functions.agg import partial_groupby
+    from raydoc.functions.joins import bucket_semi_join
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids, grams = [], []
+        for d, txt in zip(t.column("doc_id").to_pylist(),
+                          t.column("text").to_pylist()):
+            ws = (txt or "").split(" ")
+            for i in range(len(ws) - n + 1):
+                ids.append(d)
+                grams.append(_hl.md5(
+                    " ".join(ws[i:i + n]).encode()).hexdigest())
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "gram": pa.array(grams, pa.string())})
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow").materialize()
+
+    dup_grams = partial_groupby(exploded, ["gram"],
+                                {"cnt": ("gram", "count")}) \
+        .map_batches(lambda t: t.filter(
+            pa.compute.greater_equal(t["cnt"], 2)).select(["gram"]),
+            batch_format="pyarrow")
+
+    dup_occurrences = bucket_semi_join(exploded, dup_grams, key="gram")
+    n_dup = collect_table(partial_groupby(
+        dup_occurrences, ["doc_id"], {"n_dup": ("gram", "count")}))
+    n_grams = collect_table(partial_groupby(
+        exploded, ["doc_id"], {"n_grams": ("gram", "count")}))
+
+    out = n_grams.join(n_dup, keys="doc_id", join_type="left outer")
+    import pyarrow.compute as pc
+    return pa.table({
+        "doc_id": out["doc_id"],
+        "n_grams": out["n_grams"],
+        "n_dup": pc.coalesce(out["n_dup"], pa.scalar(0, pa.int64())),
+    }).sort_by("doc_id")

@@ -403,3 +403,82 @@ def median_by_type(sf_dir: str, q: float = 0.5,
         out_v.append(float(vals[local_k]))
     return pa.table({"event_type": pa.array(out_g, pa.string()),
                      "median_value": pa.array(out_v, pa.float64())})
+
+
+def cohort_retention(sf_dir: str) -> pa.Table:
+    """(cohort_day, day_offset, n_users): classic cohort/retention matrix —
+    users grouped by their first-activity day (epoch days, integer), and
+    for each later day-offset the count of distinct cohort users active
+    then. All-integer (epoch_us // 86400e6), so the SQL twin hashes
+    identically.
+
+    Shape: one combiner pass reduces events to distinct (user, day) pairs
+    AND per-user min day; a bucketed hash join ties activity days to
+    cohorts (users ⋈ users — large-large, no broadcast of the user
+    dimension); a final combiner counts distinct users per cell."""
+    from raydoc.functions.joins import bucket_hash_join
+
+    _DAY_US = 86_400_000_000
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def to_days(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t["ts"], pa.int64()),
+                        pa.scalar(_DAY_US, pa.int64()))
+        g = pa.table({"user_id": t["user_id"],
+                      "day": day}).group_by(
+            ["user_id", "day"]).aggregate([("day", "count")])
+        return g.select(["user_id", "day"])
+
+    user_days = ds.map_batches(to_days, batch_format="pyarrow") \
+        .materialize()
+    cohorts = partial_groupby(user_days, ["user_id"],
+                              {"cohort_day": ("day", "min")})
+    joined = bucket_hash_join(user_days, cohorts, key="user_id",
+                              num_buckets=16)
+
+    def cells(t: pa.Table) -> pa.Table:
+        off = pc.subtract(t["day"], t["cohort_day"])
+        g = pa.table({"cohort_day": t["cohort_day"],
+                      "day_offset": off,
+                      "user_id": t["user_id"]}).group_by(
+            ["cohort_day", "day_offset", "user_id"]).aggregate(
+            [("user_id", "count")])
+        return g.select(["cohort_day", "day_offset", "user_id"])
+
+    distinct_cells = partial_groupby(
+        joined.map_batches(cells, batch_format="pyarrow"),
+        ["cohort_day", "day_offset", "user_id"],
+        {"__n": ("user_id", "count")})
+    out = partial_groupby(distinct_cells, ["cohort_day", "day_offset"],
+                          {"n_users": ("user_id", "count")})
+    return collect_table(out).sort_by(
+        [("cohort_day", "ascending"), ("day_offset", "ascending")])
+
+
+def value_histogram(sf_dir: str, n_bins: int = 20) -> pa.Table:
+    """(bin, n): fixed-width histogram of events.value between the
+    observed min/max — bin = min(floor((v−lo)/width), n_bins−1), the same
+    IEEE-double formula the SQL twin evaluates, so boundaries land
+    identically. One stats pass + one combiner count pass; only non-empty
+    bins emit (SQL GROUP BY semantics)."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+
+    mm = collect_table(partial_groupby(
+        ds.map_batches(lambda t: pa.table({"k": pa.array([0] * t.num_rows,
+                                                         pa.int8()),
+                                           "value": t["value"]}),
+                       batch_format="pyarrow"),
+        ["k"], {"lo": ("value", "min"), "hi": ("value", "max")}))
+    lo, hi = mm.column("lo")[0].as_py(), mm.column("hi")[0].as_py()
+    width = (hi - lo) / float(n_bins)
+
+    def to_bins(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        b = np.minimum(np.floor((v - lo) / width),
+                       n_bins - 1).astype(np.int64)
+        return pa.table({"bin": pa.array(b, pa.int64())})
+
+    out = partial_groupby(ds.map_batches(to_bins, batch_format="pyarrow"),
+                          ["bin"], {"n": ("bin", "count")})
+    return collect_table(out).sort_by("bin")
