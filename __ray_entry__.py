@@ -178,6 +178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": windows.cohort_retention,
         "value_histogram": windows.value_histogram,
         "dup_ngram_fraction": textstats.dup_ngram_fraction,
+        "neardup_triangles": graph.neardup_triangles,
         "profile_events": profile.profile_events,
         "weighted_sample": textstats.weighted_sample,
         "user_type_pagerank": graph.user_type_pagerank,
@@ -656,6 +657,18 @@ def oracle_sql() -> dict[str, str]:
                               AS BIGINT), 19) AS bin,
                    COUNT(*) AS n
             FROM events, s GROUP BY bin ORDER BY bin""",
+        "neardup_triangles": """
+            WITH p AS (
+                SELECT a.vec_id AS a, b.vec_id AS b
+                FROM embeddings a JOIN embeddings b
+                  ON a.vec_id < b.vec_id
+                WHERE list_cosine_similarity(
+                          CAST(a.embedding AS DOUBLE[]),
+                          CAST(b.embedding AS DOUBLE[])) >= 0.4)
+            SELECT p1.a AS a, p1.b AS b, p2.b AS c
+            FROM p p1 JOIN p p2 ON p1.b = p2.a
+            JOIN p p3 ON p3.a = p1.a AND p3.b = p2.b
+            ORDER BY a, b, c""",
         "dup_ngram_fraction": """
             WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
                        FROM documents),

@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "cohort_retention",
     "value_histogram",
     "dup_ngram_fraction",
+    "neardup_triangles",
 ]
 
 

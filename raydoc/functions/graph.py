@@ -395,3 +395,63 @@ def neardup_components(sf_dir: str) -> pa.Table:
 
     return collect_table(docs.map_batches(
         tag, batch_format="pyarrow")).sort_by("doc_id")
+
+
+def triangle_count(edges: rd.Dataset, num_buckets: int = 32) -> rd.Dataset:
+    """(a, b, c) with a<b<c: every triangle in an undirected edge set given
+    as (a, b) rows with a<b — the graph-mining classic, as two bucketed
+    exchanges: (1) wedge build, joining edges on the shared middle vertex
+    (the a<b orientation means each triangle is built exactly once, as
+    a<mid<c); (2) closure check, a semi-join of wedge (a, c) endpoints
+    against the edge set on a fused composite key. No adjacency structure
+    is ever collected; skew = high-degree vertices concentrates wedges —
+    at web scale cap degree or salt the mid key."""
+    from raydoc.functions.joins import bucket_hash_join, bucket_semi_join
+
+    e1 = edges.map_batches(
+        lambda t: pa.table({"a": t["a"], "mid": t["b"]}),
+        batch_format="pyarrow")
+    e2 = edges.map_batches(
+        lambda t: pa.table({"mid": t["a"], "c": t["b"]}),
+        batch_format="pyarrow")
+    wedges = bucket_hash_join(e1, e2, key="mid", num_buckets=num_buckets)
+
+    def fuse(col_a, col_c):
+        return pc.binary_join_element_wise(
+            pc.cast(col_a, pa.string()), pc.cast(col_c, pa.string()), "|")
+
+    keyed_wedges = wedges.map_batches(
+        lambda t: pa.table({"ac": fuse(t["a"], t["c"]),
+                            "a": t["a"], "b": t["mid"], "c": t["c"]}),
+        batch_format="pyarrow")
+    keyed_edges = edges.map_batches(
+        lambda t: pa.table({"ac": fuse(t["a"], t["b"])}),
+        batch_format="pyarrow")
+    closed = bucket_semi_join(keyed_wedges, keyed_edges, key="ac",
+                              num_buckets=num_buckets)
+    return closed.map_batches(
+        lambda t: t.select(["a", "b", "c"]), batch_format="pyarrow")
+
+
+def neardup_triangles(sf_dir: str) -> pa.Table:
+    """(a, b, c): triangles of mutually-near documents in the exact
+    embedding-cosine near-dup graph (τ=0.4) — the clique-ish density
+    signal a dedup pass uses to pick cluster representatives. Pairs come
+    from the distributed block-pair matmul (dedup.embedding_neardups);
+    triangles from two bucketed exchanges (triangle_count)."""
+    from raydoc.functions.dedup import embedding_neardups
+
+    pairs = embedding_neardups(sf_dir)
+    if pairs.num_rows == 0:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64()),
+                         "c": pa.array([], pa.int64())})
+    tri = triangle_count(
+        rd.from_arrow(pairs.select(["a", "b"])), num_buckets=8)
+    t = collect_table(tri)
+    schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                        ("c", pa.int64())])
+    if t.num_rows == 0:            # empty collect loses the schema
+        return schema.empty_table()
+    return t.select(["a", "b", "c"]).cast(schema).sort_by(
+        [("a", "ascending"), ("b", "ascending"), ("c", "ascending")])

@@ -307,3 +307,22 @@ def test_dup_ngram_fraction_bounds(ray_session):
     assert all(0 <= r["n_dup"] <= r["n_grams"] for r in out)
     # the synthetic corpus has exact-duplicate docs => some dup grams
     assert any(r["n_dup"] > 0 for r in out)
+
+
+def test_triangle_count_matches_bruteforce(ray_session):
+    from raydoc.functions.graph import triangle_count
+    import itertools
+    rng = np.random.RandomState(11)
+    n = 25
+    edges = sorted({tuple(sorted((int(a), int(b))))
+                    for a, b in rng.randint(0, n, (80, 2)) if a != b})
+    ds = rd.from_arrow(pa.table({
+        "a": pa.array([e[0] for e in edges], pa.int64()),
+        "b": pa.array([e[1] for e in edges], pa.int64()),
+    }))
+    got = sorted((r["a"], r["b"], r["c"])
+                 for r in triangle_count(ds, num_buckets=8).take_all())
+    es = set(edges)
+    want = sorted((a, b, c) for a, b, c in itertools.combinations(range(n), 3)
+                  if (a, b) in es and (b, c) in es and (a, c) in es)
+    assert got == want and len(want) > 0
