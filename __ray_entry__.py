@@ -224,6 +224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": similarity.lsh_topk,
         "ann_ivf_topk": similarity.ivf_topk,
         "embedding_kmeans": similarity.embedding_kmeans,
+        "embedding_pca": similarity.embedding_pca,
         "docx_meta": export.docx_meta,
         "shuffle_sample": textstats.shuffle_sample,
         "ngram_logprob": textstats.ngram_logprob,

@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "value_histogram",
     "dup_ngram_fraction",
     "neardup_triangles",
+    "embedding_pca",
 ]
 
 

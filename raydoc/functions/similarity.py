@@ -346,3 +346,98 @@ def embedding_kmeans(sf_dir: str, k: int = 8, iters: int = 10,
     out = collect_table(ds.map_batches(assign_clusters_fn(ref),
                                        batch_format="pyarrow"))
     return out.sort_by("vec_id")
+
+
+def pca_components(sf_dir: str, k: int = 2) -> tuple:
+    """(mean d-vector, k×d components, eigenvalues): fit PCA over the
+    embedding column. Per-batch partials are (count, Σx d-vector, XᵀX
+    d×d) — a few KB regardless of corpus size — tree-folded in workers
+    (two map levels), then ONE small eigendecomposition on the driver
+    (d×d; d ≪ n always for embeddings). The distributed-moments shape —
+    the corpus streams once, nothing row-sized leaves the workers.
+
+    Sign convention: each component's largest-|coordinate| entry is made
+    positive, so results are stable across runs and block orders."""
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        X = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in t.column("embedding").to_pylist()]) \
+            if t.num_rows else np.zeros((0, 1))
+        d = X.shape[1]
+        return pa.table({"n": pa.array([t.num_rows], pa.int64()),
+                         "s": pa.array([X.sum(axis=0).tobytes()],
+                                       pa.binary()),
+                         "xtx": pa.array([(X.T @ X).tobytes()],
+                                         pa.binary()),
+                         "d": pa.array([d], pa.int64())})
+
+    def fold(t: pa.Table) -> pa.Table:
+        rows = t.to_pylist()
+        rows = [r for r in rows if r["n"] > 0]
+        if not rows:
+            return pa.table({"n": pa.array([0], pa.int64()),
+                             "s": pa.array([b""], pa.binary()),
+                             "xtx": pa.array([b""], pa.binary()),
+                             "d": pa.array([0], pa.int64())})
+        d = rows[0]["d"]
+        n = sum(r["n"] for r in rows)
+        s = np.zeros(d)
+        xtx = np.zeros((d, d))
+        for r in rows:
+            s += np.frombuffer(r["s"], dtype=np.float64)
+            xtx += np.frombuffer(r["xtx"],
+                                 dtype=np.float64).reshape(d, d)
+        return pa.table({"n": pa.array([n], pa.int64()),
+                         "s": pa.array([s.tobytes()], pa.binary()),
+                         "xtx": pa.array([xtx.tobytes()], pa.binary()),
+                         "d": pa.array([d], pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    for _ in range(2):
+        parts = parts.map_batches(fold, batch_format="pyarrow",
+                                  batch_size=64)
+    from raydoc.functions._collect import collect_table
+    final = fold(collect_table(parts)).to_pylist()[0]
+    n, d = final["n"], final["d"]
+    mean = np.frombuffer(final["s"], dtype=np.float64) / n
+    xtx = np.frombuffer(final["xtx"], dtype=np.float64).reshape(d, d)
+    cov = xtx / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)          # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T                   # k×d
+    for i in range(comps.shape[0]):             # deterministic sign
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return mean, comps, evals[order]
+
+
+def embedding_pca(sf_dir: str, k: int = 2) -> pa.Table:
+    """(vec_id, pc1..pck): embeddings projected onto the top-k principal
+    components — the visualization / decorrelation / whitening front-end.
+    Fit via ``pca_components`` (tree-folded moment partials), then one
+    streamed projection pass from the broadcast (mean, components).
+    Float outputs ⇒ rows-only driver check; numerics pinned by the
+    equal-to-local-numpy property test."""
+    from raydoc.functions._collect import collect_table
+
+    mean, comps, _ = pca_components(sf_dir, k=k)
+    ref = ray.put((mean, comps))
+
+    def project(t: pa.Table) -> pa.Table:
+        m, c = ray.get(ref)
+        X = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in t.column("embedding").to_pylist()])
+        Y = (X - m) @ c.T
+        cols = {"vec_id": t["vec_id"]}
+        for i in range(c.shape[0]):
+            cols[f"pc{i + 1}"] = pa.array(Y[:, i], pa.float64())
+        return pa.table(cols)
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return collect_table(ds.map_batches(project,
+                                        batch_format="pyarrow")) \
+        .sort_by("vec_id")

@@ -326,3 +326,29 @@ def test_triangle_count_matches_bruteforce(ray_session):
     want = sorted((a, b, c) for a, b, c in itertools.combinations(range(n), 3)
                   if (a, b) in es and (b, c) in es and (a, c) in es)
     assert got == want and len(want) > 0
+
+
+def test_embedding_pca_matches_local_numpy(ray_session):
+    import pyarrow.parquet as pq
+    from raydoc.functions.similarity import embedding_pca
+    sf = "/root/testdata/sf0.001"
+    got = embedding_pca(sf, k=2).to_pandas().sort_values(
+        "vec_id", ignore_index=True)
+    t = pq.read_table(f"{sf}/embeddings.parquet")
+    X = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in t["embedding"].to_pylist()])
+    ids = np.asarray(t["vec_id"].to_pylist())
+    mean = X.mean(axis=0)
+    cov = (X.T @ X) / len(X) - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:2]
+    comps = evecs[:, order].T
+    for i in range(2):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    Y = (X - mean) @ comps.T
+    srt = np.argsort(ids)
+    assert np.allclose(got[["pc1", "pc2"]].to_numpy(), Y[srt], atol=1e-8)
+    # top component carries the most variance
+    assert got["pc1"].var() >= got["pc2"].var()
