@@ -37,6 +37,28 @@ def __getattr__(name):
         "range_join": ("raydoc.functions.rangejoin", "range_join"),
         "broadcast_join": ("raydoc.functions.joins", "broadcast_join"),
         "bucket_hash_join": ("raydoc.functions.joins", "bucket_hash_join"),
+        "salted_hash_join": ("raydoc.functions.joins", "salted_hash_join"),
+        "bucket_semi_join": ("raydoc.functions.joins", "bucket_semi_join"),
+        "except_distinct": ("raydoc.functions.joins", "except_distinct"),
+        "intersect_distinct": ("raydoc.functions.joins",
+                               "intersect_distinct"),
+        "merge_upsert": ("raydoc.functions.joins", "merge_upsert"),
+        "connected_components": ("raydoc.functions.graph",
+                                 "connected_components"),
+        "pagerank": ("raydoc.functions.graph", "pagerank"),
+        "triangle_count": ("raydoc.functions.graph", "triangle_count"),
+        "pivot_agg": ("raydoc.functions.relational", "pivot_agg"),
+        "rollup_aggregate": ("raydoc.functions.relational",
+                             "rollup_aggregate"),
+        "cube_aggregate": ("raydoc.functions.relational", "cube_aggregate"),
+        "profile_columns": ("raydoc.functions.profile", "profile_columns"),
+        "partial_groupby": ("raydoc.functions.agg", "partial_groupby"),
+        "bloom_build": ("raydoc.functions.dedup", "bloom_build"),
+        "bloom_filter_novel": ("raydoc.functions.dedup",
+                               "bloom_filter_novel"),
+        "pca_components": ("raydoc.functions.similarity", "pca_components"),
+        "kmeans_centroids": ("raydoc.functions.similarity",
+                             "kmeans_centroids"),
         # extension surface
         "register_text_extractor": ("raydoc.kernels.registry",
                                     "register_text_extractor"),

@@ -432,6 +432,5 @@ def merge_upsert(base: rd.Dataset, updates: rd.Dataset, key: str,
                           ignore_index=True)
         return g.drop_duplicates(key)[out_names]
 
-    import pandas as pd  # noqa: F401  (annotation-only import above)
     return tagged.groupby("__bucket").map_groups(keep_latest,
                                                  batch_format="pandas")
