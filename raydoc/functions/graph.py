@@ -358,12 +358,41 @@ def user_type_pagerank(sf_dir: str, n_iter: int = 5) -> pa.Table:
     return collect_table(ranks).sort_by("node")
 
 
-def neardup_components(sf_dir: str) -> pa.Table:
+def _union_find_min_labels(edges: list) -> dict:
+    """Driver union-find over a small edge list → {node: min-node-of-
+    component}. Always roots at the lesser root, so every component's
+    final root is its minimum node (the CC label convention)."""
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in sorted(edges):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    return {x: find(x) for e in edges for x in e}
+
+
+def neardup_components(sf_dir: str,
+                       max_driver_pairs: int = 50_000) -> pa.Table:
     """(doc_id, component) for every document: connected components over
     the SimHash near-dup pair graph (hamming ≤ 3), labels = min doc id;
-    docs with no near-dup edge are their own singleton component.
-    The DISTRIBUTED components path (vs the LSH driver union-find) with
-    a full SQL oracle (recursive transitive-closure CTE)."""
+    docs with no near-dup edge are their own singleton component. Full
+    SQL oracle (recursive transitive-closure CTE).
+
+    Adaptive regime: the pair table arrives DRIVER-RESIDENT (the LSH
+    small-candidate-set contract), so below ``max_driver_pairs`` a
+    microsecond union-find labels it — running ~20 distributed barriers
+    for a hundred edges measured 37-51 s at sf0.1 for a <1 ms problem.
+    Above the threshold (pair sets that shouldn't be on a driver at all)
+    it switches to the distributed min-label/pointer-jumping
+    ``connected_components`` — identical labels (both converge to the
+    component minimum; equality asserted in tests/test_graph.py)."""
     from raydoc.functions.dedup import simhash_neardups
 
     pairs = simhash_neardups(sf_dir)
@@ -373,15 +402,19 @@ def neardup_components(sf_dir: str) -> pa.Table:
         t = collect_table(docs).sort_by("doc_id")
         return pa.table({"doc_id": t["doc_id"],
                          "component": t["doc_id"]})
-    # bucket count sized to the edge set (a near-dup graph is tiny next
-    # to the corpus; 100 TB callers pass a bigger count via
-    # connected_components directly)
-    nb = 16 if pairs.num_rows < 100_000 else 256
-    labels = collect_table(
-        connected_components(rd.from_arrow(pairs.select(["a", "b"])),
-                             num_buckets=nb))
-    lab = dict(zip(labels.column("node").to_pylist(),
-                   labels.column("label").to_pylist()))
+    if pairs.num_rows <= max_driver_pairs:
+        lab = _union_find_min_labels(
+            list(zip(pairs.column("a").to_pylist(),
+                     pairs.column("b").to_pylist())))
+    else:
+        # bucket count sized to the edge set; 100 TB callers tune via
+        # connected_components directly
+        nb = 16 if pairs.num_rows < 1_000_000 else 256
+        labels = collect_table(
+            connected_components(rd.from_arrow(pairs.select(["a", "b"])),
+                                 num_buckets=nb))
+        lab = dict(zip(labels.column("node").to_pylist(),
+                       labels.column("label").to_pylist()))
 
     import ray
     lab_ref = ray.put(lab)

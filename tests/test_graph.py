@@ -63,3 +63,13 @@ def test_components_max_iters_guard(ray_session):
         "b": pa.array([e[1] for e in edges], pa.int64())}))
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(ds, num_buckets=4, max_iters=2)
+
+
+def test_neardup_components_regimes_agree(ray_session):
+    """The driver union-find fast path and the distributed CC path label
+    identically (both converge to the component-minimum label)."""
+    from raydoc.functions.graph import neardup_components
+    sf = "/root/testdata/sf0.001"
+    fast = neardup_components(sf)                      # union-find regime
+    dist = neardup_components(sf, max_driver_pairs=0)  # force distributed
+    assert fast.equals(dist)
