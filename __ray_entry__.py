@@ -654,8 +654,9 @@ def oracle_sql() -> dict[str, str]:
         "value_histogram": """
             WITH s AS (SELECT MIN(value) AS lo, MAX(value) AS hi
                        FROM events)
-            SELECT LEAST(CAST(FLOOR((value - lo) / ((hi - lo) / 20.0))
-                              AS BIGINT), 19) AS bin,
+            SELECT LEAST(CAST(FLOOR((value - lo) /
+                              (CASE WHEN hi > lo THEN (hi - lo) / 20.0
+                                    ELSE 1.0 END)) AS BIGINT), 19) AS bin,
                    COUNT(*) AS n
             FROM events, s GROUP BY bin ORDER BY bin""",
         "neardup_triangles": """

@@ -151,8 +151,9 @@ def pagerank(edges: rd.Dataset, n_iter: int = 5,
     Dataset throughout — no rank vector on the driver (the k-means
     broadcast pattern would cap n at driver memory; this one doesn't).
     Each round ends with repartition+materialize to cap lineage and block
-    growth (see connected_components). Assumes every node has outdeg ≥ 1
-    (callers with true dangling nodes add self-loops first).
+    growth (see connected_components). Dangling nodes (outdeg 0) receive
+    rank but contribute none in BOTH modes — their mass leaks each round
+    (no dangling redistribution); add self-loops to conserve it.
 
     ``ranks_in`` picks where the rank vector lives: ``"dataset"`` (default)
     keeps it distributed — three exchanges per round, no driver state, the
@@ -283,12 +284,10 @@ def _pagerank_broadcast(edges: rd.Dataset, n_iter: int, scale: int,
     node_list = sorted(deg_t.column("node").to_pylist())
     deg = dict(zip(deg_t.column("node").to_pylist(),
                    deg_t.column("is_src").to_pylist()))
-    missing = [v for v, d in deg.items() if d == 0]
-    if missing:
-        raise ValueError(
-            f"pagerank requires outdeg >= 1 for every node; "
-            f"{len(missing)} node(s) have none (e.g. {missing[:3]}) — "
-            f"add self-loops first")
+    # sink nodes (outdeg 0) never appear as src, so contrib never looks
+    # them up: they receive rank but contribute none — the SAME semantics
+    # as dataset mode's left join (rank mass leaks; callers wanting
+    # conservation add self-loops, see the pagerank docstring)
 
     n = len(node_list)
     init = scale // n
@@ -450,8 +449,13 @@ def triangle_count(edges: rd.Dataset, num_buckets: int = 32) -> rd.Dataset:
     wedges = bucket_hash_join(e1, e2, key="mid", num_buckets=num_buckets)
 
     def fuse(col_a, col_c):
+        # length-prefix the first part: "|" inside a STRING vertex id
+        # would otherwise make ("1|2","3") collide with ("1","2|3")
+        a = pc.cast(col_a, pa.string())
+        c = pc.cast(col_c, pa.string())
+        alen = pc.cast(pc.binary_length(a), pa.string())
         return pc.binary_join_element_wise(
-            pc.cast(col_a, pa.string()), pc.cast(col_c, pa.string()), "|")
+            alen, pc.binary_join_element_wise(a, c, "|"), ":")
 
     keyed_wedges = wedges.map_batches(
         lambda t: pa.table({"ac": fuse(t["a"], t["c"]),

@@ -411,11 +411,16 @@ def salted_hash_join(left: rd.Dataset, right: rd.Dataset, key: str,
 
 
 def merge_upsert(base: rd.Dataset, updates: rd.Dataset, key: str,
-                 version_col: str, num_buckets: int = 32) -> rd.Dataset:
+                 version_col: str, num_buckets: int = 32,
+                 tiebreak: list[str] | None = None) -> rd.Dataset:
     """Last-writer-wins merge (the CDC/lakehouse UPSERT): one row per
     ``key``, the one with the highest ``version_col`` across base ∪
-    updates; an equal-version tie goes to the UPDATES side (documented,
-    deterministic). Both sides must share a schema.
+    updates; an equal-version tie goes to the UPDATES side. Two
+    same-side rows tying on (key, version) resolve by the optional
+    ``tiebreak`` columns (descending) — without it such duplicates pick
+    an arbitrary (block-order-dependent) survivor, so streams that can
+    repeat (key, version) should pass one. Both sides must share a
+    schema.
 
     Shape: pad+tag union (the shared keyed-two-sided machinery), one
     bucket exchange, vectorized per-bucket keep-max — the merge-on-read
@@ -425,11 +430,12 @@ def merge_upsert(base: rd.Dataset, updates: rd.Dataset, key: str,
     all_fields = arrow_field_types(schema, schema.names)
     tagged = tag_union(base, updates, key, all_fields, num_buckets)
     out_names = [n for n, _ in all_fields]
+    sort_cols = [key, version_col, "__side"] + list(tiebreak or [])
 
     def keep_latest(g: "pd.DataFrame") -> "pd.DataFrame":
-        g = g.sort_values([key, version_col, "__side"],
-                          ascending=[True, False, False],
-                          ignore_index=True)
+        g = g.sort_values(sort_cols,
+                          ascending=[True] + [False] * (len(sort_cols) - 1),
+                          kind="stable", ignore_index=True)
         return g.drop_duplicates(key)[out_names]
 
     return tagged.groupby("__bucket").map_groups(keep_latest,

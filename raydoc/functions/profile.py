@@ -44,25 +44,44 @@ def profile_columns(ds: rd.Dataset, columns: list[str]) -> pa.Table:
     extremes. ``ds`` should already be column-pruned to ``columns``."""
     types = {n: t for n, t in zip(ds.schema().names, ds.schema().types)}
 
+    def _family(typ: pa.DataType) -> str:
+        if pa.types.is_integer(typ):
+            return "i"
+        if pa.types.is_floating(typ):
+            return "f"
+        if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+            return "s"
+        raise ValueError(
+            f"profile_columns supports int/float/string columns; got "
+            f"{typ} — cast the column first")
+
+    for name in columns:
+        _family(types[name])
+
     # pass 1: counts + native min/max partials, one row per column per
-    # batch. Extremes fold in TWO parallel columns — numeric (int columns;
-    # a string fold would say "9" > "10") and string (everything else) —
-    # each null on the other family's rows so min/max aggregation skips it.
+    # batch. Extremes fold in THREE parallel typed columns — int64,
+    # float64, string (a string fold of numbers would say "9" > "10") —
+    # each null outside its family so min/max aggregation skips it.
     def stats_partial(t: pa.Table) -> pa.Table:
         rows = {"column": [], "n_rows": [], "n_nonnull": [],
-                "min_s": [], "max_s": [], "min_i": [], "max_i": []}
+                "min_s": [], "max_s": [], "min_i": [], "max_i": [],
+                "min_f": [], "max_f": []}
         for name in columns:
             col = t.column(name)
-            is_int = pa.types.is_integer(col.type)
+            fam = _family(col.type)
             rows["column"].append(name)
             rows["n_rows"].append(t.num_rows)
             rows["n_nonnull"].append(t.num_rows - col.null_count)
             mn = pc.min(col).as_py() if t.num_rows else None
             mx = pc.max(col).as_py() if t.num_rows else None
-            rows["min_i"].append(mn if is_int else None)
-            rows["max_i"].append(mx if is_int else None)
-            rows["min_s"].append(None if is_int else _render(mn, col.type))
-            rows["max_s"].append(None if is_int else _render(mx, col.type))
+            rows["min_i"].append(mn if fam == "i" else None)
+            rows["max_i"].append(mx if fam == "i" else None)
+            rows["min_f"].append(mn if fam == "f" else None)
+            rows["max_f"].append(mx if fam == "f" else None)
+            rows["min_s"].append(_render(mn, col.type)
+                                 if fam == "s" else None)
+            rows["max_s"].append(_render(mx, col.type)
+                                 if fam == "s" else None)
         return pa.table({
             "column": pa.array(rows["column"], pa.string()),
             "n_rows": pa.array(rows["n_rows"], pa.int64()),
@@ -71,6 +90,8 @@ def profile_columns(ds: rd.Dataset, columns: list[str]) -> pa.Table:
             "max_s": pa.array(rows["max_s"], pa.string()),
             "min_i": pa.array(rows["min_i"], pa.int64()),
             "max_i": pa.array(rows["max_i"], pa.int64()),
+            "min_f": pa.array(rows["min_f"], pa.float64()),
+            "max_f": pa.array(rows["max_f"], pa.float64()),
         })
 
     partials = ds.map_batches(stats_partial, batch_format="pyarrow")
@@ -81,7 +102,19 @@ def profile_columns(ds: rd.Dataset, columns: list[str]) -> pa.Table:
         "max_s": ("max_s", "max"),
         "min_i": ("min_i", "min"),
         "max_i": ("max_i", "max"),
+        "min_f": ("min_f", "min"),
+        "max_f": ("max_f", "max"),
     }))
+    # an extreme folded over an all-null family column comes back as a
+    # NULL-typed column (no family member among `columns`); pin the
+    # declared types so the join below accepts it
+    for name, typ in [("min_i", pa.int64()), ("max_i", pa.int64()),
+                      ("min_f", pa.float64()), ("max_f", pa.float64()),
+                      ("min_s", pa.string()), ("max_s", pa.string())]:
+        idx = stats.schema.get_field_index(name)
+        if stats.schema.field(idx).type != typ:
+            stats = stats.set_column(idx, name,
+                                     stats.column(name).cast(typ))
 
     # pass 2: exact distinct — batch-local dedup to (column, value-string)
     # pairs, combiner groupby, per-column count
@@ -104,12 +137,19 @@ def profile_columns(ds: rd.Dataset, columns: list[str]) -> pa.Table:
 
     stats = stats.join(ndist.select(["column", "n_distinct"]),
                        keys="column", join_type="left outer")
-    is_int = pa.array([pa.types.is_integer(types[c])
-                       for c in stats.column("column").to_pylist()])
-    min_val = pc.if_else(is_int, pc.cast(stats["min_i"], pa.string()),
-                         stats["min_s"])
-    max_val = pc.if_else(is_int, pc.cast(stats["max_i"], pa.string()),
-                         stats["max_s"])
+    fams = [_family(types[c]) for c in stats.column("column").to_pylist()]
+    picked = {"i": stats["min_i"].cast(pa.string()),
+              "f": pa.array([_render(v, None) for v in
+                             stats["min_f"].to_pylist()], pa.string()),
+              "s": stats["min_s"].combine_chunks()}
+    picked_max = {"i": stats["max_i"].cast(pa.string()),
+                  "f": pa.array([_render(v, None) for v in
+                                 stats["max_f"].to_pylist()], pa.string()),
+                  "s": stats["max_s"].combine_chunks()}
+    min_val = pa.array([picked[f][i].as_py()
+                        for i, f in enumerate(fams)], pa.string())
+    max_val = pa.array([picked_max[f][i].as_py()
+                        for i, f in enumerate(fams)], pa.string())
     out = pa.table({
         "column": stats["column"],
         "n_rows": stats["n_rows"],
@@ -123,10 +163,11 @@ def profile_columns(ds: rd.Dataset, columns: list[str]) -> pa.Table:
 
 
 def profile_events(sf_dir: str) -> pa.Table:
-    """Profile the int64/string columns of the events table (the types
-    whose VARCHAR rendering is bit-identical between Python and DuckDB;
-    float/timestamp columns profile fine through ``profile_columns`` but
-    render differently, so the oracle twin sticks to exact types)."""
+    """Profile the int64/string columns of the events table — the types
+    whose VARCHAR rendering is bit-identical between Python and DuckDB.
+    Float columns fold with real float64 extremes (see profile_columns)
+    but Python repr and DuckDB VARCHAR render doubles differently, so the
+    oracle twin sticks to the exact-rendering types."""
     cols = ["event_id", "user_id", "event_type", "props"]
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=cols)
     return profile_columns(ds, cols)

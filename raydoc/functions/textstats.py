@@ -648,16 +648,20 @@ def collapse_repeats(sf_dir: str) -> pa.Table:
                          columns=["doc_id", "text"])
 
     def fn(t: pa.Table) -> pa.Table:
-        cleaned = []
-        for txt in t.column("text").to_pylist():
-            w = np.array((txt or "").split(" "), dtype=object)
+        ids, cleaned = [], []
+        for d, txt in zip(t.column("doc_id").to_pylist(),
+                          t.column("text").to_pylist()):
+            if txt is None:
+                continue   # SQL twin: string_split(NULL) -> no row
+            ids.append(d)
+            w = np.array(txt.split(" "), dtype=object)
             if len(w) <= 1:
-                cleaned.append(txt or "")
+                cleaned.append(txt)
                 continue
             keep = np.ones(len(w), dtype=bool)
             keep[1:] = w[1:] != w[:-1]
             cleaned.append(" ".join(w[keep]))
-        return pa.table({"doc_id": t.column("doc_id"),
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
                          "cleaned": pa.array(cleaned, pa.string())})
 
     return collect_table(ds.map_batches(fn, batch_format="pyarrow")) \

@@ -266,6 +266,19 @@ def funnel_counts(sf_dir: str, num_buckets: int | None = None) -> pa.Table:
     })
 
 
+def _global_min_max(ds: rd.Dataset, col: str) -> tuple[float, float]:
+    """(min, max) of a column via one combiner pass (per-batch partial
+    extremes under a constant key, tiny final fold) — the shared stats
+    pass for the range-bucketing operators below."""
+    mm = collect_table(partial_groupby(
+        ds.map_batches(lambda t: pa.table({"k": pa.array([0] * t.num_rows,
+                                                         pa.int8()),
+                                           col: t[col]}),
+                       batch_format="pyarrow"),
+        ["k"], {"lo": (col, "min"), "hi": (col, "max")}))
+    return mm.column("lo")[0].as_py(), mm.column("hi")[0].as_py()
+
+
 def global_rank_ntile(sf_dir: str, n_tiles: int = 4,
                       num_buckets: int = 64) -> pa.Table:
     """(event_id, rn, tile): exact global ROW_NUMBER (1-based) and
@@ -284,13 +297,7 @@ def global_rank_ntile(sf_dir: str, n_tiles: int = 4,
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["event_id", "value"])
 
-    mm = collect_table(partial_groupby(
-        ds.map_batches(lambda t: pa.table({"k": pa.array([0] * t.num_rows,
-                                                         pa.int8()),
-                                           "value": t["value"]}),
-                       batch_format="pyarrow"),
-        ["k"], {"lo": ("value", "min"), "hi": ("value", "max")}))
-    lo, hi = mm.column("lo")[0].as_py(), mm.column("hi")[0].as_py()
+    lo, hi = _global_min_max(ds, "value")
     cuts = np.linspace(lo, hi, num_buckets + 1)[1:-1]
 
     def add_bucket(t: pa.Table) -> pa.Table:
@@ -347,13 +354,7 @@ def median_by_type(sf_dir: str, q: float = 0.5,
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["event_type", "value"])
 
-    mm = collect_table(partial_groupby(
-        ds.map_batches(lambda t: pa.table({"k": pa.array([0] * t.num_rows,
-                                                         pa.int8()),
-                                           "value": t["value"]}),
-                       batch_format="pyarrow"),
-        ["k"], {"lo": ("value", "min"), "hi": ("value", "max")}))
-    lo, hi = mm.column("lo")[0].as_py(), mm.column("hi")[0].as_py()
+    lo, hi = _global_min_max(ds, "value")
     cuts = np.linspace(lo, hi, num_buckets + 1)[1:-1]
 
     def add_bucket(t: pa.Table) -> pa.Table:
@@ -464,14 +465,10 @@ def value_histogram(sf_dir: str, n_bins: int = 20) -> pa.Table:
     bins emit (SQL GROUP BY semantics)."""
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
 
-    mm = collect_table(partial_groupby(
-        ds.map_batches(lambda t: pa.table({"k": pa.array([0] * t.num_rows,
-                                                         pa.int8()),
-                                           "value": t["value"]}),
-                       batch_format="pyarrow"),
-        ["k"], {"lo": ("value", "min"), "hi": ("value", "max")}))
-    lo, hi = mm.column("lo")[0].as_py(), mm.column("hi")[0].as_py()
-    width = (hi - lo) / float(n_bins)
+    lo, hi = _global_min_max(ds, "value")
+    # constant column => zero width => NaN bins; width 1.0 puts every row
+    # in bin 0 (the SQL twin carries the same CASE guard)
+    width = (hi - lo) / float(n_bins) if hi > lo else 1.0
 
     def to_bins(t: pa.Table) -> pa.Table:
         v = t.column("value").to_numpy(zero_copy_only=False)

@@ -296,7 +296,8 @@ def test_cohort_retention_first_offset_is_cohort_size(ray_session):
     for _, sub in out.groupby("cohort_day"):
         assert 0 in set(sub["day_offset"])
         d0 = sub[sub["day_offset"] == 0]["n_users"].iloc[0]
-        assert (sub["n_users"] <= d0).all() or True  # monotone not required
+        # no later offset can exceed the cohort's own size
+        assert (sub["n_users"] <= d0).all()
         assert d0 >= 1
 
 
@@ -352,3 +353,43 @@ def test_embedding_pca_matches_local_numpy(ray_session):
     assert np.allclose(got[["pc1", "pc2"]].to_numpy(), Y[srt], atol=1e-8)
     # top component carries the most variance
     assert got["pc1"].var() >= got["pc2"].var()
+
+
+def test_profile_columns_float_extremes_fold_numerically(ray_session):
+    from raydoc.functions.profile import profile_columns
+    t = pa.table({"f": pa.array([10.5, 2.5, 9.0, None], pa.float64())})
+    ds = rd.from_arrow([t.slice(0, 2), t.slice(2)])
+    out = profile_columns(ds, ["f"]).to_pylist()[0]
+    # '10.5' < '2.5' lexically — a string fold would return min '10.5'
+    assert out["min_val"] == "2.5" and out["max_val"] == "10.5"
+    assert out["n_nonnull"] == 3
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        profile_columns(rd.from_arrow(pa.table(
+            {"ts": pa.array([1], pa.timestamp("us"))})), ["ts"])
+
+
+def test_pagerank_modes_agree_on_sink_nodes(ray_session):
+    from raydoc.functions.graph import pagerank
+    edges = [("a", "b"), ("c", "b"), ("c", "a")]   # b is a sink
+    ds = rd.from_arrow(pa.table({
+        "src": pa.array([e[0] for e in edges], pa.string()),
+        "dst": pa.array([e[1] for e in edges], pa.string()),
+    }))
+    r1 = {r["node"]: r["rank_fp"] for r in
+          pagerank(ds, n_iter=3, num_buckets=4).take_all()}
+    r2 = {r["node"]: r["rank_fp"] for r in
+          pagerank(ds, n_iter=3, num_buckets=4,
+                   ranks_in="broadcast").take_all()}
+    assert r1 == r2 and set(r1) == {"a", "b", "c"}
+
+
+def test_triangle_count_pipe_in_string_ids(ray_session):
+    from raydoc.functions.graph import triangle_count
+    # ('1|2','3') must NOT be closed by edge ('1','2|3')
+    edges = [("1|2", "9"), ("9", "x"), ("1", "2|3")]
+    ds = rd.from_arrow(pa.table({
+        "a": pa.array([e[0] for e in edges], pa.string()),
+        "b": pa.array([e[1] for e in edges], pa.string()),
+    }))
+    assert triangle_count(ds, num_buckets=4).count() == 0
