@@ -177,6 +177,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_upsert": relational.q_orders_upsert,
         "cohort_retention": windows.cohort_retention,
         "value_histogram": windows.value_histogram,
+        "resample_ffill": windows.resample_ffill,
+        "inverted_index": textstats.inverted_index,
         "dup_ngram_fraction": textstats.dup_ngram_fraction,
         "neardup_triangles": graph.neardup_triangles,
         "profile_events": profile.profile_events,
@@ -671,6 +673,38 @@ def oracle_sql() -> dict[str, str]:
             FROM p p1 JOIN p p2 ON p1.b = p2.a
             JOIN p p3 ON p3.a = p1.a AND p3.b = p2.b
             ORDER BY a, b, c""",
+        "resample_ffill": """
+            WITH e AS (SELECT user_id, ts, value,
+                              ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                                 ORDER BY event_id DESC)
+                                  AS rn
+                       FROM events),
+                 d AS (SELECT user_id, ts, value FROM e WHERE rn = 1),
+                 span AS (SELECT user_id,
+                                 date_trunc('hour', MIN(ts)
+                                     + to_microseconds(3599999999))
+                                     AS h0,
+                                 date_trunc('hour', MAX(ts)) AS h1
+                          FROM events GROUP BY user_id),
+                 grid AS (SELECT user_id,
+                                 UNNEST(generate_series(
+                                     h0, h1, INTERVAL 1 HOUR)) AS hour
+                          FROM span WHERE h0 <= h1)
+            SELECT g.user_id, g.hour, d.value
+            FROM grid g ASOF JOIN d
+              ON g.user_id = d.user_id AND g.hour >= d.ts
+            ORDER BY g.user_id, g.hour""",
+        "inverted_index": """
+            WITH w AS (SELECT doc_id,
+                              unnest(string_split(text, ' ')) AS term
+                       FROM documents),
+                 d AS (SELECT DISTINCT term, doc_id FROM w
+                       WHERE term != '')
+            SELECT term, COUNT(*) AS df,
+                   string_agg(CAST(doc_id AS VARCHAR), ','
+                              ORDER BY doc_id) AS postings
+            FROM d GROUP BY term HAVING COUNT(*) >= 2
+            ORDER BY term""",
         "dup_ngram_fraction": """
             WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
                        FROM documents),

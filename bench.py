@@ -121,6 +121,8 @@ BENCH_QUERIES = [
     "dup_ngram_fraction",
     "neardup_triangles",
     "embedding_pca",
+    "resample_ffill",
+    "inverted_index",
 ]
 
 

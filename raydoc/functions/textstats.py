@@ -720,3 +720,53 @@ def dup_ngram_fraction(sf_dir: str, n: int = 8) -> pa.Table:
         "n_grams": out["n_grams"],
         "n_dup": pc.coalesce(out["n_dup"], pa.scalar(0, pa.int64())),
     }).sort_by("doc_id")
+
+
+def inverted_index(sf_dir: str, min_df: int = 2,
+                   num_buckets: int | None = None) -> pa.Table:
+    """(term, df, postings): the IR inverted index — every term mapping
+    to its document frequency and the comma-joined sorted doc_id posting
+    list (terms below ``min_df`` pruned). Batch-local (term, doc)
+    dedup before the exchange; terms bucket by md5 so one group holds
+    many complete terms; postings assemble vectorized per bucket. At
+    corpus scale postings stream straight to partitioned parquet — the
+    collect here is for the oracle check."""
+    import hashlib as _hl
+
+    import pandas as pd
+
+    from raydoc.functions._buckets import reduce_bucket_count
+    mask = (num_buckets or reduce_bucket_count()) - 1
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        terms, ids, buckets = [], [], []
+        for d, txt in zip(t.column("doc_id").to_pylist(),
+                          t.column("text").to_pylist()):
+            if txt is None:
+                continue
+            for term in set(txt.split(" ")) - {""}:
+                terms.append(term)
+                ids.append(d)
+                buckets.append(int(_hl.md5(term.encode())
+                                   .hexdigest()[:4], 16) & mask)
+        return pa.table({"term": pa.array(terms, pa.string()),
+                         "doc_id": pa.array(ids, pa.int64()),
+                         "bucket": pa.array(buckets, pa.int32())})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["term", "doc_id"]) \
+             .sort_values(["term", "doc_id"], ignore_index=True)
+        agg = g.groupby("term", sort=True)["doc_id"].agg(
+            df="size",
+            postings=lambda s: ",".join(str(int(x)) for x in s))
+        agg = agg.reset_index()
+        return agg[agg["df"] >= min_df][["term", "df", "postings"]]
+
+    out = (ds.map_batches(explode, batch_format="pyarrow")
+           .groupby("bucket").map_groups(per_bucket, batch_format="pandas"))
+    t = collect_table(out)
+    return pa.table({"term": t["term"],
+                     "df": t["df"].cast(pa.int64()),
+                     "postings": t["postings"]}).sort_by("term")

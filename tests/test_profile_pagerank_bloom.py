@@ -393,3 +393,34 @@ def test_triangle_count_pipe_in_string_ids(ray_session):
         "b": pa.array([e[1] for e in edges], pa.string()),
     }))
     assert triangle_count(ds, num_buckets=4).count() == 0
+
+
+def test_resample_ffill_carries_last_value(ray_session):
+    from raydoc.functions.windows import resample_ffill
+    import pyarrow.parquet as pq
+    import pandas as pd
+    sf = "/root/testdata/sf0.001"
+    got = resample_ffill(sf).to_pandas()
+    ev = pq.read_table(f"{sf}/events.parquet").to_pandas()
+    # spot-check a user: every grid value equals the latest event value
+    # at-or-before the grid instant (max event_id on ts ties)
+    uid = int(got["user_id"].iloc[0])
+    sub = ev[ev["user_id"] == uid].sort_values(["ts", "event_id"])
+    sub = sub.drop_duplicates("ts", keep="last")
+    for _, row in got[got["user_id"] == uid].head(48).iterrows():
+        le = sub[sub["ts"] <= row["hour"]]
+        assert len(le) > 0                      # grid starts after 1st event
+        assert row["value"] == le["value"].iloc[-1]
+    # grid is hourly and inside the span
+    hours = got[got["user_id"] == uid]["hour"]
+    assert ((hours.dt.minute == 0) & (hours.dt.second == 0)).all()
+
+
+def test_inverted_index_postings(ray_session):
+    from raydoc.functions.textstats import inverted_index
+    out = inverted_index("/root/testdata/sf0.001", min_df=2).to_pylist()
+    assert len(out) > 0
+    for r in out:
+        ids = [int(x) for x in r["postings"].split(",")]
+        assert r["df"] == len(ids) >= 2
+        assert ids == sorted(ids) == sorted(set(ids))
