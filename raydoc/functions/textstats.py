@@ -675,10 +675,14 @@ def dup_ngram_fraction(sf_dir: str, n: int = 8) -> pa.Table:
     exact integers (callers divide; integer outputs keep the SQL twin
     hash-exact). Docs shorter than ``n`` words emit no row (no grams).
 
-    Shape: one tokenize+md5 explode pass (materialized — consumed twice),
-    a combiner groupby counting occurrences per gram, a bucketed semi-join
-    marking duplicated occurrences, and two per-doc combiner counts. The
-    shuffles move 32-hex gram digests, never text."""
+    Shape: a tokenize+md5 explode feeding (a) a combiner groupby counting
+    occurrences per gram, (b) a bucketed semi-join marking duplicated
+    occurrences, (c) two per-doc combiner counts. The explode is
+    RECOMPUTED per consumer rather than materialized: the exploded table
+    is ~40 B × corpus tokens — parking that in the object store at 100 TB
+    would dwarf cluster memory and spill, while re-tokenizing is cheap
+    CPU inside an already-streaming pass. The shuffles move 32-hex gram
+    digests, never text."""
     import hashlib as _hl
 
     from raydoc.functions.agg import partial_groupby
@@ -699,7 +703,7 @@ def dup_ngram_fraction(sf_dir: str, n: int = 8) -> pa.Table:
         return pa.table({"doc_id": pa.array(ids, pa.int64()),
                          "gram": pa.array(grams, pa.string())})
 
-    exploded = ds.map_batches(explode, batch_format="pyarrow").materialize()
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
 
     dup_grams = partial_groupby(exploded, ["gram"],
                                 {"cnt": ("gram", "count")}) \
@@ -723,6 +727,7 @@ def dup_ngram_fraction(sf_dir: str, n: int = 8) -> pa.Table:
 
 
 def inverted_index(sf_dir: str, min_df: int = 2,
+                   max_df: int | None = None,
                    num_buckets: int | None = None) -> pa.Table:
     """(term, df, postings): the IR inverted index — every term mapping
     to its document frequency and the comma-joined sorted doc_id posting
@@ -730,7 +735,13 @@ def inverted_index(sf_dir: str, min_df: int = 2,
     dedup before the exchange; terms bucket by md5 so one group holds
     many complete terms; postings assemble vectorized per bucket. At
     corpus scale postings stream straight to partitioned parquet — the
-    collect here is for the oracle check."""
+    collect here is for the oracle check.
+
+    Hot-term hazard: a stopword's posting list is O(n_docs) in one task.
+    ``max_df`` prunes such terms BEFORE their posting string is built
+    (df counts per bucket first, assembly only for survivors) — the
+    standard stopword cut; unbounded by default to keep the SQL twin
+    exact."""
     import hashlib as _hl
 
     import pandas as pd
@@ -758,11 +769,16 @@ def inverted_index(sf_dir: str, min_df: int = 2,
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates(["term", "doc_id"]) \
              .sort_values(["term", "doc_id"], ignore_index=True)
+        # df first; build posting strings only for surviving terms
+        sizes = g.groupby("term", sort=False)["doc_id"].size()
+        keep = sizes[sizes >= min_df]
+        if max_df is not None:
+            keep = keep[keep <= max_df]
+        g = g[g["term"].isin(keep.index)]
         agg = g.groupby("term", sort=True)["doc_id"].agg(
             df="size",
             postings=lambda s: ",".join(str(int(x)) for x in s))
-        agg = agg.reset_index()
-        return agg[agg["df"] >= min_df][["term", "df", "postings"]]
+        return agg.reset_index()[["term", "df", "postings"]]
 
     out = (ds.map_batches(explode, batch_format="pyarrow")
            .groupby("bucket").map_groups(per_bucket, batch_format="pandas"))
