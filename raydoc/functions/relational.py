@@ -214,50 +214,63 @@ _HOUR_US = 3_600_000_000
 
 
 def q_click_error_matrix(sf_dir: str) -> pa.Table:
-    """Per-(user, hour) click AND error counts via the FULL OUTER bucketed
-    hash join: hours where a user clicked but never errored (and vice
-    versa) survive as null-padded rows — both directions are non-empty on
-    the driver's events table. Each side is a combiner-pre-aggregated
-    count stream keyed on the fused (user_id, hour) composite; one bucket
-    exchange joins them."""
+    """Per-(user, hour) click AND error counts, FULL-OUTER semantics:
+    hours where a user clicked but never errored (and vice versa) emit
+    with a zero on the other side.
 
-    def counts(kind: str, out: str) -> rd.Dataset:
-        ev = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+    Shape — ONE exchange, no join operator: both event kinds reduce to
+    batch-local partial counts keyed (user_id, hour, kind), users
+    coarse-bucket by hash so every (user, hour) cell lives in exactly one
+    bucket, and each bucket pivots its cells vectorized (pandas
+    unstack) straight into FINAL rows — additive partials make the outer
+    join a fill_value=0."""
+    import numpy as np
+    import pandas as pd
 
-        def prep(t: pa.Table) -> pa.Table:
-            t = t.filter(pc.equal(t["event_type"], kind))
-            hours = pc.divide(pc.cast(t["ts"], pa.int64()),
-                              pa.scalar(_HOUR_US, pa.int64()))
-            k = pc.binary_join_element_wise(
-                pc.cast(t["user_id"], pa.string()),
-                pc.cast(hours, pa.string()), "|")
-            return pa.table({"k": k, out: pc.cast(hours, pa.int64())})
+    from raydoc.functions._buckets import reduce_bucket_count
 
-        return partial_groupby(ev.map_batches(prep, batch_format="pyarrow"),
-                               ["k"], {out: (out, "count")})
+    mask = reduce_bucket_count() - 1
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
 
-    joined = bucket_hash_join(counts("click", "n_clicks"),
-                              counts("error", "n_errors"),
-                              key="k", num_buckets=16, how="full")
-
-    def finish(t: pa.Table) -> pa.Table:
-        import numpy as np
-        parts = [v.split("|") for v in t.column("k").to_pylist()]
-        users = np.array([int(p[0]) for p in parts], dtype=np.int64)
-        hours = np.array([int(p[1]) for p in parts], dtype=np.int64)
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["event_type"],
+                              pa.array(["click", "error"])))
+        hours = pc.divide(pc.cast(t["ts"], pa.int64()),
+                          pa.scalar(_HOUR_US, pa.int64()))
+        g = pa.table({"user_id": t["user_id"], "hour": hours,
+                      "kind": t["event_type"]}).group_by(
+            ["user_id", "hour", "kind"]).aggregate([("kind", "count")])
         return pa.table({
-            "user_id": pa.array(users),
-            "window_start": pa.array(hours * _HOUR_US).cast(
-                pa.timestamp("us")),
-            "n_clicks": pc.coalesce(t["n_clicks"],
-                                    pa.scalar(0, pa.int64())),
-            "n_errors": pc.coalesce(t["n_errors"],
-                                    pa.scalar(0, pa.int64())),
-        })
+            "user_id": g["user_id"], "hour": g["hour"],
+            "kind": g["kind"], "n": g["kind_count"],
+        }).append_column(
+            "bucket", pc.cast(pc.bit_wise_and(g["user_id"], mask),
+                              pa.int32()))
 
-    out = joined.map_batches(finish, batch_format="pyarrow")
-    return collect_table(out).sort_by(
-        [("user_id", "ascending"), ("window_start", "ascending")])
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cell = (g.groupby(["user_id", "hour", "kind"], sort=False)["n"]
+                .sum().unstack("kind", fill_value=0).reset_index())
+        for col in ("click", "error"):
+            if col not in cell.columns:
+                cell[col] = 0
+        return pd.DataFrame({
+            "user_id": cell["user_id"],
+            "hour": cell["hour"],
+            "n_clicks": cell["click"].astype(np.int64),
+            "n_errors": cell["error"].astype(np.int64)})
+
+    out = (ev.map_batches(prep, batch_format="pyarrow")
+           .groupby("bucket").map_groups(per_bucket,
+                                         batch_format="pandas"))
+    t = collect_table(out)
+    return pa.table({
+        "user_id": t["user_id"],
+        "window_start": pc.multiply(
+            t["hour"], pa.scalar(_HOUR_US, pa.int64())).cast(
+            pa.timestamp("us")),
+        "n_clicks": t["n_clicks"],
+        "n_errors": t["n_errors"],
+    }).sort_by([("user_id", "ascending"), ("window_start", "ascending")])
 
 
 def q_top_events(sf_dir: str) -> pa.Table:

@@ -8,6 +8,7 @@ from __future__ import annotations
 import hashlib
 import re
 
+import numpy as _np
 import pyarrow as pa
 
 import ray.data as rd
@@ -567,7 +568,8 @@ def paragraph_dedup_stats(sf_dir: str) -> pa.Table:
 
 
 def tfidf_top_terms(sf_dir: str, top_n: int = 3,
-                    num_buckets: int | None = None) -> pa.Table:
+                    num_buckets: int | None = None,
+                    df_broadcast_max: int | None = 4_000_000) -> pa.Table:
     """(doc_id, rank, term, score): each document's ``top_n`` terms by an
     integer-exact tf-idf surrogate ``score = tf * 1_000_000 // df`` (ties
     broken by term asc) — the keyword-extraction step of a corpus
@@ -577,8 +579,13 @@ def tfidf_top_terms(sf_dir: str, top_n: int = 3,
 
     Scale shape: tf is doc-local (one Counter per row, no shuffle); df is
     a combiner groupby over the exploded (doc_id, term) rows (partials
-    only cross the wire); df lands back on the rows via the repo's
-    bucketed hash join (both sides large → no broadcast); the final
+    only cross the wire). The df table is vocabulary-sized, so the join
+    back is ADAPTIVE (same regime discipline as ``neardup_components``):
+    when the materialized vocabulary has ≤ ``df_broadcast_max`` terms it
+    broadcasts once (``ray.put``) and every tf row joins map-side — no
+    second shuffle of the corpus-sized tf stream; a larger vocabulary
+    (open-web token soup) falls back to the bucketed hash join. Pass
+    ``df_broadcast_max=None`` to force the bucketed path. The final
     per-doc top-N reduces on a coarse doc bucket, never one group per
     doc."""
     from collections import Counter
@@ -608,7 +615,14 @@ def tfidf_top_terms(sf_dir: str, top_n: int = 3,
     # one (doc_id, term) row per distinct term per doc -> df = row count
     tf_rows = ds.map_batches(explode_tf, batch_format="pyarrow")
     df_rows = partial_groupby(tf_rows, ["term"], {"df": ("term", "count")})
-    joined = bucket_hash_join(tf_rows, df_rows, "term")
+    if df_broadcast_max is not None:
+        df_rows = df_rows.materialize()   # vocab-sized, cluster-resident
+    if (df_broadcast_max is not None
+            and df_rows.count() <= df_broadcast_max):
+        from raydoc.functions.joins import broadcast_join
+        joined = broadcast_join(tf_rows, collect_table(df_rows), "term")
+    else:
+        joined = bucket_hash_join(tf_rows, df_rows, "term")
 
     mask = (num_buckets or reduce_bucket_count()) - 1
 
@@ -668,6 +682,15 @@ def collapse_repeats(sf_dir: str) -> pa.Table:
         .sort_by("doc_id")
 
 
+# two independent odd-multiplier banks for the 128-bit rolling gram hash
+# (seeded, stable; window width up to 16 words)
+_GRAM_RNG = _np.random.RandomState(0x9E3779B9)
+_GRAM_MIX1 = (_GRAM_RNG.randint(1, 2**31, size=16)
+              .astype(_np.uint64) * 2 + 1)
+_GRAM_MIX2 = (_GRAM_RNG.randint(1, 2**31, size=16)
+              .astype(_np.uint64) * 2 + 1)
+
+
 def dup_ngram_fraction(sf_dir: str, n: int = 8) -> pa.Table:
     """(doc_id, n_grams, n_dup): per document, how many of its word
     ``n``-gram positions carry a gram that occurs ≥2 times corpus-wide —
@@ -675,54 +698,99 @@ def dup_ngram_fraction(sf_dir: str, n: int = 8) -> pa.Table:
     exact integers (callers divide; integer outputs keep the SQL twin
     hash-exact). Docs shorter than ``n`` words emit no row (no grams).
 
-    Shape: a tokenize+md5 explode feeding (a) a combiner groupby counting
-    occurrences per gram, (b) a bucketed semi-join marking duplicated
-    occurrences, (c) two per-doc combiner counts. The explode is
-    RECOMPUTED per consumer rather than materialized: the exploded table
-    is ~40 B × corpus tokens — parking that in the object store at 100 TB
-    would dwarf cluster memory and spill, while re-tokenizing is cheap
-    CPU inside an already-streaming pass. The shuffles move 32-hex gram
-    digests, never text."""
-    import hashlib as _hl
+    Shape — NO join at all: a gram with corpus count 1 lives in exactly
+    one document, so ``n_dup(doc) = n_grams(doc) − n_singleton(doc)``.
+    One tokenize+hash explode feeds ONE coarse-bucket exchange (int32
+    bucket cut from the already-mixed gram hash — cheaper to sort than
+    the 128-bit key, and all occurrences of a gram share a bucket); each
+    bucket counts its grams with a C++ hash group-by and re-aggregates
+    its singleton grams per owning document, emitting tiny per-bucket
+    (doc, n_uniq) partials for one final combiner. ``n_grams`` itself is
+    plain word arithmetic (len(words)−n+1), no explode needed. Grams are
+    identified by a 128-bit vectorized rolling hash (two independent
+    64-bit mixes over memoized per-token md5-64) — no per-gram hashlib
+    calls, and 128 bits keep the collision envelope negligible at 10¹²
+    corpus grams (P ≈ n²/2¹²⁹). The shuffles move two int64 hash words
+    per gram, never text."""
+    import numpy as np
+    import pyarrow.compute as pc
 
     from raydoc.functions.agg import partial_groupby
-    from raydoc.functions.joins import bucket_semi_join
+    from raydoc.functions.dedup import _token_hashes
 
+    if n > len(_GRAM_MIX1):
+        raise ValueError(f"n={n} exceeds the mix-constant bank "
+                         f"({len(_GRAM_MIX1)})")
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
 
+    from raydoc.functions._buckets import reduce_bucket_count
+    mask = np.uint64(reduce_bucket_count() - 1)
+
     def explode(t: pa.Table) -> pa.Table:
-        ids, grams = [], []
+        ids, h1s, h2s = [], [], []
         for d, txt in zip(t.column("doc_id").to_pylist(),
                           t.column("text").to_pylist()):
             ws = (txt or "").split(" ")
-            for i in range(len(ws) - n + 1):
-                ids.append(d)
-                grams.append(_hl.md5(
-                    " ".join(ws[i:i + n]).encode()).hexdigest())
-        return pa.table({"doc_id": pa.array(ids, pa.int64()),
-                         "gram": pa.array(grams, pa.string())})
+            m = len(ws) - n + 1
+            if m <= 0:
+                continue
+            th = _token_hashes(ws)
+            h1 = np.zeros(m, dtype=np.uint64)
+            h2 = np.zeros(m, dtype=np.uint64)
+            for j in range(n):
+                h1 += th[j:j + m] * _GRAM_MIX1[j]
+                h2 += th[j:j + m] * _GRAM_MIX2[j]
+            ids.append(np.full(m, d, dtype=np.int64))
+            h1s.append(h1)
+            h2s.append(h2)
+        if not ids:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "g1": pa.array([], pa.int64()),
+                             "g2": pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int32())})
+        h1 = np.concatenate(h1s)
+        return pa.table({"doc_id": pa.array(np.concatenate(ids)),
+                         "g1": pa.array(h1.view(np.int64)),
+                         "g2": pa.array(np.concatenate(h2s)
+                                        .view(np.int64)),
+                         "bucket": pa.array(((h1 >> np.uint64(32))
+                                             & mask).astype(np.int32))})
+
+    def gram_counts(t: pa.Table) -> pa.Table:
+        ws = [(v or "").split(" ") for v in t.column("text").to_pylist()]
+        m = np.maximum(np.array([len(w) for w in ws], dtype=np.int64)
+                       - n + 1, 0)
+        keep = m > 0
+        return pa.table({
+            "doc_id": t.column("doc_id").filter(pa.array(keep)),
+            "n_grams": pa.array(m[keep], pa.int64())})
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        s = g.group_by(["g1", "g2"]).aggregate([("doc_id", "count"),
+                                                ("doc_id", "min")])
+        single = s.filter(pc.equal(s["doc_id_count"], 1))
+        d = single.group_by(["doc_id_min"]).aggregate(
+            [("doc_id_min", "count")])
+        return pa.table({"d": d["doc_id_min"],
+                         "n": d["doc_id_min_count"]})
 
     exploded = ds.map_batches(explode, batch_format="pyarrow")
+    bucket_partials = exploded.groupby("bucket").map_groups(
+        per_bucket, batch_format="pyarrow")
+    n_uniq = collect_table(partial_groupby(
+        bucket_partials, ["d"], {"n_uniq": ("n", "sum")})).rename_columns(
+        ["doc_id", "n_uniq"])
+    n_grams = collect_table(
+        ds.map_batches(gram_counts, batch_format="pyarrow"))
 
-    dup_grams = partial_groupby(exploded, ["gram"],
-                                {"cnt": ("gram", "count")}) \
-        .map_batches(lambda t: t.filter(
-            pa.compute.greater_equal(t["cnt"], 2)).select(["gram"]),
-            batch_format="pyarrow")
-
-    dup_occurrences = bucket_semi_join(exploded, dup_grams, key="gram")
-    n_dup = collect_table(partial_groupby(
-        dup_occurrences, ["doc_id"], {"n_dup": ("gram", "count")}))
-    n_grams = collect_table(partial_groupby(
-        exploded, ["doc_id"], {"n_grams": ("gram", "count")}))
-
-    out = n_grams.join(n_dup, keys="doc_id", join_type="left outer")
-    import pyarrow.compute as pc
+    out = n_grams.join(n_uniq, keys="doc_id", join_type="left outer")
     return pa.table({
         "doc_id": out["doc_id"],
         "n_grams": out["n_grams"],
-        "n_dup": pc.coalesce(out["n_dup"], pa.scalar(0, pa.int64())),
+        "n_dup": pc.subtract(
+            out["n_grams"],
+            pc.coalesce(out["n_uniq"], pa.scalar(0, pa.int64()))),
     }).sort_by("doc_id")
 
 

@@ -413,12 +413,19 @@ def cohort_retention(sf_dir: str) -> pa.Table:
     then. All-integer (epoch_us // 86400e6), so the SQL twin hashes
     identically.
 
-    Shape: one combiner pass reduces events to distinct (user, day) pairs
-    AND per-user min day; a bucketed hash join ties activity days to
-    cohorts (users ⋈ users — large-large, no broadcast of the user
-    dimension); a final combiner counts distinct users per cell."""
-    from raydoc.functions.joins import bucket_hash_join
+    Shape — ONE data exchange: batches reduce to their distinct
+    (user, day) pairs, then users coarse-bucket (hash of user_id) so a
+    bucket holds many COMPLETE users; per bucket a vectorized pandas pass
+    dedups (user, day), derives each user's cohort (min day) with a
+    groupby-transform, and counts distinct users per
+    (cohort_day, day_offset) cell. A user lives in exactly one bucket, so
+    per-bucket cell counts are additive — the final combine folds B
+    bucket-local cell tables (tiny) in a second, partials-only shuffle."""
+    import pandas as pd
 
+    from raydoc.functions._buckets import reduce_bucket_count
+
+    mask = reduce_bucket_count() - 1
     _DAY_US = 86_400_000_000
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["user_id", "ts"])
@@ -429,30 +436,23 @@ def cohort_retention(sf_dir: str) -> pa.Table:
         g = pa.table({"user_id": t["user_id"],
                       "day": day}).group_by(
             ["user_id", "day"]).aggregate([("day", "count")])
-        return g.select(["user_id", "day"])
+        return g.select(["user_id", "day"]).append_column(
+            "bucket", pc.cast(pc.bit_wise_and(g["user_id"], mask),
+                              pa.int32()))
 
-    user_days = ds.map_batches(to_days, batch_format="pyarrow") \
-        .materialize()
-    cohorts = partial_groupby(user_days, ["user_id"],
-                              {"cohort_day": ("day", "min")})
-    joined = bucket_hash_join(user_days, cohorts, key="user_id",
-                              num_buckets=16)
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "day"])
+        cohort = g.groupby("user_id", sort=False)["day"].transform("min")
+        cells = pd.DataFrame({"cohort_day": cohort,
+                              "day_offset": g["day"] - cohort})
+        return (cells.groupby(["cohort_day", "day_offset"], sort=False)
+                .size().rename("n").reset_index())
 
-    def cells(t: pa.Table) -> pa.Table:
-        off = pc.subtract(t["day"], t["cohort_day"])
-        g = pa.table({"cohort_day": t["cohort_day"],
-                      "day_offset": off,
-                      "user_id": t["user_id"]}).group_by(
-            ["cohort_day", "day_offset", "user_id"]).aggregate(
-            [("user_id", "count")])
-        return g.select(["cohort_day", "day_offset", "user_id"])
-
-    distinct_cells = partial_groupby(
-        joined.map_batches(cells, batch_format="pyarrow"),
-        ["cohort_day", "day_offset", "user_id"],
-        {"__n": ("user_id", "count")})
-    out = partial_groupby(distinct_cells, ["cohort_day", "day_offset"],
-                          {"n_users": ("user_id", "count")})
+    partials = (ds.map_batches(to_days, batch_format="pyarrow")
+                .groupby("bucket").map_groups(per_bucket,
+                                              batch_format="pandas"))
+    out = partial_groupby(partials, ["cohort_day", "day_offset"],
+                          {"n_users": ("n", "sum")})
     return collect_table(out).sort_by(
         [("cohort_day", "ascending"), ("day_offset", "ascending")])
 
