@@ -193,12 +193,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_counts": windows.funnel_counts,
         "value_percentiles": windows.value_percentiles,
         "global_rank_ntile": windows.global_rank_ntile,
+        "global_percent_rank": windows.global_percent_rank,
+        "event_transitions": windows.event_transitions,
+        "value_outliers": windows.value_outliers,
         "asof_last_view": _asof_last_view,
         "clicks_after_error": _clicks_after_error,
         # --- dedup / similarity (oracle-backed members) ---
         "dedup_exact": dedup.exact_dedup,
         "paragraph_dedup_global": dedup.paragraph_dedup_global,
         "minhash_clusters": dedup.minhash_lsh_clusters,
+        "neardup_dedup_corpus": dedup.neardup_dedup_corpus,
         "ngram_jaccard": dedup.ngram_jaccard_pairs,
         "simhash_signatures": dedup.simhash_signatures,
         "simhash_neardups": dedup.simhash_neardups,
@@ -222,6 +226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_docs": textstats.html_docs,
         # --- rows-only family (no SQL oracle; property/golden-tested) ---
         "bloom_novel_docs": dedup.bloom_novel_docs,
+        "compression_ratio": textstats.compression_ratio,
         "embedding_neardups_clustered": _embedding_neardup_clustered,
         "ann_lsh_topk": similarity.lsh_topk,
         "ann_ivf_topk": similarity.ivf_topk,
@@ -607,6 +612,39 @@ def oracle_sql() -> dict[str, str]:
                    ROW_NUMBER() OVER (ORDER BY value, event_id) AS rn,
                    NTILE(4) OVER (ORDER BY value, event_id) AS tile
             FROM events ORDER BY event_id""",
+        "global_percent_rank": """
+            SELECT event_id,
+                   PERCENT_RANK() OVER (ORDER BY value, event_id)
+                       AS percent_rank,
+                   CUME_DIST() OVER (ORDER BY value, event_id)
+                       AS cume_dist
+            FROM events ORDER BY event_id""",
+        "event_transitions": """
+            WITH lagged AS (
+                SELECT event_type,
+                       LAG(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)
+                           AS prev_type
+                FROM events)
+            SELECT prev_type, event_type, COUNT(*) AS n
+            FROM lagged WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, event_type
+            ORDER BY prev_type, event_type""",
+        "value_outliers": """
+            WITH c AS (
+                SELECT event_id, event_type,
+                       CAST(ROUND(value*100) AS BIGINT) AS cents
+                FROM events),
+            s AS (
+                SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+                       SUM(CAST(cents AS HUGEINT)) AS s1,
+                       SUM(CAST(cents AS HUGEINT)*CAST(cents AS HUGEINT))
+                           AS s2
+                FROM c GROUP BY event_type)
+            SELECT c.event_id, c.event_type, c.cents
+            FROM c JOIN s USING (event_type)
+            WHERE (n*c.cents - s1)*(n*c.cents - s1) > 9*(n*s2 - s1*s1)
+            ORDER BY c.event_id""",
         "order_status_intersect": """
             SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
             INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
@@ -1015,6 +1053,12 @@ def oracle_sql() -> dict[str, str]:
                    sha256(text) AS sha256
             FROM documents ORDER BY doc_id""",
         "minhash_clusters": _minhash_oracle(),
+        # the dedup'd corpus twin: one row per component root (= kept
+        # doc), component size as n_dups — same generated LSH CTE chain
+        "neardup_dedup_corpus": f"""
+            SELECT cluster AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_dups
+            FROM ({_minhash_oracle()})
+            GROUP BY cluster ORDER BY doc_id""",
         "ngram_jaccard": _ngram_jaccard_oracle(),
         "normalize_markdown": _normalize_markdown_oracle(),
     }

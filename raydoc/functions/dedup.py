@@ -216,20 +216,13 @@ def _candidate_signatures(ds: rd.Dataset, cand_ids: set, id_col: str,
                             t.column("sig").to_pylist())}
 
 
-def minhash_lsh_clusters(sf_dir: str, threshold: float = 0.5,
-                         bands: int = 16, k: int = 3,
-                         id_col: str = "doc_id") -> pa.Table:
-    """(doc_id, cluster) where cluster = min doc id of the near-dup
-    component; singletons cluster with themselves.
-
-    Scale shape: only CANDIDATE PAIRS reach the driver (the standard LSH
-    regime — union-find over pairs is tiny). The non-trivial component map
-    is broadcast back through one map_batches over the id column; the full
-    id list is never materialized driver-side."""
-    import ray
-
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=[id_col, "text"])
+def _minhash_component_labels(ds: rd.Dataset, threshold: float,
+                              bands: int, k: int,
+                              id_col: str) -> dict[int, int]:
+    """NON-TRIVIAL near-dup component labels (doc_id → min-id root,
+    entries only where root ≠ doc_id): banded LSH candidate pairs →
+    estimated-Jaccard filter over a candidate-only signature semi-join →
+    driver union-find over surviving pairs (tiny in the LSH regime)."""
     exploded = minhash_band_rows(ds, id_col=id_col, bands=bands, k=k)
     candidates = _lsh_candidate_pairs(exploded, id_col)
 
@@ -257,7 +250,24 @@ def minhash_lsh_clusters(sf_dir: str, threshold: float = 0.5,
 
     nodes = {x for pair in pair_rows for x in pair}
     labels = {x: find(x) for x in nodes}
-    labels = {x: r for x, r in labels.items() if r != x}   # non-trivial only
+    return {x: r for x, r in labels.items() if r != x}
+
+
+def minhash_lsh_clusters(sf_dir: str, threshold: float = 0.5,
+                         bands: int = 16, k: int = 3,
+                         id_col: str = "doc_id") -> pa.Table:
+    """(doc_id, cluster) where cluster = min doc id of the near-dup
+    component; singletons cluster with themselves.
+
+    Scale shape: only CANDIDATE PAIRS reach the driver (the standard LSH
+    regime — union-find over pairs is tiny). The non-trivial component map
+    is broadcast back through one map_batches over the id column; the full
+    id list is never materialized driver-side."""
+    import ray
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=[id_col, "text"])
+    labels = _minhash_component_labels(ds, threshold, bands, k, id_col)
     labels_ref = ray.put(labels)
 
     def label_fn(t: pa.Table) -> pa.Table:
@@ -270,6 +280,46 @@ def minhash_lsh_clusters(sf_dir: str, threshold: float = 0.5,
 
     out = collect_table(
         ds.select_columns([id_col]).map_batches(label_fn,
+                                                batch_format="pyarrow"))
+    return out.sort_by(id_col)
+
+
+def neardup_dedup_corpus(sf_dir: str, threshold: float = 0.5,
+                         bands: int = 16, k: int = 3,
+                         id_col: str = "doc_id") -> pa.Table:
+    """(doc_id, n_dups): the END USE of near-dedup — the deduplicated
+    corpus. One KEPT canonical document per MinHash/LSH near-dup
+    component (the min-id member) with the component size it represents
+    (1 for singletons). Feeding a training run = keep exactly these ids.
+
+    Shape: identical to ``minhash_lsh_clusters`` (band-row shuffle →
+    candidate pairs → signature semi-join → driver union-find over pairs
+    only); the kept-set filter is the same broadcast-labels map pass —
+    dropped docs filter OUT in the workers, and cluster sizes come from
+    the (small) non-trivial component map alone."""
+    import ray
+    from collections import Counter
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=[id_col, "text"])
+    labels = _minhash_component_labels(ds, threshold, bands, k, id_col)
+    sizes = Counter(labels.values())          # non-trivial members per root
+    labels_ref = ray.put(labels)
+    sizes_ref = ray.put(dict(sizes))
+
+    def keep_fn(t: pa.Table) -> pa.Table:
+        lab = ray.get(labels_ref)
+        sz = ray.get(sizes_ref)
+        ids = [i for i in t.column(id_col).to_pylist()
+               if lab.get(i, i) == i]
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "n_dups": pa.array([1 + sz.get(i, 0) for i in ids],
+                               pa.int64()),
+        })
+
+    out = collect_table(
+        ds.select_columns([id_col]).map_batches(keep_fn,
                                                 batch_format="pyarrow"))
     return out.sort_by(id_col)
 

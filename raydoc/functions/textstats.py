@@ -650,6 +650,39 @@ def tfidf_top_terms(sf_dir: str, top_n: int = 3,
         [("doc_id", "ascending"), ("rank", "ascending")])
 
 
+def compression_ratio(sf_dir: str, level: int = 6) -> pa.Table:
+    """(doc_id, n_bytes, n_compressed, ratio_milli): per-document zlib
+    compressibility — the RefinedWeb/Dolma-style entropy quality signal
+    (templated/boilerplate/repetitive text compresses far below prose;
+    extreme ratios either way are removal candidates). ``ratio_milli`` =
+    compressed·1000 // raw, integer so downstream filters are exact;
+    empty docs emit ratio_milli = 1000 (incompressible by convention).
+
+    Rows-only (no SQL twin — DuckDB has no DEFLATE): determinism and
+    bounds are property-tested instead. One embarrassingly-parallel
+    map_batches; the only state is the per-call zlib level."""
+    import zlib
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        raw_n, comp_n, ratio = [], [], []
+        for txt in t.column("text").to_pylist():
+            b = (txt or "").encode()
+            c = len(zlib.compress(b, level))
+            raw_n.append(len(b))
+            comp_n.append(c)
+            ratio.append(c * 1000 // len(b) if b else 1000)
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_bytes": pa.array(raw_n, pa.int64()),
+                         "n_compressed": pa.array(comp_n, pa.int64()),
+                         "ratio_milli": pa.array(ratio, pa.int64())})
+
+    return collect_table(ds.map_batches(fn, batch_format="pyarrow")) \
+        .sort_by("doc_id")
+
+
 def collapse_repeats(sf_dir: str) -> pa.Table:
     """(doc_id, cleaned): collapse CONSECUTIVE repeated words within each
     document ("part part part" → "part") — the stutter-removal cleanup for

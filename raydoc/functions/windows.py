@@ -457,6 +457,169 @@ def cohort_retention(sf_dir: str) -> pa.Table:
         [("cohort_day", "ascending"), ("day_offset", "ascending")])
 
 
+def event_transitions(sf_dir: str,
+                      num_buckets: int | None = None) -> pa.Table:
+    """(prev_type, event_type, n): per-user Markov transition counts —
+    how often one event type follows another under (ts, event_id)
+    ordering. The behavioral-sequence analysis of an event pipeline
+    (session flow graphs, next-action models). Oracle: LAG() + GROUP BY.
+
+    Shape: users coarse-bucket (a bucket holds many COMPLETE users), one
+    vectorized sort + shift per bucket, batch-local bigram counts, and a
+    tiny (|types|²-row) final combiner."""
+    from raydoc.functions._buckets import reduce_bucket_count
+    mask = (num_buckets or reduce_bucket_count()) - 1
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id",
+                                  "event_type"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "bucket", pc.cast(pc.bit_wise_and(t["user_id"], mask),
+                              pa.int32()))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          ignore_index=True)
+        uid = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        same = uid[1:] == uid[:-1]
+        pairs = pd.DataFrame({"prev_type": et[:-1][same],
+                              "event_type": et[1:][same]})
+        return (pairs.groupby(["prev_type", "event_type"], sort=False)
+                .size().rename("n").reset_index())
+
+    partials = (ds.map_batches(add_bucket, batch_format="pyarrow")
+                .groupby("bucket").map_groups(per_bucket,
+                                              batch_format="pandas"))
+    out = partial_groupby(partials, ["prev_type", "event_type"],
+                          {"n": ("n", "sum")})
+    return collect_table(out).sort_by(
+        [("prev_type", "ascending"), ("event_type", "ascending")])
+
+
+_RADIX = 1 << 31   # split-radix base for exact big sums in int64 columns
+
+
+def value_outliers(sf_dir: str, k_num: int = 3,
+                   k_den: int = 1) -> pa.Table:
+    """(event_id, event_type, cents): events whose value deviates from
+    their type's mean by more than (k_num/k_den)·σ — anomaly detection
+    as EXACT integer arithmetic, so the SQL twin (HUGEINT) hashes
+    bit-identically: flag ⇔ k_den²·(n·x − S₁)² > k_num²·(n·S₂ − S₁²)
+    over integer cents.
+
+    Scale shape: two streaming passes. Pass 1 folds per-type moment
+    partials; per-batch sums stay inside int64 and each partial is
+    SPLIT-RADIX encoded (q = v // 2³¹, r = v % 2³¹ in separate int64
+    columns) so the cross-batch combiner can never overflow — the driver
+    reconstructs exact Python-int totals from one tiny per-type row
+    (Σ S₂ is safe up to ~1.9·10²⁸). Pass 2 turns the per-type bound into
+    two integer thresholds (|types| values, broadcast in the task
+    closure) and filters vectorized — no driver data loop, no
+    materialization."""
+    import math
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                        pa.int64()).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"event_type": t["event_type"].to_pandas(),
+                           "c": cents, "c2": cents * cents})
+        g = df.groupby("event_type", sort=False).agg(
+            n=("c", "size"), s1=("c", "sum"), s2=("c2", "sum"))
+        out = {"event_type": g.index.to_numpy(),
+               "n": g["n"].to_numpy(np.int64)}
+        for col in ("s1", "s2"):
+            q, r = np.divmod(g[col].to_numpy(np.int64), _RADIX)
+            out[f"{col}_q"] = q
+            out[f"{col}_r"] = r
+        return pa.table(out)
+
+    stats = collect_table(partial_groupby(
+        ds.map_batches(moments, batch_format="pyarrow"), ["event_type"],
+        {"n": ("n", "sum"), "s1_q": ("s1_q", "sum"),
+         "s1_r": ("s1_r", "sum"), "s2_q": ("s2_q", "sum"),
+         "s2_r": ("s2_r", "sum")}))
+
+    bounds: dict[str, tuple[int, int]] = {}
+    for row in stats.to_pylist():
+        n = int(row["n"])
+        s1 = int(row["s1_q"]) * _RADIX + int(row["s1_r"])
+        s2 = int(row["s2_q"]) * _RADIX + int(row["s2_r"])
+        rhs = k_num * k_num * (n * s2 - s1 * s1)   # = k_num²·n²·σ²ₚₒₚ ≥ 0
+        # flag ⇔ k_den²(n·x−S₁)² > rhs ⇔ |k_den(n·x−S₁)| > isqrt(rhs)
+        thresh = math.isqrt(rhs)
+        # n·x > S₁ + thresh/k_den ⇔ k_den·n·x > k_den·S₁ + thresh
+        dn = k_den * n
+        hi_min = (k_den * s1 + thresh) // dn + 1       # x ≥ hi_min flags
+        lo_max = -((-(k_den * s1 - thresh)) // dn) - 1  # x ≤ lo_max flags
+        bounds[row["event_type"]] = (lo_max, hi_min)
+
+    def flag(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                        pa.int64()).to_numpy(zero_copy_only=False)
+        types = t["event_type"].to_pylist()
+        lo = np.array([bounds[e][0] for e in types], dtype=np.int64)
+        hi = np.array([bounds[e][1] for e in types], dtype=np.int64)
+        keep = (cents <= lo) | (cents >= hi)
+        return pa.table({
+            "event_id": t["event_id"].filter(pa.array(keep)),
+            "event_type": t["event_type"].filter(pa.array(keep)),
+            "cents": pa.array(cents[keep], pa.int64())})
+
+    out = ds.map_batches(flag, batch_format="pyarrow")
+    return collect_table(out).sort_by("event_id")
+
+
+def global_percent_rank(sf_dir: str, num_buckets: int = 64) -> pa.Table:
+    """(event_id, percent_rank, cume_dist): exact global PERCENT_RANK
+    and CUME_DIST over the unique total order (value, event_id) — with a
+    tie-broken total order rank(x) = row_number(x), so percent_rank =
+    (rn−1)/(n−1) and cume_dist = rn/n, both one IEEE division of exact
+    integers (bit-identical to SQL on the same order).
+
+    Same no-global-sort shape as ``global_rank_ntile``: order-preserving
+    range buckets + a driver prefix-sum over B bucket counts + local
+    sorts."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "value"])
+
+    lo, hi = _global_min_max(ds, "value")
+    cuts = np.linspace(lo, hi, num_buckets + 1)[1:-1]
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "bucket", pa.array(np.searchsorted(cuts, v, side="right")
+                               .astype(np.int32)))
+
+    bucketed = ds.map_batches(add_bucket,
+                              batch_format="pyarrow").materialize()
+    counts = collect_table(partial_groupby(
+        bucketed, ["bucket"], {"cnt": ("value", "count")})).sort_by("bucket")
+    bids = counts.column("bucket").to_pylist()
+    cnts = counts.column("cnt").to_pylist()
+    n = int(sum(cnts))
+    bases = dict(zip(bids, np.concatenate(
+        ([0], np.cumsum(cnts)[:-1])).astype(np.int64)))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["value", "event_id"], ignore_index=True)
+        rn = bases[int(g["bucket"].iloc[0])] + np.arange(
+            1, len(g) + 1, dtype=np.int64)
+        pr = (rn - 1) / (n - 1) if n > 1 else np.zeros(len(g))
+        return pd.DataFrame({"event_id": g["event_id"],
+                             "percent_rank": pr,
+                             "cume_dist": rn / n})
+
+    out = bucketed.groupby("bucket").map_groups(per_bucket,
+                                                batch_format="pandas")
+    return collect_table(out).sort_by("event_id")
+
+
 def value_histogram(sf_dir: str, n_bins: int = 20) -> pa.Table:
     """(bin, n): fixed-width histogram of events.value between the
     observed min/max — bin = min(floor((v−lo)/width), n_bins−1), the same

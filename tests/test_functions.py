@@ -53,7 +53,9 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
     "paragraph_dedup_global", "tfidf_top_terms", "funnel_counts",
     "simhash_neardups", "simhash_signatures", "distinct_users_by_type",
     "minhash_clusters", "ngram_jaccard", "normalize_markdown",
-    "neardup_components",
+    "neardup_components", "event_transitions", "value_outliers",
+    "global_percent_rank", "neardup_dedup_corpus", "dup_ngram_fraction",
+    "cohort_retention", "click_error_matrix",
 ])
 def test_query_matches_oracle(ray_session, oracle, name):
     import __ray_entry__ as entrymod
@@ -491,3 +493,69 @@ def test_grouped_ddsketch_within_relative_error(ray_session):
         exact = vals[int(np.floor((len(vals) - 1) * q))]
         got = sub["value_est"].iloc[0]
         assert abs(got - exact) / max(abs(exact), 1e-9) < 0.02, (g, q)
+
+
+def test_compression_ratio_properties(ray_session):
+    """zlib signal: deterministic, bounded, and repetitive text must
+    compress strictly better than the word-soup corpus median."""
+    from raydoc.functions.textstats import compression_ratio
+    a = compression_ratio(SF).to_pandas()
+    b = compression_ratio(SF).to_pandas()
+    assert a.equals(b)                                   # deterministic
+    assert (a["n_compressed"] > 0).all()
+    assert (a.loc[a["n_bytes"] > 0, "ratio_milli"] > 0).all()
+    # zlib overhead bound: compressed <= raw + 11 + 5*ceil(raw/16383)
+    ok = a["n_compressed"] <= a["n_bytes"] + 11 + 5 * (
+        a["n_bytes"] // 16383 + 1)
+    assert ok.all()
+
+
+def test_compression_ratio_orders_repetitive_below_random(
+        ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from raydoc.functions.textstats import compression_ratio
+    rep = "spam ham " * 500
+    soup = " ".join(f"w{i * 7919 % 4973}x{i * 104729 % 9973}"
+                    for i in range(1000))
+    pq.write_table(pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                             "text": pa.array([rep, soup])}),
+                   tmp_path / "documents.parquet")
+    out = compression_ratio(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert out.loc[1, "ratio_milli"] < out.loc[2, "ratio_milli"] / 4
+
+
+def test_value_outliers_are_the_extreme_tail(ray_session):
+    """Every flagged event must deviate > 3 sigma (float check with slack
+    both ways is avoided — recompute the exact integer rule in-test)."""
+    import math
+    import pyarrow.parquet as pq
+    from raydoc.functions.windows import value_outliers
+    got = value_outliers(SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "event_type", "value"]
+                       ).to_pandas()
+    cents = (ev["value"] * 100).round().astype("int64")
+    flagged = set(got["event_id"])
+    for etype, sub in ev.assign(c=cents).groupby("event_type"):
+        n = len(sub)
+        s1 = int(sub["c"].sum())
+        s2 = int((sub["c"].astype(object) ** 2).sum())
+        rhs = 9 * (n * s2 - s1 * s1)
+        for eid, c in zip(sub["event_id"], sub["c"]):
+            expect = (n * int(c) - s1) ** 2 > rhs
+            assert (eid in flagged) == expect, (etype, eid)
+
+
+def test_neardup_dedup_corpus_consistent_with_clusters(ray_session):
+    """Kept docs = cluster roots; n_dups = cluster sizes; every doc is
+    represented by exactly one kept root."""
+    from raydoc.functions.dedup import (minhash_lsh_clusters,
+                                        neardup_dedup_corpus)
+    clusters = minhash_lsh_clusters(SF).to_pandas()
+    kept = neardup_dedup_corpus(SF).to_pandas()
+    sizes = clusters.groupby("cluster").size()
+    assert sorted(kept["doc_id"]) == sorted(sizes.index)
+    got = kept.set_index("doc_id")["n_dups"]
+    assert (got.sort_index() == sizes.sort_index()).all()
+    assert got.sum() == len(clusters)
