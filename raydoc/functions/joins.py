@@ -179,7 +179,8 @@ def bucket_hash_join(left: rd.Dataset, right: rd.Dataset, key: str,
 
 
 def bucket_semi_join(left: rd.Dataset, right: rd.Dataset, key: str,
-                     num_buckets: int = 32, anti: bool = False) -> rd.Dataset:
+                     num_buckets: int = 32, anti: bool = False,
+                     broadcast_max: int | None = 4_000_000) -> rd.Dataset:
     """Distributed semi-join (``EXISTS``) or anti-join (``NOT EXISTS``):
     keep the ``left`` rows whose ``key`` does (semi) / does not (anti)
     appear in ``right``.
@@ -190,6 +191,13 @@ def bucket_semi_join(left: rd.Dataset, right: rd.Dataset, key: str,
     right keys only — never right payload columns. Null left keys follow
     SQL semantics: they never match, so semi drops them and anti keeps
     them.
+
+    ADAPTIVE regime: the deduped right key stream is materialized
+    (cluster-resident, bounded by the true key cardinality); when it
+    holds ≤ ``broadcast_max`` keys the filter runs map-side against one
+    broadcast key set — the left side never shuffles at all. A larger key
+    set falls back to the bucketed exchange. ``broadcast_max=None``
+    forces the bucketed path.
     """
     left_schema = left.schema()
     all_fields = arrow_field_types(left_schema, list(left_schema.names))
@@ -202,6 +210,30 @@ def bucket_semi_join(left: rd.Dataset, right: rd.Dataset, key: str,
         return pa.table({key: keys_arr.cast(key_type)})
 
     right_keys = right.map_batches(_dedup_keys, batch_format="pyarrow")
+
+    if broadcast_max is not None:
+        right_keys = right_keys.materialize()
+        if right_keys.count() <= broadcast_max:
+            from raydoc.functions._collect import collect_table
+            key_set = collect_table(right_keys).column(key) \
+                .combine_chunks().unique()
+            keys_ref = ray.put(key_set)
+
+            def _filter_map(batch: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+                ks = ray.get(keys_ref)
+                if batch.num_rows == 0 or (len(ks) == 0 and not anti):
+                    return out_schema.empty_table()
+                if len(ks) == 0:
+                    return batch.select(left_cols).cast(out_schema)
+                hit = pc.fill_null(
+                    pc.is_in(batch.column(key), value_set=ks), False)
+                return batch.filter(
+                    pc.invert(hit) if anti else hit).select(
+                    left_cols).cast(out_schema)
+
+            return left.map_batches(_filter_map, batch_format="pyarrow")
+
     tagged = tag_union(left, right_keys, key, all_fields, num_buckets)
 
     def _filter_bucket(group: pa.Table) -> pa.Table:

@@ -117,23 +117,44 @@ def profile_columns(ds: rd.Dataset, columns: list[str]) -> pa.Table:
                                      stats.column(name).cast(typ))
 
     # pass 2: exact distinct — batch-local dedup to (column, value-string)
-    # pairs, combiner groupby, per-column count
+    # pairs with a COARSE int32 bucket cut from a vectorized value hash:
+    # the exchange sorts int32 buckets, never the value strings; the
+    # bucket is routing only (equal values always share a bucket), so the
+    # per-bucket dedup on the actual values stays collision-proof exact.
+    # Per-bucket distinct counts are additive across buckets.
+    from raydoc.functions._buckets import reduce_bucket_count
+    mask = reduce_bucket_count() - 1
+
     def pairs(t: pa.Table) -> pa.Table:
-        cols, vals = [], []
+        import numpy as np
+        import pandas as pd
+        cols, vals, buckets = [], [], []
         for name in columns:
             u = pc.drop_null(t.column(name).combine_chunks()).unique()
             rendered = [_render(v, t.column(name).type)
                         for v in u.to_pylist()]
+            h = pd.util.hash_array(np.array(rendered, dtype=object))
             cols.extend([name] * len(rendered))
             vals.extend(rendered)
-        return pa.table({"column": pa.array(cols, pa.string()),
-                         "value": pa.array(vals, pa.string())})
+            buckets.append((h & np.uint64(mask)).astype(np.int32))
+        return pa.table({
+            "column": pa.array(cols, pa.string()),
+            "value": pa.array(vals, pa.string()),
+            "bucket": pa.array(
+                np.concatenate(buckets) if buckets
+                else np.array([], dtype=np.int32))})
 
-    distinct_pairs = partial_groupby(
-        ds.map_batches(pairs, batch_format="pyarrow"),
-        ["column", "value"], {"__n": ("value", "count")})
+    def per_bucket(g: pa.Table) -> pa.Table:
+        d = g.group_by(["column", "value"]).aggregate([("value", "count")])
+        c = d.group_by(["column"]).aggregate([("value", "count")])
+        return pa.table({"column": c["column"],
+                         "n": c["value_count"]})
+
+    bucket_partials = (ds.map_batches(pairs, batch_format="pyarrow")
+                       .groupby("bucket")
+                       .map_groups(per_bucket, batch_format="pyarrow"))
     ndist = collect_table(partial_groupby(
-        distinct_pairs, ["column"], {"n_distinct": ("value", "count")}))
+        bucket_partials, ["column"], {"n_distinct": ("n", "sum")}))
 
     stats = stats.join(ndist.select(["column", "n_distinct"]),
                        keys="column", join_type="left outer")
