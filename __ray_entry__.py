@@ -196,6 +196,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_percent_rank": windows.global_percent_rank,
         "event_transitions": windows.event_transitions,
         "value_outliers": windows.value_outliers,
+        "user_moving_sum": windows.user_moving_sum,
+        "latest_user_event": windows.latest_user_event,
+        "covariance_by_type": windows.covariance_by_type,
+        "pmi_collocations": textstats.pmi_collocations,
         "asof_last_view": _asof_last_view,
         "clicks_after_error": _clicks_after_error,
         # --- dedup / similarity (oracle-backed members) ---
@@ -630,6 +634,62 @@ def oracle_sql() -> dict[str, str]:
             FROM lagged WHERE prev_type IS NOT NULL
             GROUP BY prev_type, event_type
             ORDER BY prev_type, event_type""",
+        "user_moving_sum": """
+            SELECT event_id, user_id,
+                   CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS moving_cents
+            FROM events ORDER BY event_id""",
+        "latest_user_event": """
+            SELECT user_id, event_id, event_type, ts
+            FROM events
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY ts DESC, event_id DESC)
+                    = 1
+            ORDER BY user_id""",
+        "covariance_by_type": """
+            WITH c AS (
+                SELECT event_type,
+                       CAST(ROUND(value*100) AS HUGEINT) AS x,
+                       CAST(hour(ts) AS HUGEINT) AS y
+                FROM events)
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COUNT(*)*SUM(x*y) - SUM(x)*SUM(y) AS VARCHAR)
+                       AS cov_num,
+                   CAST(COUNT(*)*SUM(x*x) - SUM(x)*SUM(x) AS VARCHAR)
+                       AS varx_num,
+                   CAST(COUNT(*)*SUM(y*y) - SUM(y)*SUM(y) AS VARCHAR)
+                       AS vary_num
+            FROM c GROUP BY event_type ORDER BY event_type""",
+        "pmi_collocations": r"""
+            WITH toks AS (
+                SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS l
+                FROM documents),
+            t AS (SELECT doc_id, unnest(l) AS w,
+                         generate_subscripts(l, 1) AS i FROM toks),
+            big AS (
+                SELECT a.w AS w1, b.w AS w2
+                FROM t a JOIN t b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+            uni AS (SELECT w, CAST(COUNT(*) AS HUGEINT) AS c
+                    FROM t GROUP BY w),
+            nu AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM t),
+            nb AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM big),
+            bc AS (SELECT w1, w2, CAST(COUNT(*) AS HUGEINT) AS c
+                   FROM big GROUP BY w1, w2),
+            scored AS (
+                SELECT bc.w1, bc.w2, bc.c,
+                       (bc.c * nu.n * nu.n * 1000000)
+                           // (nb.n * u1.c * u2.c) AS score
+                FROM bc
+                CROSS JOIN nu CROSS JOIN nb
+                JOIN uni u1 ON u1.w = bc.w1
+                JOIN uni u2 ON u2.w = bc.w2
+                WHERE bc.c >= 5)
+            SELECT w1, w2, CAST(c AS BIGINT) AS n_xy,
+                   CAST(score AS VARCHAR) AS score_micro
+            FROM scored
+            ORDER BY score DESC, w1, w2 LIMIT 20""",
         "value_outliers": """
             WITH c AS (
                 SELECT event_id, event_type,

@@ -133,7 +133,12 @@ def profile_columns(ds: rd.Dataset, columns: list[str]) -> pa.Table:
             u = pc.drop_null(t.column(name).combine_chunks()).unique()
             rendered = [_render(v, t.column(name).type)
                         for v in u.to_pylist()]
-            h = pd.util.hash_array(np.array(rendered, dtype=object))
+            # categorize=False: the default categorize path hashes via
+            # the array's category set, so the SAME value can bucket
+            # differently across batches — per-value determinism needs
+            # the plain siphash path
+            h = pd.util.hash_array(np.array(rendered, dtype=object),
+                                   categorize=False)
             cols.extend([name] * len(rendered))
             vals.extend(rendered)
             buckets.append((h & np.uint64(mask)).astype(np.int32))

@@ -650,6 +650,110 @@ def tfidf_top_terms(sf_dir: str, top_n: int = 3,
         [("doc_id", "ascending"), ("rank", "ascending")])
 
 
+def pmi_collocations(sf_dir: str, top_n: int = 20, min_count: int = 5,
+                     num_buckets: int | None = None) -> pa.Table:
+    """(w1, w2, n_xy, score_micro): the ``top_n`` adjacent-word
+    collocations by an integer PMI surrogate —
+    score = c_xy·N_u²·10⁶ // (N_b·c_x·c_y), i.e. ⌊10⁶·p(x,y)/(p(x)p(y))⌋
+    with bigram/unigram normalizers — rendered VARCHAR (the exact value
+    exceeds int64 at corpus scale; the HUGEINT SQL twin renders
+    identically). Ties break (score desc, w1, w2), bigrams under
+    ``min_count`` prune before scoring.
+
+    Shape: unigram counts are one combiner groupby broadcast back as a
+    dict (vocabulary-sized — same caveat as ``tfidf_top_terms``: at
+    open-web vocab swap for a bucketed join); bigram counts combine per
+    batch and reduce on a coarse bucket where each bigram lives whole, so
+    per-bucket Python-int scoring + local top-N is exact; the driver
+    merges B candidate lists."""
+    from collections import Counter
+
+    import pandas as pd
+
+    import ray
+
+    from raydoc.functions._buckets import reduce_bucket_count
+    from raydoc.functions.agg import partial_groupby
+
+    word = re.compile(r"\w+")
+    mask = (num_buckets or reduce_bucket_count()) - 1
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def uni_partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        n_big = 0
+        for txt in t.column("text").to_pylist():
+            toks = word.findall((txt or "").lower())
+            c.update(toks)
+            n_big += max(len(toks) - 1, 0)
+        return pa.table({"w": pa.array(list(c.keys()), pa.string()),
+                         "n": pa.array(list(c.values()), pa.int64()),
+                         "nb": pa.array([n_big] + [0] * (len(c) - 1)
+                                        if c else [], pa.int64())})
+
+    uni_t = collect_table(partial_groupby(
+        ds.map_batches(uni_partial, batch_format="pyarrow"),
+        ["w"], {"n": ("n", "sum"), "nb": ("nb", "sum")}))
+    uni = dict(zip(uni_t.column("w").to_pylist(),
+                   (int(v) for v in uni_t.column("n").to_pylist())))
+    n_uni = sum(uni.values())
+    n_big = sum(int(v) for v in uni_t.column("nb").to_pylist())
+    uni_ref = ray.put(uni)
+
+    def big_partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for txt in t.column("text").to_pylist():
+            toks = word.findall((txt or "").lower())
+            c.update(zip(toks, toks[1:]))
+        w1 = [k[0] for k in c]
+        w2 = [k[1] for k in c]
+        # categorize=False — the default path is array-dependent for
+        # equal values (see profile.py), which would split a bigram's
+        # partials across buckets
+        h = pd.util.hash_array(
+            _np.array([f"{a}\x00{b}" for a, b in c], dtype=object),
+            categorize=False)
+        return pa.table({
+            "w1": pa.array(w1, pa.string()),
+            "w2": pa.array(w2, pa.string()),
+            "n": pa.array(list(c.values()), pa.int64()),
+            "bucket": pa.array((h & _np.uint64(mask)).astype(_np.int32))})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        u = ray.get(uni_ref)
+        g = (g.groupby(["w1", "w2"], sort=False)["n"].sum()
+             .reset_index())
+        g = g[g["n"] >= min_count]
+        if not len(g):
+            return pd.DataFrame({"w1": [], "w2": [], "n_xy": [],
+                                 "score_micro": []}).astype(
+                {"w1": str, "w2": str, "n_xy": "int64",
+                 "score_micro": str})
+        scores = [int(c) * n_uni * n_uni * 1_000_000
+                  // (n_big * u[a] * u[b])
+                  for a, b, c in zip(g["w1"], g["w2"], g["n"])]
+        g = g.assign(score=scores)
+        g = g.sort_values(["score", "w1", "w2"],
+                          ascending=[False, True, True]).head(top_n)
+        return pd.DataFrame({"w1": g["w1"], "w2": g["w2"],
+                             "n_xy": g["n"].astype("int64"),
+                             "score_micro": [str(s) for s in g["score"]]})
+
+    cand = collect_table(
+        ds.map_batches(big_partial, batch_format="pyarrow")
+        .groupby("bucket").map_groups(per_bucket, batch_format="pandas"))
+    rows = sorted(cand.to_pylist(),
+                  key=lambda r: (-int(r["score_micro"]), r["w1"], r["w2"]))
+    rows = rows[:top_n]
+    return pa.table({
+        "w1": pa.array([r["w1"] for r in rows], pa.string()),
+        "w2": pa.array([r["w2"] for r in rows], pa.string()),
+        "n_xy": pa.array([r["n_xy"] for r in rows], pa.int64()),
+        "score_micro": pa.array([r["score_micro"] for r in rows],
+                                pa.string())})
+
+
 def compression_ratio(sf_dir: str, level: int = 6) -> pa.Table:
     """(doc_id, n_bytes, n_compressed, ratio_milli): per-document zlib
     compressibility — the RefinedWeb/Dolma-style entropy quality signal

@@ -498,6 +498,85 @@ def event_transitions(sf_dir: str,
         [("prev_type", "ascending"), ("event_type", "ascending")])
 
 
+def user_moving_sum(sf_dir: str, window: int = 4,
+                    num_buckets: int | None = None) -> pa.Table:
+    """(event_id, user_id, moving_cents): per-user moving sum of the last
+    ``window`` event values (current + window−1 preceding) under
+    (ts, event_id) ordering — the ROWS-frame window aggregate, in integer
+    cents so accumulation is order-exact.
+
+    Same coarse-user-bucket shape as ``user_running_value``; inside a
+    bucket the frame sum is a segmented cumsum difference (pure int64
+    numpy, no per-user loop): base = cum[max(seg_start, i−window+1) − 1]."""
+    from raydoc.functions._buckets import reduce_bucket_count
+    mask = (num_buckets or reduce_bucket_count()) - 1
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id", "value"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        t = t.append_column(
+            "cents", pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                             pa.int64()))
+        return t.drop_columns(["value"]).append_column(
+            "bucket", pc.cast(pc.bit_wise_and(t["user_id"], mask),
+                              pa.int32()))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], ignore_index=True)
+        m = len(g)
+        cum = g["cents"].to_numpy().cumsum()
+        uid = g["user_id"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        seg_start = np.repeat(starts, np.diff(np.r_[starts, m]))
+        w0 = np.maximum(seg_start, np.arange(m, dtype=np.int64)
+                        - (window - 1))
+        base = np.where(w0 > 0, cum[w0 - 1], 0)
+        return pd.DataFrame({"event_id": g["event_id"].to_numpy(),
+                             "user_id": uid,
+                             "moving_cents": cum - base})
+
+    out = (ds.map_batches(add_bucket, batch_format="pyarrow")
+           .groupby("bucket").map_groups(per_bucket,
+                                         batch_format="pandas"))
+    return collect_table(out).sort_by("event_id")
+
+
+def latest_user_event(sf_dir: str,
+                      num_buckets: int | None = None) -> pa.Table:
+    """(user_id, event_id, event_type, ts): each user's LAST event under
+    (ts, event_id) ordering — the per-key argmax (QUALIFY ROW_NUMBER = 1
+    twin), the snapshot/last-touch primitive.
+
+    Shape: batch-local keep-max partials (a batch's per-user tail row)
+    cut the exchange to ≤ users-per-batch rows, then one coarse user
+    bucket exchange and a vectorized per-bucket tail(1)."""
+    from raydoc.functions._buckets import reduce_bucket_count
+    mask = (num_buckets or reduce_bucket_count()) - 1
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id",
+                                  "event_type"])
+
+    def local_latest(t: pa.Table) -> pa.Table:
+        g = (t.to_pandas()
+             .sort_values(["user_id", "ts", "event_id"])
+             .drop_duplicates("user_id", keep="last"))
+        out = pa.Table.from_pandas(g, preserve_index=False)
+        return out.append_column(
+            "bucket", pc.cast(pc.bit_wise_and(out["user_id"], mask),
+                              pa.int32()))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          ignore_index=True)
+        return g.drop_duplicates("user_id", keep="last")[
+            ["user_id", "event_id", "event_type", "ts"]]
+
+    out = (ds.map_batches(local_latest, batch_format="pyarrow")
+           .groupby("bucket").map_groups(per_bucket,
+                                         batch_format="pandas"))
+    return collect_table(out).sort_by("user_id")
+
+
 _RADIX = 1 << 31   # split-radix base for exact big sums in int64 columns
 
 
@@ -572,6 +651,67 @@ def value_outliers(sf_dir: str, k_num: int = 3,
 
     out = ds.map_batches(flag, batch_format="pyarrow")
     return collect_table(out).sort_by("event_id")
+
+
+def covariance_by_type(sf_dir: str) -> pa.Table:
+    """(event_type, n, cov_num, varx_num, vary_num): EXACT distributed
+    covariance/correlation components between value (integer cents, x)
+    and hour-of-day (y) per event type:
+    cov_num = n·Σxy − Σx·Σy, var*_num = n·Σ*² − (Σ*)² — the integer
+    numerators of n²·cov and n²·var (corr² = cov_num²/(varx·vary)).
+    Rendered as VARCHAR because the exact values exceed int64 at scale;
+    the HUGEINT SQL twin renders identically, so hashes match.
+
+    Shape: same split-radix moment-partial combiner as
+    ``value_outliers`` — per-batch pandas groupby sums stay in int64,
+    cross-batch folds can never overflow, the driver reconstructs exact
+    Python ints from one tiny row per type."""
+    _HOUR_US = 3_600_000_000
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value", "ts"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        x = pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        y = (us // _HOUR_US) % 24
+        df = pd.DataFrame({"event_type": t["event_type"].to_pandas(),
+                           "x": x, "y": y, "xy": x * y,
+                           "x2": x * x, "y2": y * y})
+        g = df.groupby("event_type", sort=False).agg(
+            n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
+            sxy=("xy", "sum"), sx2=("x2", "sum"), sy2=("y2", "sum"))
+        out = {"event_type": g.index.to_numpy(),
+               "n": g["n"].to_numpy(np.int64)}
+        for col in ("sx", "sy", "sxy", "sx2", "sy2"):
+            q, r = np.divmod(g[col].to_numpy(np.int64), _RADIX)
+            out[f"{col}_q"] = q
+            out[f"{col}_r"] = r
+        return pa.table(out)
+
+    spec = {"n": ("n", "sum")}
+    for col in ("sx", "sy", "sxy", "sx2", "sy2"):
+        spec[f"{col}_q"] = (f"{col}_q", "sum")
+        spec[f"{col}_r"] = (f"{col}_r", "sum")
+    stats = collect_table(partial_groupby(
+        ds.map_batches(moments, batch_format="pyarrow"),
+        ["event_type"], spec))
+
+    types_, ns, covs, vxs, vys = [], [], [], [], []
+    for row in sorted(stats.to_pylist(), key=lambda r: r["event_type"]):
+        n = int(row["n"])
+        tot = {c: int(row[f"{c}_q"]) * _RADIX + int(row[f"{c}_r"])
+               for c in ("sx", "sy", "sxy", "sx2", "sy2")}
+        types_.append(row["event_type"])
+        ns.append(n)
+        covs.append(str(n * tot["sxy"] - tot["sx"] * tot["sy"]))
+        vxs.append(str(n * tot["sx2"] - tot["sx"] * tot["sx"]))
+        vys.append(str(n * tot["sy2"] - tot["sy"] * tot["sy"]))
+    return pa.table({"event_type": pa.array(types_, pa.string()),
+                     "n": pa.array(ns, pa.int64()),
+                     "cov_num": pa.array(covs, pa.string()),
+                     "varx_num": pa.array(vxs, pa.string()),
+                     "vary_num": pa.array(vys, pa.string())})
 
 
 def global_percent_rank(sf_dir: str, num_buckets: int = 64) -> pa.Table:

@@ -55,7 +55,8 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
     "minhash_clusters", "ngram_jaccard", "normalize_markdown",
     "neardup_components", "event_transitions", "value_outliers",
     "global_percent_rank", "neardup_dedup_corpus", "dup_ngram_fraction",
-    "cohort_retention", "click_error_matrix",
+    "cohort_retention", "click_error_matrix", "user_moving_sum",
+    "latest_user_event", "covariance_by_type", "pmi_collocations",
 ])
 def test_query_matches_oracle(ray_session, oracle, name):
     import __ray_entry__ as entrymod
