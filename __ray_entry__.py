@@ -122,6 +122,11 @@ def _neardup_components(sf_dir: str):
     return neardup_components(sf_dir)
 
 
+def _zonemap_value_scan(sf_dir: str):
+    from raydoc.pipelines.clustered import zonemap_value_scan
+    return zonemap_value_scan(sf_dir)
+
+
 def _embedding_neardup_pairs(sf_dir: str):
     # τ=0.4 so the oracle verifies a NON-EMPTY pair set on the driver's
     # synthetic embeddings (τ=0.8 matches zero pairs at every sf — vacuous)
@@ -200,6 +205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_user_event": windows.latest_user_event,
         "covariance_by_type": windows.covariance_by_type,
         "pmi_collocations": textstats.pmi_collocations,
+        "zonemap_value_scan": _zonemap_value_scan,
         "asof_last_view": _asof_last_view,
         "clicks_after_error": _clicks_after_error,
         # --- dedup / similarity (oracle-backed members) ---
@@ -634,6 +640,11 @@ def oracle_sql() -> dict[str, str]:
             FROM lagged WHERE prev_type IS NOT NULL
             GROUP BY prev_type, event_type
             ORDER BY prev_type, event_type""",
+        "zonemap_value_scan": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT)
+                       AS sum_cents
+            FROM events WHERE value >= 100.0 AND value <= 200.0""",
         "user_moving_sum": """
             SELECT event_id, user_id,
                    CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) OVER (
