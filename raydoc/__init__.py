@@ -67,6 +67,12 @@ def __getattr__(name):
         # export sinks
         "export_docx": ("raydoc.functions.export", "export_docx"),
         "export_media": ("raydoc.functions.multimodal", "export_media"),
+        "compact_parquet_dir": ("raydoc.pipelines.compact",
+                                "compact_parquet_dir"),
+        "write_clustered_parquet": ("raydoc.pipelines.clustered",
+                                    "write_clustered_parquet"),
+        "read_clustered_range": ("raydoc.pipelines.clustered",
+                                 "read_clustered_range"),
     }
     if name in api:
         import importlib
