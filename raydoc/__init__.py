@@ -38,6 +38,8 @@ def __getattr__(name):
         "broadcast_join": ("raydoc.functions.joins", "broadcast_join"),
         "bucket_hash_join": ("raydoc.functions.joins", "bucket_hash_join"),
         "salted_hash_join": ("raydoc.functions.joins", "salted_hash_join"),
+        "bloom_prefiltered_join": ("raydoc.functions.joins",
+                                   "bloom_prefiltered_join"),
         "bucket_semi_join": ("raydoc.functions.joins", "bucket_semi_join"),
         "except_distinct": ("raydoc.functions.joins", "except_distinct"),
         "intersect_distinct": ("raydoc.functions.joins",

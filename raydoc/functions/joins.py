@@ -442,6 +442,72 @@ def salted_hash_join(left: rd.Dataset, right: rd.Dataset, key: str,
                                                  batch_format="pyarrow")
 
 
+def bloom_prefiltered_join(left: rd.Dataset, right: rd.Dataset, key: str,
+                           num_buckets: int = 32,
+                           n_bits: int = 1 << 22) -> rd.Dataset:
+    """INNER ``bucket_hash_join`` with a Bloom pre-filter: a compact
+    bitmap of the right side's keys is OR-folded in the workers,
+    broadcast once, and tested against every LEFT row BEFORE the
+    exchange — the classic shuffle-volume reducer when most left rows
+    have no match (fact table ⋈ selective dimension). ALWAYS exact for
+    inner joins: a false positive merely ships a row that then joins to
+    nothing; false negatives never happen. Left/outer joins must keep
+    unmatched left rows, so they cannot prefilter — use
+    ``bucket_hash_join``.
+
+    Key hashing is pandas ``hash_array(categorize=False)`` — vectorized,
+    process-stable siphash for both int and string keys."""
+    import pandas as pd
+
+    from raydoc.functions._collect import collect_table
+    from raydoc.functions.dedup import _bloom_positions
+
+    if n_bits & (n_bits - 1):
+        raise ValueError("n_bits must be a power of two")
+
+    def _key_hashes(batch: pa.Table) -> np.ndarray:
+        vals = batch.column(key).to_pandas().to_numpy()
+        return pd.util.hash_array(vals, categorize=False)
+
+    def partial(t: pa.Table) -> pa.Table:
+        bits = np.zeros(n_bits // 8, dtype=np.uint8)
+        hs = _key_hashes(t)
+        if len(hs):
+            pos = _bloom_positions(hs, n_bits).ravel()
+            np.bitwise_or.at(bits, pos >> 3,
+                             np.uint8(1) << (pos & 7).astype(np.uint8))
+        return pa.table({"bloom": pa.array([bits.tobytes()], pa.binary())})
+
+    def fold(t: pa.Table) -> pa.Table:
+        acc = np.zeros(n_bits // 8, dtype=np.uint8)
+        for blob in t.column("bloom").to_pylist():
+            acc |= np.frombuffer(blob, dtype=np.uint8)
+        return pa.table({"bloom": pa.array([acc.tobytes()], pa.binary())})
+
+    parts = right.map_batches(partial, batch_format="pyarrow")
+    for _ in range(2):
+        parts = parts.map_batches(fold, batch_format="pyarrow",
+                                  batch_size=64)
+    acc = np.zeros(n_bits // 8, dtype=np.uint8)
+    for blob in collect_table(parts).column("bloom").to_pylist():
+        acc |= np.frombuffer(blob, dtype=np.uint8)
+    bloom_ref = ray.put(acc)
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        bits = ray.get(bloom_ref)
+        hs = _key_hashes(t)
+        if not len(hs):
+            return t
+        pos = _bloom_positions(hs, n_bits)
+        hit = (bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+        return t.filter(pa.array(hit.all(axis=1)))
+
+    return bucket_hash_join(left.map_batches(prefilter,
+                                             batch_format="pyarrow"),
+                            right, key, num_buckets=num_buckets,
+                            how="inner")
+
+
 def merge_upsert(base: rd.Dataset, updates: rd.Dataset, key: str,
                  version_col: str, num_buckets: int = 32,
                  tiebreak: list[str] | None = None) -> rd.Dataset:

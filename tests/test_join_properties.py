@@ -343,3 +343,44 @@ def test_salted_hash_join_rejects_outer_and_low_salt(ray_session):
             salted_hash_join(lds, rds, key="k", hot_keys=[7], how=how)
     with pytest.raises(ValueError, match="salt must be"):
         salted_hash_join(lds, rds, key="k", hot_keys=[7], salt=1)
+
+
+@pytest.mark.parametrize("seed", [71, 72])
+def test_bloom_prefiltered_join_matches_plain_inner(ray_session, seed):
+    """Bloom prefilter must be result-invariant for inner joins and must
+    actually drop unmatched left rows before the exchange."""
+    from raydoc.functions.joins import bloom_prefiltered_join
+
+    left, right = _mk(seed, n_left=4000)
+    # make most left keys unmatched: right keeps only 10 key values
+    right = right.head(10)
+    got = bloom_prefiltered_join(
+        rd.from_arrow(pa.Table.from_pandas(left)),
+        rd.from_arrow(pa.Table.from_pandas(right)),
+        key="k", num_buckets=8).to_pandas()
+    want = bucket_hash_join(
+        rd.from_arrow(pa.Table.from_pandas(left)),
+        rd.from_arrow(pa.Table.from_pandas(right)),
+        key="k", num_buckets=8, how="inner").to_pandas()
+    assert _canon(got) == _canon(want)
+
+
+def test_bloom_prefilter_drops_rows_before_exchange(ray_session):
+    import numpy as np
+    from raydoc.functions.dedup import _bloom_positions
+    # direct check of the membership property: every right key passes,
+    # and with 4M bits / 10 keys essentially no FP among 10k probes
+    rng = np.random.RandomState(0)
+    import pandas as pd
+    right_keys = pd.util.hash_array(np.arange(10, dtype=np.int64),
+                                    categorize=False)
+    n_bits = 1 << 22
+    bits = np.zeros(n_bits // 8, dtype=np.uint8)
+    pos = _bloom_positions(right_keys, n_bits).ravel()
+    np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+    probe = pd.util.hash_array(np.arange(10_000, dtype=np.int64),
+                               categorize=False)
+    p = _bloom_positions(probe, n_bits)
+    hit = ((bits[p >> 3] >> (p & 7).astype(np.uint8)) & 1).all(axis=1)
+    assert hit[:10].all()                      # no false negatives
+    assert hit[10:].sum() < 20                 # FP rate tiny

@@ -1,0 +1,104 @@
+"""Randomized DuckDB equivalence of the newer event-analytics operators
+on adversarial synthetic events (duplicate timestamps, single-event
+users, one dominant user, negative values)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _mk_events(tmp_path, seed: int, n: int = 3000):
+    rng = np.random.RandomState(seed)
+    users = rng.zipf(1.3, n) % 37            # heavy skew + singletons
+    ts = pd.to_datetime(
+        rng.randint(0, 5 * 86400, n) * 1_000_000          # many exact ties
+        + np.int64(1_700_000_000_000_000), unit="us")
+    t = pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array(users.astype(np.int64)),
+        "event_type": pa.array(
+            np.array(["view", "click", "error", "purchase"])[
+                rng.randint(0, 4, n)]),
+        "value": pa.array(np.round(rng.standard_normal(n) * 50, 2)),
+        "props": pa.array(["{}"] * n),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+    return str(tmp_path)
+
+
+def _sql(sf, q):
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    return con.execute(q).fetchdf()
+
+
+def _canon(df):
+    df = df[sorted(df.columns)]
+    return sorted(tuple(str(v) for v in r)
+                  for r in df.itertuples(index=False))
+
+
+@pytest.mark.parametrize("seed", [11, 12])
+def test_moving_sum_matches_duckdb(ray_session, tmp_path, seed):
+    from raydoc.functions.windows import user_moving_sum
+    import __ray_entry__ as e
+    sf = _mk_events(tmp_path, seed)
+    got = user_moving_sum(sf).to_pandas()
+    exp = _sql(sf, e.oracle_sql()["user_moving_sum"])
+    assert _canon(got) == _canon(exp)
+
+
+@pytest.mark.parametrize("seed", [21, 22])
+def test_transitions_match_duckdb(ray_session, tmp_path, seed):
+    from raydoc.functions.windows import event_transitions
+    import __ray_entry__ as e
+    sf = _mk_events(tmp_path, seed)
+    got = event_transitions(sf).to_pandas()
+    exp = _sql(sf, e.oracle_sql()["event_transitions"])
+    assert _canon(got) == _canon(exp)
+
+
+@pytest.mark.parametrize("seed", [31, 32])
+def test_latest_event_matches_duckdb(ray_session, tmp_path, seed):
+    from raydoc.functions.windows import latest_user_event
+    import __ray_entry__ as e
+    sf = _mk_events(tmp_path, seed)
+    got = latest_user_event(sf).to_pandas()
+    exp = _sql(sf, e.oracle_sql()["latest_user_event"])
+    assert _canon(got) == _canon(exp)
+
+
+@pytest.mark.parametrize("seed", [41, 42])
+def test_value_outliers_match_duckdb(ray_session, tmp_path, seed):
+    """Negative cents exercise the lower-bound ceil arithmetic."""
+    from raydoc.functions.windows import value_outliers
+    import __ray_entry__ as e
+    sf = _mk_events(tmp_path, seed)
+    got = value_outliers(sf).to_pandas()
+    exp = _sql(sf, e.oracle_sql()["value_outliers"])
+    assert _canon(got) == _canon(exp)
+
+
+@pytest.mark.parametrize("seed", [51])
+def test_percent_rank_matches_duckdb(ray_session, tmp_path, seed):
+    from raydoc.functions.windows import global_percent_rank
+    import __ray_entry__ as e
+    sf = _mk_events(tmp_path, seed)
+    got = global_percent_rank(sf).to_pandas()
+    exp = _sql(sf, e.oracle_sql()["global_percent_rank"])
+    assert _canon(got) == _canon(exp)
+
+
+@pytest.mark.parametrize("seed", [61])
+def test_covariance_matches_duckdb(ray_session, tmp_path, seed):
+    from raydoc.functions.windows import covariance_by_type
+    import __ray_entry__ as e
+    sf = _mk_events(tmp_path, seed)
+    got = covariance_by_type(sf).to_pandas()
+    exp = _sql(sf, e.oracle_sql()["covariance_by_type"])
+    assert _canon(got) == _canon(exp)
