@@ -205,6 +205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_user_event": windows.latest_user_event,
         "covariance_by_type": windows.covariance_by_type,
         "pmi_collocations": textstats.pmi_collocations,
+        "fuzzy_name_pairs": textstats.fuzzy_name_pairs,
         "zonemap_value_scan": _zonemap_value_scan,
         "asof_last_view": _asof_last_view,
         "clicks_after_error": _clicks_after_error,
@@ -640,6 +641,11 @@ def oracle_sql() -> dict[str, str]:
             FROM lagged WHERE prev_type IS NOT NULL
             GROUP BY prev_type, event_type
             ORDER BY prev_type, event_type""",
+        "fuzzy_name_pairs": """
+            SELECT a.c_name AS w1, b.c_name AS w2
+            FROM customer a JOIN customer b ON a.c_name < b.c_name
+            WHERE levenshtein(a.c_name, b.c_name) <= 1
+            ORDER BY w1, w2""",
         "zonemap_value_scan": """
             SELECT CAST(COUNT(*) AS BIGINT) AS n,
                    CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT)

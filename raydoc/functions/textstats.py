@@ -754,6 +754,96 @@ def pmi_collocations(sf_dir: str, top_n: int = 20, min_count: int = 5,
                                 pa.string())})
 
 
+def _edit1(a: str, b: str) -> bool:
+    """Exact Levenshtein-distance ≤ 1 predicate (a != b assumed)."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:                       # exactly one substitution
+        return sum(x != y for x, y in zip(a, b)) == 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    # b = a with one insertion
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]
+
+
+def fuzzy_name_pairs(sf_dir: str,
+                     num_buckets: int | None = None) -> pa.Table:
+    """(w1, w2): every UNORDERED pair of distinct customer names within
+    Levenshtein distance 1 — the string-similarity self-join (record
+    linkage / typo clustering), SQL twin = the quadratic
+    ``levenshtein() <= 1`` self-join.
+
+    Shape — SymSpell deletion-key blocking, NEVER the O(V²) cross
+    product: the name set reduces by a combiner distinct; each name
+    explodes into itself + its single-deletion variants (any distance-1
+    pair provably shares a variant); variants bucket by hash so
+    candidates meet in one group; exact edit-distance verification runs
+    per bucket; a pair found via several shared variants dedups in one
+    final tiny combiner. Shuffle volume is O(V·avg_len) variant rows —
+    key-set-scale, not corpus-scale."""
+    import pandas as pd
+
+    from raydoc.functions._buckets import reduce_bucket_count
+    from raydoc.functions.agg import partial_groupby
+
+    mask = (num_buckets or reduce_bucket_count()) - 1
+    ds = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                         columns=["c_name"])
+
+    def vocab_partial(t: pa.Table) -> pa.Table:
+        vs = {v for v in t.column("c_name").to_pylist() if v is not None}
+        return pa.table({"w": pa.array(sorted(vs), pa.string())})
+
+    vocab = partial_groupby(
+        ds.map_batches(vocab_partial, batch_format="pyarrow"),
+        ["w"], {"__n": ("w", "count")})
+
+    def explode_deletions(t: pa.Table) -> pa.Table:
+        keys, words = [], []
+        for w in t.column("w").to_pylist():
+            keys.append(w)
+            words.append(w)
+            for i in range(len(w)):
+                keys.append(w[:i] + w[i + 1:])
+                words.append(w)
+        h = pd.util.hash_array(_np.array(keys, dtype=object),
+                               categorize=False)
+        return pa.table({
+            "key": pa.array(keys, pa.string()),
+            "w": pa.array(words, pa.string()),
+            "bucket": pa.array((h & _np.uint64(mask)).astype(_np.int32))})
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        out1, out2 = [], []
+        df = g.select(["key", "w"]).to_pandas()
+        for _, grp in df.groupby("key", sort=False):
+            ws = sorted(set(grp["w"]))
+            if len(ws) < 2:
+                continue
+            for i in range(len(ws)):
+                for j in range(i + 1, len(ws)):
+                    if _edit1(ws[i], ws[j]):
+                        out1.append(ws[i])
+                        out2.append(ws[j])
+        return pa.table({"w1": pa.array(out1, pa.string()),
+                         "w2": pa.array(out2, pa.string())})
+
+    cand = (vocab.map_batches(explode_deletions, batch_format="pyarrow")
+            .groupby("bucket").map_groups(per_bucket,
+                                          batch_format="pyarrow"))
+    dedup = collect_table(partial_groupby(cand, ["w1", "w2"],
+                                          {"__n": ("w1", "count")}))
+    if dedup.num_rows == 0:     # all-empty groups collapse the schema
+        return pa.table({"w1": pa.array([], pa.string()),
+                         "w2": pa.array([], pa.string())})
+    return dedup.select(["w1", "w2"]).sort_by(
+        [("w1", "ascending"), ("w2", "ascending")])
+
+
 def compression_ratio(sf_dir: str, level: int = 6) -> pa.Table:
     """(doc_id, n_bytes, n_compressed, ratio_milli): per-document zlib
     compressibility — the RefinedWeb/Dolma-style entropy quality signal

@@ -57,6 +57,7 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
     "global_percent_rank", "neardup_dedup_corpus", "dup_ngram_fraction",
     "cohort_retention", "click_error_matrix", "user_moving_sum",
     "latest_user_event", "covariance_by_type", "pmi_collocations",
+    "fuzzy_name_pairs", "zonemap_value_scan",
 ])
 def test_query_matches_oracle(ray_session, oracle, name):
     import __ray_entry__ as entrymod
@@ -560,3 +561,14 @@ def test_neardup_dedup_corpus_consistent_with_clusters(ray_session):
     got = kept.set_index("doc_id")["n_dups"]
     assert (got.sort_index() == sizes.sort_index()).all()
     assert got.sum() == len(clusters)
+
+
+def test_edit1_predicate():
+    from raydoc.functions.textstats import _edit1
+    assert _edit1("cat", "cut")            # substitution
+    assert _edit1("cat", "cats")           # insertion at end
+    assert _edit1("cat", "at")             # deletion at front
+    assert _edit1("cat", "cart")           # insertion inside
+    assert not _edit1("cat", "dog")
+    assert not _edit1("cat", "cattle")
+    assert not _edit1("abc", "cba")
