@@ -203,6 +203,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_outliers": windows.value_outliers,
         "user_moving_sum": windows.user_moving_sum,
         "latest_user_event": windows.latest_user_event,
+        "debounced_events": windows.debounced_events,
+        "status_priority_sets": relational.q_status_priority_sets,
         "covariance_by_type": windows.covariance_by_type,
         "pmi_collocations": textstats.pmi_collocations,
         "fuzzy_name_pairs": textstats.fuzzy_name_pairs,
@@ -658,6 +660,24 @@ def oracle_sql() -> dict[str, str]:
                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
                         AS BIGINT) AS moving_cents
             FROM events ORDER BY event_id""",
+        "debounced_events": """
+            SELECT event_id, user_id, event_type, ts
+            FROM events
+            QUALIFY LAG(ts) OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) IS NULL
+                 OR epoch_us(ts) - epoch_us(
+                        LAG(ts) OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, event_id))
+                    > 5 * 60 * 1000000
+            ORDER BY event_id""",
+        "status_priority_sets": """
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))
+                        AS BIGINT) AS total_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+            ORDER BY o_orderstatus, o_orderpriority""",
         "latest_user_event": """
             SELECT user_id, event_id, event_type, ts
             FROM events

@@ -53,6 +53,8 @@ def __getattr__(name):
         "rollup_aggregate": ("raydoc.functions.relational",
                              "rollup_aggregate"),
         "cube_aggregate": ("raydoc.functions.relational", "cube_aggregate"),
+        "grouping_sets_aggregate": ("raydoc.functions.relational",
+                                    "grouping_sets_aggregate"),
         "profile_columns": ("raydoc.functions.profile", "profile_columns"),
         "partial_groupby": ("raydoc.functions.agg", "partial_groupby"),
         "bloom_build": ("raydoc.functions.dedup", "bloom_build"),

@@ -509,6 +509,69 @@ def cube_aggregate(ds: rd.Dataset, keys: list[str],
     return out.sort_by([(k, "ascending") for k in keys])
 
 
+def grouping_sets_aggregate(ds: rd.Dataset, keys: list[str],
+                            sets: list[list[str]],
+                            spec: dict[str, tuple[str, str]]) -> pa.Table:
+    """``GROUP BY GROUPING SETS(sets)`` — the general form that CUBE and
+    ROLLUP specialize: aggregate at exactly the requested key subsets,
+    absent key columns null.
+
+    Same one-shuffle shape as ``cube_aggregate``: one distributed
+    combiner pass computes the finest level (GROUP BY all ``keys``);
+    every requested set re-aggregates that already-tiny RESULT. The
+    finest level itself appears in the output only if requested."""
+    for s in sets:
+        unknown = set(s) - set(keys)
+        if unknown:
+            raise ValueError(f"grouping set {s} references unknown "
+                             f"keys {sorted(unknown)}")
+
+    finest = collect_table(partial_groupby(ds, keys, spec))
+    refold = {out: (out, "sum" if kind in ("sum", "count") else kind)
+              for out, (_, kind) in spec.items()}
+    aggs = [(col, {"sum": "sum", "min": "min", "max": "max"}[kind])
+            for col, kind in refold.values()]
+    renames = {f"{col}_{kind}": out for out, (col, kind) in refold.items()}
+
+    levels = []
+    for kept in sets:
+        if sorted(kept) == sorted(keys):
+            levels.append(finest)
+            continue
+        g = finest.group_by(kept).aggregate(aggs) if kept \
+            else finest.group_by([]).aggregate(aggs)
+        g = g.rename_columns([renames.get(c, c) for c in g.column_names])
+        for missing in (k for k in keys if k not in kept):
+            g = g.append_column(
+                missing, pa.nulls(g.num_rows,
+                                  finest.schema.field(missing).type))
+        levels.append(g.select(finest.column_names))
+    out = pa.concat_tables(levels)
+    return out.sort_by([(k, "ascending") for k in keys])
+
+
+def q_status_priority_sets(sf_dir: str) -> pa.Table:
+    """GROUPING SETS ((status), (priority)): two independent subtotal
+    dimensions in one input pass — the case CUBE over-computes."""
+    ds = _read(sf_dir, "orders",
+               ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderstatus": t["o_orderstatus"],
+            "o_orderpriority": t["o_orderpriority"],
+            "price_c": pc.cast(pc.round(pc.multiply(
+                t["o_totalprice"], pa.scalar(100.0))), pa.int64()),
+        })
+
+    return grouping_sets_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["o_orderstatus", "o_orderpriority"],
+        [["o_orderstatus"], ["o_orderpriority"]],
+        {"total_cents": ("price_c", "sum"),
+         "n_orders": ("price_c", "count")})
+
+
 def q_cube_orders(sf_dir: str) -> pa.Table:
     """CUBE(o_orderstatus, o_orderpriority) over orders: exact totals in
     cents at all four grouping sets."""

@@ -653,6 +653,47 @@ def value_outliers(sf_dir: str, k_num: int = 3,
     return collect_table(out).sort_by("event_id")
 
 
+def debounced_events(sf_dir: str, gap_minutes: int = 5,
+                     num_buckets: int | None = None) -> pa.Table:
+    """(event_id, user_id, event_type, ts): telemetry debounce — drop an
+    event when the SAME user emitted the SAME type within ``gap_minutes``
+    before it (lag semantics: compared to the previous raw event of that
+    (user, type), not the previous kept one — the vectorizable, SQL-LAG
+    contract).
+
+    Shape: one coarse user-bucket exchange, one vectorized sort + shift
+    per bucket — same lag pattern as ``events_with_prev``."""
+    from raydoc.functions._buckets import reduce_bucket_count
+    mask = (num_buckets or reduce_bucket_count()) - 1
+    gap_us = gap_minutes * 60 * 1_000_000
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id",
+                                  "event_type"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "bucket", pc.cast(pc.bit_wise_and(t["user_id"], mask),
+                              pa.int32()))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "event_type", "ts", "event_id"],
+                          ignore_index=True)
+        uid = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        us = g["ts"].astype("int64").to_numpy()
+        same = np.zeros(len(g), dtype=bool)
+        same[1:] = (uid[1:] == uid[:-1]) & (et[1:] == et[:-1])
+        close = np.zeros(len(g), dtype=bool)
+        close[1:] = (us[1:] - us[:-1]) <= gap_us
+        keep = ~(same & close)
+        return g.loc[keep, ["event_id", "user_id", "event_type", "ts"]]
+
+    out = (ds.map_batches(add_bucket, batch_format="pyarrow")
+           .groupby("bucket").map_groups(per_bucket,
+                                         batch_format="pandas"))
+    return collect_table(out).sort_by("event_id")
+
+
 def covariance_by_type(sf_dir: str) -> pa.Table:
     """(event_type, n, cov_num, varx_num, vary_num): EXACT distributed
     covariance/correlation components between value (integer cents, x)
