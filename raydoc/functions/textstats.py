@@ -818,30 +818,33 @@ def fuzzy_name_pairs(sf_dir: str,
             "bucket": pa.array((h & _np.uint64(mask)).astype(_np.int32))})
 
     def per_bucket(g: pa.Table) -> pa.Table:
-        out1, out2 = [], []
-        df = g.select(["key", "w"]).to_pandas()
-        for _, grp in df.groupby("key", sort=False):
-            ws = sorted(set(grp["w"]))
-            if len(ws) < 2:
-                continue
-            for i in range(len(ws)):
-                for j in range(i + 1, len(ws)):
-                    if _edit1(ws[i], ws[j]):
-                        out1.append(ws[i])
-                        out2.append(ws[j])
-        return pa.table({"w1": pa.array(out1, pa.string()),
-                         "w2": pa.array(out2, pa.string())})
+        # candidate pairs via a vectorized self-merge on the variant key
+        # (runs are tiny — ≤ alphabet size — so the merge blowup is
+        # bounded); Python only touches the surviving unique pairs
+        df = g.select(["key", "w"]).to_pandas().drop_duplicates()
+        m = df.merge(df, on="key")
+        m = m[m["w_x"] < m["w_y"]].drop_duplicates(["w_x", "w_y"])
+        if len(m):
+            keep = _np.fromiter(
+                (_edit1(a, b) for a, b in zip(m["w_x"], m["w_y"])),
+                dtype=bool, count=len(m))
+            m = m[keep]
+        return pa.table({"w1": pa.array(m["w_x"].tolist(), pa.string()),
+                         "w2": pa.array(m["w_y"].tolist(), pa.string())})
 
     cand = (vocab.map_batches(explode_deletions, batch_format="pyarrow")
             .groupby("bucket").map_groups(per_bucket,
                                           batch_format="pyarrow"))
-    dedup = collect_table(partial_groupby(cand, ["w1", "w2"],
-                                          {"__n": ("w1", "count")}))
-    if dedup.num_rows == 0:     # all-empty groups collapse the schema
+    # no cross-bucket dedup needed: a distance-1 pair shares EXACTLY one
+    # distinct key value (equal length → the one differing-position
+    # deletion; length±1 → the shorter word itself), and equal keys
+    # share a bucket — so each pair is emitted by one bucket only
+    # (within-bucket repeats of the same key dedup in per_bucket)
+    out = collect_table(cand)
+    if out.num_rows == 0:       # all-empty groups collapse the schema
         return pa.table({"w1": pa.array([], pa.string()),
                          "w2": pa.array([], pa.string())})
-    return dedup.select(["w1", "w2"]).sort_by(
-        [("w1", "ascending"), ("w2", "ascending")])
+    return out.sort_by([("w1", "ascending"), ("w2", "ascending")])
 
 
 def compression_ratio(sf_dir: str, level: int = 6) -> pa.Table:
