@@ -192,12 +192,16 @@ def bucket_semi_join(left: rd.Dataset, right: rd.Dataset, key: str,
     SQL semantics: they never match, so semi drops them and anti keeps
     them.
 
-    ADAPTIVE regime: the deduped right key stream is materialized
-    (cluster-resident, bounded by the true key cardinality); when it
-    holds ≤ ``broadcast_max`` keys the filter runs map-side against one
-    broadcast key set — the left side never shuffles at all. A larger key
-    set falls back to the bucketed exchange. ``broadcast_max=None``
-    forces the bucketed path.
+    ADAPTIVE regime: the right key stream is GLOBALLY deduped by a
+    combiner groupby and materialized (cluster-resident, bounded by the
+    TRUE key cardinality — a hot-key right side of 10⁹ rows with 10³
+    keys materializes 10³ rows); when it holds ≤ ``broadcast_max`` keys
+    the filter runs map-side against one broadcast key set — the left
+    side never shuffles at all. A larger key set falls back to the
+    bucketed exchange, reusing the already-deduped keys.
+    ``broadcast_max=None`` skips the dedup exchange entirely and runs
+    the pure bucketed path (per-batch-distinct keys dedup inside the
+    buckets).
     """
     left_schema = left.schema()
     all_fields = arrow_field_types(left_schema, list(left_schema.names))
@@ -212,7 +216,11 @@ def bucket_semi_join(left: rd.Dataset, right: rd.Dataset, key: str,
     right_keys = right.map_batches(_dedup_keys, batch_format="pyarrow")
 
     if broadcast_max is not None:
-        right_keys = right_keys.materialize()
+        from raydoc.functions.agg import partial_groupby
+        right_keys = partial_groupby(
+            right_keys, [key], {"__n": (key, "count")}).map_batches(
+            lambda t: t.select([key]), batch_format="pyarrow") \
+            .materialize()
         if right_keys.count() <= broadcast_max:
             from raydoc.functions._collect import collect_table
             key_set = collect_table(right_keys).column(key) \
@@ -466,7 +474,17 @@ def bloom_prefiltered_join(left: rd.Dataset, right: rd.Dataset, key: str,
         raise ValueError("n_bits must be a power of two")
 
     def _key_hashes(batch: pa.Table) -> np.ndarray:
-        vals = batch.column(key).to_pandas().to_numpy()
+        # keep the arrow type intact before hashing: .to_pandas() on an
+        # int column WITH NULLS would promote to float64 and
+        # hash_array(1.0) != hash_array(1) — silently poisoning every
+        # key in the batch. Nulls map to a sentinel instead (a null key
+        # never equi-matches, so at worst a false positive ships a row
+        # that joins to nothing — exactness preserved).
+        arr = batch.column(key).combine_chunks()
+        if arr.null_count:
+            sentinel = 0 if pa.types.is_integer(arr.type) else ""
+            arr = arr.fill_null(sentinel)
+        vals = arr.to_numpy(zero_copy_only=False)
         return pd.util.hash_array(vals, categorize=False)
 
     def partial(t: pa.Table) -> pa.Table:

@@ -440,10 +440,7 @@ def rollup_aggregate(ds: rd.Dataset, keys: list[str],
         kept = keys[:depth]
         aggs = [(col, {"sum": "sum", "min": "min", "max": "max"}[kind])
                 for col, kind in refold.values()]
-        if kept:
-            g = finest.group_by(kept).aggregate(aggs)
-        else:
-            g = finest.group_by([]).aggregate(aggs)
+        g = finest.group_by(kept).aggregate(aggs)   # kept=[] ⇒ grand total
         renames = {f"{col}_{kind}": out
                    for out, (col, kind) in refold.items()}
         g = g.rename_columns([renames.get(c, c) for c in g.column_names])
@@ -497,8 +494,7 @@ def cube_aggregate(ds: rd.Dataset, keys: list[str],
     subsets = [list(c) for r in range(len(keys))
                for c in combinations(keys, r)]
     for kept in subsets:
-        g = finest.group_by(kept).aggregate(aggs) if kept \
-            else finest.group_by([]).aggregate(aggs)
+        g = finest.group_by(kept).aggregate(aggs)   # kept=[] ⇒ grand total
         g = g.rename_columns([renames.get(c, c) for c in g.column_names])
         for missing in (k for k in keys if k not in kept):
             g = g.append_column(
@@ -538,8 +534,7 @@ def grouping_sets_aggregate(ds: rd.Dataset, keys: list[str],
         if sorted(kept) == sorted(keys):
             levels.append(finest)
             continue
-        g = finest.group_by(kept).aggregate(aggs) if kept \
-            else finest.group_by([]).aggregate(aggs)
+        g = finest.group_by(kept).aggregate(aggs)   # kept=[] ⇒ grand total
         g = g.rename_columns([renames.get(c, c) for c in g.column_names])
         for missing in (k for k in keys if k not in kept):
             g = g.append_column(

@@ -84,8 +84,15 @@ def write_clustered_parquet(ds: rd.Dataset, out_dir: str, col: str,
     with open(os.path.join(staging, _ZONEMAP), "w") as f:
         json.dump(manifest, f, indent=1)
 
-    shutil.rmtree(out_dir, ignore_errors=True)
-    os.rename(staging, out_dir)
+    # atomic swap with a backup hop (same discipline as
+    # compact_parquet_dir): the previous table is never destroyed before
+    # the new one is in place
+    backup = out_dir.rstrip("/") + ".clustered-backup"
+    shutil.rmtree(backup, ignore_errors=True)
+    if os.path.exists(out_dir):
+        os.replace(out_dir, backup)
+    os.replace(staging, out_dir)
+    shutil.rmtree(backup, ignore_errors=True)
     return manifest
 
 
@@ -141,6 +148,9 @@ def zonemap_value_scan(sf_dir: str, lo: float = 100.0,
         agg = collect_table(partial_groupby(
             pruned_ds.map_batches(prep, batch_format="pyarrow"),
             ["k"], {"n": ("one", "sum"), "sum_cents": ("cents", "sum")}))
+        if agg.num_rows == 0:     # SQL: COUNT(*)=0 row with NULL sum
+            return pa.table({"n": pa.array([0], pa.int64()),
+                             "sum_cents": pa.array([None], pa.int64())})
         return pa.table({"n": agg["n"], "sum_cents": agg["sum_cents"]})
     finally:
         shutil.rmtree(out, ignore_errors=True)

@@ -69,5 +69,5 @@ def test_zonemap_empty_selection(ray_session, tmp_path):
     write_clustered_parquet(ds, out, "value", num_buckets=4)
     empty, n_pruned = read_clustered_range(out, 1e12, 2e12)
     assert empty.count() == 0
-    assert n_pruned == 4 or n_pruned >= 1
+    assert n_pruned == 4            # a fully-disjoint range prunes ALL files
     assert set(empty.schema().names) == {"event_id", "value"}

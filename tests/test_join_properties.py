@@ -384,3 +384,49 @@ def test_bloom_prefilter_drops_rows_before_exchange(ray_session):
     hit = ((bits[p >> 3] >> (p & 7).astype(np.uint8)) & 1).all(axis=1)
     assert hit[:10].all()                      # no false negatives
     assert hit[10:].sum() < 20                 # FP rate tiny
+
+
+@pytest.mark.parametrize("seed", [81, 82])
+@pytest.mark.parametrize("anti", [False, True])
+def test_semi_join_bucketed_fallback_matches_duckdb(ray_session, seed,
+                                                    anti):
+    """Pin the bucketed exchange path (broadcast_max=None) — the path
+    that runs at scale — against DuckDB, including null left keys."""
+    from raydoc.functions.joins import bucket_semi_join
+
+    left, right = _mk(seed)
+    left.loc[::97, "k"] = None          # null keys: semi drops, anti keeps
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    neg = "NOT " if anti else ""
+    want = con.sql(f"SELECT k, lv FROM l WHERE {neg}EXISTS "
+                   f"(SELECT 1 FROM r WHERE r.k = l.k)").df()
+    got = bucket_semi_join(
+        rd.from_arrow(pa.Table.from_pandas(left)),
+        rd.from_arrow(pa.Table.from_pandas(right)),
+        key="k", num_buckets=8, anti=anti,
+        broadcast_max=None).to_pandas()
+    assert _canon(got) == _canon(want)
+
+
+def test_bloom_prefiltered_join_with_null_keys(ray_session):
+    """A null in a numeric key batch must not poison the batch's hashes
+    (int->float promotion regression): matching rows still join."""
+    from raydoc.functions.joins import bloom_prefiltered_join
+
+    left = pd.DataFrame({"k": pd.array([1, 2, None, 3, 1],
+                                       dtype="Int64"),
+                         "lv": [10, 20, 30, 40, 50]})
+    right = pd.DataFrame({"k": pd.array([1, 3, None], dtype="Int64"),
+                          "rv": [100, 300, 999]})
+    got = bloom_prefiltered_join(
+        rd.from_arrow(pa.Table.from_pandas(left)),
+        rd.from_arrow(pa.Table.from_pandas(right)),
+        key="k", num_buckets=4).to_pandas()
+    want = bucket_hash_join(
+        rd.from_arrow(pa.Table.from_pandas(left)),
+        rd.from_arrow(pa.Table.from_pandas(right)),
+        key="k", num_buckets=4, how="inner").to_pandas()
+    assert _canon(got) == _canon(want)
+    assert sorted(got["lv"]) == [10, 40, 50]   # nulls never match
