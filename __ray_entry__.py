@@ -243,6 +243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardups_clustered": _embedding_neardup_clustered,
         "ann_lsh_topk": similarity.lsh_topk,
         "ann_ivf_topk": similarity.ivf_topk,
+        "ann_pq_topk": similarity.pq_topk,
         "embedding_kmeans": similarity.embedding_kmeans,
         "embedding_pca": similarity.embedding_pca,
         "docx_meta": export.docx_meta,

@@ -61,6 +61,7 @@ def __getattr__(name):
         "bloom_filter_novel": ("raydoc.functions.dedup",
                                "bloom_filter_novel"),
         "pca_components": ("raydoc.functions.similarity", "pca_components"),
+        "pq_topk": ("raydoc.functions.similarity", "pq_topk"),
         "kmeans_centroids": ("raydoc.functions.similarity",
                              "kmeans_centroids"),
         # extension surface

@@ -69,7 +69,7 @@ def test_query_matches_oracle(ray_session, oracle, name):
 
 
 @pytest.mark.parametrize("name", [
-    "ann_lsh_topk", "ann_ivf_topk", "language_id",
+    "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk", "language_id",
     "ngram_logprob", "embedding_kmeans", "embedding_neardups_clustered",
     "shuffle_sample", "extract_turns_aligned", "validate_docs",
 ])
@@ -573,3 +573,22 @@ def test_edit1_predicate():
     assert not _edit1("cat", "dog")
     assert not _edit1("cat", "cattle")
     assert not _edit1("abc", "cba")
+
+
+def test_pq_topk_recall_vs_brute_force(ray_session):
+    """PQ + exact re-rank recall against the exact baseline; re-ranked
+    cosines are true, so every returned hit must be a real neighbor."""
+    from raydoc.functions import similarity
+    exact = similarity.brute_force_topk(SF, k=10)
+    approx = similarity.pq_topk(SF, k=10)
+
+    def sets(t):
+        out = {}
+        for r in t.to_pylist():
+            out.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return out
+
+    e, a = sets(exact), sets(approx)
+    assert set(e) == set(a)
+    recall = sum(len(e[q] & a[q]) for q in e) / sum(len(e[q]) for q in e)
+    assert recall >= 0.6, recall
