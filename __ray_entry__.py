@@ -191,6 +191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_type_pagerank": graph.user_type_pagerank,
         # --- windows / sessions (events) ---
         "hourly_event_stats": windows.hourly_event_stats,
+        "incremental_hourly_stats": windows.incremental_hourly_stats,
         "sliding_event_stats": windows.sliding_event_stats,
         "sessionize": windows.sessionize,
         "events_with_prev": windows.events_with_prev,
@@ -884,6 +885,13 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_bpe_tokens
             FROM documents ORDER BY doc_id""",
         "hourly_event_stats": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   COUNT(*) AS n_events, MIN(value) AS min_value,
+                   MAX(value) AS max_value
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+        # refresh ≡ recompute: the incremental path must equal the plain
+        # full-table aggregate
+        "incremental_hourly_stats": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    COUNT(*) AS n_events, MIN(value) AS min_value,
                    MAX(value) AS max_value

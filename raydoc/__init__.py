@@ -57,6 +57,9 @@ def __getattr__(name):
                                     "grouping_sets_aggregate"),
         "profile_columns": ("raydoc.functions.profile", "profile_columns"),
         "partial_groupby": ("raydoc.functions.agg", "partial_groupby"),
+        "incremental_groupby": ("raydoc.functions.agg",
+                                "incremental_groupby"),
+        "auto_join": ("raydoc.functions.joins", "auto_join"),
         "bloom_build": ("raydoc.functions.dedup", "bloom_build"),
         "bloom_filter_novel": ("raydoc.functions.dedup",
                                "bloom_filter_novel"),

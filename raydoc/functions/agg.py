@@ -49,3 +49,27 @@ def partial_groupby(ds: rd.Dataset, keys: list[str],
         for out, (_, kind) in spec.items()
     ]
     return partials.groupby(keys).aggregate(*final_aggs)
+
+
+_REFOLD = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+
+
+def incremental_groupby(base_agg: rd.Dataset | pa.Table, delta: rd.Dataset,
+                        keys: list[str],
+                        spec: dict[str, tuple[str, str]]) -> rd.Dataset:
+    """Incremental aggregate maintenance: merge an EXISTING aggregate
+    (the output shape of ``partial_groupby(..., keys, spec)``) with a
+    stream of NEW raw rows — the materialized-view refresh. The base
+    table is never rescanned as raw data: its rows refold directly
+    (counts add as sums, min/max re-fold), the delta pays one combiner
+    pass, and one small exchange merges the two.
+
+    Restriction: every ``spec`` kind must be refoldable (sum/count/min/
+    max — avg callers carry sum+count and divide at the end, the same
+    discipline the rest of the repo uses)."""
+    delta_agg = partial_groupby(delta, keys, spec)
+    if isinstance(base_agg, pa.Table):
+        base_agg = rd.from_arrow(base_agg)
+    refold_spec = {out: (out, _REFOLD[kind])
+                   for out, (_, kind) in spec.items()}
+    return partial_groupby(base_agg.union(delta_agg), keys, refold_spec)

@@ -556,3 +556,37 @@ def merge_upsert(base: rd.Dataset, updates: rd.Dataset, key: str,
 
     return tagged.groupby("__bucket").map_groups(keep_latest,
                                                  batch_format="pandas")
+
+
+def auto_join(left: rd.Dataset, right: rd.Dataset, key: str,
+              how: str = "inner", num_buckets: int = 32,
+              broadcast_max_rows: int = 4_000_000,
+              hot_keys: list | None = None,
+              detect_skew: bool = False,
+              hot_min_count: int = 100_000) -> rd.Dataset:
+    """Strategy-picking join facade — the optimizer decision, made
+    explicit and cheap:
+
+    1. right side ≤ ``broadcast_max_rows`` and how is inner/left →
+       ``broadcast_join`` (one ray.put, zero shuffles);
+    2. known-or-detected hot keys and how is inner/left →
+       ``salted_hash_join`` (hot keys fan into dedicated sub-buckets);
+    3. otherwise → ``bucket_hash_join``.
+
+    ``right.count()`` is one metadata/count pass. Skew detection is an
+    EXPLICIT extra combiner pass over the left side (``detect_skew=True``)
+    or a caller-provided ``hot_keys`` list (the 100 TB pattern: detect
+    once on a sample or reuse the previous run's histogram — see
+    ``detect_hot_keys``)."""
+    from raydoc.functions._collect import collect_table
+
+    n_right = right.count()
+    if n_right <= broadcast_max_rows and how in ("inner", "left"):
+        return broadcast_join(left, collect_table(right), key, how=how)
+    if hot_keys is None and detect_skew:
+        hot_keys = detect_hot_keys(left, key, min_count=hot_min_count)
+    if hot_keys and how in ("inner", "left"):
+        return salted_hash_join(left, right, key, hot_keys,
+                                num_buckets=num_buckets, how=how)
+    return bucket_hash_join(left, right, key, num_buckets=num_buckets,
+                            how=how)

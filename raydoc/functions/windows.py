@@ -47,6 +47,52 @@ def hourly_event_stats(sf_dir: str) -> pa.Table:
                       ("event_type", "ascending")])
 
 
+def incremental_hourly_stats(sf_dir: str) -> pa.Table:
+    """``hourly_event_stats`` built INCREMENTALLY — the materialized-view
+    refresh: the "historical" slice (event_id % 5 != 0) is aggregated
+    once, then the "new shipment" slice (event_id % 5 == 0) merges in via
+    ``agg.incremental_groupby`` — base raw rows are never rescanned, only
+    the base AGGREGATE refolds with the delta's combiner output. The SQL
+    twin is the plain full-table aggregate, so the oracle proves refresh
+    ≡ recompute."""
+    from raydoc.functions.agg import incremental_groupby
+
+    spec = {"n_events": ("value", "count"),
+            "min_value": ("value", "min"),
+            "max_value": ("value", "max")}
+
+    def slice_ds(keep_delta: bool) -> rd.Dataset:
+        ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "ts", "event_type",
+                                      "value"])
+
+        def prep(t: pa.Table) -> pa.Table:
+            eid = t["event_id"]
+            mod = pc.subtract(eid, pc.multiply(pc.divide(eid, 5),
+                                               pa.scalar(5, pa.int64())))
+            mask = pc.equal(mod, 0) if keep_delta \
+                else pc.not_equal(mod, 0)
+            t = t.filter(mask)
+            return pa.table({
+                "window_start": pc.floor_temporal(t["ts"], unit="hour"),
+                "event_type": t["event_type"],
+                "value": t["value"],
+            })
+
+        return ds.map_batches(prep, batch_format="pyarrow")
+
+    base_agg = partial_groupby(slice_ds(False),
+                               ["window_start", "event_type"], spec)
+    out = incremental_groupby(base_agg, slice_ds(True),
+                              ["window_start", "event_type"], spec)
+    t = collect_table(out)
+    t = t.set_column(t.schema.get_field_index("window_start"),
+                     "window_start",
+                     t.column("window_start").cast(pa.timestamp("us")))
+    return t.sort_by([("window_start", "ascending"),
+                      ("event_type", "ascending")])
+
+
 def sessionize(sf_dir: str, gap_minutes: int = 30,
                num_buckets: int | None = None) -> pa.Table:
     """(user_id, n_sessions, n_events): a new session starts when the gap

@@ -58,7 +58,7 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
     "cohort_retention", "click_error_matrix", "user_moving_sum",
     "latest_user_event", "covariance_by_type", "pmi_collocations",
     "fuzzy_name_pairs", "zonemap_value_scan", "debounced_events",
-    "status_priority_sets",
+    "status_priority_sets", "incremental_hourly_stats",
 ])
 def test_query_matches_oracle(ray_session, oracle, name):
     import __ray_entry__ as entrymod

@@ -430,3 +430,24 @@ def test_bloom_prefiltered_join_with_null_keys(ray_session):
         key="k", num_buckets=4, how="inner").to_pandas()
     assert _canon(got) == _canon(want)
     assert sorted(got["lv"]) == [10, 40, 50]   # nulls never match
+
+
+@pytest.mark.parametrize("regime", ["broadcast", "salted", "bucket"])
+def test_auto_join_regimes_agree(ray_session, regime):
+    """auto_join must produce the identical inner join whichever strategy
+    its thresholds select."""
+    from raydoc.functions.joins import auto_join
+
+    left, right = _mk(5)
+    kw = {"broadcast": dict(broadcast_max_rows=10**6),
+          "salted": dict(broadcast_max_rows=0, detect_skew=True,
+                         hot_min_count=10),
+          "bucket": dict(broadcast_max_rows=0)}[regime]
+    got = auto_join(rd.from_arrow(pa.Table.from_pandas(left)),
+                    rd.from_arrow(pa.Table.from_pandas(right)),
+                    key="k", **kw).to_pandas()
+    want = bucket_hash_join(
+        rd.from_arrow(pa.Table.from_pandas(left)),
+        rd.from_arrow(pa.Table.from_pandas(right)),
+        key="k", num_buckets=8, how="inner").to_pandas()
+    assert _canon(got) == _canon(want)
