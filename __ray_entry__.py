@@ -247,6 +247,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_pq_topk": similarity.pq_topk,
         "embedding_kmeans": similarity.embedding_kmeans,
         "embedding_pca": similarity.embedding_pca,
+        "embedding_logreg": similarity.embedding_logreg,
         "docx_meta": export.docx_meta,
         "shuffle_sample": textstats.shuffle_sample,
         "ngram_logprob": textstats.ngram_logprob,

@@ -65,6 +65,7 @@ def __getattr__(name):
                                "bloom_filter_novel"),
         "pca_components": ("raydoc.functions.similarity", "pca_components"),
         "pq_topk": ("raydoc.functions.similarity", "pq_topk"),
+        "logreg_fit": ("raydoc.functions.similarity", "logreg_fit"),
         "kmeans_centroids": ("raydoc.functions.similarity",
                              "kmeans_centroids"),
         # extension surface

@@ -568,3 +568,91 @@ def pq_topk(sf_dir: str, query_ids: list[int] | None = None, k: int = 10,
         rows["cosine"].extend(float(s) for s in sims)
     import pandas as pd
     return _final_topk(pd.DataFrame(rows), k)
+
+
+# --- Distributed logistic regression ---------------------------------------
+
+def logreg_fit(sf_dir: str, n_classes: int = 10, iters: int = 25,
+               lr: float = 8.0, l2: float = 1e-4) -> np.ndarray:
+    """One-vs-rest multinomial logistic regression over the embeddings —
+    the supervised member of the distributed-ML family (k-means, PCA):
+    the (n_classes × d+1) weight matrix broadcasts each iteration; every
+    batch emits ONE gradient partial (Xᵀ(σ(XWᵀ)−Y), n); partials merge
+    in worker tree-fold levels (associative sums) so the driver folds a
+    handful of blobs per iteration regardless of batch count —
+    full-batch gradient descent, deterministic given the fixed iteration
+    count (the quality classifier training loop of a data pipeline)."""
+    # epochs re-scan the same table: materialize once (object-store
+    # resident, spills to disk at scale) instead of re-decoding parquet
+    # every iteration — Ray's iterative-ML caching pattern
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["embedding", "label"]).materialize()
+    first = ds.take(1)[0]
+    d = len(first["embedding"]) + 1          # +bias
+    w = np.zeros((n_classes, d), dtype=np.float64)
+    shape = w.shape
+
+    def fold(t: pa.Table) -> pa.Table:
+        g = np.zeros(shape, dtype=np.float64)
+        n = 0
+        for gb, nb in zip(t.column("g").to_pylist(),
+                          t.column("n").to_pylist()):
+            g += np.frombuffer(gb, dtype=np.float64).reshape(shape)
+            n += nb
+        return pa.table({"g": pa.array([g.tobytes()], pa.binary()),
+                         "n": pa.array([n], pa.int64())})
+
+    for _ in range(iters):
+        ref = ray.put(w)
+
+        def partial(t: pa.Table) -> pa.Table:
+            wt = ray.get(ref)
+            x = _normalize(np.array(t["embedding"].to_pylist(),
+                                    dtype=np.float64))
+            x = np.hstack([x, np.ones((len(x), 1))])
+            y = np.array(t["label"].to_pylist(), dtype=np.int64)
+            yh = np.zeros((len(x), n_classes))
+            yh[np.arange(len(x)), y] = 1.0
+            p = 1.0 / (1.0 + np.exp(-(x @ wt.T)))
+            g = (p - yh).T @ x
+            return pa.table({"g": pa.array([g.tobytes()], pa.binary()),
+                             "n": pa.array([len(x)], pa.int64())})
+
+        parts = ds.map_batches(partial, batch_format="pyarrow")
+        for _ in range(2):
+            parts = parts.map_batches(fold, batch_format="pyarrow",
+                                      batch_size=64)
+        g = np.zeros(shape, dtype=np.float64)
+        n = 0
+        pt = parts.to_pandas()
+        for gb, nb in zip(pt["g"], pt["n"]):
+            g += np.frombuffer(gb, dtype=np.float64).reshape(shape)
+            n += int(nb)
+        w -= lr * (g / max(n, 1) + l2 * w)
+    return w
+
+
+def embedding_logreg(sf_dir: str, n_classes: int = 10,
+                     iters: int = 25) -> pa.Table:
+    """(vec_id, label, pred): train the distributed one-vs-rest logistic
+    classifier, then ONE broadcast scoring pass over the corpus (weights
+    via ray.put — no per-id state on the driver). Rows-only (float
+    training) + accuracy/determinism property tests."""
+    w = logreg_fit(sf_dir, n_classes=n_classes, iters=iters)
+    w_ref = ray.put(w)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding", "label"])
+
+    def score(t: pa.Table) -> pa.Table:
+        wt = ray.get(w_ref)
+        x = _normalize(np.array(t["embedding"].to_pylist(),
+                                dtype=np.float64))
+        x = np.hstack([x, np.ones((len(x), 1))])
+        pred = (x @ wt.T).argmax(axis=1).astype(np.int64)
+        return pa.table({"vec_id": t["vec_id"],
+                         "label": t["label"].cast(pa.int64()),
+                         "pred": pa.array(pred)})
+
+    from raydoc.functions._collect import collect_table
+    return collect_table(
+        ds.map_batches(score, batch_format="pyarrow")).sort_by("vec_id")
