@@ -192,6 +192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- windows / sessions (events) ---
         "hourly_event_stats": windows.hourly_event_stats,
         "incremental_hourly_stats": windows.incremental_hourly_stats,
+        "hourly_distinct_users": windows.hourly_distinct_users,
         "sliding_event_stats": windows.sliding_event_stats,
         "sessionize": windows.sessionize,
         "events_with_prev": windows.events_with_prev,
@@ -890,6 +891,10 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events, MIN(value) AS min_value,
                    MAX(value) AS max_value
             FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+        "hourly_distinct_users": """
+            SELECT date_trunc('hour', ts) AS window_start,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY 1 ORDER BY 1""",
         # refresh ≡ recompute: the incremental path must equal the plain
         # full-table aggregate
         "incremental_hourly_stats": """

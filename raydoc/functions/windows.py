@@ -47,6 +47,36 @@ def hourly_event_stats(sf_dir: str) -> pa.Table:
                       ("event_type", "ascending")])
 
 
+def hourly_distinct_users(sf_dir: str) -> pa.Table:
+    """(window_start, n_users): DISTINCT users per tumbling hour — the
+    windowed distinct-count. Two combiner passes: batch-local dedup of
+    (hour, user) pairs (shuffle volume bounded by true per-batch
+    cardinality), then a per-hour count of the co-located distinct
+    pairs. The HLL twin for the approximate regime is
+    ``sketches.distinct_users_by_type_hll``'s shape."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "user_id"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        g = pa.table({
+            "window_start": pc.floor_temporal(t["ts"], unit="hour"),
+            "user_id": t["user_id"],
+        }).group_by(["window_start", "user_id"]).aggregate(
+            [("user_id", "count")])
+        return g.select(["window_start", "user_id"])
+
+    pairs = partial_groupby(ds.map_batches(prep, batch_format="pyarrow"),
+                            ["window_start", "user_id"],
+                            {"__n": ("user_id", "count")})
+    out = partial_groupby(pairs, ["window_start"],
+                          {"n_users": ("user_id", "count")})
+    t = collect_table(out)
+    t = t.set_column(t.schema.get_field_index("window_start"),
+                     "window_start",
+                     t.column("window_start").cast(pa.timestamp("us")))
+    return t.sort_by("window_start")
+
+
 def incremental_hourly_stats(sf_dir: str) -> pa.Table:
     """``hourly_event_stats`` built INCREMENTALLY — the materialized-view
     refresh: the "historical" slice (event_id % 5 != 0) is aggregated

@@ -59,6 +59,7 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
     "latest_user_event", "covariance_by_type", "pmi_collocations",
     "fuzzy_name_pairs", "zonemap_value_scan", "debounced_events",
     "status_priority_sets", "incremental_hourly_stats",
+    "hourly_distinct_users",
 ])
 def test_query_matches_oracle(ray_session, oracle, name):
     import __ray_entry__ as entrymod
