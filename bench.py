@@ -123,6 +123,24 @@ BENCH_QUERIES = [
     "embedding_pca",
     "resample_ffill",
     "inverted_index",
+    # round-3 third-session operators
+    "event_transitions",
+    "value_outliers",
+    "covariance_by_type",
+    "global_percent_rank",
+    "user_moving_sum",
+    "latest_user_event",
+    "debounced_events",
+    "status_priority_sets",
+    "neardup_dedup_corpus",
+    "pmi_collocations",
+    "fuzzy_name_pairs",
+    "compression_ratio",
+    "zonemap_value_scan",
+    "incremental_hourly_stats",
+    "hourly_distinct_users",
+    "ann_pq_topk",
+    "embedding_logreg",
 ]
 
 
