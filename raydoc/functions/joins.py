@@ -580,13 +580,15 @@ def auto_join(left: rd.Dataset, right: rd.Dataset, key: str,
     ``detect_hot_keys``)."""
     from raydoc.functions._collect import collect_table
 
+    right = right.materialize()     # count + reuse from ONE execution
     n_right = right.count()
     if n_right <= broadcast_max_rows and how in ("inner", "left"):
         return broadcast_join(left, collect_table(right), key, how=how)
-    if hot_keys is None and detect_skew:
-        hot_keys = detect_hot_keys(left, key, min_count=hot_min_count)
-    if hot_keys and how in ("inner", "left"):
-        return salted_hash_join(left, right, key, hot_keys,
-                                num_buckets=num_buckets, how=how)
+    if how in ("inner", "left"):    # salting applies to these only —
+        if hot_keys is None and detect_skew:   # never scan left for naught
+            hot_keys = detect_hot_keys(left, key, min_count=hot_min_count)
+        if hot_keys:
+            return salted_hash_join(left, right, key, hot_keys,
+                                    num_buckets=num_buckets, how=how)
     return bucket_hash_join(left, right, key, num_buckets=num_buckets,
                             how=how)

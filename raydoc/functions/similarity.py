@@ -486,12 +486,17 @@ def pq_topk(sf_dir: str, query_ids: list[int] | None = None, k: int = 10,
     - Search (ADC): each query broadcasts an (m × n_codes) inner-product
       lookup table; per batch the candidate score is a pure table-gather
       sum over codes (no float matmul), keeping per-batch top-R.
-    - Re-rank: the ≤ Q·R surviving candidate ids are re-read by parquet
-      predicate pushdown and scored EXACTLY; final ranks use true cosine
-      (so precision errors of the codes affect recall only).
+    - Re-rank: per-BATCH top-R candidates (R = rerank·k+1) collect with
+      their ADC scores and cut to a GLOBAL per-query top-R on the
+      driver; only those ≤ Q·R ids are re-read by parquet predicate
+      pushdown and scored EXACTLY — final ranks use true cosine (code
+      precision affects recall only, never returned similarities).
 
     Approximate by construction ⇒ rows-only driver check + a
     recall-vs-brute-force property test, like the LSH/IVF members."""
+    if n_codes > 256:
+        raise ValueError(f"n_codes={n_codes} exceeds the uint8 code "
+                         f"width (max 256)")
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
 
@@ -536,16 +541,23 @@ def pq_topk(sf_dir: str, query_ids: list[int] | None = None, k: int = 10,
         for j in range(m):
             sims += gl[:, j, codes[:, j]]
         kk = min(R, sims.shape[1])
-        out_q, out_v = [], []
+        out_q, out_v, out_s = [], [], []
         for row, qid in enumerate(gq_ids):
             idx = np.argpartition(-sims[row], kk - 1)[:kk]
-            keep = ids[idx][ids[idx] != qid]
+            keep = idx[ids[idx] != qid]
             out_q.extend([int(qid)] * len(keep))
-            out_v.extend(int(v) for v in keep)
+            out_v.extend(int(v) for v in ids[keep])
+            out_s.extend(float(s) for s in sims[row, keep])
         return pa.table({"query_id": pa.array(out_q, pa.int64()),
-                         "vec_id": pa.array(out_v, pa.int64())})
+                         "vec_id": pa.array(out_v, pa.int64()),
+                         "adc": pa.array(out_s, pa.float64())})
 
     cands = encoded.map_batches(adc, batch_format="pyarrow").to_pandas()
+    # global per-query top-R cut (the driver sees batch-top-R rows; the
+    # RE-RANK pool is bounded at Q·R regardless of block count)
+    cands = (cands.sort_values(["query_id", "adc", "vec_id"],
+                               ascending=[True, False, True])
+             .groupby("query_id", sort=False).head(R))
     # exact re-rank of the bounded candidate pool (predicate-pushdown read)
     import pyarrow.parquet as pq_
     pool_ids = sorted(set(cands["vec_id"]))

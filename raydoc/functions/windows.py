@@ -58,12 +58,13 @@ def hourly_distinct_users(sf_dir: str) -> pa.Table:
                          columns=["ts", "user_id"])
 
     def prep(t: pa.Table) -> pa.Table:
-        g = pa.table({
+        # projection only — partial_groupby's combiner does the
+        # batch-local (hour, user) dedup; grouping here too would be
+        # the same work twice
+        return pa.table({
             "window_start": pc.floor_temporal(t["ts"], unit="hour"),
             "user_id": t["user_id"],
-        }).group_by(["window_start", "user_id"]).aggregate(
-            [("user_id", "count")])
-        return g.select(["window_start", "user_id"])
+        })
 
     pairs = partial_groupby(ds.map_batches(prep, batch_format="pyarrow"),
                             ["window_start", "user_id"],

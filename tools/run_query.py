@@ -25,32 +25,35 @@ def main() -> int:
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
+    import __ray_entry__ as entry   # imports ray but does NOT init it
+
+    qs = entry.queries()
+    unknown = [q for q in args.queries if q not in qs]
+    if unknown:                     # argument errors never pay ray.init
+        print(f"unknown queries: {unknown}; available: {sorted(qs)}",
+              file=sys.stderr)
+        return 2
+
     import ray
     if not ray.is_initialized():
         ray.init(address="local", include_dashboard=False,
                  logging_level="ERROR")
-    import __ray_entry__ as entry
-
-    qs = entry.queries()
-    unknown = [q for q in args.queries if q not in qs]
-    if unknown:
-        print(f"unknown queries: {unknown}; available: {sorted(qs)}",
-              file=sys.stderr)
-        return 2
-    for name in args.queries:
-        t0 = time.perf_counter()
-        result = qs[name](args.sf)
-        try:
-            import pandas as pd
-            df = result.to_pandas() if not isinstance(
-                result, pd.DataFrame) else result
-        except AttributeError:
-            df = result
-        dt = time.perf_counter() - t0
-        print(f"== {name}  ({len(df)} rows, {dt:.2f}s, sf={args.sf})")
-        if args.rows:
-            print(df.head(args.rows).to_string(index=False))
-    ray.shutdown()
+    try:
+        for name in args.queries:
+            t0 = time.perf_counter()
+            result = qs[name](args.sf)
+            try:
+                import pandas as pd
+                df = result.to_pandas() if not isinstance(
+                    result, pd.DataFrame) else result
+            except AttributeError:
+                df = result
+            dt = time.perf_counter() - t0
+            print(f"== {name}  ({len(df)} rows, {dt:.2f}s, sf={args.sf})")
+            if args.rows:
+                print(df.head(args.rows).to_string(index=False))
+    finally:
+        ray.shutdown()
     return 0
 
 
