@@ -204,6 +204,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": windows.event_transitions,
         "value_outliers": windows.value_outliers,
         "user_moving_sum": windows.user_moving_sum,
+        "user_time_window_sum": windows.user_time_window_sum,
+        "user_favorite_type": windows.user_favorite_type,
         "latest_user_event": windows.latest_user_event,
         "debounced_events": windows.debounced_events,
         "status_priority_sets": relational.q_status_priority_sets,
@@ -682,6 +684,23 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
             ORDER BY o_orderstatus, o_orderpriority""",
+        "user_time_window_sum": """
+            SELECT event_id, user_id,
+                   CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) OVER (
+                        PARTITION BY user_id ORDER BY ts
+                        RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                              AND CURRENT ROW)
+                        AS BIGINT) AS window_cents
+            FROM events ORDER BY event_id""",
+        "user_favorite_type": """
+            SELECT user_id, event_type AS favorite_type,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events
+            GROUP BY user_id, event_type
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY COUNT(*) DESC,
+                                                event_type) = 1
+            ORDER BY user_id""",
         "latest_user_event": """
             SELECT user_id, event_id, event_type, ts
             FROM events

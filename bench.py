@@ -141,6 +141,8 @@ BENCH_QUERIES = [
     "hourly_distinct_users",
     "ann_pq_topk",
     "embedding_logreg",
+    "user_time_window_sum",
+    "user_favorite_type",
 ]
 
 

@@ -618,6 +618,100 @@ def user_moving_sum(sf_dir: str, window: int = 4,
     return collect_table(out).sort_by("event_id")
 
 
+def user_time_window_sum(sf_dir: str, window_minutes: int = 60,
+                         num_buckets: int | None = None) -> pa.Table:
+    """(event_id, user_id, window_cents): per-user sum of event values in
+    the trailing TIME window [t−window, t] — the RANGE-frame window
+    aggregate (rate limiting, rolling spend), complementing the
+    ROWS-frame ``user_moving_sum``. SQL RANGE semantics exactly: the
+    frame is CLOSED on both ends and includes ALL peer rows of the
+    current timestamp (pandas' rolling('1h') matches neither), in
+    integer cents.
+
+    Shape: one coarse user-bucket exchange; per bucket one sort, then a
+    per-user-SEGMENT loop whose body is fully vectorized (two
+    searchsorted + cumsum differences per segment) — iterations scale
+    with users per bucket, never rows."""
+    from raydoc.functions._buckets import reduce_bucket_count
+    mask = (num_buckets or reduce_bucket_count()) - 1
+    gap_us = window_minutes * 60 * 1_000_000
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id", "value"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        t = t.append_column(
+            "cents", pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                             pa.int64()))
+        return t.drop_columns(["value"]).append_column(
+            "bucket", pc.cast(pc.bit_wise_and(t["user_id"], mask),
+                              pa.int32()))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          ignore_index=True)
+        m = len(g)
+        uid = g["user_id"].to_numpy()
+        us = g["ts"].astype("int64").to_numpy()
+        cum = g["cents"].to_numpy().cumsum()
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        ends = np.r_[starts[1:], m]
+        out = np.empty(m, dtype=np.int64)
+        for s, e in zip(starts, ends):
+            seg_ts = us[s:e]
+            lo = s + np.searchsorted(seg_ts, seg_ts - gap_us, "left")
+            hi = s + np.searchsorted(seg_ts, seg_ts, "right")
+            # window sum over global rows [lo, hi): hi > s always (the
+            # row itself is in its window); cum[lo-1] at lo == s is the
+            # prefix before the segment — subtracted identically
+            out[s:e] = cum[hi - 1] - np.where(lo > 0,
+                                              cum[np.maximum(lo - 1, 0)],
+                                              0)
+        return pd.DataFrame({"event_id": g["event_id"].to_numpy(),
+                             "user_id": uid,
+                             "window_cents": out})
+
+    out = (ds.map_batches(add_bucket, batch_format="pyarrow")
+           .groupby("bucket").map_groups(per_bucket,
+                                         batch_format="pandas"))
+    return collect_table(out).sort_by("event_id")
+
+
+def user_favorite_type(sf_dir: str,
+                       num_buckets: int | None = None) -> pa.Table:
+    """(user_id, favorite_type, n): each user's most frequent event type
+    (count desc, type asc on ties) — the per-key MODE / argmax-by-count.
+
+    Shape: a combiner groupby reduces to (user, type, count) partials;
+    a coarse user bucket co-locates each user's ≤ |types| rows; the
+    per-bucket keep-max is one vectorized sort + drop_duplicates."""
+    from raydoc.functions._buckets import reduce_bucket_count
+    mask = (num_buckets or reduce_bucket_count()) - 1
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+
+    counts = partial_groupby(ds, ["user_id", "event_type"],
+                             {"n": ("event_type", "count")})
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "bucket", pc.cast(pc.bit_wise_and(t["user_id"], mask),
+                              pa.int32()))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "n", "event_type"],
+                          ascending=[True, False, True],
+                          kind="stable", ignore_index=True)
+        g = g.drop_duplicates("user_id")
+        return pd.DataFrame({"user_id": g["user_id"],
+                             "favorite_type": g["event_type"],
+                             "n": g["n"]})
+
+    out = (counts.map_batches(add_bucket, batch_format="pyarrow")
+           .groupby("bucket").map_groups(per_bucket,
+                                         batch_format="pandas"))
+    return collect_table(out).sort_by("user_id")
+
+
 def latest_user_event(sf_dir: str,
                       num_buckets: int | None = None) -> pa.Table:
     """(user_id, event_id, event_type, ts): each user's LAST event under

@@ -59,7 +59,8 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
     "latest_user_event", "covariance_by_type", "pmi_collocations",
     "fuzzy_name_pairs", "zonemap_value_scan", "debounced_events",
     "status_priority_sets", "incremental_hourly_stats",
-    "hourly_distinct_users",
+    "hourly_distinct_users", "user_time_window_sum",
+    "user_favorite_type",
 ])
 def test_query_matches_oracle(ray_session, oracle, name):
     import __ray_entry__ as entrymod

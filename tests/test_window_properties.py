@@ -102,3 +102,25 @@ def test_covariance_matches_duckdb(ray_session, tmp_path, seed):
     got = covariance_by_type(sf).to_pandas()
     exp = _sql(sf, e.oracle_sql()["covariance_by_type"])
     assert _canon(got) == _canon(exp)
+
+
+@pytest.mark.parametrize("seed", [71, 72])
+def test_time_window_sum_matches_duckdb(ray_session, tmp_path, seed):
+    """RANGE-frame semantics under heavy timestamp ties: the frame is
+    closed on both ends and includes ALL peers of the current row."""
+    from raydoc.functions.windows import user_time_window_sum
+    import __ray_entry__ as e
+    sf = _mk_events(tmp_path, seed)
+    got = user_time_window_sum(sf).to_pandas()
+    exp = _sql(sf, e.oracle_sql()["user_time_window_sum"])
+    assert _canon(got) == _canon(exp)
+
+
+@pytest.mark.parametrize("seed", [81])
+def test_favorite_type_matches_duckdb(ray_session, tmp_path, seed):
+    from raydoc.functions.windows import user_favorite_type
+    import __ray_entry__ as e
+    sf = _mk_events(tmp_path, seed)
+    got = user_favorite_type(sf).to_pandas()
+    exp = _sql(sf, e.oracle_sql()["user_favorite_type"])
+    assert _canon(got) == _canon(exp)
