@@ -212,6 +212,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "covariance_by_type": windows.covariance_by_type,
         "pmi_collocations": textstats.pmi_collocations,
         "fuzzy_name_pairs": textstats.fuzzy_name_pairs,
+        "domain_mix": textstats.domain_mix,
         "zonemap_value_scan": _zonemap_value_scan,
         "asof_last_view": _asof_last_view,
         "clicks_after_error": _clicks_after_error,
@@ -649,6 +650,23 @@ def oracle_sql() -> dict[str, str]:
             FROM lagged WHERE prev_type IS NOT NULL
             GROUP BY prev_type, event_type
             ORDER BY prev_type, event_type""",
+        "domain_mix": """
+            WITH w AS (
+                SELECT source,
+                       CAST(substr(source, 4) AS INT) % 3 + 1 AS wt
+                FROM documents GROUP BY source),
+            tot AS (SELECT SUM(wt) AS sw FROM w),
+            k AS (SELECT source, (200 * wt) // sw AS k FROM w, tot),
+            r AS (
+                SELECT doc_id, source,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY source
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                           AS rn
+                FROM documents)
+            SELECT r.doc_id, r.source
+            FROM r JOIN k USING (source) WHERE rn <= k.k
+            ORDER BY source, doc_id""",
         "fuzzy_name_pairs": """
             SELECT a.c_name AS w1, b.c_name AS w2
             FROM customer a JOIN customer b ON a.c_name < b.c_name

@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "embedding_logreg",
     "user_time_window_sum",
     "user_favorite_type",
+    "domain_mix",
 ]
 
 

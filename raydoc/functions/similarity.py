@@ -263,8 +263,10 @@ def kmeans_centroids(sf_dir: str, k: int = 8, iters: int = 10,
     associative) so the driver folds a handful of blobs, not one per
     batch. Deterministic: seeded init from the first rows, fixed iteration
     count, ties break to the lowest centroid index."""
+    # iterations re-scan the same table: materialize once (object-store
+    # resident, spills at scale) instead of re-decoding parquet per round
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                         columns=["vec_id", "embedding"])
+                         columns=["vec_id", "embedding"]).materialize()
     init_rows = ds.take(max(k * 4, 64))
     rng = np.random.RandomState(seed)
     init = _normalize(np.array([np.asarray(r["embedding"], dtype=np.float64)

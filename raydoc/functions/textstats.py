@@ -847,6 +847,68 @@ def fuzzy_name_pairs(sf_dir: str,
     return out.sort_by([("w1", "ascending"), ("w2", "ascending")])
 
 
+def domain_mix(sf_dir: str, total: int = 200,
+               num_buckets: int | None = None) -> pa.Table:
+    """(doc_id, source): a deterministic TRAINING MIX — sample documents
+    so each source contributes ⌊total·w_s/Σw⌋ docs under a content-derived
+    pseudo-random order (md5 of doc_id) — the domain-weighting step of a
+    corpus build (up-weight curated sources, down-weight crawl), stable
+    across runs, cluster sizes and input order, and exactly replicable
+    in SQL. Demo weights derive from the source name (w = id%3 + 1);
+    real pipelines pass their mixing table the same way.
+
+    Shape: same two-phase rank as ``q_stratified_sample`` — per-bucket
+    local md5-top-k_s per source (the per-source target k_s broadcasts
+    as a tiny dict), tiny global merge; no source ever lands in one
+    task."""
+    import hashlib as _hl
+
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from raydoc.functions._buckets import reduce_bucket_count
+    from raydoc.functions.agg import partial_groupby
+
+    mask = (num_buckets or reduce_bucket_count()) - 1
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source"])
+
+    # source inventory via one combiner pass (tiny: one row per source)
+    src_t = collect_table(partial_groupby(
+        ds.select_columns(["source"]), ["source"],
+        {"n": ("source", "count")}))
+    sources = sorted(src_t.column("source").to_pylist())
+    weights = {s: int(s[3:]) % 3 + 1 for s in sources}
+    sw = sum(weights.values())
+    targets = {s: total * w // sw for s, w in weights.items()}
+
+    def add_keys(t: pa.Table) -> pa.Table:
+        keys = [_hl.md5(str(v).encode()).hexdigest()
+                for v in t.column("doc_id").to_pylist()]
+        t = t.append_column("rk", pa.array(keys, pa.string()))
+        return t.append_column(
+            "bucket", pc.cast(pc.bit_wise_and(t["doc_id"], mask),
+                              pa.int32()))
+
+    def local_top(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["source", "rk", "doc_id"], ignore_index=True)
+        rank = g.groupby("source", sort=False).cumcount()
+        k = g["source"].map(targets)
+        return g[rank < k][["doc_id", "source", "rk"]]
+
+    survivors = collect_table(
+        ds.map_batches(add_keys, batch_format="pyarrow")
+          .groupby("bucket").map_groups(local_top,
+                                        batch_format="pandas"))
+    df = survivors.to_pandas().sort_values(["source", "rk", "doc_id"],
+                                           ignore_index=True)
+    rank = df.groupby("source", sort=False).cumcount()
+    k = df["source"].map(targets)
+    out = pa.Table.from_pandas(df[rank < k][["doc_id", "source"]],
+                               preserve_index=False)
+    return out.sort_by([("source", "ascending"), ("doc_id", "ascending")])
+
+
 def compression_ratio(sf_dir: str, level: int = 6) -> pa.Table:
     """(doc_id, n_bytes, n_compressed, ratio_milli): per-document zlib
     compressibility — the RefinedWeb/Dolma-style entropy quality signal
