@@ -171,6 +171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_props_stats": relational.q_json_props_stats,
         "stratified_sample": relational.q_stratified_sample,
         "status_priority_pivot": relational.q_status_priority_pivot,
+        "status_priority_unpivot": relational.q_status_priority_unpivot,
         "rollup_pricing": relational.q_rollup_pricing,
         "customers_semi_f": relational.q_customers_semi_f,
         "customers_anti_f": relational.q_customers_anti_f,
@@ -213,6 +214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_collocations": textstats.pmi_collocations,
         "fuzzy_name_pairs": textstats.fuzzy_name_pairs,
         "domain_mix": textstats.domain_mix,
+        "corpus_quality_report": textstats.corpus_quality_report,
         "zonemap_value_scan": _zonemap_value_scan,
         "asof_last_view": _asof_last_view,
         "clicks_after_error": _clicks_after_error,
@@ -650,6 +652,49 @@ def oracle_sql() -> dict[str, str]:
             FROM lagged WHERE prev_type IS NOT NULL
             GROUP BY prev_type, event_type
             ORDER BY prev_type, event_type""",
+        "status_priority_unpivot": """
+            WITH grid AS (
+                SELECT p.o_orderpriority, v.o_orderstatus
+                FROM (SELECT DISTINCT o_orderpriority FROM orders) p
+                CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) v)
+            SELECT g.o_orderpriority,
+                   'n_' || g.o_orderstatus AS status_col,
+                   CAST(COUNT(o.o_orderstatus) AS BIGINT) AS n_orders
+            FROM grid g LEFT JOIN orders o
+              ON o.o_orderpriority = g.o_orderpriority
+             AND o.o_orderstatus = g.o_orderstatus
+            GROUP BY 1, 2 ORDER BY 1, 2""",
+        "corpus_quality_report": r"""
+            WITH m AS (
+                SELECT n_chars,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE CAST(len(regexp_split_to_array(trim(text),
+                                 '\s+')) AS BIGINT) END AS n_words,
+                       CAST(length(regexp_replace(text, '\s', '', 'g'))
+                            AS BIGINT) AS n_nonws,
+                       CAST(len(regexp_extract_all(text,
+                            '[#@\^~\\|<>{}\[\]]')) AS BIGINT) AS n_sym,
+                       CAST(len(regexp_extract_all(text, '(?m)^[-*•]'))
+                            AS BIGINT) AS n_bul,
+                       CAST(len(string_split(text, chr(10))) AS BIGINT)
+                           AS n_lines
+                FROM documents)
+            SELECT 'n_distinct_texts' AS metric,
+                   CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS value
+            FROM documents
+            UNION ALL SELECT 'n_docs', COUNT(*) FROM documents
+            UNION ALL SELECT 'n_quality_ok',
+                CAST(SUM(CASE WHEN n_words >= 50
+                              AND 3*n_words <= n_nonws
+                              AND n_nonws <= 10*n_words
+                              AND 10*n_sym < n_words
+                              AND 10*n_bul < 9*n_lines
+                         THEN 1 ELSE 0 END) AS BIGINT) FROM m
+            UNION ALL SELECT 'total_chars',
+                CAST(SUM(n_chars) AS BIGINT) FROM documents
+            UNION ALL SELECT 'total_words',
+                CAST(SUM(n_words) AS BIGINT) FROM m
+            ORDER BY metric""",
         "domain_mix": """
             WITH w AS (
                 SELECT source,

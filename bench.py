@@ -144,6 +144,8 @@ BENCH_QUERIES = [
     "user_time_window_sum",
     "user_favorite_type",
     "domain_mix",
+    "status_priority_unpivot",
+    "corpus_quality_report",
 ]
 
 

@@ -421,6 +421,37 @@ def q_status_priority_pivot(sf_dir: str) -> pa.Table:
     return pivot_agg(ds, ["o_orderpriority"], "o_orderstatus")
 
 
+def unpivot(t: pa.Table, id_cols: list[str], value_cols: list[str],
+            var_name: str = "variable",
+            value_name: str = "value") -> pa.Table:
+    """Melt a wide table back to long form — pivot's inverse (the SQL
+    UNPIVOT): one output row per (input row × value column). Pure Arrow
+    column stacking (no row loop); a driver-table helper because wide
+    pivot OUTPUTS are aggregate-sized by construction. For a wide RAW
+    dataset, apply the same stacking inside ``map_batches``."""
+    n = t.num_rows
+    pieces = []
+    for c in value_cols:
+        cols = {k: t.column(k) for k in id_cols}
+        cols[var_name] = pa.array([c] * n, pa.string())
+        cols[value_name] = t.column(c)
+        pieces.append(pa.table(cols))
+    return pa.concat_tables(pieces)
+
+
+def q_status_priority_unpivot(sf_dir: str) -> pa.Table:
+    """pivot ∘ unpivot ≡ the plain long-form GROUP BY — the melt operator
+    verified through its algebraic identity (the SQL twin is the direct
+    two-key count with the pivot column name prefixed like the wide
+    pivot's columns)."""
+    wide = q_status_priority_pivot(sf_dir)
+    value_cols = [c for c in wide.column_names if c.startswith("n_")]
+    long = unpivot(wide, ["o_orderpriority"], value_cols,
+                   var_name="status_col", value_name="n_orders")
+    return long.sort_by([("o_orderpriority", "ascending"),
+                         ("status_col", "ascending")])
+
+
 def rollup_aggregate(ds: rd.Dataset, keys: list[str],
                      spec: dict[str, tuple[str, str]]) -> pa.Table:
     """``GROUP BY ROLLUP(keys)``: aggregates at every key prefix, rolled-up

@@ -847,6 +847,70 @@ def fuzzy_name_pairs(sf_dir: str,
     return out.sort_by([("w1", "ascending"), ("w2", "ascending")])
 
 
+def corpus_quality_report(sf_dir: str) -> pa.Table:
+    """(metric, value): the one-look corpus health dashboard every ingest
+    job publishes before a training run — composed from the engine's own
+    operators, all-integer so the SQL twin hashes exactly:
+
+    - n_docs / total_chars / total_words — volume;
+    - n_quality_ok — Gopher-gate passes (same integer rules as
+      ``gopher_quality``);
+    - n_distinct_texts — exact content-hash distinct (dup rate =
+      1 − distinct/docs).
+
+    Shape: ONE streaming pass folds the four volume partials (constant
+    key, combiner); the distinct count is the ``exact_dedup`` combiner
+    groupby consumed by a distributed ``count()`` — nothing
+    corpus-sized ever collects."""
+    import pyarrow.compute as pc
+
+    from raydoc.functions.agg import partial_groupby
+    from raydoc.functions.dedup import add_content_hash
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "n_chars"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        words = chars = ok = 0
+        for v, nc in zip(t.column("text").to_pylist(),
+                         t.column("n_chars").to_pylist()):
+            text = v or ""
+            ws = _TOKEN.findall(text)
+            nw = len(ws)
+            nonws = sum(len(w) for w in ws)
+            sym = len(_SYMBOLS.findall(text))
+            nl = len(text.split("\n"))
+            bl = len(_BULLET_LINE.findall(text))
+            words += nw
+            chars += int(nc)
+            ok += int(nw >= 50 and 3 * nw <= nonws <= 10 * nw
+                      and 10 * sym < nw and 10 * bl < 9 * nl)
+        return pa.table({"k": pa.array([0], pa.int8()),
+                         "n_docs": pa.array([t.num_rows], pa.int64()),
+                         "total_words": pa.array([words], pa.int64()),
+                         "total_chars": pa.array([chars], pa.int64()),
+                         "n_quality_ok": pa.array([ok], pa.int64())})
+
+    agg = collect_table(partial_groupby(
+        ds.map_batches(partials, batch_format="pyarrow"), ["k"],
+        {"n_docs": ("n_docs", "sum"),
+         "total_words": ("total_words", "sum"),
+         "total_chars": ("total_chars", "sum"),
+         "n_quality_ok": ("n_quality_ok", "sum")}))
+    row = agg.to_pylist()[0]
+    n_distinct = partial_groupby(
+        add_content_hash(ds.select_columns(["text"])),
+        ["content_hash"], {"__n": ("content_hash", "count")}).count()
+
+    names = ["n_distinct_texts", "n_docs", "n_quality_ok",
+             "total_chars", "total_words"]
+    vals = {"n_distinct_texts": n_distinct, **{k: int(row[k])
+                                               for k in names[1:]}}
+    return pa.table({"metric": pa.array(names, pa.string()),
+                     "value": pa.array([vals[n] for n in names],
+                                       pa.int64())})
+
+
 def domain_mix(sf_dir: str, total: int = 200,
                num_buckets: int | None = None) -> pa.Table:
     """(doc_id, source): a deterministic TRAINING MIX — sample documents

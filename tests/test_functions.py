@@ -60,7 +60,8 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
     "fuzzy_name_pairs", "zonemap_value_scan", "debounced_events",
     "status_priority_sets", "incremental_hourly_stats",
     "hourly_distinct_users", "user_time_window_sum",
-    "user_favorite_type", "domain_mix",
+    "user_favorite_type", "domain_mix", "status_priority_unpivot",
+    "corpus_quality_report",
 ])
 def test_query_matches_oracle(ray_session, oracle, name):
     import __ray_entry__ as entrymod
