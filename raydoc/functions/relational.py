@@ -436,7 +436,9 @@ def unpivot(t: pa.Table, id_cols: list[str], value_cols: list[str],
         cols[var_name] = pa.array([c] * n, pa.string())
         cols[value_name] = t.column(c)
         pieces.append(pa.table(cols))
-    return pa.concat_tables(pieces)
+    # permissive promotion melts mixed numeric value columns (int64 +
+    # float64 wide tables) like pandas.melt instead of raising
+    return pa.concat_tables(pieces, promote_options="permissive")
 
 
 def q_status_priority_unpivot(sf_dir: str) -> pa.Table:

@@ -452,6 +452,22 @@ _SYMBOLS = re.compile(r"[#@\^~\\|<>{}\[\]]")
 _BULLET_LINE = re.compile(r"^[-*•]", re.MULTILINE)
 
 
+def _gopher_metrics(text: str) -> tuple[int, int, int, int, int, bool]:
+    """(n_words, n_nonws_chars, n_symbols, n_bullet_lines, n_lines,
+    quality_ok) — the shared per-doc Gopher rule evaluation (used by
+    ``gopher_quality`` and ``corpus_quality_report``; thresholds live
+    HERE only)."""
+    words = _TOKEN.findall(text)
+    nw = len(words)
+    nonws = sum(len(w) for w in words)
+    sym = len(_SYMBOLS.findall(text))
+    nl = len(text.split("\n"))
+    bl = len(_BULLET_LINE.findall(text))
+    ok = (nw >= 50 and 3 * nw <= nonws <= 10 * nw
+          and 10 * sym < nw and 10 * bl < 9 * nl)
+    return nw, nonws, sym, bl, nl, ok
+
+
 def gopher_quality(sf_dir: str) -> pa.Table:
     """Gopher-style per-doc quality signals (Rae et al. 2021 §A1.1 rules,
     the subset expressible both here and in the SQL oracle). ALL-INTEGER
@@ -467,20 +483,13 @@ def gopher_quality(sf_dir: str) -> pa.Table:
     def fn(t: pa.Table) -> pa.Table:
         nw_o, nc_o, sym_o, bl_o, nl_o, ok_o = [], [], [], [], [], []
         for v in t.column("text").to_pylist():
-            text = v or ""
-            words = _TOKEN.findall(text)
-            nw = len(words)
-            nonws = sum(len(w) for w in words)
-            sym = len(_SYMBOLS.findall(text))
-            nl = len(text.split("\n"))
-            bl = len(_BULLET_LINE.findall(text))
+            nw, nonws, sym, bl, nl, ok = _gopher_metrics(v or "")
             nw_o.append(nw)
             nc_o.append(nonws)
             sym_o.append(sym)
             bl_o.append(bl)
             nl_o.append(nl)
-            ok_o.append(nw >= 50 and 3 * nw <= nonws <= 10 * nw
-                        and 10 * sym < nw and 10 * bl < 9 * nl)
+            ok_o.append(ok)
         return pa.table({
             "doc_id": t.column("doc_id"),
             "n_words": pa.array(nw_o, pa.int64()),
@@ -861,30 +870,24 @@ def corpus_quality_report(sf_dir: str) -> pa.Table:
     Shape: ONE streaming pass folds the four volume partials (constant
     key, combiner); the distinct count is the ``exact_dedup`` combiner
     groupby consumed by a distributed ``count()`` — nothing
-    corpus-sized ever collects."""
-    import pyarrow.compute as pc
-
+    corpus-sized ever collects. Gopher thresholds come from the shared
+    ``_gopher_metrics`` (one source of truth with ``gopher_quality``);
+    the distinct pass drops NULL texts first, matching the twin's
+    ``COUNT(DISTINCT md5(text))`` null semantics."""
     from raydoc.functions.agg import partial_groupby
     from raydoc.functions.dedup import add_content_hash
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text", "n_chars"])
+                         columns=["text", "n_chars"])
 
     def partials(t: pa.Table) -> pa.Table:
         words = chars = ok = 0
         for v, nc in zip(t.column("text").to_pylist(),
                          t.column("n_chars").to_pylist()):
-            text = v or ""
-            ws = _TOKEN.findall(text)
-            nw = len(ws)
-            nonws = sum(len(w) for w in ws)
-            sym = len(_SYMBOLS.findall(text))
-            nl = len(text.split("\n"))
-            bl = len(_BULLET_LINE.findall(text))
+            nw, _nonws, _sym, _bl, _nl, is_ok = _gopher_metrics(v or "")
             words += nw
             chars += int(nc)
-            ok += int(nw >= 50 and 3 * nw <= nonws <= 10 * nw
-                      and 10 * sym < nw and 10 * bl < 9 * nl)
+            ok += int(is_ok)
         return pa.table({"k": pa.array([0], pa.int8()),
                          "n_docs": pa.array([t.num_rows], pa.int64()),
                          "total_words": pa.array([words], pa.int64()),
@@ -898,8 +901,12 @@ def corpus_quality_report(sf_dir: str) -> pa.Table:
          "total_chars": ("total_chars", "sum"),
          "n_quality_ok": ("n_quality_ok", "sum")}))
     row = agg.to_pylist()[0]
+    import pyarrow.compute as pc
+    nonnull = ds.select_columns(["text"]).map_batches(
+        lambda t: t.filter(pc.is_valid(t["text"])),
+        batch_format="pyarrow")
     n_distinct = partial_groupby(
-        add_content_hash(ds.select_columns(["text"])),
+        add_content_hash(nonnull),
         ["content_hash"], {"__n": ("content_hash", "count")}).count()
 
     names = ["n_distinct_texts", "n_docs", "n_quality_ok",

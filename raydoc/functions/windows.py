@@ -689,8 +689,10 @@ def user_favorite_type(sf_dir: str,
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["user_id", "event_type"])
 
+    # count on the never-null key: COUNT(event_type) would zero out a
+    # (user, NULL) group while the SQL twin's COUNT(*) counts its rows
     counts = partial_groupby(ds, ["user_id", "event_type"],
-                             {"n": ("event_type", "count")})
+                             {"n": ("user_id", "count")})
 
     def add_bucket(t: pa.Table) -> pa.Table:
         return t.append_column(
