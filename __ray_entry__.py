@@ -186,6 +186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "resample_ffill": windows.resample_ffill,
         "inverted_index": textstats.inverted_index,
         "dup_ngram_fraction": textstats.dup_ngram_fraction,
+        "strip_dup_ngrams": textstats.strip_dup_ngrams,
         "neardup_triangles": graph.neardup_triangles,
         "profile_events": profile.profile_events,
         "weighted_sample": textstats.weighted_sample,
@@ -938,6 +939,39 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_dup
             FROM g JOIN c USING (gram)
             GROUP BY g.doc_id ORDER BY g.doc_id""",
+        "strip_dup_ngrams": """
+            WITH d AS (SELECT doc_id, COALESCE(text, '') AS text
+                       FROM documents),
+            w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM d),
+            tok AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, ws[i] AS word
+                    FROM w, UNNEST(generate_series(1, len(ws))) AS t(i)),
+            occ AS (SELECT doc_id, CAST(i AS BIGINT) AS s,
+                           array_to_string(ws[i:i+7], ' ') AS gram
+                    FROM w,
+                         UNNEST(generate_series(1, len(ws) - 7)) AS t(i)),
+            dup AS (SELECT doc_id, s FROM (
+                      SELECT doc_id, s,
+                             ROW_NUMBER() OVER (PARTITION BY gram
+                                                ORDER BY doc_id, s) AS rn
+                      FROM occ) WHERE rn >= 2),
+            rem AS (SELECT DISTINCT tok.doc_id, tok.pos
+                    FROM tok JOIN dup ON tok.doc_id = dup.doc_id
+                                     AND tok.pos BETWEEN dup.s
+                                                     AND dup.s + 7),
+            outp AS (SELECT tok.doc_id,
+                            COALESCE(string_agg(tok.word, ' '
+                                                ORDER BY tok.pos)
+                                     FILTER (WHERE rem.pos IS NULL),
+                                     '') AS clean_text,
+                            COUNT(*) AS n_words,
+                            COUNT(rem.pos) AS n_removed
+                     FROM tok LEFT JOIN rem
+                       ON tok.doc_id = rem.doc_id AND tok.pos = rem.pos
+                     GROUP BY tok.doc_id)
+            SELECT doc_id, clean_text,
+                   CAST(n_words AS BIGINT) AS n_words,
+                   CAST(n_removed AS BIGINT) AS n_removed
+            FROM outp ORDER BY doc_id""",
         "json_props_stats": """
             SELECT event_type, COUNT(*) AS n_events,
                    CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT))

@@ -68,6 +68,8 @@ def __getattr__(name):
         "logreg_fit": ("raydoc.functions.similarity", "logreg_fit"),
         "kmeans_centroids": ("raydoc.functions.similarity",
                              "kmeans_centroids"),
+        "strip_dup_ngrams": ("raydoc.functions.textstats",
+                             "strip_dup_ngrams"),
         # extension surface
         "register_text_extractor": ("raydoc.kernels.registry",
                                     "register_text_extractor"),

@@ -1217,3 +1217,132 @@ def inverted_index(sf_dir: str, min_df: int = 2,
     return pa.table({"term": t["term"],
                      "df": t["df"].cast(pa.int64()),
                      "postings": t["postings"]}).sort_by("term")
+
+
+def strip_dup_ngrams(sf_dir: str, n: int = 8,
+                     num_buckets: int | None = None) -> pa.Table:
+    """(doc_id, clean_text, n_words, n_removed): corpus-level exact
+    duplicate-SPAN removal — the substring-dedup step of Lee et al.
+    2022 ("Deduplicating Training Data Makes Language Models Better")
+    at word n-gram granularity. Every occurrence of a word ``n``-gram
+    that appears ≥2 times corpus-wide — EXCEPT the gram's global first
+    occurrence (lexicographic min ``(doc_id, start)``) — has its ``n``
+    covered word positions deleted; surviving words re-join with single
+    spaces. Docs shorter than ``n`` words pass through verbatim; NULL
+    text is treated as ''. Complements ``dup_ngram_fraction`` (which
+    only measures) and ``paragraph_dedup_global`` (coarser granularity).
+
+    Shape — two bounded exchanges, text shipped exactly once:
+    (1) grams explode to (hash128, doc_id, start) and exchange on a
+    coarse bucket of the gram hash (all occurrences of a gram share a
+    bucket); each bucket sorts its (gram, doc_id, start) run and emits
+    the NON-first rows of each gram — the removal starts. The gram
+    shuffle moves two int64 hash words + a start per gram, never text.
+    (2) removal starts (sparse) union with the (doc_id, text) rows via
+    ``tag_union`` and exchange once on the doc-id bucket; each group
+    rebuilds its docs with a vectorized difference-array coverage mask.
+    Gram identity is the same 128-bit vectorized rolling hash as
+    ``dup_ngram_fraction`` (collision envelope ≈ n²/2¹²⁹ — negligible
+    at 10¹² corpus grams)."""
+    import numpy as np
+    import pandas as pd
+
+    from raydoc.functions._buckets import reduce_bucket_count
+    from raydoc.functions.dedup import _token_hashes
+    from raydoc.functions.joins import tag_union
+
+    if n < 2 or n > len(_GRAM_MIX1):
+        raise ValueError(f"n={n} outside [2, {len(_GRAM_MIX1)}]")
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    gmask = np.uint64(reduce_bucket_count() - 1)
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids, starts, h1s, h2s = [], [], [], []
+        for d, txt in zip(t.column("doc_id").to_pylist(),
+                          t.column("text").to_pylist()):
+            ws = (txt or "").split(" ")
+            m = len(ws) - n + 1
+            if m <= 0:
+                continue
+            th = _token_hashes(ws)
+            h1 = np.zeros(m, dtype=np.uint64)
+            h2 = np.zeros(m, dtype=np.uint64)
+            for j in range(n):
+                h1 += th[j:j + m] * _GRAM_MIX1[j]
+                h2 += th[j:j + m] * _GRAM_MIX2[j]
+            ids.append(np.full(m, d, dtype=np.int64))
+            starts.append(np.arange(1, m + 1, dtype=np.int64))
+            h1s.append(h1)
+            h2s.append(h2)
+        if not ids:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64()),
+                             "g1": pa.array([], pa.int64()),
+                             "g2": pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int32())})
+        h1 = np.concatenate(h1s)
+        return pa.table({
+            "doc_id": pa.array(np.concatenate(ids)),
+            "s": pa.array(np.concatenate(starts)),
+            "g1": pa.array(h1.view(np.int64)),
+            "g2": pa.array(np.concatenate(h2s).view(np.int64)),
+            "bucket": pa.array(((h1 >> np.uint64(32)) & gmask)
+                               .astype(np.int32))})
+
+    def dup_starts(g: pa.Table) -> pa.Table:
+        df = g.select(["g1", "g2", "doc_id", "s"]).to_pandas()
+        df.sort_values(["g1", "g2", "doc_id", "s"], inplace=True,
+                       kind="mergesort", ignore_index=True)
+        first = (df["g1"].ne(df["g1"].shift())
+                 | df["g2"].ne(df["g2"].shift()))
+        out = df.loc[~first, ["doc_id", "s"]]
+        return pa.table({"doc_id": pa.array(out["doc_id"].to_numpy()),
+                         "s": pa.array(out["s"].to_numpy())})
+
+    removal = (ds.map_batches(explode, batch_format="pyarrow")
+               .groupby("bucket")
+               .map_groups(dup_starts, batch_format="pyarrow"))
+
+    fields = [("doc_id", pa.int64()), ("text", pa.string()),
+              ("s", pa.int64())]
+    u = tag_union(ds, removal, "doc_id", fields,
+                  num_buckets or reduce_bucket_count())
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        docs = g[g["__side"] == 0]
+        starts = g[g["__side"] == 1]
+        smap = ({d: grp["s"].to_numpy(dtype=np.int64)
+                 for d, grp in starts.groupby("doc_id")}
+                if len(starts) else {})
+        out_id, out_txt, out_nw, out_nr = [], [], [], []
+        for d, txt in zip(docs["doc_id"].to_numpy(), docs["text"]):
+            words = (txt if isinstance(txt, str) else "").split(" ")
+            m = len(words)
+            ss = smap.get(d)
+            if ss is None:
+                clean, nr = " ".join(words), 0
+            else:
+                diff = np.zeros(m + 1, dtype=np.int32)
+                s0 = ss - 1
+                np.add.at(diff, s0, 1)
+                np.add.at(diff, np.minimum(s0 + n, m), -1)
+                cov = np.cumsum(diff[:m]) > 0
+                arr = np.array(words, dtype=object)
+                clean = " ".join(arr[~cov].tolist())
+                nr = int(cov.sum())
+            out_id.append(int(d))
+            out_txt.append(clean)
+            out_nw.append(m)
+            out_nr.append(nr)
+        return pd.DataFrame({"doc_id": out_id, "clean_text": out_txt,
+                             "n_words": out_nw, "n_removed": out_nr})
+
+    t = collect_table(
+        u.groupby("__bucket").map_groups(rebuild, batch_format="pandas"))
+    return pa.table({
+        "doc_id": t["doc_id"].cast(pa.int64()),
+        "clean_text": t["clean_text"].cast(pa.string()),
+        "n_words": t["n_words"].cast(pa.int64()),
+        "n_removed": t["n_removed"].cast(pa.int64()),
+    }).sort_by("doc_id")

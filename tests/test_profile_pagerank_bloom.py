@@ -424,3 +424,49 @@ def test_inverted_index_postings(ray_session):
         ids = [int(x) for x in r["postings"].split(",")]
         assert r["df"] == len(ids) >= 2
         assert ids == sorted(ids) == sorted(set(ids))
+
+
+def test_strip_dup_ngrams_crafted(ray_session, tmp_path):
+    """First occurrence survives; later occurrences lose their covered
+    span; short/unique/NULL docs pass through."""
+    import pyarrow.parquet as pq
+    from raydoc.functions.textstats import strip_dup_ngrams
+
+    g = "a b c d e f g h"                      # the duplicated 8-gram
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": pa.array([
+            g + " x y",                        # first occurrence: kept
+            "z " + g + " w",                   # dup at s=2: 8 words cut
+            "p q r s t u v aa bb cc",          # unique grams: untouched
+            "short doc",                       # < n words: untouched
+            None,                              # NULL -> ''
+        ], pa.string()),
+    })
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    out = {r["doc_id"]: r
+           for r in strip_dup_ngrams(str(tmp_path)).to_pylist()}
+    assert out[1]["clean_text"] == g + " x y"
+    assert out[1]["n_removed"] == 0
+    assert out[2]["clean_text"] == "z w"
+    assert out[2]["n_removed"] == 8 and out[2]["n_words"] == 10
+    assert out[3]["n_removed"] == 0
+    assert out[4]["clean_text"] == "short doc"
+    assert out[5]["clean_text"] == "" and out[5]["n_words"] == 1
+
+
+def test_strip_dup_ngrams_self_overlap(ray_session, tmp_path):
+    """A gram repeated INSIDE one doc: the second occurrence's span is
+    removed, the first kept."""
+    import pyarrow.parquet as pq
+    from raydoc.functions.textstats import strip_dup_ngrams
+
+    words = "a b c d e f g h".split() * 2      # same 8-gram at s=1, s=9
+    docs = pa.table({
+        "doc_id": pa.array([7], pa.int64()),
+        "text": pa.array([" ".join(words)], pa.string()),
+    })
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    row = strip_dup_ngrams(str(tmp_path)).to_pylist()[0]
+    assert row["clean_text"] == "a b c d e f g h"
+    assert row["n_removed"] == 8 and row["n_words"] == 16
