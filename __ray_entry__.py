@@ -230,6 +230,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_components": _neardup_components,
         "embedding_neardups": _embedding_neardup_pairs,
         "ann_topk": similarity.brute_force_topk,
+        "knn_graph": similarity.knn_graph,
         # --- text analysis (documents) ---
         "token_counts": textstats.token_counts,
         "bpe_token_counts": textstats.bpe_token_counts,
@@ -1179,6 +1180,24 @@ def oracle_sql() -> dict[str, str]:
                                            ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank,
                    vec_id
             FROM sims QUALIFY rank <= 10 ORDER BY query_id, rank""",
+        "knn_graph": """
+            WITH q AS (SELECT vec_id,
+                              list_transform(embedding,
+                                  x -> CAST(floor(CAST(x AS DOUBLE) * 1024)
+                                            AS BIGINT)) AS qe
+                       FROM embeddings),
+            p AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+                         CAST(list_inner_product(a.qe, a.qe)
+                              + list_inner_product(b.qe, b.qe)
+                              - 2 * list_inner_product(a.qe, b.qe)
+                              AS BIGINT) AS d2
+                  FROM q a, q b WHERE a.vec_id != b.vec_id)
+            SELECT vec_id, neighbor_id,
+                   CAST(row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY d2, neighbor_id)
+                        AS BIGINT) AS nn_rank,
+                   d2
+            FROM p QUALIFY nn_rank <= 5 ORDER BY vec_id, nn_rank""",
         "paragraph_dedup_global": """
             WITH p AS (
                 SELECT doc_id,

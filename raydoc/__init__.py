@@ -70,6 +70,7 @@ def __getattr__(name):
                              "kmeans_centroids"),
         "strip_dup_ngrams": ("raydoc.functions.textstats",
                              "strip_dup_ngrams"),
+        "knn_graph": ("raydoc.functions.similarity", "knn_graph"),
         # extension surface
         "register_text_extractor": ("raydoc.kernels.registry",
                                     "register_text_extractor"),

@@ -670,3 +670,104 @@ def embedding_logreg(sf_dir: str, n_classes: int = 10,
     from raydoc.functions._collect import collect_table
     return collect_table(
         ds.map_batches(score, batch_format="pyarrow")).sort_by("vec_id")
+
+
+def knn_graph(sf_dir: str, k: int = 5, n_blocks: int = 8,
+              scale: int = 1024) -> pa.Table:
+    """(vec_id, neighbor_id, nn_rank, d2): the EXACT k-nearest-neighbor
+    graph over the whole embedding table — the SemDeDup / graph-dedup
+    building block (every corpus vector gets its k closest others).
+    Distances are squared L2 over integer-quantized components
+    (``floor(float64(x) · scale)`` per dimension), so every distance is
+    an exact int64 and the DuckDB twin hashes identically — no float
+    summation-order hazards. Ties break by (d2, neighbor_id).
+
+    Shape — block-pair tasks like ``embedding_neardups``: the corpus
+    splits into ``n_blocks`` object-store blocks; each (i, j ≥ i) pair is
+    one task holding exactly two blocks, emitting per-row LOCAL top-k
+    candidates in BOTH directions (intermediate volume O(n·k·n_blocks),
+    never O(n²) rows); one coarse-bucket exchange merges each vector's
+    candidates to the global top-k. Local selection uses the same
+    (d2, neighbor_id) lexicographic order as the merge, so tied
+    candidates cannot be dropped locally. Raise ``n_blocks`` with corpus
+    size (memory per task = 2 blocks)."""
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    refs = emb.repartition(n_blocks).to_arrow_refs()
+    refs_ref = ray.put(refs)
+    n = len(refs)
+    tasks = rd.from_items([{"i": i, "j": j}
+                           for i in range(n) for j in range(i, n)])
+
+    from raydoc.functions._buckets import reduce_bucket_count
+    nb = reduce_bucket_count()
+    sent = np.iinfo(np.int64).max
+
+    def _quant(t: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        ids = np.array(t["vec_id"].to_pylist(), dtype=np.int64)
+        mat = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        q = np.floor(mat * float(scale)).astype(np.int64)
+        return ids, q, np.einsum("ij,ij->i", q, q)
+
+    def _local_topk(ids_a, d2m, ids_b):
+        """Per row of ``d2m``: the first min(k, cols) candidate columns in
+        (d2, neighbor_id) order. Returns candidate triples."""
+        kk = min(k, d2m.shape[1])
+        order = np.lexsort((np.broadcast_to(ids_b, d2m.shape), d2m),
+                           axis=1)[:, :kk]
+        rows = np.repeat(ids_a, kk)
+        cols = ids_b[order].ravel()
+        d2 = np.take_along_axis(d2m, order, axis=1).ravel()
+        keep = d2 != sent
+        return rows[keep], cols[keep], d2[keep]
+
+    def pair_fn(t: pa.Table) -> pa.Table:
+        all_refs = ray.get(refs_ref)
+        va, vb, dd = [], [], []
+        for i, j in zip(t["i"].to_pylist(), t["j"].to_pylist()):
+            ids_i, q_i, n_i = _quant(ray.get(all_refs[i]))
+            ids_j, q_j, n_j = (ids_i, q_i, n_i) if j == i else \
+                _quant(ray.get(all_refs[j]))
+            if not len(ids_i) or not len(ids_j):
+                continue
+            d2m = n_i[:, None] + n_j[None, :] - 2 * (q_i @ q_j.T)
+            if j == i:
+                np.fill_diagonal(d2m, sent)
+            r, c, d = _local_topk(ids_i, d2m, ids_j)
+            va.append(r); vb.append(c); dd.append(d)
+            if j != i:
+                r, c, d = _local_topk(ids_j, d2m.T, ids_i)
+                va.append(r); vb.append(c); dd.append(d)
+        if not va:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "d2": pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int32())})
+        rows = np.concatenate(va)
+        return pa.table({
+            "vec_id": pa.array(rows),
+            "neighbor_id": pa.array(np.concatenate(vb)),
+            "d2": pa.array(np.concatenate(dd)),
+            "bucket": pa.array(
+                ((rows.astype(np.uint64)
+                  * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32))
+                .astype(np.int64).astype(np.int32)
+                & np.int32(nb - 1))})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["vec_id", "d2", "neighbor_id"],
+                          kind="mergesort", ignore_index=True)
+        g["nn_rank"] = g.groupby("vec_id").cumcount() + 1
+        g = g[g["nn_rank"] <= k]
+        return g[["vec_id", "neighbor_id", "nn_rank", "d2"]]
+
+    cand = tasks.map_batches(pair_fn, batch_format="pyarrow", batch_size=1)
+    out = cand.groupby("bucket").map_groups(merge, batch_format="pandas")
+    from raydoc.functions._collect import collect_table
+    t = collect_table(out)
+    return pa.table({
+        "vec_id": t["vec_id"].cast(pa.int64()),
+        "neighbor_id": t["neighbor_id"].cast(pa.int64()),
+        "nn_rank": t["nn_rank"].cast(pa.int64()),
+        "d2": t["d2"].cast(pa.int64()),
+    }).sort_by([("vec_id", "ascending"), ("nn_rank", "ascending")])

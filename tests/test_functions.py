@@ -61,7 +61,7 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
     "status_priority_sets", "incremental_hourly_stats",
     "hourly_distinct_users", "user_time_window_sum",
     "user_favorite_type", "domain_mix", "status_priority_unpivot",
-    "corpus_quality_report",
+    "corpus_quality_report", "strip_dup_ngrams", "knn_graph",
 ])
 def test_query_matches_oracle(ray_session, oracle, name):
     import __ray_entry__ as entrymod
@@ -610,3 +610,33 @@ def test_embedding_logreg_beats_majority_baseline(ray_session):
     acc = (a["label"] == a["pred"]).mean()
     majority = a["label"].value_counts().max() / len(a)
     assert acc > 2 * majority, (acc, majority)
+
+
+def test_knn_graph_exact_with_ties(ray_session, tmp_path):
+    """knn_graph matches a local exact computation on a corpus with
+    duplicate vectors (d2=0 ties must break by neighbor_id, and tied
+    candidates must survive the per-block local top-k)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    from raydoc.functions.similarity import knn_graph
+
+    rng = np.random.RandomState(42)
+    base = rng.randn(10, 8).astype(np.float32)
+    # 30 vectors: each base vector repeated 3x -> heavy d2=0 ties
+    mat = np.repeat(base, 3, axis=0)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(30, dtype=np.int64)),
+        "embedding": pa.array([list(map(float, r)) for r in mat],
+                              pa.list_(pa.float32())),
+    })
+    pq.write_table(t, tmp_path / "embeddings.parquet")
+    out = knn_graph(str(tmp_path), k=4, n_blocks=4).to_pandas()
+
+    q = np.floor(mat.astype(np.float64) * 1024).astype(np.int64)
+    norms = (q * q).sum(axis=1)
+    d2m = norms[:, None] + norms[None, :] - 2 * (q @ q.T)
+    for v in range(30):
+        cand = sorted((int(d2m[v, u]), u) for u in range(30) if u != v)
+        got = out[out["vec_id"] == v].sort_values("nn_rank")
+        assert list(got["neighbor_id"]) == [u for _, u in cand[:4]]
+        assert list(got["d2"]) == [d for d, _ in cand[:4]]
