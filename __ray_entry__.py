@@ -161,6 +161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_flags": relational.q_distinct_flags,
         "top_orders": relational.q_top_orders,
         "revenue_by_nation": relational.q_revenue_by_nation,
+        "local_supplier_volume": relational.q_local_supplier_volume,
         "customer_order_stats": relational.q_customer_order_stats,
         "click_error_matrix": relational.q_click_error_matrix,
         "brand_volume": relational.q_brand_volume,
@@ -519,6 +520,22 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             WHERE r_name = 'AMERICA'
+            GROUP BY n_name ORDER BY n_name""",
+        "local_supplier_volume": f"""
+            SELECT n_name,
+                   CAST(SUM({_CENTS}*(100-{_DISC})) AS BIGINT)/10000.0
+                       AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+                         AND s_nationkey = c_nationkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1999-01-01'
             GROUP BY n_name ORDER BY n_name""",
         "customer_order_stats": """
             SELECT c_mktsegment, COUNT(*) AS n_orders,

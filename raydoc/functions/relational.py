@@ -176,6 +176,92 @@ def q_revenue_by_nation(sf_dir: str) -> pa.Table:
     })
 
 
+def q_local_supplier_volume(sf_dir: str) -> pa.Table:
+    """FULL TPC-H Q5: revenue from lineitems whose customer and supplier
+    sit in the SAME nation of one region, within an order-date range.
+    Extends ``q_revenue_by_nation``'s topology with the supplier
+    dimension and the cross-dimension equality (s_nationkey =
+    c_nationkey, a predicate neither dimension can pre-filter alone):
+    region→nation and the region's supplier→nationkey map broadcast
+    map-side; orders date-filter BEFORE their broadcast join to the
+    customer→(nationkey, name) map; lineitem tags s_nationkey map-side
+    (region-mismatched suppliers drop there, shrinking the exchange);
+    ONE bucketed fact-fact join meets the two, the same-nation predicate
+    filters post-join, and integer-cent partials aggregate per nation."""
+    import datetime
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name", "n_regionkey"])
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    asia = region.filter(pc.equal(region["r_name"], "ASIA"))
+    rkeys = set(asia["r_regionkey"].to_pylist())
+    nation = nation.filter(pc.is_in(nation["n_regionkey"],
+                                    value_set=pa.array(sorted(rkeys))))
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    cust_nation = cust.join(
+        nation.select(["n_nationkey", "n_name"]),
+        keys="c_nationkey", right_keys="n_nationkey",
+        join_type="inner").select(["c_custkey", "c_nationkey", "n_name"]) \
+        .rename_columns(["o_custkey", "c_nationkey", "n_name"])
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    supp = supp.filter(pc.is_in(
+        supp["s_nationkey"], value_set=nation["n_nationkey"])) \
+        .rename_columns(["l_suppkey", "s_nationkey"])
+
+    lo = pa.scalar(datetime.datetime(1996, 1, 1), pa.timestamp("us"))
+    hi = pa.scalar(datetime.datetime(1999, 1, 1), pa.timestamp("us"))
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        lambda t: t.filter(pc.and_(
+            pc.greater_equal(t["o_orderdate"], lo),
+            pc.less(t["o_orderdate"], hi))).drop_columns(["o_orderdate"]),
+        batch_format="pyarrow")
+    order_nation = broadcast_join(orders, cust_nation,
+                                  key="o_custkey").map_batches(
+        lambda t: pa.table({"l_orderkey": t["o_orderkey"],
+                            "c_nationkey": t["c_nationkey"],
+                            "n_name": t["n_name"]}),
+        batch_format="pyarrow")
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+
+    def li_tag(t: pa.Table) -> pa.Table:
+        price_c = _cents(t["l_extendedprice"])
+        disc_pct = pc.cast(pc.round(pc.multiply(
+            t["l_discount"], pa.scalar(100.0))), pa.int64())
+        rev = pc.multiply(price_c, pc.subtract(
+            pa.scalar(100, pa.int64()), disc_pct))
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "l_suppkey": t["l_suppkey"],
+                         "rev_c100": rev})
+
+    li_tagged = broadcast_join(
+        li.map_batches(li_tag, batch_format="pyarrow"), supp,
+        key="l_suppkey").map_batches(
+        lambda t: t.drop_columns(["l_suppkey"]), batch_format="pyarrow")
+
+    joined = bucket_hash_join(li_tagged, order_nation, key="l_orderkey",
+                              num_buckets=32)
+    same_nation = joined.map_batches(
+        lambda t: t.filter(pc.equal(t["s_nationkey"], t["c_nationkey"])),
+        batch_format="pyarrow")
+    out = partial_groupby(same_nation, ["n_name"],
+                          {"revenue_c100": ("rev_c100", "sum"),
+                           "n_items": ("rev_c100", "count")})
+    t = collect_table(out).sort_by("n_name")
+    return pa.table({
+        "n_name": t["n_name"],
+        "revenue": pc.divide(pc.cast(t["revenue_c100"], pa.float64()),
+                             10000.0),
+        "n_items": t["n_items"],
+    })
+
+
 def q_customer_order_stats(sf_dir: str) -> pa.Table:
     """Large-large bucketed hash join orders ⋈ customer + grouped stats per
     market segment (count/max are order-insensitive exact)."""
