@@ -146,6 +146,9 @@ BENCH_QUERIES = [
     "domain_mix",
     "status_priority_unpivot",
     "corpus_quality_report",
+    "strip_dup_ngrams",
+    "knn_graph",
+    "local_supplier_volume",
 ]
 
 

@@ -470,3 +470,38 @@ def test_strip_dup_ngrams_self_overlap(ray_session, tmp_path):
     row = strip_dup_ngrams(str(tmp_path)).to_pylist()[0]
     assert row["clean_text"] == "a b c d e f g h"
     assert row["n_removed"] == 8 and row["n_words"] == 16
+
+
+def test_strip_dup_ngrams_randomized_vs_duckdb(ray_session, tmp_path):
+    """Randomized equivalence with the SQL twin on adversarial corpora:
+    tiny vocab (guaranteed gram collisions), empty-string words
+    (multi-space runs), duplicated segments, short docs."""
+    import duckdb
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+    from raydoc.functions.textstats import strip_dup_ngrams
+
+    rng = np.random.RandomState(123)
+    vocab = ["a", "b", "c", "aa", "bb", ""]
+    texts = []
+    for i in range(60):
+        m = int(rng.randint(0, 26))
+        words = [vocab[j] for j in rng.randint(0, len(vocab), m)]
+        texts.append(" ".join(words))
+    texts[10] = texts[5]                      # exact dup doc
+    texts[20] = texts[5] + " c " + texts[7]   # embedded dup segment
+    docs = pa.table({"doc_id": pa.array(np.arange(60, dtype=np.int64)),
+                     "text": pa.array(texts, pa.string())})
+    pq.write_table(docs, tmp_path / "documents.parquet")
+
+    mine = strip_dup_ngrams(str(tmp_path)).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    exp = con.execute(entrymod.oracle_sql()["strip_dup_ngrams"]).fetchdf()
+    mine = mine.sort_values("doc_id", ignore_index=True)
+    exp = exp.sort_values("doc_id", ignore_index=True)
+    for col in ["doc_id", "clean_text", "n_words", "n_removed"]:
+        assert list(mine[col]) == list(exp[col]), col
