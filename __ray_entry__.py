@@ -162,6 +162,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders": relational.q_top_orders,
         "revenue_by_nation": relational.q_revenue_by_nation,
         "local_supplier_volume": relational.q_local_supplier_volume,
+        "orders_above_avg": relational.q_orders_above_avg,
+        "customer_order_dist": relational.q_customer_order_dist,
         "customer_order_stats": relational.q_customer_order_stats,
         "click_error_matrix": relational.q_click_error_matrix,
         "brand_volume": relational.q_brand_volume,
@@ -272,6 +274,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 _CENTS = "CAST(ROUND(l_extendedprice*100) AS BIGINT)"
 _DISC = "CAST(ROUND(l_discount*100) AS BIGINT)"
+_OPRICE = "CAST(ROUND(o_totalprice*100) AS BIGINT)"
 
 
 def _md_html_expr() -> str:
@@ -537,6 +540,23 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1996-01-01'
               AND o_orderdate <  TIMESTAMP '1999-01-01'
             GROUP BY n_name ORDER BY n_name""",
+        "orders_above_avg": f"""
+            WITH a AS (SELECT o_custkey,
+                              SUM({_OPRICE}) AS sum_c,
+                              COUNT(*) AS n_ord
+                       FROM orders GROUP BY o_custkey)
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders JOIN a USING (o_custkey)
+            WHERE {_OPRICE} * n_ord > sum_c
+            ORDER BY o_orderkey""",
+        "customer_order_dist": """
+            WITH c AS (SELECT c_custkey,
+                              COUNT(o_custkey) AS c_count
+                       FROM customer LEFT JOIN orders
+                         ON c_custkey = o_custkey
+                       GROUP BY c_custkey)
+            SELECT c_count, COUNT(*) AS n_cust
+            FROM c GROUP BY c_count ORDER BY c_count""",
         "customer_order_stats": """
             SELECT c_mktsegment, COUNT(*) AS n_orders,
                    MAX(o_totalprice) AS max_price,

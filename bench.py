@@ -149,6 +149,8 @@ BENCH_QUERIES = [
     "strip_dup_ngrams",
     "knn_graph",
     "local_supplier_volume",
+    "orders_above_avg",
+    "customer_order_dist",
 ]
 
 

@@ -278,6 +278,66 @@ def q_customer_order_stats(sf_dir: str) -> pa.Table:
     return collect_table(out).sort_by("c_mktsegment")
 
 
+def q_orders_above_avg(sf_dir: str) -> pa.Table:
+    """Decorrelated-subquery shape (TPC-H Q17 family): orders strictly
+    above their OWN customer's average order price. The correlated
+    ``WHERE o_totalprice > (SELECT AVG(..) ..)`` decorrelates into a
+    combiner group-by (per-customer sum+count partials — one small
+    exchange), a broadcast of the per-customer aggregates back onto the
+    streaming fact, and an integer cross-multiplied filter
+    (``price_c · n > sum_c``) so the avg comparison is exact — no float
+    division on either side."""
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return pa.table({"o_custkey": t["o_custkey"],
+                         "price_c": _cents(t["o_totalprice"])})
+
+    cents = orders.map_batches(to_cents, batch_format="pyarrow")
+    per_cust = collect_table(partial_groupby(
+        cents, ["o_custkey"], {"sum_c": ("price_c", "sum"),
+                               "n_ord": ("price_c", "count")}))
+
+    flagged = broadcast_join(orders, per_cust, key="o_custkey")
+
+    def filt(t: pa.Table) -> pa.Table:
+        price_c = _cents(t["o_totalprice"])
+        keep = pc.greater(pc.multiply(price_c, t["n_ord"]), t["sum_c"])
+        t = t.filter(keep)
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_custkey": t["o_custkey"],
+                         "o_totalprice": t["o_totalprice"]})
+
+    return collect_table(flagged.map_batches(
+        filt, batch_format="pyarrow")).sort_by("o_orderkey")
+
+
+def q_customer_order_dist(sf_dir: str) -> pa.Table:
+    """TPC-H Q13 shape: the distribution of customers by order count,
+    INCLUDING zero-order customers (the left-outer subtlety). Orders
+    collapse to per-customer counts with combiner partials (small), the
+    counts broadcast-join LEFT onto the streaming customer table with
+    null→0 fill, and a second tiny group-by histograms the counts."""
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    counts = collect_table(partial_groupby(
+        orders, ["o_custkey"], {"c_count": ("o_custkey", "count")})) \
+        .rename_columns(["c_custkey", "c_count"])
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    withc = broadcast_join(cust, counts, key="c_custkey", how="left")
+
+    def fill(t: pa.Table) -> pa.Table:
+        return pa.table({"c_count": pc.coalesce(
+            t["c_count"], pa.scalar(0, t["c_count"].type))})
+
+    dist = partial_groupby(withc.map_batches(fill, batch_format="pyarrow"),
+                           ["c_count"], {"n_cust": ("c_count", "count")})
+    t = collect_table(dist).sort_by([("c_count", "ascending")])
+    return pa.table({"c_count": t["c_count"].cast(pa.int64()),
+                     "n_cust": t["n_cust"].cast(pa.int64())})
+
+
 def q_brand_volume(sf_dir: str) -> pa.Table:
     """lineitem ⋈ part (broadcast) → exact quantity totals per brand."""
     part = pq.read_table(f"{sf_dir}/part.parquet",

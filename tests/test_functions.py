@@ -62,7 +62,7 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
     "hourly_distinct_users", "user_time_window_sum",
     "user_favorite_type", "domain_mix", "status_priority_unpivot",
     "corpus_quality_report", "strip_dup_ngrams", "knn_graph",
-    "local_supplier_volume",
+    "local_supplier_volume", "orders_above_avg", "customer_order_dist",
 ])
 def test_query_matches_oracle(ray_session, oracle, name):
     import __ray_entry__ as entrymod
