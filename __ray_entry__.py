@@ -234,6 +234,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardups": _embedding_neardup_pairs,
         "ann_topk": similarity.brute_force_topk,
         "knn_graph": similarity.knn_graph,
+        "semantic_dedup": similarity.semantic_dedup,
+        "label_centroids": similarity.label_centroids,
         # --- text analysis (documents) ---
         "token_counts": textstats.token_counts,
         "bpe_token_counts": textstats.bpe_token_counts,
@@ -1235,6 +1237,33 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS nn_rank,
                    d2
             FROM p QUALIFY nn_rank <= 5 ORDER BY vec_id, nn_rank""",
+        "semantic_dedup": """
+            WITH q AS (SELECT vec_id,
+                              list_transform(embedding,
+                                  x -> CAST(floor(CAST(x AS DOUBLE) * 1024)
+                                            AS BIGINT)) AS qe
+                       FROM embeddings),
+            d AS (SELECT DISTINCT b.vec_id AS v
+                  FROM q a, q b
+                  WHERE a.vec_id < b.vec_id
+                    AND list_inner_product(a.qe, a.qe)
+                        + list_inner_product(b.qe, b.qe)
+                        - 2 * list_inner_product(a.qe, b.qe) <= 1400000)
+            SELECT vec_id FROM embeddings
+            WHERE vec_id NOT IN (SELECT v FROM d)
+            ORDER BY vec_id""",
+        "label_centroids": """
+            WITH q AS (SELECT label,
+                              list_transform(embedding,
+                                  x -> CAST(floor(CAST(x AS DOUBLE) * 1024)
+                                            AS BIGINT)) AS qe
+                       FROM embeddings),
+            e AS (SELECT CAST(label AS BIGINT) AS label,
+                         CAST(i AS BIGINT) AS dim, qe[i] AS val
+                  FROM q, UNNEST(generate_series(1, len(qe))) AS t(i))
+            SELECT label, dim, CAST(SUM(val) AS BIGINT) AS sum_q,
+                   COUNT(*) AS n_vecs
+            FROM e GROUP BY label, dim ORDER BY label, dim""",
         "paragraph_dedup_global": """
             WITH p AS (
                 SELECT doc_id,

@@ -151,6 +151,8 @@ BENCH_QUERIES = [
     "local_supplier_volume",
     "orders_above_avg",
     "customer_order_dist",
+    "semantic_dedup",
+    "label_centroids",
 ]
 
 

@@ -71,6 +71,9 @@ def __getattr__(name):
         "strip_dup_ngrams": ("raydoc.functions.textstats",
                              "strip_dup_ngrams"),
         "knn_graph": ("raydoc.functions.similarity", "knn_graph"),
+        "semantic_dedup": ("raydoc.functions.similarity", "semantic_dedup"),
+        "label_centroids": ("raydoc.functions.similarity",
+                            "label_centroids"),
         # extension surface
         "register_text_extractor": ("raydoc.kernels.registry",
                                     "register_text_extractor"),

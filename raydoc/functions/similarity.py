@@ -771,3 +771,103 @@ def knn_graph(sf_dir: str, k: int = 5, n_blocks: int = 8,
         "nn_rank": t["nn_rank"].cast(pa.int64()),
         "d2": t["d2"].cast(pa.int64()),
     }).sort_by([("vec_id", "ascending"), ("nn_rank", "ascending")])
+
+
+def semantic_dedup(sf_dir: str, tau: int = 1_400_000, n_blocks: int = 8,
+                   scale: int = 1024) -> pa.Table:
+    """(vec_id): the corpus AFTER SemDeDup-style semantic deduplication —
+    a vector is dropped when ANY other vector sits within integer
+    squared-L2 distance ``tau`` of it and has a smaller id (keep-first,
+    exact — not the usual within-cluster approximation). Same integer
+    quantization as ``knn_graph`` so the SQL twin hashes identically.
+
+    Shape: block-pair tasks (2 blocks resident per task) emit the
+    task-deduped DROPPED ids only — O(close pairs), never O(n²) rows;
+    one adaptive anti semi-join (``bucket_semi_join``) marks survivors
+    without the corpus ever leaving the workers."""
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    refs = emb.repartition(n_blocks).to_arrow_refs()
+    refs_ref = ray.put(refs)
+    n = len(refs)
+    tasks = rd.from_items([{"i": i, "j": j}
+                           for i in range(n) for j in range(i, n)])
+
+    def _quant(t: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        ids = np.array(t["vec_id"].to_pylist(), dtype=np.int64)
+        mat = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        q = np.floor(mat * float(scale)).astype(np.int64)
+        return ids, q, np.einsum("ij,ij->i", q, q)
+
+    def pair_fn(t: pa.Table) -> pa.Table:
+        all_refs = ray.get(refs_ref)
+        dropped = []
+        for i, j in zip(t["i"].to_pylist(), t["j"].to_pylist()):
+            ids_i, q_i, n_i = _quant(ray.get(all_refs[i]))
+            ids_j, q_j, n_j = (ids_i, q_i, n_i) if j == i else \
+                _quant(ray.get(all_refs[j]))
+            if not len(ids_i) or not len(ids_j):
+                continue
+            d2m = n_i[:, None] + n_j[None, :] - 2 * (q_i @ q_j.T)
+            xs, ys = np.where(d2m <= tau)
+            ia, ib = ids_i[xs], ids_j[ys]
+            neq = ia != ib
+            if neq.any():
+                dropped.append(np.unique(np.maximum(ia[neq], ib[neq])))
+        out = (np.unique(np.concatenate(dropped)) if dropped
+               else np.array([], dtype=np.int64))
+        return pa.table({"vec_id": pa.array(out, pa.int64())})
+
+    dropped_ds = tasks.map_batches(pair_fn, batch_format="pyarrow",
+                                   batch_size=1)
+    ids = emb.map_batches(lambda t: t.select(["vec_id"]),
+                          batch_format="pyarrow")
+    from raydoc.functions._collect import collect_table
+    from raydoc.functions.joins import bucket_semi_join
+    kept = bucket_semi_join(ids, dropped_ds, "vec_id", anti=True)
+    return collect_table(kept).sort_by("vec_id")
+
+
+def label_centroids(sf_dir: str, scale: int = 1024) -> pa.Table:
+    """(label, dim, sum_q, n_vecs): the exact distributed vector
+    aggregate — per label, the element-wise SUM of integer-quantized
+    embedding components plus the vector count (callers divide for the
+    centroid; integer sums keep the SQL twin hash-exact and are
+    order-insensitive at any batch count). Per-batch numpy partials
+    aggregate labels×dims BEFORE any exchange, so the combiner group-by
+    moves O(labels · d) rows per batch, never O(rows · d)."""
+    import pyarrow.compute as pc
+
+    from raydoc.functions._collect import collect_table
+    from raydoc.functions.agg import partial_groupby
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        labels = np.array(t["label"].to_pylist(), dtype=np.int64)
+        mat = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        q = np.floor(mat * float(scale)).astype(np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        k, d = len(uniq), q.shape[1]
+        sums = np.zeros((k, d), dtype=np.int64)
+        np.add.at(sums, inv, q)
+        counts = np.bincount(inv, minlength=k).astype(np.int64)
+        return pa.table({
+            "label": pa.array(np.repeat(uniq, d)),
+            "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64),
+                                    k)),
+            "sum_q": pa.array(sums.ravel()),
+            "n_vecs": pa.array(np.repeat(counts, d))})
+
+    out = partial_groupby(
+        emb.map_batches(partial, batch_format="pyarrow"),
+        ["label", "dim"], {"sum_q": ("sum_q", "sum"),
+                           "n_vecs": ("n_vecs", "sum")})
+    t = collect_table(out)
+    return pa.table({
+        "label": t["label"].cast(pa.int64()),
+        "dim": t["dim"].cast(pa.int64()),
+        "sum_q": t["sum_q"].cast(pa.int64()),
+        "n_vecs": t["n_vecs"].cast(pa.int64()),
+    }).sort_by([("label", "ascending"), ("dim", "ascending")])
