@@ -190,6 +190,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": textstats.inverted_index,
         "dup_ngram_fraction": textstats.dup_ngram_fraction,
         "strip_dup_ngrams": textstats.strip_dup_ngrams,
+        # chunk=32/overlap=8 so the synthetic ~55-word docs actually split
+        "chunk_documents": lambda sf: textstats.chunk_documents(
+            sf, chunk=32, overlap=8),
         "neardup_triangles": graph.neardup_triangles,
         "profile_events": profile.profile_events,
         "weighted_sample": textstats.weighted_sample,
@@ -1012,6 +1015,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_words AS BIGINT) AS n_words,
                    CAST(n_removed AS BIGINT) AS n_removed
             FROM outp ORDER BY doc_id""",
+        "chunk_documents": """
+            WITH d AS (SELECT doc_id, COALESCE(text, '') AS text
+                       FROM documents),
+            w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM d),
+            k AS (SELECT doc_id, ws, len(ws) AS n,
+                         GREATEST(1, (len(ws) + 15) // 24) AS n_chunks
+                  FROM w)
+            SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+                   array_to_string(
+                       ws[(i-1)*24 + 1 : LEAST((i-1)*24 + 32, n)],
+                       ' ') AS chunk_text,
+                   CAST(LEAST((i-1)*24 + 32, n) - (i-1)*24
+                        AS BIGINT) AS n_chunk_words
+            FROM k, UNNEST(generate_series(1, n_chunks)) AS t(i)
+            ORDER BY doc_id, chunk_idx""",
         "json_props_stats": """
             SELECT event_type, COUNT(*) AS n_events,
                    CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT))

@@ -153,6 +153,7 @@ BENCH_QUERIES = [
     "customer_order_dist",
     "semantic_dedup",
     "label_centroids",
+    "chunk_documents",
 ]
 
 

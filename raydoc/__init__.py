@@ -70,6 +70,8 @@ def __getattr__(name):
                              "kmeans_centroids"),
         "strip_dup_ngrams": ("raydoc.functions.textstats",
                              "strip_dup_ngrams"),
+        "chunk_documents": ("raydoc.functions.textstats",
+                            "chunk_documents"),
         "knn_graph": ("raydoc.functions.similarity", "knn_graph"),
         "semantic_dedup": ("raydoc.functions.similarity", "semantic_dedup"),
         "label_centroids": ("raydoc.functions.similarity",

@@ -1346,3 +1346,45 @@ def strip_dup_ngrams(sf_dir: str, n: int = 8,
         "n_words": t["n_words"].cast(pa.int64()),
         "n_removed": t["n_removed"].cast(pa.int64()),
     }).sort_by("doc_id")
+
+
+def chunk_documents(sf_dir: str, chunk: int = 128,
+                    overlap: int = 16) -> pa.Table:
+    """(doc_id, chunk_idx, chunk_text, n_chunk_words): deterministic
+    fixed-width word chunking with overlap — the RAG/embedding-corpus
+    prep primitive. Chunk i (1-based) covers word positions
+    ``[(i-1)·stride + 1, min((i-1)·stride + chunk, n)]`` with
+    ``stride = chunk − overlap``; a doc emits
+    ``max(1, ceil((n − overlap) / stride))`` chunks, so every word is
+    covered, consecutive chunks share ``overlap`` words, and a short
+    doc emits itself as one chunk. NULL text chunks as ''. Pure
+    per-doc arithmetic — one vectorized ``map_batches`` explode, no
+    exchange at all (chunk rows stream straight to the consumer)."""
+    if not 0 <= overlap < chunk:
+        raise ValueError(f"need 0 <= overlap({overlap}) < chunk({chunk})")
+    stride = chunk - overlap
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids, idxs, texts, nws = [], [], [], []
+        for d, txt in zip(t.column("doc_id").to_pylist(),
+                          t.column("text").to_pylist()):
+            ws = (txt or "").split(" ")
+            n = len(ws)
+            n_chunks = max(1, -(-(n - overlap) // stride))
+            for i in range(1, n_chunks + 1):
+                lo = (i - 1) * stride
+                hi = min(lo + chunk, n)
+                ids.append(d)
+                idxs.append(i)
+                texts.append(" ".join(ws[lo:hi]))
+                nws.append(hi - lo)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "chunk_idx": pa.array(idxs, pa.int64()),
+                         "chunk_text": pa.array(texts, pa.string()),
+                         "n_chunk_words": pa.array(nws, pa.int64())})
+
+    return collect_table(
+        ds.map_batches(explode, batch_format="pyarrow")).sort_by(
+        [("doc_id", "ascending"), ("chunk_idx", "ascending")])

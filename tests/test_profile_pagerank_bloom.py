@@ -505,3 +505,32 @@ def test_strip_dup_ngrams_randomized_vs_duckdb(ray_session, tmp_path):
     exp = exp.sort_values("doc_id", ignore_index=True)
     for col in ["doc_id", "clean_text", "n_words", "n_removed"]:
         assert list(mine[col]) == list(exp[col]), col
+
+
+def test_chunk_documents_boundaries(ray_session, tmp_path):
+    """Chunk arithmetic: full coverage, exact overlap, short docs and
+    exact-boundary docs emit the right chunk set."""
+    import pyarrow.parquet as pq
+    from raydoc.functions.textstats import chunk_documents
+
+    w = [f"w{i}" for i in range(1, 131)]       # 130 words
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            " ".join(w),                       # 130 -> chunks at 1, 113
+            " ".join(w[:128]),                 # exactly one chunk
+            "tiny doc",                        # short -> itself
+            None,                              # NULL -> one '' chunk
+        ], pa.string()),
+    })
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    out = chunk_documents(str(tmp_path), chunk=128,
+                          overlap=16).to_pandas()
+    d1 = out[out["doc_id"] == 1]
+    assert list(d1["chunk_idx"]) == [1, 2]
+    assert d1.iloc[0]["chunk_text"] == " ".join(w[:128])
+    assert d1.iloc[1]["chunk_text"] == " ".join(w[112:130])
+    assert list(d1["n_chunk_words"]) == [128, 18]
+    assert len(out[out["doc_id"] == 2]) == 1
+    assert out[out["doc_id"] == 3].iloc[0]["chunk_text"] == "tiny doc"
+    assert out[out["doc_id"] == 4].iloc[0]["chunk_text"] == ""
