@@ -183,6 +183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_status_intersect": relational.q_order_status_intersect,
         "collapse_repeats": textstats.collapse_repeats,
         "median_by_type": windows.median_by_type,
+        "value_mad_by_type": windows.value_mad_by_type,
         "orders_upsert": relational.q_orders_upsert,
         "cohort_retention": windows.cohort_retention,
         "value_histogram": windows.value_histogram,
@@ -894,6 +895,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    quantile_disc(value, 0.5) AS median_value
             FROM events GROUP BY event_type ORDER BY event_type""",
+        "value_mad_by_type": """
+            WITH m AS (SELECT event_type,
+                              quantile_disc(value, 0.5) AS med
+                       FROM events GROUP BY event_type)
+            SELECT e.event_type,
+                   quantile_disc(ABS(e.value - m.med), 0.5) AS mad_value
+            FROM events e JOIN m USING (event_type)
+            GROUP BY e.event_type ORDER BY e.event_type""",
         "orders_upsert": """
             WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice,
                                  CAST(1 AS BIGINT) AS version FROM orders),

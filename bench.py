@@ -154,6 +154,7 @@ BENCH_QUERIES = [
     "semantic_dedup",
     "label_centroids",
     "chunk_documents",
+    "value_mad_by_type",
 ]
 
 

@@ -419,18 +419,64 @@ def median_by_type(sf_dir: str, q: float = 0.5,
     """(event_type, median_value): EXACT per-group quantile (rank-element
     semantics, 0-based rank floor((n_g−1)·q) in value order — DuckDB
     ``quantile_disc`` convention) WITHOUT putting any group in one task.
-
-    Two-pass distributed selection (the scale-exact complement to the
-    DDSketch per-group quantiles): pass A counts (group, value-range
-    bucket) cells with a combiner — only G×B tiny count rows reach the
-    driver, which locates each group's target bucket and the rank within
-    it; pass B fetches ONLY the target buckets (≈ n/B of the data per
-    group) and selects the exact element. A pathological bucket (all of a
-    group's mass on one value range) degrades to that bucket's size —
-    recurse with finer cuts inside the bucket if that matters."""
+    See ``_exact_group_quantile`` for the two-pass selection shape."""
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["event_type", "value"])
+    med = _exact_group_quantile(ds, q, num_buckets)
+    out_g = sorted(med)
+    return pa.table({"event_type": pa.array(out_g, pa.string()),
+                     "median_value": pa.array([med[g] for g in out_g],
+                                              pa.float64())})
 
+
+def value_mad_by_type(sf_dir: str, q: float = 0.5,
+                      num_buckets: int = 256) -> pa.Table:
+    """(event_type, mad_value): per-group MEDIAN ABSOLUTE DEVIATION —
+    the robust spread statistic — as a two-LEVEL exact distributed
+    selection: level 1 selects each group's exact median (two passes),
+    the tiny per-group median table broadcasts into a derived
+    ``|value − median|`` stream, and level 2 runs the same selection on
+    the deviations. Four bounded passes total, no group ever in one
+    task; deviations are single float subtractions (no summation-order
+    hazard), so the DuckDB twin hashes identically."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    med = _exact_group_quantile(ds, q, num_buckets)
+
+    med_types = sorted(med)
+    med_arr = pa.table({
+        "event_type": pa.array(med_types, pa.string()),
+        "__med": pa.array([med[g] for g in med_types], pa.float64())})
+    import ray as _ray
+    med_ref = _ray.put(med_arr)
+
+    def derive(t: pa.Table) -> pa.Table:
+        m = _ray.get(med_ref)
+        j = t.join(m, keys="event_type", join_type="inner")
+        return pa.table({
+            "event_type": j["event_type"],
+            "value": pc.abs(pc.subtract(j["value"], j["__med"]))})
+
+    dev = ds.map_batches(derive, batch_format="pyarrow")
+    mad = _exact_group_quantile(dev, q, num_buckets)
+    out_g = sorted(mad)
+    return pa.table({"event_type": pa.array(out_g, pa.string()),
+                     "mad_value": pa.array([mad[g] for g in out_g],
+                                           pa.float64())})
+
+
+def _exact_group_quantile(ds: "rd.Dataset", q: float,
+                          num_buckets: int) -> dict[str, float]:
+    """EXACT per-group quantile over a (event_type, value) Dataset →
+    {group: value}. Two-pass distributed selection (the scale-exact
+    complement to the DDSketch per-group quantiles): pass A counts
+    (group, value-range bucket) cells with a combiner — only G×B tiny
+    count rows reach the driver, which locates each group's target
+    bucket and the rank within it; pass B fetches ONLY the target
+    buckets (≈ n/B of the data per group) and selects the exact
+    element. A pathological bucket (all of a group's mass on one value
+    range) degrades to that bucket's size — recurse with finer cuts
+    inside the bucket if that matters."""
     lo, hi = _global_min_max(ds, "value")
     cuts = np.linspace(lo, hi, num_buckets + 1)[1:-1]
 
@@ -473,14 +519,12 @@ def median_by_type(sf_dir: str, q: float = 0.5,
     picked = collect_table(
         bucketed.map_batches(only_targets,
                              batch_format="pyarrow")).to_pandas()
-    out_g, out_v = [], []
-    for g, (b, local_k) in sorted(targets.items()):
+    out: dict[str, float] = {}
+    for g, (b, local_k) in targets.items():
         vals = np.sort(picked[picked["event_type"] == g]["value"]
                        .to_numpy())
-        out_g.append(g)
-        out_v.append(float(vals[local_k]))
-    return pa.table({"event_type": pa.array(out_g, pa.string()),
-                     "median_value": pa.array(out_v, pa.float64())})
+        out[g] = float(vals[local_k])
+    return out
 
 
 def cohort_retention(sf_dir: str) -> pa.Table:
