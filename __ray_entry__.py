@@ -184,6 +184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collapse_repeats": textstats.collapse_repeats,
         "median_by_type": windows.median_by_type,
         "value_mad_by_type": windows.value_mad_by_type,
+        "user_event_sequence": windows.user_event_sequence,
         "orders_upsert": relational.q_orders_upsert,
         "cohort_retention": windows.cohort_retention,
         "value_histogram": windows.value_histogram,
@@ -903,6 +904,12 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(ABS(e.value - m.med), 0.5) AS mad_value
             FROM events e JOIN m USING (event_type)
             GROUP BY e.event_type ORDER BY e.event_type""",
+        "user_event_sequence": """
+            SELECT user_id,
+                   string_agg(event_type, '>' ORDER BY ts, event_id)
+                       AS seq,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY user_id ORDER BY user_id""",
         "orders_upsert": """
             WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice,
                                  CAST(1 AS BIGINT) AS version FROM orders),

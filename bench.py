@@ -155,6 +155,7 @@ BENCH_QUERIES = [
     "label_centroids",
     "chunk_documents",
     "value_mad_by_type",
+    "user_event_sequence",
 ]
 
 

@@ -1104,3 +1104,44 @@ def resample_ffill(sf_dir: str, num_buckets: int | None = None) -> pa.Table:
     t = t.set_column(t.schema.get_field_index("value"), "value",
                      t.column("value").cast(pa.float64()))
     return t.sort_by([("user_id", "ascending"), ("hour", "ascending")])
+
+
+def user_event_sequence(sf_dir: str,
+                        num_buckets: int | None = None) -> pa.Table:
+    """(user_id, seq, n_events): each user's FULL ordered event-type
+    sequence joined with '>' under deterministic (ts, event_id) order —
+    the ordered string aggregation (``string_agg(.. ORDER BY ..)``),
+    the session-mining / sequence-model input primitive.
+
+    Shape: ONE coarse user-bucket exchange (a user's rows co-locate; a
+    bucket holds many complete users), then a per-bucket vectorized
+    sort + groupby-agg assembles every sequence. Per-user payload is
+    that user's own events only — hot users bound the task, not the
+    bucket count."""
+    from raydoc.functions._buckets import reduce_bucket_count
+    mask = (num_buckets or reduce_bucket_count()) - 1
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id",
+                                  "event_type"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "bucket", pc.cast(pc.bit_wise_and(t["user_id"], mask),
+                              pa.int32()))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort", ignore_index=True)
+        agg = g.groupby("user_id", sort=True)["event_type"].agg(
+            seq=lambda s: ">".join(v for v in s if v is not None),
+            n_events="size")
+        return agg.reset_index()[["user_id", "seq", "n_events"]]
+
+    out = (ds.map_batches(add_bucket, batch_format="pyarrow")
+           .groupby("bucket").map_groups(per_bucket,
+                                         batch_format="pandas"))
+    t = collect_table(out)
+    return pa.table({"user_id": t["user_id"].cast(pa.int64()),
+                     "seq": t["seq"].cast(pa.string()),
+                     "n_events": t["n_events"].cast(pa.int64()),
+                     }).sort_by("user_id")
