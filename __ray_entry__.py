@@ -240,6 +240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": similarity.brute_force_topk,
         "knn_graph": similarity.knn_graph,
         "semantic_dedup": similarity.semantic_dedup,
+        "semantic_clusters": similarity.semantic_clusters,
         "label_centroids": similarity.label_centroids,
         # --- text analysis (documents) ---
         "token_counts": textstats.token_counts,
@@ -1285,6 +1286,33 @@ def oracle_sql() -> dict[str, str]:
                         - 2 * list_inner_product(a.qe, b.qe) <= 1400000)
             SELECT vec_id FROM embeddings
             WHERE vec_id NOT IN (SELECT v FROM d)
+            ORDER BY vec_id""",
+        "semantic_clusters": """
+            WITH RECURSIVE
+            q AS (SELECT vec_id,
+                         list_transform(embedding,
+                             x -> CAST(floor(CAST(x AS DOUBLE) * 1024)
+                                       AS BIGINT)) AS qe
+                  FROM embeddings),
+            pairs AS (SELECT a.vec_id AS a, b.vec_id AS b
+                      FROM q a, q b
+                      WHERE a.vec_id < b.vec_id
+                        AND list_inner_product(a.qe, a.qe)
+                            + list_inner_product(b.qe, b.qe)
+                            - 2 * list_inner_product(a.qe, b.qe)
+                            <= 1400000),
+            sym2 AS (SELECT a, b FROM pairs
+                     UNION ALL SELECT b, a FROM pairs),
+            reach(id, n) AS (
+                SELECT a, b FROM sym2
+                UNION
+                SELECT r.id, s2.b FROM reach r JOIN sym2 s2
+                  ON s2.a = r.n),
+            lab AS (SELECT id, MIN(n) AS mn FROM reach GROUP BY id)
+            SELECT e.vec_id,
+                   CAST(LEAST(e.vec_id, COALESCE(l.mn, e.vec_id))
+                        AS BIGINT) AS cluster
+            FROM embeddings e LEFT JOIN lab l ON l.id = e.vec_id
             ORDER BY vec_id""",
         "label_centroids": """
             WITH q AS (SELECT label,

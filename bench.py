@@ -156,6 +156,7 @@ BENCH_QUERIES = [
     "chunk_documents",
     "value_mad_by_type",
     "user_event_sequence",
+    "semantic_clusters",
 ]
 
 

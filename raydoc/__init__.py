@@ -74,6 +74,8 @@ def __getattr__(name):
                             "chunk_documents"),
         "knn_graph": ("raydoc.functions.similarity", "knn_graph"),
         "semantic_dedup": ("raydoc.functions.similarity", "semantic_dedup"),
+        "semantic_clusters": ("raydoc.functions.similarity",
+                              "semantic_clusters"),
         "label_centroids": ("raydoc.functions.similarity",
                             "label_centroids"),
         # extension surface

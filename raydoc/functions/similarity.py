@@ -672,6 +672,16 @@ def embedding_logreg(sf_dir: str, n_classes: int = 10,
         ds.map_batches(score, batch_format="pyarrow")).sort_by("vec_id")
 
 
+def _quant_block(t: "pa.Table", scale: int):
+    """(ids, q, row_norms) for one embedding block, integer-quantized
+    floor(f64(x)·scale) — shared by knn_graph / semantic_dedup /
+    semantic_clusters so all three see identical int64 distances."""
+    ids = np.array(t["vec_id"].to_pylist(), dtype=np.int64)
+    mat = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    q = np.floor(mat * float(scale)).astype(np.int64)
+    return ids, q, np.einsum("ij,ij->i", q, q)
+
+
 def knn_graph(sf_dir: str, k: int = 5, n_blocks: int = 8,
               scale: int = 1024) -> pa.Table:
     """(vec_id, neighbor_id, nn_rank, d2): the EXACT k-nearest-neighbor
@@ -703,11 +713,8 @@ def knn_graph(sf_dir: str, k: int = 5, n_blocks: int = 8,
     nb = reduce_bucket_count()
     sent = np.iinfo(np.int64).max
 
-    def _quant(t: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        ids = np.array(t["vec_id"].to_pylist(), dtype=np.int64)
-        mat = np.array(t["embedding"].to_pylist(), dtype=np.float64)
-        q = np.floor(mat * float(scale)).astype(np.int64)
-        return ids, q, np.einsum("ij,ij->i", q, q)
+    def _quant(t: pa.Table):
+        return _quant_block(t, scale)
 
     def _local_topk(ids_a, d2m, ids_b):
         """Per row of ``d2m``: the first min(k, cols) candidate columns in
@@ -793,11 +800,8 @@ def semantic_dedup(sf_dir: str, tau: int = 1_400_000, n_blocks: int = 8,
     tasks = rd.from_items([{"i": i, "j": j}
                            for i in range(n) for j in range(i, n)])
 
-    def _quant(t: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        ids = np.array(t["vec_id"].to_pylist(), dtype=np.int64)
-        mat = np.array(t["embedding"].to_pylist(), dtype=np.float64)
-        q = np.floor(mat * float(scale)).astype(np.int64)
-        return ids, q, np.einsum("ij,ij->i", q, q)
+    def _quant(t: pa.Table):
+        return _quant_block(t, scale)
 
     def pair_fn(t: pa.Table) -> pa.Table:
         all_refs = ray.get(refs_ref)
@@ -871,3 +875,85 @@ def label_centroids(sf_dir: str, scale: int = 1024) -> pa.Table:
         "sum_q": t["sum_q"].cast(pa.int64()),
         "n_vecs": t["n_vecs"].cast(pa.int64()),
     }).sort_by([("label", "ascending"), ("dim", "ascending")])
+
+
+def semantic_clusters(sf_dir: str, tau: int = 1_400_000,
+                      n_blocks: int = 8, scale: int = 1024,
+                      max_driver_pairs: int = 50_000) -> pa.Table:
+    """(vec_id, cluster): connected components over the EXACT τ-close
+    pair graph (same integer-quantized squared-L2 as ``knn_graph``) —
+    semantic duplicate CLUSTERS rather than ``semantic_dedup``'s
+    keep-first survivors; cluster label = component-minimum vec_id,
+    τ-isolated vectors are their own singleton.
+
+    Shape: block-pair tasks emit the τ-close (a < b) pairs (O(close
+    pairs)); the same adaptive regime as ``graph.neardup_components``
+    labels them (driver union-find below ``max_driver_pairs`` — a
+    distributed barrier per round is absurd for a few thousand edges —
+    else the distributed min-label ``connected_components``), and only
+    the non-trivial component map broadcasts into the tag pass."""
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    refs = emb.repartition(n_blocks).to_arrow_refs()
+    refs_ref = ray.put(refs)
+    n = len(refs)
+    tasks = rd.from_items([{"i": i, "j": j}
+                           for i in range(n) for j in range(i, n)])
+
+    def pair_fn(t: pa.Table) -> pa.Table:
+        all_refs = ray.get(refs_ref)
+        aa, bb = [], []
+        for i, j in zip(t["i"].to_pylist(), t["j"].to_pylist()):
+            ids_i, q_i, n_i = _quant_block(ray.get(all_refs[i]), scale)
+            ids_j, q_j, n_j = (ids_i, q_i, n_i) if j == i else \
+                _quant_block(ray.get(all_refs[j]), scale)
+            if not len(ids_i) or not len(ids_j):
+                continue
+            d2m = n_i[:, None] + n_j[None, :] - 2 * (q_i @ q_j.T)
+            xs, ys = np.where(d2m <= tau)
+            ia, ib = ids_i[xs], ids_j[ys]
+            keep = ia != ib
+            ia, ib = ia[keep], ib[keep]
+            lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+            if not len(lo):
+                continue
+            # in-block pairs appear (x,y) AND (y,x); dedup per task —
+            # 2-column unique, safe at any vec_id magnitude
+            u = np.unique(np.stack([lo, hi], axis=1), axis=0)
+            aa.append(u[:, 0])
+            bb.append(u[:, 1])
+        if not aa:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        return pa.table({"a": pa.array(np.concatenate(aa)),
+                         "b": pa.array(np.concatenate(bb))})
+
+    from raydoc.functions._collect import collect_table
+    pairs = collect_table(
+        tasks.map_batches(pair_fn, batch_format="pyarrow", batch_size=1))
+
+    from raydoc.functions.graph import (_union_find_min_labels,
+                                        connected_components)
+    if pairs.num_rows == 0:
+        lab: dict[int, int] = {}
+    elif pairs.num_rows <= max_driver_pairs:
+        lab = _union_find_min_labels(
+            list(zip(pairs.column("a").to_pylist(),
+                     pairs.column("b").to_pylist())))
+    else:
+        nb = 16 if pairs.num_rows < 1_000_000 else 256
+        labels = collect_table(
+            connected_components(rd.from_arrow(pairs), num_buckets=nb))
+        lab = dict(zip(labels.column("node").to_pylist(),
+                       labels.column("label").to_pylist()))
+    lab_ref = ray.put(lab)
+
+    def tag(t: pa.Table) -> pa.Table:
+        m = ray.get(lab_ref)
+        ids = t.column("vec_id").to_pylist()
+        return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                         "cluster": pa.array([m.get(i, i) for i in ids],
+                                             pa.int64())})
+
+    return collect_table(
+        emb.map_batches(tag, batch_format="pyarrow")).sort_by("vec_id")
