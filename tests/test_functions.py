@@ -644,3 +644,20 @@ def test_knn_graph_exact_with_ties(ray_session, tmp_path):
         got = out[out["vec_id"] == v].sort_values("nn_rank")
         assert list(got["neighbor_id"]) == [u for _, u in cand[:4]]
         assert list(got["d2"]) == [d for d, _ in cand[:4]]
+
+
+def test_semantic_dedup_vs_clusters_consistency(ray_session):
+    """Cross-operator invariants on the same tau-graph: every cluster's
+    minimum survives dedup, and every dropped vector shares a cluster
+    with a smaller one."""
+    from raydoc.functions.similarity import semantic_clusters, semantic_dedup
+
+    kept = {r["vec_id"] for r in semantic_dedup(SF).to_pylist()}
+    clus = semantic_clusters(SF).to_pandas()
+    minima = set(clus.groupby("cluster")["vec_id"].min())
+    assert minima <= kept
+    dropped = set(clus["vec_id"]) - kept
+    cmap = dict(zip(clus["vec_id"], clus["cluster"]))
+    by_cluster = clus.groupby("cluster")["vec_id"].min().to_dict()
+    for v in dropped:
+        assert by_cluster[cmap[v]] < v
