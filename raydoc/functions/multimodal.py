@@ -3,10 +3,12 @@ processed by an actor-pool decode stage.
 
 Codec support is tiered by what this container can honestly do:
 
-- **REAL, dependency-free codecs**: uncompressed 24-bit BMP (struct +
-  numpy: decode + nearest-neighbor resize re-emitting valid BMP bytes)
-  and PCM WAV (stdlib ``wave``: decode + channel downmix). These paths
-  are fully functional, not stubs.
+- **REAL, dependency-free codecs — one per modality**: uncompressed
+  24-bit BMP (struct + numpy: decode + nearest-neighbor resize
+  re-emitting valid BMP bytes), PCM WAV (stdlib ``wave``: decode +
+  channel downmix) and Y4M/YUV4MPEG2 video (text stream header +
+  ``FRAME``-delimited raw planar YUV demux, frame size derived from
+  W/H/colorspace). These paths are fully functional, not stubs.
 - **Deterministic test formats** (``RAWDIM:``/``RAWVID:``/``RAWPCM:``)
   keep the plumbing exercisable with arbitrary dims in tests.
 - **Everything else** (JPEG/PNG/MP4/MP3…) raises ``NotImplementedError``
@@ -217,11 +219,59 @@ class MediaResizeActor:
         })
 
 
+def _parse_y4m(payload: bytes) -> list[bytes]:
+    """REAL dependency-free demuxer for YUV4MPEG2 (.y4m) — plain-text
+    stream header (``YUV4MPEG2 W<w> H<h> ... C<cs>``) followed by
+    ``FRAME``-delimited raw planar YUV frames whose size is fully
+    determined by W/H and the colorspace tag. Malformed streams raise
+    ``ValueError`` (callers fail soft per row)."""
+    nl = payload.index(b"\n")
+    header = payload[:nl].decode("ascii")
+    w = h = 0
+    cs = "420"
+    for tok in header.split(" ")[1:]:
+        if tok[:1] == "W":
+            w = int(tok[1:])
+        elif tok[:1] == "H":
+            h = int(tok[1:])
+        elif tok[:1] == "C":
+            cs = tok[1:]
+    if w <= 0 or h <= 0:
+        raise ValueError("Y4M header missing W/H")
+    if cs.startswith("420"):
+        fsize = w * h * 3 // 2
+    elif cs.startswith("422"):
+        fsize = w * h * 2
+    elif cs.startswith("444"):
+        fsize = w * h * 3
+    elif cs.startswith("mono"):
+        fsize = w * h
+    else:
+        raise ValueError(f"unsupported Y4M colorspace {cs!r}")
+    frames, pos = [], nl + 1
+    while pos < len(payload):
+        fe = payload.index(b"\n", pos)
+        if not payload[pos:fe].startswith(b"FRAME"):
+            raise ValueError("missing FRAME marker")
+        start = fe + 1
+        frame = payload[start:start + fsize]
+        if len(frame) != fsize:
+            raise ValueError("truncated Y4M frame")
+        frames.append(frame)
+        pos = start + fsize
+    return frames
+
+
 def sample_frames(payload: bytes, every_n: int) -> list[bytes]:
-    """STUB frame sampler for the deterministic fake video format
-    ``RAWVID:<n_frames>;<frame0>|<frame1>|...`` — real containers raise."""
+    """Frame sampler: REAL Y4M/YUV4MPEG2 demux (``_parse_y4m``) plus the
+    deterministic fake format ``RAWVID:<n>;<f0>|<f1>|...`` for plumbing
+    tests — compressed containers (MP4/MKV…) raise like a missing
+    codec."""
+    if payload.startswith(b"YUV4MPEG2"):
+        return _parse_y4m(payload)[::every_n]
     if not payload.startswith(b"RAWVID:"):
-        raise NotImplementedError("video demuxers not available in this build")
+        raise NotImplementedError("compressed video demuxers not "
+                                  "available in this build")
     body = payload[payload.index(b";") + 1:]
     frames = body.split(b"|")
     return frames[::every_n]

@@ -110,3 +110,30 @@ def test_malformed_payloads_fail_soft(ray_session):
     arows = sorted(audio_feature_pipeline(rd.from_arrow(t)).take_all(),
                    key=lambda r: r["media_id"])
     assert [r["decoded"] for r in arows] == [False, False]
+
+
+def test_y4m_demux_and_sampling(ray_session):
+    """Real YUV4MPEG2 parsing: header-derived frame size, FRAME markers,
+    every_n sampling, truncation and bad-marker failure."""
+    import pytest
+
+    from raydoc.functions.multimodal import _parse_y4m, sample_frames
+
+    w, h = 4, 2
+    fsize = w * h * 3 // 2                       # C420: 12 bytes
+    frames = [bytes([i]) * fsize for i in range(5)]
+    payload = b"YUV4MPEG2 W4 H2 F25:1 Ip A1:1 C420jpeg\n" + b"".join(
+        b"FRAME\n" + f for f in frames)
+    got = _parse_y4m(payload)
+    assert got == frames
+    assert sample_frames(payload, 2) == frames[::2]
+
+    mono = b"YUV4MPEG2 W4 H2 Cmono\n" + b"FRAME\n" + b"\x07" * (w * h)
+    assert _parse_y4m(mono) == [b"\x07" * (w * h)]
+
+    with pytest.raises(ValueError):
+        _parse_y4m(payload[:-3])                 # truncated last frame
+    with pytest.raises(ValueError):
+        _parse_y4m(b"YUV4MPEG2 W4 H2 C420\n" + b"FRUME\n" + b"x" * fsize)
+    with pytest.raises(ValueError):
+        _parse_y4m(b"YUV4MPEG2 C420\n")          # missing W/H
