@@ -185,6 +185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "median_by_type": windows.median_by_type,
         "value_mad_by_type": windows.value_mad_by_type,
         "user_event_sequence": windows.user_event_sequence,
+        "type_percent_rank": windows.type_percent_rank,
         "orders_upsert": relational.q_orders_upsert,
         "cohort_retention": windows.cohort_retention,
         "value_histogram": windows.value_histogram,
@@ -911,6 +912,14 @@ def oracle_sql() -> dict[str, str]:
                        AS seq,
                    COUNT(*) AS n_events
             FROM events GROUP BY user_id ORDER BY user_id""",
+        "type_percent_rank": """
+            SELECT event_id, event_type,
+                   percent_rank() OVER w AS percent_rank,
+                   cume_dist() OVER w AS cume_dist
+            FROM events
+            WINDOW w AS (PARTITION BY event_type
+                         ORDER BY value, event_id)
+            ORDER BY event_id""",
         "orders_upsert": """
             WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice,
                                  CAST(1 AS BIGINT) AS version FROM orders),

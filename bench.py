@@ -157,6 +157,7 @@ BENCH_QUERIES = [
     "value_mad_by_type",
     "user_event_sequence",
     "semantic_clusters",
+    "type_percent_rank",
 ]
 
 

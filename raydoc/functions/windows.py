@@ -1145,3 +1145,61 @@ def user_event_sequence(sf_dir: str,
                      "seq": t["seq"].cast(pa.string()),
                      "n_events": t["n_events"].cast(pa.int64()),
                      }).sort_by("user_id")
+
+
+def type_percent_rank(sf_dir: str, num_buckets: int = 64) -> pa.Table:
+    """(event_id, event_type, percent_rank, cume_dist): exact PER-GROUP
+    PERCENT_RANK / CUME_DIST over the unique (value, event_id) order
+    WITHIN each event_type — the PARTITION BY complement to
+    ``global_percent_rank``, same no-global-sort shape: one set of
+    order-preserving range buckets, per-(group, bucket) combiner counts,
+    a driver prefix-sum over the G×B tiny cell table, then per-bucket
+    local sorts assign each group segment its offset run. Ranks divide
+    per-group exact integers once (bit-identical to SQL on the same
+    tie-broken order)."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+
+    lo, hi = _global_min_max(ds, "value")
+    cuts = np.linspace(lo, hi, num_buckets + 1)[1:-1]
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "bucket", pa.array(np.searchsorted(cuts, v, side="right")
+                               .astype(np.int32)))
+
+    bucketed = ds.map_batches(add_bucket,
+                              batch_format="pyarrow").materialize()
+    cells = collect_table(partial_groupby(
+        bucketed, ["event_type", "bucket"],
+        {"cnt": ("value", "count")})).to_pandas() \
+        .sort_values(["event_type", "bucket"])
+    bases: dict[tuple, int] = {}
+    n_g: dict[str, int] = {}
+    for g, sub in cells.groupby("event_type", sort=True):
+        cum = 0
+        for b, c in zip(sub["bucket"], sub["cnt"]):
+            bases[(g, int(b))] = cum
+            cum += int(c)
+        n_g[g] = cum
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["event_type", "value", "event_id"],
+                          ignore_index=True)
+        b = int(g["bucket"].iloc[0])
+        local = g.groupby("event_type", sort=False).cumcount() \
+                 .to_numpy(dtype=np.int64)
+        base = np.array([bases[(t, b)] for t in g["event_type"]],
+                        dtype=np.int64)
+        rn = base + local + 1
+        n = np.array([n_g[t] for t in g["event_type"]], dtype=np.int64)
+        pr = np.where(n > 1, (rn - 1) / np.maximum(n - 1, 1), 0.0)
+        return pd.DataFrame({"event_id": g["event_id"],
+                             "event_type": g["event_type"],
+                             "percent_rank": pr,
+                             "cume_dist": rn / n})
+
+    out = bucketed.groupby("bucket").map_groups(per_bucket,
+                                                batch_format="pandas")
+    return collect_table(out).sort_by("event_id")
