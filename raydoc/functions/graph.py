@@ -377,6 +377,33 @@ def _union_find_min_labels(edges: list) -> dict:
     return {x: find(x) for e in edges for x in e}
 
 
+def label_components(pairs: rd.Dataset,
+                     max_driver_pairs: int = 50_000) -> dict:
+    """{node: component-min label} for the NON-TRIVIAL components of an
+    (a, b) edge Dataset — THE adaptive labeling policy, shared by
+    ``neardup_components`` and ``similarity.semantic_clusters`` so the
+    regime can't drift: an edge set small enough to be driver-resident
+    labels in microseconds with union-find (running ~20 distributed
+    barriers for a hundred edges measured 37-51 s at sf0.1 for a <1 ms
+    problem); larger sets run the distributed min-label
+    ``connected_components`` and only the label MAP collects — the edge
+    rows themselves never land on the driver. Materialize ``pairs``
+    upstream when the edge scan is expensive (count() and the labeling
+    pass both consume it)."""
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return {}
+    if n_pairs <= max_driver_pairs:
+        t = collect_table(pairs)
+        return _union_find_min_labels(
+            list(zip(t.column("a").to_pylist(),
+                     t.column("b").to_pylist())))
+    nb = 16 if n_pairs < 1_000_000 else 256
+    labels = collect_table(connected_components(pairs, num_buckets=nb))
+    return dict(zip(labels.column("node").to_pylist(),
+                    labels.column("label").to_pylist()))
+
+
 def neardup_components(sf_dir: str,
                        max_driver_pairs: int = 50_000) -> pa.Table:
     """(doc_id, component) for every document: connected components over
@@ -406,14 +433,9 @@ def neardup_components(sf_dir: str,
             list(zip(pairs.column("a").to_pylist(),
                      pairs.column("b").to_pylist())))
     else:
-        # bucket count sized to the edge set; 100 TB callers tune via
-        # connected_components directly
-        nb = 16 if pairs.num_rows < 1_000_000 else 256
-        labels = collect_table(
-            connected_components(rd.from_arrow(pairs.select(["a", "b"])),
-                                 num_buckets=nb))
-        lab = dict(zip(labels.column("node").to_pylist(),
-                       labels.column("label").to_pylist()))
+        # shared policy; 100 TB callers tune via connected_components
+        lab = label_components(rd.from_arrow(pairs.select(["a", "b"])),
+                               max_driver_pairs=max_driver_pairs)
 
     import ray
     lab_ref = ray.put(lab)

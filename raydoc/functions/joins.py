@@ -93,9 +93,11 @@ def tag_union(left: rd.Dataset, right: rd.Dataset, key: str,
                         f"pandas columns are assumed string; use "
                         f"Arrow-block batches for non-string object "
                         f"columns") from exc
+            keycol = cols[key]       # padded/cast above — present even
+            if isinstance(keycol, pa.ChunkedArray):   # on empty-schema
+                keycol = keycol.combine_chunks()      # blocks
             cols["__bucket"] = pa.array(
-                _key_hash(batch.column(key).combine_chunks(), num_buckets),
-                pa.int32())
+                _key_hash(keycol, num_buckets), pa.int32())
             cols["__side"] = pa.array(np.full(n, side, dtype=np.int8))
             return pa.table(cols)
         return fn
@@ -223,8 +225,12 @@ def bucket_semi_join(left: rd.Dataset, right: rd.Dataset, key: str,
             .materialize()
         if right_keys.count() <= broadcast_max:
             from raydoc.functions._collect import collect_table
-            key_set = collect_table(right_keys).column(key) \
-                .combine_chunks().unique()
+            collected = collect_table(right_keys)
+            # an ALL-empty right stream can surface as a zero-column
+            # table (Ray drops the schema of empty aggregate outputs)
+            key_set = (collected.column(key).combine_chunks().unique()
+                       if key in collected.column_names
+                       else pa.array([], key_type))
             keys_ref = ray.put(key_set)
 
             def _filter_map(batch: pa.Table) -> pa.Table:

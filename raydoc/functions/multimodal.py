@@ -238,13 +238,16 @@ def _parse_y4m(payload: bytes) -> list[bytes]:
             cs = tok[1:]
     if w <= 0 or h <= 0:
         raise ValueError("Y4M header missing W/H")
-    if cs.startswith("420"):
+    # exact 8-bit colorspace tags only: a prefix match would mis-size
+    # 10/12-bit ("C420p10") and alpha ("C444alpha") variants and then
+    # misreport the stream as malformed (or worse, slice garbage frames)
+    if cs in ("420", "420jpeg", "420mpeg2", "420paldv"):
         fsize = w * h * 3 // 2
-    elif cs.startswith("422"):
+    elif cs == "422":
         fsize = w * h * 2
-    elif cs.startswith("444"):
+    elif cs == "444":
         fsize = w * h * 3
-    elif cs.startswith("mono"):
+    elif cs == "mono":
         fsize = w * h
     else:
         raise ValueError(f"unsupported Y4M colorspace {cs!r}")

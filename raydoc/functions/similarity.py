@@ -676,10 +676,38 @@ def _quant_block(t: "pa.Table", scale: int):
     """(ids, q, row_norms) for one embedding block, integer-quantized
     floor(f64(x)·scale) — shared by knn_graph / semantic_dedup /
     semantic_clusters so all three see identical int64 distances."""
+    if t.num_rows == 0 or "vec_id" not in t.column_names:
+        # repartition(n) of a tiny corpus yields genuinely empty blocks
+        # — and Ray hands them over with an EMPTY schema, so guard
+        # before any column access
+        return (np.zeros(0, np.int64), np.zeros((0, 0), np.int64),
+                np.zeros(0, np.int64))
     ids = np.array(t["vec_id"].to_pylist(), dtype=np.int64)
     mat = np.array(t["embedding"].to_pylist(), dtype=np.float64)
     q = np.floor(mat * float(scale)).astype(np.int64)
     return ids, q, np.einsum("ij,ij->i", q, q)
+
+
+@ray.remote
+def _quant_block_task(block: "pa.Table", scale: int):
+    return _quant_block(block, scale)
+
+
+def _quantized_block_refs(sf_dir: str, n_blocks: int, scale: int):
+    """Shared block-pair harness for knn_graph / semantic_dedup /
+    semantic_clusters: each embedding block quantizes ONCE (one Ray task
+    per block, result object-store-resident) instead of once per pair
+    task, and the (i, j >= i) pair task list builds in one place.
+    Returns (refs_ref, tasks_ds)."""
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    block_refs = emb.repartition(n_blocks).to_arrow_refs()
+    qrefs = [_quant_block_task.remote(r, scale) for r in block_refs]
+    refs_ref = ray.put(qrefs)
+    n = len(qrefs)
+    tasks = rd.from_items([{"i": i, "j": j}
+                           for i in range(n) for j in range(i, n)])
+    return refs_ref, tasks
 
 
 def knn_graph(sf_dir: str, k: int = 5, n_blocks: int = 8,
@@ -701,20 +729,11 @@ def knn_graph(sf_dir: str, k: int = 5, n_blocks: int = 8,
     (d2, neighbor_id) lexicographic order as the merge, so tied
     candidates cannot be dropped locally. Raise ``n_blocks`` with corpus
     size (memory per task = 2 blocks)."""
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                          columns=["vec_id", "embedding"])
-    refs = emb.repartition(n_blocks).to_arrow_refs()
-    refs_ref = ray.put(refs)
-    n = len(refs)
-    tasks = rd.from_items([{"i": i, "j": j}
-                           for i in range(n) for j in range(i, n)])
+    refs_ref, tasks = _quantized_block_refs(sf_dir, n_blocks, scale)
 
     from raydoc.functions._buckets import reduce_bucket_count
     nb = reduce_bucket_count()
     sent = np.iinfo(np.int64).max
-
-    def _quant(t: pa.Table):
-        return _quant_block(t, scale)
 
     def _local_topk(ids_a, d2m, ids_b):
         """Per row of ``d2m``: the first min(k, cols) candidate columns in
@@ -732,9 +751,9 @@ def knn_graph(sf_dir: str, k: int = 5, n_blocks: int = 8,
         all_refs = ray.get(refs_ref)
         va, vb, dd = [], [], []
         for i, j in zip(t["i"].to_pylist(), t["j"].to_pylist()):
-            ids_i, q_i, n_i = _quant(ray.get(all_refs[i]))
+            ids_i, q_i, n_i = ray.get(all_refs[i])
             ids_j, q_j, n_j = (ids_i, q_i, n_i) if j == i else \
-                _quant(ray.get(all_refs[j]))
+                ray.get(all_refs[j])
             if not len(ids_i) or not len(ids_j):
                 continue
             d2m = n_i[:, None] + n_j[None, :] - 2 * (q_i @ q_j.T)
@@ -792,24 +811,15 @@ def semantic_dedup(sf_dir: str, tau: int = 1_400_000, n_blocks: int = 8,
     task-deduped DROPPED ids only — O(close pairs), never O(n²) rows;
     one adaptive anti semi-join (``bucket_semi_join``) marks survivors
     without the corpus ever leaving the workers."""
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                          columns=["vec_id", "embedding"])
-    refs = emb.repartition(n_blocks).to_arrow_refs()
-    refs_ref = ray.put(refs)
-    n = len(refs)
-    tasks = rd.from_items([{"i": i, "j": j}
-                           for i in range(n) for j in range(i, n)])
-
-    def _quant(t: pa.Table):
-        return _quant_block(t, scale)
+    refs_ref, tasks = _quantized_block_refs(sf_dir, n_blocks, scale)
 
     def pair_fn(t: pa.Table) -> pa.Table:
         all_refs = ray.get(refs_ref)
         dropped = []
         for i, j in zip(t["i"].to_pylist(), t["j"].to_pylist()):
-            ids_i, q_i, n_i = _quant(ray.get(all_refs[i]))
+            ids_i, q_i, n_i = ray.get(all_refs[i])
             ids_j, q_j, n_j = (ids_i, q_i, n_i) if j == i else \
-                _quant(ray.get(all_refs[j]))
+                ray.get(all_refs[j])
             if not len(ids_i) or not len(ids_j):
                 continue
             d2m = n_i[:, None] + n_j[None, :] - 2 * (q_i @ q_j.T)
@@ -824,8 +834,8 @@ def semantic_dedup(sf_dir: str, tau: int = 1_400_000, n_blocks: int = 8,
 
     dropped_ds = tasks.map_batches(pair_fn, batch_format="pyarrow",
                                    batch_size=1)
-    ids = emb.map_batches(lambda t: t.select(["vec_id"]),
-                          batch_format="pyarrow")
+    ids = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id"])
     from raydoc.functions._collect import collect_table
     from raydoc.functions.joins import bucket_semi_join
     kept = bucket_semi_join(ids, dropped_ds, "vec_id", anti=True)
@@ -892,21 +902,15 @@ def semantic_clusters(sf_dir: str, tau: int = 1_400_000,
     distributed barrier per round is absurd for a few thousand edges —
     else the distributed min-label ``connected_components``), and only
     the non-trivial component map broadcasts into the tag pass."""
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                          columns=["vec_id", "embedding"])
-    refs = emb.repartition(n_blocks).to_arrow_refs()
-    refs_ref = ray.put(refs)
-    n = len(refs)
-    tasks = rd.from_items([{"i": i, "j": j}
-                           for i in range(n) for j in range(i, n)])
+    refs_ref, tasks = _quantized_block_refs(sf_dir, n_blocks, scale)
 
     def pair_fn(t: pa.Table) -> pa.Table:
         all_refs = ray.get(refs_ref)
         aa, bb = [], []
         for i, j in zip(t["i"].to_pylist(), t["j"].to_pylist()):
-            ids_i, q_i, n_i = _quant_block(ray.get(all_refs[i]), scale)
+            ids_i, q_i, n_i = ray.get(all_refs[i])
             ids_j, q_j, n_j = (ids_i, q_i, n_i) if j == i else \
-                _quant_block(ray.get(all_refs[j]), scale)
+                ray.get(all_refs[j])
             if not len(ids_i) or not len(ids_j):
                 continue
             d2m = n_i[:, None] + n_j[None, :] - 2 * (q_i @ q_j.T)
@@ -929,24 +933,14 @@ def semantic_clusters(sf_dir: str, tau: int = 1_400_000,
                          "b": pa.array(np.concatenate(bb))})
 
     from raydoc.functions._collect import collect_table
-    pairs = collect_table(
-        tasks.map_batches(pair_fn, batch_format="pyarrow", batch_size=1))
-
-    from raydoc.functions.graph import (_union_find_min_labels,
-                                        connected_components)
-    if pairs.num_rows == 0:
-        lab: dict[int, int] = {}
-    elif pairs.num_rows <= max_driver_pairs:
-        lab = _union_find_min_labels(
-            list(zip(pairs.column("a").to_pylist(),
-                     pairs.column("b").to_pylist())))
-    else:
-        nb = 16 if pairs.num_rows < 1_000_000 else 256
-        labels = collect_table(
-            connected_components(rd.from_arrow(pairs), num_buckets=nb))
-        lab = dict(zip(labels.column("node").to_pylist(),
-                       labels.column("label").to_pylist()))
+    from raydoc.functions.graph import label_components
+    pairs_ds = tasks.map_batches(pair_fn, batch_format="pyarrow",
+                                 batch_size=1).materialize()
+    lab = label_components(pairs_ds, max_driver_pairs=max_driver_pairs)
     lab_ref = ray.put(lab)
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id"])
 
     def tag(t: pa.Table) -> pa.Table:
         m = ray.get(lab_ref)

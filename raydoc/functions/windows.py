@@ -457,7 +457,10 @@ def value_mad_by_type(sf_dir: str, q: float = 0.5,
             "event_type": j["event_type"],
             "value": pc.abs(pc.subtract(j["value"], j["__med"]))})
 
-    dev = ds.map_batches(derive, batch_format="pyarrow")
+    # materialize: level 2's min/max pass AND its bucketed pass both
+    # consume the derived stream — without this the broadcast join and
+    # the parquet read would run twice
+    dev = ds.map_batches(derive, batch_format="pyarrow").materialize()
     mad = _exact_group_quantile(dev, q, num_buckets)
     out_g = sorted(mad)
     return pa.table({"event_type": pa.array(out_g, pa.string()),
@@ -1132,9 +1135,13 @@ def user_event_sequence(sf_dir: str,
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"],
                           kind="mergesort", ignore_index=True)
+        def join_seq(s):
+            vals = [v for v in s if v is not None]
+            # SQL string_agg is NULL when no non-null value exists
+            return ">".join(vals) if vals else None
+
         agg = g.groupby("user_id", sort=True)["event_type"].agg(
-            seq=lambda s: ">".join(v for v in s if v is not None),
-            n_events="size")
+            seq=join_seq, n_events="size")
         return agg.reset_index()[["user_id", "seq", "n_events"]]
 
     out = (ds.map_batches(add_bucket, batch_format="pyarrow")

@@ -661,3 +661,48 @@ def test_semantic_dedup_vs_clusters_consistency(ray_session):
     by_cluster = clus.groupby("cluster")["vec_id"].min().to_dict()
     for v in dropped:
         assert by_cluster[cmap[v]] < v
+
+
+def test_block_pair_ops_tiny_corpus(ray_session, tmp_path):
+    """Corpora smaller than n_blocks leave some repartition blocks
+    empty — the block-pair operators must not crash on them."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    from raydoc.functions.similarity import (knn_graph, semantic_clusters,
+                                             semantic_dedup)
+
+    rng = np.random.RandomState(3)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(5, dtype=np.int64)),
+        "embedding": pa.array([list(map(float, r))
+                               for r in rng.randn(5, 8)],
+                              pa.list_(pa.float32())),
+    })
+    pq.write_table(t, tmp_path / "embeddings.parquet")
+    g = knn_graph(str(tmp_path), k=2, n_blocks=8).to_pandas()
+    assert len(g) == 10 and set(g["vec_id"]) == set(range(5))
+    kept = semantic_dedup(str(tmp_path), n_blocks=8)
+    assert 1 <= kept.num_rows <= 5
+    clus = semantic_clusters(str(tmp_path), n_blocks=8)
+    assert clus.num_rows == 5
+
+
+def test_user_event_sequence_all_null_types(ray_session, tmp_path):
+    """A user whose every event_type is NULL gets seq = NULL (SQL
+    string_agg semantics), not ''."""
+    import datetime
+    import pyarrow.parquet as pq
+    from raydoc.functions.windows import user_event_sequence
+
+    ts = [datetime.datetime(2025, 1, 1, h) for h in range(3)]
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array([7, 7, 8], pa.int64()),
+        "event_type": pa.array([None, None, "click"], pa.string()),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = {r["user_id"]: r
+           for r in user_event_sequence(str(tmp_path)).to_pylist()}
+    assert out[7]["seq"] is None and out[7]["n_events"] == 2
+    assert out[8]["seq"] == "click"

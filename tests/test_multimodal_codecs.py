@@ -137,3 +137,17 @@ def test_y4m_demux_and_sampling(ray_session):
         _parse_y4m(b"YUV4MPEG2 W4 H2 C420\n" + b"FRUME\n" + b"x" * fsize)
     with pytest.raises(ValueError):
         _parse_y4m(b"YUV4MPEG2 C420\n")          # missing W/H
+
+
+def test_y4m_rejects_high_bit_depth(ray_session):
+    """10/12-bit and alpha colorspaces must be REJECTED as unsupported,
+    not mis-sized as their 8-bit base format."""
+    import pytest
+
+    from raydoc.functions.multimodal import _parse_y4m
+
+    for cs in ["C420p10", "C422p12", "C444alpha"]:
+        payload = (f"YUV4MPEG2 W4 H2 {cs}\n".encode()
+                   + b"FRAME\n" + b"\x00" * 64)
+        with pytest.raises(ValueError, match="colorspace"):
+            _parse_y4m(payload)
