@@ -534,3 +534,46 @@ def test_chunk_documents_boundaries(ray_session, tmp_path):
     assert len(out[out["doc_id"] == 2]) == 1
     assert out[out["doc_id"] == 3].iloc[0]["chunk_text"] == "tiny doc"
     assert out[out["doc_id"] == 4].iloc[0]["chunk_text"] == ""
+
+
+def test_chunk_documents_reconstruction_property(ray_session, tmp_path):
+    """For every doc: dropping each chunk's leading `overlap` words
+    (except the first chunk) and concatenating reconstructs the
+    original word sequence exactly — full coverage, no duplication."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    from raydoc.functions.textstats import chunk_documents
+
+    rng = np.random.RandomState(17)
+    texts = [" ".join(f"w{rng.randint(100)}"
+                      for _ in range(int(rng.randint(1, 300))))
+             for _ in range(40)]
+    docs = pa.table({"doc_id": pa.array(np.arange(40, dtype=np.int64)),
+                     "text": pa.array(texts, pa.string())})
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    chunk, overlap = 64, 16
+    out = chunk_documents(str(tmp_path), chunk=chunk,
+                          overlap=overlap).to_pandas()
+    for d, sub in out.groupby("doc_id"):
+        sub = sub.sort_values("chunk_idx")
+        words = []
+        for i, row in enumerate(sub.itertuples(index=False)):
+            ws = row.chunk_text.split(" ")
+            words.extend(ws if i == 0 else ws[overlap:])
+        assert " ".join(words) == texts[d], d
+
+
+def test_knn_graph_prefix_property(ray_session):
+    """knn(k=3) must be the rank-prefix of knn(k=6) for every vector."""
+    from raydoc.functions.similarity import knn_graph
+
+    small = knn_graph("/root/testdata/sf0.001", k=3).to_pandas()
+    big = knn_graph("/root/testdata/sf0.001", k=6).to_pandas()
+
+    def key(df):
+        return {(r.vec_id, r.nn_rank): (r.neighbor_id, r.d2)
+                for r in df.itertuples(index=False)}
+
+    ks, kb = key(small), key(big)
+    assert set(ks) <= set(kb)
+    assert all(kb[k] == v for k, v in ks.items())

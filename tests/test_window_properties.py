@@ -124,3 +124,33 @@ def test_favorite_type_matches_duckdb(ray_session, tmp_path, seed):
     got = user_favorite_type(sf).to_pandas()
     exp = _sql(sf, e.oracle_sql()["user_favorite_type"])
     assert _canon(got) == _canon(exp)
+
+
+@pytest.mark.parametrize("seed", [131, 132])
+def test_user_event_sequence_matches_duckdb(ray_session, tmp_path, seed):
+    from raydoc.functions.windows import user_event_sequence
+    import __ray_entry__ as e
+    sf = _mk_events(tmp_path, seed)
+    got = user_event_sequence(sf).to_pandas()
+    exp = _sql(sf, e.oracle_sql()["user_event_sequence"])
+    assert _canon(got) == _canon(exp)
+
+
+@pytest.mark.parametrize("seed", [141, 142])
+def test_type_percent_rank_matches_duckdb(ray_session, tmp_path, seed):
+    from raydoc.functions.windows import type_percent_rank
+    import __ray_entry__ as e
+    sf = _mk_events(tmp_path, seed)
+    got = type_percent_rank(sf).to_pandas()
+    exp = _sql(sf, e.oracle_sql()["type_percent_rank"])
+    assert _canon(got) == _canon(exp)
+
+
+@pytest.mark.parametrize("seed", [151])
+def test_value_mad_matches_duckdb(ray_session, tmp_path, seed):
+    from raydoc.functions.windows import value_mad_by_type
+    import __ray_entry__ as e
+    sf = _mk_events(tmp_path, seed)
+    got = value_mad_by_type(sf).to_pandas()
+    exp = _sql(sf, e.oracle_sql()["value_mad_by_type"])
+    assert _canon(got) == _canon(exp)
