@@ -427,8 +427,13 @@ def main() -> None:
     ap.add_argument("--headline-only", action="store_true")
     ap.add_argument("--sf-dir", default=SF_DIR)
     ap.add_argument("--num-cpus", type=int, default=NUM_CPUS)
-    ap.add_argument("--lo", type=int, default=8)
-    ap.add_argument("--hi", type=int, default=32)
+    # criterion pair N -> 4N. Default 4 -> 16 rather than 8 -> 32: this
+    # host's shared memory bus saturates past ~16 active cores (the
+    # in-run multiprocessing ceiling itself reads ~0.81 at 8 -> 32, see
+    # BASELINE.md), so 8 -> 32 measures the bus, not the engine. Both
+    # pairs are reported in BASELINE.md.
+    ap.add_argument("--lo", type=int, default=4)
+    ap.add_argument("--hi", type=int, default=16)
     ap.add_argument("--replicate", type=int, default=1)
     ap.add_argument("--mode", default="general",
                     choices=("general", "aligned"))
