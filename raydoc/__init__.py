@@ -88,6 +88,8 @@ def __getattr__(name):
         "export_media": ("raydoc.functions.multimodal", "export_media"),
         "compact_parquet_dir": ("raydoc.pipelines.compact",
                                 "compact_parquet_dir"),
+        "read_parquet_evolved": ("raydoc.sources.evolved",
+                                 "read_parquet_evolved"),
         "write_clustered_parquet": ("raydoc.pipelines.clustered",
                                     "write_clustered_parquet"),
         "read_clustered_range": ("raydoc.pipelines.clustered",

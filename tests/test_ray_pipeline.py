@@ -481,3 +481,37 @@ def test_multi_megabyte_turn(ray_session, tmp_path):
     assert huge["was_html"] and not huge["parse_failed"]
     assert "paragraph 44999" in huge["extracted_text"]
     assert "<p>" not in huge["extracted_text"]
+
+
+def test_read_parquet_evolved(ray_session, tmp_path):
+    """Shards written under three schema versions read as ONE dataset
+    with the target schema: missing columns null-fill, ints widen,
+    abandoned extra columns drop, incompatible casts raise by name."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from raydoc.sources.evolved import read_parquet_evolved, widen_to_schema
+
+    pq.write_table(pa.table({"doc_id": pa.array([1, 2], pa.int32()),
+                             "text": ["a", "b"]}),
+                   tmp_path / "v1.parquet")
+    pq.write_table(pa.table({"doc_id": pa.array([3], pa.int64()),
+                             "text": ["c"],
+                             "lang": ["en"]}),
+                   tmp_path / "v2.parquet")
+    pq.write_table(pa.table({"doc_id": pa.array([4], pa.int64()),
+                             "text": ["d"], "lang": ["de"],
+                             "legacy_flag": [True]}),
+                   tmp_path / "v3.parquet")
+    target = pa.schema([("doc_id", pa.int64()), ("text", pa.string()),
+                        ("lang", pa.string())])
+    out = read_parquet_evolved(str(tmp_path), target).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    assert list(out.columns) == ["doc_id", "text", "lang"]
+    assert list(out["doc_id"]) == [1, 2, 3, 4]
+    assert out["lang"].isna().tolist() == [True, True, False, False]
+
+    bad = pa.table({"doc_id": ["not-an-int"], "text": ["x"]})
+    with pytest.raises(TypeError, match="doc_id"):
+        widen_to_schema(bad, target)
