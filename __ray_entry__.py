@@ -198,6 +198,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, chunk=32, overlap=8),
         "neardup_triangles": graph.neardup_triangles,
         "profile_events": profile.profile_events,
+        "constraint_report": profile.constraint_report,
         "weighted_sample": textstats.weighted_sample,
         "user_type_pagerank": graph.user_type_pagerank,
         # --- windows / sessions (events) ---
@@ -669,6 +670,32 @@ def oracle_sql() -> dict[str, str]:
             FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
             ORDER BY o_orderstatus, o_orderpriority""",
         "profile_events": _profile_oracle(),
+        "constraint_report": """
+            SELECT 'doc_min_words_20' AS rule,
+                   CAST(COUNT(*) FILTER (WHERE len(string_split(
+                        COALESCE(text, ''), ' ')) < 20) AS BIGINT)
+                       AS n_violations
+            FROM documents
+            UNION ALL
+            SELECT 'doc_text_not_null',
+                   CAST(COUNT(*) FILTER (WHERE text IS NULL) AS BIGINT)
+            FROM documents
+            UNION ALL
+            SELECT 'doc_text_unique', CAST(COALESCE(SUM(c), 0) AS BIGINT)
+            FROM (SELECT COUNT(*) AS c FROM documents
+                  WHERE text IS NOT NULL
+                  GROUP BY md5(text) HAVING COUNT(*) > 1)
+            UNION ALL
+            SELECT 'lineitem_qty_range',
+                   CAST(COUNT(*) FILTER (WHERE l_quantity <= 0
+                                            OR l_quantity > 50)
+                        AS BIGINT)
+            FROM lineitem
+            UNION ALL
+            SELECT 'orders_fk_customer', CAST(COUNT(*) AS BIGINT)
+            FROM orders
+            WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+            ORDER BY rule""",
         "weighted_sample": """
             SELECT doc_id, n_chars FROM (
                 SELECT doc_id, n_chars,

@@ -158,6 +158,7 @@ BENCH_QUERIES = [
     "user_event_sequence",
     "semantic_clusters",
     "type_percent_rank",
+    "constraint_report",
 ]
 
 

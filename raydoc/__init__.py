@@ -56,6 +56,8 @@ def __getattr__(name):
         "grouping_sets_aggregate": ("raydoc.functions.relational",
                                     "grouping_sets_aggregate"),
         "profile_columns": ("raydoc.functions.profile", "profile_columns"),
+        "constraint_report": ("raydoc.functions.profile",
+                              "constraint_report"),
         "partial_groupby": ("raydoc.functions.agg", "partial_groupby"),
         "incremental_groupby": ("raydoc.functions.agg",
                                 "incremental_groupby"),

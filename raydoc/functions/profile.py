@@ -197,3 +197,95 @@ def profile_events(sf_dir: str) -> pa.Table:
     cols = ["event_id", "user_id", "event_type", "props"]
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=cols)
     return profile_columns(ds, cols)
+
+
+def constraint_report(sf_dir: str) -> pa.Table:
+    """(rule, n_violations): the dbt-style data-quality gate a 100 TB
+    ingest runs before committing — five constraint families, each as
+    its own bounded distributed pass, only scalar counts reaching the
+    driver:
+
+    - ``doc_text_not_null`` / ``doc_min_words_20``: one shared
+      vectorized pass over documents (per-batch counts → scalar sum);
+    - ``doc_text_unique``: docs whose exact text (md5) appears ≥ 2
+      times — combiner hash counts, violating groups filter MAP-SIDE,
+      then a scalar sum (the corpus-cardinality hash table never
+      collects);
+    - ``orders_fk_customer``: referential integrity via the adaptive
+      anti semi-join (broadcast key set ≤ 4M keys, bucketed beyond) —
+      a distributed ``count()`` of orphans;
+    - ``lineitem_qty_range``: domain check 0 < qty ≤ 50, vectorized.
+    """
+    import hashlib
+
+    import numpy as np
+
+    import ray.data as rd
+
+    from raydoc.functions._collect import collect_table
+    from raydoc.functions.agg import partial_groupby
+    from raydoc.functions.joins import bucket_semi_join
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def doc_counts(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        n_null = sum(1 for x in texts if x is None)
+        n_short = sum(1 for x in texts
+                      if len((x or "").split(" ")) < 20)
+        return pa.table({"n_null": pa.array([n_null], pa.int64()),
+                         "n_short": pa.array([n_short], pa.int64())})
+
+    dc = collect_table(docs.map_batches(doc_counts,
+                                        batch_format="pyarrow"))
+    n_null = int(pc.sum(dc["n_null"]).as_py() or 0)
+    n_short = int(pc.sum(dc["n_short"]).as_py() or 0)
+
+    def text_hashes(t: pa.Table) -> pa.Table:
+        hs = [hashlib.md5(x.encode()).hexdigest()
+              for x in t.column("text").to_pylist() if x is not None]
+        return pa.table({"h": pa.array(hs, pa.string())})
+
+    hash_counts = partial_groupby(
+        docs.map_batches(text_hashes, batch_format="pyarrow"),
+        ["h"], {"c": ("h", "count")})
+
+    def dup_partial(t: pa.Table) -> pa.Table:
+        c = t.column("c")
+        dup = pc.sum(c.filter(pc.greater(c, 1))).as_py() or 0
+        return pa.table({"d": pa.array([int(dup)], pa.int64())})
+
+    dt = collect_table(hash_counts.map_batches(dup_partial,
+                                               batch_format="pyarrow"))
+    n_dup = int(pc.sum(dt["d"]).as_py() or 0)
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey"])
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey"]).map_batches(
+        lambda t: t.rename_columns(["o_custkey"]),
+        batch_format="pyarrow")
+    n_orphan = bucket_semi_join(orders, cust, "o_custkey",
+                                anti=True).count()
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_quantity"])
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        q = t.column("l_quantity").to_numpy(zero_copy_only=False)
+        bad = int(np.count_nonzero((q <= 0) | (q > 50)))
+        return pa.table({"b": pa.array([bad], pa.int64())})
+
+    qt = collect_table(li.map_batches(qty_partial,
+                                      batch_format="pyarrow"))
+    n_qty = int(pc.sum(qt["b"]).as_py() or 0)
+
+    rules = [("doc_min_words_20", n_short),
+             ("doc_text_not_null", n_null),
+             ("doc_text_unique", n_dup),
+             ("lineitem_qty_range", n_qty),
+             ("orders_fk_customer", n_orphan)]
+    return pa.table({
+        "rule": pa.array([r for r, _ in rules], pa.string()),
+        "n_violations": pa.array([v for _, v in rules], pa.int64())})

@@ -65,7 +65,7 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
     "local_supplier_volume", "orders_above_avg", "customer_order_dist",
     "semantic_dedup", "label_centroids", "chunk_documents",
     "median_by_type", "value_mad_by_type", "user_event_sequence",
-    "semantic_clusters", "type_percent_rank",
+    "semantic_clusters", "type_percent_rank", "constraint_report",
 ])
 def test_query_matches_oracle(ray_session, oracle, name):
     import __ray_entry__ as entrymod

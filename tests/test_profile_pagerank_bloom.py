@@ -577,3 +577,35 @@ def test_knn_graph_prefix_property(ray_session):
     ks, kb = key(small), key(big)
     assert set(ks) <= set(kb)
     assert all(kb[k] == v for k, v in ks.items())
+
+
+def test_constraint_report_detects_injected_violations(ray_session,
+                                                       tmp_path):
+    """Every rule fires on a corpus with known injected violations."""
+    import pyarrow.parquet as pq
+    from raydoc.functions.profile import constraint_report
+
+    long = " ".join(["w"] * 25)
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": pa.array([long, long, "short doc", None, long + " x"],
+                         pa.string()),
+    }), tmp_path / "documents.parquet")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "o_custkey": pa.array([10, 99, 10], pa.int64()),
+    }), tmp_path / "orders.parquet")
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([10, 11], pa.int64()),
+    }), tmp_path / "customer.parquet")
+    pq.write_table(pa.table({
+        "l_quantity": pa.array([5.0, 0.0, 51.0, -2.0], pa.float64()),
+    }), tmp_path / "lineitem.parquet")
+
+    out = dict(zip(*[constraint_report(str(tmp_path)).column(c)
+                     .to_pylist() for c in ("rule", "n_violations")]))
+    assert out == {"doc_min_words_20": 2,     # "short doc" + NULL
+                   "doc_text_not_null": 1,
+                   "doc_text_unique": 2,      # the two identical longs
+                   "lineitem_qty_range": 3,
+                   "orders_fk_customer": 1}
