@@ -127,6 +127,11 @@ def _zonemap_value_scan(sf_dir: str):
     return zonemap_value_scan(sf_dir)
 
 
+def _zorder_box_scan(sf_dir: str):
+    from raydoc.pipelines.zorder import zorder_box_scan
+    return zorder_box_scan(sf_dir)
+
+
 def _embedding_neardup_pairs(sf_dir: str):
     # τ=0.4 so the oracle verifies a NON-EMPTY pair set on the driver's
     # synthetic embeddings (τ=0.8 matches zero pairs at every sf — vacuous)
@@ -227,6 +232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_mix": textstats.domain_mix,
         "corpus_quality_report": textstats.corpus_quality_report,
         "zonemap_value_scan": _zonemap_value_scan,
+        "zorder_box_scan": _zorder_box_scan,
         "asof_last_view": _asof_last_view,
         "clicks_after_error": _clicks_after_error,
         # --- dedup / similarity (oracle-backed members) ---
@@ -797,6 +803,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT)
                        AS sum_cents
             FROM events WHERE value >= 100.0 AND value <= 200.0""",
+        "zorder_box_scan": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT)
+                       AS sum_cents
+            FROM events
+            WHERE user_id >= 10 AND user_id <= 40
+              AND value >= 100.0 AND value <= 300.0""",
         "user_moving_sum": """
             SELECT event_id, user_id,
                    CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) OVER (

@@ -159,6 +159,7 @@ BENCH_QUERIES = [
     "semantic_clusters",
     "type_percent_rank",
     "constraint_report",
+    "zorder_box_scan",
 ]
 
 

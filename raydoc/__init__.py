@@ -96,6 +96,10 @@ def __getattr__(name):
                                     "write_clustered_parquet"),
         "read_clustered_range": ("raydoc.pipelines.clustered",
                                  "read_clustered_range"),
+        "write_zordered_parquet": ("raydoc.pipelines.zorder",
+                                   "write_zordered_parquet"),
+        "read_zordered_box": ("raydoc.pipelines.zorder",
+                              "read_zordered_box"),
     }
     if name in api:
         import importlib

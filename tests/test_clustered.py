@@ -71,3 +71,41 @@ def test_zonemap_empty_selection(ray_session, tmp_path):
     assert empty.count() == 0
     assert n_pruned == 4            # a fully-disjoint range prunes ALL files
     assert set(empty.schema().names) == {"event_id", "value"}
+
+
+def test_zorder_box_pruning(ray_session, tmp_path):
+    """Z-order prunes files on BOTH dimensions of a box query, and the
+    pruned read loses no rows vs a full scan."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from raydoc.pipelines.zorder import (read_zordered_box,
+                                         write_zordered_parquet)
+
+    rng = np.random.RandomState(5)
+    n = 20000
+    t = pa.table({
+        "rid": pa.array(np.arange(n, dtype=np.int64)),
+        "a": pa.array(rng.uniform(0, 100, n)),
+        "b": pa.array(rng.uniform(0, 100, n)),
+    })
+    src = tmp_path / "src.parquet"
+    pq.write_table(t, src)
+    out = str(tmp_path / "ztab")
+    manifest = write_zordered_parquet(rd.read_parquet(str(src)), out,
+                                      "a", "b", num_buckets=16)
+    assert len(manifest["zones"]) > 4
+
+    ds, pruned = read_zordered_box(out, 10, 30, 60, 80)
+    assert pruned > 0                     # 2-D pruning actually fires
+    got = ds.to_pandas()
+    got = got[(got["a"].between(10, 30)) & (got["b"].between(60, 80))]
+    df = t.to_pandas()
+    exp = df[(df["a"].between(10, 30)) & (df["b"].between(60, 80))]
+    assert sorted(got["rid"]) == sorted(exp["rid"])
+
+    # degenerate empty box still returns a typed empty dataset
+    empty, _ = read_zordered_box(out, 1000, 2000, None, None)
+    assert empty.count() == 0
