@@ -707,3 +707,31 @@ def test_user_event_sequence_all_null_types(ray_session, tmp_path):
            for r in user_event_sequence(str(tmp_path)).to_pylist()}
     assert out[7]["seq"] is None and out[7]["n_events"] == 2
     assert out[8]["seq"] == "click"
+
+
+def test_semantic_clusters_regimes_agree(ray_session, tmp_path):
+    """Driver union-find and distributed connected-components produce
+    identical labels (max_driver_pairs=0 forces the distributed path).
+    Small implanted-duplicate corpus keeps the distributed rounds
+    cheap — the full-corpus regime equality runs via the gate."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    from raydoc.functions.similarity import semantic_clusters
+
+    rng = np.random.RandomState(9)
+    base = rng.randn(8, 16) * 10
+    mat = np.repeat(base, 3, axis=0)          # 8 clusters of 3 dups
+    t = pa.table({
+        "vec_id": pa.array(np.arange(24, dtype=np.int64)),
+        "embedding": pa.array([list(map(float, r)) for r in mat],
+                              pa.list_(pa.float32())),
+    })
+    pq.write_table(t, tmp_path / "embeddings.parquet")
+    a = semantic_clusters(str(tmp_path), n_blocks=4).to_pylist()
+    b = semantic_clusters(str(tmp_path), n_blocks=4,
+                          max_driver_pairs=0).to_pylist()
+    assert a == b
+    labels = {r["vec_id"]: r["cluster"] for r in a}
+    for c in range(8):                         # each triple co-clusters
+        assert labels[3 * c] == labels[3 * c + 1] == labels[3 * c + 2] \
+            == 3 * c
