@@ -112,6 +112,11 @@ def _clicks_after_error(sf_dir: str):
     return q_clicks_after_error(sf_dir)
 
 
+def _session_outage_overlap(sf_dir: str):
+    from raydoc.functions.rangejoin import q_session_outage_overlap
+    return q_session_outage_overlap(sf_dir)
+
+
 def _embedding_neardup_clustered(sf_dir: str):
     from raydoc.functions.dedup import embedding_neardups_clustered
     return embedding_neardups_clustered(sf_dir, threshold=0.4, k=4)
@@ -235,6 +240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_box_scan": _zorder_box_scan,
         "asof_last_view": _asof_last_view,
         "clicks_after_error": _clicks_after_error,
+        "session_outage_overlap": _session_outage_overlap,
         # --- dedup / similarity (oracle-backed members) ---
         "dedup_exact": dedup.exact_dedup,
         "paragraph_dedup_global": dedup.paragraph_dedup_global,
@@ -1194,6 +1200,23 @@ def oracle_sql() -> dict[str, str]:
              AND c.ts <= e.ts + INTERVAL 30 MINUTE
             WHERE e.event_type = 'error' AND c.event_type = 'click'
             ORDER BY error_id, click_id""",
+        "session_outage_overlap": """
+            WITH us AS (SELECT user_id, epoch_us(ts) AS us
+                        FROM events),
+            a AS (SELECT user_id, us // 86400000000 AS day,
+                         MIN(us) AS a_start, MAX(us) AS a_end
+                  FROM us GROUP BY user_id, day),
+            h AS (SELECT epoch_us(ts) // 3600000000 AS hour,
+                         COUNT(*) AS c
+                  FROM events WHERE event_type = 'error'
+                  GROUP BY hour HAVING COUNT(*) >= 2),
+            o AS (SELECT hour * 3600000000 AS o_start,
+                         hour * 3600000000 + 3599999999 AS o_end
+                  FROM h)
+            SELECT a.user_id, CAST(COUNT(*) AS BIGINT) AS n_overlaps
+            FROM a JOIN o ON a.a_start <= o.o_end
+                         AND o.o_start <= a.a_end
+            GROUP BY a.user_id ORDER BY a.user_id""",
         "click_error_matrix": """
             WITH c AS (SELECT user_id, date_trunc('hour', ts) AS h,
                               COUNT(*) AS n_clicks

@@ -160,6 +160,7 @@ BENCH_QUERIES = [
     "type_percent_rank",
     "constraint_report",
     "zorder_box_scan",
+    "session_outage_overlap",
 ]
 
 

@@ -35,6 +35,8 @@ def __getattr__(name):
         # operators Ray Data lacks natively
         "asof_join": ("raydoc.functions.asof", "asof_join"),
         "range_join": ("raydoc.functions.rangejoin", "range_join"),
+        "interval_overlap_join": ("raydoc.functions.rangejoin",
+                                  "interval_overlap_join"),
         "broadcast_join": ("raydoc.functions.joins", "broadcast_join"),
         "bucket_hash_join": ("raydoc.functions.joins", "bucket_hash_join"),
         "salted_hash_join": ("raydoc.functions.joins", "salted_hash_join"),

@@ -186,3 +186,156 @@ def bbox_containment_antijoin(elements: rd.Dataset, regions: rd.Dataset,
 
     return tagged.groupby("__bucket").map_groups(resolve,
                                                  batch_format="pyarrow")
+
+
+def interval_overlap_join(left: rd.Dataset, right: rd.Dataset,
+                          l_start: str, l_end: str,
+                          r_start: str, r_end: str,
+                          key: str | None = None,
+                          granule_us: int = 60 * 60 * 1_000_000,
+                          num_buckets: int = 32,
+                          on_invalid: str = "raise") -> rd.Dataset:
+    """Inner interval-OVERLAP join — the third non-equi join family
+    (genomics/temporal "ranges intersect", vs ``range_join``'s
+    point-in-interval): pairs every left row with every right row whose
+    CLOSED interval intersects it (``l_start ≤ r_end AND r_start ≤
+    l_end``), optionally per ``key``.
+
+    Scale shape: BOTH sides granule-explode and meet in one bucketed
+    equi-join on (key, granule). A qualifying pair co-occurs in every
+    shared granule, so the join would duplicate it — the dedup-free
+    trick: a pair's shared granule range starts at
+    ``g(max(l_start, r_start))``, and the post-join filter keeps the
+    pair ONLY in that granule. One exchange, no distinct pass, exact
+    output. Column names across the two sides must be disjoint."""
+    if on_invalid not in ("raise", "drop"):
+        raise ValueError(f"on_invalid must be 'raise' or 'drop', "
+                         f"got {on_invalid!r}")
+
+    def _us(col):
+        return pc.cast(col, pa.int64())
+
+    def _explode(start: str, end: str, side: str):
+        def fn(t: pa.Table) -> pa.Table:
+            s_us = _us(t[start]).to_numpy()
+            e_us = _us(t[end]).to_numpy()
+            invalid = e_us < s_us
+            if invalid.any():
+                if on_invalid == "raise":
+                    raise ValueError(
+                        f"interval_overlap_join: {int(invalid.sum())} "
+                        f"{side} row(s) with {end} < {start}; pass "
+                        f"on_invalid='drop' to skip them")
+                t = t.filter(pa.array(~invalid))
+                s_us, e_us = s_us[~invalid], e_us[~invalid]
+            g0 = s_us // granule_us
+            g1 = e_us // granule_us
+            reps = (g1 - g0 + 1).astype(np.int64)
+            if len(reps) and reps.max() > 10_000:
+                import warnings
+                warnings.warn(
+                    f"interval_overlap_join: a {side} interval spans "
+                    f"{int(reps.max())} granules; consider a coarser "
+                    f"granule_us", RuntimeWarning, stacklevel=2)
+            idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), reps)
+            offs = np.concatenate([np.arange(r) for r in reps]) \
+                if len(reps) else np.array([], dtype=np.int64)
+            granules = np.repeat(g0, reps) + offs
+            out = t.take(pa.array(idx))
+            gstr = pc.cast(pa.array(granules, pa.int64()), pa.string())
+            if key is not None:
+                ck = pc.binary_join_element_wise(
+                    pc.cast(out[key], pa.string()), gstr, "|")
+                if side == "right":
+                    out = out.drop_columns([key])
+            else:
+                ck = gstr
+            out = out.append_column("__ck", ck)
+            if side == "left":
+                out = out.append_column(
+                    "__g", pa.array(granules, pa.int64()))
+            return out
+        return fn
+
+    lx = left.map_batches(_explode(l_start, l_end, "left"),
+                          batch_format="pyarrow")
+    rx = right.map_batches(_explode(r_start, r_end, "right"),
+                           batch_format="pyarrow")
+    joined = bucket_hash_join(lx, rx, key="__ck",
+                              num_buckets=num_buckets)
+
+    def exact(t: pa.Table) -> pa.Table:
+        # numpy floor division, NOT pc.divide (trunc-toward-zero) —
+        # must match the explode side's // for pre-epoch timestamps
+        ls = _us(t[l_start]).to_numpy()
+        le = _us(t[l_end]).to_numpy()
+        rs = _us(t[r_start]).to_numpy()
+        re = _us(t[r_end]).to_numpy()
+        overlap = (ls <= re) & (rs <= le)
+        first_g = np.maximum(ls, rs) // granule_us
+        keep = overlap & (first_g == t["__g"].to_numpy())
+        return t.filter(pa.array(keep)).drop_columns(["__ck", "__g"])
+
+    return joined.map_batches(exact, batch_format="pyarrow")
+
+
+def q_session_outage_overlap(sf_dir: str,
+                             err_threshold: int = 2) -> pa.Table:
+    """(user_id, n_overlaps): how many system-wide OUTAGE hours (hours
+    with ≥ ``err_threshold`` error events) each user's per-day activity
+    span overlaps — the interval-overlap join wired end-to-end: both
+    interval sets derive distributedly (per-(user, day) min/max span via
+    combiner group-by; outage hours via an error-count group-by), meet
+    in ``interval_overlap_join``, and fold to one count per user."""
+    from raydoc.functions._collect import collect_table
+    from raydoc.functions.agg import partial_groupby
+
+    _DAY = 86_400_000_000
+    _HOUR = 3_600_000_000
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+
+    def day_prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        return pa.table({
+            "user_id": t["user_id"],
+            "day": pc.divide(us, pa.scalar(_DAY, pa.int64())),
+            "us": us})
+
+    spans = partial_groupby(
+        ev.map_batches(day_prep, batch_format="pyarrow"),
+        ["user_id", "day"], {"a_start": ("us", "min"),
+                             "a_end": ("us", "max")}).map_batches(
+        lambda t: t.drop_columns(["day"]), batch_format="pyarrow")
+
+    def err_prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "error"))
+        us = pc.cast(t["ts"], pa.int64())
+        return pa.table({
+            "hour": pc.divide(us, pa.scalar(_HOUR, pa.int64())),
+            "one": pa.array(np.ones(t.num_rows, dtype=np.int64))})
+
+    hours = partial_groupby(
+        ev.map_batches(err_prep, batch_format="pyarrow"),
+        ["hour"], {"c": ("one", "sum")})
+
+    def to_outage(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(
+            t["c"], pa.scalar(err_threshold, pa.int64())))
+        start = pc.multiply(t["hour"], pa.scalar(_HOUR, pa.int64()))
+        return pa.table({
+            "o_start": start,
+            "o_end": pc.add(start, pa.scalar(_HOUR - 1, pa.int64()))})
+
+    outages = hours.map_batches(to_outage, batch_format="pyarrow")
+
+    pairs = interval_overlap_join(spans, outages,
+                                  "a_start", "a_end",
+                                  "o_start", "o_end",
+                                  granule_us=_HOUR)
+    out = partial_groupby(pairs, ["user_id"],
+                          {"n_overlaps": ("o_start", "count")})
+    t = collect_table(out)
+    return pa.table({"user_id": t["user_id"].cast(pa.int64()),
+                     "n_overlaps": t["n_overlaps"].cast(pa.int64()),
+                     }).sort_by("user_id")

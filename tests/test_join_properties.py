@@ -451,3 +451,34 @@ def test_auto_join_regimes_agree(ray_session, regime):
         rd.from_arrow(pa.Table.from_pandas(right)),
         key="k", num_buckets=8, how="inner").to_pandas()
     assert _canon(got) == _canon(want)
+
+
+@pytest.mark.parametrize("seed", [61, 62])
+def test_interval_overlap_join_vs_bruteforce(ray_session, seed):
+    """Random closed intervals on BOTH sides (negative coordinates too —
+    floor-division granule parity) against the O(n*m) definition."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raydoc.functions.rangejoin import interval_overlap_join
+
+    rng = np.random.RandomState(seed)
+    nl, nr = 150, 120
+    ls = rng.randint(-500, 500, nl).astype(np.int64)
+    le = ls + rng.randint(0, 80, nl)
+    rs = rng.randint(-500, 500, nr).astype(np.int64)
+    re = rs + rng.randint(0, 80, nr)
+    left = pa.table({"lid": pa.array(np.arange(nl, dtype=np.int64)),
+                     "ls": pa.array(ls), "le": pa.array(le)})
+    right = pa.table({"rid": pa.array(np.arange(nr, dtype=np.int64)),
+                      "rs": pa.array(rs), "re": pa.array(re)})
+    out = interval_overlap_join(
+        rd.from_arrow(left), rd.from_arrow(right),
+        "ls", "le", "rs", "re", granule_us=64,
+        num_buckets=8).to_pandas()
+    got = sorted(zip(out["lid"], out["rid"]))
+    exp = sorted((int(i), int(j))
+                 for i in range(nl) for j in range(nr)
+                 if ls[i] <= re[j] and rs[j] <= le[i])
+    assert got == exp
