@@ -194,6 +194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collapse_repeats": textstats.collapse_repeats,
         "median_by_type": windows.median_by_type,
         "value_mad_by_type": windows.value_mad_by_type,
+        "value_trend_by_type": windows.value_trend_by_type,
         "user_event_sequence": windows.user_event_sequence,
         "type_percent_rank": windows.type_percent_rank,
         "orders_upsert": relational.q_orders_upsert,
@@ -878,6 +879,19 @@ def oracle_sql() -> dict[str, str]:
                        AS varx_num,
                    CAST(COUNT(*)*SUM(y*y) - SUM(y)*SUM(y) AS VARCHAR)
                        AS vary_num
+            FROM c GROUP BY event_type ORDER BY event_type""",
+        "value_trend_by_type": """
+            WITH e0 AS (SELECT MIN(epoch_us(ts)) AS m FROM events),
+            c AS (SELECT event_type,
+                         CAST((epoch_us(ts) - (SELECT m FROM e0))
+                              // 60000000 AS HUGEINT) AS x,
+                         CAST(ROUND(value*100) AS HUGEINT) AS y
+                  FROM events)
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COUNT(*)*SUM(x*y) - SUM(x)*SUM(y) AS VARCHAR)
+                       AS slope_num,
+                   CAST(COUNT(*)*SUM(x*x) - SUM(x)*SUM(x) AS VARCHAR)
+                       AS slope_den
             FROM c GROUP BY event_type ORDER BY event_type""",
         "pmi_collocations": r"""
             WITH toks AS (

@@ -161,6 +161,7 @@ BENCH_QUERIES = [
     "constraint_report",
     "zorder_box_scan",
     "session_outage_overlap",
+    "value_trend_by_type",
 ]
 
 

@@ -1210,3 +1210,68 @@ def type_percent_rank(sf_dir: str, num_buckets: int = 64) -> pa.Table:
     out = bucketed.groupby("bucket").map_groups(per_bucket,
                                                 batch_format="pandas")
     return collect_table(out).sort_by("event_id")
+
+
+def value_trend_by_type(sf_dir: str) -> pa.Table:
+    """(event_type, n, slope_num, slope_den): EXACT per-group OLS trend
+    of value (integer cents, y) against time (whole minutes since the
+    corpus-minimum timestamp, x): slope = slope_num / slope_den with
+    slope_num = n·Σxy − Σx·Σy and slope_den = n·Σx² − (Σx)², both
+    rendered as VARCHAR exact integers (they exceed int64 at scale; the
+    HUGEINT SQL twin renders identically so hashes match).
+
+    Re-centering time to corpus-relative minutes keeps every per-batch
+    int64 partial overflow-free (minutes < 4·10⁶ over years of data,
+    x² sums ≪ 2⁶³ per batch); cross-batch folds use the same split-radix
+    combiner as ``covariance_by_type``. One stats pass finds the epoch,
+    one moment pass feeds the combiner."""
+    _MIN_US = 60_000_000
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value", "ts"])
+
+    def ts_min(t: pa.Table) -> pa.Table:
+        return pa.table({"m": pa.array(
+            [pc.min(pc.cast(t["ts"], pa.int64())).as_py()], pa.int64())})
+
+    m = collect_table(ds.map_batches(ts_min, batch_format="pyarrow"))
+    epoch0 = int(pc.min(m["m"]).as_py())
+
+    def moments(t: pa.Table) -> pa.Table:
+        y = pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        x = (us - epoch0) // _MIN_US
+        df = pd.DataFrame({"event_type": t["event_type"].to_pandas(),
+                           "x": x, "y": y, "xy": x * y, "x2": x * x})
+        g = df.groupby("event_type", sort=False).agg(
+            n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
+            sxy=("xy", "sum"), sx2=("x2", "sum"))
+        out = {"event_type": g.index.to_numpy(),
+               "n": g["n"].to_numpy(np.int64)}
+        for col in ("sx", "sy", "sxy", "sx2"):
+            q, r = np.divmod(g[col].to_numpy(np.int64), _RADIX)
+            out[f"{col}_q"] = q
+            out[f"{col}_r"] = r
+        return pa.table(out)
+
+    spec = {"n": ("n", "sum")}
+    for col in ("sx", "sy", "sxy", "sx2"):
+        spec[f"{col}_q"] = (f"{col}_q", "sum")
+        spec[f"{col}_r"] = (f"{col}_r", "sum")
+    stats = collect_table(partial_groupby(
+        ds.map_batches(moments, batch_format="pyarrow"),
+        ["event_type"], spec))
+
+    types_, ns, nums, dens = [], [], [], []
+    for row in sorted(stats.to_pylist(), key=lambda r: r["event_type"]):
+        n = int(row["n"])
+        tot = {c: int(row[f"{c}_q"]) * _RADIX + int(row[f"{c}_r"])
+               for c in ("sx", "sy", "sxy", "sx2")}
+        types_.append(row["event_type"])
+        ns.append(n)
+        nums.append(str(n * tot["sxy"] - tot["sx"] * tot["sy"]))
+        dens.append(str(n * tot["sx2"] - tot["sx"] * tot["sx"]))
+    return pa.table({"event_type": pa.array(types_, pa.string()),
+                     "n": pa.array(ns, pa.int64()),
+                     "slope_num": pa.array(nums, pa.string()),
+                     "slope_den": pa.array(dens, pa.string())})

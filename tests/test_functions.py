@@ -66,7 +66,7 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
     "semantic_dedup", "label_centroids", "chunk_documents",
     "median_by_type", "value_mad_by_type", "user_event_sequence",
     "semantic_clusters", "type_percent_rank", "constraint_report",
-    "zorder_box_scan", "session_outage_overlap",
+    "zorder_box_scan", "session_outage_overlap", "value_trend_by_type",
 ])
 def test_query_matches_oracle(ray_session, oracle, name):
     import __ray_entry__ as entrymod
