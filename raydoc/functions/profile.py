@@ -230,10 +230,13 @@ def constraint_report(sf_dir: str) -> pa.Table:
                            columns=["doc_id", "text"])
 
     def doc_counts(t: pa.Table) -> pa.Table:
-        texts = t.column("text").to_pylist()
-        n_null = sum(1 for x in texts if x is None)
-        n_short = sum(1 for x in texts
-                      if len((x or "").split(" ")) < 20)
+        col = t.column("text")
+        n_null = int(pc.sum(pc.cast(pc.is_null(col), pa.int64()))
+                     .as_py() or 0)
+        words = pc.list_value_length(
+            pc.split_pattern(pc.fill_null(col, ""), " "))
+        n_short = int(pc.sum(pc.cast(pc.less(words, 20), pa.int64()))
+                      .as_py() or 0)
         return pa.table({"n_null": pa.array([n_null], pa.int64()),
                          "n_short": pa.array([n_short], pa.int64())})
 
@@ -260,8 +263,13 @@ def constraint_report(sf_dir: str) -> pa.Table:
                                                batch_format="pyarrow"))
     n_dup = int(pc.sum(dt["d"]).as_py() or 0)
 
+    # NULL FKs are NOT violations (SQL NOT IN / dbt relationship-test
+    # semantics) — the anti semi-join would KEEP null left keys (its
+    # NOT EXISTS contract), so drop them before the join
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
-                             columns=["o_custkey"])
+                             columns=["o_custkey"]).map_batches(
+        lambda t: t.filter(pc.is_valid(t["o_custkey"])),
+        batch_format="pyarrow")
     cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
                            columns=["c_custkey"]).map_batches(
         lambda t: t.rename_columns(["o_custkey"]),

@@ -1220,42 +1220,59 @@ def value_trend_by_type(sf_dir: str) -> pa.Table:
     rendered as VARCHAR exact integers (they exceed int64 at scale; the
     HUGEINT SQL twin renders identically so hashes match).
 
-    Re-centering time to corpus-relative minutes keeps every per-batch
-    int64 partial overflow-free (minutes < 4·10⁶ over years of data,
-    x² sums ≪ 2⁶³ per batch); cross-batch folds use the same split-radix
-    combiner as ``covariance_by_type``. One stats pass finds the epoch,
-    one moment pass feeds the combiner."""
+    Overflow discipline, tighter than ``covariance_by_type`` because the
+    x·y / x² PRODUCTS grow with corpus age: each product splits
+    ELEMENT-wise into (q, r) = divmod(·, 2³¹) BEFORE the batch sum (a
+    late-corpus block of millions of rows would overflow a raw int64
+    Σx² — products reach ~2⁴⁹ at decade spans), and each part's batch
+    sum splits AGAIN for the cross-batch fold — so no int64 anywhere
+    holds more than ~2⁵⁴ regardless of block size or batch count. The
+    epoch pass reads ONLY the ts column."""
     _MIN_US = 60_000_000
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
-                         columns=["event_type", "value", "ts"])
+    ts_only = rd.read_parquet(f"{sf_dir}/events.parquet",
+                              columns=["ts"])
 
     def ts_min(t: pa.Table) -> pa.Table:
         return pa.table({"m": pa.array(
             [pc.min(pc.cast(t["ts"], pa.int64())).as_py()], pa.int64())})
 
-    m = collect_table(ds.map_batches(ts_min, batch_format="pyarrow"))
+    m = collect_table(ts_only.map_batches(ts_min,
+                                          batch_format="pyarrow"))
     epoch0 = int(pc.min(m["m"]).as_py())
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value", "ts"])
+    # plain batch-sum-then-split columns (terms bounded: x < 2^23
+    # minutes for decades, y cents < 2^31) vs element-split product
+    # columns (xy/x2 parts: A = Σ q_elem, B = Σ r_elem per batch)
+    _PLAIN = ("sx", "sy")
+    _PROD = ("sxy", "sx2")
+    _PARTS = tuple(f"{c}_{p}" for c in _PROD for p in ("a", "b"))
 
     def moments(t: pa.Table) -> pa.Table:
         y = pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
                     pa.int64()).to_numpy(zero_copy_only=False)
         us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
         x = (us - epoch0) // _MIN_US
+        xy_q, xy_r = np.divmod(x * y, _RADIX)
+        x2_q, x2_r = np.divmod(x * x, _RADIX)
         df = pd.DataFrame({"event_type": t["event_type"].to_pandas(),
-                           "x": x, "y": y, "xy": x * y, "x2": x * x})
+                           "x": x, "y": y,
+                           "sxy_a": xy_q, "sxy_b": xy_r,
+                           "sx2_a": x2_q, "sx2_b": x2_r})
         g = df.groupby("event_type", sort=False).agg(
             n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
-            sxy=("xy", "sum"), sx2=("x2", "sum"))
+            **{c: (c, "sum") for c in _PARTS})
         out = {"event_type": g.index.to_numpy(),
                "n": g["n"].to_numpy(np.int64)}
-        for col in ("sx", "sy", "sxy", "sx2"):
+        for col in _PLAIN + _PARTS:
             q, r = np.divmod(g[col].to_numpy(np.int64), _RADIX)
             out[f"{col}_q"] = q
             out[f"{col}_r"] = r
         return pa.table(out)
 
     spec = {"n": ("n", "sum")}
-    for col in ("sx", "sy", "sxy", "sx2"):
+    for col in _PLAIN + _PARTS:
         spec[f"{col}_q"] = (f"{col}_q", "sum")
         spec[f"{col}_r"] = (f"{col}_r", "sum")
     stats = collect_table(partial_groupby(
@@ -1265,12 +1282,17 @@ def value_trend_by_type(sf_dir: str) -> pa.Table:
     types_, ns, nums, dens = [], [], [], []
     for row in sorted(stats.to_pylist(), key=lambda r: r["event_type"]):
         n = int(row["n"])
-        tot = {c: int(row[f"{c}_q"]) * _RADIX + int(row[f"{c}_r"])
-               for c in ("sx", "sy", "sxy", "sx2")}
+
+        def fold(col: str) -> int:
+            return int(row[f"{col}_q"]) * _RADIX + int(row[f"{col}_r"])
+
+        sx, sy = fold("sx"), fold("sy")
+        sxy = _RADIX * fold("sxy_a") + fold("sxy_b")
+        sx2 = _RADIX * fold("sx2_a") + fold("sx2_b")
         types_.append(row["event_type"])
         ns.append(n)
-        nums.append(str(n * tot["sxy"] - tot["sx"] * tot["sy"]))
-        dens.append(str(n * tot["sx2"] - tot["sx"] * tot["sx"]))
+        nums.append(str(n * sxy - sx * sy))
+        dens.append(str(n * sx2 - sx * sx))
     return pa.table({"event_type": pa.array(types_, pa.string()),
                      "n": pa.array(ns, pa.int64()),
                      "slope_num": pa.array(nums, pa.string()),

@@ -78,6 +78,9 @@ def _minmax2(ds: rd.Dataset, col_a: str, col_b: str):
             "bhi": pa.array([pc.max(t[col_b]).as_py()], pa.float64())})
 
     p = collect_table(ds.map_batches(partial, batch_format="pyarrow"))
+    if p.num_rows == 0 or "alo" not in p.column_names:
+        # empty input: Ray emits no blocks (or empty-schema ones)
+        return None, None, None, None
     return (pc.min(p["alo"]).as_py(), pc.max(p["ahi"]).as_py(),
             pc.min(p["blo"]).as_py(), pc.max(p["bhi"]).as_py())
 
@@ -90,13 +93,35 @@ def write_zordered_parquet(ds: rd.Dataset, out_dir: str, col_a: str,
     zone records min/max of BOTH columns."""
     import pandas as pd
 
-    alo, ahi, blo, bhi = _minmax2(ds, col_a, col_b)
-    zmax = float(2 ** (2 * bits) - 1)
-    cuts = np.linspace(0.0, zmax, num_buckets + 1)[1:-1]
+    if not 1 <= bits <= 16:
+        # _spread_bits interleaves the LOW 16 bits only; a larger value
+        # would silently alias distant rows onto one z
+        raise ValueError(f"bits must be in [1, 16], got {bits}")
 
     staging = out_dir.rstrip("/") + ".zorder-staging"
     shutil.rmtree(staging, ignore_errors=True)
     os.makedirs(staging)
+
+    alo, ahi, blo, bhi = _minmax2(ds, col_a, col_b)
+    if alo is None or blo is None:          # empty input
+        import pyarrow.parquet as pq
+        empty = os.path.join(staging, "part-empty.parquet")
+        pq.write_table(ds.schema().base_schema.empty_table(), empty)
+        manifest = {"col_a": col_a, "col_b": col_b, "bits": bits,
+                    "num_buckets": num_buckets, "zones": [],
+                    "empty_file": os.path.basename(empty)}
+        with open(os.path.join(staging, _ZONEMAP), "w") as f:
+            json.dump(manifest, f, indent=1)
+        backup = out_dir.rstrip("/") + ".zorder-backup"
+        shutil.rmtree(backup, ignore_errors=True)
+        if os.path.exists(out_dir):
+            os.replace(out_dir, backup)
+        os.replace(staging, out_dir)
+        shutil.rmtree(backup, ignore_errors=True)
+        return manifest
+
+    zmax = float(2 ** (2 * bits) - 1)
+    cuts = np.linspace(0.0, zmax, num_buckets + 1)[1:-1]
 
     def add_z(t: pa.Table) -> pa.Table:
         a = t.column(col_a).to_numpy(zero_copy_only=False) \
@@ -164,7 +189,9 @@ def read_zordered_box(out_dir: str, a_lo=None, a_hi=None,
             continue
         keep.append(os.path.join(out_dir, z["file"]))
     if not keep:
-        first = os.path.join(out_dir, manifest["zones"][0]["file"])
+        fallback = (manifest["zones"][0]["file"] if manifest["zones"]
+                    else manifest["empty_file"])
+        first = os.path.join(out_dir, fallback)
         return rd.read_parquet(first).limit(0), pruned
     return rd.read_parquet(keep), pruned
 

@@ -51,6 +51,15 @@ def read_parquet_evolved(paths, schema: pa.Schema,
     still applies at the read when every requested column exists in a
     shard's footer; pass only ``schema`` columns you need — pruning what
     the target schema omits is automatic (extra columns drop)."""
+    cols = read_kwargs.get("columns")
+    if cols is not None:
+        missing = [f.name for f in schema if f.name not in cols]
+        if missing:
+            # a narrower read would make widen_to_schema null-fill
+            # columns that DO exist on disk — silent data corruption
+            raise ValueError(
+                f"columns= omits target-schema column(s) {missing}; "
+                f"either request them or narrow the target schema")
     ds = rd.read_parquet(paths, **read_kwargs)
     return ds.map_batches(lambda t: widen_to_schema(t, schema),
                           batch_format="pyarrow")

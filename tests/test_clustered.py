@@ -109,3 +109,29 @@ def test_zorder_box_pruning(ray_session, tmp_path):
     # degenerate empty box still returns a typed empty dataset
     empty, _ = read_zordered_box(out, 1000, 2000, None, None)
     assert empty.count() == 0
+
+
+def test_zorder_empty_input_and_bits_guard(ray_session, tmp_path):
+    """Empty datasets round-trip (typed empty reads) and bits > 16 is
+    rejected instead of silently aliasing the Morton code."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+    import ray.data as rd
+
+    from raydoc.pipelines.zorder import (read_zordered_box,
+                                         write_zordered_parquet)
+
+    t = pa.table({"a": pa.array([], pa.float64()),
+                  "b": pa.array([], pa.float64())})
+    src = tmp_path / "empty.parquet"
+    pq.write_table(t, src)
+    out = str(tmp_path / "zempty")
+    m = write_zordered_parquet(rd.read_parquet(str(src)), out, "a", "b")
+    assert m["zones"] == []
+    ds, pruned = read_zordered_box(out, 0, 1, 0, 1)
+    assert ds.count() == 0 and pruned == 0
+
+    with pytest.raises(ValueError, match="bits"):
+        write_zordered_parquet(rd.read_parquet(str(src)), out, "a", "b",
+                               bits=20)

@@ -482,3 +482,38 @@ def test_interval_overlap_join_vs_bruteforce(ray_session, seed):
                  for i in range(nl) for j in range(nr)
                  if ls[i] <= re[j] and rs[j] <= le[i])
     assert got == exp
+
+
+@pytest.mark.parametrize("seed", [71])
+def test_interval_overlap_join_keyed_vs_bruteforce(ray_session, seed):
+    """The per-key branch (composite key build + right-side key drop)
+    against the O(n*m) definition with key equality."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raydoc.functions.rangejoin import interval_overlap_join
+
+    rng = np.random.RandomState(seed)
+    nl, nr = 140, 110
+    lk = rng.randint(0, 5, nl).astype(np.int64)
+    rk = rng.randint(0, 5, nr).astype(np.int64)
+    ls = rng.randint(-300, 300, nl).astype(np.int64)
+    le = ls + rng.randint(0, 60, nl)
+    rs = rng.randint(-300, 300, nr).astype(np.int64)
+    re = rs + rng.randint(0, 60, nr)
+    left = pa.table({"k": pa.array(lk),
+                     "lid": pa.array(np.arange(nl, dtype=np.int64)),
+                     "ls": pa.array(ls), "le": pa.array(le)})
+    right = pa.table({"k": pa.array(rk),
+                      "rid": pa.array(np.arange(nr, dtype=np.int64)),
+                      "rs": pa.array(rs), "re": pa.array(re)})
+    out = interval_overlap_join(
+        rd.from_arrow(left), rd.from_arrow(right),
+        "ls", "le", "rs", "re", key="k", granule_us=32,
+        num_buckets=8).to_pandas()
+    got = sorted(zip(out["lid"], out["rid"]))
+    exp = sorted((int(i), int(j))
+                 for i in range(nl) for j in range(nr)
+                 if lk[i] == rk[j] and ls[i] <= re[j] and rs[j] <= le[i])
+    assert got == exp
