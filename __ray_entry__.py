@@ -191,6 +191,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_status_except": relational.q_order_status_except,
         "cube_orders": relational.q_cube_orders,
         "order_status_intersect": relational.q_order_status_intersect,
+        "cheapest_supplier_per_part":
+            relational.q_cheapest_supplier_per_part,
+        "rich_inactive_customers": relational.q_rich_inactive_customers,
+        "user_value_ewma": windows.user_value_ewma,
+        "bm25_search": textstats.bm25_search,
         "collapse_repeats": textstats.collapse_repeats,
         "median_by_type": windows.median_by_type,
         "value_mad_by_type": windows.value_mad_by_type,
@@ -675,6 +680,89 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
             EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
             ORDER BY o_custkey""",
+        "cheapest_supplier_per_part": """
+            WITH best AS (
+                SELECT l_partkey AS p_partkey,
+                       MIN(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                           * 1048576 + l_suppkey) AS packed
+                FROM lineitem GROUP BY l_partkey)
+            SELECT p_partkey,
+                   CAST(packed % 1048576 AS BIGINT) AS s_suppkey,
+                   s_name,
+                   CAST(packed // 1048576 AS BIGINT) AS best_price_cents
+            FROM best JOIN supplier ON s_suppkey = packed % 1048576
+            ORDER BY p_partkey""",
+        "rich_inactive_customers": """
+            WITH c AS (SELECT c_custkey, c_nationkey,
+                              CAST(ROUND(c_acctbal*100) AS BIGINT) AS bal_c
+                       FROM customer),
+            thr AS (SELECT SUM(bal_c) // COUNT(*) AS t
+                    FROM c WHERE bal_c > 0)
+            SELECT c_nationkey, COUNT(*) AS n_custs,
+                   CAST(SUM(bal_c) AS BIGINT) AS total_bal_cents
+            FROM c, thr
+            WHERE bal_c > t
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderstatus = 'F')
+            GROUP BY c_nationkey ORDER BY c_nationkey""",
+        "user_value_ewma": """
+            WITH v AS (SELECT user_id,
+                              CAST(ROUND(value*100) AS BIGINT) AS v_c,
+                              ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+                       FROM events)
+            SELECT user_id, COUNT(*) AS n_recent,
+                   CAST(SUM(v_c * (CAST(1 AS BIGINT) << CAST(16 - rn AS
+                        INTEGER))) AS BIGINT) AS decay_num_c
+            FROM v WHERE rn <= 16 GROUP BY user_id ORDER BY user_id""",
+        "bm25_search": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '\w+')) AS term
+                FROM documents),
+            tf AS (SELECT doc_id,
+                          SUM(CASE WHEN term='hash' THEN 1 ELSE 0 END) AS tf0,
+                          SUM(CASE WHEN term='join' THEN 1 ELSE 0 END) AS tf1,
+                          SUM(CASE WHEN term='merge' THEN 1 ELSE 0 END) AS tf2,
+                          COUNT(*) AS dl
+                   FROM tok GROUP BY doc_id),
+            g AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+                         (SELECT COALESCE(SUM(dl), 0) FROM tf) AS sum_dl,
+                         (SELECT COUNT(*) FROM tf WHERE tf0 > 0) AS df0,
+                         (SELECT COUNT(*) FROM tf WHERE tf1 > 0) AS df1,
+                         (SELECT COUNT(*) FROM tf WHERE tf2 > 0) AS df2),
+            k AS (SELECT CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                             AS avgdl,
+                         (CAST(n_docs - df0 AS DOUBLE) + 0.5::DOUBLE)
+                             / (CAST(df0 AS DOUBLE) + 0.5::DOUBLE) AS idf0,
+                         (CAST(n_docs - df1 AS DOUBLE) + 0.5::DOUBLE)
+                             / (CAST(df1 AS DOUBLE) + 0.5::DOUBLE) AS idf1,
+                         (CAST(n_docs - df2 AS DOUBLE) + 0.5::DOUBLE)
+                             / (CAST(df2 AS DOUBLE) + 0.5::DOUBLE) AS idf2,
+                         (1.2::DOUBLE + 1.0::DOUBLE) AS k1p1
+                  FROM g),
+            nrm AS (SELECT t.doc_id, t.tf0, t.tf1, t.tf2, k.*,
+                           1.2::DOUBLE * ((1.0::DOUBLE - 0.75::DOUBLE)
+                               + 0.75::DOUBLE * (CAST(t.dl AS DOUBLE)
+                                                 / k.avgdl)) AS norm
+                    FROM tf t, k
+                    WHERE t.tf0 + t.tf1 + t.tf2 > 0),
+            s AS (SELECT doc_id,
+                         ((idf0 * ((CAST(tf0 AS DOUBLE) * k1p1)
+                                   / (CAST(tf0 AS DOUBLE) + norm)))
+                          + (idf1 * ((CAST(tf1 AS DOUBLE) * k1p1)
+                                     / (CAST(tf1 AS DOUBLE) + norm))))
+                         + (idf2 * ((CAST(tf2 AS DOUBLE) * k1p1)
+                                    / (CAST(tf2 AS DOUBLE) + norm)))
+                             AS score
+                  FROM nrm),
+            r AS (SELECT doc_id, score,
+                         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+                             AS rank
+                  FROM s WHERE score > 0.0::DOUBLE)
+            SELECT CAST(rank AS BIGINT) AS rank, doc_id, score
+            FROM r WHERE rank <= 20 ORDER BY rank""",
         "cube_orders": """
             SELECT o_orderstatus, o_orderpriority,
                    CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))

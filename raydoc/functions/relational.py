@@ -903,3 +903,108 @@ def q_orders_upsert(sf_dir: str) -> pa.Table:
     out = merge_upsert(base, updates, key="o_orderkey",
                        version_col="version", num_buckets=16)
     return collect_table(out).sort_by("o_orderkey")
+
+
+def q_cheapest_supplier_per_part(sf_dir: str) -> pa.Table:
+    """(p_partkey, s_suppkey, s_name, best_price): per part, the supplier
+    quoting the LOWEST lineitem extendedprice (ties → lowest suppkey) —
+    the TPC-H Q2 correlated-min family re-expressed over lineitem (this
+    corpus has no partsupp table; reference analog: the min-cost
+    candidate-selection joins in structure_engine's table matching).
+
+    Scale shape: the per-part ARGMIN is a pure MIN aggregate over a
+    bit-packed ``price_cents·2²⁰ + suppkey`` int64 key (suppkey < 2²⁰,
+    price < $10⁸ — asserted), so it rides the existing combiner
+    ``partial_groupby`` — one partial row per part per batch crosses the
+    wire, never a row stream. Supplier names attach via a broadcast join
+    (dimension table shipped once via ray.put)."""
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_extendedprice"])
+
+    def pack(t: pa.Table) -> pa.Table:
+        cents = _cents(t["l_extendedprice"])
+        if t.num_rows and (
+                pc.max(cents).as_py() >= (1 << 43)
+                or pc.max(t["l_suppkey"]).as_py() >= (1 << 20)):
+            raise ValueError("argmin pack overflow: price or suppkey "
+                             "out of packable range")
+        packed = pc.add(pc.multiply(cents, pa.scalar(1 << 20, pa.int64())),
+                        pc.cast(t["l_suppkey"], pa.int64()))
+        return pa.table({"p_partkey": t["l_partkey"], "packed": packed})
+
+    best = partial_groupby(li.map_batches(pack, batch_format="pyarrow"),
+                           ["p_partkey"], {"best": ("packed", "min")})
+
+    def unpack(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "p_partkey": t["p_partkey"],
+            "s_suppkey": pc.bit_wise_and(
+                t["best"], pa.scalar((1 << 20) - 1, pa.int64())),
+            "best_price_cents": pc.divide(t["best"],
+                                          pa.scalar(1 << 20, pa.int64()))})
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_name"])
+    out = broadcast_join(best.map_batches(unpack, batch_format="pyarrow"),
+                         sup, "s_suppkey")
+    return collect_table(out).select(
+        ["p_partkey", "s_suppkey", "s_name", "best_price_cents"]).sort_by(
+        "p_partkey")
+
+
+def q_rich_inactive_customers(sf_dir: str) -> pa.Table:
+    """(c_nationkey, n_custs, total_bal_cents): count + balance of
+    customers whose account balance exceeds the GLOBAL average positive
+    balance and who placed no FINISHED (F-status) order — TPC-H Q22's
+    shape (scalar subquery threshold + NOT EXISTS anti-join +
+    aggregate); the F-status predicate keeps the result non-vacuous on
+    this corpus, where every customer has at least one order.
+
+    Scale shape: the threshold is one tiny combiner aggregate (two int64
+    partials per batch; floor-divide on the driver keeps it integer-exact
+    like the SQL twin); it is closed over as a SCALAR — never joined. The
+    NOT EXISTS is the existing bucketed hash semi-join (anti=True): both
+    sides shuffle once on the same key, no driver materialization. The
+    final per-nation rollup is again combiner partials."""
+    from raydoc.functions.joins import bucket_semi_join
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return pa.table({"c_custkey": t["c_custkey"],
+                         "c_nationkey": t["c_nationkey"],
+                         "bal_c": _cents(t["c_acctbal"])})
+
+    cents = cust.map_batches(to_cents, batch_format="pyarrow")
+
+    def pos_only(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["bal_c"], 0))
+        return t.append_column("one",
+                               pa.array([1] * t.num_rows, pa.int64()))
+
+    pos = cents.map_batches(pos_only, batch_format="pyarrow")
+    tot = collect_table(partial_groupby(
+        pos, ["one"], {"s": ("bal_c", "sum"), "n": ("bal_c", "count")}))
+    thr_c = (tot.column("s")[0].as_py()
+             // max(tot.column("n")[0].as_py(), 1))
+
+    rich = cents.map_batches(
+        lambda t: t.filter(pc.greater(t["bal_c"], thr_c)),
+        batch_format="pyarrow")
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderstatus"]).map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderstatus"], "F"))
+        .select(["o_custkey"]).rename_columns(["c_custkey"]),
+        batch_format="pyarrow")
+    inactive = bucket_semi_join(rich, orders, key="c_custkey", anti=True)
+
+    out = partial_groupby(inactive, ["c_nationkey"],
+                          {"n_custs": ("c_custkey", "count"),
+                           "total_bal_cents": ("bal_c", "sum")})
+    t = collect_table(out)
+    if t.num_rows == 0:        # empty Ray blocks carry an EMPTY schema
+        return pa.table({"c_nationkey": pa.array([], pa.int64()),
+                         "n_custs": pa.array([], pa.int64()),
+                         "total_bal_cents": pa.array([], pa.int64())})
+    return t.sort_by("c_nationkey")

@@ -1388,3 +1388,109 @@ def chunk_documents(sf_dir: str, chunk: int = 128,
     return collect_table(
         ds.map_batches(explode, batch_format="pyarrow")).sort_by(
         [("doc_id", "ascending"), ("chunk_idx", "ascending")])
+
+
+def bm25_search(sf_dir: str, query: tuple[str, ...] = ("hash", "join",
+                                                       "merge"),
+                top_k: int = 20, k1: float = 1.2, b: float = 0.75) -> pa.Table:
+    """(rank, doc_id, score): the ``top_k`` documents by BM25 against a
+    fixed query-term set — the retrieval-scoring primitive behind corpus
+    search / RAG candidate generation (reference analog: the confidence-
+    ranked candidate selection in validate.py, re-expressed as IR
+    ranking).
+
+    Determinism: the classic ``ln``-idf is replaced by the rational
+    surrogate ``idf = (N - df + 0.5)/(df + 0.5)`` — every operation in
+    the score is IEEE-exact-rounded (+,-,·,/), no transcendentals, so
+    the DuckDB twin evaluates the SAME expression tree to bit-identical
+    doubles. Per-term contributions sum in fixed query order. Ties break
+    (score desc, doc_id asc).
+
+    Shape: one tokenizing pass emits per-doc (dl, tf per query term) —
+    doc-local, no exchange; N / Σdl / df come off that tiny stream via a
+    constant-key combiner groupby (never a corpus shuffle); scoring is a
+    second vectorized pass with the 5 scalars closed over; top-k reduces
+    per batch then once on the driver (k rows per batch cross)."""
+    import pyarrow.compute as pc
+
+    from raydoc.functions.agg import partial_groupby
+
+    word = re.compile(r"\w+")
+    terms = list(query)
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def doc_stats(t: pa.Table) -> pa.Table:
+        from collections import Counter
+        cols: dict[str, list[int]] = {f"tf_{i}": []
+                                      for i in range(len(terms))}
+        dls = []
+        for txt in t.column("text").to_pylist():
+            toks = word.findall((txt or "").lower())
+            c = Counter(toks)
+            dls.append(len(toks))
+            for i, q in enumerate(terms):
+                cols[f"tf_{i}"].append(c.get(q, 0))
+        out = {"doc_id": t.column("doc_id"),
+               "dl": pa.array(dls, pa.int64())}
+        for i in range(len(terms)):
+            out[f"tf_{i}"] = pa.array(cols[f"tf_{i}"], pa.int64())
+        return pa.table(out)
+
+    stats = ds.map_batches(doc_stats, batch_format="pyarrow")
+
+    def globals_partial(t: pa.Table) -> pa.Table:
+        row = {"one": pa.array([1], pa.int64()),
+               "n_docs": pa.array([t.num_rows], pa.int64()),
+               "sum_dl": pa.array([pc.sum(t["dl"]).as_py() or 0],
+                                  pa.int64())}
+        for i in range(len(terms)):
+            df_i = pc.sum(pc.cast(pc.greater(t[f"tf_{i}"], 0),
+                                  pa.int64())).as_py() or 0
+            row[f"df_{i}"] = pa.array([df_i], pa.int64())
+        return pa.table(row)
+
+    spec = {"n_docs": ("n_docs", "sum"), "sum_dl": ("sum_dl", "sum")}
+    for i in range(len(terms)):
+        spec[f"df_{i}"] = (f"df_{i}", "sum")
+    g = collect_table(partial_groupby(
+        stats.map_batches(globals_partial, batch_format="pyarrow"),
+        ["one"], spec))
+    empty = pa.table({"rank": pa.array([], pa.int64()),
+                      "doc_id": pa.array([], pa.int64()),
+                      "score": pa.array([], pa.float64())})
+    if g.num_rows == 0:                     # empty corpus
+        return empty
+    n_docs = g.column("n_docs")[0].as_py()
+    avgdl = g.column("sum_dl")[0].as_py() / n_docs
+    idfs = [(n_docs - g.column(f"df_{i}")[0].as_py() + 0.5)
+            / (g.column(f"df_{i}")[0].as_py() + 0.5)
+            for i in range(len(terms))]
+
+    def score_topk(t: pa.Table) -> pa.Table:
+        dl = t["dl"].to_numpy(zero_copy_only=False).astype(_np.float64)
+        norm = k1 * ((1.0 - b) + b * (dl / avgdl))
+        score = _np.zeros(t.num_rows, _np.float64)
+        for i in range(len(terms)):
+            tf = t[f"tf_{i}"].to_numpy(zero_copy_only=False).astype(
+                _np.float64)
+            score = score + idfs[i] * ((tf * (k1 + 1.0)) / (tf + norm))
+        out = pa.table({"doc_id": t["doc_id"],
+                        "score": pa.array(score, pa.float64())})
+        out = out.filter(pc.greater(out["score"], 0.0))
+        if out.num_rows == 0:   # select_k_unstable chokes on empty input
+            return out
+        idx = pc.select_k_unstable(
+            out, top_k, [("score", "descending"), ("doc_id", "ascending")])
+        return out.take(idx)
+
+    cand = collect_table(
+        stats.map_batches(score_topk, batch_format="pyarrow"))
+    if cand.num_rows == 0:                  # no doc matched any term
+        return empty
+    cand = cand.sort_by([("score", "descending"), ("doc_id", "ascending")]) \
+        .slice(0, top_k)
+    return pa.table({
+        "rank": pa.array(range(1, cand.num_rows + 1), pa.int64()),
+        "doc_id": cand.column("doc_id"),
+        "score": cand.column("score")})

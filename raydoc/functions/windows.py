@@ -1297,3 +1297,58 @@ def value_trend_by_type(sf_dir: str) -> pa.Table:
                      "n": pa.array(ns, pa.int64()),
                      "slope_num": pa.array(nums, pa.string()),
                      "slope_den": pa.array(dens, pa.string())})
+
+
+def user_value_ewma(sf_dir: str, k: int = 16,
+                    num_buckets: int | None = None) -> pa.Table:
+    """(user_id, n_recent, decay_num_c): exponentially-decayed recent
+    value per user — the newest event (by ts, event_id desc) weighs
+    2¹⁵, the next 2¹⁴, … over the last ``k``=16 events:
+    ``decay_num_c = Σ value_cents(i-th newest) · 2^(15-i)``. Weights are
+    exact powers of two on integer cents, so the score is integer-exact
+    and the DuckDB twin (``v_c * (1 << (16 - rn))``) hashes
+    bit-identically — the float-EWMA recursion would diverge in last
+    bits across engines. This is the recency-weighted user-score
+    primitive (session freshness / decay features for ranking models).
+
+    Shape: batch-local keep-newest-k partials cut the exchange to ≤ k
+    rows per user per batch, then ONE coarse user-bucket exchange and a
+    vectorized per-bucket rank + weighted sum — the
+    ``latest_user_event`` argmax pattern generalized to top-k."""
+    from raydoc.functions._buckets import reduce_bucket_count
+    mask = (num_buckets or reduce_bucket_count()) - 1
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id", "value"])
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["v_c"] = np.round(df["value"] * 100.0).astype(np.int64)
+        df = (df.sort_values(["user_id", "ts", "event_id"],
+                             ascending=[True, False, False])
+              .groupby("user_id", sort=False).head(k))
+        out = pa.Table.from_pandas(
+            df[["user_id", "ts", "event_id", "v_c"]], preserve_index=False)
+        return out.append_column(
+            "bucket", pc.cast(pc.bit_wise_and(out["user_id"], mask),
+                              pa.int32()))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          ascending=[True, False, False],
+                          ignore_index=True)
+        rn = g.groupby("user_id", sort=False).cumcount()   # 0 = newest
+        g = g[rn < k].copy()
+        rn = rn[rn < k]
+        g["w"] = np.int64(1) << (np.int64(k - 1) - rn.to_numpy())
+        g["term"] = g["v_c"].to_numpy() * g["w"].to_numpy()
+        agg = g.groupby("user_id", sort=False).agg(
+            n_recent=("term", "size"), decay_num_c=("term", "sum"))
+        return agg.reset_index()
+
+    out = (ds.map_batches(local_topk, batch_format="pyarrow")
+           .groupby("bucket").map_groups(per_bucket,
+                                         batch_format="pandas"))
+    t = collect_table(out)
+    return t.set_column(
+        t.schema.get_field_index("n_recent"), "n_recent",
+        t.column("n_recent").cast(pa.int64())).sort_by("user_id")

@@ -67,6 +67,8 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
     "median_by_type", "value_mad_by_type", "user_event_sequence",
     "semantic_clusters", "type_percent_rank", "constraint_report",
     "zorder_box_scan", "session_outage_overlap", "value_trend_by_type",
+    "cheapest_supplier_per_part", "rich_inactive_customers",
+    "user_value_ewma", "bm25_search",
 ])
 def test_query_matches_oracle(ray_session, oracle, name):
     import __ray_entry__ as entrymod
@@ -735,3 +737,51 @@ def test_semantic_clusters_regimes_agree(ray_session, tmp_path):
     for c in range(8):                         # each triple co-clusters
         assert labels[3 * c] == labels[3 * c + 1] == labels[3 * c + 2] \
             == 3 * c
+
+
+def test_bm25_ranks_term_dense_doc_first(ray_session, tmp_path):
+    """A document saturated with the query terms must outrank sparse
+    ones; zero-match docs must not appear; scores strictly ordered."""
+    import pyarrow.parquet as pq
+    from raydoc.functions.textstats import bm25_search
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": ["hash join merge " * 20,
+                 "hash table scan filter sort " + "pad " * 40,
+                 "nothing relevant at all " * 10,
+                 "merge sort merge " + "pad " * 10],
+    })
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    out = bm25_search(str(tmp_path), top_k=10).to_pandas()
+    assert list(out["doc_id"])[0] == 1
+    assert 3 not in set(out["doc_id"])
+    assert list(out["rank"]) == list(range(1, len(out) + 1))
+    assert (out["score"].to_numpy()[:-1]
+            >= out["score"].to_numpy()[1:]).all()
+
+
+def test_cheapest_supplier_tiebreak_prefers_low_suppkey(ray_session,
+                                                        tmp_path):
+    """Equal best prices must resolve to the LOWEST suppkey (the packed
+    int64 argmin tiebreak), and the price must unpack exactly."""
+    import pyarrow.parquet as pq
+    from raydoc.functions.relational import q_cheapest_supplier_per_part
+
+    li = pa.table({
+        "l_partkey": pa.array([10, 10, 10, 11], pa.int64()),
+        "l_suppkey": pa.array([7, 3, 9, 2], pa.int64()),
+        "l_extendedprice": pa.array([55.5, 55.5, 99.0, 12.34]),
+    })
+    sup = pa.table({
+        "s_suppkey": pa.array([2, 3, 7, 9], pa.int64()),
+        "s_name": ["s2", "s3", "s7", "s9"],
+    })
+    pq.write_table(li, tmp_path / "lineitem.parquet")
+    pq.write_table(sup, tmp_path / "supplier.parquet")
+    out = q_cheapest_supplier_per_part(str(tmp_path)).to_pandas()
+    row10 = out[out["p_partkey"] == 10].iloc[0]
+    assert row10["s_suppkey"] == 3 and row10["s_name"] == "s3"
+    assert row10["best_price_cents"] == 5550
+    row11 = out[out["p_partkey"] == 11].iloc[0]
+    assert row11["s_suppkey"] == 2 and row11["best_price_cents"] == 1234

@@ -154,3 +154,14 @@ def test_value_mad_matches_duckdb(ray_session, tmp_path, seed):
     got = value_mad_by_type(sf).to_pandas()
     exp = _sql(sf, e.oracle_sql()["value_mad_by_type"])
     assert _canon(got) == _canon(exp)
+
+
+@pytest.mark.parametrize("seed", [161, 162])
+def test_user_value_ewma_matches_duckdb(ray_session, tmp_path, seed):
+    """Decay weights under ties, negatives, and >16-event users."""
+    from raydoc.functions.windows import user_value_ewma
+    import __ray_entry__ as e
+    sf = _mk_events(tmp_path, seed)
+    got = user_value_ewma(sf).to_pandas()
+    exp = _sql(sf, e.oracle_sql()["user_value_ewma"])
+    assert _canon(got) == _canon(exp)
