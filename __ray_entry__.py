@@ -194,6 +194,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cheapest_supplier_per_part":
             relational.q_cheapest_supplier_per_part,
         "rich_inactive_customers": relational.q_rich_inactive_customers,
+        "skyline_orders": relational.q_skyline_orders,
+        "top_supplier_revenue": relational.q_top_supplier_revenue,
+        "audience_jaccard": relational.q_audience_jaccard,
         "user_value_ewma": windows.user_value_ewma,
         "bm25_search": textstats.bm25_search,
         "collapse_repeats": textstats.collapse_repeats,
@@ -706,6 +709,55 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o_custkey = c_custkey
                                 AND o_orderstatus = 'F')
             GROUP BY c_nationkey ORDER BY c_nationkey""",
+        "skyline_orders": """
+            WITH o AS (SELECT o_orderkey,
+                              CAST(ROUND(o_totalprice*100) AS BIGINT)
+                                  AS price_c,
+                              o_orderdate
+                       FROM orders),
+            g AS (SELECT price_c, MAX(o_orderdate) AS gmax
+                  FROM o GROUP BY price_c),
+            gm AS (SELECT price_c, gmax,
+                          MAX(gmax) OVER (ORDER BY price_c DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS m1
+                   FROM g)
+            SELECT o.o_orderkey, o.price_c, o.o_orderdate
+            FROM o JOIN gm ON o.price_c = gm.price_c
+            WHERE o.o_orderdate = gm.gmax
+              AND (gm.m1 IS NULL OR o.o_orderdate > gm.m1)
+            ORDER BY o.o_orderkey""",
+        "top_supplier_revenue": """
+            WITH rev AS (
+                SELECT l_suppkey AS s_suppkey,
+                       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                           * (100 - CAST(ROUND(l_discount*100) AS BIGINT)))
+                           AS BIGINT) AS revenue_c100
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate <  TIMESTAMP '1996-04-01'
+                GROUP BY l_suppkey)
+            SELECT s_suppkey, s_name, revenue_c100
+            FROM rev JOIN supplier USING (s_suppkey)
+            WHERE revenue_c100 = (SELECT MAX(revenue_c100) FROM rev)
+            ORDER BY s_suppkey""",
+        "audience_jaccard": """
+            WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+            cnt AS (SELECT event_type, COUNT(*) AS n
+                    FROM ut GROUP BY event_type),
+            i AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                         COUNT(*) AS n_inter
+                  FROM ut a JOIN ut b
+                    ON a.user_id = b.user_id
+                   AND a.event_type < b.event_type
+                  GROUP BY 1, 2)
+            SELECT type_a, type_b, n_inter,
+                   ca.n + cb.n - n_inter AS n_union,
+                   CAST(n_inter AS DOUBLE)
+                       / CAST(ca.n + cb.n - n_inter AS DOUBLE) AS jaccard
+            FROM i JOIN cnt ca ON ca.event_type = type_a
+                   JOIN cnt cb ON cb.event_type = type_b
+            ORDER BY type_a, type_b""",
         "user_value_ewma": """
             WITH v AS (SELECT user_id,
                               CAST(ROUND(value*100) AS BIGINT) AS v_c,

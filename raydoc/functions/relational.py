@@ -1008,3 +1008,189 @@ def q_rich_inactive_customers(sf_dir: str) -> pa.Table:
                          "n_custs": pa.array([], pa.int64()),
                          "total_bal_cents": pa.array([], pa.int64())})
     return t.sort_by("c_nationkey")
+
+
+def _skyline2d_mask(price: np.ndarray, date: np.ndarray) -> np.ndarray:
+    """Boolean mask of the 2-D maximize/maximize Pareto frontier: row i
+    survives iff no row j has (price_j >= price_i AND date_j >= date_i)
+    with at least one strict. Duplicates on BOTH dims all survive.
+    O(n log n): sort by (price desc, date desc); within an equal-price
+    group only group-max dates survive the same-price check, and the
+    strictly-higher-price check compares against the running max of
+    previous groups' max dates."""
+    n = price.size
+    if n == 0:
+        return np.zeros(0, bool)
+    order = np.lexsort((-date, -price))
+    p, d = price[order], date[order]
+    grp_start = np.empty(n, bool)
+    grp_start[0] = True
+    grp_start[1:] = p[1:] != p[:-1]
+    gid = np.cumsum(grp_start) - 1
+    gmax = d[grp_start]                   # group sorted date-desc → first
+    prev = np.empty(gmax.size, np.int64)  # max date over HIGHER-price grps
+    prev[0] = np.iinfo(np.int64).min
+    if gmax.size > 1:
+        np.maximum.accumulate(gmax[:-1], out=prev[1:])
+    keep_sorted = (d == gmax[gid]) & (d > prev[gid])
+    mask = np.zeros(n, bool)
+    mask[order] = keep_sorted
+    return mask
+
+
+def q_skyline_orders(sf_dir: str) -> pa.Table:
+    """(o_orderkey, price_c, o_orderdate): the Pareto frontier of orders
+    maximizing BOTH total price and order date — no other order is at
+    least as expensive AND at least as recent with one strict (the
+    dominance/skyline query family; reference analog: the dominant-
+    candidate selection in structure_engine's best-match scoring).
+
+    Scale shape: the global skyline is a subset of every partition's
+    local skyline, so each batch filters to its own frontier first (the
+    vectorized O(n log n) mask above) and only local survivors — for
+    independent-ish dims an O(log n)-sized set per batch — reach the
+    driver for one final exact pass. No shuffle at all. The known
+    hazard (adversarially anti-correlated dims make every row a skyline
+    point) does not arise for price×date; a cap guard raises rather
+    than OOMs the driver."""
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_totalprice", "o_orderdate"])
+
+    def local_skyline(t: pa.Table) -> pa.Table:
+        price = _cents(t["o_totalprice"]).to_numpy(zero_copy_only=False)
+        date = pc.cast(t["o_orderdate"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        mask = _skyline2d_mask(price, date)
+        out = pa.table({"o_orderkey": t["o_orderkey"],
+                        "price_c": pa.array(price, pa.int64()),
+                        "o_orderdate": t["o_orderdate"]})
+        return out.filter(pa.array(mask))
+
+    cand = collect_table(ds.map_batches(local_skyline,
+                                        batch_format="pyarrow"))
+    if cand.num_rows > 2_000_000:
+        raise ValueError(
+            f"skyline candidate set unexpectedly large ({cand.num_rows} "
+            "rows) — dims look anti-correlated; shard the final merge")
+    if cand.num_rows == 0:
+        return pa.table({"o_orderkey": pa.array([], pa.int64()),
+                         "price_c": pa.array([], pa.int64()),
+                         "o_orderdate": pa.array([], pa.timestamp("us"))})
+    mask = _skyline2d_mask(
+        cand.column("price_c").to_numpy(zero_copy_only=False),
+        cand.column("o_orderdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False))
+    return cand.filter(pa.array(mask)).sort_by("o_orderkey")
+
+
+def q_top_supplier_revenue(sf_dir: str) -> pa.Table:
+    """(s_suppkey, s_name, revenue_c100): the supplier(s) with the MAX
+    lineitem revenue (price·(100-disc%) on integer cents, so revenue_c100
+    is exact cents×100) shipped in [1996-01-01, 1996-04-01) — TPC-H Q15
+    (max-with-ties via a scalar subquery, not LIMIT 1).
+
+    Scale shape: per-supplier revenue is a combiner ``partial_groupby``
+    (one partial row per supplier per batch); the max is taken on the
+    driver over the tiny per-supplier table and ties filter locally;
+    names attach via a broadcast dimension join."""
+    import datetime
+    lo = pa.scalar(datetime.datetime(1996, 1, 1), pa.timestamp("us"))
+    hi = pa.scalar(datetime.datetime(1996, 4, 1), pa.timestamp("us"))
+    ds = _read(sf_dir, "lineitem",
+               ["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                       pc.less(t["l_shipdate"], hi))
+        t = t.filter(keep)
+        price_c = _cents(t["l_extendedprice"])
+        disc_pct = pc.cast(pc.round(pc.multiply(
+            t["l_discount"], pa.scalar(100.0))), pa.int64())
+        rev = pc.multiply(price_c, pc.subtract(
+            pa.scalar(100, pa.int64()), disc_pct))
+        return pa.table({"s_suppkey": t["l_suppkey"], "rev": rev})
+
+    per_sup = collect_table(partial_groupby(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["s_suppkey"], {"revenue_c100": ("rev", "sum")}))
+    if per_sup.num_rows == 0:
+        return pa.table({"s_suppkey": pa.array([], pa.int64()),
+                         "s_name": pa.array([], pa.string()),
+                         "revenue_c100": pa.array([], pa.int64())})
+    best = pc.max(per_sup["revenue_c100"])
+    winners = per_sup.filter(pc.equal(per_sup["revenue_c100"], best))
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_name"])
+    out = winners.join(sup, keys="s_suppkey", join_type="inner")
+    return out.select(["s_suppkey", "s_name", "revenue_c100"]).sort_by(
+        "s_suppkey")
+
+
+def q_audience_jaccard(sf_dir: str,
+                       num_buckets: int | None = None) -> pa.Table:
+    """(type_a, type_b, n_inter, n_union, jaccard): pairwise Jaccard
+    similarity between the USER AUDIENCES of every co-occurring pair of
+    event types (type_a < type_b) — the audience-overlap primitive
+    behind segment analysis and co-occurrence features. ``jaccard`` is
+    one IEEE-exact division of two int64s, so it hashes identically to
+    the SQL twin; pairs with an empty intersection are omitted by both
+    engines (inner-join semantics, documented).
+
+    Scale shape: distinct (user, type) pairs come off a combiner
+    groupby (count partials — never a row shuffle); pair generation
+    needs each user's types co-located, so ONE coarse user-bucket
+    exchange of the distinct pairs (≤ |types| rows per user), then a
+    vectorized self-merge per bucket; per-(a,b) intersection counts and
+    per-type audience sizes are again combiner partials; the final join
+    + division happens on the driver over ≤ C(|types|,2) rows."""
+    import pandas as pd
+
+    from raydoc.functions._buckets import reduce_bucket_count
+    mask = (num_buckets or reduce_bucket_count()) - 1
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    distinct = partial_groupby(ds, ["user_id", "event_type"],
+                               {"n": ("event_type", "count")})
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"], "event_type": t["event_type"],
+            "bucket": pc.cast(pc.bit_wise_and(t["user_id"], mask),
+                              pa.int32())})
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        m = g[["user_id", "event_type"]].merge(
+            g[["user_id", "event_type"]], on="user_id")
+        m = m[m["event_type_x"] < m["event_type_y"]]
+        return m.rename(columns={"event_type_x": "type_a",
+                                 "event_type_y": "type_b"})[
+            ["type_a", "type_b"]]
+
+    inter = collect_table(partial_groupby(
+        distinct.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket").map_groups(pairs, batch_format="pandas"),
+        ["type_a", "type_b"], {"n_inter": ("type_a", "count")}))
+    sizes = collect_table(partial_groupby(
+        distinct, ["event_type"], {"n_aud": ("user_id", "count")}))
+    empty = pa.table({"type_a": pa.array([], pa.string()),
+                      "type_b": pa.array([], pa.string()),
+                      "n_inter": pa.array([], pa.int64()),
+                      "n_union": pa.array([], pa.int64()),
+                      "jaccard": pa.array([], pa.float64())})
+    if inter.num_rows == 0:
+        return empty
+    size = dict(zip(sizes.column("event_type").to_pylist(),
+                    sizes.column("n_aud").to_pylist()))
+    ta = inter.column("type_a").to_pylist()
+    tb = inter.column("type_b").to_pylist()
+    ni = inter.column("n_inter").to_numpy(zero_copy_only=False)
+    nu = np.array([size[a] + size[b] for a, b in zip(ta, tb)],
+                  np.int64) - ni
+    return pa.table({
+        "type_a": inter.column("type_a"),
+        "type_b": inter.column("type_b"),
+        "n_inter": pc.cast(inter.column("n_inter"), pa.int64()),
+        "n_union": pa.array(nu, pa.int64()),
+        "jaccard": pa.array(ni.astype(np.float64) / nu.astype(np.float64),
+                            pa.float64()),
+    }).sort_by([("type_a", "ascending"), ("type_b", "ascending")])

@@ -68,7 +68,8 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
     "semantic_clusters", "type_percent_rank", "constraint_report",
     "zorder_box_scan", "session_outage_overlap", "value_trend_by_type",
     "cheapest_supplier_per_part", "rich_inactive_customers",
-    "user_value_ewma", "bm25_search",
+    "user_value_ewma", "bm25_search", "skyline_orders",
+    "top_supplier_revenue", "audience_jaccard",
 ])
 def test_query_matches_oracle(ray_session, oracle, name):
     import __ray_entry__ as entrymod
@@ -785,3 +786,52 @@ def test_cheapest_supplier_tiebreak_prefers_low_suppkey(ray_session,
     assert row10["best_price_cents"] == 5550
     row11 = out[out["p_partkey"] == 11].iloc[0]
     assert row11["s_suppkey"] == 2 and row11["best_price_cents"] == 1234
+
+
+def test_skyline_mask_dominance_semantics():
+    """Duplicates on both dims all survive; one-strict dominance kills;
+    incomparable points coexist; brute-force agreement on random data."""
+    import numpy as np
+    from raydoc.functions.relational import _skyline2d_mask
+
+    price = np.array([10, 10, 10, 9, 5, 5], np.int64)
+    date = np.array([7, 7, 6, 8, 9, 9], np.int64)
+    # (10,7)x2 dup -> both survive; (10,6) dominated by (10,7);
+    # (9,8) incomparable with (10,7) -> survives; (5,9)x2 dup survive
+    assert list(_skyline2d_mask(price, date)) == [
+        True, True, False, True, True, True]
+
+    rng = np.random.default_rng(7)
+    p = rng.integers(0, 50, 300).astype(np.int64)
+    d = rng.integers(0, 50, 300).astype(np.int64)
+    got = _skyline2d_mask(p, d)
+    brute = np.array([
+        not np.any((p >= p[i]) & (d >= d[i]) & ((p > p[i]) | (d > d[i])))
+        for i in range(p.size)])
+    assert (got == brute).all()
+    assert list(_skyline2d_mask(np.array([], np.int64),
+                                np.array([], np.int64))) == []
+
+
+def test_audience_jaccard_omits_empty_intersections(ray_session, tmp_path):
+    """Disjoint audiences produce NO row (inner-join semantics); the
+    jaccard value is the exact integer ratio."""
+    import pyarrow.parquet as pq
+    from raydoc.functions.relational import q_audience_jaccard
+
+    ev = pa.table({
+        "event_id": pa.array(range(8), pa.int64()),
+        "ts": pa.array([0] * 8, pa.timestamp("us")),
+        "user_id": pa.array([1, 2, 3, 1, 2, 4, 5, 6], pa.int64()),
+        "event_type": ["a", "a", "a", "b", "b", "b", "c", "c"],
+        "value": pa.array([0.0] * 8),
+        "props": pa.array(["{}"] * 8),
+    })
+    pq.write_table(ev, tmp_path / "events.parquet")
+    out = q_audience_jaccard(str(tmp_path)).to_pandas()
+    # a={1,2,3}, b={1,2,4}, c={5,6}: only (a,b) intersect
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert (row["type_a"], row["type_b"]) == ("a", "b")
+    assert row["n_inter"] == 2 and row["n_union"] == 4
+    assert row["jaccard"] == 0.5
