@@ -127,6 +127,11 @@ def _neardup_components(sf_dir: str):
     return neardup_components(sf_dir)
 
 
+def _neardup_hops(sf_dir: str):
+    from raydoc.functions.graph import neardup_hops
+    return neardup_hops(sf_dir)
+
+
 def _zonemap_value_scan(sf_dir: str):
     from raydoc.pipelines.clustered import zonemap_value_scan
     return zonemap_value_scan(sf_dir)
@@ -259,6 +264,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_signatures": dedup.simhash_signatures,
         "simhash_neardups": dedup.simhash_neardups,
         "neardup_components": _neardup_components,
+        "neardup_hops": _neardup_hops,
         "embedding_neardups": _embedding_neardup_pairs,
         "ann_topk": similarity.brute_force_topk,
         "knn_graph": similarity.knn_graph,
@@ -1425,6 +1431,26 @@ def oracle_sql() -> dict[str, str]:
                        AS component
             FROM documents d LEFT JOIN lab l ON l.id = d.doc_id
             ORDER BY doc_id""",
+        "neardup_hops": f"""
+            -- twin of graph.neardup_hops: min hop distance from any
+            -- seed doc (doc_id % 50 = 0) through the simhash near-dup
+            -- graph, capped at 8 hops; UNION (not UNION ALL) bounds the
+            -- recursion to distinct (node, h) pairs
+            WITH RECURSIVE {_SIMHASH_SIG_CTE},
+            pairs AS (
+                SELECT a.doc_id AS a, b.doc_id AS b
+                FROM s a JOIN s b ON a.doc_id < b.doc_id
+                WHERE bit_count(xor(a.sig, b.sig)) <= 3),
+            sym2 AS (SELECT a, b FROM pairs
+                     UNION ALL SELECT b, a FROM pairs),
+            walk(node, h) AS (
+                SELECT doc_id, 0 FROM documents WHERE doc_id % 50 = 0
+                UNION
+                SELECT s2.b, w.h + 1
+                FROM walk w JOIN sym2 s2 ON s2.a = w.node
+                WHERE w.h < 8)
+            SELECT node AS doc_id, CAST(MIN(h) AS BIGINT) AS hops
+            FROM walk GROUP BY node ORDER BY doc_id""",
         "token_counts": r"""
             SELECT doc_id,
                    CASE WHEN trim(text) = '' THEN 0

@@ -514,3 +514,158 @@ def neardup_triangles(sf_dir: str) -> pa.Table:
         return schema.empty_table()
     return t.select(["a", "b", "c"]).cast(schema).sort_by(
         [("a", "ascending"), ("b", "ascending"), ("c", "ascending")])
+
+
+def _bfs_hops_driver(edges: list, seeds: set, max_hops: int) -> dict:
+    """Driver BFS over a small edge list: {node: min hops from any seed}
+    (seeds map to 0). Used when the pair set honors the LSH
+    small-candidate-set contract — ~20 distributed barriers for a
+    hundred edges is the wrong regime (see label_components)."""
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    hops = {s: 0 for s in seeds}
+    frontier, k = list(seeds), 0
+    while frontier and k < max_hops:
+        k += 1
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in hops:
+                    hops[v] = k
+                    nxt.append(v)
+        frontier = nxt
+    return hops
+
+
+def bfs_hops_distributed(edges: rd.Dataset, seeds: rd.Dataset,
+                         max_hops: int,
+                         num_buckets: int = 64) -> rd.Dataset:
+    """(node, hops): round-synchronous multi-source BFS over an
+    undirected (a, b) edge Dataset — min hop distance from any seed,
+    capped at ``max_hops``. The at-scale regime: per round, the next
+    frontier is ONE bucketed semi-join (edges whose source is in the
+    frontier — right side deduped to keys before the exchange) plus one
+    ``except_distinct`` against the visited set; no adjacency structure,
+    frontier, or distance table ever lands on the driver (only the
+    per-round frontier COUNT, the loop-termination scalar — BFS is
+    inherently round-based, O(diameter) barriers). Edges materialize
+    once up front (symmetrized), each round consumes them again."""
+    from raydoc.functions.joins import bucket_semi_join, except_distinct
+
+    def sym(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": pa.concat_arrays(
+                [t.column("a").combine_chunks().cast(pa.int64()),
+                 t.column("b").combine_chunks().cast(pa.int64())]),
+            "dst": pa.concat_arrays(
+                [t.column("b").combine_chunks().cast(pa.int64()),
+                 t.column("a").combine_chunks().cast(pa.int64())])})
+
+    edges_sym = edges.map_batches(sym, batch_format="pyarrow").materialize()
+
+    def seed0(t: pa.Table) -> pa.Table:
+        n = t.column("node").combine_chunks().unique()
+        return pa.table({"node": n,
+                         "hops": pa.array([0] * len(n), pa.int64())})
+
+    visited = seeds.map_batches(seed0, batch_format="pyarrow").materialize()
+    frontier = visited            # (node, hops) — join uses node only
+    levels = [visited]
+    for k in range(1, max_hops + 1):
+        reached = bucket_semi_join(edges_sym, frontier, key="node",
+                                   num_buckets=num_buckets)
+        cand = reached.map_batches(
+            lambda t: pa.table({"node": t["dst"]}), batch_format="pyarrow")
+        new_nodes = except_distinct(cand, _union_all(levels),
+                                    key="node", num_buckets=num_buckets)
+        frontier = new_nodes.map_batches(
+            lambda t, _k=k: pa.table({
+                "node": t["node"],
+                "hops": pa.array([_k] * t.num_rows, pa.int64())}),
+            batch_format="pyarrow").materialize()
+        if frontier.count() == 0:
+            break
+        levels.append(frontier)
+    return _union_all(levels)
+
+
+def _union_all(parts: list) -> rd.Dataset:
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
+def neardup_hops(sf_dir: str, max_hops: int = 8, seed_mod: int = 50,
+                 max_driver_pairs: int = 50_000) -> pa.Table:
+    """(doc_id, hops): min hop distance from any SEED document
+    (doc_id % ``seed_mod`` == 0) through the SimHash near-dup pair graph
+    (hamming ≤ 3), capped at ``max_hops``; unreached documents are
+    omitted (inner semantics, matching the recursive-CTE twin). The
+    contamination-propagation primitive: "flag everything within k
+    near-dup hops of a known-bad document".
+
+    Adaptive regime (the label_components discipline): the pair table
+    arrives driver-resident (LSH small-candidate-set contract), so below
+    ``max_driver_pairs`` a microsecond driver BFS computes hop counts
+    for GRAPH nodes only — driver state is bounded by the pair graph,
+    never by the seed count — and the output assembles DISTRIBUTED: one
+    map over documents tags each row from the broadcast hop map or the
+    seed predicate (isolated seeds are hops-0 rows that never touch the
+    driver). Above the threshold it switches to the round-synchronous
+    ``bfs_hops_distributed`` (regime equality asserted in
+    tests/test_graph.py)."""
+    import ray
+
+    from raydoc.functions.dedup import simhash_neardups
+
+    pairs = simhash_neardups(sf_dir)
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+    out_schema = pa.schema([("doc_id", pa.int64()), ("hops", pa.int64())])
+
+    if pairs.num_rows > max_driver_pairs:
+        def seed_filter(t: pa.Table) -> pa.Table:
+            ids = pc.cast(t["doc_id"], pa.int64())
+            rem = pc.subtract(ids, pc.multiply(
+                pc.divide(ids, pa.scalar(seed_mod, pa.int64())),
+                pa.scalar(seed_mod, pa.int64())))
+            return pa.table({"node": t.column("doc_id").filter(
+                pc.equal(rem, pa.scalar(0, pa.int64())))})
+
+        seeds = docs.map_batches(seed_filter, batch_format="pyarrow")
+        got = collect_table(bfs_hops_distributed(
+            rd.from_arrow(pairs.select(["a", "b"])), seeds, max_hops))
+        if got.num_rows == 0:
+            return out_schema.empty_table()
+        return pa.table({"doc_id": got["node"],
+                         "hops": got["hops"]}).cast(out_schema).sort_by(
+            "doc_id")
+
+    edge_list = list(zip(pairs.column("a").to_pylist(),
+                         pairs.column("b").to_pylist()))
+    graph_nodes = {x for e in edge_list for x in e}
+    graph_seeds = {n for n in graph_nodes if n % seed_mod == 0}
+    hops = _bfs_hops_driver(edge_list, graph_seeds, max_hops)
+    hop_ref = ray.put(hops)
+
+    def tag(t: pa.Table) -> pa.Table:
+        m = ray.get(hop_ref)
+        ids = t.column("doc_id").to_pylist()
+        out_ids, out_hops = [], []
+        for i in ids:
+            if i % seed_mod == 0:
+                out_ids.append(i)
+                out_hops.append(0)
+            elif i in m:
+                out_ids.append(i)
+                out_hops.append(m[i])
+        return pa.table({"doc_id": pa.array(out_ids, pa.int64()),
+                         "hops": pa.array(out_hops, pa.int64())})
+
+    t = collect_table(docs.map_batches(tag, batch_format="pyarrow"))
+    if t.num_rows == 0:
+        return out_schema.empty_table()
+    return t.cast(out_schema).sort_by("doc_id")

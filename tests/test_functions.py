@@ -69,7 +69,7 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
     "zorder_box_scan", "session_outage_overlap", "value_trend_by_type",
     "cheapest_supplier_per_part", "rich_inactive_customers",
     "user_value_ewma", "bm25_search", "skyline_orders",
-    "top_supplier_revenue", "audience_jaccard",
+    "top_supplier_revenue", "audience_jaccard", "neardup_hops",
 ])
 def test_query_matches_oracle(ray_session, oracle, name):
     import __ray_entry__ as entrymod

@@ -73,3 +73,42 @@ def test_neardup_components_regimes_agree(ray_session):
     fast = neardup_components(sf)                      # union-find regime
     dist = neardup_components(sf, max_driver_pairs=0)  # force distributed
     assert fast.equals(dist)
+
+
+@pytest.mark.parametrize("seed", [5, 6])
+def test_bfs_distributed_matches_driver(ray_session, seed):
+    """Round-synchronous distributed BFS equals the driver BFS on a
+    random graph: same reached set, same min hop counts, hop cap honored."""
+    import numpy as np
+    from raydoc.functions.graph import _bfs_hops_driver, bfs_hops_distributed
+
+    rng = np.random.default_rng(seed)
+    n = 60
+    a = rng.integers(0, n, 120)
+    b = rng.integers(0, n, 120)
+    keep = a != b
+    edges = list({(min(x, y), max(x, y))
+                  for x, y in zip(a[keep].tolist(), b[keep].tolist())})
+    seeds = sorted({int(x) for x in rng.integers(0, n, 4)})
+    max_hops = 3
+
+    exp = _bfs_hops_driver(edges, set(seeds), max_hops)
+
+    eds = rd.from_arrow(pa.table({
+        "a": pa.array([e[0] for e in edges], pa.int64()),
+        "b": pa.array([e[1] for e in edges], pa.int64())}))
+    sds = rd.from_arrow(pa.table({"node": pa.array(seeds, pa.int64())}))
+    got_t = bfs_hops_distributed(eds, sds, max_hops, num_buckets=4)
+    got = {r["node"]: r["hops"] for r in got_t.take_all()}
+    assert got == exp
+    assert max(got.values()) <= max_hops
+
+
+def test_neardup_hops_regimes_agree(ray_session):
+    """The driver-BFS fast path and the distributed frontier path return
+    identical hop tables on the real near-dup graph."""
+    from raydoc.functions.graph import neardup_hops
+    sf = "/root/testdata/sf0.001"
+    fast = neardup_hops(sf)
+    dist = neardup_hops(sf, max_driver_pairs=0)   # force distributed
+    assert fast.equals(dist)
