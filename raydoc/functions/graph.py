@@ -555,6 +555,9 @@ def bfs_hops_distributed(edges: rd.Dataset, seeds: rd.Dataset,
     from raydoc.functions.joins import bucket_semi_join, except_distinct
 
     def sym(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:        # empty Ray blocks carry an EMPTY schema
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "dst": pa.array([], pa.int64())})
         return pa.table({
             "node": pa.concat_arrays(
                 [t.column("a").combine_chunks().cast(pa.int64()),
@@ -566,6 +569,9 @@ def bfs_hops_distributed(edges: rd.Dataset, seeds: rd.Dataset,
     edges_sym = edges.map_batches(sym, batch_format="pyarrow").materialize()
 
     def seed0(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:        # empty Ray blocks carry an EMPTY schema
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "hops": pa.array([], pa.int64())})
         n = t.column("node").combine_chunks().unique()
         return pa.table({"node": n,
                          "hops": pa.array([0] * len(n), pa.int64())})

@@ -1057,6 +1057,11 @@ def q_skyline_orders(sf_dir: str) -> pa.Table:
                ["o_orderkey", "o_totalprice", "o_orderdate"])
 
     def local_skyline(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:        # empty Ray blocks carry an EMPTY schema
+            return pa.table({"o_orderkey": pa.array([], pa.int64()),
+                             "price_c": pa.array([], pa.int64()),
+                             "o_orderdate": pa.array([],
+                                                     pa.timestamp("us"))})
         price = _cents(t["o_totalprice"]).to_numpy(zero_copy_only=False)
         date = pc.cast(t["o_orderdate"], pa.int64()).to_numpy(
             zero_copy_only=False)
