@@ -162,6 +162,14 @@ BENCH_QUERIES = [
     "zorder_box_scan",
     "session_outage_overlap",
     "value_trend_by_type",
+    "cheapest_supplier_per_part",
+    "rich_inactive_customers",
+    "user_value_ewma",
+    "bm25_search",
+    "skyline_orders",
+    "top_supplier_revenue",
+    "audience_jaccard",
+    "neardup_hops",
 ]
 
 

@@ -1407,7 +1407,11 @@ def bm25_search(sf_dir: str, query: tuple[str, ...] = ("hash", "join",
     (score desc, doc_id asc).
 
     Shape: one tokenizing pass emits per-doc (dl, tf per query term) —
-    doc-local, no exchange; N / Σdl / df come off that tiny stream via a
+    doc-local, no exchange, fully vectorized (Arrow RE2 kernels: dl is
+    the non-overlapping ``\\w+`` match count, tf_i a ``\\bterm\\b``
+    count, which equals token equality because a \\w-only term bounded
+    by non-\\w IS a maximal \\w+ run — RE2-vs-RE2 with the DuckDB twin,
+    no Python row loop); N / Σdl / df come off that tiny stream via a
     constant-key combiner groupby (never a corpus shuffle); scoring is a
     second vectorized pass with the 5 scalars closed over; top-k reduces
     per batch then once on the driver (k rows per batch cross)."""
@@ -1415,26 +1419,29 @@ def bm25_search(sf_dir: str, query: tuple[str, ...] = ("hash", "join",
 
     from raydoc.functions.agg import partial_groupby
 
-    word = re.compile(r"\w+")
     terms = list(query)
+    for q in terms:
+        if not re.fullmatch(r"\w+", q):
+            raise ValueError(f"query term {q!r} must be \\w-only for the "
+                             "\\b-bounded vectorized tf count")
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
 
     def doc_stats(t: pa.Table) -> pa.Table:
-        from collections import Counter
-        cols: dict[str, list[int]] = {f"tf_{i}": []
-                                      for i in range(len(terms))}
-        dls = []
-        for txt in t.column("text").to_pylist():
-            toks = word.findall((txt or "").lower())
-            c = Counter(toks)
-            dls.append(len(toks))
-            for i, q in enumerate(terms):
-                cols[f"tf_{i}"].append(c.get(q, 0))
-        out = {"doc_id": t.column("doc_id"),
-               "dl": pa.array(dls, pa.int64())}
-        for i in range(len(terms)):
-            out[f"tf_{i}"] = pa.array(cols[f"tf_{i}"], pa.int64())
+        if t.num_rows == 0:        # empty Ray blocks carry an EMPTY schema
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "dl": pa.array([], pa.int64()),
+                 **{f"tf_{i}": pa.array([], pa.int64())
+                    for i in range(len(terms))}})
+        low = pc.utf8_lower(pc.fill_null(t["text"], ""))
+        out = {"doc_id": t["doc_id"],
+               "dl": pc.cast(pc.count_substring_regex(low, r"\w+"),
+                             pa.int64())}
+        for i, q in enumerate(terms):
+            pat = r"\b" + re.escape(q) + r"\b"
+            out[f"tf_{i}"] = pc.cast(pc.count_substring_regex(low, pat),
+                                     pa.int64())
         return pa.table(out)
 
     stats = ds.map_batches(doc_stats, batch_format="pyarrow")
