@@ -976,7 +976,9 @@ def q_rich_inactive_customers(sf_dir: str) -> pa.Table:
                          "c_nationkey": t["c_nationkey"],
                          "bal_c": _cents(t["c_acctbal"])})
 
-    cents = cust.map_batches(to_cents, batch_format="pyarrow")
+    # materialized: TWO consumers (threshold scan, rich filter) — a lazy
+    # branch would re-read customer; the pinned set is 3 ints per row
+    cents = cust.map_batches(to_cents, batch_format="pyarrow").materialize()
 
     def pos_only(t: pa.Table) -> pa.Table:
         t = t.filter(pc.greater(t["bal_c"], 0))
@@ -1154,8 +1156,11 @@ def q_audience_jaccard(sf_dir: str,
     mask = (num_buckets or reduce_bucket_count()) - 1
     ds = _read(sf_dir, "events", ["user_id", "event_type"])
 
+    # materialized: TWO consumers (pair generation, audience sizes) — a
+    # lazy branch would re-scan events and re-run the distinct exchange;
+    # the pinned set is bounded by true (user, type) cardinality
     distinct = partial_groupby(ds, ["user_id", "event_type"],
-                               {"n": ("event_type", "count")})
+                               {"n": ("event_type", "count")}).materialize()
 
     def add_bucket(t: pa.Table) -> pa.Table:
         return pa.table({

@@ -1444,7 +1444,10 @@ def bm25_search(sf_dir: str, query: tuple[str, ...] = ("hash", "join",
                                      pa.int64())
         return pa.table(out)
 
-    stats = ds.map_batches(doc_stats, batch_format="pyarrow")
+    # materialized: TWO consumers (corpus stats, then scoring) — a lazy
+    # branch would re-read and re-tokenize the whole corpus; the pinned
+    # set is 5 ints per doc, not the text
+    stats = ds.map_batches(doc_stats, batch_format="pyarrow").materialize()
 
     def globals_partial(t: pa.Table) -> pa.Table:
         row = {"one": pa.array([1], pa.int64()),
