@@ -196,6 +196,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_status_except": relational.q_order_status_except,
         "cube_orders": relational.q_cube_orders,
         "order_status_intersect": relational.q_order_status_intersect,
+        "order_status_intersect_all":
+            relational.q_order_status_intersect_all,
+        "order_status_except_all": relational.q_order_status_except_all,
         "cheapest_supplier_per_part":
             relational.q_cheapest_supplier_per_part,
         "rich_inactive_customers": relational.q_rich_inactive_customers,
@@ -214,6 +217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": windows.cohort_retention,
         "value_histogram": windows.value_histogram,
         "resample_ffill": windows.resample_ffill,
+        "resample_linear": windows.resample_linear,
         "inverted_index": textstats.inverted_index,
         "dup_ngram_fraction": textstats.dup_ngram_fraction,
         "strip_dup_ngrams": textstats.strip_dup_ngrams,
@@ -715,6 +719,16 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o_custkey = c_custkey
                                 AND o_orderstatus = 'F')
             GROUP BY c_nationkey ORDER BY c_nationkey""",
+        "order_status_intersect_all": """
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+            INTERSECT ALL
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+            ORDER BY o_custkey""",
+        "order_status_except_all": """
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+            EXCEPT ALL
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+            ORDER BY o_custkey""",
         "skyline_orders": """
             WITH o AS (SELECT o_orderkey,
                               CAST(ROUND(o_totalprice*100) AS BIGINT)
@@ -1191,6 +1205,42 @@ def oracle_sql() -> dict[str, str]:
             FROM grid g ASOF JOIN d
               ON g.user_id = d.user_id AND g.hour >= d.ts
             ORDER BY g.user_id, g.hour""",
+        "resample_linear": """
+            WITH e AS (SELECT user_id, ts, value,
+                              ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                                 ORDER BY event_id DESC)
+                                  AS rn
+                       FROM events),
+                 d AS (SELECT user_id, ts, value FROM e WHERE rn = 1),
+                 span AS (SELECT user_id,
+                                 date_trunc('hour', MIN(ts)
+                                     + to_microseconds(3599999999))
+                                     AS h0,
+                                 date_trunc('hour', MAX(ts)) AS h1
+                          FROM events GROUP BY user_id),
+                 grid AS (SELECT user_id,
+                                 UNNEST(generate_series(
+                                     h0, h1, INTERVAL 1 HOUR)) AS hour
+                          FROM span WHERE h0 <= h1),
+                 prev AS (SELECT g.user_id, g.hour, d.ts AS t0,
+                                 d.value AS v0
+                          FROM grid g ASOF JOIN d
+                            ON g.user_id = d.user_id AND g.hour >= d.ts),
+                 nxt AS (SELECT g.user_id, g.hour, d.ts AS t1,
+                                d.value AS v1
+                         FROM grid g ASOF JOIN d
+                           ON g.user_id = d.user_id AND g.hour <= d.ts)
+            SELECT p.user_id, p.hour,
+                   CASE WHEN n.t1 = p.t0 THEN p.v0
+                        ELSE p.v0 + (n.v1 - p.v0) *
+                             (CAST(epoch_us(p.hour) - epoch_us(p.t0)
+                                   AS DOUBLE)
+                              / CAST(epoch_us(n.t1) - epoch_us(p.t0)
+                                     AS DOUBLE))
+                   END AS value
+            FROM prev p JOIN nxt n
+              ON p.user_id = n.user_id AND p.hour = n.hour
+            ORDER BY p.user_id, p.hour""",
         "inverted_index": """
             WITH w AS (SELECT doc_id,
                               unnest(string_split(text, ' ')) AS term

@@ -170,6 +170,9 @@ BENCH_QUERIES = [
     "top_supplier_revenue",
     "audience_jaccard",
     "neardup_hops",
+    "order_status_intersect_all",
+    "order_status_except_all",
+    "resample_linear",
 ]
 
 

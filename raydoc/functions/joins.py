@@ -598,3 +598,73 @@ def auto_join(left: rd.Dataset, right: rd.Dataset, key: str,
                                     num_buckets=num_buckets, how=how)
     return bucket_hash_join(left, right, key, num_buckets=num_buckets,
                             how=how)
+
+
+def _multiset_op(left: rd.Dataset, right: rd.Dataset, key: str,
+                 mode: str, num_buckets: int) -> rd.Dataset:
+    """Shared machinery for SQL ``INTERSECT ALL`` / ``EXCEPT ALL`` on a
+    single key column (bag semantics: a key appears min(l, r) times for
+    intersect, max(l - r, 0) times for except — NULLs never match, SQL
+    convention). Both sides collapse to per-batch (key, count) partials
+    BEFORE the exchange (the combiner pattern — the shuffle carries one
+    row per distinct key per batch, never the row stream), counts fold
+    per bucket, and the surviving multiplicities re-expand with one
+    vectorized ``take``."""
+    left_schema = left.schema()
+    key_type = dict(arrow_field_types(left_schema, [key]))[key]
+    all_fields = [(key, key_type), ("cnt", pa.int64())]
+    out_schema = pa.schema([(key, key_type)])
+
+    def _count_keys(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:    # empty Ray blocks carry an EMPTY schema
+            return pa.table({key: pa.array([], key_type),
+                             "cnt": pa.array([], pa.int64())})
+        g = (batch.select([key]).drop_null()
+             .group_by([key]).aggregate([(key, "count")]))
+        return pa.table({key: g.column(key).cast(key_type),
+                         "cnt": g.column(f"{key}_count").cast(pa.int64())})
+
+    tagged = tag_union(
+        left.map_batches(_count_keys, batch_format="pyarrow"),
+        right.map_batches(_count_keys, batch_format="pyarrow"),
+        key, all_fields, num_buckets)
+
+    def _expand_bucket(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        side = group.column("__side")
+        sides = []
+        for s in (0, 1):
+            part = group.filter(pc.equal(side, s)).select([key, "cnt"])
+            sides.append(part.group_by([key]).aggregate([("cnt", "sum")]))
+        l, r = sides
+        j = l.join(r, keys=key, join_type="left outer",
+                   right_suffix="_r")
+        lc = j.column("cnt_sum").to_numpy(zero_copy_only=False)
+        rc = np.nan_to_num(
+            j.column("cnt_sum_r").to_numpy(zero_copy_only=False), nan=0.0
+        ).astype(np.int64)
+        if mode == "intersect":
+            copies = np.minimum(lc, rc)
+        else:
+            copies = np.maximum(lc - rc, 0)
+        keep = copies > 0
+        if not keep.any():
+            return out_schema.empty_table()
+        idx = np.repeat(np.flatnonzero(keep), copies[keep])
+        keys_out = j.column(key).combine_chunks().take(pa.array(idx))
+        return pa.table({key: keys_out.cast(key_type)})
+
+    return tagged.groupby("__bucket").map_groups(_expand_bucket,
+                                                 batch_format="pyarrow")
+
+
+def intersect_all(left: rd.Dataset, right: rd.Dataset, key: str,
+                  num_buckets: int = 32) -> rd.Dataset:
+    """SQL ``INTERSECT ALL`` on a single key column — see _multiset_op."""
+    return _multiset_op(left, right, key, "intersect", num_buckets)
+
+
+def except_all(left: rd.Dataset, right: rd.Dataset, key: str,
+               num_buckets: int = 32) -> rd.Dataset:
+    """SQL ``EXCEPT ALL`` on a single key column — see _multiset_op."""
+    return _multiset_op(left, right, key, "except", num_buckets)

@@ -1204,3 +1204,40 @@ def q_audience_jaccard(sf_dir: str,
         "jaccard": pa.array(ni.astype(np.float64) / nu.astype(np.float64),
                             pa.float64()),
     }).sort_by([("type_a", "ascending"), ("type_b", "ascending")])
+
+
+def _order_status_side(sf_dir: str, status: str) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/orders.parquet",
+                           columns=["o_custkey", "o_orderstatus"]) \
+        .map_batches(lambda t, s=status: t.filter(
+            pc.equal(t["o_orderstatus"], s)).select(["o_custkey"]),
+            batch_format="pyarrow")
+
+
+def q_order_status_intersect_all(sf_dir: str) -> pa.Table:
+    """Multiset intersection (SQL INTERSECT ALL): each custkey repeated
+    min(#O-orders, #F-orders) times — the bag-semantics complement of
+    ``order_status_intersect``. Combiner (key, count) partials shuffle,
+    never rows; multiplicities re-expand vectorized per bucket."""
+    from raydoc.functions.joins import intersect_all
+
+    out = intersect_all(_order_status_side(sf_dir, "O"),
+                        _order_status_side(sf_dir, "F"), key="o_custkey")
+    t = collect_table(out)
+    if t.num_rows == 0:
+        return pa.table({"o_custkey": pa.array([], pa.int64())})
+    return t.sort_by("o_custkey")
+
+
+def q_order_status_except_all(sf_dir: str) -> pa.Table:
+    """Multiset difference (SQL EXCEPT ALL): each custkey repeated
+    max(#O-orders − #F-orders, 0) times. Same combiner-counts shape as
+    ``order_status_intersect_all``."""
+    from raydoc.functions.joins import except_all
+
+    out = except_all(_order_status_side(sf_dir, "O"),
+                     _order_status_side(sf_dir, "F"), key="o_custkey")
+    t = collect_table(out)
+    if t.num_rows == 0:
+        return pa.table({"o_custkey": pa.array([], pa.int64())})
+    return t.sort_by("o_custkey")

@@ -1352,3 +1352,73 @@ def user_value_ewma(sf_dir: str, k: int = 16,
     return t.set_column(
         t.schema.get_field_index("n_recent"), "n_recent",
         t.column("n_recent").cast(pa.int64())).sort_by("user_id")
+
+
+def resample_linear(sf_dir: str, num_buckets: int | None = None) -> pa.Table:
+    """(user_id, hour, value): per-user 1-hour resample with LINEAR
+    interpolation between the surrounding events — the imputation
+    complement of ``resample_ffill`` (same grid: hour boundaries inside
+    each user's observed span; duplicate timestamps collapse to the max
+    event_id's value). A grid instant exactly on an event takes that
+    event's value; otherwise
+    ``v0 + (v1 - v0) · (Δt/ΔT)`` with Δt, ΔT exact int64 microsecond
+    differences cast to double — every operation IEEE-exact-rounded in
+    the same order as the SQL twin, so the doubles hash bit-identically.
+
+    Scale shape: identical to resample_ffill — ONE coarse user-bucket
+    exchange, then per-bucket vectorized searchsorted against each
+    user's own event times; no global sort, no driver pass."""
+    from raydoc.functions._buckets import reduce_bucket_count
+    mask = (num_buckets or reduce_bucket_count()) - 1
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id", "value"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "bucket", pc.cast(pc.bit_wise_and(t["user_id"], mask),
+                              pa.int32()))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], ignore_index=True)
+        g = g.drop_duplicates(["user_id", "ts"], keep="last")
+        users, hours, vals = [], [], []
+        one_h = np.timedelta64(1, "h")
+        for uid, sub in g.groupby("user_id", sort=False):
+            ts = sub["ts"].to_numpy()
+            vs = sub["value"].to_numpy().astype(np.float64)
+            h0 = (ts.min() + (one_h - np.timedelta64(1, "us"))) \
+                .astype("datetime64[h]")
+            h1 = ts.max().astype("datetime64[h]")
+            if h0 > h1:
+                continue
+            grid = np.arange(h0, h1 + one_h).astype(ts.dtype)
+            i = np.searchsorted(ts, grid, side="right") - 1
+            j = np.minimum(i + 1, len(ts) - 1)
+            ts_us = ts.astype("datetime64[us]").astype(np.int64)
+            grid_us = grid.astype("datetime64[us]").astype(np.int64)
+            dt = (grid_us - ts_us[i]).astype(np.float64)
+            dT = (ts_us[j] - ts_us[i]).astype(np.float64)
+            frac = np.divide(dt, dT, out=np.zeros_like(dt), where=dT > 0)
+            v = np.where(dT > 0, vs[i] + (vs[j] - vs[i]) * frac, vs[i])
+            users.append(np.full(len(grid), uid, dtype=np.int64))
+            hours.append(grid.astype("datetime64[us]"))
+            vals.append(v)
+        if not users:
+            return pd.DataFrame({"user_id": pd.Series([], dtype=np.int64),
+                                 "hour": pd.Series(
+                                     [], dtype="datetime64[ns]"),
+                                 "value": pd.Series([], dtype=np.float64)})
+        return pd.DataFrame({
+            "user_id": np.concatenate(users),
+            "hour": np.concatenate(hours),
+            "value": np.concatenate(vals),
+        })
+
+    out = (ds.map_batches(add_bucket, batch_format="pyarrow")
+           .groupby("bucket").map_groups(per_bucket, batch_format="pandas"))
+    t = collect_table(out)
+    t = t.set_column(t.schema.get_field_index("hour"), "hour",
+                     t.column("hour").cast(pa.timestamp("us")))
+    t = t.set_column(t.schema.get_field_index("value"), "value",
+                     t.column("value").cast(pa.float64()))
+    return t.sort_by([("user_id", "ascending"), ("hour", "ascending")])

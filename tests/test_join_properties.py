@@ -517,3 +517,35 @@ def test_interval_overlap_join_keyed_vs_bruteforce(ray_session, seed):
                  for i in range(nl) for j in range(nr)
                  if lk[i] == rk[j] and ls[i] <= re[j] and rs[j] <= le[i])
     assert got == exp
+
+
+@pytest.mark.parametrize("seed", [61, 62])
+@pytest.mark.parametrize("mode", ["intersect", "except"])
+def test_multiset_ops_match_duckdb(ray_session, tmp_path, seed, mode):
+    """INTERSECT ALL / EXCEPT ALL bag semantics on skewed multisets with
+    nulls (which never match, per SQL) and keys unique to either side."""
+    import duckdb
+    import numpy as np
+    import ray.data as rd
+    from raydoc.functions.joins import except_all, intersect_all
+
+    rng = np.random.RandomState(seed)
+    lk = rng.zipf(1.4, 400) % 23
+    rk = rng.zipf(1.4, 300) % 29
+    lt = pa.table({"k": pa.array(
+        [None if i % 37 == 0 else int(v) for i, v in enumerate(lk)],
+        pa.int64())})
+    rt = pa.table({"k": pa.array(
+        [None if i % 41 == 0 else int(v) for i, v in enumerate(rk)],
+        pa.int64())})
+    fn = intersect_all if mode == "intersect" else except_all
+    got = sorted(fn(rd.from_arrow(lt), rd.from_arrow(rt), key="k",
+                    num_buckets=4).to_pandas()["k"].tolist())
+    con = duckdb.connect()
+    con.register("lt", lt)
+    con.register("rt", rt)
+    op = "INTERSECT ALL" if mode == "intersect" else "EXCEPT ALL"
+    exp = sorted(con.execute(
+        f"SELECT k FROM lt WHERE k IS NOT NULL {op} "
+        f"SELECT k FROM rt WHERE k IS NOT NULL").fetchdf()["k"].tolist())
+    assert got == exp

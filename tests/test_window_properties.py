@@ -165,3 +165,16 @@ def test_user_value_ewma_matches_duckdb(ray_session, tmp_path, seed):
     got = user_value_ewma(sf).to_pandas()
     exp = _sql(sf, e.oracle_sql()["user_value_ewma"])
     assert _canon(got) == _canon(exp)
+
+
+@pytest.mark.parametrize("seed", [171, 172])
+def test_resample_linear_matches_duckdb(ray_session, tmp_path, seed):
+    """Linear interpolation under exact ties, grid-on-event instants,
+    single-event users and negative values — doubles must hash
+    identically (same IEEE expression tree as the SQL twin)."""
+    from raydoc.functions.windows import resample_linear
+    import __ray_entry__ as e
+    sf = _mk_events(tmp_path, seed)
+    got = resample_linear(sf).to_pandas()
+    exp = _sql(sf, e.oracle_sql()["resample_linear"])
+    assert _canon(got) == _canon(exp)
