@@ -205,6 +205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skyline_orders": relational.q_skyline_orders,
         "top_supplier_revenue": relational.q_top_supplier_revenue,
         "audience_jaccard": relational.q_audience_jaccard,
+        "type_triple_support": relational.q_type_triple_support,
         "user_value_ewma": windows.user_value_ewma,
         "bm25_search": textstats.bm25_search,
         "collapse_repeats": textstats.collapse_repeats,
@@ -778,6 +779,16 @@ def oracle_sql() -> dict[str, str]:
             FROM i JOIN cnt ca ON ca.event_type = type_a
                    JOIN cnt cb ON cb.event_type = type_b
             ORDER BY type_a, type_b""",
+        "type_triple_support": """
+            WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   c.event_type AS type_c, COUNT(*) AS n_users
+            FROM ut a
+            JOIN ut b ON a.user_id = b.user_id
+                     AND a.event_type < b.event_type
+            JOIN ut c ON b.user_id = c.user_id
+                     AND b.event_type < c.event_type
+            GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
         "user_value_ewma": """
             WITH v AS (SELECT user_id,
                               CAST(ROUND(value*100) AS BIGINT) AS v_c,

@@ -173,6 +173,7 @@ BENCH_QUERIES = [
     "order_status_intersect_all",
     "order_status_except_all",
     "resample_linear",
+    "type_triple_support",
 ]
 
 

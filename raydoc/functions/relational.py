@@ -1241,3 +1241,60 @@ def q_order_status_except_all(sf_dir: str) -> pa.Table:
     if t.num_rows == 0:
         return pa.table({"o_custkey": pa.array([], pa.int64())})
     return t.sort_by("o_custkey")
+
+
+def q_type_triple_support(sf_dir: str,
+                          num_buckets: int | None = None) -> pa.Table:
+    """(type_a, type_b, type_c, n_users): for every ordered triple of
+    event types (a < b < c), how many users exhibit ALL THREE — the
+    frequent-itemset / market-basket support count one size up from
+    ``audience_jaccard``'s pairs. Triples a user never completes are
+    omitted by both engines (inner semantics).
+
+    Scale shape: identical to audience_jaccard — distinct (user, type)
+    off a combiner groupby, ONE coarse user-bucket exchange, then a
+    per-bucket vectorized double self-merge generates each user's
+    C(t, 3) triples (t = that user's distinct types, ≤ the type-universe
+    size — the row explosion is bounded per user, not per corpus);
+    per-triple counts are again combiner partials."""
+    import pandas as pd
+
+    from raydoc.functions._buckets import reduce_bucket_count
+    mask = (num_buckets or reduce_bucket_count()) - 1
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    distinct = partial_groupby(ds, ["user_id", "event_type"],
+                               {"n": ("event_type", "count")})
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"], "event_type": t["event_type"],
+            "bucket": pc.cast(pc.bit_wise_and(t["user_id"], mask),
+                              pa.int32())})
+
+    def triples(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["user_id", "event_type"]]
+        m2 = d.merge(d, on="user_id")
+        m2 = m2[m2["event_type_x"] < m2["event_type_y"]]
+        m3 = m2.merge(d.rename(columns={"event_type": "type_c"}),
+                      on="user_id")
+        m3 = m3[m3["event_type_y"] < m3["type_c"]]
+        return m3.rename(columns={"event_type_x": "type_a",
+                                  "event_type_y": "type_b"})[
+            ["type_a", "type_b", "type_c"]]
+
+    out = partial_groupby(
+        distinct.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket").map_groups(triples, batch_format="pandas"),
+        ["type_a", "type_b", "type_c"], {"n_users": ("type_a", "count")})
+    t = collect_table(out)
+    if t.num_rows == 0:
+        return pa.table({"type_a": pa.array([], pa.string()),
+                         "type_b": pa.array([], pa.string()),
+                         "type_c": pa.array([], pa.string()),
+                         "n_users": pa.array([], pa.int64())})
+    return t.set_column(
+        t.schema.get_field_index("n_users"), "n_users",
+        t.column("n_users").cast(pa.int64())).sort_by(
+        [("type_a", "ascending"), ("type_b", "ascending"),
+         ("type_c", "ascending")])
