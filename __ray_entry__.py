@@ -206,6 +206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_supplier_revenue": relational.q_top_supplier_revenue,
         "audience_jaccard": relational.q_audience_jaccard,
         "type_triple_support": relational.q_type_triple_support,
+        "user_type_gini": relational.q_user_type_gini,
         "user_value_ewma": windows.user_value_ewma,
         "bm25_search": textstats.bm25_search,
         "collapse_repeats": textstats.collapse_repeats,
@@ -779,6 +780,15 @@ def oracle_sql() -> dict[str, str]:
             FROM i JOIN cnt ca ON ca.event_type = type_a
                    JOIN cnt cb ON cb.event_type = type_b
             ORDER BY type_a, type_b""",
+        "user_type_gini": """
+            WITH c AS (SELECT user_id, event_type, COUNT(*) AS c
+                       FROM events GROUP BY 1, 2),
+                 u AS (SELECT user_id, SUM(c) AS n, SUM(c*c) AS ssq
+                       FROM c GROUP BY 1)
+            SELECT user_id, CAST(n AS BIGINT) AS n_events,
+                   1.0::DOUBLE - (CAST(ssq AS DOUBLE)
+                                  / CAST(n*n AS DOUBLE)) AS gini
+            FROM u ORDER BY user_id""",
         "type_triple_support": """
             WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
             SELECT a.event_type AS type_a, b.event_type AS type_b,

@@ -174,6 +174,7 @@ BENCH_QUERIES = [
     "order_status_except_all",
     "resample_linear",
     "type_triple_support",
+    "user_type_gini",
 ]
 
 

@@ -1298,3 +1298,41 @@ def q_type_triple_support(sf_dir: str,
         t.column("n_users").cast(pa.int64())).sort_by(
         [("type_a", "ascending"), ("type_b", "ascending"),
          ("type_c", "ascending")])
+
+
+def q_user_type_gini(sf_dir: str) -> pa.Table:
+    """(user_id, n_events, gini): Gini impurity of each user's
+    event-type mix — ``1 − Σ c_t² / n²`` — the class-balance /
+    behavioral-diversity feature for ranking and segmentation models.
+    Rational arithmetic only (integer Σc², n², ONE double division and
+    one subtraction, both IEEE-exact), so the score hashes identically
+    to the SQL twin.
+
+    Scale shape: two stacked combiner groupbys — (user, type) counts,
+    then per-user Σc/Σc² — every exchange moves one partial row per key
+    per batch; the final arithmetic is one vectorized map."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    counts = partial_groupby(ds, ["user_id", "event_type"],
+                             {"c": ("event_type", "count")})
+
+    def sq(t: pa.Table) -> pa.Table:
+        c = pc.cast(t["c"], pa.int64())
+        return pa.table({"user_id": t["user_id"], "n": c,
+                         "ssq": pc.multiply(c, c)})
+
+    per_user = partial_groupby(
+        counts.map_batches(sq, batch_format="pyarrow"),
+        ["user_id"], {"n_events": ("n", "sum"), "ssq": ("ssq", "sum")})
+    t = collect_table(per_user)
+    if t.num_rows == 0:
+        return pa.table({"user_id": pa.array([], pa.int64()),
+                         "n_events": pa.array([], pa.int64()),
+                         "gini": pa.array([], pa.float64())})
+    n = t.column("n_events").to_numpy(zero_copy_only=False)
+    ssq = t.column("ssq").to_numpy(zero_copy_only=False)
+    gini = 1.0 - (ssq.astype(np.float64) / (n * n).astype(np.float64))
+    return pa.table({"user_id": t["user_id"],
+                     "n_events": pc.cast(t["n_events"], pa.int64()),
+                     "gini": pa.array(gini, pa.float64())}).sort_by(
+        "user_id")
