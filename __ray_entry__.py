@@ -207,6 +207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audience_jaccard": relational.q_audience_jaccard,
         "type_triple_support": relational.q_type_triple_support,
         "user_type_gini": relational.q_user_type_gini,
+        "ab_test_chi2": relational.q_ab_test_chi2,
         "user_value_ewma": windows.user_value_ewma,
         "bm25_search": textstats.bm25_search,
         "collapse_repeats": textstats.collapse_repeats,
@@ -780,6 +781,33 @@ def oracle_sql() -> dict[str, str]:
             FROM i JOIN cnt ca ON ca.event_type = type_a
                    JOIN cnt cb ON cb.event_type = type_b
             ORDER BY type_a, type_b""",
+        "ab_test_chi2": """
+            WITH u AS (SELECT user_id,
+                              CAST(user_id % 2 AS BIGINT) AS variant,
+                              MAX(CASE WHEN event_type = 'purchase'
+                                       THEN 1 ELSE 0 END) AS conv
+                       FROM events GROUP BY user_id),
+            cell AS (SELECT variant, COUNT(*) AS n, SUM(conv) AS k
+                     FROM u GROUP BY variant),
+            w AS (SELECT
+                    CAST(MAX(CASE WHEN variant = 0 THEN n END)
+                         AS HUGEINT) AS n0,
+                    CAST(MAX(CASE WHEN variant = 0 THEN k END)
+                         AS HUGEINT) AS k0,
+                    CAST(MAX(CASE WHEN variant = 1 THEN n END)
+                         AS HUGEINT) AS n1,
+                    CAST(MAX(CASE WHEN variant = 1 THEN k END)
+                         AS HUGEINT) AS k1
+                  FROM cell)
+            SELECT CAST(n0 AS BIGINT) AS n_control,
+                   CAST(k0 AS BIGINT) AS conv_control,
+                   CAST(n1 AS BIGINT) AS n_treatment,
+                   CAST(k1 AS BIGINT) AS conv_treatment,
+                   CAST((n0 + n1) * (k0*(n1-k1) - (n0-k0)*k1)
+                        * (k0*(n1-k1) - (n0-k0)*k1) AS DOUBLE)
+                   / CAST(n0 * n1 * (k0+k1) * ((n0-k0)+(n1-k1))
+                          AS DOUBLE) AS chi2
+            FROM w""",
         "user_type_gini": """
             WITH c AS (SELECT user_id, event_type, COUNT(*) AS c
                        FROM events GROUP BY 1, 2),

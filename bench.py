@@ -175,6 +175,7 @@ BENCH_QUERIES = [
     "resample_linear",
     "type_triple_support",
     "user_type_gini",
+    "ab_test_chi2",
 ]
 
 

@@ -1336,3 +1336,52 @@ def q_user_type_gini(sf_dir: str) -> pa.Table:
                      "n_events": pc.cast(t["n_events"], pa.int64()),
                      "gini": pa.array(gini, pa.float64())}).sort_by(
         "user_id")
+
+
+def q_ab_test_chi2(sf_dir: str) -> pa.Table:
+    """(n_control, conv_control, n_treatment, conv_treatment, chi2):
+    2×2 chi-square independence statistic for a deterministic A/B split
+    (variant = user_id % 2; conversion = user has ≥1 purchase event) —
+    the experimentation-analytics primitive. χ² = N·(ad−bc)² / ((a+b)
+    (c+d)(a+c)(b+d)) stays in EXACT integers (Python bigints on the
+    driver, HUGEINT in the twin) until ONE final double division, so
+    the statistic hashes identically to DuckDB.
+
+    Scale shape: per-user conversion flags come off a combiner groupby
+    (max of a 0/1 per user per batch), the 2×2 contingency off a second
+    combiner by variant — the driver sees four integers."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "conv": pc.cast(pc.equal(t["event_type"], "purchase"),
+                            pa.int64())})
+
+    per_user = partial_groupby(ds.map_batches(prep, batch_format="pyarrow"),
+                               ["user_id"], {"conv": ("conv", "max")})
+
+    def variant(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "variant": pc.bit_wise_and(pc.cast(t["user_id"], pa.int64()),
+                                       pa.scalar(1, pa.int64())),
+            "one": pa.array(np.ones(t.num_rows, np.int64)),
+            "conv": t["conv"]})
+
+    cells = collect_table(partial_groupby(
+        per_user.map_batches(variant, batch_format="pyarrow"),
+        ["variant"], {"n": ("one", "sum"), "k": ("conv", "sum")}))
+    by_v = {r["variant"]: (r["n"], r["k"]) for r in cells.to_pylist()}
+    if set(by_v) != {0, 1}:
+        raise ValueError("ab_test_chi2 needs users in both parity "
+                         f"variants; saw variants {sorted(by_v)}")
+    n0, k0 = (int(x) for x in by_v[0])
+    n1, k1 = (int(x) for x in by_v[1])
+    num = (n0 + n1) * (k0 * (n1 - k1) - (n0 - k0) * k1) ** 2  # exact ints
+    den = n0 * n1 * (k0 + k1) * ((n0 - k0) + (n1 - k1))
+    chi2 = np.float64(num) / np.float64(den)
+    return pa.table({"n_control": pa.array([n0], pa.int64()),
+                     "conv_control": pa.array([k0], pa.int64()),
+                     "n_treatment": pa.array([n1], pa.int64()),
+                     "conv_treatment": pa.array([k1], pa.int64()),
+                     "chi2": pa.array([chi2], pa.float64())})
