@@ -274,6 +274,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_hops": _neardup_hops,
         "embedding_neardups": _embedding_neardup_pairs,
         "ann_topk": similarity.brute_force_topk,
+        "rrf_fusion": similarity.rrf_fusion,
         "knn_graph": similarity.knn_graph,
         "semantic_dedup": similarity.semantic_dedup,
         "semantic_clusters": similarity.semantic_clusters,
@@ -458,6 +459,55 @@ jac AS (
                JOIN sizes sb ON sb.doc_id = i.b)
 SELECT a, b, round_even(j, 6) AS jaccard
 FROM jac WHERE j >= 0.4 ORDER BY a, b"""
+
+
+# shared CTE chain ending in r(doc_id, score, rank): the BM25 ranking —
+# the SQL twin of raydoc.functions.textstats.bm25_search's rational-idf
+# score; reused by the rrf_fusion twin
+_BM25_RANKED_CTE = r"""tok AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '\w+')) AS term
+                FROM documents),
+            tf AS (SELECT doc_id,
+                          SUM(CASE WHEN term='hash' THEN 1 ELSE 0 END) AS tf0,
+                          SUM(CASE WHEN term='join' THEN 1 ELSE 0 END) AS tf1,
+                          SUM(CASE WHEN term='merge' THEN 1 ELSE 0 END) AS tf2,
+                          COUNT(*) AS dl
+                   FROM tok GROUP BY doc_id),
+            g AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+                         (SELECT COALESCE(SUM(dl), 0) FROM tf) AS sum_dl,
+                         (SELECT COUNT(*) FROM tf WHERE tf0 > 0) AS df0,
+                         (SELECT COUNT(*) FROM tf WHERE tf1 > 0) AS df1,
+                         (SELECT COUNT(*) FROM tf WHERE tf2 > 0) AS df2),
+            k AS (SELECT CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                             AS avgdl,
+                         (CAST(n_docs - df0 AS DOUBLE) + 0.5::DOUBLE)
+                             / (CAST(df0 AS DOUBLE) + 0.5::DOUBLE) AS idf0,
+                         (CAST(n_docs - df1 AS DOUBLE) + 0.5::DOUBLE)
+                             / (CAST(df1 AS DOUBLE) + 0.5::DOUBLE) AS idf1,
+                         (CAST(n_docs - df2 AS DOUBLE) + 0.5::DOUBLE)
+                             / (CAST(df2 AS DOUBLE) + 0.5::DOUBLE) AS idf2,
+                         (1.2::DOUBLE + 1.0::DOUBLE) AS k1p1
+                  FROM g),
+            nrm AS (SELECT t.doc_id, t.tf0, t.tf1, t.tf2, k.*,
+                           1.2::DOUBLE * ((1.0::DOUBLE - 0.75::DOUBLE)
+                               + 0.75::DOUBLE * (CAST(t.dl AS DOUBLE)
+                                                 / k.avgdl)) AS norm
+                    FROM tf t, k
+                    WHERE t.tf0 + t.tf1 + t.tf2 > 0),
+            s AS (SELECT doc_id,
+                         ((idf0 * ((CAST(tf0 AS DOUBLE) * k1p1)
+                                   / (CAST(tf0 AS DOUBLE) + norm)))
+                          + (idf1 * ((CAST(tf1 AS DOUBLE) * k1p1)
+                                     / (CAST(tf1 AS DOUBLE) + norm))))
+                         + (idf2 * ((CAST(tf2 AS DOUBLE) * k1p1)
+                                    / (CAST(tf2 AS DOUBLE) + norm)))
+                             AS score
+                  FROM nrm),
+            r AS (SELECT doc_id, score,
+                         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+                             AS rank
+                  FROM s WHERE score > 0.0::DOUBLE)"""
 
 
 # shared CTE chain: (doc_id, sig UBIGINT) simhash signatures, the SQL twin
@@ -837,53 +887,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(v_c * (CAST(1 AS BIGINT) << CAST(16 - rn AS
                         INTEGER))) AS BIGINT) AS decay_num_c
             FROM v WHERE rn <= 16 GROUP BY user_id ORDER BY user_id""",
-        "bm25_search": r"""
-            WITH tok AS (
-                SELECT doc_id,
-                       unnest(regexp_extract_all(lower(text), '\w+')) AS term
-                FROM documents),
-            tf AS (SELECT doc_id,
-                          SUM(CASE WHEN term='hash' THEN 1 ELSE 0 END) AS tf0,
-                          SUM(CASE WHEN term='join' THEN 1 ELSE 0 END) AS tf1,
-                          SUM(CASE WHEN term='merge' THEN 1 ELSE 0 END) AS tf2,
-                          COUNT(*) AS dl
-                   FROM tok GROUP BY doc_id),
-            g AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
-                         (SELECT COALESCE(SUM(dl), 0) FROM tf) AS sum_dl,
-                         (SELECT COUNT(*) FROM tf WHERE tf0 > 0) AS df0,
-                         (SELECT COUNT(*) FROM tf WHERE tf1 > 0) AS df1,
-                         (SELECT COUNT(*) FROM tf WHERE tf2 > 0) AS df2),
-            k AS (SELECT CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)
-                             AS avgdl,
-                         (CAST(n_docs - df0 AS DOUBLE) + 0.5::DOUBLE)
-                             / (CAST(df0 AS DOUBLE) + 0.5::DOUBLE) AS idf0,
-                         (CAST(n_docs - df1 AS DOUBLE) + 0.5::DOUBLE)
-                             / (CAST(df1 AS DOUBLE) + 0.5::DOUBLE) AS idf1,
-                         (CAST(n_docs - df2 AS DOUBLE) + 0.5::DOUBLE)
-                             / (CAST(df2 AS DOUBLE) + 0.5::DOUBLE) AS idf2,
-                         (1.2::DOUBLE + 1.0::DOUBLE) AS k1p1
-                  FROM g),
-            nrm AS (SELECT t.doc_id, t.tf0, t.tf1, t.tf2, k.*,
-                           1.2::DOUBLE * ((1.0::DOUBLE - 0.75::DOUBLE)
-                               + 0.75::DOUBLE * (CAST(t.dl AS DOUBLE)
-                                                 / k.avgdl)) AS norm
-                    FROM tf t, k
-                    WHERE t.tf0 + t.tf1 + t.tf2 > 0),
-            s AS (SELECT doc_id,
-                         ((idf0 * ((CAST(tf0 AS DOUBLE) * k1p1)
-                                   / (CAST(tf0 AS DOUBLE) + norm)))
-                          + (idf1 * ((CAST(tf1 AS DOUBLE) * k1p1)
-                                     / (CAST(tf1 AS DOUBLE) + norm))))
-                         + (idf2 * ((CAST(tf2 AS DOUBLE) * k1p1)
-                                    / (CAST(tf2 AS DOUBLE) + norm)))
-                             AS score
-                  FROM nrm),
-            r AS (SELECT doc_id, score,
-                         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
-                             AS rank
-                  FROM s WHERE score > 0.0::DOUBLE)
+        "bm25_search": f"""
+            WITH {_BM25_RANKED_CTE}
             SELECT CAST(rank AS BIGINT) AS rank, doc_id, score
             FROM r WHERE rank <= 20 ORDER BY rank""",
+        "rrf_fusion": f"""
+            -- twin of similarity.rrf_fusion: reciprocal-rank fusion of
+            -- the BM25 top-20 and the cosine top-20 for query vector 0
+            WITH {_BM25_RANKED_CTE},
+            bm AS (SELECT doc_id, rank FROM r WHERE rank <= 20),
+            sims AS (SELECT e.vec_id AS doc_id,
+                            list_cosine_similarity(
+                                CAST((SELECT embedding FROM embeddings
+                                      WHERE vec_id = 0) AS DOUBLE[]),
+                                CAST(e.embedding AS DOUBLE[])) AS cosine
+                     FROM embeddings e WHERE e.vec_id != 0),
+            em AS (SELECT doc_id,
+                          ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id)
+                              AS rank
+                   FROM sims QUALIFY rank <= 20),
+            ids AS (SELECT doc_id FROM bm UNION SELECT doc_id FROM em),
+            f AS (SELECT i.doc_id,
+                         COALESCE(1.0::DOUBLE
+                                  / CAST(60 + b.rank AS DOUBLE),
+                                  0.0::DOUBLE)
+                         + COALESCE(1.0::DOUBLE
+                                    / CAST(60 + e2.rank AS DOUBLE),
+                                    0.0::DOUBLE) AS rrf
+                  FROM ids i LEFT JOIN bm b ON b.doc_id = i.doc_id
+                             LEFT JOIN em e2 ON e2.doc_id = i.doc_id)
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id)
+                        AS BIGINT) AS rank, doc_id, rrf
+            FROM f QUALIFY rank <= 20 ORDER BY rank""",
         "cube_orders": """
             SELECT o_orderstatus, o_orderpriority,
                    CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))

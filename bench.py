@@ -176,6 +176,7 @@ BENCH_QUERIES = [
     "type_triple_support",
     "user_type_gini",
     "ab_test_chi2",
+    "rrf_fusion",
 ]
 
 

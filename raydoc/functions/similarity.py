@@ -951,3 +951,40 @@ def semantic_clusters(sf_dir: str, tau: int = 1_400_000,
 
     return collect_table(
         emb.map_batches(tag, batch_format="pyarrow")).sort_by("vec_id")
+
+
+def rrf_fusion(sf_dir: str, top_k: int = 20, k_rrf: int = 60) -> pa.Table:
+    """(rank, doc_id, rrf): reciprocal-rank fusion of two retrieval
+    channels — the BM25 lexical top-``top_k`` (textstats.bm25_search)
+    and the exact cosine top-``top_k`` for query vector 0
+    (brute_force_topk; vec_id ≡ doc_id in this corpus) — the hybrid
+    lexical+dense retrieval composition behind RAG candidate
+    generation. ``rrf = Σ 1/(k_rrf + rank)`` with each term ONE exact
+    double division and the two channels summed in fixed order
+    (lexical first), so the fused score hashes identically to the SQL
+    twin. Docs absent from both channels are omitted; doc 0 can only
+    enter via BM25 (the dense channel excludes self, both engines).
+
+    Scale shape: both inner rankings are the already-distributed
+    operators (corpus tokenize pass / per-batch matmul with pruned
+    query read); the fusion itself touches ≤ 2·top_k rows on the
+    driver."""
+    from raydoc.functions.textstats import bm25_search
+
+    lex = bm25_search(sf_dir, top_k=top_k)
+    den = brute_force_topk(sf_dir, query_ids=[0], k=top_k)
+    bm = dict(zip(lex.column("doc_id").to_pylist(),
+                  lex.column("rank").to_pylist()))
+    em = dict(zip(den.column("vec_id").to_pylist(),
+                  den.column("rank").to_pylist()))
+    ids = sorted(set(bm) | set(em))
+    rrf = [(1.0 / np.float64(k_rrf + bm[d]) if d in bm else 0.0)
+           + (1.0 / np.float64(k_rrf + em[d]) if d in em else 0.0)
+           for d in ids]
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "rrf": pa.array(rrf, pa.float64())})
+    t = t.sort_by([("rrf", "descending"), ("doc_id", "ascending")]) \
+        .slice(0, top_k)
+    return pa.table({"rank": pa.array(range(1, t.num_rows + 1), pa.int64()),
+                     "doc_id": t.column("doc_id"),
+                     "rrf": t.column("rrf")})
