@@ -650,6 +650,12 @@ def _multiset_op(left: rd.Dataset, right: rd.Dataset, key: str,
         keep = copies > 0
         if not keep.any():
             return out_schema.empty_table()
+        total = int(copies[keep].sum())
+        if total > 50_000_000:
+            raise ValueError(
+                f"multiset {mode} would expand {total} rows in one "
+                "bucket (a hot key dominates); raise num_buckets or "
+                "pre-aggregate the hot key")
         idx = np.repeat(np.flatnonzero(keep), copies[keep])
         keys_out = j.column(key).combine_chunks().take(pa.array(idx))
         return pa.table({key: keys_out.cast(key_type)})

@@ -1324,18 +1324,25 @@ def q_user_type_gini(sf_dir: str) -> pa.Table:
     per_user = partial_groupby(
         counts.map_batches(sq, batch_format="pyarrow"),
         ["user_id"], {"n_events": ("n", "sum"), "ssq": ("ssq", "sum")})
-    t = collect_table(per_user)
+
+    def finish(t: pa.Table) -> pa.Table:   # arithmetic rides the workers
+        if t.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "n_events": pa.array([], pa.int64()),
+                             "gini": pa.array([], pa.float64())})
+        n = t.column("n_events").to_numpy(zero_copy_only=False)
+        ssq = t.column("ssq").to_numpy(zero_copy_only=False)
+        gini = 1.0 - (ssq.astype(np.float64) / (n * n).astype(np.float64))
+        return pa.table({"user_id": t["user_id"],
+                         "n_events": pc.cast(t["n_events"], pa.int64()),
+                         "gini": pa.array(gini, pa.float64())})
+
+    t = collect_table(per_user.map_batches(finish, batch_format="pyarrow"))
     if t.num_rows == 0:
         return pa.table({"user_id": pa.array([], pa.int64()),
                          "n_events": pa.array([], pa.int64()),
                          "gini": pa.array([], pa.float64())})
-    n = t.column("n_events").to_numpy(zero_copy_only=False)
-    ssq = t.column("ssq").to_numpy(zero_copy_only=False)
-    gini = 1.0 - (ssq.astype(np.float64) / (n * n).astype(np.float64))
-    return pa.table({"user_id": t["user_id"],
-                     "n_events": pc.cast(t["n_events"], pa.int64()),
-                     "gini": pa.array(gini, pa.float64())}).sort_by(
-        "user_id")
+    return t.sort_by("user_id")
 
 
 def q_ab_test_chi2(sf_dir: str) -> pa.Table:
