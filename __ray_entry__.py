@@ -208,6 +208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_triple_support": relational.q_type_triple_support,
         "user_type_gini": relational.q_user_type_gini,
         "ab_test_chi2": relational.q_ab_test_chi2,
+        "value_target_encode": relational.q_value_target_encode,
         "user_value_ewma": windows.user_value_ewma,
         "bm25_search": textstats.bm25_search,
         "collapse_repeats": textstats.collapse_repeats,
@@ -831,6 +832,18 @@ def oracle_sql() -> dict[str, str]:
             FROM i JOIN cnt ca ON ca.event_type = type_a
                    JOIN cnt cb ON cb.event_type = type_b
             ORDER BY type_a, type_b""",
+        "value_target_encode": """
+            WITH s AS (SELECT event_type,
+                              SUM(CAST(ROUND(value*100) AS BIGINT)) AS sc,
+                              COUNT(*) AS n
+                       FROM events GROUP BY 1)
+            SELECT event_id,
+                   CASE WHEN n = 1 THEN NULL
+                        ELSE CAST(sc - CAST(ROUND(value*100) AS BIGINT)
+                                  AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+                   END AS loo_mean_c
+            FROM events JOIN s USING (event_type)
+            ORDER BY event_id""",
         "ab_test_chi2": """
             WITH u AS (SELECT user_id,
                               CAST(user_id % 2 AS BIGINT) AS variant,

@@ -177,6 +177,7 @@ BENCH_QUERIES = [
     "user_type_gini",
     "ab_test_chi2",
     "rrf_fusion",
+    "value_target_encode",
 ]
 
 

@@ -1392,3 +1392,50 @@ def q_ab_test_chi2(sf_dir: str) -> pa.Table:
                      "n_treatment": pa.array([n1], pa.int64()),
                      "conv_treatment": pa.array([k1], pa.int64()),
                      "chi2": pa.array([chi2], pa.float64())})
+
+
+def q_value_target_encode(sf_dir: str) -> pa.Table:
+    """(event_id, loo_mean_c): leave-one-out target encoding — each
+    event's feature is the mean value (in cents) of its OWN event type
+    computed over all OTHER events of that type, ``(S_t − v_i)/(n_t −
+    1)`` — the leakage-free categorical encoding used in tabular ML.
+    Integer-exact numerator/denominator with ONE IEEE double division,
+    so 10⁵ encoded doubles hash identically to the SQL twin; a
+    singleton type encodes NULL on both engines.
+
+    Scale shape: per-type (Σcents, n) off a combiner groupby (driver
+    sees |types| rows), broadcast back into one vectorized map over the
+    streaming fact — no second exchange, no per-row work."""
+    import ray
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": t["event_type"],
+                         "v_c": _cents(t["value"])})
+
+    per_type = collect_table(partial_groupby(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["event_type"], {"sc": ("v_c", "sum"), "n": ("v_c", "count")}))
+    stats = {r["event_type"]: (int(r["sc"]), int(r["n"]))
+             for r in per_type.to_pylist()}
+    ref = ray.put(stats)
+
+    def encode(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:        # empty Ray blocks carry an EMPTY schema
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "loo_mean_c": pa.array([], pa.float64())})
+        m = ray.get(ref)
+        types = t.column("event_type").to_pylist()
+        sc = np.array([m[x][0] for x in types], np.int64)
+        n = np.array([m[x][1] for x in types], np.int64)
+        v = _cents(t["value"]).to_numpy(zero_copy_only=False)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            loo = (sc - v).astype(np.float64) / (n - 1).astype(np.float64)
+        out = pa.array(loo, pa.float64())
+        out = pc.if_else(pa.array(n == 1), pa.nulls(t.num_rows,
+                                                    pa.float64()), out)
+        return pa.table({"event_id": t["event_id"], "loo_mean_c": out})
+
+    return collect_table(ds.map_batches(
+        encode, batch_format="pyarrow")).sort_by("event_id")

@@ -72,7 +72,7 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
     "top_supplier_revenue", "audience_jaccard", "neardup_hops",
     "order_status_intersect_all", "order_status_except_all",
     "resample_linear", "type_triple_support", "user_type_gini",
-    "ab_test_chi2", "rrf_fusion",
+    "ab_test_chi2", "rrf_fusion", "value_target_encode",
 ])
 def test_query_matches_oracle(ray_session, oracle, name):
     import __ray_entry__ as entrymod
