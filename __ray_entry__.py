@@ -209,6 +209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_type_gini": relational.q_user_type_gini,
         "ab_test_chi2": relational.q_ab_test_chi2,
         "value_target_encode": relational.q_value_target_encode,
+        "orders_checksum": relational.q_orders_checksum,
         "user_value_ewma": windows.user_value_ewma,
         "bm25_search": textstats.bm25_search,
         "collapse_repeats": textstats.collapse_repeats,
@@ -832,6 +833,18 @@ def oracle_sql() -> dict[str, str]:
             FROM i JOIN cnt ca ON ca.event_type = type_a
                    JOIN cnt cb ON cb.event_type = type_b
             ORDER BY type_a, type_b""",
+        "orders_checksum": """
+            WITH h AS (SELECT CAST(('0x' || substr(md5(
+                           CAST(o_orderkey AS VARCHAR) || '|' ||
+                           CAST(o_custkey AS VARCHAR) || '|' ||
+                           o_orderstatus), 1, 16)) AS UBIGINT) AS h
+                       FROM orders)
+            SELECT COUNT(*) AS n_rows,
+                   lower(lpad(hex(CAST(
+                       SUM(CAST(h AS HUGEINT))
+                       % CAST(18446744073709551616 AS HUGEINT)
+                       AS UBIGINT)), 16, '0')) AS checksum
+            FROM h""",
         "value_target_encode": """
             WITH s AS (SELECT event_type,
                               SUM(CAST(ROUND(value*100) AS BIGINT)) AS sc,

@@ -178,6 +178,7 @@ BENCH_QUERIES = [
     "ab_test_chi2",
     "rrf_fusion",
     "value_target_encode",
+    "orders_checksum",
 ]
 
 

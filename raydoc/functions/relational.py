@@ -1439,3 +1439,56 @@ def q_value_target_encode(sf_dir: str) -> pa.Table:
 
     return collect_table(ds.map_batches(
         encode, batch_format="pyarrow")).sort_by("event_id")
+
+
+def q_orders_checksum(sf_dir: str) -> pa.Table:
+    """(n_rows, checksum): ORDER-INDEPENDENT content checksum of the
+    orders table — per row, the first 64 bits of
+    ``md5(orderkey|custkey|status)``; the table checksum is their sum
+    mod 2⁶⁴ (hex, 16 digits) — the migration/replication validation
+    primitive: two engines (or two copies) agree iff row contents agree,
+    regardless of row order or partitioning.
+
+    Scale shape: per-batch partials carry the hash sum as FOUR 16-bit
+    limb sums (Σ of each 16-bit slice — int64-safe to ~1.4·10¹⁴ rows,
+    where a single mod-2⁶⁴ partial would overflow int64 at ~2³¹ rows),
+    folded by a constant-key combiner groupby; the driver reassembles
+    the exact mod-2⁶⁴ sum from four integers. Limb decomposition is an
+    exact rearrangement, so the value equals the twin's HUGEINT sum."""
+    import hashlib
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_custkey", "o_orderstatus"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = [0, 0, 0, 0]
+        n = t.num_rows
+        if n:
+            for ok, ck, st in zip(t.column("o_orderkey").to_pylist(),
+                                  t.column("o_custkey").to_pylist(),
+                                  t.column("o_orderstatus").to_pylist()):
+                h = int(hashlib.md5(
+                    f"{ok}|{ck}|{st}".encode()).hexdigest()[:16], 16)
+                s[0] += h & 0xFFFF
+                s[1] += (h >> 16) & 0xFFFF
+                s[2] += (h >> 32) & 0xFFFF
+                s[3] += (h >> 48) & 0xFFFF
+        return pa.table({"one": pa.array([1], pa.int64()),
+                         "n": pa.array([n], pa.int64()),
+                         **{f"s{i}": pa.array([s[i]], pa.int64())
+                            for i in range(4)}})
+
+    spec = {"n_rows": ("n", "sum")}
+    for i in range(4):
+        spec[f"s{i}"] = (f"s{i}", "sum")
+    g = collect_table(partial_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"), ["one"], spec))
+    if g.num_rows == 0:
+        return pa.table({"n_rows": pa.array([0], pa.int64()),
+                         "checksum": pa.array(["0" * 16], pa.string())})
+    limbs = [int(g.column(f"s{i}")[0].as_py()) for i in range(4)]
+    total = (limbs[0] + (limbs[1] << 16) + (limbs[2] << 32)
+             + (limbs[3] << 48)) % (1 << 64)
+    return pa.table({
+        "n_rows": pc.cast(g.column("n_rows"), pa.int64()),
+        "checksum": pa.array([format(total, "016x")], pa.string())})
