@@ -223,6 +223,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_histogram": windows.value_histogram,
         "resample_ffill": windows.resample_ffill,
         "resample_linear": windows.resample_linear,
+        "user_longest_streak": windows.user_longest_streak,
         "inverted_index": textstats.inverted_index,
         "dup_ngram_fraction": textstats.dup_ngram_fraction,
         "strip_dup_ngrams": textstats.strip_dup_ngrams,
@@ -1315,6 +1316,22 @@ def oracle_sql() -> dict[str, str]:
             FROM grid g ASOF JOIN d
               ON g.user_id = d.user_id AND g.hour >= d.ts
             ORDER BY g.user_id, g.hour""",
+        "user_longest_streak": """
+            WITH o AS (SELECT user_id, event_type,
+                              ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn,
+                              ROW_NUMBER() OVER (PARTITION BY user_id,
+                                  event_type ORDER BY ts, event_id) AS rnt
+                       FROM events),
+            isl AS (SELECT user_id, event_type, rn - rnt AS grp,
+                           COUNT(*) AS len
+                    FROM o GROUP BY 1, 2, 3),
+            best AS (SELECT user_id, event_type, len,
+                            ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY len DESC, event_type) AS r
+                     FROM isl)
+            SELECT user_id, event_type, CAST(len AS BIGINT) AS streak_len
+            FROM best WHERE r = 1 ORDER BY user_id""",
         "resample_linear": """
             WITH e AS (SELECT user_id, ts, value,
                               ROW_NUMBER() OVER (PARTITION BY user_id, ts

@@ -179,6 +179,7 @@ BENCH_QUERIES = [
     "rrf_fusion",
     "value_target_encode",
     "orders_checksum",
+    "user_longest_streak",
 ]
 
 

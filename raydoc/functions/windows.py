@@ -1422,3 +1422,53 @@ def resample_linear(sf_dir: str, num_buckets: int | None = None) -> pa.Table:
     t = t.set_column(t.schema.get_field_index("value"), "value",
                      t.column("value").cast(pa.float64()))
     return t.sort_by([("user_id", "ascending"), ("hour", "ascending")])
+
+
+def user_longest_streak(sf_dir: str,
+                        num_buckets: int | None = None) -> pa.Table:
+    """(user_id, event_type, streak_len): each user's LONGEST run of
+    consecutive same-type events under (ts, event_id) order — the
+    gaps-and-islands / streak-detection family (SQL's rn−rn_per_type
+    island trick). Ties between equally long runs resolve to the
+    lexicographically smallest type, both engines.
+
+    Shape: ONE coarse user-bucket exchange (complete users co-locate),
+    then per-bucket vectorized island labeling — a shift-compare cumsum,
+    one groupby-size, one head(1) per user; no per-row work."""
+    from raydoc.functions._buckets import reduce_bucket_count
+    mask = (num_buckets or reduce_bucket_count()) - 1
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id",
+                                  "event_type"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "bucket", pc.cast(pc.bit_wise_and(t["user_id"], mask),
+                              pa.int32()))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          ignore_index=True)
+        new_run = (g["user_id"].ne(g["user_id"].shift())
+                   | g["event_type"].ne(g["event_type"].shift()))
+        runs = g.groupby(new_run.cumsum(), sort=False).agg(
+            user_id=("user_id", "first"),
+            event_type=("event_type", "first"),
+            streak_len=("user_id", "size"))
+        best = runs.sort_values(
+            ["user_id", "streak_len", "event_type"],
+            ascending=[True, False, True]).groupby(
+            "user_id", sort=False).head(1)
+        return best[["user_id", "event_type", "streak_len"]]
+
+    out = (ds.map_batches(add_bucket, batch_format="pyarrow")
+           .groupby("bucket").map_groups(per_bucket,
+                                         batch_format="pandas"))
+    t = collect_table(out)
+    if t.num_rows == 0:
+        return pa.table({"user_id": pa.array([], pa.int64()),
+                         "event_type": pa.array([], pa.string()),
+                         "streak_len": pa.array([], pa.int64())})
+    return t.set_column(
+        t.schema.get_field_index("streak_len"), "streak_len",
+        t.column("streak_len").cast(pa.int64())).sort_by("user_id")

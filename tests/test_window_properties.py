@@ -178,3 +178,15 @@ def test_resample_linear_matches_duckdb(ray_session, tmp_path, seed):
     got = resample_linear(sf).to_pandas()
     exp = _sql(sf, e.oracle_sql()["resample_linear"])
     assert _canon(got) == _canon(exp)
+
+
+@pytest.mark.parametrize("seed", [181, 182])
+def test_user_longest_streak_matches_duckdb(ray_session, tmp_path, seed):
+    """Island labeling under exact ts ties, singleton users, and
+    equal-length-streak tiebreaks (lexicographic type)."""
+    from raydoc.functions.windows import user_longest_streak
+    import __ray_entry__ as e
+    sf = _mk_events(tmp_path, seed)
+    got = user_longest_streak(sf).to_pandas()
+    exp = _sql(sf, e.oracle_sql()["user_longest_streak"])
+    assert _canon(got) == _canon(exp)
