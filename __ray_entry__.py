@@ -219,6 +219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_sequence": windows.user_event_sequence,
         "type_percent_rank": windows.type_percent_rank,
         "orders_upsert": relational.q_orders_upsert,
+        "orders_scd2": relational.q_orders_scd2,
         "cohort_retention": windows.cohort_retention,
         "value_histogram": windows.value_histogram,
         "resample_ffill": windows.resample_ffill,
@@ -1264,6 +1265,23 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderkey
                                        ORDER BY version DESC) = 1
             ORDER BY o_orderkey""",
+        "orders_scd2": """
+            WITH base AS (SELECT o_orderkey, CAST(1 AS BIGINT) AS version,
+                                 o_totalprice FROM orders),
+                 u2 AS (SELECT o_orderkey, CAST(2 AS BIGINT),
+                               o_totalprice + 1.0
+                        FROM orders WHERE o_orderkey % 7 = 0),
+                 u3 AS (SELECT o_orderkey, CAST(3 AS BIGINT),
+                               o_totalprice + 2.0
+                        FROM orders WHERE o_orderkey % 21 = 0),
+                 allr AS (SELECT * FROM base
+                          UNION ALL SELECT * FROM u2
+                          UNION ALL SELECT * FROM u3)
+            SELECT o_orderkey, version, o_totalprice,
+                   CAST(LEAD(version) OVER (PARTITION BY o_orderkey
+                                            ORDER BY version) - 1
+                        AS DOUBLE) AS valid_to
+            FROM allr ORDER BY o_orderkey, version""",
         "cohort_retention": """
             WITH d AS (SELECT DISTINCT user_id,
                               CAST(epoch_us(ts) // 86400000000 AS BIGINT)

@@ -180,6 +180,7 @@ BENCH_QUERIES = [
     "value_target_encode",
     "orders_checksum",
     "user_longest_streak",
+    "orders_scd2",
 ]
 
 

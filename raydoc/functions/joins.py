@@ -674,3 +674,44 @@ def except_all(left: rd.Dataset, right: rd.Dataset, key: str,
                num_buckets: int = 32) -> rd.Dataset:
     """SQL ``EXCEPT ALL`` on a single key column — see _multiset_op."""
     return _multiset_op(left, right, key, "except", num_buckets)
+
+
+def scd2_history(versions: rd.Dataset, key: str, version_col: str,
+                 num_buckets: int = 32) -> rd.Dataset:
+    """Slowly-changing-dimension (type 2) history build: given versioned
+    rows (``key``, attrs, ``version_col``), emit every version with its
+    validity range — ``valid_to`` = next version − 1, NULL for the
+    current row — the warehouse dimension-history operator
+    (merge_upsert's keep-all complement).
+
+    Scale shape: ONE coarse key-hash-bucket exchange (a key's versions
+    co-locate; a bucket holds many complete keys), then a per-bucket
+    vectorized sort + per-key shift. Version count per key bounds the
+    task, never the bucket count."""
+    import pandas as pd
+
+    left_schema = versions.schema()
+    mask = num_buckets - 1
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:        # empty Ray blocks carry an EMPTY schema
+            return pa.schema(
+                arrow_field_types(left_schema, list(left_schema.names))
+                + [("__bucket", pa.int32())]).empty_table()
+        keycol = t.column(key)
+        if isinstance(keycol, pa.ChunkedArray):
+            keycol = keycol.combine_chunks()
+        return t.append_column(
+            "__bucket", pa.array(_key_hash(keycol, num_buckets), pa.int32()))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, version_col], ignore_index=True)
+        nxt = g.groupby(key, sort=False)[version_col].shift(-1)
+        # float64 (NULL -> NaN), not pandas Int64: the nullable-int
+        # extension dtype rides the Arrow pandas metadata and flips the
+        # column back to Int64 on every later to_pandas()
+        g["valid_to"] = (nxt - 1).astype("float64")
+        return g.drop(columns=["__bucket"])
+
+    return versions.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("__bucket").map_groups(per_bucket, batch_format="pandas")

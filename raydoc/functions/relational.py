@@ -1492,3 +1492,46 @@ def q_orders_checksum(sf_dir: str) -> pa.Table:
     return pa.table({
         "n_rows": pc.cast(g.column("n_rows"), pa.int64()),
         "checksum": pa.array([format(total, "016x")], pa.string())})
+
+
+def q_orders_scd2(sf_dir: str) -> pa.Table:
+    """(o_orderkey, version, o_totalprice, valid_to): type-2
+    slowly-changing-dimension HISTORY of the orders CDC stream (base v1;
+    +1.00 updates for every 7th key as v2; +2.00 for every 21st as v3) —
+    each version carries its validity range, ``valid_to`` = next version
+    − 1, NULL while current. The keep-all complement of
+    ``orders_upsert``'s last-writer-wins merge, via joins.scd2_history
+    (one key-bucket exchange, per-bucket vectorized shift)."""
+    from raydoc.functions.joins import scd2_history
+
+    cols = ["o_orderkey", "o_totalprice"]
+
+    def ver(version: int, mod: int, bump: float):
+        def fn(t: pa.Table) -> pa.Table:
+            k = t["o_orderkey"]
+            if mod > 1:
+                m = pc.equal(pc.subtract(
+                    k, pc.multiply(pc.divide(k, mod), mod)), 0)
+                t = t.filter(m)
+            return pa.table({
+                "o_orderkey": t["o_orderkey"],
+                "version": pa.array([version] * t.num_rows, pa.int64()),
+                "o_totalprice": pc.add(t["o_totalprice"], bump)
+                if bump else t["o_totalprice"]})
+        return fn
+
+    base = _read(sf_dir, "orders", cols).map_batches(
+        ver(1, 1, 0.0), batch_format="pyarrow")
+    u2 = _read(sf_dir, "orders", cols).map_batches(
+        ver(2, 7, 1.0), batch_format="pyarrow")
+    u3 = _read(sf_dir, "orders", cols).map_batches(
+        ver(3, 21, 2.0), batch_format="pyarrow")
+    hist = scd2_history(base.union(u2).union(u3), key="o_orderkey",
+                        version_col="version", num_buckets=16)
+    t = collect_table(hist)
+    # float64 valid_to (NULL → NaN): nullable ints round-trip to float in
+    # pandas-level comparisons, so BOTH engines emit DOUBLE
+    return t.select(["o_orderkey", "version", "o_totalprice",
+                     "valid_to"]).set_column(
+        3, "valid_to", t.column("valid_to").cast(pa.float64())).sort_by(
+        [("o_orderkey", "ascending"), ("version", "ascending")])
