@@ -209,6 +209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_type_gini": relational.q_user_type_gini,
         "ab_test_chi2": relational.q_ab_test_chi2,
         "value_target_encode": relational.q_value_target_encode,
+        "value_hour_corr": relational.q_value_hour_corr,
         "orders_checksum": relational.q_orders_checksum,
         "user_value_ewma": windows.user_value_ewma,
         "bm25_search": textstats.bm25_search,
@@ -835,6 +836,21 @@ def oracle_sql() -> dict[str, str]:
             FROM i JOIN cnt ca ON ca.event_type = type_a
                    JOIN cnt cb ON cb.event_type = type_b
             ORDER BY type_a, type_b""",
+        "value_hour_corr": """
+            WITH b AS (SELECT event_type,
+                              CAST(ROUND(value*100) AS BIGINT) AS x,
+                              CAST(epoch_us(ts) // 3600000000 % 24
+                                   AS BIGINT) AS y
+                       FROM events),
+            m AS (SELECT event_type, COUNT(*) AS n,
+                         SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
+                         SUM(x*x) AS sxx, SUM(y*y) AS syy
+                  FROM b GROUP BY 1)
+            SELECT event_type, CAST(n AS BIGINT) AS n_events,
+                   CAST(n*sxy - sx*sy AS DOUBLE)
+                   / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                      * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS pearson_r
+            FROM m ORDER BY event_type""",
         "orders_checksum": """
             WITH h AS (SELECT CAST(('0x' || substr(md5(
                            CAST(o_orderkey AS VARCHAR) || '|' ||

@@ -181,6 +181,7 @@ BENCH_QUERIES = [
     "orders_checksum",
     "user_longest_streak",
     "orders_scd2",
+    "value_hour_corr",
 ]
 
 

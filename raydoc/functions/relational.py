@@ -1535,3 +1535,58 @@ def q_orders_scd2(sf_dir: str) -> pa.Table:
                      "valid_to"]).set_column(
         3, "valid_to", t.column("valid_to").cast(pa.float64())).sort_by(
         [("o_orderkey", "ascending"), ("version", "ascending")])
+
+
+def q_value_hour_corr(sf_dir: str) -> pa.Table:
+    """(event_type, n_events, pearson_r): Pearson correlation between an
+    event's value (integer cents) and its hour-of-day, per event type —
+    the seasonality-feature screen. All five moments (Σx, Σy, Σxy, Σx²,
+    Σy², n) are EXACT integers off one combiner groupby; r needs one
+    subtraction tree, two sqrts and one division — and IEEE-754 sqrt is
+    CORRECTLY ROUNDED (like +,−,·,/), so the final double hashes
+    identically to the SQL twin. The driver assembles per-type results
+    from |types| integer rows (Python bigints; the twin uses HUGEINT —
+    at 10¹²-row scale split the int64 moment partials into limb sums
+    like orders_checksum)."""
+    import math
+
+    _HOUR = 3_600_000_000
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        x = _cents(t["value"]).to_numpy(zero_copy_only=False)
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        y = (us // _HOUR) % 24
+        return pa.table({"event_type": t["event_type"],
+                         "x": pa.array(x, pa.int64()),
+                         "y": pa.array(y, pa.int64()),
+                         "xy": pa.array(x * y, pa.int64()),
+                         "xx": pa.array(x * x, pa.int64()),
+                         "yy": pa.array(y * y, pa.int64())})
+
+    m = collect_table(partial_groupby(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["event_type"], {"n": ("x", "count"), "sx": ("x", "sum"),
+                         "sy": ("y", "sum"), "sxy": ("xy", "sum"),
+                         "sxx": ("xx", "sum"), "syy": ("yy", "sum")}))
+    if m.num_rows == 0:
+        return pa.table({"event_type": pa.array([], pa.string()),
+                         "n_events": pa.array([], pa.int64()),
+                         "pearson_r": pa.array([], pa.float64())})
+    types, ns, rs = [], [], []
+    for r_ in m.to_pylist():
+        n, sx, sy = int(r_["n"]), int(r_["sx"]), int(r_["sy"])
+        sxy, sxx, syy = int(r_["sxy"]), int(r_["sxx"]), int(r_["syy"])
+        num = n * sxy - sx * sy
+        denx = n * sxx - sx * sx
+        deny = n * syy - sy * sy
+        rv = (float(num) / (math.sqrt(float(denx))
+                            * math.sqrt(float(deny)))
+              if denx > 0 and deny > 0 else float("nan"))
+        types.append(r_["event_type"])
+        ns.append(n)
+        rs.append(rv)
+    return pa.table({"event_type": pa.array(types, pa.string()),
+                     "n_events": pa.array(ns, pa.int64()),
+                     "pearson_r": pa.array(rs, pa.float64())}).sort_by(
+        "event_type")
