@@ -132,6 +132,11 @@ def _neardup_hops(sf_dir: str):
     return neardup_hops(sf_dir)
 
 
+def _embedding_dbscan(sf_dir: str):
+    from raydoc.functions.graph import embedding_dbscan
+    return embedding_dbscan(sf_dir)
+
+
 def _zonemap_value_scan(sf_dir: str):
     from raydoc.pipelines.clustered import zonemap_value_scan
     return zonemap_value_scan(sf_dir)
@@ -277,6 +282,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_neardups": dedup.simhash_neardups,
         "neardup_components": _neardup_components,
         "neardup_hops": _neardup_hops,
+        "embedding_dbscan": _embedding_dbscan,
         "embedding_neardups": _embedding_neardup_pairs,
         "ann_topk": similarity.brute_force_topk,
         "rrf_fusion": similarity.rrf_fusion,
@@ -1703,6 +1709,44 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.4
             ORDER BY a, b""",
+        "embedding_dbscan": """
+            -- twin of graph.embedding_dbscan: exact DBSCAN on the
+            -- cosine>=0.4 eps-graph, min_pts=2 neighbors for core,
+            -- clusters = CC of the core-core subgraph (min core id),
+            -- border takes min core-neighbor label, noise = -1
+            WITH RECURSIVE p AS (
+                SELECT a.vec_id AS a, b.vec_id AS b
+                FROM embeddings a JOIN embeddings b
+                  ON a.vec_id < b.vec_id
+                WHERE list_cosine_similarity(
+                          CAST(a.embedding AS DOUBLE[]),
+                          CAST(b.embedding AS DOUBLE[])) >= 0.4),
+            sym AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p),
+            deg AS (SELECT a AS v, COUNT(*) AS d FROM sym GROUP BY a),
+            core AS (SELECT v FROM deg WHERE d >= 2),
+            ce AS (SELECT s.a, s.b FROM sym s
+                   JOIN core c1 ON c1.v = s.a
+                   JOIN core c2 ON c2.v = s.b),
+            reach(id, n) AS (
+                SELECT a, b FROM ce
+                UNION
+                SELECT r.id, c.b FROM reach r JOIN ce c ON c.a = r.n),
+            lab AS (SELECT id, MIN(n) AS mn FROM reach GROUP BY id),
+            corelab AS (SELECT c.v,
+                               LEAST(c.v, COALESCE(l.mn, c.v)) AS lbl
+                        FROM core c LEFT JOIN lab l ON l.id = c.v),
+            border AS (SELECT s.a AS v, MIN(cl.lbl) AS lbl
+                       FROM sym s JOIN corelab cl ON cl.v = s.b
+                       WHERE s.a NOT IN (SELECT v FROM core)
+                       GROUP BY s.a)
+            SELECT e.vec_id,
+                   CAST(COALESCE(cl.lbl, bo.lbl, -1) AS BIGINT) AS label,
+                   CAST(CASE WHEN cl.v IS NOT NULL THEN 1 ELSE 0 END
+                        AS BIGINT) AS is_core
+            FROM embeddings e
+            LEFT JOIN corelab cl ON cl.v = e.vec_id
+            LEFT JOIN border bo ON bo.v = e.vec_id
+            ORDER BY e.vec_id""",
         "ann_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
                        WHERE vec_id < 5),

@@ -182,6 +182,7 @@ BENCH_QUERIES = [
     "user_longest_streak",
     "orders_scd2",
     "value_hour_corr",
+    "embedding_dbscan",
 ]
 
 

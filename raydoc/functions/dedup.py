@@ -520,6 +520,9 @@ def embedding_neardups(sf_dir: str, threshold: float = 0.4,
                            for i in range(n) for j in range(i, n)])
 
     def _unpack(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        if t.num_rows == 0:     # tiny corpus: repartition makes empty
+            return (np.array([], dtype=np.int64),    # EMPTY-SCHEMA blocks
+                    np.zeros((0, 1), dtype=np.float64))
         ids = np.array(t["vec_id"].to_pylist(), dtype=np.int64)
         mat = np.array(t["embedding"].to_pylist(), dtype=np.float64)
         mat /= np.linalg.norm(mat, axis=1, keepdims=True).clip(min=1e-12)

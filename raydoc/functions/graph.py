@@ -675,3 +675,74 @@ def neardup_hops(sf_dir: str, max_hops: int = 8, seed_mod: int = 50,
     if t.num_rows == 0:
         return out_schema.empty_table()
     return t.cast(out_schema).sort_by("doc_id")
+
+
+def embedding_dbscan(sf_dir: str, threshold: float = 0.4,
+                     min_pts: int = 2,
+                     max_driver_pairs: int = 50_000) -> pa.Table:
+    """(vec_id, label, is_core): EXACT density-based clustering (DBSCAN)
+    over the embedding corpus — ε-neighbors are the cosine ≥ τ pairs
+    (dedup.embedding_neardups' distributed block-pair matmul), a CORE
+    point has ≥ ``min_pts`` neighbors, clusters are the connected
+    components of the core-core subgraph (label = min core id), BORDER
+    points take the smallest label among their core neighbors, noise
+    labels −1. Deterministic everywhere (min-label conventions), full
+    recursive-CTE SQL twin.
+
+    Adaptive regime (label_components discipline): the ε-pair set
+    arrives driver-resident (the block-pair contract); degree counting,
+    core selection and border attachment are dict passes over it, and
+    component labels come from union-find below ``max_driver_pairs``,
+    the distributed min-label ``connected_components`` above. The
+    final per-vector tag is a distributed map over a broadcast label
+    map (bounded by the pair graph, never the corpus)."""
+    import ray
+
+    from raydoc.functions.dedup import embedding_neardups
+
+    pairs = embedding_neardups(sf_dir, threshold=threshold)
+    adj: dict = {}
+    for a, b in zip(pairs.column("a").to_pylist(),
+                    pairs.column("b").to_pylist()):
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    core = {v for v, nbrs in adj.items() if len(nbrs) >= min_pts}
+    ce = [(a, b) for a, nbrs in adj.items() if a in core
+          for b in nbrs if b in core and a < b]
+    if len(ce) <= max_driver_pairs:
+        lab = _union_find_min_labels(ce)
+    else:
+        lab = label_components(
+            rd.from_arrow(pa.table({
+                "a": pa.array([e[0] for e in ce], pa.int64()),
+                "b": pa.array([e[1] for e in ce], pa.int64())})),
+            max_driver_pairs=max_driver_pairs)
+    corelab = {v: lab.get(v, v) for v in core}
+    border = {}
+    for v, nbrs in adj.items():
+        if v in core:
+            continue
+        cl = [corelab[u] for u in nbrs if u in core]
+        if cl:
+            border[v] = min(cl)
+    core_ref = ray.put(corelab)
+    border_ref = ray.put(border)
+
+    def tag(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:        # empty Ray blocks carry an EMPTY schema
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "label": pa.array([], pa.int64()),
+                             "is_core": pa.array([], pa.int64())})
+        cl = ray.get(core_ref)
+        bo = ray.get(border_ref)
+        ids = t.column("vec_id").to_pylist()
+        labels = [cl.get(i, bo.get(i, -1)) for i in ids]
+        cores = [1 if i in cl else 0 for i in ids]
+        return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                         "label": pa.array(labels, pa.int64()),
+                         "is_core": pa.array(cores, pa.int64())})
+
+    vecs = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id"])
+    return collect_table(vecs.map_batches(
+        tag, batch_format="pyarrow")).sort_by("vec_id")

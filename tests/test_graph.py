@@ -112,3 +112,30 @@ def test_neardup_hops_regimes_agree(ray_session):
     fast = neardup_hops(sf)
     dist = neardup_hops(sf, max_driver_pairs=0)   # force distributed
     assert fast.equals(dist)
+
+
+def test_dbscan_core_border_noise(ray_session, tmp_path):
+    """Hand-built geometry: a 3-core cluster, one border point reachable
+    from exactly one core, one noise point. Labels are the component-min
+    core id; border inherits it; noise is -1."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    from raydoc.functions.graph import embedding_dbscan
+
+    def unit(deg):
+        r = np.radians(deg)
+        return [float(np.cos(r)), float(np.sin(r))]
+
+    # cos >= 0.4 within ~66.4 degrees
+    vecs = [unit(0), unit(-5), unit(-10),   # mutually-close cores 0,1,2
+            unit(65),                        # border: only core 0 in range
+            unit(150)]                       # noise: nothing in range
+    t = pa.table({
+        "vec_id": pa.array(range(5), pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        "label": pa.array([0] * 5, pa.int32()),
+    })
+    pq.write_table(t, tmp_path / "embeddings.parquet")
+    out = embedding_dbscan(str(tmp_path)).to_pandas()
+    assert list(out["label"]) == [0, 0, 0, 0, -1]
+    assert list(out["is_core"]) == [1, 1, 1, 0, 0]
