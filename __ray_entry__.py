@@ -231,6 +231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "resample_ffill": windows.resample_ffill,
         "resample_linear": windows.resample_linear,
         "user_longest_streak": windows.user_longest_streak,
+        "sliding_distinct_users": windows.sliding_distinct_users,
         "inverted_index": textstats.inverted_index,
         "dup_ngram_fraction": textstats.dup_ngram_fraction,
         "strip_dup_ngrams": textstats.strip_dup_ngrams,
@@ -1356,6 +1357,15 @@ def oracle_sql() -> dict[str, str]:
             FROM grid g ASOF JOIN d
               ON g.user_id = d.user_id AND g.hour >= d.ts
             ORDER BY g.user_id, g.hour""",
+        "sliding_distinct_users": """
+            WITH uh AS (SELECT DISTINCT user_id,
+                               CAST(epoch_us(ts) // 3600000000 AS BIGINT)
+                                   AS h
+                        FROM events),
+                 w AS (SELECT DISTINCT user_id, h + o.o AS wh
+                       FROM uh, (SELECT UNNEST([0, 1, 2]) AS o) o)
+            SELECT wh AS window_hour, COUNT(*) AS n_users
+            FROM w GROUP BY wh ORDER BY wh""",
         "user_longest_streak": """
             WITH o AS (SELECT user_id, event_type,
                               ROW_NUMBER() OVER (PARTITION BY user_id

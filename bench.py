@@ -183,6 +183,7 @@ BENCH_QUERIES = [
     "orders_scd2",
     "value_hour_corr",
     "embedding_dbscan",
+    "sliding_distinct_users",
 ]
 
 

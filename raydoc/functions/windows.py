@@ -1472,3 +1472,47 @@ def user_longest_streak(sf_dir: str,
     return t.set_column(
         t.schema.get_field_index("streak_len"), "streak_len",
         t.column("streak_len").cast(pa.int64())).sort_by("user_id")
+
+
+def sliding_distinct_users(sf_dir: str, window_hours: int = 3) -> pa.Table:
+    """(window_hour, n_users): DISTINCT active users per SLIDING
+    ``window_hours``-hour window — window ``w`` covers hours
+    [w−window_hours+1, w] — the rolling-reach metric. Sliding DISTINCT
+    cannot be combined from per-hour counts (overlap double-counts), so
+    the exact shape is: distinct (user, hour) via a combiner groupby →
+    explode each to its ``window_hours`` member windows (a bounded,
+    batch-local map) → distinct (user, window) via a second combiner →
+    per-window counts. Every exchange moves partials keyed by the true
+    (user, hour) cardinality, never the event stream. Trailing windows
+    past the last active hour are reported (both engines agree)."""
+    _HOUR = 3_600_000_000
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def to_hours(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"user_id": t["user_id"],
+                         "h": pa.array(us // _HOUR, pa.int64())})
+
+    from raydoc.functions.agg import partial_groupby
+    uh = partial_groupby(ds.map_batches(to_hours, batch_format="pyarrow"),
+                         ["user_id", "h"], {"n": ("h", "count")})
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t.column("user_id").to_numpy(zero_copy_only=False)
+        h = t.column("h").to_numpy(zero_copy_only=False)
+        reps = np.repeat(np.arange(len(ids)), window_hours)
+        offs = np.tile(np.arange(window_hours, dtype=np.int64), len(ids))
+        return pa.table({"user_id": pa.array(ids[reps], pa.int64()),
+                         "wh": pa.array(h[reps] + offs, pa.int64())})
+
+    uw = partial_groupby(uh.map_batches(explode, batch_format="pyarrow"),
+                         ["user_id", "wh"], {"n": ("wh", "count")})
+    out = partial_groupby(uw, ["wh"], {"n_users": ("user_id", "count")})
+    t = collect_table(out)
+    if t.num_rows == 0:
+        return pa.table({"window_hour": pa.array([], pa.int64()),
+                         "n_users": pa.array([], pa.int64())})
+    return pa.table({"window_hour": pc.cast(t["wh"], pa.int64()),
+                     "n_users": pc.cast(t["n_users"], pa.int64())}).sort_by(
+        "window_hour")

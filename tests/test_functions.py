@@ -74,7 +74,7 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
     "resample_linear", "type_triple_support", "user_type_gini",
     "ab_test_chi2", "rrf_fusion", "value_target_encode",
     "orders_checksum", "user_longest_streak", "orders_scd2",
-    "value_hour_corr", "embedding_dbscan",
+    "value_hour_corr", "embedding_dbscan", "sliding_distinct_users",
 ])
 def test_query_matches_oracle(ray_session, oracle, name):
     import __ray_entry__ as entrymod
