@@ -47,8 +47,15 @@ def __getattr__(name):
         "intersect_distinct": ("raydoc.functions.joins",
                                "intersect_distinct"),
         "merge_upsert": ("raydoc.functions.joins", "merge_upsert"),
+        "intersect_all": ("raydoc.functions.joins", "intersect_all"),
+        "except_all": ("raydoc.functions.joins", "except_all"),
+        "scd2_history": ("raydoc.functions.joins", "scd2_history"),
         "connected_components": ("raydoc.functions.graph",
                                  "connected_components"),
+        "bfs_hops_distributed": ("raydoc.functions.graph",
+                                 "bfs_hops_distributed"),
+        "embedding_dbscan": ("raydoc.functions.graph", "embedding_dbscan"),
+        "rrf_fusion": ("raydoc.functions.similarity", "rrf_fusion"),
         "pagerank": ("raydoc.functions.graph", "pagerank"),
         "triangle_count": ("raydoc.functions.graph", "triangle_count"),
         "pivot_agg": ("raydoc.functions.relational", "pivot_agg"),
