@@ -215,6 +215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ab_test_chi2": relational.q_ab_test_chi2,
         "value_target_encode": relational.q_value_target_encode,
         "value_hour_corr": relational.q_value_hour_corr,
+        "type_drift_cells": relational.q_type_drift_cells,
         "orders_checksum": relational.q_orders_checksum,
         "user_value_ewma": windows.user_value_ewma,
         "bm25_search": textstats.bm25_search,
@@ -843,6 +844,30 @@ def oracle_sql() -> dict[str, str]:
             FROM i JOIN cnt ca ON ca.event_type = type_a
                    JOIN cnt cb ON cb.event_type = type_b
             ORDER BY type_a, type_b""",
+        "type_drift_cells": """
+            WITH e AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+                 sp AS (SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM e),
+                 c AS (SELECT event_type,
+                              CAST(us >= (SELECT mid FROM sp) AS BIGINT)
+                                  AS half,
+                              COUNT(*) AS observed
+                       FROM e GROUP BY 1, 2),
+                 rt AS (SELECT event_type, SUM(observed) AS r
+                        FROM c GROUP BY 1),
+                 ct AS (SELECT half, SUM(observed) AS col
+                        FROM c GROUP BY 1),
+                 nt AS (SELECT SUM(observed) AS n FROM c)
+            SELECT c.event_type, c.half,
+                   CAST(c.observed AS BIGINT) AS observed,
+                   CAST(rt.r * ct.col AS BIGINT) AS expected_n,
+                   CAST((nt.n * c.observed - rt.r * ct.col)
+                        * (nt.n * c.observed - rt.r * ct.col) AS DOUBLE)
+                   / CAST(nt.n * rt.r * ct.col AS DOUBLE) AS contrib
+            FROM c
+            JOIN rt ON rt.event_type = c.event_type
+            JOIN ct ON ct.half = c.half
+            CROSS JOIN nt
+            ORDER BY c.event_type, c.half""",
         "value_hour_corr": """
             WITH b AS (SELECT event_type,
                               CAST(ROUND(value*100) AS BIGINT) AS x,

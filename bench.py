@@ -184,6 +184,7 @@ BENCH_QUERIES = [
     "value_hour_corr",
     "embedding_dbscan",
     "sliding_distinct_users",
+    "type_drift_cells",
 ]
 
 

@@ -1590,3 +1590,72 @@ def q_value_hour_corr(sf_dir: str) -> pa.Table:
                      "n_events": pa.array(ns, pa.int64()),
                      "pearson_r": pa.array(rs, pa.float64())}).sort_by(
         "event_type")
+
+
+def q_type_drift_cells(sf_dir: str) -> pa.Table:
+    """(event_type, half, observed, expected_n, contrib): distribution-
+    drift screen — the event-type mix of the corpus's FIRST time half vs
+    its SECOND (split at the integer-µs midpoint of the observed span),
+    as per-cell chi-square contributions. With E = row·col/N, each
+    cell's term rewrites as ``(N·O − r·c)² / (N·r·c)`` — exact integers
+    (Python bigints; HUGEINT twin) with ONE IEEE double division, so
+    every contrib hashes identically; per-cell rows avoid a
+    float-summation order dependence entirely (Σ contrib = the χ²
+    statistic, summed by the caller at whatever precision they like).
+
+    Scale shape: the span midpoint is one min/max combiner; cell counts
+    one (type, half) combiner; the arithmetic sees 2·|types| integer
+    rows on the driver."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def span(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        return pa.table({"one": pa.array([1], pa.int64()),
+                         "lo": pa.array([pc.min(us).as_py()], pa.int64()),
+                         "hi": pa.array([pc.max(us).as_py()], pa.int64())})
+
+    s = collect_table(partial_groupby(
+        ds.map_batches(span, batch_format="pyarrow"),
+        ["one"], {"lo": ("lo", "min"), "hi": ("hi", "max")}))
+    empty = pa.table({"event_type": pa.array([], pa.string()),
+                      "half": pa.array([], pa.int64()),
+                      "observed": pa.array([], pa.int64()),
+                      "expected_n": pa.array([], pa.int64()),
+                      "contrib": pa.array([], pa.float64())})
+    if s.num_rows == 0:
+        return empty
+    mid = (int(s.column("lo")[0].as_py())
+           + int(s.column("hi")[0].as_py())) // 2
+
+    def cellprep(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        half = pc.cast(pc.greater_equal(us, pa.scalar(mid, pa.int64())),
+                       pa.int64())
+        return pa.table({"event_type": t["event_type"], "half": half})
+
+    cells = collect_table(partial_groupby(
+        ds.map_batches(cellprep, batch_format="pyarrow"),
+        ["event_type", "half"], {"observed": ("half", "count")}))
+    rows = cells.to_pylist()
+    n_total = sum(r["observed"] for r in rows)
+    row_tot = {}
+    col_tot = {}
+    for r in rows:
+        row_tot[r["event_type"]] = (row_tot.get(r["event_type"], 0)
+                                    + r["observed"])
+        col_tot[r["half"]] = col_tot.get(r["half"], 0) + r["observed"]
+    out = []
+    for r in rows:
+        o = int(r["observed"])
+        rc = row_tot[r["event_type"]] * col_tot[r["half"]]
+        num = (n_total * o - rc) ** 2
+        den = n_total * rc
+        out.append((r["event_type"], int(r["half"]), o, rc,
+                    float(num) / float(den)))
+    out.sort(key=lambda x: (x[0], x[1]))
+    return pa.table({
+        "event_type": pa.array([x[0] for x in out], pa.string()),
+        "half": pa.array([x[1] for x in out], pa.int64()),
+        "observed": pa.array([x[2] for x in out], pa.int64()),
+        "expected_n": pa.array([x[3] for x in out], pa.int64()),
+        "contrib": pa.array([x[4] for x in out], pa.float64())})
