@@ -219,6 +219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_checksum": relational.q_orders_checksum,
         "user_value_ewma": windows.user_value_ewma,
         "bm25_search": textstats.bm25_search,
+        "bpe_learn_merges": textstats.bpe_learn_merges,
         "collapse_repeats": textstats.collapse_repeats,
         "median_by_type": windows.median_by_type,
         "value_mad_by_type": windows.value_mad_by_type,

@@ -185,6 +185,7 @@ BENCH_QUERIES = [
     "embedding_dbscan",
     "sliding_distinct_users",
     "type_drift_cells",
+    "bpe_learn_merges",
 ]
 
 

@@ -1504,3 +1504,81 @@ def bm25_search(sf_dir: str, query: tuple[str, ...] = ("hash", "join",
         "rank": pa.array(range(1, cand.num_rows + 1), pa.int64()),
         "doc_id": cand.column("doc_id"),
         "score": cand.column("score")})
+
+
+def bpe_learn_merges(sf_dir: str, n_merges: int = 8,
+                     max_vocab_words: int = 2_000_000) -> pa.Table:
+    """(merge_rank, left, right, pair_count): learn the first
+    ``n_merges`` BPE merges from the corpus — the tokenizer-training
+    primitive. Classic word-frequency BPE (Sennrich et al. 2015): the
+    ONE corpus-sized pass is a distributed word-frequency combiner
+    groupby (the shuffle carries (word, count) partials bounded by the
+    TRUE vocabulary, never the text stream); the merge loop then runs
+    over the small word-frequency table — per iteration, count symbol
+    pairs weighted by word frequency, take the max (ties → lexicographic
+    (left, right), fully deterministic), apply the merge. This is the
+    real trainer architecture: corpus scan distributed, vocab-sized
+    learning local. ``max_vocab_words`` guards a pathological vocabulary
+    (raise it, or pre-truncate words, for non-natural-language data)."""
+    word_re = re.compile(r"\w+")
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def word_partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+        c: Counter = Counter()
+        for txt in t.column("text").to_pylist():
+            c.update(word_re.findall((txt or "").lower()))
+        if not c:
+            return pa.table({"word": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        return pa.table({"word": pa.array(list(c.keys()), pa.string()),
+                         "n": pa.array(list(c.values()), pa.int64())})
+
+    from raydoc.functions.agg import partial_groupby
+    vocab_t = collect_table(partial_groupby(
+        ds.map_batches(word_partial, batch_format="pyarrow"),
+        ["word"], {"n": ("n", "sum")}))
+    if vocab_t.num_rows > max_vocab_words:
+        raise ValueError(
+            f"vocabulary has {vocab_t.num_rows} words > max_vocab_words="
+            f"{max_vocab_words}; raise the cap or pre-truncate words")
+    vocab = {tuple(w): int(n) for w, n in
+             zip(vocab_t.column("word").to_pylist(),
+                 vocab_t.column("n").to_pylist())}
+
+    out_rank, out_l, out_r, out_c = [], [], [], []
+    for rank in range(1, n_merges + 1):
+        pair_counts: dict = {}
+        for syms, n in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pair_counts[p] = pair_counts.get(p, 0) + n
+        if not pair_counts:
+            break
+        # deterministic: max count, ties -> lexicographically smallest
+        best_count = max(pair_counts.values())
+        best = min(p for p, c in pair_counts.items() if c == best_count)
+        merged = best[0] + best[1]
+        new_vocab: dict = {}
+        for syms, n in vocab.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if (i < len(syms) - 1
+                        and (syms[i], syms[i + 1]) == best):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + n
+        vocab = new_vocab
+        out_rank.append(rank)
+        out_l.append(best[0])
+        out_r.append(best[1])
+        out_c.append(best_count)
+    return pa.table({"merge_rank": pa.array(out_rank, pa.int64()),
+                     "left": pa.array(out_l, pa.string()),
+                     "right": pa.array(out_r, pa.string()),
+                     "pair_count": pa.array(out_c, pa.int64())})

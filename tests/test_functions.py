@@ -87,6 +87,7 @@ def test_query_matches_oracle(ray_session, oracle, name):
 
 @pytest.mark.parametrize("name", [
     "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk", "language_id",
+    "bpe_learn_merges",
     "ngram_logprob", "embedding_kmeans", "embedding_logreg",
     "embedding_neardups_clustered",
     "shuffle_sample", "extract_turns_aligned", "validate_docs",
