@@ -842,3 +842,26 @@ def test_audience_jaccard_omits_empty_intersections(ray_session, tmp_path):
     assert (row["type_a"], row["type_b"]) == ("a", "b")
     assert row["n_inter"] == 2 and row["n_union"] == 4
     assert row["jaccard"] == 0.5
+
+
+def test_lazy_public_api_resolves_every_name():
+    """Every name in raydoc.__getattr__'s API map must import and be
+    callable/usable — catches dangling re-exports after refactors."""
+    import ast
+    import inspect
+
+    import raydoc
+
+    src = inspect.getsource(raydoc.__getattr__)
+    tree = ast.parse("def f():\n" + "\n".join(
+        "    " + line for line in src.splitlines()[1:]))
+    names = []
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Dict):
+            names = [k.value for k in node.keys
+                     if isinstance(k, ast.Constant)]
+            break
+    assert len(names) > 40
+    for n in names:
+        obj = getattr(raydoc, n)
+        assert obj is not None, n
