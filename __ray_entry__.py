@@ -222,6 +222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_learn_merges": textstats.bpe_learn_merges,
         "collapse_repeats": textstats.collapse_repeats,
         "median_by_type": windows.median_by_type,
+        "p90_by_type": windows.p90_by_type,
         "value_mad_by_type": windows.value_mad_by_type,
         "value_trend_by_type": windows.value_trend_by_type,
         "user_event_sequence": windows.user_event_sequence,
@@ -1278,6 +1279,10 @@ def oracle_sql() -> dict[str, str]:
         "median_by_type": """
             SELECT event_type,
                    quantile_disc(value, 0.5) AS median_value
+            FROM events GROUP BY event_type ORDER BY event_type""",
+        "p90_by_type": """
+            SELECT event_type,
+                   quantile_disc(value, 0.9) AS p90_value
             FROM events GROUP BY event_type ORDER BY event_type""",
         "value_mad_by_type": """
             WITH m AS (SELECT event_type,

@@ -186,6 +186,7 @@ BENCH_QUERIES = [
     "sliding_distinct_users",
     "type_drift_cells",
     "bpe_learn_merges",
+    "p90_by_type",
 ]
 
 

@@ -499,10 +499,18 @@ def _exact_group_quantile(ds: "rd.Dataset", q: float,
         {"cnt": ("value", "count")})).to_pandas() \
         .sort_values(["event_type", "bucket"])
 
+    from fractions import Fraction
+    # DuckDB quantile_disc rank: EXACT ceil(q·n) − 1 (0-based), with q
+    # the exact DECIMAL the SQL literal denotes (never binary-double
+    # q·n — 0.9·10 must be exactly 9). At q=0.5 this coincides with
+    # floor((n−1)/2), which is why the median agreed under the previous
+    # floor((n−1)·q) formula — p90 exposed the difference (n=5 → rank
+    # 4, not 3).
+    qf = Fraction(str(q))
     targets: dict[str, tuple[int, int]] = {}
     for g, sub in cells.groupby("event_type", sort=True):
         n_g = int(sub["cnt"].sum())
-        k = int((n_g - 1) * q)
+        k = max(0, -((-n_g * qf.numerator) // qf.denominator) - 1)
         cum = 0
         for b, c in zip(sub["bucket"], sub["cnt"]):
             if cum + c > k:
@@ -1516,3 +1524,18 @@ def sliding_distinct_users(sf_dir: str, window_hours: int = 3) -> pa.Table:
     return pa.table({"window_hour": pc.cast(t["wh"], pa.int64()),
                      "n_users": pc.cast(t["n_users"], pa.int64())}).sort_by(
         "window_hour")
+
+
+def p90_by_type(sf_dir: str, num_buckets: int = 256) -> pa.Table:
+    """(event_type, p90_value): EXACT per-group 90th percentile
+    (rank-element / ``quantile_disc`` semantics) — the tail-latency /
+    tail-quality cut, exercising the two-pass distributed selection
+    (`_exact_group_quantile`) at a second quantile so the general-q
+    rank math is oracle-pinned, not just the median."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    p90 = _exact_group_quantile(ds, 0.9, num_buckets)
+    out_g = sorted(p90)
+    return pa.table({"event_type": pa.array(out_g, pa.string()),
+                     "p90_value": pa.array([p90[g] for g in out_g],
+                                           pa.float64())})
