@@ -223,6 +223,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collapse_repeats": textstats.collapse_repeats,
         "median_by_type": windows.median_by_type,
         "p90_by_type": windows.p90_by_type,
+        "p75_cont_by_type": windows.quantile_cont_by_type,
+        "value_winsorized": windows.value_winsorized,
         "value_mad_by_type": windows.value_mad_by_type,
         "value_trend_by_type": windows.value_trend_by_type,
         "user_event_sequence": windows.user_event_sequence,
@@ -1284,6 +1286,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    quantile_disc(value, 0.9) AS p90_value
             FROM events GROUP BY event_type ORDER BY event_type""",
+        "p75_cont_by_type": """
+            SELECT event_type,
+                   quantile_cont(value, 0.75) AS p75c_value
+            FROM events GROUP BY event_type ORDER BY event_type""",
+        "value_winsorized": """
+            WITH c AS (SELECT event_type,
+                              quantile_disc(value, 0.1) AS qlo,
+                              quantile_disc(value, 0.9) AS qhi
+                       FROM events GROUP BY event_type)
+            SELECT e.event_id, e.event_type,
+                   LEAST(GREATEST(e.value, c.qlo), c.qhi) AS value_w
+            FROM events e JOIN c USING (event_type)
+            ORDER BY e.event_id""",
         "value_mad_by_type": """
             WITH m AS (SELECT event_type,
                               quantile_disc(value, 0.5) AS med

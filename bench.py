@@ -187,6 +187,8 @@ BENCH_QUERIES = [
     "type_drift_cells",
     "bpe_learn_merges",
     "p90_by_type",
+    "p75_cont_by_type",
+    "value_winsorized",
 ]
 
 

@@ -470,16 +470,41 @@ def value_mad_by_type(sf_dir: str, q: float = 0.5,
 
 def _exact_group_quantile(ds: "rd.Dataset", q: float,
                           num_buckets: int) -> dict[str, float]:
-    """EXACT per-group quantile over a (event_type, value) Dataset →
-    {group: value}. Two-pass distributed selection (the scale-exact
-    complement to the DDSketch per-group quantiles): pass A counts
-    (group, value-range bucket) cells with a combiner — only G×B tiny
-    count rows reach the driver, which locates each group's target
-    bucket and the rank within it; pass B fetches ONLY the target
-    buckets (≈ n/B of the data per group) and selects the exact
-    element. A pathological bucket (all of a group's mass on one value
-    range) degrades to that bucket's size — recurse with finer cuts
-    inside the bucket if that matters."""
+    """EXACT per-group quantile (DuckDB ``quantile_disc`` rank-element
+    semantics) over a (event_type, value) Dataset → {group: value}.
+    Rank rule: EXACT ceil(q·n) − 1 (0-based), with q the exact DECIMAL
+    the SQL literal denotes (never binary-double q·n — 0.9·10 must be
+    exactly 9). At q=0.5 this coincides with floor((n−1)/2), which is
+    why the median agreed under the previous floor((n−1)·q) formula —
+    p90 exposed the difference (n=5 → rank 4, not 3).
+    Selection shape: see ``_exact_group_rank_elements``."""
+    from fractions import Fraction
+    qf = Fraction(str(q))
+
+    def ranks_of(n_g: int) -> list[int]:
+        return [max(0, -((-n_g * qf.numerator) // qf.denominator) - 1)]
+
+    counts, elems = _exact_group_rank_elements(ds, ranks_of, num_buckets)
+    return {g: elems[g][ranks_of(counts[g])[0]] for g in elems}
+
+
+def _exact_group_rank_elements(
+        ds: "rd.Dataset", ranks_of, num_buckets: int,
+) -> tuple[dict[str, int], dict[str, dict[int, float]]]:
+    """EXACT per-group order statistics over a (event_type, value)
+    Dataset WITHOUT putting any group in one task: for each group g
+    with n_g rows, fetch the 0-based ranks ``ranks_of(n_g)`` in value
+    order → ({g: n_g}, {g: {rank: value}}).
+
+    Two-pass distributed selection (the scale-exact complement to the
+    DDSketch per-group quantiles): pass A counts (group, value-range
+    bucket) cells with a combiner — only G×B tiny count rows reach the
+    driver, which locates each requested rank's target bucket and the
+    rank within it; pass B fetches ONLY the target buckets (≈ n/B of
+    the data per group) and selects the exact elements. A pathological
+    bucket (all of a group's mass on one value range) degrades to that
+    bucket's size — recurse with finer cuts inside the bucket if that
+    matters."""
     lo, hi = _global_min_max(ds, "value")
     cuts = np.linspace(lo, hi, num_buckets + 1)[1:-1]
 
@@ -499,29 +524,24 @@ def _exact_group_quantile(ds: "rd.Dataset", q: float,
         {"cnt": ("value", "count")})).to_pandas() \
         .sort_values(["event_type", "bucket"])
 
-    from fractions import Fraction
-    # DuckDB quantile_disc rank: EXACT ceil(q·n) − 1 (0-based), with q
-    # the exact DECIMAL the SQL literal denotes (never binary-double
-    # q·n — 0.9·10 must be exactly 9). At q=0.5 this coincides with
-    # floor((n−1)/2), which is why the median agreed under the previous
-    # floor((n−1)·q) formula — p90 exposed the difference (n=5 → rank
-    # 4, not 3).
-    qf = Fraction(str(q))
-    targets: dict[str, tuple[int, int]] = {}
+    # (group, bucket) -> [(global_rank, rank_within_bucket), ...]
+    targets: dict[tuple[str, int], list[tuple[int, int]]] = {}
+    counts: dict[str, int] = {}
     for g, sub in cells.groupby("event_type", sort=True):
-        n_g = int(sub["cnt"].sum())
-        k = max(0, -((-n_g * qf.numerator) // qf.denominator) - 1)
-        cum = 0
-        for b, c in zip(sub["bucket"], sub["cnt"]):
-            if cum + c > k:
-                targets[g] = (int(b), k - cum)
-                break
-            cum += int(c)
+        cnts = sub["cnt"].to_numpy(dtype=np.int64)
+        bks = sub["bucket"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(cnts)
+        n_g = int(cum[-1])
+        counts[g] = n_g
+        for k in ranks_of(n_g):
+            i = int(np.searchsorted(cum, k, side="right"))
+            local = int(k) - (int(cum[i - 1]) if i else 0)
+            targets.setdefault((g, int(bks[i])), []).append((int(k),
+                                                             local))
 
-    keep = {(g, b) for g, (b, _) in targets.items()}
+    keep = set(targets)
 
     def only_targets(t: pa.Table) -> pa.Table:
-        import pandas as pd
         mask = [(g, b) in keep for g, b in
                 zip(t.column("event_type").to_pylist(),
                     t.column("bucket").to_pylist())]
@@ -530,12 +550,14 @@ def _exact_group_quantile(ds: "rd.Dataset", q: float,
     picked = collect_table(
         bucketed.map_batches(only_targets,
                              batch_format="pyarrow")).to_pandas()
-    out: dict[str, float] = {}
-    for g, (b, local_k) in targets.items():
-        vals = np.sort(picked[picked["event_type"] == g]["value"]
-                       .to_numpy())
-        out[g] = float(vals[local_k])
-    return out
+    elems: dict[str, dict[int, float]] = {}
+    for (g, b), wanted in targets.items():
+        sel = picked[(picked["event_type"] == g)
+                     & (picked["bucket"] == b)]
+        vals = np.sort(sel["value"].to_numpy())
+        for k, local_k in wanted:
+            elems.setdefault(g, {})[k] = float(vals[local_k])
+    return counts, elems
 
 
 def cohort_retention(sf_dir: str) -> pa.Table:
@@ -1539,3 +1561,101 @@ def p90_by_type(sf_dir: str, num_buckets: int = 256) -> pa.Table:
     return pa.table({"event_type": pa.array(out_g, pa.string()),
                      "p90_value": pa.array([p90[g] for g in out_g],
                                            pa.float64())})
+
+
+def quantile_cont_by_type(sf_dir: str, q: float = 0.75,
+                          num_buckets: int = 256) -> pa.Table:
+    """(event_type, p75c_value): EXACT per-group INTERPOLATED quantile
+    (DuckDB ``quantile_cont`` semantics) — the continuous complement to
+    the rank-element family. Per group with n rows the target position
+    is h = (n−1)·q with q the exact decimal the SQL literal denotes
+    (Fraction arithmetic — 30·0.1 must be exactly 3, never the binary
+    double 3.0000000000000004); the result is the blend
+    lo·(1−frac) + hi·frac of the floor(h)/ceil(h) rank elements, which
+    bit-matched DuckDB on 300/300 randomized probes (the alternative
+    lo + (hi−lo)·frac form does NOT — 257/300).
+
+    Shape: BOTH rank elements of every group come out of ONE
+    ``_exact_group_rank_elements`` two-pass selection (the driver sees
+    G×B count cells + ≈2/B of the rows); the blend is G tiny float ops
+    on the driver."""
+    from fractions import Fraction
+    qf = Fraction(str(q))
+
+    def ranks_of(n_g: int) -> list[int]:
+        h = (n_g - 1) * qf
+        f = h.numerator // h.denominator
+        return [f] if h == f else [f, f + 1]
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    counts, elems = _exact_group_rank_elements(ds, ranks_of, num_buckets)
+    out: dict[str, float] = {}
+    for g, n_g in counts.items():
+        h = (n_g - 1) * qf
+        f = h.numerator // h.denominator
+        if h == f:
+            out[g] = elems[g][f]
+        else:
+            frac = float(h - f)
+            out[g] = elems[g][f] * (1.0 - frac) + elems[g][f + 1] * frac
+    out_g = sorted(out)
+    return pa.table({"event_type": pa.array(out_g, pa.string()),
+                     "p75c_value": pa.array([out[g] for g in out_g],
+                                            pa.float64())})
+
+
+def value_winsorized(sf_dir: str, q_lo: float = 0.1, q_hi: float = 0.9,
+                     num_buckets: int = 256) -> pa.Table:
+    """(event_id, event_type, value_w): per-group WINSORIZATION — every
+    value clipped to its group's exact [p10, p90] (``quantile_disc``
+    rank elements), the standard outlier-robust pre-processing step for
+    feature columns. Clipping picks existing doubles (no arithmetic),
+    so the SQL twin (least/greatest over the same quantiles) hashes
+    bit-identically.
+
+    Shape: ONE ``_exact_group_rank_elements`` selection fetches both
+    cut ranks of every group together (two bounded passes); the G×2 cut
+    table broadcasts via ray.put and the clip is a single vectorized
+    map over the stream — no exchange touches the full table."""
+    from fractions import Fraction
+
+    def _disc_rank(n_g: int, qf) -> int:
+        return max(0, -((-n_g * qf.numerator) // qf.denominator) - 1)
+
+    qfl, qfh = Fraction(str(q_lo)), Fraction(str(q_hi))
+
+    def ranks_of(n_g: int) -> list[int]:
+        return sorted({_disc_rank(n_g, qfl), _disc_rank(n_g, qfh)})
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+    counts, elems = _exact_group_rank_elements(
+        ds.select_columns(["event_type", "value"]), ranks_of, num_buckets)
+    types = sorted(counts)
+    cut_tbl = pa.table({
+        "event_type": pa.array(types, pa.string()),
+        "__lo": pa.array([elems[g][_disc_rank(counts[g], qfl)]
+                          for g in types], pa.float64()),
+        "__hi": pa.array([elems[g][_disc_rank(counts[g], qfh)]
+                          for g in types], pa.float64()),
+    })
+    import ray as _ray
+    cut_ref = _ray.put(cut_tbl)
+
+    def clip(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "event_type" not in t.schema.names:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "event_type": pa.array([], pa.string()),
+                             "value_w": pa.array([], pa.float64())})
+        cuts = _ray.get(cut_ref)
+        j = t.join(cuts, keys="event_type", join_type="inner")
+        return pa.table({
+            "event_id": j["event_id"],
+            "event_type": j["event_type"],
+            "value_w": pc.min_element_wise(
+                pc.max_element_wise(j["value"], j["__lo"]), j["__hi"]),
+        })
+
+    out = ds.map_batches(clip, batch_format="pyarrow")
+    return collect_table(out).sort_by("event_id")

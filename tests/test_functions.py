@@ -75,7 +75,8 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
     "ab_test_chi2", "rrf_fusion", "value_target_encode",
     "orders_checksum", "user_longest_streak", "orders_scd2",
     "value_hour_corr", "embedding_dbscan", "sliding_distinct_users",
-    "type_drift_cells", "p90_by_type",
+    "type_drift_cells", "p90_by_type", "p75_cont_by_type",
+    "value_winsorized",
 ])
 def test_query_matches_oracle(ray_session, oracle, name):
     import __ray_entry__ as entrymod
