@@ -225,6 +225,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "p90_by_type": windows.p90_by_type,
         "p75_cont_by_type": windows.quantile_cont_by_type,
         "value_winsorized": windows.value_winsorized,
+        "value_decile": windows.value_decile,
+        "merged_intervals": windows.merged_intervals,
+        "late_shipment_orders": relational.q_late_shipment_orders,
+        "promo_revenue": relational.q_promo_revenue,
         "value_mad_by_type": windows.value_mad_by_type,
         "value_trend_by_type": windows.value_trend_by_type,
         "user_event_sequence": windows.user_event_sequence,
@@ -1299,6 +1303,70 @@ def oracle_sql() -> dict[str, str]:
                    LEAST(GREATEST(e.value, c.qlo), c.qhi) AS value_w
             FROM events e JOIN c USING (event_type)
             ORDER BY e.event_id""",
+        "value_decile": """
+            WITH c AS (SELECT event_type,
+                              quantile_disc(value, 0.1) AS q1,
+                              quantile_disc(value, 0.2) AS q2,
+                              quantile_disc(value, 0.3) AS q3,
+                              quantile_disc(value, 0.4) AS q4,
+                              quantile_disc(value, 0.5) AS q5,
+                              quantile_disc(value, 0.6) AS q6,
+                              quantile_disc(value, 0.7) AS q7,
+                              quantile_disc(value, 0.8) AS q8,
+                              quantile_disc(value, 0.9) AS q9
+                       FROM events GROUP BY event_type)
+            SELECT e.event_id, e.event_type,
+                   CAST(1 + (e.value > c.q1)::INT + (e.value > c.q2)::INT
+                          + (e.value > c.q3)::INT + (e.value > c.q4)::INT
+                          + (e.value > c.q5)::INT + (e.value > c.q6)::INT
+                          + (e.value > c.q7)::INT + (e.value > c.q8)::INT
+                          + (e.value > c.q9)::INT AS BIGINT) AS decile
+            FROM events e JOIN c USING (event_type)
+            ORDER BY e.event_id""",
+        "merged_intervals": """
+            WITH iv AS (SELECT user_id,
+                               epoch_us(ts) AS s,
+                               epoch_us(ts)
+                                 + CAST(round(value * 1000000) AS BIGINT)
+                                 AS e
+                        FROM events),
+            o AS (SELECT user_id, s, e,
+                         MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS pm
+                  FROM iv),
+            g AS (SELECT user_id, s, e,
+                         SUM(CASE WHEN pm IS NULL OR s > pm
+                                  THEN 1 ELSE 0 END)
+                             OVER (PARTITION BY user_id ORDER BY s, e
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS grp
+                  FROM o)
+            SELECT user_id, MIN(s) AS start_us, MAX(e) AS end_us,
+                   CAST(COUNT(*) AS BIGINT) AS n_merged
+            FROM g GROUP BY user_id, grp
+            ORDER BY user_id, start_us""",
+        "late_shipment_orders": """
+            SELECT o_orderpriority, COUNT(*) AS n_orders
+            FROM orders
+            WHERE EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_shipdate > o_orderdate
+                                             + INTERVAL 30 DAY)
+            GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+        "promo_revenue": f"""
+            WITH li AS (
+              SELECT {_CENTS} * (100 - {_DISC}) AS rev,
+                     p_type = 'PROMO' AS is_promo
+              FROM lineitem JOIN part ON p_partkey = l_partkey
+              WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                AND l_shipdate <  TIMESTAMP '1997-04-01')
+            SELECT CAST(SUM(CASE WHEN is_promo THEN rev ELSE 0 END)
+                        AS BIGINT) AS promo_rev,
+                   CAST(SUM(rev) AS BIGINT) AS total_rev,
+                   100.0 * SUM(CASE WHEN is_promo THEN rev ELSE 0 END)
+                         / SUM(rev) AS promo_pct
+            FROM li""",
         "value_mad_by_type": """
             WITH m AS (SELECT event_type,
                               quantile_disc(value, 0.5) AS med

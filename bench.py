@@ -189,6 +189,10 @@ BENCH_QUERIES = [
     "p90_by_type",
     "p75_cont_by_type",
     "value_winsorized",
+    "value_decile",
+    "merged_intervals",
+    "late_shipment_orders",
+    "promo_revenue",
 ]
 
 

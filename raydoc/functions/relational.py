@@ -1659,3 +1659,118 @@ def q_type_drift_cells(sf_dir: str) -> pa.Table:
         "observed": pa.array([x[2] for x in out], pa.int64()),
         "expected_n": pa.array([x[3] for x in out], pa.int64()),
         "contrib": pa.array([x[4] for x in out], pa.float64())})
+
+
+def q_late_shipment_orders(sf_dir: str) -> pa.Table:
+    """(o_orderpriority, n_orders): TPC-H Q4-shaped EXISTS decorrelation —
+    count orders per priority having at least one lineitem shipped more
+    than 30 days after the order date. The correlated EXISTS becomes:
+    per-order MAX(l_shipdate) via a combiner groupby (the shuffle moves
+    one partial row per orderkey per batch, never lineitems), a bucketed
+    fact-fact hash join on orderkey, an integer epoch-µs comparison, and
+    a partial-count groupby on priority. All-integer → hash-exact twin."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "l_orderkey" not in t.schema.names:
+            return pa.table({"o_orderkey": pa.array([], pa.int64()),
+                             "ship_us": pa.array([], pa.int64())})
+        return pa.table({"o_orderkey": t["l_orderkey"],
+                         "ship_us": pc.cast(t["l_shipdate"], pa.int64())})
+
+    max_ship = partial_groupby(
+        li.map_batches(li_prep, batch_format="pyarrow"),
+        ["o_orderkey"], {"max_ship_us": ("ship_us", "max")})
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def ord_prep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "o_orderkey" not in t.schema.names:
+            return pa.table({"o_orderkey": pa.array([], pa.int64()),
+                             "ord_us": pa.array([], pa.int64()),
+                             "o_orderpriority": pa.array([], pa.string())})
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "ord_us": pc.cast(t["o_orderdate"], pa.int64()),
+                         "o_orderpriority": t["o_orderpriority"]})
+
+    joined = bucket_hash_join(
+        orders.map_batches(ord_prep, batch_format="pyarrow"),
+        max_ship, key="o_orderkey", num_buckets=32)
+
+    _30D_US = 30 * 86_400 * 1_000_000
+
+    def late_only(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "max_ship_us" not in t.schema.names:
+            return pa.table({"o_orderpriority": pa.array([], pa.string()),
+                             "o_orderkey": pa.array([], pa.int64())})
+        m = pc.greater(t["max_ship_us"], pc.add(t["ord_us"], _30D_US))
+        t = t.filter(m)
+        return t.select(["o_orderpriority", "o_orderkey"])
+
+    out = partial_groupby(
+        joined.map_batches(late_only, batch_format="pyarrow"),
+        ["o_orderpriority"], {"n_orders": ("o_orderkey", "count")})
+    return collect_table(out).sort_by("o_orderpriority")
+
+
+def q_promo_revenue(sf_dir: str) -> pa.Table:
+    """(promo_cents, total_cents, promo_pct): TPC-H Q14-shaped promo
+    revenue share over a ship-date quarter — the part dimension
+    broadcasts once (``ray.put`` inside broadcast_join), lineitem
+    streams through one conditional-sum pass, and only per-batch
+    integer partials reach the final fold. Revenue follows the repo's
+    exact-money discipline: price and discount each round to integers
+    SEPARATELY (x·100 is always ±ε off an integer, never at .5 — a
+    joint round(price·(1−disc)·100) does hit half-boundaries and
+    diverges from SQL by banker's-vs-away rounding), so revenue is the
+    exact integer cents·(100−disc%) in hundredth-cents. promo_pct is a
+    single float division of two exact integers (both also emitted, so
+    the hash gate checks the integers AND the derived double)."""
+    t0 = 852_076_800_000_000      # 1997-01-01 epoch µs
+    t1 = 859_852_800_000_000      # 1997-04-01 epoch µs
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"])
+    flags = pa.table({
+        "l_partkey": part["p_partkey"],
+        "is_promo": pc.equal(part["p_type"], "PROMO"),
+    })
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def window(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "l_shipdate" not in t.schema.names:
+            return pa.table({"l_partkey": pa.array([], pa.int64()),
+                             "cents": pa.array([], pa.int64())})
+        us = pc.cast(t["l_shipdate"], pa.int64())
+        t = t.filter(pc.and_(pc.greater_equal(us, t0), pc.less(us, t1)))
+        disc = pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)),
+                       pa.int64())
+        rev = pc.multiply(_cents(t["l_extendedprice"]),
+                          pc.subtract(pa.scalar(100, pa.int64()), disc))
+        return pa.table({"l_partkey": t["l_partkey"], "rev": rev})
+
+    tagged = broadcast_join(li.map_batches(window, batch_format="pyarrow"),
+                            flags, key="l_partkey")
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "rev" not in t.schema.names:
+            return pa.table({"promo_rev": pa.array([], pa.int64()),
+                             "total_rev": pa.array([], pa.int64())})
+        rev = t["rev"]
+        promo = pc.sum(pc.if_else(t["is_promo"], rev, 0)).as_py() or 0
+        total = pc.sum(rev).as_py() or 0
+        return pa.table({"promo_rev": pa.array([promo], pa.int64()),
+                         "total_rev": pa.array([total], pa.int64())})
+
+    partials = tagged.map_batches(partial, batch_format="pyarrow")
+    sums = partials.sum(["promo_rev", "total_rev"])
+    promo = int(sums["sum(promo_rev)"])
+    total = int(sums["sum(total_rev)"])
+    return pa.table({
+        "promo_rev": pa.array([promo], pa.int64()),
+        "total_rev": pa.array([total], pa.int64()),
+        "promo_pct": pa.array([100.0 * promo / total], pa.float64()),
+    })

@@ -1659,3 +1659,136 @@ def value_winsorized(sf_dir: str, q_lo: float = 0.1, q_hi: float = 0.9,
 
     out = ds.map_batches(clip, batch_format="pyarrow")
     return collect_table(out).sort_by("event_id")
+
+
+def value_decile(sf_dir: str, num_buckets: int = 256) -> pa.Table:
+    """(event_id, event_type, decile): per-group EQUAL-FREQUENCY decile
+    binning — every value labeled 1..10 by its group's exact
+    ``quantile_disc`` cut points (the standard feature-discretization
+    step before target encoding / monotone binning). ``decile =
+    1 + Σ_k [value > q_k]`` over the nine cuts, so values exactly ON a
+    cut fall in the LOWER bin on both engines and the output is pure
+    integers (hash-exact SQL twin).
+
+    Shape: all NINE cut ranks of every group come out of ONE
+    ``_exact_group_rank_elements`` two-pass selection (driver sees G×B
+    count cells + ≈9/B of the rows); the G×9 cut table broadcasts via
+    ``ray.put`` and the labeling is one vectorized Arrow join +
+    comparison sum per batch — no exchange touches the full table."""
+    from fractions import Fraction
+
+    def _disc_rank(n_g: int, qf) -> int:
+        return max(0, -((-n_g * qf.numerator) // qf.denominator) - 1)
+
+    qfs = [Fraction(k, 10) for k in range(1, 10)]
+
+    def ranks_of(n_g: int) -> list[int]:
+        return sorted({_disc_rank(n_g, qf) for qf in qfs})
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+    counts, elems = _exact_group_rank_elements(
+        ds.select_columns(["event_type", "value"]), ranks_of, num_buckets)
+    types = sorted(counts)
+    cols: dict[str, list] = {"event_type": list(types)}
+    for k, qf in enumerate(qfs, start=1):
+        cols[f"__q{k}"] = [elems[g][_disc_rank(counts[g], qf)]
+                           for g in types]
+    cut_tbl = pa.table({
+        "event_type": pa.array(cols["event_type"], pa.string()),
+        **{f"__q{k}": pa.array(cols[f"__q{k}"], pa.float64())
+           for k in range(1, 10)},
+    })
+    import ray as _ray
+    cut_ref = _ray.put(cut_tbl)
+
+    def label(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "event_type" not in t.schema.names:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "event_type": pa.array([], pa.string()),
+                             "decile": pa.array([], pa.int64())})
+        cuts = _ray.get(cut_ref)
+        j = t.join(cuts, keys="event_type", join_type="inner")
+        dec = pa.chunked_array([pa.array([1] * j.num_rows, pa.int64())])
+        for k in range(1, 10):
+            dec = pc.add(dec, pc.cast(
+                pc.greater(j["value"], j[f"__q{k}"]), pa.int64()))
+        return pa.table({"event_id": j["event_id"],
+                         "event_type": j["event_type"],
+                         "decile": dec})
+
+    out = ds.map_batches(label, batch_format="pyarrow")
+    return collect_table(out).sort_by("event_id")
+
+
+def merged_intervals(sf_dir: str,
+                     num_buckets: int | None = None) -> pa.Table:
+    """(user_id, start_us, end_us, n_merged): per-user INTERVAL
+    COALESCING — each event spans [ts, ts + value seconds]; overlapping
+    or touching spans of the same user merge into maximal busy
+    intervals (the classic gaps-and-islands flattening used for
+    availability windows, on-call coverage, GPS track segments).
+    All-integer epoch-µs arithmetic (duration = round(value·1e6), the
+    ``_cents`` discipline), so the SQL twin — running-MAX(end) OVER
+    preceding rows, island breaks where start > that max — hashes
+    bit-identically.
+
+    Shape: ONE coarse user-bucket exchange (many complete users per
+    block); the merge is a vectorized sort + per-user running max +
+    cumsum island labeling over the whole block — no per-user
+    micro-groups, no global sort."""
+    from raydoc.functions._buckets import reduce_bucket_count
+    mask = (num_buckets or reduce_bucket_count()) - 1
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "value"])
+
+    def add_iv(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.schema.names:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "s_us": pa.array([], pa.int64()),
+                             "e_us": pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int32())})
+        s = pc.cast(t["ts"], pa.int64())
+        dur = pc.cast(pc.round(pc.multiply(t["value"],
+                                           pa.scalar(1_000_000.0))),
+                      pa.int64())
+        return pa.table({
+            "user_id": t["user_id"],
+            "s_us": s,
+            "e_us": pc.add(s, dur),
+            "bucket": pc.cast(pc.bit_wise_and(t["user_id"], mask),
+                              pa.int32()),
+        })
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "s_us", "e_us"], ignore_index=True)
+        uid = g["user_id"].to_numpy(dtype=np.int64)
+        s = g["s_us"].to_numpy(dtype=np.int64)
+        e = g["e_us"].to_numpy(dtype=np.int64)
+        n = len(g)
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        # running max of e within user, shifted to exclude current row
+        run = pd.Series(e).groupby(uid).cummax().to_numpy(dtype=np.int64)
+        prev_max = np.empty(n, dtype=np.int64)
+        prev_max[0] = 0
+        prev_max[1:] = run[:-1]
+        new_iv = new_user | (s > prev_max)
+        grp = np.cumsum(new_iv)
+        df = pd.DataFrame({"user_id": uid, "s": s, "e": e, "grp": grp})
+        agg = df.groupby("grp", sort=True).agg(
+            user_id=("user_id", "first"), start_us=("s", "min"),
+            end_us=("e", "max"), n_merged=("s", "size"))
+        return pd.DataFrame({
+            "user_id": agg["user_id"].to_numpy(dtype=np.int64),
+            "start_us": agg["start_us"].to_numpy(dtype=np.int64),
+            "end_us": agg["end_us"].to_numpy(dtype=np.int64),
+            "n_merged": agg["n_merged"].to_numpy(dtype=np.int64),
+        })
+
+    out = (ds.map_batches(add_iv, batch_format="pyarrow")
+           .groupby("bucket").map_groups(per_bucket,
+                                         batch_format="pandas"))
+    return collect_table(out).sort_by([("user_id", "ascending"),
+                                       ("start_us", "ascending")])

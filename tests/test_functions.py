@@ -76,7 +76,8 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
     "orders_checksum", "user_longest_streak", "orders_scd2",
     "value_hour_corr", "embedding_dbscan", "sliding_distinct_users",
     "type_drift_cells", "p90_by_type", "p75_cont_by_type",
-    "value_winsorized",
+    "value_winsorized", "value_decile", "merged_intervals",
+    "late_shipment_orders", "promo_revenue",
 ])
 def test_query_matches_oracle(ray_session, oracle, name):
     import __ray_entry__ as entrymod
