@@ -220,6 +220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_ewma": windows.user_value_ewma,
         "bm25_search": textstats.bm25_search,
         "bpe_learn_merges": textstats.bpe_learn_merges,
+        "bpe_encode": textstats.bpe_encode,
         "collapse_repeats": textstats.collapse_repeats,
         "median_by_type": windows.median_by_type,
         "p90_by_type": windows.p90_by_type,
@@ -229,6 +230,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "merged_intervals": windows.merged_intervals,
         "late_shipment_orders": relational.q_late_shipment_orders,
         "promo_revenue": relational.q_promo_revenue,
+        "snapshot_diff": relational.q_snapshot_diff,
         "value_mad_by_type": windows.value_mad_by_type,
         "value_trend_by_type": windows.value_trend_by_type,
         "user_event_sequence": windows.user_event_sequence,
@@ -1367,6 +1369,38 @@ def oracle_sql() -> dict[str, str]:
                    100.0 * SUM(CASE WHEN is_promo THEN rev ELSE 0 END)
                          / SUM(rev) AS promo_pct
             FROM li""",
+        "snapshot_diff": """
+            WITH newt AS (
+              SELECT o_orderkey,
+                     CASE WHEN o_orderkey % 7 = 0
+                          THEN o_totalprice + 1.0
+                          ELSE o_totalprice END AS o_totalprice,
+                     o_orderstatus
+              FROM orders WHERE o_orderkey % 11 <> 0
+              UNION ALL
+              SELECT o_orderkey + 10000000, o_totalprice, o_orderstatus
+              FROM orders WHERE o_orderkey % 13 = 0),
+            j AS (SELECT COALESCE(b.o_orderkey, n.o_orderkey)
+                             AS o_orderkey,
+                         b.o_orderkey IS NOT NULL AS inb,
+                         n.o_orderkey IS NOT NULL AS inn,
+                         b.o_totalprice AS old_o_totalprice,
+                         n.o_totalprice AS new_o_totalprice,
+                         b.o_orderstatus AS old_o_orderstatus,
+                         n.o_orderstatus AS new_o_orderstatus
+                  FROM orders b FULL OUTER JOIN newt n
+                    ON b.o_orderkey = n.o_orderkey)
+            SELECT o_orderkey,
+                   CASE WHEN NOT inb THEN 'added'
+                        WHEN NOT inn THEN 'removed'
+                        ELSE 'changed' END AS change,
+                   old_o_totalprice, new_o_totalprice,
+                   old_o_orderstatus, new_o_orderstatus
+            FROM j
+            WHERE NOT inb OR NOT inn
+               OR old_o_totalprice IS DISTINCT FROM new_o_totalprice
+               OR old_o_orderstatus IS DISTINCT FROM new_o_orderstatus
+            ORDER BY o_orderkey""",
         "value_mad_by_type": """
             WITH m AS (SELECT event_type,
                               quantile_disc(value, 0.5) AS med

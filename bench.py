@@ -193,6 +193,8 @@ BENCH_QUERIES = [
     "merged_intervals",
     "late_shipment_orders",
     "promo_revenue",
+    "snapshot_diff",
+    "bpe_encode",
 ]
 
 

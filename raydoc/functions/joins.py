@@ -715,3 +715,92 @@ def scd2_history(versions: rd.Dataset, key: str, version_col: str,
 
     return versions.map_batches(add_bucket, batch_format="pyarrow") \
         .groupby("__bucket").map_groups(per_bucket, batch_format="pandas")
+
+
+def snapshot_diff(base: rd.Dataset, new: rd.Dataset, key: str,
+                  compare_cols: list[str],
+                  num_buckets: int = 32) -> rd.Dataset:
+    """Keyed diff of two table snapshots → one row per differing key:
+    ``(key, change ∈ added|removed|changed, old_<c>…, new_<c>…)`` —
+    the reverse-CDC operator (what changed between two lake snapshots),
+    complementing merge_upsert (which APPLIES a change stream).
+
+    Shape: ONE tag_union bucket exchange on the key (both snapshots
+    stream; nothing materializes driver-side); per bucket an Arrow
+    full-outer hash join + vectorized null-safe column comparison.
+    Unchanged keys — the overwhelming majority between real snapshots —
+    are dropped inside the bucket task, so the output is change-sized,
+    not snapshot-sized."""
+    base_schema = base.schema()
+    key_t = dict(arrow_field_types(base_schema, [key]))[key]
+    cmp_t = dict(arrow_field_types(base_schema, compare_cols))
+
+    old_names = {c: f"old_{c}" for c in compare_cols}
+    new_names = {c: f"new_{c}" for c in compare_cols}
+
+    def _rename(names: dict[str, str]):
+        def fn(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 and key not in t.schema.names:
+                return pa.table(
+                    {key: pa.array([], key_t),
+                     **{names[c]: pa.array([], cmp_t[c])
+                        for c in compare_cols}})
+            return t.select([key] + compare_cols).rename_columns(
+                [key] + [names[c] for c in compare_cols])
+        return fn
+
+    all_fields = [(key, key_t)] \
+        + [(old_names[c], cmp_t[c]) for c in compare_cols] \
+        + [(new_names[c], cmp_t[c]) for c in compare_cols]
+
+    tagged = tag_union(base.map_batches(_rename(old_names),
+                                        batch_format="pyarrow"),
+                       new.map_batches(_rename(new_names),
+                                       batch_format="pyarrow"),
+                       key, all_fields, num_buckets)
+
+    out_fields = [(key, key_t), ("change", pa.string())] \
+        + [(old_names[c], cmp_t[c]) for c in compare_cols] \
+        + [(new_names[c], cmp_t[c]) for c in compare_cols]
+    out_schema = pa.schema(out_fields)
+
+    def _diff_bucket(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        side = group.column("__side")
+        l = group.filter(pc.equal(side, 0)).select(
+            [key] + [old_names[c] for c in compare_cols])
+        r = group.filter(pc.equal(side, 1)).select(
+            [key] + [new_names[c] for c in compare_cols])
+        if l.num_rows == 0 and r.num_rows == 0:
+            return out_schema.empty_table()
+        l = l.append_column("__inb", pa.array(
+            np.ones(l.num_rows, dtype=np.int8)))
+        r = r.append_column("__inn", pa.array(
+            np.ones(r.num_rows, dtype=np.int8)))
+        j = l.join(r, keys=key, join_type="full outer")
+        inb = pc.is_valid(j["__inb"])
+        inn = pc.is_valid(j["__inn"])
+        differs = pa.chunked_array([pa.array(
+            np.zeros(j.num_rows, dtype=bool))])
+        for c in compare_cols:
+            a, b = j[old_names[c]], j[new_names[c]]
+            d = pc.or_(pc.fill_null(pc.not_equal(a, b), False),
+                       pc.xor(pc.is_null(a), pc.is_null(b)))
+            differs = pc.or_(differs, d)
+        keep = pc.or_(pc.or_(pc.invert(inb), pc.invert(inn)), differs)
+        j = j.filter(keep)
+        inb = pc.is_valid(j["__inb"])
+        inn = pc.is_valid(j["__inn"])
+        change = pc.if_else(
+            pc.invert(inb), pa.scalar("added"),
+            pc.if_else(pc.invert(inn), pa.scalar("removed"),
+                       pa.scalar("changed")))
+        cols = {key: j[key], "change": change}
+        for c in compare_cols:
+            cols[old_names[c]] = j[old_names[c]]
+        for c in compare_cols:
+            cols[new_names[c]] = j[new_names[c]]
+        return pa.table(cols).cast(out_schema)
+
+    return tagged.groupby("__bucket").map_groups(_diff_bucket,
+                                                 batch_format="pyarrow")

@@ -1774,3 +1774,52 @@ def q_promo_revenue(sf_dir: str) -> pa.Table:
         "total_rev": pa.array([total], pa.int64()),
         "promo_pct": pa.array([100.0 * promo / total], pa.float64()),
     })
+
+
+def q_snapshot_diff(sf_dir: str) -> pa.Table:
+    """(o_orderkey, change, old/new price+status): reverse CDC — diff
+    the orders snapshot against a derived next-day snapshot (every 11th
+    key deleted, every 7th price bumped, every 13th key re-inserted
+    shifted by 10M = adds). Exercises functions/joins.py:snapshot_diff
+    (one bucket exchange, full-outer Arrow join per bucket, unchanged
+    keys dropped task-side so output is change-sized)."""
+    from raydoc.functions.joins import snapshot_diff
+
+    cols = ["o_orderkey", "o_totalprice", "o_orderstatus"]
+    base = _read(sf_dir, "orders", cols)
+
+    def new_fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "o_orderkey" not in t.schema.names:
+            return pa.table({"o_orderkey": pa.array([], pa.int64()),
+                             "o_totalprice": pa.array([], pa.float64()),
+                             "o_orderstatus": pa.array([], pa.string())})
+        k = t["o_orderkey"]
+
+        def mod(n: int):
+            return pc.subtract(k, pc.multiply(pc.divide(k, n), n))
+
+        keep = t.filter(pc.not_equal(mod(11), 0))
+        kk = keep["o_orderkey"]
+        bump = pc.equal(pc.subtract(kk, pc.multiply(
+            pc.divide(kk, 7), 7)), 0)
+        upd = pa.table({
+            "o_orderkey": kk,
+            "o_totalprice": pc.if_else(
+                bump, pc.add(keep["o_totalprice"], 1.0),
+                keep["o_totalprice"]),
+            "o_orderstatus": keep["o_orderstatus"],
+        })
+        ins = t.filter(pc.equal(mod(13), 0))
+        ins = pa.table({
+            "o_orderkey": pc.add(ins["o_orderkey"], 10_000_000),
+            "o_totalprice": ins["o_totalprice"],
+            "o_orderstatus": ins["o_orderstatus"],
+        })
+        return pa.concat_tables([upd, ins])
+
+    new = _read(sf_dir, "orders", cols).map_batches(
+        new_fn, batch_format="pyarrow")
+    out = snapshot_diff(base, new, key="o_orderkey",
+                        compare_cols=["o_totalprice", "o_orderstatus"],
+                        num_buckets=32)
+    return collect_table(out).sort_by("o_orderkey")

@@ -1582,3 +1582,66 @@ def bpe_learn_merges(sf_dir: str, n_merges: int = 8,
                      "left": pa.array(out_l, pa.string()),
                      "right": pa.array(out_r, pa.string()),
                      "pair_count": pa.array(out_c, pa.int64())})
+
+
+def bpe_encode(sf_dir: str, n_merges: int = 8) -> pa.Table:
+    """(doc_id, n_words, n_bpe_tokens): ENCODE the corpus with the
+    merges ``bpe_learn_merges`` learned from it — the apply half of the
+    tokenizer pipeline (train → broadcast merge table → one streaming
+    encode pass). Encoding replays the trainer's exact semantics: each
+    merge applied to every word in rank order (the trainer transforms
+    its whole vocab per rank, so sequential application IS the learned
+    tokenization — verified against the trainer's final vocab in
+    tests). Per-batch word cache: each unique word encodes once per
+    batch, so cost scales with batch vocabulary, not token count.
+    Rows-only (no SQL twin — the merge loop is iterative), covered by a
+    known-answer training/encoding test."""
+    merges = bpe_learn_merges(sf_dir, n_merges=n_merges)
+    merge_list = list(zip(merges.column("left").to_pylist(),
+                          merges.column("right").to_pylist()))
+    import ray as _ray
+    merges_ref = _ray.put(merge_list)
+    word_re = re.compile(r"\w+")
+
+    def encode_batch(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_id" not in t.schema.names:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_words": pa.array([], pa.int64()),
+                             "n_bpe_tokens": pa.array([], pa.int64())})
+        mlist = _ray.get(merges_ref)
+        cache: dict[str, int] = {}
+
+        def n_tokens(word: str) -> int:
+            got = cache.get(word)
+            if got is not None:
+                return got
+            syms = list(word)
+            for l_sym, r_sym in mlist:
+                i, out = 0, []
+                while i < len(syms):
+                    if (i < len(syms) - 1 and syms[i] == l_sym
+                            and syms[i + 1] == r_sym):
+                        out.append(l_sym + r_sym)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            cache[word] = len(syms)
+            return len(syms)
+
+        ids, nw, nt = [], [], []
+        for did, txt in zip(t.column("doc_id").to_pylist(),
+                            t.column("text").to_pylist()):
+            words = word_re.findall((txt or "").lower())
+            ids.append(did)
+            nw.append(len(words))
+            nt.append(sum(n_tokens(w) for w in words))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_words": pa.array(nw, pa.int64()),
+                         "n_bpe_tokens": pa.array(nt, pa.int64())})
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = ds.map_batches(encode_batch, batch_format="pyarrow")
+    return collect_table(out).sort_by("doc_id")

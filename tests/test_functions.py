@@ -77,7 +77,7 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
     "value_hour_corr", "embedding_dbscan", "sliding_distinct_users",
     "type_drift_cells", "p90_by_type", "p75_cont_by_type",
     "value_winsorized", "value_decile", "merged_intervals",
-    "late_shipment_orders", "promo_revenue",
+    "late_shipment_orders", "promo_revenue", "snapshot_diff",
 ])
 def test_query_matches_oracle(ray_session, oracle, name):
     import __ray_entry__ as entrymod
@@ -89,7 +89,7 @@ def test_query_matches_oracle(ray_session, oracle, name):
 
 @pytest.mark.parametrize("name", [
     "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk", "language_id",
-    "bpe_learn_merges",
+    "bpe_learn_merges", "bpe_encode",
     "ngram_logprob", "embedding_kmeans", "embedding_logreg",
     "embedding_neardups_clustered",
     "shuffle_sample", "extract_turns_aligned", "validate_docs",

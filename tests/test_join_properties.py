@@ -549,3 +549,47 @@ def test_multiset_ops_match_duckdb(ray_session, tmp_path, seed, mode):
         f"SELECT k FROM lt WHERE k IS NOT NULL {op} "
         f"SELECT k FROM rt WHERE k IS NOT NULL").fetchdf()["k"].tolist())
     assert got == exp
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13])
+def test_snapshot_diff_matches_duckdb(ray_session, seed):
+    """snapshot_diff ≡ FULL OUTER JOIN + IS DISTINCT FROM filter, on
+    snapshots with adds, removals, value changes, null↔value flips and
+    untouched rows (which must NOT appear in the output)."""
+    from raydoc.functions.joins import snapshot_diff
+    rng = np.random.RandomState(seed)
+    n = 500
+    base = pd.DataFrame({
+        "k": np.arange(n, dtype=np.int64),
+        "v": rng.randint(0, 50, n).astype(np.float64),
+        "s": rng.choice(["a", "b", "c"], n),
+    })
+    base.loc[rng.rand(n) < 0.1, "v"] = np.nan      # nulls in base
+    new = base.copy()
+    new.loc[rng.rand(n) < 0.2, "v"] = rng.randint(50, 99)   # changes
+    new.loc[rng.rand(n) < 0.1, "v"] = np.nan       # null flips
+    new = new[rng.rand(n) > 0.1]                   # removals
+    adds = pd.DataFrame({"k": np.arange(n, n + 40, dtype=np.int64),
+                         "v": rng.rand(40) * 10, "s": ["z"] * 40})
+    new = pd.concat([new, adds], ignore_index=True)
+
+    out = snapshot_diff(rd.from_arrow(pa.Table.from_pandas(base)),
+                        rd.from_arrow(pa.Table.from_pandas(new)),
+                        key="k", compare_cols=["v", "s"],
+                        num_buckets=8)
+    got = out.to_pandas()
+
+    con = duckdb.connect()
+    con.register("b", base)
+    con.register("n", new)
+    want = con.sql("""
+        SELECT COALESCE(b.k, n.k) AS k,
+               CASE WHEN b.k IS NULL THEN 'added'
+                    WHEN n.k IS NULL THEN 'removed'
+                    ELSE 'changed' END AS change,
+               b.v AS old_v, b.s AS old_s, n.v AS new_v, n.s AS new_s
+        FROM b FULL OUTER JOIN n ON b.k = n.k
+        WHERE b.k IS NULL OR n.k IS NULL
+           OR b.v IS DISTINCT FROM n.v
+           OR b.s IS DISTINCT FROM n.s""").df()
+    assert _canon(got) == _canon(want)

@@ -18,3 +18,62 @@ def test_bpe_learn_merges_known_corpus(ray_session, tmp_path):
     assert out.iloc[0]["pair_count"] == 6
     assert (out.iloc[1]["left"], out.iloc[1]["right"]) == ("t", "he")
     assert out.iloc[1]["pair_count"] == 6
+
+
+def test_bpe_encode_known_corpus(ray_session, tmp_path):
+    """Encoding replays the trainer's merges: after (h,e) then (t,he),
+    'the'→[the] (1 token), 'then'→[the,n] (2), 'there'→[the,r,e] (3)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from raydoc.functions.textstats import bpe_encode
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": ["the the the the", "then there"],
+    })
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    out = bpe_encode(str(tmp_path), n_merges=2).to_pandas()
+    assert list(out["doc_id"]) == [1, 2]
+    assert list(out["n_words"]) == [4, 2]
+    # doc1: 4 × 'the' = 4 tokens; doc2: 'then' (2) + 'there' (3) = 5
+    assert list(out["n_bpe_tokens"]) == [4, 5]
+
+
+def test_bpe_encode_matches_trainer_final_vocab(ray_session, tmp_path):
+    """The streaming encoder's per-word token counts equal the symbol
+    counts in the trainer's internal final vocabulary (sequential
+    rank-order application IS the learned tokenization)."""
+    import re
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from raydoc.functions.textstats import bpe_encode, bpe_learn_merges
+
+    text = ("low lower lowest newer newest wider widest "
+            "low low lower newer newer")
+    docs = pa.table({"doc_id": pa.array([1], pa.int64()), "text": [text]})
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    n_merges = 5
+    merges = bpe_learn_merges(str(tmp_path), n_merges=n_merges)
+    mlist = list(zip(merges.column("left").to_pylist(),
+                     merges.column("right").to_pylist()))
+
+    def ref_encode(word):
+        syms = list(word)
+        for l_sym, r_sym in mlist:
+            out, i = [], 0
+            while i < len(syms):
+                if (i < len(syms) - 1 and syms[i] == l_sym
+                        and syms[i + 1] == r_sym):
+                    out.append(l_sym + r_sym)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    words = re.findall(r"\w+", text.lower())
+    want = sum(len(ref_encode(w)) for w in words)
+    got = bpe_encode(str(tmp_path), n_merges=n_merges).to_pandas()
+    assert got.iloc[0]["n_words"] == len(words)
+    assert got.iloc[0]["n_bpe_tokens"] == want
