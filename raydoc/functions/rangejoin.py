@@ -194,7 +194,9 @@ def interval_overlap_join(left: rd.Dataset, right: rd.Dataset,
                           key: str | None = None,
                           granule_us: int = 60 * 60 * 1_000_000,
                           num_buckets: int = 32,
-                          on_invalid: str = "raise") -> rd.Dataset:
+                          on_invalid: str = "raise",
+                          broadcast_max: int | None = 100_000
+                          ) -> rd.Dataset:
     """Inner interval-OVERLAP join — the third non-equi join family
     (genomics/temporal "ranges intersect", vs ``range_join``'s
     point-in-interval): pairs every left row with every right row whose
@@ -207,10 +209,28 @@ def interval_overlap_join(left: rd.Dataset, right: rd.Dataset,
     trick: a pair's shared granule range starts at
     ``g(max(l_start, r_start))``, and the post-join filter keeps the
     pair ONLY in that granule. One exchange, no distinct pass, exact
-    output. Column names across the two sides must be disjoint."""
+    output. Column names across the two sides must be disjoint.
+
+    ADAPTIVE regime (the ``bucket_semi_join`` pattern): when ``key`` is
+    None the right side materializes first; if it holds ≤
+    ``broadcast_max`` intervals it broadcasts once (``ray.put``) as a
+    granule-indexed lookup and the left side NEVER exchanges — each map
+    task probes its rows' granule range and applies the same exact
+    filter + first-shared-granule dedup rule, so the output is
+    bit-identical to the exchange path (asserted by the randomized
+    brute-force tests at both regimes). Right choice whenever the right
+    side is intrinsically bounded (outage windows, calendar spans).
+    ``broadcast_max=None`` forces the exchange path."""
     if on_invalid not in ("raise", "drop"):
         raise ValueError(f"on_invalid must be 'raise' or 'drop', "
                          f"got {on_invalid!r}")
+
+    if broadcast_max is not None and key is None:
+        right = right.materialize()
+        if right.count() <= broadcast_max:
+            return _interval_overlap_broadcast(
+                left, right, l_start, l_end, r_start, r_end,
+                granule_us, on_invalid)
 
     def _us(col):
         return pc.cast(col, pa.int64())
@@ -339,3 +359,100 @@ def q_session_outage_overlap(sf_dir: str,
     return pa.table({"user_id": t["user_id"].cast(pa.int64()),
                      "n_overlaps": t["n_overlaps"].cast(pa.int64()),
                      }).sort_by("user_id")
+
+
+def _interval_overlap_broadcast(left: "rd.Dataset", right: "rd.Dataset",
+                                l_start: str, l_end: str,
+                                r_start: str, r_end: str,
+                                granule_us: int,
+                                on_invalid: str) -> "rd.Dataset":
+    """Broadcast regime of ``interval_overlap_join`` (key=None): the
+    small right side ships once as a granule→row-indices lookup; each
+    left map task cross-checks only its rows' granules. Same exact
+    overlap filter and first-shared-granule pair-dedup rule as the
+    exchange path."""
+    import ray as _ray
+    from raydoc.functions._collect import collect_table
+    from raydoc.functions.joins import arrow_field_types
+
+    rt = collect_table(right)
+    if rt.num_rows and r_start in rt.column_names:
+        rs = pc.cast(rt[r_start], pa.int64()).to_numpy()
+        re_ = pc.cast(rt[r_end], pa.int64()).to_numpy()
+        invalid = re_ < rs
+        if invalid.any():
+            if on_invalid == "raise":
+                raise ValueError(
+                    f"interval_overlap_join: {int(invalid.sum())} right "
+                    f"row(s) with {r_end} < {r_start}; pass "
+                    f"on_invalid='drop' to skip them")
+            rt = rt.filter(pa.array(~invalid))
+            rs, re_ = rs[~invalid], re_[~invalid]
+    else:
+        rs = np.array([], dtype=np.int64)
+        re_ = np.array([], dtype=np.int64)
+
+    gd_lists: dict[int, list[int]] = {}
+    for i in range(len(rs)):
+        for g in range(int(rs[i] // granule_us),
+                       int(re_[i] // granule_us) + 1):
+            gd_lists.setdefault(g, []).append(i)
+    gd = {g: np.asarray(v, dtype=np.int64) for g, v in gd_lists.items()}
+    right_ref = _ray.put((rs, re_, gd, rt))
+
+    left_schema = left.schema()
+    lcols = list(left_schema.names)
+    out_fields = arrow_field_types(left_schema, lcols) \
+        + [(c, rt.schema.field(c).type) for c in rt.column_names]
+    out_schema = pa.schema(out_fields)
+
+    def probe(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or l_start not in t.schema.names:
+            return out_schema.empty_table()
+        ls = pc.cast(t[l_start], pa.int64()).to_numpy()
+        le = pc.cast(t[l_end], pa.int64()).to_numpy()
+        invalid = le < ls
+        if invalid.any():
+            if on_invalid == "raise":
+                raise ValueError(
+                    f"interval_overlap_join: {int(invalid.sum())} left "
+                    f"row(s) with {l_end} < {l_start}; pass "
+                    f"on_invalid='drop' to skip them")
+            t = t.filter(pa.array(~invalid))
+            ls, le = ls[~invalid], le[~invalid]
+        b_rs, b_re, b_gd, b_rt = _ray.get(right_ref)
+        if t.num_rows == 0 or b_rt.num_rows == 0:
+            return out_schema.empty_table()
+        g0 = ls // granule_us
+        g1 = le // granule_us
+        reps = (g1 - g0 + 1).astype(np.int64)
+        lidx = np.repeat(np.arange(t.num_rows, dtype=np.int64), reps)
+        offs = np.concatenate([np.arange(r) for r in reps]) \
+            if len(reps) else np.array([], dtype=np.int64)
+        grans = np.repeat(g0, reps) + offs
+        l_parts, r_parts = [], []
+        for g in np.unique(grans):
+            cand = b_gd.get(int(g))
+            if cand is None:
+                continue
+            li = lidx[grans == g]
+            big_l = np.repeat(li, len(cand))
+            big_r = np.tile(cand, len(li))
+            a, b = ls[big_l], le[big_l]
+            c, d = b_rs[big_r], b_re[big_r]
+            ok = (a <= d) & (c <= b) \
+                & (np.maximum(a, c) // granule_us == g)
+            l_parts.append(big_l[ok])
+            r_parts.append(big_r[ok])
+        if not l_parts:
+            return out_schema.empty_table()
+        li_all = np.concatenate(l_parts)
+        ri_all = np.concatenate(r_parts)
+        lt = t.take(pa.array(li_all))
+        rt_sel = b_rt.take(pa.array(ri_all))
+        cols = {c: lt[c] for c in lcols}
+        for c in b_rt.column_names:
+            cols[c] = rt_sel[c]
+        return pa.table(cols).cast(out_schema)
+
+    return left.map_batches(probe, batch_format="pyarrow")

@@ -454,9 +454,13 @@ def test_auto_join_regimes_agree(ray_session, regime):
 
 
 @pytest.mark.parametrize("seed", [61, 62])
-def test_interval_overlap_join_vs_bruteforce(ray_session, seed):
+@pytest.mark.parametrize("broadcast_max", [100_000, None])
+def test_interval_overlap_join_vs_bruteforce(ray_session, seed,
+                                             broadcast_max):
     """Random closed intervals on BOTH sides (negative coordinates too —
-    floor-division granule parity) against the O(n*m) definition."""
+    floor-division granule parity) against the O(n*m) definition, in
+    BOTH regimes: broadcast (small right side ships via ray.put) and
+    the granule-explode bucket exchange (broadcast_max=None)."""
     import numpy as np
     import pyarrow as pa
     import ray.data as rd
@@ -476,7 +480,7 @@ def test_interval_overlap_join_vs_bruteforce(ray_session, seed):
     out = interval_overlap_join(
         rd.from_arrow(left), rd.from_arrow(right),
         "ls", "le", "rs", "re", granule_us=64,
-        num_buckets=8).to_pandas()
+        num_buckets=8, broadcast_max=broadcast_max).to_pandas()
     got = sorted(zip(out["lid"], out["rid"]))
     exp = sorted((int(i), int(j))
                  for i in range(nl) for j in range(nr)
