@@ -230,6 +230,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "merged_intervals": windows.merged_intervals,
         "late_shipment_orders": relational.q_late_shipment_orders,
         "promo_revenue": relational.q_promo_revenue,
+        "shipping_priority": relational.q_shipping_priority,
+        "returned_item_customers": relational.q_returned_item_customers,
+        "large_volume_customers": relational.q_large_volume_customers,
+        "bracket_revenue": relational.q_bracket_revenue,
+        "profit_by_nation": relational.q_profit_by_nation,
+        "volume_shipping": relational.q_volume_shipping,
         "snapshot_diff": relational.q_snapshot_diff,
         "value_mad_by_type": windows.value_mad_by_type,
         "value_trend_by_type": windows.value_trend_by_type,
@@ -1369,6 +1375,109 @@ def oracle_sql() -> dict[str, str]:
                    100.0 * SUM(CASE WHEN is_promo THEN rev ELSE 0 END)
                          / SUM(rev) AS promo_pct
             FROM li""",
+        "shipping_priority": f"""
+            WITH lp AS (
+              SELECT l_orderkey,
+                     CAST(SUM({_CENTS} * (100 - {_DISC})) AS BIGINT)
+                         AS rev_c100
+              FROM lineitem
+              WHERE l_shipdate > TIMESTAMP '1998-07-01'
+              GROUP BY l_orderkey)
+            SELECT l_orderkey,
+                   CAST(rev_c100 AS DOUBLE) / 10000.0 AS revenue,
+                   rev_c100, o_orderdate, o_orderpriority
+            FROM lp
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-07-01'
+            ORDER BY rev_c100 DESC, o_orderdate ASC, l_orderkey ASC
+            LIMIT 10""",
+        "returned_item_customers": f"""
+            WITH pc AS (
+              SELECT o_custkey,
+                     CAST(SUM({_CENTS} * (100 - {_DISC})) AS BIGINT)
+                         AS rev_c100
+              FROM lineitem
+              JOIN orders ON o_orderkey = l_orderkey
+              WHERE l_returnflag = 'R'
+                AND o_orderdate >= TIMESTAMP '1997-01-01'
+                AND o_orderdate <  TIMESTAMP '1997-04-01'
+              GROUP BY o_custkey)
+            SELECT c_custkey, c_name,
+                   CAST(rev_c100 AS DOUBLE) / 10000.0 AS revenue,
+                   rev_c100, n_name, c_acctbal
+            FROM pc
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation ON n_nationkey = c_nationkey
+            ORDER BY rev_c100 DESC, c_custkey ASC
+            LIMIT 20""",
+        "large_volume_customers": """
+            WITH q AS (
+              SELECT l_orderkey,
+                     CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT))
+                          AS BIGINT) AS total_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING SUM(CAST(ROUND(l_quantity) AS BIGINT)) > 250)
+            SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+                   o_totalprice, total_qty
+            FROM q
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            ORDER BY o_totalprice DESC, o_orderkey ASC
+            LIMIT 100""",
+        "bracket_revenue": f"""
+            WITH li AS (
+              SELECT {_CENTS} * (100 - {_DISC}) AS rev,
+                     CAST(ROUND(l_quantity) AS BIGINT) AS qty,
+                     p_brand, p_size
+              FROM lineitem JOIN part ON p_partkey = l_partkey)
+            SELECT CAST(SUM(rev) AS BIGINT) AS rev_c100,
+                   CAST(SUM(rev) AS DOUBLE) / 10000.0 AS revenue,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines
+            FROM li
+            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                   AND qty BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+                   AND qty BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 50
+                   AND qty BETWEEN 20 AND 30)""",
+        "profit_by_nation": f"""
+            SELECT n_name,
+                   CAST(year(l_shipdate) AS BIGINT) AS o_year,
+                   CAST(SUM({_CENTS} * (100 - {_DISC})) AS DOUBLE)
+                       / 10000.0 AS profit,
+                   CAST(SUM({_CENTS} * (100 - {_DISC})) AS BIGINT)
+                       AS profit_c100
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ON n_nationkey = s_nationkey
+            WHERE p_name LIKE '%red%'
+            GROUP BY n_name, year(l_shipdate)
+            ORDER BY n_name, o_year""",
+        "volume_shipping": f"""
+            SELECT rs.r_name AS supp_region, rc.r_name AS cust_region,
+                   CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   CAST(SUM({_CENTS} * (100 - {_DISC})) AS BIGINT)
+                       AS rev_c100,
+                   CAST(SUM({_CENTS} * (100 - {_DISC})) AS DOUBLE)
+                       / 10000.0 AS revenue
+            FROM lineitem
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ns ON ns.n_nationkey = s_nationkey
+            JOIN region rs ON rs.r_regionkey = ns.n_regionkey
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation nc ON nc.n_nationkey = c_nationkey
+            JOIN region rc ON rc.r_regionkey = nc.n_regionkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+              AND rs.r_name IN ('AMERICA', 'EUROPE')
+              AND rc.r_name IN ('AMERICA', 'EUROPE')
+              AND rs.r_name <> rc.r_name
+            GROUP BY rs.r_name, rc.r_name, year(l_shipdate)
+            ORDER BY supp_region, cust_region, l_year""",
         "snapshot_diff": """
             WITH newt AS (
               SELECT o_orderkey,

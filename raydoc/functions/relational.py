@@ -19,6 +19,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
+import ray
 import ray.data as rd
 
 from raydoc.functions._collect import collect_table
@@ -1846,3 +1847,495 @@ def q_snapshot_diff(sf_dir: str) -> pa.Table:
                         compare_cols=["o_totalprice", "o_orderstatus"],
                         num_buckets=32)
     return collect_table(out).sort_by("o_orderkey")
+
+
+def _global_topk(ds: rd.Dataset, sort_keys: list[str],
+                 descending: list[bool], k: int) -> pa.Table:
+    """Exact global top-k without sorting the full dataset: each block
+    prunes to its local top-k map-side (no exchange), the ≤ k·n_blocks
+    survivors collect, and one driver-side sort of that tiny table
+    finishes. The scale-safe replacement for ``ds.sort(...).limit(k)``
+    when the input is bigger than "small"."""
+    order = [(c, "descending" if d else "ascending")
+             for c, d in zip(sort_keys, descending)]
+
+    def prune(t: pa.Table) -> pa.Table:
+        if t.num_rows <= k or sort_keys[0] not in t.schema.names:
+            return t
+        return t.take(pc.sort_indices(t, sort_keys=order)[:k])
+
+    t = collect_table(ds.map_batches(prune, batch_format="pyarrow"))
+    return t.take(pc.sort_indices(t, sort_keys=order)[:k])
+
+
+def _rev_c100(t: pa.Table, price: str = "l_extendedprice",
+              disc: str = "l_discount") -> pa.ChunkedArray:
+    """Exact discounted revenue in hundredth-cents: round price and
+    discount to integers SEPARATELY (the repo's exact-money discipline —
+    a joint round hits .5 boundaries and diverges banker's-vs-away from
+    SQL), then cents·(100−disc%) as int64."""
+    price_c = _cents(t[price])
+    disc_pct = pc.cast(pc.round(pc.multiply(t[disc], pa.scalar(100.0))),
+                       pa.int64())
+    return pc.multiply(price_c,
+                       pc.subtract(pa.scalar(100, pa.int64()), disc_pct))
+
+
+_98H2_US = 899_251_200_000_000        # 1998-07-01 epoch µs
+
+
+def q_shipping_priority(sf_dir: str) -> pa.Table:
+    """(l_orderkey, revenue, o_orderdate, o_orderpriority): TPC-H Q3 —
+    top-10 unshipped-revenue orders for one market segment. Shape:
+    customer(BUILDING) is a region-of-a-dimension → its keys broadcast
+    into the orders stream as a map-side semi-filter; lineitem
+    pre-reduces to per-batch (orderkey, rev) integer partials before
+    the ONE orderkey-bucket exchange (tag_union) where it meets the
+    filtered orders — each bucket finishes locally (final rev sum,
+    Arrow inner join, in-bucket top-10 prune), so only ≤ 10 rows per
+    bucket reach the tiny driver merge; no second fine-key exchange.
+    Revenue is exact integer hundredth-cents (also emitted, so the
+    gate hashes the integer AND the derived double)."""
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    ckeys = cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING")) \
+                .column("c_custkey").combine_chunks()
+    ckeys_ref = ray.put(ckeys)
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate",
+                    "o_orderpriority"])
+
+    def ord_prep(t: pa.Table) -> pa.Table:
+        empty = pa.table({"o_orderkey": pa.array([], pa.int64()),
+                          "ord_us": pa.array([], pa.int64()),
+                          "o_orderpriority": pa.array([], pa.string())})
+        if t.num_rows == 0 or "o_orderkey" not in t.schema.names:
+            return empty
+        ks = ray.get(ckeys_ref)
+        keep = pc.and_(
+            pc.fill_null(pc.is_in(t["o_custkey"], value_set=ks), False),
+            pc.less(pc.cast(t["o_orderdate"], pa.int64()), _98H2_US))
+        t = t.filter(keep)
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "ord_us": pc.cast(t["o_orderdate"], pa.int64()),
+                         "o_orderpriority": t["o_orderpriority"]})
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_shipdate", "l_extendedprice",
+                "l_discount"])
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "l_orderkey" not in t.schema.names:
+            return pa.table({"l_orderkey": pa.array([], pa.int64()),
+                             "rev_c100": pa.array([], pa.int64())})
+        t = t.filter(pc.greater(pc.cast(t["l_shipdate"], pa.int64()),
+                                _98H2_US))
+        part = pa.table({"l_orderkey": t["l_orderkey"],
+                         "rev_c100": _rev_c100(t)})
+        g = part.group_by("l_orderkey").aggregate([("rev_c100", "sum")])
+        return g.rename_columns(["l_orderkey", "rev_c100"])
+
+    from raydoc.functions.joins import tag_union
+    all_fields = [("l_orderkey", pa.int64()), ("ord_us", pa.int64()),
+                  ("o_orderpriority", pa.string()),
+                  ("rev_c100", pa.int64())]
+    tagged = tag_union(
+        orders.map_batches(ord_prep, batch_format="pyarrow")
+              .rename_columns({"o_orderkey": "l_orderkey"}),
+        li.map_batches(li_prep, batch_format="pyarrow"),
+        "l_orderkey", all_fields, num_buckets=32)
+
+    out_schema = pa.schema(all_fields)
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        side = group.column("__side")
+        o = group.filter(pc.equal(side, 0)).select(
+            ["l_orderkey", "ord_us", "o_orderpriority"])
+        l = group.filter(pc.equal(side, 1)).select(
+            ["l_orderkey", "rev_c100"])
+        if o.num_rows == 0 or l.num_rows == 0:
+            return out_schema.empty_table()
+        rev = l.group_by("l_orderkey").aggregate([("rev_c100", "sum")]) \
+            .rename_columns(["l_orderkey", "rev_c100"])
+        j = o.join(rev, keys="l_orderkey", join_type="inner") \
+             .select(["l_orderkey", "ord_us", "o_orderpriority",
+                      "rev_c100"]).cast(out_schema)
+        order = [("rev_c100", "descending"), ("ord_us", "ascending"),
+                 ("l_orderkey", "ascending")]
+        return j.take(pc.sort_indices(j, sort_keys=order)[:10])
+
+    per_order = tagged.groupby("__bucket").map_groups(
+        per_bucket, batch_format="pyarrow")
+    top = _global_topk(per_order, ["rev_c100", "ord_us", "l_orderkey"],
+                       [True, False, False], 10)
+    return pa.table({
+        "l_orderkey": top["l_orderkey"],
+        "revenue": pc.divide(pc.cast(top["rev_c100"], pa.float64()),
+                             10000.0),
+        "rev_c100": top["rev_c100"],
+        "o_orderdate": pc.cast(top["ord_us"], pa.timestamp("us")),
+        "o_orderpriority": top["o_orderpriority"],
+    })
+
+
+def q_returned_item_customers(sf_dir: str) -> pa.Table:
+    """(c_custkey, c_name, revenue, rev_c100, n_name, c_acctbal): TPC-H
+    Q10 — top-20 customers by revenue lost to returns in one order
+    quarter. lineitem('R') pre-reduces to (orderkey, rev) partials;
+    orders (quarter-filtered) meets it in one orderkey-bucket exchange;
+    per-customer revenue rides the combiner; the customer→nation
+    dimension joins AFTER aggregation on the customer-sized result via
+    one broadcast; top-20 is the block-prune + driver-merge pattern."""
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_returnflag", "l_extendedprice",
+                "l_discount"])
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "l_orderkey" not in t.schema.names:
+            return pa.table({"l_orderkey": pa.array([], pa.int64()),
+                             "rev_c100": pa.array([], pa.int64())})
+        t = t.filter(pc.equal(t["l_returnflag"], "R"))
+        part = pa.table({"l_orderkey": t["l_orderkey"],
+                         "rev_c100": _rev_c100(t)})
+        g = part.group_by("l_orderkey").aggregate([("rev_c100", "sum")])
+        return g.rename_columns(["l_orderkey", "rev_c100"])
+
+    t0 = 852_076_800_000_000      # 1997-01-01 epoch µs
+    t1 = 859_852_800_000_000      # 1997-04-01 epoch µs
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def ord_prep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "o_orderkey" not in t.schema.names:
+            return pa.table({"l_orderkey": pa.array([], pa.int64()),
+                             "o_custkey": pa.array([], pa.int64())})
+        us = pc.cast(t["o_orderdate"], pa.int64())
+        t = t.filter(pc.and_(pc.greater_equal(us, t0), pc.less(us, t1)))
+        return pa.table({"l_orderkey": t["o_orderkey"],
+                         "o_custkey": t["o_custkey"]})
+
+    joined = bucket_hash_join(
+        li.map_batches(li_prep, batch_format="pyarrow"),
+        orders.map_batches(ord_prep, batch_format="pyarrow"),
+        key="l_orderkey", num_buckets=32)
+    per_cust = partial_groupby(joined, ["o_custkey"],
+                               {"rev_c100": ("rev_c100", "sum")})
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name", "c_nationkey",
+                                  "c_acctbal"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    dim = cust.join(nation, keys="c_nationkey", right_keys="n_nationkey",
+                    join_type="inner") \
+              .select(["c_custkey", "c_name", "n_name", "c_acctbal"]) \
+              .rename_columns(["o_custkey", "c_name", "n_name",
+                               "c_acctbal"])
+    enriched = broadcast_join(per_cust, dim, key="o_custkey")
+    top = _global_topk(enriched, ["rev_c100", "o_custkey"],
+                       [True, False], 20)
+    return pa.table({
+        "c_custkey": top["o_custkey"],
+        "c_name": top["c_name"],
+        "revenue": pc.divide(pc.cast(top["rev_c100"], pa.float64()),
+                             10000.0),
+        "rev_c100": top["rev_c100"],
+        "n_name": top["n_name"],
+        "c_acctbal": top["c_acctbal"],
+    })
+
+
+def q_large_volume_customers(sf_dir: str, min_qty: int = 250) -> pa.Table:
+    """(c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+    total_qty): TPC-H Q18 — orders whose total line quantity exceeds
+    ``min_qty``, with their customer, top-100 by price. Quantity sums
+    ride integer per-batch partials (orderkey-grouped map-side, TPC-H
+    co-locates an order's lines) into ONE orderkey-bucket exchange
+    (tag_union with the orders stream) — each bucket finishes locally:
+    final qty sum, HAVING filter, Arrow inner join against its orders
+    slice, in-bucket top-100 prune. No second fine-key exchange (a
+    first cut paid a per-orderkey partial_groupby shuffle PLUS a
+    bucket-join shuffle: 19 s at sf0.1; this shape is one exchange).
+    Customer names broadcast at the end onto the ≤ 100·buckets-row
+    stream."""
+    from raydoc.functions.joins import tag_union
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "l_orderkey" not in t.schema.names:
+            return pa.table({"l_orderkey": pa.array([], pa.int64()),
+                             "total_qty": pa.array([], pa.int64())})
+        part = pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "total_qty": pc.cast(pc.round(t["l_quantity"]), pa.int64())})
+        g = part.group_by("l_orderkey").aggregate([("total_qty", "sum")])
+        return g.rename_columns(["l_orderkey", "total_qty"])
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate",
+                    "o_totalprice"]).rename_columns(
+        {"o_orderkey": "l_orderkey"})
+
+    all_fields = [("l_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+                  ("o_orderdate", pa.timestamp("us")),
+                  ("o_totalprice", pa.float64()),
+                  ("total_qty", pa.int64())]
+    tagged = tag_union(orders, li.map_batches(li_prep,
+                                              batch_format="pyarrow"),
+                       "l_orderkey", all_fields, num_buckets=32)
+    out_schema = pa.schema(all_fields)
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        side = group.column("__side")
+        o = group.filter(pc.equal(side, 0)).select(
+            ["l_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+        l = group.filter(pc.equal(side, 1)).select(
+            ["l_orderkey", "total_qty"])
+        if o.num_rows == 0 or l.num_rows == 0:
+            return out_schema.empty_table()
+        q = l.group_by("l_orderkey").aggregate([("total_qty", "sum")]) \
+            .rename_columns(["l_orderkey", "total_qty"])
+        q = q.filter(pc.greater(q["total_qty"], min_qty))
+        if q.num_rows == 0:
+            return out_schema.empty_table()
+        j = o.join(q, keys="l_orderkey", join_type="inner") \
+             .select([n for n, _ in all_fields]).cast(out_schema)
+        order = [("o_totalprice", "descending"),
+                 ("l_orderkey", "ascending")]
+        return j.take(pc.sort_indices(j, sort_keys=order)[:100])
+
+    joined = tagged.groupby("__bucket").map_groups(
+        per_bucket, batch_format="pyarrow")
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name"]) \
+             .rename_columns(["o_custkey", "c_name"])
+    enriched = broadcast_join(joined, cust, key="o_custkey")
+    top = _global_topk(enriched, ["o_totalprice", "l_orderkey"],
+                       [True, False], 100)
+    return pa.table({
+        "c_name": top["c_name"],
+        "c_custkey": top["o_custkey"],
+        "o_orderkey": top["l_orderkey"],
+        "o_orderdate": top["o_orderdate"],
+        "o_totalprice": top["o_totalprice"],
+        "total_qty": top["total_qty"],
+    })
+
+
+_Q19_BRACKETS = (("Brand#1", 1, 15, 1, 11),
+                 ("Brand#2", 1, 25, 10, 20),
+                 ("Brand#3", 1, 50, 20, 30))
+
+
+def q_bracket_revenue(sf_dir: str) -> pa.Table:
+    """(rev_c100, revenue, n_lines): TPC-H Q19 — revenue from three
+    OR-ed (brand, size-range, quantity-range) brackets. The part
+    dimension broadcasts once (``ray.put`` inside broadcast_join);
+    lineitem streams through one vectorized mask-and-sum pass; only
+    per-batch integer partials reach the final fold."""
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand", "p_size"]) \
+             .rename_columns(["l_partkey", "p_brand", "p_size"])
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice",
+                "l_discount"])
+    joined = broadcast_join(li, part, key="l_partkey")
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "p_brand" not in t.schema.names:
+            return pa.table({"rev_c100": pa.array([], pa.int64()),
+                             "n_lines": pa.array([], pa.int64())})
+        qty = pc.cast(pc.round(t["l_quantity"]), pa.int64())
+        mask = pa.array(np.zeros(t.num_rows, dtype=bool))
+        for brand, s0, s1, q0, q1 in _Q19_BRACKETS:
+            m = pc.and_(pc.equal(t["p_brand"], brand),
+                        pc.and_(pc.greater_equal(t["p_size"], s0),
+                                pc.less_equal(t["p_size"], s1)))
+            m = pc.and_(m, pc.and_(pc.greater_equal(qty, q0),
+                                   pc.less_equal(qty, q1)))
+            mask = pc.or_(mask, pc.fill_null(m, False))
+        t = t.filter(mask)
+        rev = _rev_c100(t)
+        return pa.table({
+            "rev_c100": pa.array([pc.sum(rev).as_py() or 0], pa.int64()),
+            "n_lines": pa.array([t.num_rows], pa.int64())})
+
+    partials = joined.map_batches(partial, batch_format="pyarrow")
+    t = collect_table(partials)
+    rev = pc.sum(t["rev_c100"]).as_py() or 0
+    n = pc.sum(t["n_lines"]).as_py() or 0
+    return pa.table({"rev_c100": pa.array([rev], pa.int64()),
+                     "revenue": pa.array([rev / 10000.0], pa.float64()),
+                     "n_lines": pa.array([n], pa.int64())})
+
+
+def q_profit_by_nation(sf_dir: str) -> pa.Table:
+    """(n_name, o_year, profit, profit_c100): TPC-H Q9 shape adapted to
+    the schema (no partsupp → profit = discounted revenue): revenue
+    from lineitems of parts named like '%red%', by supplier nation and
+    ship year. Both dimensions reduce to broadcast lookups — the part
+    filter to a key SET (map-side semi filter), supplier→nation-name to
+    a two-column map joined per batch — so lineitem streams through a
+    single map stage; only (nation, year) integer partials exchange."""
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_name"])
+    pkeys = part.filter(pc.match_substring(part["p_name"], "red")) \
+                .column("p_partkey").combine_chunks()
+    pkeys_ref = ray.put(pkeys)
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    supp_nation = supp.join(nation, keys="s_nationkey",
+                            right_keys="n_nationkey",
+                            join_type="inner") \
+                      .select(["s_suppkey", "n_name"]) \
+                      .rename_columns(["l_suppkey", "n_name"])
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_shipdate",
+                "l_extendedprice", "l_discount"])
+    joined = broadcast_join(li, supp_nation, key="l_suppkey")
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "n_name" not in t.schema.names:
+            return pa.table({"n_name": pa.array([], pa.string()),
+                             "o_year": pa.array([], pa.int64()),
+                             "profit_c100": pa.array([], pa.int64())})
+        ks = ray.get(pkeys_ref)
+        t = t.filter(pc.fill_null(
+            pc.is_in(t["l_partkey"], value_set=ks), False))
+        part_t = pa.table({
+            "n_name": t["n_name"],
+            "o_year": pc.cast(pc.year(t["l_shipdate"]), pa.int64()),
+            "profit_c100": _rev_c100(t)})
+        g = part_t.group_by(["n_name", "o_year"]).aggregate(
+            [("profit_c100", "sum")])
+        return g.rename_columns(["n_name", "o_year", "profit_c100"])
+
+    out = partial_groupby(
+        joined.map_batches(partial, batch_format="pyarrow"),
+        ["n_name", "o_year"], {"profit_c100": ("profit_c100", "sum")})
+    t = collect_table(out).sort_by([("n_name", "ascending"),
+                                    ("o_year", "ascending")])
+    return pa.table({
+        "n_name": t["n_name"],
+        "o_year": t["o_year"],
+        "profit": pc.divide(pc.cast(t["profit_c100"], pa.float64()),
+                            10000.0),
+        "profit_c100": t["profit_c100"],
+    })
+
+
+_96_US = 820_454_400_000_000          # 1996-01-01 epoch µs
+_98_US = 883_612_800_000_000          # 1998-01-01 epoch µs
+
+
+def q_volume_shipping(sf_dir: str, region_a: str = "AMERICA",
+                      region_b: str = "EUROPE") -> pa.Table:
+    """(supp_region, cust_region, l_year, rev_c100, revenue): TPC-H Q7
+    at region grain (25 synthetic nations make a nation pair vacuous at
+    tiny scales) — two-year shipping volume between two regions, both
+    directions. The fact-fact meeting is ONE orderkey-bucket exchange:
+    orders broadcast-joins the customer→region map and ships only
+    (orderkey, cust_region); lineitem broadcast-joins the
+    supplier→region map, filters the window map-side, and pre-reduces
+    to (orderkey, supp_region, year) integer partials. The pair filter
+    and final (supp, cust, year) groupby both ride the combiner."""
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_regionkey"])
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    region = region.filter(pc.is_in(region["r_name"],
+                                    value_set=pa.array([region_a,
+                                                        region_b])))
+    nat_region = nation.join(region, keys="n_regionkey",
+                             right_keys="r_regionkey",
+                             join_type="inner") \
+                       .select(["n_nationkey", "r_name"])
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    cust_region = cust.join(nat_region, keys="c_nationkey",
+                            right_keys="n_nationkey",
+                            join_type="inner") \
+                      .select(["c_custkey", "r_name"]) \
+                      .rename_columns(["o_custkey", "cust_region"])
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    supp_region = supp.join(nat_region, keys="s_nationkey",
+                            right_keys="n_nationkey",
+                            join_type="inner") \
+                      .select(["s_suppkey", "r_name"]) \
+                      .rename_columns(["l_suppkey", "supp_region"])
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    order_side = broadcast_join(orders, cust_region,
+                                key="o_custkey").map_batches(
+        lambda t: (pa.table({"l_orderkey": t["o_orderkey"],
+                             "cust_region": t["cust_region"]})
+                   if "o_orderkey" in t.schema.names else
+                   pa.table({"l_orderkey": pa.array([], pa.int64()),
+                             "cust_region": pa.array([], pa.string())})),
+        batch_format="pyarrow")
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_shipdate",
+                "l_extendedprice", "l_discount"])
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "l_orderkey" not in t.schema.names:
+            return pa.table({"l_orderkey": pa.array([], pa.int64()),
+                             "supp_region": pa.array([], pa.string()),
+                             "l_year": pa.array([], pa.int64()),
+                             "rev_c100": pa.array([], pa.int64())})
+        us = pc.cast(t["l_shipdate"], pa.int64())
+        t = t.filter(pc.and_(pc.greater_equal(us, _96_US),
+                             pc.less(us, _98_US)))
+        part_t = pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "supp_region": t["supp_region"],
+            "l_year": pc.cast(pc.year(t["l_shipdate"]), pa.int64()),
+            "rev_c100": _rev_c100(t)})
+        g = part_t.group_by(["l_orderkey", "supp_region",
+                             "l_year"]).aggregate([("rev_c100", "sum")])
+        return g.rename_columns(["l_orderkey", "supp_region", "l_year",
+                                 "rev_c100"])
+
+    li_side = broadcast_join(li, supp_region, key="l_suppkey") \
+        .map_batches(li_prep, batch_format="pyarrow")
+
+    joined = bucket_hash_join(li_side, order_side, key="l_orderkey",
+                              num_buckets=32)
+
+    def pair_filter(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "supp_region" not in t.schema.names:
+            return pa.table({"supp_region": pa.array([], pa.string()),
+                             "cust_region": pa.array([], pa.string()),
+                             "l_year": pa.array([], pa.int64()),
+                             "rev_c100": pa.array([], pa.int64())})
+        t = t.filter(pc.not_equal(t["supp_region"], t["cust_region"]))
+        return t.select(["supp_region", "cust_region", "l_year",
+                         "rev_c100"])
+
+    out = partial_groupby(
+        joined.map_batches(pair_filter, batch_format="pyarrow"),
+        ["supp_region", "cust_region", "l_year"],
+        {"rev_c100": ("rev_c100", "sum")})
+    t = collect_table(out).sort_by([("supp_region", "ascending"),
+                                    ("cust_region", "ascending"),
+                                    ("l_year", "ascending")])
+    return pa.table({
+        "supp_region": t["supp_region"],
+        "cust_region": t["cust_region"],
+        "l_year": t["l_year"],
+        "rev_c100": t["rev_c100"],
+        "revenue": pc.divide(pc.cast(t["rev_c100"], pa.float64()),
+                             10000.0),
+    })

@@ -78,6 +78,9 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
     "type_drift_cells", "p90_by_type", "p75_cont_by_type",
     "value_winsorized", "value_decile", "merged_intervals",
     "late_shipment_orders", "promo_revenue", "snapshot_diff",
+    "shipping_priority", "returned_item_customers",
+    "large_volume_customers", "bracket_revenue", "profit_by_nation",
+    "volume_shipping",
 ])
 def test_query_matches_oracle(ray_session, oracle, name):
     import __ray_entry__ as entrymod
