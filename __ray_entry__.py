@@ -323,6 +323,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality": textstats.gopher_quality,
         "fingerprints": textstats.fingerprints,
         "html_docs": textstats.html_docs,
+        "unicode_normalize": textstats.unicode_normalize,
+        "lexical_diversity": textstats.lexical_diversity,
         # --- rows-only family (no SQL oracle; property/golden-tested) ---
         "bloom_novel_docs": dedup.bloom_novel_docs,
         "compression_ratio": textstats.compression_ratio,
@@ -708,6 +710,28 @@ def oracle_sql() -> dict[str, str]:
                    event_id, value
             FROM events QUALIFY rank <= 3
             ORDER BY user_id, rank""",
+        "unicode_normalize": """
+            WITH inj AS (
+                SELECT doc_id,
+                       replace(text, 'e', 'e' || chr(769)) AS t
+                FROM documents)
+            SELECT doc_id,
+                   nfc_normalize(t) AS norm_text,
+                   CAST(length(t) AS BIGINT) AS n_before,
+                   CAST(length(nfc_normalize(t)) AS BIGINT) AS n_after
+            FROM inj ORDER BY doc_id""",
+        "lexical_diversity": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '\w+') AS l
+                FROM documents)
+            SELECT doc_id,
+                   CAST(len(l) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(l)) AS BIGINT) AS n_distinct,
+                   CASE WHEN len(l) = 0 THEN 0.0
+                        ELSE CAST(len(list_distinct(l)) AS DOUBLE)
+                             / len(l) END AS ttr
+            FROM tok ORDER BY doc_id""",
         "html_docs": r"""
             WITH h AS (
                 SELECT doc_id,

@@ -1645,3 +1645,76 @@ def bpe_encode(sf_dir: str, n_merges: int = 8) -> pa.Table:
                          columns=["doc_id", "text"])
     out = ds.map_batches(encode_batch, batch_format="pyarrow")
     return collect_table(out).sort_by("doc_id")
+
+
+_WORD_RE = re.compile(r"\w+")
+
+
+def unicode_normalize(sf_dir: str) -> pa.Table:
+    """(doc_id, norm_text, n_before, n_after): NFC unicode normalization
+    — the CCNet/C4-style canonicalization pass. The corpus is ASCII-only
+    synthetic text, so to make composition actually fire both engines
+    first inject a combining acute (U+0301) after every 'e'; NFC then
+    recomposes 'e'+◌́ → 'é' (codepoint count shrinks back). One
+    vectorized-C map per batch (CPython ``unicodedata.normalize`` —
+    pyarrow 16's ``utf8_normalize`` kernel is decompose-only: its
+    'NFC' output is NFD, so the stdlib C routine is the correct AND
+    faster path); the DuckDB twin is
+    ``nfc_normalize(replace(text, 'e', 'e' || chr(769)))``."""
+    import unicodedata
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "text" not in t.schema.names:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "norm_text": pa.array([], pa.string()),
+                             "n_before": pa.array([], pa.int64()),
+                             "n_after": pa.array([], pa.int64())})
+        norm, nb, na = [], [], []
+        for v in t.column("text").to_pylist():
+            inj = (v or "").replace("e", "e\u0301")
+            out = unicodedata.normalize("NFC", inj)
+            norm.append(out)
+            nb.append(len(inj))
+            na.append(len(out))
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "norm_text": pa.array(norm, pa.string()),
+                         "n_before": pa.array(nb, pa.int64()),
+                         "n_after": pa.array(na, pa.int64())})
+
+    out = ds.map_batches(fn, batch_format="pyarrow")
+    return collect_table(out).sort_by("doc_id")
+
+
+def lexical_diversity(sf_dir: str) -> pa.Table:
+    """(doc_id, n_tokens, n_distinct, ttr): type-token ratio — the
+    classic lexical-diversity quality signal (low TTR ⇒ repetitive,
+    boilerplate-like text). Tokens are ``\\w+`` over lowercased text
+    (RE2-compatible, so the DuckDB twin tokenizes identically);
+    ``ttr`` is one IEEE division of the two exact integers (also
+    emitted, so the gate hashes ints AND the derived double). One
+    vectorized map per batch, no exchange."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "text" not in t.schema.names:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "n_distinct": pa.array([], pa.int64()),
+                             "ttr": pa.array([], pa.float64())})
+        nt, nd, ttr = [], [], []
+        for v in t.column("text").to_pylist():
+            toks = _WORD_RE.findall((v or "").lower())
+            nt.append(len(toks))
+            nd.append(len(set(toks)))
+            ttr.append(nd[-1] / nt[-1] if nt[-1] else 0.0)
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_tokens": pa.array(nt, pa.int64()),
+                         "n_distinct": pa.array(nd, pa.int64()),
+                         "ttr": pa.array(ttr, pa.float64())})
+
+    out = ds.map_batches(fn, batch_format="pyarrow")
+    return collect_table(out).sort_by("doc_id")
