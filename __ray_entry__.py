@@ -112,6 +112,11 @@ def _clicks_after_error(sf_dir: str):
     return q_clicks_after_error(sf_dir)
 
 
+def _value_band_pairs(sf_dir: str):
+    from raydoc.functions.rangejoin import q_value_band_pairs
+    return q_value_band_pairs(sf_dir)
+
+
 def _session_outage_overlap(sf_dir: str):
     from raydoc.functions.rangejoin import q_session_outage_overlap
     return q_session_outage_overlap(sf_dir)
@@ -289,6 +294,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_box_scan": _zorder_box_scan,
         "asof_last_view": _asof_last_view,
         "clicks_after_error": _clicks_after_error,
+        "value_band_pairs": _value_band_pairs,
         "session_outage_overlap": _session_outage_overlap,
         # --- dedup / similarity (oracle-backed members) ---
         "dedup_exact": dedup.exact_dedup,
@@ -1868,6 +1874,16 @@ def oracle_sql() -> dict[str, str]:
              AND c.ts <= e.ts + INTERVAL 30 MINUTE
             WHERE e.event_type = 'error' AND c.event_type = 'click'
             ORDER BY error_id, click_id""",
+        "value_band_pairs": """
+            SELECT c.event_id AS click_id, e.event_id AS error_id,
+                   CAST(ROUND(c.value * 100) AS BIGINT) AS v_c_click,
+                   CAST(ROUND(e.value * 100) AS BIGINT) AS v_c_error
+            FROM events c JOIN events e
+              ON c.user_id = e.user_id
+             AND abs(CAST(ROUND(c.value * 100) AS BIGINT)
+                     - CAST(ROUND(e.value * 100) AS BIGINT)) <= 10
+            WHERE c.event_type = 'click' AND e.event_type = 'error'
+            ORDER BY click_id, error_id""",
         "session_outage_overlap": """
             WITH us AS (SELECT user_id, epoch_us(ts) AS us
                         FROM events),

@@ -456,3 +456,115 @@ def _interval_overlap_broadcast(left: "rd.Dataset", right: "rd.Dataset",
         return pa.table(cols).cast(out_schema)
 
     return left.map_batches(probe, batch_format="pyarrow")
+
+
+def band_join(left: rd.Dataset, right: rd.Dataset,
+              left_val: str, right_val: str, delta: int,
+              key: str | None = None,
+              num_buckets: int = 32) -> rd.Dataset:
+    """Value-band join — the fourth non-equi join family: pair every
+    left row with every right row (same ``key``, if given) whose
+    INTEGER ``right_val`` is within ``delta`` of the left row's
+    ``left_val`` (``|l − r| ≤ delta``, inclusive).
+
+    Scale shape (the range_join granule trick rotated from time onto
+    the value axis): with granule width w = ``delta``, a left row maps
+    to its single granule ``g = v // w`` while the right side explodes
+    into the three granules {g−1, g, g+1} — every qualifying pair's
+    right value provably lands in that window, and meets the left row
+    exactly once (in the left's own granule), so no dedup pass. The
+    sides meet in ONE equi-join on the composite (key, granule) via
+    the bucketed hash join, then an exact |l−r| filter. Constant 3×
+    explosion regardless of data — no skew knob to tune.
+
+    Values must be integers (the repo's exact-money discipline: pass
+    cents). Non-key column names must be disjoint across sides.
+    """
+    if delta < 1:
+        raise ValueError(f"delta must be a positive integer, got {delta}")
+
+    def _ck(keys: pa.Array | None, g: np.ndarray) -> pa.Array:
+        gs = pc.cast(pa.array(g, pa.int64()), pa.string())
+        if keys is None:
+            return gs
+        return pc.binary_join_element_wise(
+            pc.cast(keys, pa.string()), gs, "|")
+
+    def l_widen(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or left_val not in t.schema.names:
+            return t.append_column("__ck", pa.array([], pa.string()))
+        g = t[left_val].combine_chunks().to_numpy(
+            zero_copy_only=False) // delta
+        return t.append_column(
+            "__ck", _ck(t[key] if key else None, g))
+
+    def r_widen(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or right_val not in t.schema.names:
+            return t.append_column("__ck", pa.array([], pa.string()))
+        g0 = t[right_val].combine_chunks().to_numpy(
+            zero_copy_only=False) // delta
+        idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), 3)
+        g = np.repeat(g0, 3) + np.tile(
+            np.array([-1, 0, 1], dtype=np.int64), t.num_rows)
+        t3 = t.take(pa.array(idx))
+        return t3.append_column(
+            "__ck", _ck(t3[key] if key else None, g))
+
+    lw = left.map_batches(l_widen, batch_format="pyarrow")
+    rw = right.map_batches(r_widen, batch_format="pyarrow")
+    if key:
+        rw = rw.drop_columns([key])
+    joined = bucket_hash_join(lw, rw, key="__ck",
+                              num_buckets=num_buckets)
+
+    def exact(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or left_val not in t.schema.names:
+            return t.drop_columns(
+                ["__ck"]) if "__ck" in t.schema.names else t
+        d = pc.abs(pc.subtract(t[left_val], t[right_val]))
+        return t.filter(pc.less_equal(d, delta)).drop_columns(["__ck"])
+
+    return joined.map_batches(exact, batch_format="pyarrow")
+
+
+def q_value_band_pairs(sf_dir: str, delta_cents: int = 10) -> pa.Table:
+    """(click_id, error_id, v_c_click, v_c_error): every (click, error)
+    pair by the same user whose values agree within ``delta_cents``
+    (|Δ| ≤ 10¢) — the fuzzy-amount reconciliation shape (match a
+    payment event to its refund/chargeback within a tolerance).
+    Exercises band_join; oracle: DuckDB inequality self-join on exact
+    cents."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "event_type",
+                                  "value"])
+
+    def mk(side: str, idc: str, vc: str):
+        def fn(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "event_type" not in t.schema.names:
+                return pa.table({
+                    "user_id": pa.array([], pa.int64()),
+                    idc: pa.array([], pa.int64()),
+                    vc: pa.array([], pa.int64())})
+            t = t.filter(pc.equal(t["event_type"], side))
+            return pa.table({
+                "user_id": t["user_id"],
+                idc: t["event_id"],
+                vc: pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                            pa.int64())})
+        return fn
+
+    clicks = ev.map_batches(mk("click", "click_id", "v_c_click"),
+                            batch_format="pyarrow")
+    errors = ev.map_batches(mk("error", "error_id", "v_c_error"),
+                            batch_format="pyarrow")
+    pairs = band_join(clicks, errors, "v_c_click", "v_c_error",
+                      delta=delta_cents, key="user_id")
+
+    from raydoc.functions._collect import collect_table
+    t = collect_table(pairs)
+    out = pa.table({"click_id": t["click_id"],
+                    "error_id": t["error_id"],
+                    "v_c_click": t["v_c_click"],
+                    "v_c_error": t["v_c_error"]})
+    return out.sort_by([("click_id", "ascending"),
+                        ("error_id", "ascending")])

@@ -597,3 +597,47 @@ def test_snapshot_diff_matches_duckdb(ray_session, seed):
            OR b.v IS DISTINCT FROM n.v
            OR b.s IS DISTINCT FROM n.s""").df()
     assert _canon(got) == _canon(want)
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13])
+@pytest.mark.parametrize("delta", [1, 7])
+def test_band_join_matches_duckdb(ray_session, seed, delta):
+    from raydoc.functions.rangejoin import band_join
+
+    rng = np.random.RandomState(seed)
+    left = pd.DataFrame({
+        "k": rng.randint(0, 5, 400),
+        "lid": np.arange(400, dtype=np.int64),
+        "lv": rng.randint(-50, 50, 400).astype(np.int64),
+    })
+    right = pd.DataFrame({
+        "k": rng.randint(0, 5, 300),
+        "rid": np.arange(300, dtype=np.int64),
+        "rv": rng.randint(-50, 50, 300).astype(np.int64),
+    })
+    got = band_join(rd.from_pandas(left), rd.from_pandas(right),
+                    "lv", "rv", delta=delta, key="k",
+                    num_buckets=8).to_pandas()
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    exp = con.execute(
+        f"""SELECT l.k, lid, lv, rid, rv FROM l JOIN r
+            ON l.k = r.k AND abs(lv - rv) <= {delta}""").fetchdf()
+    assert _canon(got) == _canon(exp)
+
+
+def test_band_join_no_key_and_rejects_bad_delta(ray_session):
+    from raydoc.functions.rangejoin import band_join
+
+    left = pd.DataFrame({"lid": [0, 1, 2],
+                         "lv": np.array([0, 10, -10], np.int64)})
+    right = pd.DataFrame({"rid": [0, 1],
+                          "rv": np.array([1, -12], np.int64)})
+    got = band_join(rd.from_pandas(left), rd.from_pandas(right),
+                    "lv", "rv", delta=2, num_buckets=4).to_pandas()
+    pairs = sorted(zip(got["lid"], got["rid"]))
+    assert pairs == [(0, 0), (2, 1)]
+    with pytest.raises(ValueError):
+        band_join(rd.from_pandas(left), rd.from_pandas(right),
+                  "lv", "rv", delta=0)
