@@ -107,6 +107,11 @@ def _asof_last_view(sf_dir: str):
     return q_asof_last_view(sf_dir)
 
 
+def _asof_nearest_view(sf_dir: str):
+    from raydoc.functions.asof import q_asof_nearest_view
+    return q_asof_nearest_view(sf_dir)
+
+
 def _clicks_after_error(sf_dir: str):
     from raydoc.functions.rangejoin import q_clicks_after_error
     return q_clicks_after_error(sf_dir)
@@ -293,6 +298,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zonemap_value_scan": _zonemap_value_scan,
         "zorder_box_scan": _zorder_box_scan,
         "asof_last_view": _asof_last_view,
+        "asof_nearest_view": _asof_nearest_view,
         "clicks_after_error": _clicks_after_error,
         "value_band_pairs": _value_band_pairs,
         "session_outage_overlap": _session_outage_overlap,
@@ -1874,6 +1880,25 @@ def oracle_sql() -> dict[str, str]:
              AND c.ts <= e.ts + INTERVAL 30 MINUTE
             WHERE e.event_type = 'error' AND c.event_type = 'click'
             ORDER BY error_id, click_id""",
+        "asof_nearest_view": """
+            WITH c AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'click'),
+            v AS (SELECT event_id AS view_id, user_id, ts FROM events
+                  WHERE event_type = 'view'),
+            j AS (SELECT c.event_id, v.view_id,
+                         abs(epoch_us(c.ts) - epoch_us(v.ts)) AS d,
+                         CASE WHEN v.ts <= c.ts THEN 1 ELSE 0 END
+                             AS back
+                  FROM c JOIN v ON v.user_id = c.user_id),
+            r AS (SELECT event_id, view_id,
+                         row_number() OVER (PARTITION BY event_id
+                             ORDER BY d ASC, back DESC, view_id DESC)
+                             AS rn
+                  FROM j)
+            SELECT c.event_id, c.user_id, r.view_id
+            FROM c LEFT JOIN r
+              ON r.event_id = c.event_id AND r.rn = 1
+            ORDER BY c.event_id""",
         "value_band_pairs": """
             SELECT c.event_id AS click_id, e.event_id AS error_id,
                    CAST(ROUND(c.value * 100) AS BIGINT) AS v_c_click,

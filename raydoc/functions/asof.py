@@ -42,7 +42,17 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, key: str, ts: str,
     flipped internally for ``forward``, where merge_asof keeps the first
     qualifying row instead of the last), making ties deterministic
     without a separate dedup shuffle. Without it, callers must guarantee
-    at most one right row per (key, ts)."""
+    at most one right row per (key, ts).
+
+    ``direction="nearest"``: the right row with the smallest |Δts| wins;
+    an exact distance tie between a backward and a forward candidate
+    resolves BACKWARD (the earlier row) — deterministic and
+    SQL-replicable (``ORDER BY d ASC, back DESC, tiebreak DESC``),
+    unlike pandas' own opaque nearest tie rule, so it is computed here
+    as an explicit backward-vs-forward pick, not merge_asof('nearest')."""
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward/forward/nearest, "
+                         f"got {direction!r}")
     nbuckets = num_buckets or reduce_bucket_count()
     left_schema = left.schema()
     right_schema = right.schema()
@@ -75,6 +85,27 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, key: str, ts: str,
         # wins" hold in both directions (ts itself always ascends, as
         # merge_asof requires)
         tb = right_tiebreak or []
+        if direction == "nearest":
+            r2 = r.copy()
+            r2["__rts"] = r2[ts]
+            rb = r2.sort_values([ts] + tb, kind="stable",
+                                ignore_index=True,
+                                ascending=[True] + [True] * len(tb))
+            mb = pd.merge_asof(l, rb, on=ts, by=key,
+                               direction="backward")
+            rf = r2.sort_values([ts] + tb, kind="stable",
+                                ignore_index=True,
+                                ascending=[True] + [False] * len(tb))
+            mf = pd.merge_asof(l, rf, on=ts, by=key,
+                               direction="forward")
+            d_b = (mb[ts] - mb["__rts"]).abs()
+            d_f = (mf["__rts"] - mf[ts]).abs()
+            use_f = mf["__rts"].notna() & (mb["__rts"].isna()
+                                           | (d_f < d_b))
+            out = mb
+            for c in right_only:
+                out[c] = mb[c].where(~use_f, mf[c])
+            return out[out_cols]
         r = r.sort_values([ts] + tb, kind="stable", ignore_index=True,
                           ascending=[True] + [direction != "forward"] * len(tb))
         merged = pd.merge_asof(l, r, on=ts, by=key, direction=direction)
@@ -112,6 +143,41 @@ def q_asof_last_view(sf_dir: str) -> pa.Table:
         "event_id": pa.array(df["event_id"].astype("int64")),
         "user_id": pa.array(df["user_id"].astype("int64")),
         # unmatched clicks carry NaN → nullable int64
+        "view_id": pa.Array.from_pandas(df["view_id"].astype("Int64"),
+                                        type=pa.int64()),
+    })
+    return t.sort_by("event_id")
+
+
+def q_asof_nearest_view(sf_dir: str) -> pa.Table:
+    """For every 'click' event: the same user's view CLOSEST in time
+    (either direction; distance tie → the earlier view; equal-ts tie →
+    max view_id). The attribution variant where a click may precede its
+    tracked view by clock skew. Oracle: DuckDB argmin via row_number
+    over |Δts| with the same explicit tie chain."""
+    import pyarrow.compute as pc
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id",
+                                  "event_type"])
+
+    def _typed(kind: str, keep_id: str):
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t["event_type"], kind))
+            return pa.table({"user_id": t["user_id"], "ts": t["ts"],
+                             keep_id: t["event_id"]})
+        return fn
+
+    clicks = ev.map_batches(_typed("click", "event_id"),
+                            batch_format="pyarrow")
+    views = ev.map_batches(_typed("view", "view_id"),
+                           batch_format="pyarrow")
+    joined = asof_join(clicks, views, key="user_id", ts="ts",
+                       direction="nearest", right_tiebreak=["view_id"])
+    df = joined.to_pandas()
+    t = pa.table({
+        "event_id": pa.array(df["event_id"].astype("int64")),
+        "user_id": pa.array(df["user_id"].astype("int64")),
         "view_id": pa.Array.from_pandas(df["view_id"].astype("Int64"),
                                         type=pa.int64()),
     })

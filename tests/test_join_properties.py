@@ -641,3 +641,42 @@ def test_band_join_no_key_and_rejects_bad_delta(ray_session):
     with pytest.raises(ValueError):
         band_join(rd.from_pandas(left), rd.from_pandas(right),
                   "lv", "rv", delta=0)
+
+
+@pytest.mark.parametrize("seed", [31, 32, 33])
+def test_asof_nearest_matches_duckdb_argmin(ray_session, seed):
+    """direction='nearest': smallest |Δt| wins, distance ties resolve
+    backward, (key, ts) ties to the max tiebreak — vs an explicit
+    DuckDB row_number argmin with the same tie chain. Small ts range
+    so both directions, exact ties, and equal-ts rows all occur."""
+    from raydoc.functions.asof import asof_join
+
+    rng = np.random.RandomState(seed)
+    left = pd.DataFrame({
+        "k": rng.randint(0, 5, 300),
+        "t": rng.randint(0, 40, 300).astype("int64"),
+        "lid": np.arange(300, dtype="int64"),
+    })
+    right = pd.DataFrame({
+        "k": rng.randint(0, 6, 200),
+        "t": rng.randint(0, 40, 200).astype("int64"),
+        "rv": np.arange(200, dtype="int64"),
+    })
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    want = con.sql("""
+        WITH j AS (
+          SELECT l.lid, r.rv, abs(l.t - r.t) AS d,
+                 CASE WHEN r.t <= l.t THEN 1 ELSE 0 END AS back
+          FROM l JOIN r ON l.k = r.k),
+        rk AS (SELECT lid, rv, row_number() OVER (PARTITION BY lid
+                   ORDER BY d ASC, back DESC, rv DESC) AS rn FROM j)
+        SELECT l.k, l.t, l.lid, rk.rv
+        FROM l LEFT JOIN rk ON rk.lid = l.lid AND rk.rn = 1""").df()
+
+    got = asof_join(rd.from_arrow(pa.Table.from_pandas(left)),
+                    rd.from_arrow(pa.Table.from_pandas(right)),
+                    key="k", ts="t", direction="nearest",
+                    right_tiebreak=["rv"], num_buckets=8).to_pandas()
+    assert _canon(got) == _canon(want)
