@@ -348,6 +348,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_pca": similarity.embedding_pca,
         "embedding_logreg": similarity.embedding_logreg,
         "docx_meta": export.docx_meta,
+        "phash_neardups": multimodal.phash_neardups,
         "shuffle_sample": textstats.shuffle_sample,
         "ngram_logprob": textstats.ngram_logprob,
         "language_id": textstats.language_id,

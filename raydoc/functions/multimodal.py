@@ -457,3 +457,163 @@ def export_media(ds: rd.Dataset, out_dir: str,
         json.dump(manifest, fh)
     os.replace(tmp, os.path.join(out_dir, "_media_manifest.json"))
     return files
+
+
+def make_test_bmp(doc_id: int, n_bases: int = 40, side: int = 32) -> bytes:
+    """Deterministic synthetic 24-bit BMP for image-dedup exercise: the
+    pixel field derives from the doc's BASE (``doc_id % n_bases``) via
+    md5 bytes, plus a per-doc ±1 perturbation on 8 hash-chosen pixels —
+    so docs sharing a base are planted near-duplicates (perceptually
+    identical, byte-different) and docs of different bases are far."""
+    import numpy as np
+
+    base = int(doc_id) % n_bases
+    npix = side * side * 3
+    # counter-mode md5 stream — a single tiled digest would repeat every
+    # row, collapsing the 64-bit aHash to 8 effective bits (column
+    # stripes) and colliding across bases
+    blocks = [hashlib.md5(f"imgbase:{base}:{i}".encode()).digest()
+              for i in range(npix // 16 + 1)]
+    buf = b"".join(blocks)[:npix]
+    px = np.frombuffer(buf, dtype=np.uint8).reshape(side, side, 3).copy()
+    noise = hashlib.md5(f"imgnoise:{int(doc_id)}".encode()).digest()
+    for i in range(8):
+        pos = int.from_bytes(noise[2 * i:2 * i + 2], "big") % (side * side)
+        y, x = divmod(pos, side)
+        px[y, x] = np.clip(px[y, x].astype(np.int16)
+                           + (1 if noise[i] % 2 else -1),
+                           0, 255).astype(np.uint8)
+    return make_bmp(px)
+
+
+def ahash64(payload: bytes, grid: int = 8) -> int:
+    """Average-hash (aHash) of a decodable image: grayscale → grid×grid
+    mean-pool → bit = tile mean > global mean → 64-bit fingerprint.
+    The standard perceptual-dedup primitive: near-identical images give
+    near-identical bits, so hamming distance ≈ visual difference."""
+    import numpy as np
+
+    px = bmp_pixels(payload)
+    gray = px.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    if h % grid or w % grid:
+        raise ValueError(f"image dims {h}x{w} not divisible by {grid}")
+    tiles = gray.reshape(grid, h // grid, grid, w // grid).mean(axis=(1, 3))
+    bits = (tiles > tiles.mean()).ravel()
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    return v
+
+
+class PerceptualHashActor:
+    """Actor-pool stage: BMP payload → 64-bit aHash, exploded into four
+    16-bit bands for hamming-LSH blocking (any pair within hamming 3
+    shares ≥ 1 band — pigeonhole over 4 bands). ``__init__`` is the
+    once-per-worker setup slot (hash params / codec state)."""
+
+    def __init__(self, n_buckets: int = 64) -> None:
+        self._n_buckets = n_buckets
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {"media_id": [], "band": [], "band_key": [], "sig": [],
+               "bucket": []}
+        for mid, payload in zip(batch.column("media_id").to_pylist(),
+                                batch.column("payload").to_pylist()):
+            try:
+                v = ahash64(payload or b"")
+            except (ValueError, NotImplementedError):
+                continue
+            for b in range(4):
+                key = (v >> (16 * b)) & 0xFFFF
+                out["media_id"].append(mid)
+                out["band"].append(b)
+                out["band_key"].append(key)
+                out["sig"].append(v)
+                out["bucket"].append((b * 1021 + key) % self._n_buckets)
+        return pa.table({
+            "media_id": pa.array(out["media_id"], pa.int64()),
+            "band": pa.array(out["band"], pa.int32()),
+            "band_key": pa.array(out["band_key"], pa.int32()),
+            "sig": pa.array(out["sig"], pa.uint64()),
+            "bucket": pa.array(out["bucket"], pa.int32()),
+        })
+
+
+def phash_neardups(sf_dir: str, max_hamming: int = 3,
+                   batch_size: int = 64) -> pa.Table:
+    """(a, b, hamming): near-duplicate IMAGE pairs by perceptual aHash —
+    the visual-dedup pass of a multimodal training pipeline (exact
+    byte-dedup misses re-encoded/steganographically-perturbed copies).
+    Images are synthesized deterministically per doc (``make_test_bmp``:
+    ~n_bases planted duplicate groups); the decode+hash runs in the
+    actor pool (small batches — wide binary rows), banding follows the
+    simhash_neardups shape: 4×16-bit band explosion map-side, ONE
+    coarse-bucket exchange, per-block pair generation + exact hamming
+    filter, only surviving pairs collect. Rows-only (no SQL BMP codec);
+    the property test pins pairs to a pure-Python reference."""
+    import pyarrow.parquet as pq
+
+    # duplicate-group size stays ~12 at ANY corpus scale (footer-only
+    # row count — a fixed n_bases would make each planted group O(n)
+    # and the per-group pair loop quadratic)
+    nrows = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    n_bases = max(40, nrows // 12)
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id"])
+
+    def to_media(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array([make_test_bmp(i, n_bases=n_bases)
+                                 for i in ids], pa.binary()),
+            "mime": pa.array(["image/bmp"] * len(ids), pa.string()),
+        })
+
+    exploded = ds.map_batches(to_media, batch_format="pyarrow",
+                              batch_size=batch_size) \
+        .map_batches(PerceptualHashActor, batch_format="pyarrow",
+                     batch_size=batch_size, concurrency=_pool_size(),
+                     num_cpus=1)
+
+    def block_pairs(g: pa.Table) -> pa.Table:
+        ids = g.column("media_id").to_pylist()
+        bands = g.column("band").to_pylist()
+        keys = g.column("band_key").to_pylist()
+        sigs = g.column("sig").to_pylist()
+        groups: dict[tuple[int, int], list[int]] = {}
+        for i, (b, k) in enumerate(zip(bands, keys)):
+            groups.setdefault((b, k), []).append(i)
+        a_out, b_out, d_out = [], [], []
+        for members in groups.values():
+            for x in range(len(members)):
+                for y in range(x + 1, len(members)):
+                    i, j = members[x], members[y]
+                    if ids[i] == ids[j]:
+                        continue
+                    d = bin(sigs[i] ^ sigs[j]).count("1")
+                    if d <= max_hamming:
+                        lo, hi = min(ids[i], ids[j]), max(ids[i], ids[j])
+                        a_out.append(lo)
+                        b_out.append(hi)
+                        d_out.append(d)
+        return pa.table({"a": pa.array(a_out, pa.int64()),
+                         "b": pa.array(b_out, pa.int64()),
+                         "hamming": pa.array(d_out, pa.int32())})
+
+    pairs = exploded.groupby("bucket").map_groups(block_pairs,
+                                                  batch_format="pyarrow")
+    from raydoc.functions._collect import collect_table
+    t = collect_table(pairs)
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64()),
+                      "hamming": pa.array([], pa.int32())})
+    if t.num_rows == 0:
+        return empty
+    df = t.to_pandas().drop_duplicates(subset=["a", "b"])
+    df = df.sort_values(["a", "b"], ignore_index=True)
+    return pa.table({"a": pa.array(df["a"], pa.int64()),
+                     "b": pa.array(df["b"], pa.int64()),
+                     "hamming": pa.array(df["hamming"], pa.int32())})

@@ -151,3 +151,50 @@ def test_y4m_rejects_high_bit_depth(ray_session):
                    + b"FRAME\n" + b"\x00" * 64)
         with pytest.raises(ValueError, match="colorspace"):
             _parse_y4m(payload)
+
+
+def test_ahash_planted_neardups_match_reference(ray_session):
+    """phash_neardups == brute-force pure-Python reference on sf0.001:
+    planted same-base images pair (hamming ≤ 3 guaranteed by banding's
+    pigeonhole), different bases don't."""
+    import pyarrow.parquet as pq
+
+    from raydoc.functions.multimodal import (ahash64, make_test_bmp,
+                                             phash_neardups)
+
+    sf = "/root/testdata/sf0.001"
+    got = phash_neardups(sf)
+    got_pairs = {(a, b): h for a, b, h in
+                 zip(got["a"].to_pylist(), got["b"].to_pylist(),
+                     got["hamming"].to_pylist())}
+
+    ids = pq.read_table(f"{sf}/documents.parquet",
+                        columns=["doc_id"])["doc_id"].to_pylist()
+    nrows = len(ids)
+    n_bases = max(40, nrows // 12)
+    sigs = {i: ahash64(make_test_bmp(i, n_bases=n_bases)) for i in ids}
+    want = {}
+    sids = sorted(ids)
+    for x in range(len(sids)):
+        for y in range(x + 1, len(sids)):
+            i, j = sids[x], sids[y]
+            d = bin(sigs[i] ^ sigs[j]).count("1")
+            if d <= 3:
+                want[(i, j)] = d
+    assert got_pairs == want
+    assert len(want) > 0
+    # every reported pair comes from the same planted base
+    for a, b in want:
+        assert a % n_bases == b % n_bases
+
+
+def test_ahash_invariant_to_noise_but_not_base():
+    from raydoc.functions.multimodal import ahash64, make_test_bmp
+
+    h0 = ahash64(make_test_bmp(0, n_bases=40))
+    h40 = ahash64(make_test_bmp(40, n_bases=40))   # same base, new noise
+    h1 = ahash64(make_test_bmp(1, n_bases=40))     # different base
+    assert bin(h0 ^ h40).count("1") <= 3
+    assert bin(h0 ^ h1).count("1") > 3
+    # byte-level the two same-base images still differ (near-dup, not dup)
+    assert make_test_bmp(0, n_bases=40) != make_test_bmp(40, n_bases=40)
