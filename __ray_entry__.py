@@ -246,6 +246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bracket_revenue": relational.q_bracket_revenue,
         "profit_by_nation": relational.q_profit_by_nation,
         "volume_shipping": relational.q_volume_shipping,
+        "market_share": relational.q_market_share,
         "snapshot_diff": relational.q_snapshot_diff,
         "value_mad_by_type": windows.value_mad_by_type,
         "value_trend_by_type": windows.value_trend_by_type,
@@ -1479,6 +1480,29 @@ def oracle_sql() -> dict[str, str]:
                    AND qty BETWEEN 10 AND 20)
                OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 50
                    AND qty BETWEEN 20 AND 30)""",
+        "market_share": f"""
+            WITH li AS (
+              SELECT year(o_orderdate) AS o_year,
+                     {_CENTS} * (100 - {_DISC}) AS rev,
+                     CASE WHEN rs.r_name = 'AMERICA'
+                          THEN {_CENTS} * (100 - {_DISC})
+                          ELSE 0 END AS share
+              FROM lineitem
+              JOIN part ON p_partkey = l_partkey
+              JOIN supplier ON s_suppkey = l_suppkey
+              JOIN nation ns ON ns.n_nationkey = s_nationkey
+              JOIN region rs ON rs.r_regionkey = ns.n_regionkey
+              JOIN orders ON o_orderkey = l_orderkey
+              JOIN customer ON c_custkey = o_custkey
+              JOIN nation nc ON nc.n_nationkey = c_nationkey
+              JOIN region rc ON rc.r_regionkey = nc.n_regionkey
+              WHERE rc.r_name = 'EUROPE' AND p_type = 'MEDIUM')
+            SELECT CAST(o_year AS BIGINT) AS o_year,
+                   CAST(SUM(share) AS BIGINT) AS share_rev_c100,
+                   CAST(SUM(rev) AS BIGINT) AS total_rev_c100,
+                   CAST(SUM(share) AS DOUBLE)
+                       / CAST(SUM(rev) AS DOUBLE) AS mkt_share
+            FROM li GROUP BY o_year ORDER BY o_year""",
         "profit_by_nation": f"""
             SELECT n_name,
                    CAST(year(l_shipdate) AS BIGINT) AS o_year,

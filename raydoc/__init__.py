@@ -35,6 +35,10 @@ def __getattr__(name):
         # operators Ray Data lacks natively
         "asof_join": ("raydoc.functions.asof", "asof_join"),
         "range_join": ("raydoc.functions.rangejoin", "range_join"),
+        "band_join": ("raydoc.functions.rangejoin", "band_join"),
+        "phash_neardups": ("raydoc.functions.multimodal",
+                           "phash_neardups"),
+        "ahash64": ("raydoc.functions.multimodal", "ahash64"),
         "interval_overlap_join": ("raydoc.functions.rangejoin",
                                   "interval_overlap_join"),
         "broadcast_join": ("raydoc.functions.joins", "broadcast_join"),

@@ -2339,3 +2339,128 @@ def q_volume_shipping(sf_dir: str, region_a: str = "AMERICA",
         "revenue": pc.divide(pc.cast(t["rev_c100"], pa.float64()),
                              10000.0),
     })
+
+
+def q_market_share(sf_dir: str, supp_region: str = "AMERICA",
+                   cust_region: str = "EUROPE",
+                   p_type: str = "MEDIUM") -> pa.Table:
+    """(o_year, share_rev_c100, total_rev_c100, mkt_share): TPC-H Q8 —
+    the ``supp_region`` suppliers' share of ``p_type``-part revenue sold
+    into ``cust_region``, by order year. All three dimension reductions
+    broadcast (part keys as a semi-filter SET, supplier→region as a
+    two-column map, customer(cust_region) keys as a semi-filter into
+    orders); lineitem pre-reduces to per-batch (orderkey,
+    total/share-rev) integer partials, meets the filtered orders stream
+    in ONE orderkey-bucket exchange, and each bucket emits per-year
+    partials — the final year groupby moves a handful of rows.
+    ``mkt_share`` is one IEEE division of the two exact integers (both
+    emitted, so the gate hashes ints AND the derived double)."""
+    from raydoc.functions.joins import tag_union
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"])
+    pkeys = part.filter(pc.equal(part["p_type"], p_type)) \
+                .column("p_partkey").combine_chunks()
+    pkeys_ref = ray.put(pkeys)
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_regionkey"])
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    nat_region = nation.join(region, keys="n_regionkey",
+                             right_keys="r_regionkey",
+                             join_type="inner") \
+                       .select(["n_nationkey", "r_name"])
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    supp_map = supp.join(nat_region, keys="s_nationkey",
+                         right_keys="n_nationkey", join_type="inner") \
+                   .select(["s_suppkey", "r_name"]) \
+                   .rename_columns(["l_suppkey", "supp_region"])
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    ckeys = cust.join(
+        nat_region.filter(pc.equal(nat_region["r_name"], cust_region)),
+        keys="c_nationkey", right_keys="n_nationkey",
+        join_type="inner").column("c_custkey").combine_chunks()
+    ckeys_ref = ray.put(ckeys)
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def ord_prep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "o_orderkey" not in t.schema.names:
+            return pa.table({"l_orderkey": pa.array([], pa.int64()),
+                             "o_year": pa.array([], pa.int64())})
+        ks = ray.get(ckeys_ref)
+        t = t.filter(pc.fill_null(
+            pc.is_in(t["o_custkey"], value_set=ks), False))
+        return pa.table({
+            "l_orderkey": t["o_orderkey"],
+            "o_year": pc.cast(pc.year(t["o_orderdate"]), pa.int64())})
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_partkey", "l_suppkey",
+                "l_extendedprice", "l_discount"])
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "supp_region" not in t.schema.names:
+            return pa.table({"l_orderkey": pa.array([], pa.int64()),
+                             "rev_c100": pa.array([], pa.int64()),
+                             "share_c100": pa.array([], pa.int64())})
+        ks = ray.get(pkeys_ref)
+        t = t.filter(pc.fill_null(
+            pc.is_in(t["l_partkey"], value_set=ks), False))
+        rev = _rev_c100(t)
+        share = pc.if_else(pc.equal(t["supp_region"], supp_region),
+                           rev, pa.scalar(0, pa.int64()))
+        part_t = pa.table({"l_orderkey": t["l_orderkey"],
+                           "rev_c100": rev, "share_c100": share})
+        g = part_t.group_by("l_orderkey").aggregate(
+            [("rev_c100", "sum"), ("share_c100", "sum")])
+        return g.rename_columns(["l_orderkey", "rev_c100", "share_c100"])
+
+    li_side = broadcast_join(li, supp_map, key="l_suppkey") \
+        .map_batches(li_prep, batch_format="pyarrow")
+
+    all_fields = [("l_orderkey", pa.int64()), ("o_year", pa.int64()),
+                  ("rev_c100", pa.int64()), ("share_c100", pa.int64())]
+    tagged = tag_union(orders.map_batches(ord_prep,
+                                          batch_format="pyarrow"),
+                       li_side, "l_orderkey", all_fields,
+                       num_buckets=32)
+
+    year_schema = pa.schema([("o_year", pa.int64()),
+                             ("rev_c100", pa.int64()),
+                             ("share_c100", pa.int64())])
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        side = group.column("__side")
+        o = group.filter(pc.equal(side, 0)).select(
+            ["l_orderkey", "o_year"])
+        l = group.filter(pc.equal(side, 1)).select(
+            ["l_orderkey", "rev_c100", "share_c100"])
+        if o.num_rows == 0 or l.num_rows == 0:
+            return year_schema.empty_table()
+        j = l.join(o, keys="l_orderkey", join_type="inner")
+        g = j.group_by("o_year").aggregate([("rev_c100", "sum"),
+                                            ("share_c100", "sum")])
+        return g.rename_columns(["o_year", "rev_c100",
+                                 "share_c100"]).cast(year_schema)
+
+    per_year = tagged.groupby("__bucket").map_groups(
+        per_bucket, batch_format="pyarrow")
+    out = partial_groupby(per_year, ["o_year"],
+                          {"total_rev_c100": ("rev_c100", "sum"),
+                           "share_rev_c100": ("share_c100", "sum")})
+    t = collect_table(out).sort_by("o_year")
+    return pa.table({
+        "o_year": t["o_year"],
+        "share_rev_c100": t["share_rev_c100"],
+        "total_rev_c100": t["total_rev_c100"],
+        "mkt_share": pc.divide(
+            pc.cast(t["share_rev_c100"], pa.float64()),
+            pc.cast(t["total_rev_c100"], pa.float64())),
+    })

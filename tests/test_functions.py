@@ -81,7 +81,7 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
     "shipping_priority", "returned_item_customers",
     "large_volume_customers", "bracket_revenue", "profit_by_nation",
     "volume_shipping", "unicode_normalize", "lexical_diversity",
-    "value_band_pairs", "asof_nearest_view",
+    "value_band_pairs", "asof_nearest_view", "market_share",
 ])
 def test_query_matches_oracle(ray_session, oracle, name):
     import __ray_entry__ as entrymod
