@@ -62,10 +62,42 @@ def read_transcripts(path: str) -> rd.Dataset:
         return ds.select_columns(TRANSCRIPT_COLUMNS)
     if fmt == "feather":
         return _read_feather_dataset(path)
+    if fmt == "textdir":
+        return _read_text_dir(path)
     return rd.read_parquet(path, columns=TRANSCRIPT_COLUMNS)
 
 
 _FEATHER_EXTS = {".feather", ".arrow", ".ipc"}
+_TEXT_EXTS = {".md", ".txt", ".html", ".htm"}
+
+
+def _read_text_dir(path: str) -> rd.Dataset:
+    """Folder-of-documents source — the reference's native input shape
+    (a directory of markdown/HTML/text files, one document each;
+    SmolDocling-OCR main.py walks an input dir). Each file becomes a
+    single-turn conversation: conv_id = filename stem, turn_idx = 0,
+    text = decoded contents. Streams via Ray's native binary-file
+    reader (one task per file group, no driver-side file loop)."""
+    import pyarrow as pa
+
+    ds = rd.read_binary_files(
+        path, include_paths=True,
+        file_extensions=[e.lstrip(".") for e in sorted(_TEXT_EXTS)])
+
+    def to_rows(t: pa.Table) -> pa.Table:
+        paths = t.column("path").to_pylist()
+        blobs = t.column("bytes").to_pylist()
+        return pa.table({
+            "conv_id": pa.array(
+                [os.path.splitext(os.path.basename(p))[0]
+                 for p in paths], pa.string()),
+            "turn_idx": pa.array([0] * len(paths), pa.int32()),
+            "text": pa.array(
+                [(b or b"").decode("utf-8", "replace") for b in blobs],
+                pa.string()),
+        })
+
+    return ds.map_batches(to_rows, batch_format="pyarrow")
 
 
 def _read_feather_dataset(path: str) -> rd.Dataset:
@@ -102,6 +134,8 @@ def _input_format(path: str) -> str:
         return "csv"
     if exts & _FEATHER_EXTS:
         return "feather"
+    if exts & _TEXT_EXTS:
+        return "textdir"
     return "parquet"
 
 

@@ -515,3 +515,31 @@ def test_read_parquet_evolved(ray_session, tmp_path):
     bad = pa.table({"doc_id": ["not-an-int"], "text": ["x"]})
     with pytest.raises(TypeError, match="doc_id"):
         widen_to_schema(bad, target)
+
+
+def test_text_dir_source(ray_session, tmp_path):
+    """Source-format dispatch: a folder of markdown/HTML/text documents
+    (the reference's native input — one file per document) flows through
+    the same pipeline, each file a single-turn conversation keyed by
+    filename stem, byte-equal to process_conversation on the contents."""
+    from raydoc.kernels.document import process_conversation
+    from raydoc.pipelines.extract_pipeline import extract_dataset
+
+    docs = {
+        "alpha": "# Heading\n\nSome **bold** body text.",
+        "beta": "<html><body><p>An HTML doc with "
+                "<b>markup</b>.</p></body></html>",
+        "gamma": "plain text line one\nline two",
+    }
+    for stem, body in docs.items():
+        ext = ".html" if stem == "beta" else (".md" if stem == "alpha"
+                                              else ".txt")
+        (tmp_path / f"{stem}{ext}").write_text(body, encoding="utf-8")
+
+    rows = extract_dataset(str(tmp_path)).take_all()
+    assert {r["conv_id"] for r in rows} == set(docs)
+    for r in rows:
+        assert r["turn_idx"] == 0
+        want = process_conversation(r["conv_id"], [0],
+                                    [docs[r["conv_id"]]])
+        assert r["extracted_text"] == want["turn_markdown"][0]
