@@ -247,6 +247,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profit_by_nation": relational.q_profit_by_nation,
         "volume_shipping": relational.q_volume_shipping,
         "market_share": relational.q_market_share,
+        "discount_band_revenue": relational.q_discount_band_revenue,
+        "top_part_revenue_share": relational.q_top_part_revenue_share,
+        "supplier_count_by_part": relational.q_supplier_count_by_part,
+        "lone_return_suppliers": relational.q_lone_return_suppliers,
         "snapshot_diff": relational.q_snapshot_diff,
         "value_mad_by_type": windows.value_mad_by_type,
         "value_trend_by_type": windows.value_trend_by_type,
@@ -1503,6 +1507,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(share) AS DOUBLE)
                        / CAST(SUM(rev) AS DOUBLE) AS mkt_share
             FROM li GROUP BY o_year ORDER BY o_year""",
+        "discount_band_revenue": f"""
+            SELECT CAST(SUM({_CENTS} * (100 - {_DISC})) AS BIGINT)
+                       AS rev_c100,
+                   CAST(SUM({_CENTS} * (100 - {_DISC})) AS DOUBLE)
+                       / 10000.0 AS revenue,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+              AND {_DISC} BETWEEN 2 AND 4
+              AND l_quantity < 24""",
+        "top_part_revenue_share": f"""
+            WITH pr AS (
+              SELECT l_partkey,
+                     CAST(SUM({_CENTS} * (100 - {_DISC})) AS HUGEINT)
+                         AS v
+              FROM lineitem GROUP BY l_partkey)
+            SELECT l_partkey, CAST(v AS BIGINT) AS rev_c100
+            FROM pr
+            WHERE 2 * v * (SELECT COUNT(*) FROM pr)
+                  > 3 * (SELECT SUM(v) FROM pr)
+            ORDER BY rev_c100 DESC, l_partkey""",
+        "supplier_count_by_part": """
+            SELECT p_brand, p_type, p_size,
+                   CAST(COUNT(DISTINCT l_suppkey) AS BIGINT)
+                       AS supplier_cnt
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE p_brand <> 'Brand#1'
+            GROUP BY p_brand, p_type, p_size
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+        "lone_return_suppliers": """
+            WITH per AS (
+              SELECT l_orderkey, l_suppkey,
+                     MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                         AS ret
+              FROM lineitem GROUP BY l_orderkey, l_suppkey),
+            o AS (SELECT l_orderkey, COUNT(*) AS n_supp,
+                         SUM(ret) AS n_ret
+                  FROM per GROUP BY l_orderkey)
+            SELECT s_suppkey, s_name,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM per
+            JOIN o USING (l_orderkey)
+            JOIN supplier ON s_suppkey = per.l_suppkey
+            WHERE per.ret = 1 AND o.n_supp > 1 AND o.n_ret = 1
+            GROUP BY s_suppkey, s_name
+            ORDER BY n_orders DESC, s_suppkey""",
         "profit_by_nation": f"""
             SELECT n_name,
                    CAST(year(l_shipdate) AS BIGINT) AS o_year,

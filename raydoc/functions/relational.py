@@ -2464,3 +2464,232 @@ def q_market_share(sf_dir: str, supp_region: str = "AMERICA",
             pc.cast(t["share_rev_c100"], pa.float64()),
             pc.cast(t["total_rev_c100"], pa.float64())),
     })
+
+
+def q_discount_band_revenue(sf_dir: str) -> pa.Table:
+    """(rev_c100, revenue, n_lines): TPC-H Q6 — revenue delta from
+    lineitems of one ship year in a discount band below a quantity cap.
+    The pure streaming aggregate: one predicate+sum pass over the fact
+    table, integer partials fold, nothing else moves."""
+    y0 = 852_076_800_000_000      # 1997-01-01 epoch µs
+    y1 = 883_612_800_000_000      # 1998-01-01 epoch µs
+    li = _read(sf_dir, "lineitem",
+               ["l_shipdate", "l_quantity", "l_extendedprice",
+                "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "l_shipdate" not in t.schema.names:
+            return pa.table({"rev_c100": pa.array([], pa.int64()),
+                             "n_lines": pa.array([], pa.int64())})
+        us = pc.cast(t["l_shipdate"], pa.int64())
+        disc_pct = pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)),
+                           pa.int64())
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(us, y0), pc.less(us, y1)),
+            pc.and_(pc.and_(pc.greater_equal(disc_pct, 2),
+                            pc.less_equal(disc_pct, 4)),
+                    pc.less(t["l_quantity"], 24.0)))
+        t = t.filter(keep)
+        rev = _rev_c100(t)
+        return pa.table({
+            "rev_c100": pa.array([pc.sum(rev).as_py() or 0], pa.int64()),
+            "n_lines": pa.array([t.num_rows], pa.int64())})
+
+    t = collect_table(li.map_batches(partial, batch_format="pyarrow"))
+    rev = pc.sum(t["rev_c100"]).as_py() or 0
+    n = pc.sum(t["n_lines"]).as_py() or 0
+    return pa.table({"rev_c100": pa.array([rev], pa.int64()),
+                     "revenue": pa.array([rev / 10000.0], pa.float64()),
+                     "n_lines": pa.array([n], pa.int64())})
+
+
+def q_top_part_revenue_share(sf_dir: str) -> pa.Table:
+    """(l_partkey, rev_c100): TPC-H Q11 shape — parts whose revenue
+    exceeds 1.5× the mean part revenue (scale-free analog of Q11's
+    FRACTION·total cut; no partsupp table in this schema). Per-part
+    revenue rides integer combiner partials into one dimension-sized
+    groupby; the global threshold is the exact rational comparison
+    ``2·n·v > 3·Σv`` evaluated on the collected part-sized aggregate
+    (both sides exact ints — at extreme corpus scale promote to
+    HUGEINT/Python int before the products; the SQL twin already
+    compares in HUGEINT)."""
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "l_partkey" not in t.schema.names:
+            return pa.table({"l_partkey": pa.array([], pa.int64()),
+                             "rev_c100": pa.array([], pa.int64())})
+        part_t = pa.table({"l_partkey": t["l_partkey"],
+                           "rev_c100": _rev_c100(t)})
+        g = part_t.group_by("l_partkey").aggregate([("rev_c100", "sum")])
+        return g.rename_columns(["l_partkey", "rev_c100"])
+
+    per_part = partial_groupby(
+        li.map_batches(partial, batch_format="pyarrow"),
+        ["l_partkey"], {"rev_c100": ("rev_c100", "sum")})
+    t = collect_table(per_part)      # part-dimension-sized
+    v = t["rev_c100"].to_pylist()
+    n, s = len(v), sum(v)            # exact Python ints — no overflow
+    keep = pa.array([2 * x * n > 3 * s for x in v], pa.bool_())
+    out = t.filter(keep)
+    return out.sort_by([("rev_c100", "descending"),
+                        ("l_partkey", "ascending")])
+
+
+def q_supplier_count_by_part(sf_dir: str) -> pa.Table:
+    """(p_brand, p_type, p_size, supplier_cnt): TPC-H Q16 shape —
+    DISTINCT suppliers per part-attribute group, one brand excluded
+    (supplier relationships derived from lineitem; no partsupp table).
+    Exact distributed COUNT(DISTINCT): batch-local distinct
+    (partkey, suppkey) pairs → broadcast part-attrs join → batch-local
+    distinct (attrs, suppkey) → ONE hash-bucket exchange where each
+    distinct tuple lands in exactly one bucket (dedup there) → per-
+    bucket partial counts → tiny final attr groupby."""
+    from raydoc.functions._buckets import reduce_bucket_count
+    mask = reduce_bucket_count() - 1
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand", "p_type",
+                                  "p_size"])
+    part = part.filter(pc.not_equal(part["p_brand"], "Brand#1")) \
+               .rename_columns(["l_partkey", "p_brand", "p_type",
+                                "p_size"])
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def pair_distinct(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "l_partkey" not in t.schema.names:
+            return pa.table({"l_partkey": pa.array([], pa.int64()),
+                             "l_suppkey": pa.array([], pa.int64())})
+        return t.select(["l_partkey", "l_suppkey"]) \
+                .group_by(["l_partkey", "l_suppkey"]).aggregate([])
+
+    pairs = li.map_batches(pair_distinct, batch_format="pyarrow")
+    tagged = broadcast_join(pairs, part, key="l_partkey")
+
+    def attr_distinct(t: pa.Table) -> pa.Table:
+        empty = pa.table({"p_brand": pa.array([], pa.string()),
+                          "p_type": pa.array([], pa.string()),
+                          "p_size": pa.array([], pa.int32()),
+                          "l_suppkey": pa.array([], pa.int64()),
+                          "bucket": pa.array([], pa.int32())})
+        if t.num_rows == 0 or "p_brand" not in t.schema.names:
+            return empty
+        g = t.select(["p_brand", "p_type", "p_size", "l_suppkey"]) \
+             .group_by(["p_brand", "p_type", "p_size",
+                        "l_suppkey"]).aggregate([])
+        # every copy of one distinct tuple hashes to the SAME bucket
+        import numpy as np
+        keys = [f"{b}|{ty}|{s}|{k}" for b, ty, s, k in zip(
+            g["p_brand"].to_pylist(), g["p_type"].to_pylist(),
+            g["p_size"].to_pylist(), g["l_suppkey"].to_pylist())]
+        import hashlib as _h
+        bk = pa.array([int(_h.md5(x.encode()).hexdigest()[:8], 16) & mask
+                       for x in keys], pa.int32())
+        return g.append_column("bucket", bk)
+
+    exploded = tagged.map_batches(attr_distinct, batch_format="pyarrow")
+
+    cnt_schema = pa.schema([("p_brand", pa.string()),
+                            ("p_type", pa.string()),
+                            ("p_size", pa.int32()),
+                            ("supplier_cnt", pa.int64())])
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return cnt_schema.empty_table()
+        d = g.select(["p_brand", "p_type", "p_size", "l_suppkey"]) \
+             .group_by(["p_brand", "p_type", "p_size",
+                        "l_suppkey"]).aggregate([])
+        c = d.group_by(["p_brand", "p_type", "p_size"]).aggregate(
+            [("l_suppkey", "count")])
+        return c.rename_columns(["p_brand", "p_type", "p_size",
+                                 "supplier_cnt"]).cast(cnt_schema)
+
+    counts = exploded.groupby("bucket").map_groups(
+        per_bucket, batch_format="pyarrow")
+    out = partial_groupby(counts, ["p_brand", "p_type", "p_size"],
+                          {"supplier_cnt": ("supplier_cnt", "sum")})
+    return collect_table(out).sort_by([
+        ("supplier_cnt", "descending"), ("p_brand", "ascending"),
+        ("p_type", "ascending"), ("p_size", "ascending")])
+
+
+def q_lone_return_suppliers(sf_dir: str) -> pa.Table:
+    """(s_suppkey, s_name, n_orders): TPC-H Q21 shape — suppliers who
+    were the ONLY supplier with returned lines in a multi-supplier
+    order (returnflag replaces the receipt/commit delay; this schema
+    has no receiptdate). The EXISTS + NOT-EXISTS pair collapses into
+    per-order counts: (orderkey, suppkey, returned) partials map-side,
+    ONE orderkey-bucket exchange where each bucket computes per-order
+    supplier/returner counts and emits (suppkey, 1) for qualifying
+    pairs, a supplier-sized combiner groupby, then one broadcast for
+    names."""
+    from raydoc.functions.joins import tag_union  # noqa: F401 (shape doc)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_returnflag"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "l_orderkey" not in t.schema.names:
+            return pa.table({"l_orderkey": pa.array([], pa.int64()),
+                             "l_suppkey": pa.array([], pa.int64()),
+                             "ret": pa.array([], pa.int64())})
+        part_t = pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "l_suppkey": t["l_suppkey"],
+            "ret": pc.cast(pc.equal(t["l_returnflag"], "R"), pa.int64())})
+        g = part_t.group_by(["l_orderkey", "l_suppkey"]).aggregate(
+            [("ret", "max")])
+        return g.rename_columns(["l_orderkey", "l_suppkey", "ret"])
+
+    from raydoc.functions._buckets import reduce_bucket_count
+    mask = reduce_bucket_count() - 1
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "l_orderkey" not in t.schema.names:
+            return t.append_column("bucket", pa.array([], pa.int32()))
+        return t.append_column(
+            "bucket", pc.cast(pc.bit_wise_and(t["l_orderkey"], mask),
+                              pa.int32()))
+
+    exploded = li.map_batches(partial, batch_format="pyarrow") \
+                 .map_batches(add_bucket, batch_format="pyarrow")
+
+    sup_schema = pa.schema([("l_suppkey", pa.int64()),
+                            ("n_orders", pa.int64())])
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return sup_schema.empty_table()
+        # final per-(order, supplier) returned flag (batch partials of
+        # one pair can split across batches but land in one bucket)
+        d = g.select(["l_orderkey", "l_suppkey", "ret"]) \
+             .group_by(["l_orderkey", "l_suppkey"]).aggregate(
+            [("ret", "max")]) \
+             .rename_columns(["l_orderkey", "l_suppkey", "ret"])
+        per_order = d.group_by("l_orderkey").aggregate(
+            [("l_suppkey", "count"), ("ret", "sum")]) \
+            .rename_columns(["l_orderkey", "n_supp", "n_ret"])
+        j = d.filter(pc.equal(d["ret"], 1)) \
+             .join(per_order, keys="l_orderkey", join_type="inner")
+        j = j.filter(pc.and_(pc.greater(j["n_supp"], 1),
+                             pc.equal(j["n_ret"], 1)))
+        c = j.group_by("l_suppkey").aggregate([("l_orderkey", "count")])
+        return c.rename_columns(["l_suppkey", "n_orders"]) \
+                .cast(sup_schema)
+
+    counts = exploded.groupby("bucket").map_groups(
+        per_bucket, batch_format="pyarrow")
+    out = partial_groupby(counts, ["l_suppkey"],
+                          {"n_orders": ("n_orders", "sum")})
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_name"]) \
+             .rename_columns(["l_suppkey", "s_name"])
+    named = broadcast_join(out, supp, key="l_suppkey")
+    t = collect_table(named)
+    t = t.sort_by([("n_orders", "descending"),
+                   ("l_suppkey", "ascending")])
+    return pa.table({"s_suppkey": t["l_suppkey"], "s_name": t["s_name"],
+                     "n_orders": t["n_orders"]})

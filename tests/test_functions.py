@@ -82,6 +82,8 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
     "large_volume_customers", "bracket_revenue", "profit_by_nation",
     "volume_shipping", "unicode_normalize", "lexical_diversity",
     "value_band_pairs", "asof_nearest_view", "market_share",
+    "discount_band_revenue", "top_part_revenue_share",
+    "supplier_count_by_part", "lone_return_suppliers",
 ])
 def test_query_matches_oracle(ray_session, oracle, name):
     import __ray_entry__ as entrymod
