@@ -354,6 +354,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_logreg": similarity.embedding_logreg,
         "docx_meta": export.docx_meta,
         "phash_neardups": multimodal.phash_neardups,
+        "phash_clusters": multimodal.phash_clusters,
         "shuffle_sample": textstats.shuffle_sample,
         "ngram_logprob": textstats.ngram_logprob,
         "language_id": textstats.language_id,

@@ -617,3 +617,28 @@ def phash_neardups(sf_dir: str, max_hamming: int = 3,
     return pa.table({"a": pa.array(df["a"], pa.int64()),
                      "b": pa.array(df["b"], pa.int64()),
                      "hamming": pa.array(df["hamming"], pa.int32())})
+
+
+def phash_clusters(sf_dir: str, max_hamming: int = 3) -> pa.Table:
+    """(media_id, cluster): perceptual-duplicate IMAGE groups — the
+    keep-one-per-cluster input of a visual dedup pass. Composes the
+    aHash near-dup pairs with distributed min-label connected
+    components (functions/graph.py); singleton images are omitted
+    (cluster = min media_id of the group). Rows-only; the property
+    test pins clusters to the planted bases."""
+    import ray.data as rd
+
+    from raydoc.functions._collect import collect_table
+    from raydoc.functions.graph import connected_components
+
+    pairs = phash_neardups(sf_dir, max_hamming=max_hamming)
+    if pairs.num_rows == 0:
+        return pa.table({"media_id": pa.array([], pa.int64()),
+                         "cluster": pa.array([], pa.int64())})
+    labels = connected_components(
+        rd.from_arrow(pairs.select(["a", "b"])))
+    t = collect_table(labels)
+    return pa.table({
+        "media_id": t["node"].combine_chunks().cast(pa.int64()),
+        "cluster": t["label"].combine_chunks().cast(pa.int64()),
+    }).sort_by("media_id")

@@ -99,7 +99,7 @@ def test_query_matches_oracle(ray_session, oracle, name):
     "ngram_logprob", "embedding_kmeans", "embedding_logreg",
     "embedding_neardups_clustered",
     "shuffle_sample", "extract_turns_aligned", "validate_docs",
-    "phash_neardups",
+    "phash_neardups", "phash_clusters",
 ])
 def test_rows_only_queries_run(ray_session, name):
     import __ray_entry__ as entrymod

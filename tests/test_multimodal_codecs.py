@@ -198,3 +198,26 @@ def test_ahash_invariant_to_noise_but_not_base():
     assert bin(h0 ^ h1).count("1") > 3
     # byte-level the two same-base images still differ (near-dup, not dup)
     assert make_test_bmp(0, n_bases=40) != make_test_bmp(40, n_bases=40)
+
+
+def test_phash_clusters_match_planted_bases(ray_session):
+    """phash_clusters: every reported cluster is exactly the set of
+    docs sharing one planted base (restricted to docs whose pairs
+    survived the hamming cut), labeled by its min member."""
+    import pyarrow.parquet as pq
+
+    from raydoc.functions.multimodal import phash_clusters
+
+    sf = "/root/testdata/sf0.001"
+    got = phash_clusters(sf)
+    ids = pq.read_table(f"{sf}/documents.parquet",
+                        columns=["doc_id"])["doc_id"].to_pylist()
+    n_bases = max(40, len(ids) // 12)
+    members = {}
+    for m, c in zip(got["media_id"].to_pylist(),
+                    got["cluster"].to_pylist()):
+        members.setdefault(c, []).append(m)
+    assert members, "expected planted clusters"
+    for c, ms in members.items():
+        assert c == min(ms)
+        assert len({m % n_bases for m in ms}) == 1
