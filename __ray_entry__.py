@@ -342,6 +342,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_docs": textstats.html_docs,
         "unicode_normalize": textstats.unicode_normalize,
         "lexical_diversity": textstats.lexical_diversity,
+        "top_terms_by_lang": textstats.top_terms_by_lang,
+        "extract_mentions": textstats.extract_mentions,
         # --- rows-only family (no SQL oracle; property/golden-tested) ---
         "bloom_novel_docs": dedup.bloom_novel_docs,
         "compression_ratio": textstats.compression_ratio,
@@ -739,6 +741,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(t) AS BIGINT) AS n_before,
                    CAST(length(nfc_normalize(t)) AS BIGINT) AS n_after
             FROM inj ORDER BY doc_id""",
+        "top_terms_by_lang": r"""
+            WITH tok AS (
+                SELECT lang,
+                       unnest(regexp_extract_all(lower(text), '\w+'))
+                           AS term
+                FROM documents),
+            c AS (SELECT lang, term, COUNT(*) AS n
+                  FROM tok GROUP BY lang, term),
+            r AS (SELECT lang, term, CAST(n AS BIGINT) AS n,
+                         CAST(row_number() OVER (PARTITION BY lang
+                              ORDER BY n DESC, term) AS BIGINT) AS rank
+                  FROM c)
+            SELECT lang, term, n, rank FROM r WHERE rank <= 3
+            ORDER BY lang, rank""",
+        "extract_mentions": r"""
+            WITH m AS (
+                SELECT doc_id,
+                       regexp_extract_all(text,
+                           '\b(?:join|merge|sort)\b') AS l
+                FROM documents)
+            SELECT doc_id,
+                   CAST(generate_subscripts(l, 1) AS BIGINT) AS ord,
+                   unnest(l) AS mention
+            FROM m ORDER BY doc_id, ord""",
         "lexical_diversity": r"""
             WITH tok AS (
                 SELECT doc_id,

@@ -195,6 +195,25 @@ BENCH_QUERIES = [
     "promo_revenue",
     "snapshot_diff",
     "bpe_encode",
+    "shipping_priority",
+    "returned_item_customers",
+    "large_volume_customers",
+    "bracket_revenue",
+    "profit_by_nation",
+    "volume_shipping",
+    "market_share",
+    "discount_band_revenue",
+    "top_part_revenue_share",
+    "supplier_count_by_part",
+    "lone_return_suppliers",
+    "unicode_normalize",
+    "lexical_diversity",
+    "value_band_pairs",
+    "asof_nearest_view",
+    "phash_neardups",
+    "phash_clusters",
+    "top_terms_by_lang",
+    "extract_mentions",
 ]
 
 

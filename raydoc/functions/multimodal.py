@@ -619,26 +619,36 @@ def phash_neardups(sf_dir: str, max_hamming: int = 3,
                      "hamming": pa.array(df["hamming"], pa.int32())})
 
 
-def phash_clusters(sf_dir: str, max_hamming: int = 3) -> pa.Table:
+def phash_clusters(sf_dir: str, max_hamming: int = 3,
+                   max_driver_pairs: int = 50_000) -> pa.Table:
     """(media_id, cluster): perceptual-duplicate IMAGE groups — the
-    keep-one-per-cluster input of a visual dedup pass. Composes the
-    aHash near-dup pairs with distributed min-label connected
-    components (functions/graph.py); singleton images are omitted
-    (cluster = min media_id of the group). Rows-only; the property
-    test pins clusters to the planted bases."""
+    keep-one-per-cluster input of a visual dedup pass (cluster = min
+    media_id of the group; singletons omitted). Labeling follows THE
+    shared adaptive policy (graph.py:label_components): the banded-LSH
+    pair table arrives driver-resident and small by contract, so
+    union-find labels it in microseconds; only an over-threshold pair
+    set pays the distributed min-label rounds (the always-distributed
+    first cut spent 12.3 s of fixed sort barriers at sf0.1 on a <1 ms
+    labeling problem). Rows-only; the property test pins clusters to
+    the planted bases."""
     import ray.data as rd
 
-    from raydoc.functions._collect import collect_table
-    from raydoc.functions.graph import connected_components
+    from raydoc.functions.graph import (_union_find_min_labels,
+                                        label_components)
 
     pairs = phash_neardups(sf_dir, max_hamming=max_hamming)
     if pairs.num_rows == 0:
         return pa.table({"media_id": pa.array([], pa.int64()),
                          "cluster": pa.array([], pa.int64())})
-    labels = connected_components(
-        rd.from_arrow(pairs.select(["a", "b"])))
-    t = collect_table(labels)
+    if pairs.num_rows <= max_driver_pairs:
+        lab = _union_find_min_labels(
+            list(zip(pairs.column("a").to_pylist(),
+                     pairs.column("b").to_pylist())))
+    else:
+        lab = label_components(rd.from_arrow(pairs.select(["a", "b"])),
+                               max_driver_pairs=max_driver_pairs)
+    media = sorted(lab)
     return pa.table({
-        "media_id": t["node"].combine_chunks().cast(pa.int64()),
-        "cluster": t["label"].combine_chunks().cast(pa.int64()),
-    }).sort_by("media_id")
+        "media_id": pa.array(media, pa.int64()),
+        "cluster": pa.array([lab[m] for m in media], pa.int64()),
+    })

@@ -1718,3 +1718,102 @@ def lexical_diversity(sf_dir: str) -> pa.Table:
 
     out = ds.map_batches(fn, batch_format="pyarrow")
     return collect_table(out).sort_by("doc_id")
+
+
+def top_terms_by_lang(sf_dir: str, k: int = 3) -> pa.Table:
+    """(lang, term, n, rank): the ``k`` most frequent tokens per
+    language — exact grouped heavy hitters (corpus-mix diagnostics;
+    the per-GROUP complement of the global CMS heavy-hitter path).
+    Combiner (lang, term) count partials bound the exchange by true
+    vocabulary; the vocab-sized aggregate then prunes to a per-batch
+    per-lang top-k before a tiny driver merge. Ties: count desc, term
+    asc — replicated in the row_number twin."""
+    import pandas as pd
+
+    from raydoc.functions.agg import partial_groupby
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "text"])
+
+    def count_fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "text" not in t.schema.names:
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "term": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        counts: dict[tuple[str, str], int] = {}
+        for lang, v in zip(t.column("lang").to_pylist(),
+                           t.column("text").to_pylist()):
+            for tok in _WORD_RE.findall((v or "").lower()):
+                key = (lang or "", tok)
+                counts[key] = counts.get(key, 0) + 1
+        langs, terms, ns = [], [], []
+        for (lang, term), n in counts.items():
+            langs.append(lang)
+            terms.append(term)
+            ns.append(n)
+        return pa.table({"lang": pa.array(langs, pa.string()),
+                         "term": pa.array(terms, pa.string()),
+                         "n": pa.array(ns, pa.int64())})
+
+    per_term = partial_groupby(
+        ds.map_batches(count_fn, batch_format="pyarrow"),
+        ["lang", "term"], {"n": ("n", "sum")})
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "lang" not in t.schema.names:
+            return t
+        df = t.to_pandas()
+        df = df.sort_values(["lang", "n", "term"],
+                            ascending=[True, False, True],
+                            ignore_index=True)
+        df = df.groupby("lang", sort=False).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    t = collect_table(per_term.map_batches(local_topk,
+                                           batch_format="pyarrow"))
+    df = t.to_pandas().sort_values(["lang", "n", "term"],
+                                   ascending=[True, False, True],
+                                   ignore_index=True)
+    df = df.groupby("lang", sort=False).head(k)
+    df["rank"] = df.groupby("lang", sort=False).cumcount() + 1
+    return pa.table({"lang": pa.array(df["lang"], pa.string()),
+                     "term": pa.array(df["term"], pa.string()),
+                     "n": pa.array(df["n"], pa.int64()),
+                     "rank": pa.array(df["rank"], pa.int64())})
+
+
+_MENTION_RE = re.compile(r"\b(?:join|merge|sort)\b")
+
+
+def extract_mentions(sf_dir: str) -> pa.Table:
+    """(doc_id, ord, mention): every join/merge/sort keyword occurrence
+    in every document, exploded one row per match with its 1-based
+    ordinal — the flat_map/UNNEST row-explosion shape (entity
+    extraction emits more rows than it reads). One vectorized map per
+    batch, no exchange; RE2-identical twin via
+    unnest(regexp_extract_all). Empty-corpus-safe typed empty table."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "ord": pa.array([], pa.int64()),
+                      "mention": pa.array([], pa.string())})
+
+    def fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "text" not in t.schema.names:
+            return empty
+        ids, ords, ments = [], [], []
+        for did, v in zip(t.column("doc_id").to_pylist(),
+                          t.column("text").to_pylist()):
+            for i, mtxt in enumerate(_MENTION_RE.findall(v or ""), 1):
+                ids.append(did)
+                ords.append(i)
+                ments.append(mtxt)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "ord": pa.array(ords, pa.int64()),
+                         "mention": pa.array(ments, pa.string())})
+
+    out = ds.map_batches(fn, batch_format="pyarrow")
+    t = collect_table(out)
+    if t.num_rows == 0 or "doc_id" not in t.schema.names:
+        return empty
+    return t.sort_by([("doc_id", "ascending"), ("ord", "ascending")])
