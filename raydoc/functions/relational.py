@@ -2579,14 +2579,14 @@ def q_supplier_count_by_part(sf_dir: str) -> pa.Table:
         g = t.select(["p_brand", "p_type", "p_size", "l_suppkey"]) \
              .group_by(["p_brand", "p_type", "p_size",
                         "l_suppkey"]).aggregate([])
-        # every copy of one distinct tuple hashes to the SAME bucket
-        import numpy as np
-        keys = [f"{b}|{ty}|{s}|{k}" for b, ty, s, k in zip(
-            g["p_brand"].to_pylist(), g["p_type"].to_pylist(),
-            g["p_size"].to_pylist(), g["l_suppkey"].to_pylist())]
-        import hashlib as _h
-        bk = pa.array([int(_h.md5(x.encode()).hexdigest()[:8], 16) & mask
-                       for x in keys], pa.int32())
+        # every copy of one distinct tuple hashes to the SAME bucket —
+        # vectorized (pandas siphash is deterministic for equal values
+        # within AND across worker processes; determinism across runs
+        # is not needed for bucket routing)
+        import pandas as pd
+        hv = pd.util.hash_pandas_object(
+            g.to_pandas(), index=False).to_numpy()
+        bk = pa.array((hv & mask).astype("int32"), pa.int32())
         return g.append_column("bucket", bk)
 
     exploded = tagged.map_batches(attr_distinct, batch_format="pyarrow")
