@@ -344,6 +344,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lexical_diversity": textstats.lexical_diversity,
         "top_terms_by_lang": textstats.top_terms_by_lang,
         "extract_mentions": textstats.extract_mentions,
+        "pii_by_source": textstats.pii_by_source,
+        "value_iqr_outliers": windows.value_iqr_outliers,
         # --- rows-only family (no SQL oracle; property/golden-tested) ---
         "bloom_novel_docs": dedup.bloom_novel_docs,
         "compression_ratio": textstats.compression_ratio,
@@ -741,6 +743,56 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(t) AS BIGINT) AS n_before,
                    CAST(length(nfc_normalize(t)) AS BIGINT) AS n_after
             FROM inj ORDER BY doc_id""",
+        "pii_by_source": r"""
+            WITH aug AS (
+              SELECT source,
+                     text
+                     || CASE WHEN doc_id % 3 = 0
+                        THEN ' contact u' || doc_id || '@example.com'
+                        ELSE '' END
+                     || CASE WHEN doc_id % 5 = 0
+                        THEN ' see https://h' || doc_id
+                             || '.example.com/a?u=x@y.org'
+                        ELSE '' END
+                     || CASE WHEN doc_id % 7 = 0
+                        THEN ' from 10.0.' || (doc_id % 256) || '.'
+                             || ((doc_id * 7) % 256)
+                        ELSE '' END AS t
+              FROM documents),
+            c AS (SELECT source,
+                         len(regexp_extract_all(t,
+                             'https?://[^\s]+')) AS u,
+                         len(regexp_extract_all(
+                             regexp_replace(t, 'https?://[^\s]+',
+                                            '<URL>', 'g'),
+                             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                             AS e,
+                         len(regexp_extract_all(
+                             regexp_replace(
+                                 regexp_replace(t, 'https?://[^\s]+',
+                                                '<URL>', 'g'),
+                                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                                 '<EMAIL>', 'g'),
+                             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+                             AS i
+                  FROM aug)
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(u) AS BIGINT) AS n_urls,
+                   CAST(SUM(e) AS BIGINT) AS n_emails,
+                   CAST(SUM(i) AS BIGINT) AS n_ips
+            FROM c GROUP BY source ORDER BY source""",
+        "value_iqr_outliers": """
+            WITH q AS (SELECT event_type,
+                              quantile_disc(value, 0.25) AS p25,
+                              quantile_disc(value, 0.75) AS p75
+                       FROM events GROUP BY event_type)
+            SELECT event_id, event_type, value,
+                   p25 - 1.5 * (p75 - p25) AS lo,
+                   p75 + 1.5 * (p75 - p25) AS hi
+            FROM events JOIN q USING (event_type)
+            WHERE value < p25 - 1.5 * (p75 - p25)
+               OR value > p75 + 1.5 * (p75 - p25)
+            ORDER BY event_id""",
         "top_terms_by_lang": r"""
             WITH tok AS (
                 SELECT lang,

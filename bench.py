@@ -214,6 +214,8 @@ BENCH_QUERIES = [
     "phash_clusters",
     "top_terms_by_lang",
     "extract_mentions",
+    "pii_by_source",
+    "value_iqr_outliers",
 ]
 
 

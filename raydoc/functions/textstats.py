@@ -1817,3 +1817,61 @@ def extract_mentions(sf_dir: str) -> pa.Table:
     if t.num_rows == 0 or "doc_id" not in t.schema.names:
         return empty
     return t.sort_by([("doc_id", "ascending"), ("ord", "ascending")])
+
+
+def pii_by_source(sf_dir: str) -> pa.Table:
+    """(source, n_docs, n_urls, n_emails, n_ips): per-source PII
+    exposure report — the audit complement of ``redact_pii`` (which
+    corpora need scrubbing, and how badly). The synthetic corpus is
+    PII-free, so both engines first append deterministic PII spans
+    keyed by doc_id (doc_id%3→email, %5→URL-with-credential-email,
+    %7→IP) — the counts then exercise the real chain, incl. the
+    URL-before-email discipline (the %5 docs' in-URL email must NOT
+    count as an email). Counts ride one vectorized regex pass per
+    batch into a combiner groupby keyed by the tiny source
+    dimension."""
+    from raydoc.functions.agg import partial_groupby
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "text" not in t.schema.names:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "n_docs": pa.array([], pa.int64()),
+                             "n_urls": pa.array([], pa.int64()),
+                             "n_emails": pa.array([], pa.int64()),
+                             "n_ips": pa.array([], pa.int64())})
+        srcs, urls, mails, ips = [], [], [], []
+        for did, src, v in zip(t.column("doc_id").to_pylist(),
+                               t.column("source").to_pylist(),
+                               t.column("text").to_pylist()):
+            v = v or ""
+            if did % 3 == 0:
+                v += f" contact u{did}@example.com"
+            if did % 5 == 0:
+                v += f" see https://h{did}.example.com/a?u=x@y.org"
+            if did % 7 == 0:
+                v += f" from 10.0.{did % 256}.{(did * 7) % 256}"
+            srcs.append(src or "")
+            urls.append(len(_PII_URL.findall(v)))
+            s = _PII_URL.sub("<URL>", v)
+            mails.append(len(_PII_EMAIL.findall(s)))
+            s = _PII_EMAIL.sub("<EMAIL>", s)
+            ips.append(len(_PII_IP.findall(s)))
+        part = pa.table({"source": pa.array(srcs, pa.string()),
+                         "n_docs": pa.array([1] * len(srcs), pa.int64()),
+                         "n_urls": pa.array(urls, pa.int64()),
+                         "n_emails": pa.array(mails, pa.int64()),
+                         "n_ips": pa.array(ips, pa.int64())})
+        g = part.group_by("source").aggregate(
+            [("n_docs", "sum"), ("n_urls", "sum"),
+             ("n_emails", "sum"), ("n_ips", "sum")])
+        return g.rename_columns(["source", "n_docs", "n_urls",
+                                 "n_emails", "n_ips"])
+
+    out = partial_groupby(
+        ds.map_batches(fn, batch_format="pyarrow"), ["source"],
+        {"n_docs": ("n_docs", "sum"), "n_urls": ("n_urls", "sum"),
+         "n_emails": ("n_emails", "sum"), "n_ips": ("n_ips", "sum")})
+    return collect_table(out).sort_by("source")

@@ -1792,3 +1792,61 @@ def merged_intervals(sf_dir: str,
                                          batch_format="pandas"))
     return collect_table(out).sort_by([("user_id", "ascending"),
                                        ("start_us", "ascending")])
+
+
+def value_iqr_outliers(sf_dir: str, num_buckets: int = 256) -> pa.Table:
+    """(event_id, event_type, value, lo, hi): per-group IQR (Tukey
+    fence) outliers — value outside [p25 − 1.5·IQR, p75 + 1.5·IQR] of
+    its group. The robust complement of the k-sigma ``value_outliers``
+    (median-based fences shrug off the very outliers that inflate a
+    sigma fence). Both quartile ranks of every group come out of ONE
+    ``_exact_group_rank_elements`` two-pass selection; the fences are
+    computed once per group with the same expression shape as the SQL
+    twin (p25 − 1.5·(p75−p25), IEEE-identical), broadcast via ray.put,
+    and the filter is one vectorized map — no exchange touches the
+    full table."""
+    from fractions import Fraction
+
+    def _disc_rank(n_g: int, qf) -> int:
+        return max(0, -((-n_g * qf.numerator) // qf.denominator) - 1)
+
+    qlo, qhi = Fraction(1, 4), Fraction(3, 4)
+
+    def ranks_of(n_g: int) -> list[int]:
+        return sorted({_disc_rank(n_g, qlo), _disc_rank(n_g, qhi)})
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+    counts, elems = _exact_group_rank_elements(
+        ds.select_columns(["event_type", "value"]), ranks_of,
+        num_buckets)
+    types = sorted(counts)
+    lo_v, hi_v = [], []
+    for g in types:
+        p25 = elems[g][_disc_rank(counts[g], qlo)]
+        p75 = elems[g][_disc_rank(counts[g], qhi)]
+        iqr = p75 - p25
+        lo_v.append(p25 - 1.5 * iqr)
+        hi_v.append(p75 + 1.5 * iqr)
+    fence_tbl = pa.table({"event_type": pa.array(types, pa.string()),
+                          "lo": pa.array(lo_v, pa.float64()),
+                          "hi": pa.array(hi_v, pa.float64())})
+    import ray as _ray
+    fence_ref = _ray.put(fence_tbl)
+
+    def pick(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "event_type" not in t.schema.names:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "event_type": pa.array([], pa.string()),
+                             "value": pa.array([], pa.float64()),
+                             "lo": pa.array([], pa.float64()),
+                             "hi": pa.array([], pa.float64())})
+        fences = _ray.get(fence_ref)
+        j = t.join(fences, keys="event_type", join_type="inner")
+        keep = pc.or_(pc.less(j["value"], j["lo"]),
+                      pc.greater(j["value"], j["hi"]))
+        j = j.filter(pc.fill_null(keep, False))
+        return j.select(["event_id", "event_type", "value", "lo", "hi"])
+
+    out = ds.map_batches(pick, batch_format="pyarrow")
+    return collect_table(out).sort_by("event_id")

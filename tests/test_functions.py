@@ -84,7 +84,8 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
     "value_band_pairs", "asof_nearest_view", "market_share",
     "discount_band_revenue", "top_part_revenue_share",
     "supplier_count_by_part", "lone_return_suppliers",
-    "top_terms_by_lang", "extract_mentions",
+    "top_terms_by_lang", "extract_mentions", "pii_by_source",
+    "value_iqr_outliers",
 ])
 def test_query_matches_oracle(ray_session, oracle, name):
     import __ray_entry__ as entrymod
