@@ -346,6 +346,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_mentions": textstats.extract_mentions,
         "pii_by_source": textstats.pii_by_source,
         "value_iqr_outliers": windows.value_iqr_outliers,
+        "user_time_weighted_avg": windows.user_time_weighted_avg,
+        "user_peak_concurrency": windows.user_peak_concurrency,
         # --- rows-only family (no SQL oracle; property/golden-tested) ---
         "bloom_novel_docs": dedup.bloom_novel_docs,
         "compression_ratio": textstats.compression_ratio,
@@ -743,6 +745,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(t) AS BIGINT) AS n_before,
                    CAST(length(nfc_normalize(t)) AS BIGINT) AS n_after
             FROM inj ORDER BY doc_id""",
+        "user_time_weighted_avg": """
+            WITH o AS (
+              SELECT user_id, epoch_us(ts) AS us,
+                     CAST(ROUND(value * 100) AS BIGINT) AS v_c,
+                     lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS nxt
+              FROM events)
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN nxt IS NULL THEN 0
+                            ELSE v_c * (nxt - us) END) AS BIGINT)
+                       AS num_c_us,
+                   CAST(MAX(us) - MIN(us) AS BIGINT) AS span_us,
+                   CAST(SUM(CASE WHEN nxt IS NULL THEN 0
+                            ELSE v_c * (nxt - us) END) AS DOUBLE)
+                       / (MAX(us) - MIN(us)) AS twa
+            FROM o GROUP BY user_id
+            HAVING MAX(us) - MIN(us) > 0
+            ORDER BY user_id""",
+        "user_peak_concurrency": """
+            WITH iv AS (
+              SELECT user_id, epoch_us(ts) AS s,
+                     epoch_us(ts)
+                     + CAST(ROUND(value * 1000000) AS BIGINT) AS e
+              FROM events),
+            pts AS (SELECT user_id, s AS t, 1 AS d FROM iv
+                    UNION ALL
+                    SELECT user_id, e, -1 FROM iv),
+            run AS (SELECT user_id,
+                           SUM(d) OVER (PARTITION BY user_id
+                               ORDER BY t, d DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS c
+                    FROM pts)
+            SELECT user_id, CAST(MAX(c) AS BIGINT) AS peak
+            FROM run GROUP BY user_id ORDER BY user_id""",
         "pii_by_source": r"""
             WITH aug AS (
               SELECT source,

@@ -216,6 +216,8 @@ BENCH_QUERIES = [
     "extract_mentions",
     "pii_by_source",
     "value_iqr_outliers",
+    "user_time_weighted_avg",
+    "user_peak_concurrency",
 ]
 
 

@@ -1850,3 +1850,117 @@ def value_iqr_outliers(sf_dir: str, num_buckets: int = 256) -> pa.Table:
 
     out = ds.map_batches(pick, batch_format="pyarrow")
     return collect_table(out).sort_by("event_id")
+
+
+def user_time_weighted_avg(sf_dir: str,
+                           num_buckets: int | None = None) -> pa.Table:
+    """(user_id, num_c_us, span_us, twa): per-user TIME-WEIGHTED average
+    value — each value weighted by how long it was "current" (until the
+    user's next event): ``num = Σ v_c·Δt_µs`` over consecutive events,
+    ``span = last−first``, ``twa = num/span`` (one IEEE division of the
+    two exact integers, both emitted). The step-function integral —
+    sensor/price averaging where event spacing is irregular and a plain
+    AVG over-weights bursts. Users with a single event (no span) are
+    omitted, matching the LEAD twin. int64 bound: max_v_c·span_µs per
+    user < 2⁶³ (≈ 300 years at $500 values) — promote to the split-radix
+    partials if a corpus breaks it.
+
+    Shape: batch-local (user, ts, v) rows cut to the needed columns,
+    ONE coarse user-bucket exchange, vectorized per-bucket shift/diff —
+    the events_with_prev pattern with an integral instead of a lag."""
+    from raydoc.functions._buckets import reduce_bucket_count
+    mask = (num_buckets or reduce_bucket_count()) - 1
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.schema.names:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "us": pa.array([], pa.int64()),
+                             "event_id": pa.array([], pa.int64()),
+                             "v_c": pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int32())})
+        return pa.table({
+            "user_id": t["user_id"],
+            "us": pc.cast(t["ts"], pa.int64()),
+            "event_id": t["event_id"],
+            "v_c": pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                           pa.int64()),
+            "bucket": pc.cast(pc.bit_wise_and(t["user_id"], mask),
+                              pa.int32()),
+        })
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "us", "event_id"],
+                          ignore_index=True)
+        uid = g["user_id"].to_numpy()
+        us = g["us"].to_numpy()
+        v = g["v_c"].to_numpy()
+        nxt = np.roll(us, -1)
+        same = np.roll(uid, -1) == uid
+        same[-1] = False
+        dt = np.where(same, nxt - us, 0)
+        num = v * dt
+        df = pd.DataFrame({"user_id": uid, "num": num, "us": us})
+        agg = df.groupby("user_id", sort=False).agg(
+            num_c_us=("num", "sum"), lo=("us", "min"), hi=("us", "max"))
+        agg["span_us"] = agg["hi"] - agg["lo"]
+        agg = agg[agg["span_us"] > 0]
+        agg["twa"] = agg["num_c_us"] / agg["span_us"]
+        return agg.reset_index()[["user_id", "num_c_us", "span_us",
+                                  "twa"]]
+
+    out = (ds.map_batches(prep, batch_format="pyarrow")
+           .groupby("bucket").map_groups(per_bucket,
+                                         batch_format="pandas"))
+    return collect_table(out).sort_by("user_id")
+
+
+def user_peak_concurrency(sf_dir: str,
+                          num_buckets: int | None = None) -> pa.Table:
+    """(user_id, peak): the classic +1/−1 sweep-line — maximum number of
+    simultaneously-open sessions per user, each event opening a
+    [ts, ts + value·1s] session. A session starting exactly when
+    another ends COUNTS as concurrent (starts sort before ends at
+    equal t — replicated in the twin's ``ORDER BY t, d DESC``).
+    Capacity-planning / room-scheduling shape. ONE coarse user-bucket
+    exchange; the sweep is a vectorized per-bucket sort + cumsum + max,
+    all-integer µs endpoints."""
+    from raydoc.functions._buckets import reduce_bucket_count
+    mask = (num_buckets or reduce_bucket_count()) - 1
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.schema.names:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "t": pa.array([], pa.int64()),
+                             "d": pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int32())})
+        s = pc.cast(t["ts"], pa.int64())
+        dur = pc.cast(pc.round(pc.multiply(t["value"], 1_000_000.0)),
+                      pa.int64())
+        e = pc.add(s, dur)
+        uid2 = pa.concat_arrays([t["user_id"].combine_chunks(),
+                                 t["user_id"].combine_chunks()])
+        tt = pa.concat_arrays([s.combine_chunks(), e.combine_chunks()])
+        n = t.num_rows
+        dd = pa.array([1] * n + [-1] * n, pa.int64())
+        out = pa.table({"user_id": uid2, "t": tt, "d": dd})
+        return out.append_column(
+            "bucket", pc.cast(pc.bit_wise_and(out["user_id"], mask),
+                              pa.int32()))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "t", "d"],
+                          ascending=[True, True, False],
+                          ignore_index=True)
+        run = g.groupby("user_id", sort=False)["d"].cumsum()
+        g["c"] = run
+        agg = g.groupby("user_id", sort=False).agg(peak=("c", "max"))
+        return agg.reset_index()
+
+    out = (ds.map_batches(prep, batch_format="pyarrow")
+           .groupby("bucket").map_groups(per_bucket,
+                                         batch_format="pandas"))
+    return collect_table(out).sort_by("user_id")

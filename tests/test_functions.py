@@ -85,7 +85,8 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
     "discount_band_revenue", "top_part_revenue_share",
     "supplier_count_by_part", "lone_return_suppliers",
     "top_terms_by_lang", "extract_mentions", "pii_by_source",
-    "value_iqr_outliers",
+    "value_iqr_outliers", "user_time_weighted_avg",
+    "user_peak_concurrency",
 ])
 def test_query_matches_oracle(ray_session, oracle, name):
     import __ray_entry__ as entrymod
