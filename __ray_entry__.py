@@ -112,6 +112,11 @@ def _asof_nearest_view(sf_dir: str):
     return q_asof_nearest_view(sf_dir)
 
 
+def _asof_recent_view(sf_dir: str):
+    from raydoc.functions.asof import q_asof_recent_view
+    return q_asof_recent_view(sf_dir)
+
+
 def _clicks_after_error(sf_dir: str):
     from raydoc.functions.rangejoin import q_clicks_after_error
     return q_clicks_after_error(sf_dir)
@@ -304,6 +309,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_box_scan": _zorder_box_scan,
         "asof_last_view": _asof_last_view,
         "asof_nearest_view": _asof_nearest_view,
+        "asof_recent_view": _asof_recent_view,
+        "event_trigrams": windows.event_trigrams,
         "clicks_after_error": _clicks_after_error,
         "value_band_pairs": _value_band_pairs,
         "session_outage_overlap": _session_outage_overlap,
@@ -745,6 +752,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(t) AS BIGINT) AS n_before,
                    CAST(length(nfc_normalize(t)) AS BIGINT) AS n_after
             FROM inj ORDER BY doc_id""",
+        "asof_recent_view": """
+            WITH c AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'click'),
+            v AS (SELECT event_id AS view_id, user_id, ts FROM events
+                  WHERE event_type = 'view'),
+            j AS (SELECT c.event_id, v.view_id,
+                         row_number() OVER (PARTITION BY c.event_id
+                             ORDER BY v.ts DESC, v.view_id DESC) AS rn
+                  FROM c JOIN v
+                    ON v.user_id = c.user_id AND v.ts <= c.ts
+                   AND v.ts >= c.ts - INTERVAL 60 MINUTE)
+            SELECT c.event_id, c.user_id, j2.view_id
+            FROM c LEFT JOIN (SELECT event_id, view_id FROM j
+                              WHERE rn = 1) j2 USING (event_id)
+            ORDER BY c.event_id""",
+        "event_trigrams": """
+            WITH o AS (SELECT event_type AS t1,
+                              lead(event_type, 1) OVER w AS t2,
+                              lead(event_type, 2) OVER w AS t3
+                       FROM events
+                       WINDOW w AS (PARTITION BY user_id
+                                    ORDER BY ts, event_id))
+            SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n
+            FROM o WHERE t3 IS NOT NULL
+            GROUP BY t1, t2, t3
+            ORDER BY n DESC, t1, t2, t3 LIMIT 25""",
         "user_time_weighted_avg": """
             WITH o AS (
               SELECT user_id, epoch_us(ts) AS us,

@@ -218,6 +218,8 @@ BENCH_QUERIES = [
     "value_iqr_outliers",
     "user_time_weighted_avg",
     "user_peak_concurrency",
+    "asof_recent_view",
+    "event_trigrams",
 ]
 
 

@@ -33,6 +33,7 @@ from raydoc.functions.joins import arrow_field_types, tag_union
 def asof_join(left: rd.Dataset, right: rd.Dataset, key: str, ts: str,
               direction: str = "backward",
               right_tiebreak: list[str] | None = None,
+              tolerance=None,
               num_buckets: int | None = None) -> rd.Dataset:
     """Left as-of join; output = left columns + right's non-(key, ts)
     columns (null where no right row qualifies).
@@ -49,7 +50,14 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, key: str, ts: str,
     resolves BACKWARD (the earlier row) — deterministic and
     SQL-replicable (``ORDER BY d ASC, back DESC, tiebreak DESC``),
     unlike pandas' own opaque nearest tie rule, so it is computed here
-    as an explicit backward-vs-forward pick, not merge_asof('nearest')."""
+    as an explicit backward-vs-forward pick, not merge_asof('nearest').
+
+    ``tolerance``: WINDOWED as-of — a right row only qualifies within
+    this distance of the left ts (same type as the ts column's
+    differences, e.g. ``pd.Timedelta`` for timestamps, int for int
+    ts). The attribution window shape ("last view within 1 h") that
+    neither plain ASOF JOIN nor merge semantics express; unmatched
+    left rows null-pad as usual."""
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"direction must be backward/forward/nearest, "
                          f"got {direction!r}")
@@ -92,12 +100,14 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, key: str, ts: str,
                                 ignore_index=True,
                                 ascending=[True] + [True] * len(tb))
             mb = pd.merge_asof(l, rb, on=ts, by=key,
-                               direction="backward")
+                               direction="backward",
+                               tolerance=tolerance)
             rf = r2.sort_values([ts] + tb, kind="stable",
                                 ignore_index=True,
                                 ascending=[True] + [False] * len(tb))
             mf = pd.merge_asof(l, rf, on=ts, by=key,
-                               direction="forward")
+                               direction="forward",
+                               tolerance=tolerance)
             d_b = (mb[ts] - mb["__rts"]).abs()
             d_f = (mf["__rts"] - mf[ts]).abs()
             use_f = mf["__rts"].notna() & (mb["__rts"].isna()
@@ -108,7 +118,8 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, key: str, ts: str,
             return out[out_cols]
         r = r.sort_values([ts] + tb, kind="stable", ignore_index=True,
                           ascending=[True] + [direction != "forward"] * len(tb))
-        merged = pd.merge_asof(l, r, on=ts, by=key, direction=direction)
+        merged = pd.merge_asof(l, r, on=ts, by=key, direction=direction,
+                               tolerance=tolerance)
         return merged[out_cols]
 
     return tagged.groupby("__bucket").map_groups(_resolve,
@@ -174,6 +185,43 @@ def q_asof_nearest_view(sf_dir: str) -> pa.Table:
                            batch_format="pyarrow")
     joined = asof_join(clicks, views, key="user_id", ts="ts",
                        direction="nearest", right_tiebreak=["view_id"])
+    df = joined.to_pandas()
+    t = pa.table({
+        "event_id": pa.array(df["event_id"].astype("int64")),
+        "user_id": pa.array(df["user_id"].astype("int64")),
+        "view_id": pa.Array.from_pandas(df["view_id"].astype("Int64"),
+                                        type=pa.int64()),
+    })
+    return t.sort_by("event_id")
+
+
+def q_asof_recent_view(sf_dir: str, window_minutes: int = 60) -> pa.Table:
+    """For every 'click': the same user's most recent view AT MOST
+    ``window_minutes`` before it (else null) — the attribution-window
+    as-of ("last touch within 1 h") that a plain ASOF JOIN cannot
+    express. Exercises asof_join's ``tolerance``; oracle: argmax over
+    the window-filtered inequality join (left join keeps unattributed
+    clicks)."""
+    import pyarrow.compute as pc
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id",
+                                  "event_type"])
+
+    def _typed(kind: str, keep_id: str):
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t["event_type"], kind))
+            return pa.table({"user_id": t["user_id"], "ts": t["ts"],
+                             keep_id: t["event_id"]})
+        return fn
+
+    clicks = ev.map_batches(_typed("click", "event_id"),
+                            batch_format="pyarrow")
+    views = ev.map_batches(_typed("view", "view_id"),
+                           batch_format="pyarrow")
+    joined = asof_join(clicks, views, key="user_id", ts="ts",
+                       right_tiebreak=["view_id"],
+                       tolerance=pd.Timedelta(minutes=window_minutes))
     df = joined.to_pandas()
     t = pa.table({
         "event_id": pa.array(df["event_id"].astype("int64")),

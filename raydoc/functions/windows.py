@@ -1964,3 +1964,68 @@ def user_peak_concurrency(sf_dir: str,
            .groupby("bucket").map_groups(per_bucket,
                                          batch_format="pandas"))
     return collect_table(out).sort_by("user_id")
+
+
+def event_trigrams(sf_dir: str, top_n: int = 25,
+                   num_buckets: int | None = None) -> pa.Table:
+    """(t1, t2, t3, n): the ``top_n`` most frequent ORDERED event-type
+    trigrams across users (consecutive by (ts, event_id)) — sequence
+    mining one length up from the Markov bigrams of
+    ``event_transitions``. ONE coarse user-bucket exchange; per bucket
+    a vectorized double shift builds the paths and pre-counts, a tiny
+    (≤ |types|³) combiner groupby folds, the top-N merge is
+    driver-side. Ties: n desc, then (t1, t2, t3) asc — same chain in
+    the double-LEAD twin."""
+    from raydoc.functions._buckets import reduce_bucket_count
+
+    from raydoc.functions.agg import partial_groupby
+
+    mask = (num_buckets or reduce_bucket_count()) - 1
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id",
+                                  "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.schema.names:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "us": pa.array([], pa.int64()),
+                             "event_id": pa.array([], pa.int64()),
+                             "event_type": pa.array([], pa.string()),
+                             "bucket": pa.array([], pa.int32())})
+        return pa.table({
+            "user_id": t["user_id"],
+            "us": pc.cast(t["ts"], pa.int64()),
+            "event_id": t["event_id"],
+            "event_type": t["event_type"],
+            "bucket": pc.cast(pc.bit_wise_and(t["user_id"], mask),
+                              pa.int32()),
+        })
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "us", "event_id"],
+                          ignore_index=True)
+        uid = g["user_id"].to_numpy()
+        ty = g["event_type"].to_numpy()
+        same2 = np.roll(uid, -2) == uid
+        same2[-2:] = False
+        t1 = ty[same2]
+        t2 = np.roll(ty, -1)[same2]
+        t3 = np.roll(ty, -2)[same2]
+        df = pd.DataFrame({"t1": t1, "t2": t2, "t3": t3})
+        agg = df.groupby(["t1", "t2", "t3"], sort=False).size() \
+                .rename("n").reset_index()
+        return agg
+
+    counted = (ds.map_batches(prep, batch_format="pyarrow")
+               .groupby("bucket").map_groups(per_bucket,
+                                             batch_format="pandas"))
+    out = partial_groupby(counted, ["t1", "t2", "t3"],
+                          {"n": ("n", "sum")})
+    t = collect_table(out)
+    idx = pc.sort_indices(t, sort_keys=[("n", "descending"),
+                                        ("t1", "ascending"),
+                                        ("t2", "ascending"),
+                                        ("t3", "ascending")])[:top_n]
+    t = t.take(idx)
+    return t.set_column(t.schema.get_field_index("n"), "n",
+                        t["n"].cast(pa.int64()))

@@ -86,7 +86,7 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
     "supplier_count_by_part", "lone_return_suppliers",
     "top_terms_by_lang", "extract_mentions", "pii_by_source",
     "value_iqr_outliers", "user_time_weighted_avg",
-    "user_peak_concurrency",
+    "user_peak_concurrency", "asof_recent_view", "event_trigrams",
 ])
 def test_query_matches_oracle(ray_session, oracle, name):
     import __ray_entry__ as entrymod
