@@ -262,6 +262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_sequence": windows.user_event_sequence,
         "type_percent_rank": windows.type_percent_rank,
         "orders_upsert": relational.q_orders_upsert,
+        "orders_apply_changes": relational.q_orders_apply_changes,
         "orders_scd2": relational.q_orders_scd2,
         "cohort_retention": windows.cohort_retention,
         "value_histogram": windows.value_histogram,
@@ -752,6 +753,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(t) AS BIGINT) AS n_before,
                    CAST(length(nfc_normalize(t)) AS BIGINT) AS n_after
             FROM inj ORDER BY doc_id""",
+        "orders_apply_changes": """
+            WITH ch AS (
+              SELECT o_orderkey AS k, 2 AS v, 'U' AS op,
+                     o_totalprice + 5.0 AS price,
+                     o_orderstatus AS st
+              FROM orders WHERE o_orderkey % 7 = 0
+              UNION ALL
+              SELECT o_orderkey, 3, 'D', NULL, NULL
+              FROM orders WHERE o_orderkey % 11 = 0
+              UNION ALL
+              SELECT o_orderkey + 20000000, 1, 'I', o_totalprice,
+                     o_orderstatus
+              FROM orders WHERE o_orderkey % 13 = 0),
+            top AS (SELECT k, op, price, st
+                    FROM (SELECT *, row_number() OVER (PARTITION BY k
+                              ORDER BY v DESC) AS rn FROM ch)
+                    WHERE rn = 1)
+            SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+            WHERE o_orderkey NOT IN (SELECT k FROM top)
+            UNION ALL
+            SELECT k, price, st FROM top WHERE op <> 'D'
+            ORDER BY o_orderkey""",
         "asof_recent_view": """
             WITH c AS (SELECT event_id, user_id, ts FROM events
                        WHERE event_type = 'click'),

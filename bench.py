@@ -220,6 +220,7 @@ BENCH_QUERIES = [
     "user_peak_concurrency",
     "asof_recent_view",
     "event_trigrams",
+    "orders_apply_changes",
 ]
 
 

@@ -51,6 +51,7 @@ def __getattr__(name):
         "intersect_distinct": ("raydoc.functions.joins",
                                "intersect_distinct"),
         "merge_upsert": ("raydoc.functions.joins", "merge_upsert"),
+        "apply_changes": ("raydoc.functions.joins", "apply_changes"),
         "intersect_all": ("raydoc.functions.joins", "intersect_all"),
         "except_all": ("raydoc.functions.joins", "except_all"),
         "scd2_history": ("raydoc.functions.joins", "scd2_history"),

@@ -804,3 +804,57 @@ def snapshot_diff(base: rd.Dataset, new: rd.Dataset, key: str,
 
     return tagged.groupby("__bucket").map_groups(_diff_bucket,
                                                  batch_format="pyarrow")
+
+
+def apply_changes(base: rd.Dataset, changes: rd.Dataset, key: str,
+                  version_col: str, op_col: str,
+                  num_buckets: int = 32) -> rd.Dataset:
+    """Lakehouse MERGE / CDC-feed apply with DELETES — the tombstone
+    completion of ``merge_upsert``: ``changes`` carries full rows plus
+    ``op_col`` ('I'/'U'/'D') and ``version_col``; per key the
+    highest-version change wins ('U'/'I' replace-or-insert the payload,
+    'D' removes the key), keys without changes keep their base row.
+    ONE key-bucket exchange (tag_union); per bucket: vectorized argmax-
+    version winner per key, anti-filter of the base slice, concat with
+    the non-tombstone winners. Change payload columns must match the
+    base schema; ties on version are broken by op desc ('U' > 'I' >
+    'D' is NOT assumed — give changes unique versions per key, the
+    deterministic contract of every CDC feed)."""
+    base_schema = base.schema()
+    base_cols = list(base_schema.names)
+    all_fields = arrow_field_types(base_schema, base_cols)
+    all_fields += [(version_col, pa.int64()), (op_col, pa.string())]
+    out_schema = pa.schema(arrow_field_types(base_schema, base_cols))
+
+    def widen_base(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or key not in t.schema.names:
+            return pa.schema(all_fields).empty_table()
+        t = t.append_column(version_col,
+                            pa.nulls(t.num_rows, pa.int64()))
+        return t.append_column(op_col, pa.nulls(t.num_rows, pa.string()))
+
+    tagged = tag_union(base.map_batches(widen_base,
+                                        batch_format="pyarrow"),
+                       changes, key, all_fields, num_buckets)
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        side = group.column("__side")
+        b = group.filter(pc.equal(side, 0)).select(base_cols)
+        c = group.filter(pc.equal(side, 1))
+        if c.num_rows == 0:
+            return b.cast(out_schema)
+        win = c.group_by(key).aggregate([(version_col, "max")]) \
+               .rename_columns([key, version_col])
+        cw = c.join(win, keys=[key, version_col], join_type="inner")
+        keys_changed = cw.column(key).combine_chunks().unique()
+        if b.num_rows:
+            keep = pc.invert(pc.fill_null(
+                pc.is_in(b.column(key), value_set=keys_changed), False))
+            b = b.filter(keep)
+        live = cw.filter(pc.not_equal(cw[op_col], "D")) \
+                 .select(base_cols).cast(out_schema)
+        return pa.concat_tables([b.cast(out_schema), live])
+
+    return tagged.groupby("__bucket").map_groups(per_bucket,
+                                                 batch_format="pyarrow")

@@ -2693,3 +2693,63 @@ def q_lone_return_suppliers(sf_dir: str) -> pa.Table:
                    ("l_suppkey", "ascending")])
     return pa.table({"s_suppkey": t["l_suppkey"], "s_name": t["s_name"],
                      "n_orders": t["n_orders"]})
+
+
+def q_orders_apply_changes(sf_dir: str) -> pa.Table:
+    """(o_orderkey, o_totalprice, o_orderstatus): lakehouse MERGE — a
+    deterministic CDC feed (every 7th key updated at v2, every 11th
+    deleted at v3 — so keys divisible by 77 resolve delete-beats-update
+    by version, every 13th re-inserted shifted +20M at v1) applied to
+    the orders snapshot via functions/joins.py:apply_changes (one
+    key-bucket exchange, tombstones drop, upserts replace-or-insert).
+    The deletes-included completion of orders_upsert."""
+    from raydoc.functions.joins import apply_changes
+
+    cols = ["o_orderkey", "o_totalprice", "o_orderstatus"]
+    base = _read(sf_dir, "orders", cols)
+
+    def mk_changes(t: pa.Table) -> pa.Table:
+        empty = pa.table({"o_orderkey": pa.array([], pa.int64()),
+                          "o_totalprice": pa.array([], pa.float64()),
+                          "o_orderstatus": pa.array([], pa.string()),
+                          "version": pa.array([], pa.int64()),
+                          "op": pa.array([], pa.string())})
+        if t.num_rows == 0 or "o_orderkey" not in t.schema.names:
+            return empty
+        k = t["o_orderkey"]
+
+        def mod(n: int):
+            return pc.subtract(k, pc.multiply(pc.divide(k, n), n))
+
+        upd = t.filter(pc.equal(mod(7), 0))
+        upd = pa.table({
+            "o_orderkey": upd["o_orderkey"],
+            "o_totalprice": pc.add(upd["o_totalprice"], 5.0),
+            "o_orderstatus": upd["o_orderstatus"],
+            "version": pa.array([2] * upd.num_rows, pa.int64()),
+            "op": pa.array(["U"] * upd.num_rows, pa.string()),
+        })
+        dele = t.filter(pc.equal(mod(11), 0))
+        dele = pa.table({
+            "o_orderkey": dele["o_orderkey"],
+            "o_totalprice": pa.nulls(dele.num_rows, pa.float64()),
+            "o_orderstatus": pa.nulls(dele.num_rows, pa.string()),
+            "version": pa.array([3] * dele.num_rows, pa.int64()),
+            "op": pa.array(["D"] * dele.num_rows, pa.string()),
+        })
+        ins = t.filter(pc.equal(mod(13), 0))
+        ins = pa.table({
+            "o_orderkey": pc.add(ins["o_orderkey"], 20_000_000),
+            "o_totalprice": ins["o_totalprice"],
+            "o_orderstatus": ins["o_orderstatus"],
+            "version": pa.array([1] * ins.num_rows, pa.int64()),
+            "op": pa.array(["I"] * ins.num_rows, pa.string()),
+        })
+        return pa.concat_tables([upd, dele, ins])
+
+    changes = _read(sf_dir, "orders", cols).map_batches(
+        mk_changes, batch_format="pyarrow")
+    out = apply_changes(base, changes, key="o_orderkey",
+                        version_col="version", op_col="op",
+                        num_buckets=32)
+    return collect_table(out).sort_by("o_orderkey")
