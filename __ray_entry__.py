@@ -356,6 +356,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_iqr_outliers": windows.value_iqr_outliers,
         "user_time_weighted_avg": windows.user_time_weighted_avg,
         "user_peak_concurrency": windows.user_peak_concurrency,
+        "user_rfm_segments": windows.user_rfm_segments,
         # --- rows-only family (no SQL oracle; property/golden-tested) ---
         "bloom_novel_docs": dedup.bloom_novel_docs,
         "compression_ratio": textstats.compression_ratio,
@@ -801,6 +802,49 @@ def oracle_sql() -> dict[str, str]:
             FROM o WHERE t3 IS NOT NULL
             GROUP BY t1, t2, t3
             ORDER BY n DESC, t1, t2, t3 LIMIT 25""",
+        "user_rfm_segments": """
+            WITH agg AS (
+              SELECT user_id,
+                     CAST(MAX(epoch_us(ts)) AS BIGINT) AS recency_us,
+                     CAST(COUNT(*) AS BIGINT) AS frequency,
+                     CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                          AS BIGINT) AS monetary_c
+              FROM events GROUP BY user_id),
+            q AS (SELECT
+                quantile_disc(recency_us, 0.2) AS r1,
+                quantile_disc(recency_us, 0.4) AS r2,
+                quantile_disc(recency_us, 0.6) AS r3,
+                quantile_disc(recency_us, 0.8) AS r4,
+                quantile_disc(frequency, 0.2) AS f1,
+                quantile_disc(frequency, 0.4) AS f2,
+                quantile_disc(frequency, 0.6) AS f3,
+                quantile_disc(frequency, 0.8) AS f4,
+                quantile_disc(monetary_c, 0.2) AS m1,
+                quantile_disc(monetary_c, 0.4) AS m2,
+                quantile_disc(monetary_c, 0.6) AS m3,
+                quantile_disc(monetary_c, 0.8) AS m4
+              FROM agg),
+            s AS (SELECT user_id, recency_us, frequency, monetary_c,
+                1 + CAST(recency_us > r1 AS INT)
+                  + CAST(recency_us > r2 AS INT)
+                  + CAST(recency_us > r3 AS INT)
+                  + CAST(recency_us > r4 AS INT) AS r_score,
+                1 + CAST(frequency > f1 AS INT)
+                  + CAST(frequency > f2 AS INT)
+                  + CAST(frequency > f3 AS INT)
+                  + CAST(frequency > f4 AS INT) AS f_score,
+                1 + CAST(monetary_c > m1 AS INT)
+                  + CAST(monetary_c > m2 AS INT)
+                  + CAST(monetary_c > m3 AS INT)
+                  + CAST(monetary_c > m4 AS INT) AS m_score
+              FROM agg, q)
+            SELECT user_id, recency_us, frequency, monetary_c,
+                   CAST(r_score AS BIGINT) AS r_score,
+                   CAST(f_score AS BIGINT) AS f_score,
+                   CAST(m_score AS BIGINT) AS m_score,
+                   CAST(r_score * 100 + f_score * 10 + m_score
+                        AS BIGINT) AS rfm
+            FROM s ORDER BY user_id""",
         "user_time_weighted_avg": """
             WITH o AS (
               SELECT user_id, epoch_us(ts) AS us,

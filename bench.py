@@ -221,6 +221,7 @@ BENCH_QUERIES = [
     "asof_recent_view",
     "event_trigrams",
     "orders_apply_changes",
+    "user_rfm_segments",
 ]
 
 

@@ -2029,3 +2029,111 @@ def event_trigrams(sf_dir: str, top_n: int = 25,
     t = t.take(idx)
     return t.set_column(t.schema.get_field_index("n"), "n",
                         t["n"].cast(pa.int64()))
+
+
+def user_rfm_segments(sf_dir: str,
+                      num_buckets: int = 256) -> pa.Table:
+    """(user_id, recency_us, frequency, monetary_c, r_score, f_score,
+    m_score, rfm): classic RFM segmentation — each user scored 1–5 by
+    quintile over the user population on recency (last-event µs),
+    frequency (event count) and monetary (exact cents sum), composed
+    ``rfm = r·100 + f·10 + m``. Shape: ONE combiner groupby builds the
+    per-user aggregate; the three metrics melt into (metric, value)
+    rows so ALL 12 quintile cuts come out of a single
+    ``_exact_group_rank_elements`` two-pass selection (never a whole
+    metric in one task); the 3×4 cut table broadcasts and scoring is
+    one vectorized map over the aggregate stream. Metrics ride float64
+    through the selection — exact for integers < 2⁵³ (µs timestamps
+    and cent sums at any realistic scale). Score rule ``1 + Σ[v >
+    cut]`` (on-cut falls lower) bit-matches the quantile_disc twin."""
+    from fractions import Fraction
+
+    from raydoc.functions.agg import partial_groupby
+
+    def _disc_rank(n_g: int, qf) -> int:
+        return max(0, -((-n_g * qf.numerator) // qf.denominator) - 1)
+
+    qs = [Fraction(1, 5), Fraction(2, 5), Fraction(3, 5),
+          Fraction(4, 5)]
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.schema.names:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "us": pa.array([], pa.int64()),
+                             "v_c": pa.array([], pa.int64()),
+                             "one": pa.array([], pa.int64())})
+        return pa.table({
+            "user_id": t["user_id"],
+            "us": pc.cast(t["ts"], pa.int64()),
+            "v_c": pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                           pa.int64()),
+            "one": pa.array([1] * t.num_rows, pa.int64()),
+        })
+
+    agg = partial_groupby(
+        ds.map_batches(prep, batch_format="pyarrow"), ["user_id"],
+        {"recency_us": ("us", "max"), "frequency": ("one", "sum"),
+         "monetary_c": ("v_c", "sum")}).materialize()
+
+    def melt(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "recency_us" not in t.schema.names:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "value": pa.array([], pa.float64())})
+        parts = []
+        for m in ("recency_us", "frequency", "monetary_c"):
+            parts.append(pa.table({
+                "event_type": pa.array([m] * t.num_rows, pa.string()),
+                "value": pc.cast(t[m], pa.float64())}))
+        return pa.concat_tables(parts)
+
+    def ranks_of(n_g: int) -> list[int]:
+        return sorted({_disc_rank(n_g, q) for q in qs})
+
+    counts, elems = _exact_group_rank_elements(
+        agg.map_batches(melt, batch_format="pyarrow"), ranks_of,
+        num_buckets)
+    cuts = {m: [elems[m][_disc_rank(counts[m], q)] for q in qs]
+            for m in ("recency_us", "frequency", "monetary_c")}
+    import ray as _ray
+    cuts_ref = _ray.put(cuts)
+
+    def score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "recency_us" not in t.schema.names:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "recency_us": pa.array([], pa.int64()),
+                "frequency": pa.array([], pa.int64()),
+                "monetary_c": pa.array([], pa.int64()),
+                "r_score": pa.array([], pa.int64()),
+                "f_score": pa.array([], pa.int64()),
+                "m_score": pa.array([], pa.int64()),
+                "rfm": pa.array([], pa.int64())})
+        c = _ray.get(cuts_ref)
+        scores = {}
+        for m, alias in (("recency_us", "r_score"),
+                         ("frequency", "f_score"),
+                         ("monetary_c", "m_score")):
+            v = pc.cast(t[m], pa.float64())
+            s = pa.array(np.ones(t.num_rows, np.int64))
+            for cut in c[m]:
+                s = pc.add(s, pc.cast(pc.greater(v, cut), pa.int64()))
+            scores[alias] = s
+        rfm = pc.add(pc.add(pc.multiply(scores["r_score"], 100),
+                            pc.multiply(scores["f_score"], 10)),
+                     scores["m_score"])
+        return pa.table({
+            "user_id": t["user_id"],
+            "recency_us": t["recency_us"],
+            "frequency": t["frequency"],
+            "monetary_c": t["monetary_c"],
+            "r_score": scores["r_score"],
+            "f_score": scores["f_score"],
+            "m_score": scores["m_score"],
+            "rfm": rfm,
+        })
+
+    out = agg.map_batches(score, batch_format="pyarrow")
+    return collect_table(out).sort_by("user_id")

@@ -87,7 +87,7 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
     "top_terms_by_lang", "extract_mentions", "pii_by_source",
     "value_iqr_outliers", "user_time_weighted_avg",
     "user_peak_concurrency", "asof_recent_view", "event_trigrams",
-    "orders_apply_changes",
+    "orders_apply_changes", "user_rfm_segments",
 ])
 def test_query_matches_oracle(ray_session, oracle, name):
     import __ray_entry__ as entrymod
