@@ -680,3 +680,39 @@ def test_asof_nearest_matches_duckdb_argmin(ray_session, seed):
                     key="k", ts="t", direction="nearest",
                     right_tiebreak=["rv"], num_buckets=8).to_pandas()
     assert _canon(got) == _canon(want)
+
+
+@pytest.mark.parametrize("seed", [41, 42, 43])
+def test_apply_changes_matches_duckdb(ray_session, seed):
+    """apply_changes == SQL MERGE semantics: per-key max-version change
+    wins, 'D' deletes, 'U'/'I' replace-or-insert, untouched base rows
+    pass through. Random feeds include updates to missing keys
+    (insert), deletes of missing keys (no-op), and multi-version keys."""
+    from raydoc.functions.joins import apply_changes
+
+    rng = np.random.RandomState(seed)
+    base = pd.DataFrame({
+        "k": np.arange(200, dtype=np.int64),
+        "val": rng.randint(0, 1000, 200).astype(np.int64),
+    })
+    n_ch = 150
+    ch = pd.DataFrame({
+        "k": rng.randint(0, 260, n_ch).astype(np.int64),
+        "val": rng.randint(1000, 2000, n_ch).astype(np.int64),
+        "version": np.arange(1, n_ch + 1, dtype=np.int64),  # unique
+        "op": rng.choice(["U", "I", "D"], n_ch),
+    })
+    got = apply_changes(
+        rd.from_arrow(pa.Table.from_pandas(base)),
+        rd.from_arrow(pa.Table.from_pandas(ch)), key="k",
+        version_col="version", op_col="op", num_buckets=8).to_pandas()
+    con = duckdb.connect()
+    con.register("b", base)
+    con.register("c", ch)
+    want = con.sql("""
+        WITH top AS (SELECT k, val, op FROM (
+            SELECT *, row_number() OVER (PARTITION BY k
+                ORDER BY version DESC) AS rn FROM c) WHERE rn = 1)
+        SELECT k, val FROM b WHERE k NOT IN (SELECT k FROM top)
+        UNION ALL SELECT k, val FROM top WHERE op <> 'D'""").df()
+    assert _canon(got) == _canon(want)

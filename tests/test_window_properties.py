@@ -190,3 +190,14 @@ def test_user_longest_streak_matches_duckdb(ray_session, tmp_path, seed):
     got = user_longest_streak(sf).to_pandas()
     exp = _sql(sf, e.oracle_sql()["user_longest_streak"])
     assert _canon(got) == _canon(exp)
+
+
+def test_rfm_regimes_identical(ray_session):
+    """user_rfm_segments: the driver-sort and distributed-selection cut
+    regimes pick identical rank elements → identical scores."""
+    from raydoc.functions.windows import user_rfm_segments
+
+    sf = "/root/testdata/sf0.001"
+    small = user_rfm_segments(sf).to_pandas()
+    dist = user_rfm_segments(sf, driver_cut_max=0).to_pandas()
+    assert small.equals(dist)
