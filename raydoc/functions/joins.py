@@ -60,8 +60,14 @@ def arrow_field_types(schema, names) -> list[tuple[str, pa.DataType]]:
     if isinstance(base, pa.Schema):
         return [(n, base.field(n).type) for n in names]
     dtypes = dict(zip(schema.names, schema.types))
-    return [(n, pa.string() if dtypes[n] == np.dtype("O")
-             else pa.from_numpy_dtype(dtypes[n])) for n in names]
+
+    def _arrow(t) -> pa.DataType:
+        if isinstance(t, pa.DataType):      # from_pandas datasets carry
+            return t                        # Arrow types in .types
+        return pa.string() if t == np.dtype("O") \
+            else pa.from_numpy_dtype(t)
+
+    return [(n, _arrow(dtypes[n])) for n in names]
 
 
 def tag_union(left: rd.Dataset, right: rd.Dataset, key: str,

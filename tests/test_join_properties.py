@@ -716,3 +716,21 @@ def test_apply_changes_matches_duckdb(ray_session, seed):
         SELECT k, val FROM b WHERE k NOT IN (SELECT k FROM top)
         UNION ALL SELECT k, val FROM top WHERE op <> 'D'""").df()
     assert _canon(got) == _canon(want)
+
+
+def test_apply_changes_accepts_from_pandas(ray_session):
+    """arrow_field_types handles rd.from_pandas schemas (whose .types
+    are already Arrow DataTypes), so keyed operators work on pandas-
+    sourced datasets too."""
+    from raydoc.functions.joins import apply_changes
+
+    base = pd.DataFrame({"k": np.array([1, 2], np.int64),
+                         "val": np.array([10, 20], np.int64)})
+    ch = pd.DataFrame({"k": np.array([2, 3], np.int64),
+                       "val": np.array([99, 30], np.int64),
+                       "version": np.array([1, 1], np.int64),
+                       "op": ["D", "I"]})
+    got = apply_changes(rd.from_pandas(base), rd.from_pandas(ch),
+                        key="k", version_col="version", op_col="op",
+                        num_buckets=4).to_pandas()
+    assert sorted(zip(got["k"], got["val"])) == [(1, 10), (3, 30)]
