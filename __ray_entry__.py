@@ -357,6 +357,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_time_weighted_avg": windows.user_time_weighted_avg,
         "user_peak_concurrency": windows.user_peak_concurrency,
         "user_rfm_segments": windows.user_rfm_segments,
+        "value_acf_by_type": windows.value_acf_by_type,
+        "top_session_paths": windows.top_session_paths,
         # --- rows-only family (no SQL oracle; property/golden-tested) ---
         "bloom_novel_docs": dedup.bloom_novel_docs,
         "compression_ratio": textstats.compression_ratio,
@@ -802,6 +804,40 @@ def oracle_sql() -> dict[str, str]:
             FROM o WHERE t3 IS NOT NULL
             GROUP BY t1, t2, t3
             ORDER BY n DESC, t1, t2, t3 LIMIT 25""",
+        "value_acf_by_type": """
+            WITH l AS (SELECT event_type,
+                              CAST(ROUND(value*100) AS BIGINT) AS y,
+                              LAG(CAST(ROUND(value*100) AS BIGINT))
+                                  OVER (PARTITION BY event_type
+                                        ORDER BY ts, event_id) AS x
+                       FROM events),
+            p AS (SELECT event_type, x, y FROM l WHERE x IS NOT NULL),
+            m AS (SELECT event_type, COUNT(*) AS n, SUM(x) AS sx,
+                         SUM(y) AS sy, SUM(x*y) AS sxy, SUM(x*x) AS sxx,
+                         SUM(y*y) AS syy
+                  FROM p GROUP BY 1)
+            SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+                   CAST(n*sxy - sx*sy AS DOUBLE)
+                   / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                      * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS acf1
+            FROM m ORDER BY event_type""",
+        "top_session_paths": """
+            WITH o AS (SELECT user_id, ts, event_id, event_type,
+                         LAG(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS pts
+                       FROM events),
+            s AS (SELECT *, SUM(CASE WHEN pts IS NULL
+                                     OR ts - pts > INTERVAL 30 MINUTE
+                                     THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sess
+                  FROM o),
+            p AS (SELECT user_id, sess,
+                         STRING_AGG(event_type, '>'
+                                    ORDER BY ts, event_id) AS path
+                  FROM s GROUP BY user_id, sess)
+            SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions FROM p
+            GROUP BY path ORDER BY n_sessions DESC, path LIMIT 20""",
         "user_rfm_segments": """
             WITH agg AS (
               SELECT user_id,

@@ -2154,3 +2154,146 @@ def user_rfm_segments(sf_dir: str, num_buckets: int = 256,
 
     out = agg.map_batches(score, batch_format="pyarrow")
     return collect_table(out).sort_by("user_id")
+
+
+def value_acf_by_type(sf_dir: str) -> pa.Table:
+    """(event_type, n_pairs, acf1): lag-1 autocorrelation of each event
+    type's value series under (ts, event_id) ordering — the
+    seasonality/persistence screen for a metric stream (reference keeps
+    per-document sequential stats; this is the events-table twin of
+    ``relational.q_value_hour_corr`` over LAGGED pairs instead of an
+    attribute pair).
+
+    Scale shape — sequential pairing WITHOUT a per-type group: events
+    bucket on the calendar day (a type's day-run is contiguous after an
+    in-block sort), each day block emits per-type integer moment
+    partials over its in-day lag pairs PLUS the two boundary values
+    (first/last cents of the type's run that day). The driver folds
+    |types|·|days| tiny rows: cross-day boundary pairs (last of day d,
+    first of day d+1 in day order) are added in exact Python bigints, so
+    the result is bit-identical to the single-sequence SQL twin. At
+    10¹²-row scale, bucket on the hour instead (same code path) and
+    split the int64 moment partials into limb sums like
+    ``orders_checksum``; moments here are exact int64 at bench scales."""
+    import math
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "event_id", "value"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        t = t.append_column(
+            "cents", pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                             pa.int64()))
+        return t.drop_columns(["value"]).append_column(
+            "day", pc.cast(pc.floor_temporal(t["ts"], unit="day"),
+                           pa.int64()))
+
+    def per_day(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["event_type", "ts", "event_id"],
+                          ignore_index=True)
+        et = g["event_type"].to_numpy()
+        x = g["cents"].to_numpy()
+        day = int(g["day"].iloc[0])
+        same = et[1:] == et[:-1]
+        pairs = pd.DataFrame({"event_type": et[1:][same],
+                              "x": x[:-1][same], "y": x[1:][same]})
+        pairs["xy"] = pairs["x"] * pairs["y"]
+        pairs["xx"] = pairs["x"] * pairs["x"]
+        pairs["yy"] = pairs["y"] * pairs["y"]
+        m = pairs.groupby("event_type", sort=True).agg(
+            n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
+            sxy=("xy", "sum"), sxx=("xx", "sum"), syy=("yy", "sum"))
+        # first/last cents of each type's in-day run (runs are contiguous)
+        starts = np.flatnonzero(np.r_[True, et[1:] != et[:-1]])
+        ends = np.r_[starts[1:], len(et)] - 1
+        runs = pd.DataFrame({"event_type": et[starts],
+                             "first_x": x[starts], "last_x": x[ends]}
+                            ).set_index("event_type")
+        out = runs.join(m, how="left").fillna(0).reset_index()
+        out["day"] = day
+        for c in ("n", "sx", "sy", "sxy", "sxx", "syy"):
+            out[c] = out[c].astype(np.int64)
+        return out[["event_type", "day", "n", "sx", "sy", "sxy", "sxx",
+                    "syy", "first_x", "last_x"]]
+
+    parts = collect_table(
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+          .groupby("day").map_groups(per_day, batch_format="pandas"))
+    df = parts.to_pandas().sort_values(["event_type", "day"])
+    types, ns, rs = [], [], []
+    for et, sub in df.groupby("event_type", sort=True):
+        n = int(sub["n"].sum())
+        sx, sy = int(sub["sx"].sum()), int(sub["sy"].sum())
+        sxy = int(sub["sxy"].sum())
+        sxx, syy = int(sub["sxx"].sum()), int(sub["syy"].sum())
+        lx = sub["last_x"].to_numpy()[:-1]     # day d's run end
+        fx = sub["first_x"].to_numpy()[1:]     # day d+1's run start
+        for xv, yv in zip(lx.tolist(), fx.tolist()):
+            n += 1
+            sx += xv
+            sy += yv
+            sxy += xv * yv
+            sxx += xv * xv
+            syy += yv * yv
+        if n == 0:
+            continue
+        num = n * sxy - sx * sy
+        denx = n * sxx - sx * sx
+        deny = n * syy - sy * sy
+        rv = (float(num) / (math.sqrt(float(denx)) * math.sqrt(float(deny)))
+              if denx > 0 and deny > 0 else float("nan"))
+        types.append(et)
+        ns.append(n)
+        rs.append(rv)
+    return pa.table({"event_type": pa.array(types, pa.string()),
+                     "n_pairs": pa.array(ns, pa.int64()),
+                     "acf1": pa.array(rs, pa.float64())})
+
+
+def top_session_paths(sf_dir: str, gap_minutes: int = 30, k: int = 20,
+                      num_buckets: int | None = None) -> pa.Table:
+    """(path, n_sessions): the ``k`` most common full session event-type
+    paths (types joined with '>' in (ts, event_id) order inside each
+    30-minute-gap session) — the product-analytics "top user journeys"
+    query. Composes ``sessionize``'s gap scan with a path roll-up.
+
+    Scale shape: ONE user-bucket exchange (a block holds many complete
+    users; sessions never split), paths assemble vectorized per block,
+    per-block (path, count) partials feed a tiny combiner groupby over
+    distinct paths, and the top-k prunes block-locally before a driver
+    merge (``_global_topk`` — no global sort)."""
+    from raydoc.functions._buckets import reduce_bucket_count
+    from raydoc.functions.relational import _global_topk
+    mask = (num_buckets or reduce_bucket_count()) - 1
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id",
+                                  "event_type"])
+    gap = np.timedelta64(gap_minutes * 60, "s")
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "bucket", pc.cast(pc.bit_wise_and(t["user_id"], mask),
+                              pa.int32()))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], ignore_index=True)
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy()
+        new_session = np.empty(len(g), dtype=bool)
+        new_session[0] = True
+        new_session[1:] = uid[1:] != uid[:-1]
+        if len(g) > 1:
+            new_session[1:] |= np.diff(ts) > gap
+        sess = new_session.cumsum()
+        paths = pd.DataFrame({"sess": sess,
+                              "et": g["event_type"].to_numpy()}) \
+            .groupby("sess", sort=False)["et"].agg(">".join)
+        counts = paths.value_counts()
+        return pd.DataFrame({"path": counts.index.to_numpy(),
+                             "n": counts.to_numpy()})
+
+    parts = (ds.map_batches(add_bucket, batch_format="pyarrow")
+             .groupby("bucket").map_groups(per_bucket,
+                                           batch_format="pandas"))
+    totals = partial_groupby(parts, ["path"], {"n_sessions": ("n", "sum")})
+    return _global_topk(totals, ["n_sessions", "path"], [True, False], k)

@@ -201,3 +201,28 @@ def test_rfm_regimes_identical(ray_session):
     small = user_rfm_segments(sf).to_pandas()
     dist = user_rfm_segments(sf, driver_cut_max=0).to_pandas()
     assert small.equals(dist)
+
+
+@pytest.mark.parametrize("seed", [61, 62])
+def test_value_acf_matches_duckdb(ray_session, tmp_path, seed):
+    """Lag-1 autocorrelation per type: the day-bucketed distributed scan
+    (in-day pairs + cross-day boundary pairs) is bit-identical to the
+    single-sequence LAG() twin, under ts ties and 5 days of boundaries."""
+    from raydoc.functions.windows import value_acf_by_type
+    import __ray_entry__ as e
+    sf = _mk_events(tmp_path, seed)
+    got = value_acf_by_type(sf).to_pandas()
+    exp = _sql(sf, e.oracle_sql()["value_acf_by_type"])
+    assert _canon(got) == _canon(exp)
+
+
+@pytest.mark.parametrize("seed", [63, 64])
+def test_session_paths_match_duckdb(ray_session, tmp_path, seed):
+    """Top session paths: bucketed session scan + path roll-up + local
+    top-k prune ≡ the STRING_AGG window twin (ties in ts and in counts)."""
+    from raydoc.functions.windows import top_session_paths
+    import __ray_entry__ as e
+    sf = _mk_events(tmp_path, seed)
+    got = top_session_paths(sf, num_buckets=8).to_pandas()
+    exp = _sql(sf, e.oracle_sql()["top_session_paths"])
+    assert _canon(got) == _canon(exp)
