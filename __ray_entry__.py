@@ -257,6 +257,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_count_by_part": relational.q_supplier_count_by_part,
         "lone_return_suppliers": relational.q_lone_return_suppliers,
         "snapshot_diff": relational.q_snapshot_diff,
+        "bloom_filtered_revenue": relational.q_bloom_filtered_revenue,
         "value_mad_by_type": windows.value_mad_by_type,
         "value_trend_by_type": windows.value_trend_by_type,
         "user_event_sequence": windows.user_event_sequence,
@@ -341,6 +342,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "markdown_to_txt": textstats.markdown_to_txt_docs,
         "markdown_to_html": textstats.markdown_to_html_docs,
         "train_test_split": textstats.train_test_split,
+        "kfold_split": textstats.kfold_split,
         "pack_sequences": textstats.pack_sequences,
         "decontaminate": textstats.decontaminate,
         "tfidf_top_terms": textstats.tfidf_top_terms,
@@ -2575,6 +2577,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, (c.doc_id IS NOT NULL) AS contaminated
             FROM documents d LEFT JOIN c ON d.doc_id = c.doc_id
             WHERE d.doc_id % 50 != 0 ORDER BY d.doc_id""",
+        "bloom_filtered_revenue": """
+            SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_items,
+                   CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                            * (100 - CAST(ROUND(l_discount*100)
+                                          AS BIGINT)))
+                        AS BIGINT) AS revenue_c100
+            FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                 WHERE o_totalprice > 400000)
+            GROUP BY l_returnflag ORDER BY l_returnflag""",
+        "kfold_split": """
+            SELECT doc_id,
+                   CAST(CAST(('0x' || substr(md5(text),1,8)) AS UBIGINT)
+                        % 5 AS BIGINT) AS fold
+            FROM documents ORDER BY doc_id""",
         "train_test_split": """
             SELECT doc_id,
                    CASE WHEN substr(md5(text), 1, 1) < 'c' THEN 'train'

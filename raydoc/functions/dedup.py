@@ -792,6 +792,72 @@ def bloom_filter_novel(ds: rd.Dataset, bloom: bytes, col: str = "text",
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def _splitmix64(keys: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer: int64 keys → well-mixed uint64
+    content hashes (the no-hashlib path for integer join keys)."""
+    v = keys.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    v = (v ^ (v >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    v = (v ^ (v >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return v ^ (v >> np.uint64(31))
+
+
+def bloom_build_ints(ds: rd.Dataset, col: str,
+                     n_bits: int = 1 << 20) -> bytes:
+    """``bloom_build`` for an int64 KEY column (splitmix64 instead of
+    per-row md5 — fully vectorized): the bloom-filter JOIN-PUSHDOWN
+    build side. Same worker-side OR-fold tree; the driver merges a
+    handful of bitmaps regardless of build-side size."""
+    if n_bits & (n_bits - 1):
+        raise ValueError("n_bits must be a power of two")
+
+    def partial(t: pa.Table) -> pa.Table:
+        bits = np.zeros(n_bits // 8, dtype=np.uint8)
+        if t.num_rows and col in t.schema.names:
+            ks = t.column(col).to_numpy(zero_copy_only=False)
+            pos = _bloom_positions(_splitmix64(ks), n_bits).ravel()
+            np.bitwise_or.at(bits, pos >> 3,
+                             np.uint8(1) << (pos & 7).astype(np.uint8))
+        return pa.table({"bloom": pa.array([bits.tobytes()], pa.binary())})
+
+    def fold(t: pa.Table) -> pa.Table:
+        acc = np.zeros(n_bits // 8, dtype=np.uint8)
+        for blob in t.column("bloom").to_pylist():
+            acc |= np.frombuffer(blob, dtype=np.uint8)
+        return pa.table({"bloom": pa.array([acc.tobytes()], pa.binary())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    for _ in range(2):
+        parts = parts.map_batches(fold, batch_format="pyarrow",
+                                  batch_size=64)
+    acc = np.zeros(n_bits // 8, dtype=np.uint8)
+    for blob in collect_table(parts).column("bloom").to_pylist():
+        acc |= np.frombuffer(blob, dtype=np.uint8)
+    return acc.tobytes()
+
+
+def bloom_filter_member_ints(ds: rd.Dataset, bloom: bytes, col: str,
+                             n_bits: int | None = None) -> rd.Dataset:
+    """Keep only rows whose int64 ``col`` is POSSIBLY in ``bloom`` (the
+    probe side of bloom-join pushdown: false positives pass — an exact
+    verify join downstream removes them; true members always pass, so
+    the pushdown never changes the join result). Broadcast once via
+    ``ray.put``; each task tests its batch vectorized — no shuffle."""
+    import ray as _ray
+    n_bits = n_bits or len(bloom) * 8
+    bloom_ref = _ray.put(np.frombuffer(bloom, dtype=np.uint8))
+
+    def fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or col not in t.schema.names:
+            return t
+        bits = _ray.get(bloom_ref)
+        ks = t.column(col).to_numpy(zero_copy_only=False)
+        pos = _bloom_positions(_splitmix64(ks), n_bits)
+        hit = (bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+        return t.filter(pa.array(hit.all(axis=1)))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def bloom_novel_docs(sf_dir: str, n_bits: int = 1 << 20) -> pa.Table:
     """(doc_id,) of documents NOT already covered by the "historical"
     corpus slice (doc_id % 10 < 3): the cross-shipment incremental-dedup

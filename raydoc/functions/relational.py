@@ -2753,3 +2753,53 @@ def q_orders_apply_changes(sf_dir: str) -> pa.Table:
                         version_col="version", op_col="op",
                         num_buckets=32)
     return collect_table(out).sort_by("o_orderkey")
+
+
+def q_bloom_filtered_revenue(sf_dir: str,
+                             price_threshold: float = 400_000.0,
+                             n_bits: int = 1 << 20) -> pa.Table:
+    """(l_returnflag, n_items, revenue_c100): revenue of lineitems whose
+    order exceeds ``price_threshold`` — executed with BLOOM-JOIN PUSHDOWN,
+    the runtime-filter optimization of distributed SQL engines: the
+    qualifying orderkeys OR-fold into one broadcastable Bloom bitmap
+    (``dedup.bloom_build_ints`` — worker-side tree fold, fixed-size
+    result no matter how many build rows), every lineitem batch
+    prefilters LOCALLY against the broadcast bitmap (no shuffle), and
+    only the surviving minority pays the exact bucketed semi-join that
+    removes Bloom false positives. Result is EXACT (false negatives
+    impossible) — the SQL twin is the plain ``IN`` subquery — while the
+    semi-join exchange moves ~selectivity·(1+FP) of the fact table
+    instead of all of it. At 10⁹ build keys size ``n_bits`` ≥ 10
+    bits/key (the broadcast stays a bitmap; an exact key SET at that
+    scale would not fit)."""
+    from raydoc.functions.agg import partial_groupby
+    from raydoc.functions.dedup import (bloom_build_ints,
+                                        bloom_filter_member_ints)
+    from raydoc.functions.joins import bucket_semi_join
+
+    keys = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]) \
+        .map_batches(
+            lambda t: t.filter(
+                pc.greater(t["o_totalprice"], price_threshold))
+            .select(["o_orderkey"]).rename_columns(["l_orderkey"]),
+            batch_format="pyarrow") \
+        .materialize()      # consumed twice (bloom build + verify join)
+    bloom = bloom_build_ints(keys, "l_orderkey", n_bits)
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_returnflag", "l_extendedprice",
+                "l_discount"])
+    li = bloom_filter_member_ints(li, bloom, "l_orderkey", n_bits)
+    matched = bucket_semi_join(li, keys, key="l_orderkey")
+
+    def rev(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "l_returnflag" not in t.schema.names:
+            return pa.table({"l_returnflag": pa.array([], pa.string()),
+                             "rev": pa.array([], pa.int64())})
+        return pa.table({"l_returnflag": t["l_returnflag"],
+                         "rev": _rev_c100(t)})
+
+    out = partial_groupby(matched.map_batches(rev, batch_format="pyarrow"),
+                          ["l_returnflag"],
+                          {"n_items": ("rev", "count"),
+                           "revenue_c100": ("rev", "sum")})
+    return collect_table(out).sort_by("l_returnflag")

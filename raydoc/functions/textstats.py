@@ -1875,3 +1875,26 @@ def pii_by_source(sf_dir: str) -> pa.Table:
         {"n_docs": ("n_docs", "sum"), "n_urls": ("n_urls", "sum"),
          "n_emails": ("n_emails", "sum"), "n_ips": ("n_ips", "sum")})
     return collect_table(out).sort_by("source")
+
+
+def kfold_split(sf_dir: str, n_folds: int = 5) -> pa.Table:
+    """(doc_id, fold): deterministic content-hash k-fold assignment —
+    fold = md5(text) top-32-bits mod ``n_folds``. The cross-validation
+    splitter: a pure function of the row, so folds are stable across
+    runs, cluster sizes and input order, and any fold's complement is a
+    training set with no coordination (complements
+    ``train_test_split``'s single binary split; SQL-replicable)."""
+    import hashlib as _hl
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        folds = [int(_hl.md5((v or "").encode()).hexdigest()[:8], 16)
+                 % n_folds
+                 for v in t.column("text").to_pylist()]
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "fold": pa.array(folds, pa.int64())})
+
+    return collect_table(ds.map_batches(fn, batch_format="pyarrow")).sort_by(
+        "doc_id")

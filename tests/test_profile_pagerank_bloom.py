@@ -609,3 +609,52 @@ def test_constraint_report_detects_injected_violations(ray_session,
                    "doc_text_unique": 2,      # the two identical longs
                    "lineitem_qty_range": 3,
                    "orders_fk_customer": 1}
+
+
+def test_bloom_int_pushdown_no_false_negatives(ray_session):
+    """bloom_filter_member_ints never drops a true member (pushdown can
+    only ADD false positives — the exact verify join removes them), and
+    the full pushdown query equals the plain semi-join result."""
+    import numpy as np
+    import ray.data as rd
+    from raydoc.functions.dedup import (bloom_build_ints,
+                                        bloom_filter_member_ints)
+
+    rng = np.random.RandomState(5)
+    members = np.unique(rng.randint(0, 1 << 40, 2_000).astype(np.int64))
+    build = rd.from_arrow(pa.table({"k": pa.array(members, pa.int64())}))
+    bloom = bloom_build_ints(build, "k", n_bits=1 << 16)
+    probe_keys = np.concatenate(
+        [members, rng.randint(0, 1 << 40, 3_000).astype(np.int64)])
+    probe = rd.from_arrow(pa.table({"k": pa.array(probe_keys, pa.int64())}))
+    kept = set(bloom_filter_member_ints(probe, bloom, "k", 1 << 16)
+               .to_pandas()["k"])
+    assert set(members.tolist()) <= kept     # zero false negatives
+
+
+def test_bloom_filtered_revenue_equals_plain_semijoin(ray_session):
+    """The bloom-pushdown plan is exact: equals DuckDB's IN-subquery."""
+    import duckdb
+    from raydoc.functions.relational import q_bloom_filtered_revenue
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    got = q_bloom_filtered_revenue(sf).to_pandas()
+    con = duckdb.connect()
+    for tb in ("lineitem", "orders"):
+        con.execute(f"CREATE VIEW {tb} AS SELECT * FROM "
+                    f"'{sf}/{tb}.parquet'")
+    exp = con.execute(e.oracle_sql()["bloom_filtered_revenue"]).df()
+    assert got.astype(str).values.tolist() == exp.astype(str).values.tolist()
+
+
+def test_kfold_split_is_a_partition(ray_session):
+    """Folds 0..k-1, every doc exactly once, deterministic across runs."""
+    from raydoc.functions.textstats import kfold_split
+
+    sf = "/root/testdata/sf0.001"
+    a = kfold_split(sf).to_pandas()
+    b = kfold_split(sf).to_pandas()
+    assert a.equals(b)
+    assert set(a["fold"]) <= set(range(5))
+    assert a["doc_id"].is_unique and len(a) == 500
