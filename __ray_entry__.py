@@ -379,6 +379,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "language_id": textstats.language_id,
         "validate_docs": textstats.validate_docs,
         "distinct_users_hll": sketches.distinct_users_hll,
+        "audience_overlap_hll": sketches.audience_overlap_hll,
+        "mmr_diverse_topk": similarity.mmr_diverse_topk,
         "value_percentiles_sketch": sketches.value_percentiles_sketch,
         "distinct_users_by_type_hll": sketches.distinct_users_by_type_hll,
         "value_percentiles_by_type_sketch":

@@ -988,3 +988,66 @@ def rrf_fusion(sf_dir: str, top_k: int = 20, k_rrf: int = 60) -> pa.Table:
     return pa.table({"rank": pa.array(range(1, t.num_rows + 1), pa.int64()),
                      "doc_id": t.column("doc_id"),
                      "rrf": t.column("rrf")})
+
+
+def mmr_diverse_topk(sf_dir: str, query_ids: list[int] | None = None,
+                     k: int = 10, m: int = 100,
+                     lam: float = 0.7) -> pa.Table:
+    """(query_id, rank, vec_id, mmr_score, cosine): diversity-aware
+    top-k via MAXIMAL MARGINAL RELEVANCE (Carbonell & Goldstein 1998) —
+    pick argmax λ·sim(q,d) − (1−λ)·max_{s∈selected} sim(d,s), k times.
+    The diversity-sampling primitive for training-data curation (plain
+    top-k returns near-duplicates of one mode; MMR spreads the picks).
+
+    Scale shape — candidate generation is the distributed part: the
+    corpus streams through the same per-batch matmul + local-prune as
+    ``brute_force_topk`` (top-``m`` per query leaves each block); the
+    greedy re-rank is inherently sequential, so it runs on the driver
+    over only the m×d candidate matrix (parquet predicate-pushdown
+    read of candidate ids — the corpus never lands on the driver).
+    Exact-MMR caveat (documented): an item outside the sim-top-``m``
+    can in principle enter a full-corpus MMR; ``m ≫ k`` (default 10×)
+    makes the prefilter regime standard practice. Ties break by
+    ascending vec_id; output is deterministic."""
+    query_ids = query_ids if query_ids is not None else [0]
+    q_ids, q = _read_query_vectors(sf_dir, query_ids)
+    ref = ray.put((q_ids, q))
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    cands = ds.map_batches(_batch_candidates(ref, m, True),
+                           batch_format="pyarrow").to_pandas()
+    out = {"query_id": [], "rank": [], "vec_id": [], "mmr_score": [],
+           "cosine": []}
+    for row, qid in enumerate(q_ids):
+        sub = cands[cands["query_id"] == qid] \
+            .sort_values(["cosine", "vec_id"], ascending=[False, True]) \
+            .head(m)
+        ids = sub["vec_id"].to_numpy()
+        # _read_query_vectors returns ascending vec_id; work in that order
+        ids_sorted, c = _read_query_vectors(
+            sf_dir, sorted(int(v) for v in ids))
+        rel = (q[row] @ c.T)                       # (m,) recomputed exact
+        simmat = c @ c.T                           # (m, m) candidates only
+        selected: list[int] = []
+        free = np.ones(len(ids_sorted), dtype=bool)
+        for r in range(min(k, len(ids_sorted))):
+            if selected:
+                redundancy = simmat[:, selected].max(axis=1)
+            else:
+                redundancy = np.zeros(len(ids_sorted))
+            score = lam * rel - (1.0 - lam) * redundancy
+            score[~free] = -np.inf
+            # lowest index at the max = smallest vec_id on exact ties
+            best = int(np.flatnonzero(score == score.max())[0])
+            selected.append(best)
+            free[best] = False
+            out["query_id"].append(int(qid))
+            out["rank"].append(r + 1)
+            out["vec_id"].append(int(ids_sorted[best]))
+            out["mmr_score"].append(float(score[best]))
+            out["cosine"].append(float(rel[best]))
+    return pa.table({"query_id": pa.array(out["query_id"], pa.int64()),
+                     "rank": pa.array(out["rank"], pa.int32()),
+                     "vec_id": pa.array(out["vec_id"], pa.int64()),
+                     "mmr_score": pa.array(out["mmr_score"], pa.float64()),
+                     "cosine": pa.array(out["cosine"], pa.float64())})
