@@ -355,6 +355,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms_by_lang": textstats.top_terms_by_lang,
         "extract_mentions": textstats.extract_mentions,
         "pii_by_source": textstats.pii_by_source,
+        "canonical_urls": textstats.canonical_urls,
         "value_iqr_outliers": windows.value_iqr_outliers,
         "user_time_weighted_avg": windows.user_time_weighted_avg,
         "user_peak_concurrency": windows.user_peak_concurrency,
@@ -381,6 +382,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_hll": sketches.distinct_users_hll,
         "audience_overlap_hll": sketches.audience_overlap_hll,
         "mmr_diverse_topk": similarity.mmr_diverse_topk,
+        "event_rate_cusum": windows.event_rate_cusum,
         "value_percentiles_sketch": sketches.value_percentiles_sketch,
         "distinct_users_by_type_hll": sketches.distinct_users_by_type_hll,
         "value_percentiles_by_type_sketch":
@@ -2589,6 +2591,37 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_orderkey IN (SELECT o_orderkey FROM orders
                                  WHERE o_totalprice > 400000)
             GROUP BY l_returnflag ORDER BY l_returnflag""",
+        "canonical_urls": r"""
+            WITH u AS (SELECT doc_id,
+                         CASE WHEN doc_id % 2 = 0 THEN
+                           'HTTPS://WWW.Example.COM:443/Path/p' || doc_id
+                           || '?utm_source=x&id=' || doc_id || '#frag'
+                         ELSE
+                           'http://site' || (doc_id % 7) ||
+                           '.example.org/a/b?id=' || doc_id ||
+                           '&utm_campaign=y'
+                         END AS url
+                       FROM documents),
+            s AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nofrag
+                  FROM u),
+            p AS (SELECT doc_id,
+                    lower(regexp_extract(nofrag,
+                                         '^([^:]+)://([^/?]+)', 0)) AS sh,
+                    COALESCE(regexp_extract(nofrag,
+                                 '^[^:]+://[^/?]+(.*)$', 1), '') AS rest
+                  FROM s),
+            q AS (SELECT doc_id,
+                    CASE WHEN sh LIKE 'https://%'
+                           THEN regexp_replace(sh, ':443$', '')
+                         WHEN sh LIKE 'http://%'
+                           THEN regexp_replace(sh, ':80$', '')
+                         ELSE sh END AS sh2,
+                    regexp_replace(regexp_replace(
+                        rest, '([?&])utm_[^&]*&', '\1'),
+                        '[?&]utm_[^&]*$', '') AS rp
+                  FROM p)
+            SELECT doc_id, sh2 || rp AS url_canonical
+            FROM q ORDER BY doc_id""",
         "kfold_split": """
             SELECT doc_id,
                    CAST(CAST(('0x' || substr(md5(text),1,8)) AS UBIGINT)

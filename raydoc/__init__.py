@@ -94,6 +94,11 @@ def __getattr__(name):
                               "semantic_clusters"),
         "label_centroids": ("raydoc.functions.similarity",
                             "label_centroids"),
+        "mmr_diverse_topk": ("raydoc.functions.similarity",
+                             "mmr_diverse_topk"),
+        "bloom_build_ints": ("raydoc.functions.dedup", "bloom_build_ints"),
+        "bloom_filter_member_ints": ("raydoc.functions.dedup",
+                                     "bloom_filter_member_ints"),
         # extension surface
         "register_text_extractor": ("raydoc.kernels.registry",
                                     "register_text_extractor"),

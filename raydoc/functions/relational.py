@@ -2771,7 +2771,12 @@ def q_bloom_filtered_revenue(sf_dir: str,
     semi-join exchange moves ~selectivity·(1+FP) of the fact table
     instead of all of it. At 10⁹ build keys size ``n_bits`` ≥ 10
     bits/key (the broadcast stays a bitmap; an exact key SET at that
-    scale would not fit)."""
+    scale would not fit). The SEMI-join sibling of the fused
+    inner-join operator ``joins.bloom_prefiltered_join`` — EXISTS
+    semantics must not duplicate matched fact rows, so the verify step
+    is ``bucket_semi_join``, and the decomposed build/probe API
+    (``dedup.bloom_build_ints``) lets one bitmap serve several probe
+    datasets."""
     from raydoc.functions.agg import partial_groupby
     from raydoc.functions.dedup import (bloom_build_ints,
                                         bloom_filter_member_ints)

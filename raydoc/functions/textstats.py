@@ -1898,3 +1898,51 @@ def kfold_split(sf_dir: str, n_folds: int = 5) -> pa.Table:
 
     return collect_table(ds.map_batches(fn, batch_format="pyarrow")).sort_by(
         "doc_id")
+
+
+def canonicalize_url(url: str) -> str:
+    """Standard URL canonicalization (the web-pipeline dedup key):
+    lowercase scheme+host, strip the scheme's default port, drop the
+    fragment, remove ``utm_*`` tracking params (other params keep
+    their order). Pure function — usable as a dedup key at any scale."""
+    from urllib.parse import parse_qsl, urlencode, urlsplit, urlunsplit
+
+    sp = urlsplit(url)
+    scheme = sp.scheme.lower()
+    host = (sp.hostname or "").lower()
+    default = {"http": 80, "https": 443}.get(scheme)
+    netloc = host if (sp.port is None or sp.port == default) \
+        else f"{host}:{sp.port}"
+    params = [(k, v) for k, v in parse_qsl(sp.query,
+                                           keep_blank_values=True)
+              if not k.lower().startswith("utm_")]
+    return urlunsplit((scheme, netloc, sp.path, urlencode(params), ""))
+
+
+def canonical_urls(sf_dir: str) -> pa.Table:
+    """(doc_id, url_canonical): URL canonicalization over the corpus —
+    the crawl-dedup key derivation (tracking params, host case, default
+    ports and fragments must not split identical pages). The synthetic
+    corpus has no URLs, so both engines first derive one deterministic
+    URL per doc_id (mixed-case host + :443 + utm param + fragment on
+    even ids; trailing utm param on odd ids — the ``pii_by_source``
+    injection discipline), then canonicalize: the oracle replicates the
+    same rules as SQL string surgery. One vectorized stateless
+    map_batches pass; scales embarrassingly."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        urls = [
+            (f"HTTPS://WWW.Example.COM:443/Path/p{d}?utm_source=x&id={d}"
+             f"#frag") if d % 2 == 0 else
+            f"http://site{d % 7}.example.org/a/b?id={d}&utm_campaign=y"
+            for d in ids]
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "url_canonical": pa.array([canonicalize_url(u) for u in urls],
+                                      pa.string())})
+
+    return collect_table(ds.map_batches(fn, batch_format="pyarrow")) \
+        .sort_by("doc_id")

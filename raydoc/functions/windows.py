@@ -2297,3 +2297,60 @@ def top_session_paths(sf_dir: str, gap_minutes: int = 30, k: int = 20,
                                            batch_format="pandas"))
     totals = partial_groupby(parts, ["path"], {"n_sessions": ("n", "sum")})
     return _global_topk(totals, ["n_sessions", "path"], [True, False], k)
+
+
+def event_rate_cusum(sf_dir: str, k_sigma: float = 0.5,
+                     h_sigma: float = 5.0) -> pa.Table:
+    """(event_type, window_start, cusum): one-sided CUSUM change-point
+    alarms over each type's HOURLY event rate — the drift monitor for a
+    streaming ingest (alarm when the standardized cumulative excess
+    S⁺ₜ = max(0, S⁺ₜ₋₁ + (xₜ−μ)/σ − k) crosses ``h``). Emits only the
+    alarm rows.
+
+    Scale shape: the heavy part — hourly counts per type — is the
+    distributed combiner groupby (``hourly_event_stats``'s shape); the
+    CUSUM recursion is inherently sequential but runs over the tiny
+    aggregated series (|types|·|hours| rows) on the driver, the same
+    small-problem regime as the adaptive component-labeling policy.
+    μ/σ come from the series itself (retrospective monitoring); a
+    live monitor would freeze them from a reference window. Rows-only
+    (the recursion is not expressible as a SQL window); property-tested
+    on planted rate shifts."""
+    import math
+
+    from raydoc.functions.agg import partial_groupby
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "window_start": pc.floor_temporal(t["ts"], unit="hour"),
+            "event_type": t["event_type"]})
+
+    counts = collect_table(partial_groupby(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["window_start", "event_type"],
+        {"n": ("event_type", "count")})).to_pandas()
+    out_t, out_w, out_c = [], [], []
+    for et, sub in counts.groupby("event_type", sort=True):
+        sub = sub.sort_values("window_start")
+        x = sub["n"].to_numpy(dtype=np.float64)
+        if len(x) < 2:
+            continue
+        mu = float(x.mean())
+        sd = float(x.std())
+        if sd == 0.0:
+            continue
+        s = 0.0
+        for w, xi in zip(sub["window_start"], x):
+            s = max(0.0, s + (xi - mu) / sd - k_sigma)
+            if s > h_sigma:
+                out_t.append(et)
+                out_w.append(w)
+                out_c.append(s)
+    ws = pa.array(out_w, pa.timestamp("us")) if out_w else \
+        pa.array([], pa.timestamp("us"))
+    return pa.table({"event_type": pa.array(out_t, pa.string()),
+                     "window_start": ws,
+                     "cusum": pa.array(out_c, pa.float64())})

@@ -226,3 +226,39 @@ def test_session_paths_match_duckdb(ray_session, tmp_path, seed):
     got = top_session_paths(sf, num_buckets=8).to_pandas()
     exp = _sql(sf, e.oracle_sql()["top_session_paths"])
     assert _canon(got) == _canon(exp)
+
+
+def test_cusum_fires_on_planted_rate_shift(ray_session, tmp_path):
+    """A 5× hourly-rate step change must raise a CUSUM alarm at or after
+    the shift and never before it; a flat series raises none."""
+    import pyarrow.parquet as pq
+    from raydoc.functions.windows import event_rate_cusum
+
+    rng = np.random.RandomState(3)
+    rows = []
+    base = np.int64(1_700_000_000_000_000)
+    hour = 3_600_000_000
+    for h in range(96):                       # 4 days of hours
+        n = 20 if h < 72 else 100             # shift at hour 72
+        for i in range(n):
+            rows.append((len(rows), base + h * hour
+                         + int(rng.randint(0, hour)), 1, "shifted"))
+        for i in range(20):                   # control: flat series
+            rows.append((len(rows), base + h * hour
+                         + int(rng.randint(0, hour)), 2, "flat"))
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array(pd.to_datetime([r[1] for r in rows], unit="us"),
+                       pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([1.0] * len(rows)),
+        "props": pa.array(["{}"] * len(rows)),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = event_rate_cusum(str(tmp_path)).to_pandas()
+    shifted = out[out["event_type"] == "shifted"]
+    assert len(shifted) > 0
+    shift_ts = pd.Timestamp(int(base + 72 * hour), unit="us")
+    assert (shifted["window_start"] >= shift_ts).all()
+    assert (out["event_type"] == "flat").sum() == 0
