@@ -373,6 +373,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_pca": similarity.embedding_pca,
         "embedding_logreg": similarity.embedding_logreg,
         "docx_meta": export.docx_meta,
+        "jsonl_export_meta": export.jsonl_export_meta,
         "phash_neardups": multimodal.phash_neardups,
         "phash_clusters": multimodal.phash_clusters,
         "shuffle_sample": textstats.shuffle_sample,

@@ -106,6 +106,7 @@ def __getattr__(name):
                                       "register_document_variant"),
         # export sinks
         "export_docx": ("raydoc.functions.export", "export_docx"),
+        "export_jsonl": ("raydoc.functions.export", "export_jsonl"),
         "export_media": ("raydoc.functions.multimodal", "export_media"),
         "compact_parquet_dir": ("raydoc.pipelines.compact",
                                 "compact_parquet_dir"),

@@ -882,3 +882,4 @@ def bloom_novel_docs(sf_dir: str, n_bits: int = 1 << 20) -> pa.Table:
     novel = bloom_filter_novel(new, bloom, col="text", n_bits=n_bits)
     out = collect_table(novel.select_columns(["doc_id"]))
     return out.sort_by("doc_id")
+

@@ -69,3 +69,70 @@ def export_docx(sf_dir: str, out_dir: str) -> int:
     counts = collect_table(ds.map_batches(fn, batch_format="pyarrow"))
     import pyarrow.compute as pc
     return pc.sum(counts.column("files")).as_py() or 0
+
+
+def export_jsonl(ds: rd.Dataset, out_dir: str,
+                 shard_rows: int = 100_000) -> "pa.Table":
+    """JSONL shard sink — the interchange format most LLM training
+    stacks consume. Each input BLOCK writes its own shard from the
+    worker (atomic tmp+rename; rows never visit the driver), named by
+    a content hash of the shard's bytes, so reruns are idempotent
+    (same data ⇒ same filename, replaced in place) and a killed run
+    leaves no torn shard — the manifest-discipline of the parquet
+    sinks applied to JSONL. Oversized blocks split at ``shard_rows``.
+    Returns the manifest (shard, n_rows, n_bytes) sorted by shard, and
+    stamps it as ``_jsonl_manifest.json`` for resume checks.
+
+    Lines are ``json.dumps(..., sort_keys=True, ensure_ascii=False)``
+    of each row dict — byte-deterministic for a given row, so shard
+    content hashes are stable across runs and cluster sizes."""
+    import hashlib
+    import json
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_block(t: pa.Table) -> pa.Table:
+        shards, nrows, nbytes = [], [], []
+        for off in range(0, max(t.num_rows, 1), shard_rows):
+            sub = t.slice(off, shard_rows)
+            if sub.num_rows == 0:
+                continue
+            payload = "".join(
+                json.dumps(r, sort_keys=True, ensure_ascii=False,
+                           default=str) + "\n"
+                for r in sub.to_pylist()).encode()
+            name = ("part-"
+                    + hashlib.sha256(payload).hexdigest()[:16] + ".jsonl")
+            path = os.path.join(out_dir, name)
+            tmp = path + f".tmp-{os.getpid()}"
+            with open(tmp, "wb") as fh:
+                fh.write(payload)
+            os.replace(tmp, path)
+            shards.append(name)
+            nrows.append(sub.num_rows)
+            nbytes.append(len(payload))
+        return pa.table({"shard": pa.array(shards, pa.string()),
+                         "n_rows": pa.array(nrows, pa.int64()),
+                         "n_bytes": pa.array(nbytes, pa.int64())})
+
+    manifest = collect_table(
+        ds.map_batches(write_block, batch_format="pyarrow")).sort_by("shard")
+    import json as _json
+    tmp = os.path.join(out_dir, "_jsonl_manifest.json.tmp")
+    with open(tmp, "w") as fh:
+        _json.dump(manifest.to_pylist(), fh, indent=1)
+    os.replace(tmp, os.path.join(out_dir, "_jsonl_manifest.json"))
+    return manifest
+
+
+def jsonl_export_meta(sf_dir: str) -> "pa.Table":
+    """(shard, n_rows, n_bytes): manifest of exporting the documents
+    table as JSONL shards to scratch — the sink's driver-checkable
+    evidence row (byte-deterministic shard hashes ⇒ stable output)."""
+    import tempfile
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang", "source"])
+    out = os.path.join(tempfile.gettempdir(),
+                       f"raydoc_jsonl_{os.path.basename(sf_dir.rstrip('/'))}")
+    return export_jsonl(ds, out)

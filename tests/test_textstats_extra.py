@@ -77,3 +77,46 @@ def test_bpe_encode_matches_trainer_final_vocab(ray_session, tmp_path):
     got = bpe_encode(str(tmp_path), n_merges=n_merges).to_pandas()
     assert got.iloc[0]["n_words"] == len(words)
     assert got.iloc[0]["n_bpe_tokens"] == want
+
+
+def test_export_jsonl_roundtrip_idempotent_atomic(ray_session, tmp_path):
+    """Shards round-trip losslessly, rerunning the same input rewrites
+    the SAME content-hashed filenames (idempotent resume), and no .tmp
+    debris survives a completed run."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from raydoc.functions.export import export_jsonl
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "shards")
+    ds = rd.read_parquet(f"{sf}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+    m1 = export_jsonl(ds, out).to_pandas()
+    assert (m1["n_rows"].sum()) == 500
+    files = sorted(glob.glob(out + "/*.jsonl"))
+    assert [os.path.basename(f) for f in files] == sorted(m1["shard"])
+    assert not glob.glob(out + "/*.tmp*")
+    back = rd.read_json(files).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    orig = pq.read_table(f"{sf}/documents.parquet",
+                         columns=["doc_id", "text", "lang"]).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert back[["doc_id", "text", "lang"]].equals(orig)
+    m2 = export_jsonl(rd.read_parquet(
+        f"{sf}/documents.parquet",
+        columns=["doc_id", "text", "lang"]), out).to_pandas()
+    assert m2.equals(m1)
+
+
+def test_canonicalize_url_rules():
+    from raydoc.functions.textstats import canonicalize_url
+
+    assert canonicalize_url("HTTPS://WWW.Ex.COM:443/P?utm_x=1&id=2#f") == \
+        "https://www.ex.com/P?id=2"
+    assert canonicalize_url("http://a.b:8080/x?utm_source=z") == \
+        "http://a.b:8080/x"
+    assert canonicalize_url("http://a.b:80/x?q=1&q=2") == \
+        "http://a.b/x?q=1&q=2"
