@@ -362,6 +362,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_rfm_segments": windows.user_rfm_segments,
         "value_acf_by_type": windows.value_acf_by_type,
         "top_session_paths": windows.top_session_paths,
+        "conversion_latency": windows.conversion_latency,
         # --- rows-only family (no SQL oracle; property/golden-tested) ---
         "bloom_novel_docs": dedup.bloom_novel_docs,
         "compression_ratio": textstats.compression_ratio,
@@ -845,6 +846,19 @@ def oracle_sql() -> dict[str, str]:
                   FROM s GROUP BY user_id, sess)
             SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions FROM p
             GROUP BY path ORDER BY n_sessions DESC, path LIMIT 20""",
+        "conversion_latency": """
+            WITH v AS (SELECT user_id, MIN(ts) AS vts FROM events
+                       WHERE event_type = 'view' GROUP BY 1),
+            p AS (SELECT v.user_id, vts, MIN(e.ts) AS pts
+                  FROM v JOIN events e ON e.user_id = v.user_id
+                       AND e.event_type = 'purchase' AND e.ts >= vts
+                  GROUP BY 1, 2)
+            SELECT user_id,
+                   CAST(epoch_us(vts) AS BIGINT) AS first_view_us,
+                   CAST(epoch_us(pts) AS BIGINT) AS first_purchase_us,
+                   CAST(epoch_us(pts) - epoch_us(vts) AS BIGINT)
+                       AS delta_us
+            FROM p ORDER BY user_id""",
         "user_rfm_segments": """
             WITH agg AS (
               SELECT user_id,

@@ -2354,3 +2354,53 @@ def event_rate_cusum(sf_dir: str, k_sigma: float = 0.5,
     return pa.table({"event_type": pa.array(out_t, pa.string()),
                      "window_start": ws,
                      "cusum": pa.array(out_c, pa.float64())})
+
+
+def conversion_latency(sf_dir: str,
+                       from_type: str = "view", to_type: str = "purchase",
+                       num_buckets: int | None = None) -> pa.Table:
+    """(user_id, first_view_us, first_purchase_us, delta_us): per-user
+    time from the FIRST ``from_type`` event to the first ``to_type``
+    event at-or-after it — the funnel conversion-latency metric
+    (complements ``funnel_counts``, which only counts). Users who never
+    converted are omitted (inner semantics, like the SQL twin).
+
+    Scale shape: one user-bucket exchange (complete users per block,
+    the ``sessionize`` discipline); inside a block both "first view"
+    and "first qualifying purchase" are vectorized pandas min-reductions
+    — no per-user micro-groups, no self-join of the events table."""
+    from raydoc.functions._buckets import reduce_bucket_count
+    mask = (num_buckets or reduce_bucket_count()) - 1
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["event_type"],
+                              value_set=pa.array([from_type, to_type])))
+        return t.append_column(
+            "bucket", pc.cast(pc.bit_wise_and(t["user_id"], mask),
+                              pa.int32()))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        us = g["ts"].astype("int64")
+        g = pd.DataFrame({"user_id": g["user_id"], "us": us,
+                          "et": g["event_type"]})
+        v = g[g["et"] == from_type].groupby("user_id")["us"].min() \
+            .rename("first_view_us")
+        p = g[g["et"] == to_type].merge(v, on="user_id")
+        p = p[p["us"] >= p["first_view_us"]]
+        if p.empty:
+            return pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                                 "first_view_us": pd.Series([], dtype="int64"),
+                                 "first_purchase_us": pd.Series([], dtype="int64"),
+                                 "delta_us": pd.Series([], dtype="int64")})
+        out = p.groupby("user_id").agg(
+            first_view_us=("first_view_us", "first"),
+            first_purchase_us=("us", "min")).reset_index()
+        out["delta_us"] = out["first_purchase_us"] - out["first_view_us"]
+        return out
+
+    out = (ds.map_batches(add_bucket, batch_format="pyarrow")
+           .groupby("bucket").map_groups(per_bucket,
+                                         batch_format="pandas"))
+    return collect_table(out).sort_by("user_id")

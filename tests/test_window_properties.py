@@ -262,3 +262,15 @@ def test_cusum_fires_on_planted_rate_shift(ray_session, tmp_path):
     shift_ts = pd.Timestamp(int(base + 72 * hour), unit="us")
     assert (shifted["window_start"] >= shift_ts).all()
     assert (out["event_type"] == "flat").sum() == 0
+
+
+@pytest.mark.parametrize("seed", [71, 72])
+def test_conversion_latency_matches_duckdb(ray_session, tmp_path, seed):
+    """First-view→first-subsequent-purchase per user ≡ the SQL twin on
+    adversarial events (ties, purchase-before-view users, singletons)."""
+    from raydoc.functions.windows import conversion_latency
+    import __ray_entry__ as e
+    sf = _mk_events(tmp_path, seed)
+    got = conversion_latency(sf, num_buckets=8).to_pandas()
+    exp = _sql(sf, e.oracle_sql()["conversion_latency"])
+    assert _canon(got) == _canon(exp)
