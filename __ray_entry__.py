@@ -169,6 +169,11 @@ def _embedding_neardup_pairs(sf_dir: str):
     return embedding_neardups(sf_dir, threshold=0.4).select(["a", "b"])
 
 
+def _colocated_order_revenue(sf_dir: str):
+    from raydoc.pipelines.bucketed import colocated_order_revenue
+    return colocated_order_revenue(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Ordered so a budget-limited driver checks the strongest evidence
     first: the flagship extraction queries, then every oracle-backed
@@ -258,6 +263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lone_return_suppliers": relational.q_lone_return_suppliers,
         "snapshot_diff": relational.q_snapshot_diff,
         "bloom_filtered_revenue": relational.q_bloom_filtered_revenue,
+        "colocated_order_revenue": _colocated_order_revenue,
         "value_mad_by_type": windows.value_mad_by_type,
         "value_trend_by_type": windows.value_trend_by_type,
         "user_event_sequence": windows.user_event_sequence,
@@ -2637,6 +2643,14 @@ def oracle_sql() -> dict[str, str]:
                   FROM p)
             SELECT doc_id, sh2 || rp AS url_canonical
             FROM q ORDER BY doc_id""",
+        "colocated_order_revenue": """
+            SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_items,
+                   CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                            * (100 - CAST(ROUND(l_discount*100)
+                                          AS BIGINT)))
+                        AS BIGINT) AS revenue_c100
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority ORDER BY o_orderpriority""",
         "kfold_split": """
             SELECT doc_id,
                    CAST(CAST(('0x' || substr(md5(text),1,8)) AS UBIGINT)

@@ -114,6 +114,10 @@ def __getattr__(name):
                                  "read_parquet_evolved"),
         "write_clustered_parquet": ("raydoc.pipelines.clustered",
                                     "write_clustered_parquet"),
+        "write_bucketed_parquet": ("raydoc.pipelines.bucketed",
+                                   "write_bucketed_parquet"),
+        "bucketed_join_dataset": ("raydoc.pipelines.bucketed",
+                                  "bucketed_join_dataset"),
         "read_clustered_range": ("raydoc.pipelines.clustered",
                                  "read_clustered_range"),
         "write_zordered_parquet": ("raydoc.pipelines.zorder",

@@ -1,0 +1,153 @@
+"""Hash-bucketed (co-located) parquet storage and the zero-shuffle join.
+
+The lakehouse co-location pattern for 100-TB fact↔fact joins: pay the
+exchange ONCE at write time — every table bucketed on the join key with
+the SAME hash and bucket count stores matching keys in matching bucket
+directories — and every subsequent join on that key is embarrassingly
+parallel: one task per bucket id reads ``bucket=i`` from each side and
+joins locally, no network exchange at query time (Hive/Spark bucketing,
+Iceberg bucket partition transforms). Complements
+``pipelines/clustered.py`` (range clustering + zone maps → scan pruning);
+bucketing targets JOIN locality instead.
+
+Bucket assignment is ``splitmix64(key) % num_buckets``
+(``dedup._splitmix64`` — vectorized, engine-stable), recorded in a
+``_buckets_manifest.json``; ``bucketed_join_dataset`` refuses to join
+dirs whose manifests disagree on key/hash/bucket-count (the classic
+silent-wrong-join foot-gun of mismatched bucketing).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+_MANIFEST = "_buckets_manifest.json"
+
+
+def write_bucketed_parquet(ds: rd.Dataset, out_dir: str, key: str,
+                           num_buckets: int = 32) -> dict:
+    """Write ``ds`` hash-bucketed on int64 ``key`` into
+    ``out_dir/bucket=<i>/`` (Ray's partitioned parquet write — each
+    block writes its own fragment files worker-side; a bucket dir holds
+    many fragments, so no single task materializes a whole bucket).
+    Atomic staging swap with a backup hop (the clustered/compact sink
+    discipline). Returns the manifest dict."""
+    from raydoc.functions.dedup import _splitmix64
+
+    staging = out_dir.rstrip("/") + ".bucketed-staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    os.makedirs(staging)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        ks = t.column(key).to_numpy(zero_copy_only=False)
+        b = (_splitmix64(ks) % np.uint64(num_buckets)).astype(np.int32)
+        return t.append_column("bucket", pa.array(b))
+
+    ds.map_batches(add_bucket, batch_format="pyarrow") \
+        .write_parquet(staging, partition_cols=["bucket"])
+    manifest = {"key": key, "hash": "splitmix64",
+                "num_buckets": num_buckets}
+    with open(os.path.join(staging, _MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=1)
+
+    backup = out_dir.rstrip("/") + ".bucketed-backup"
+    shutil.rmtree(backup, ignore_errors=True)
+    if os.path.exists(out_dir):
+        os.replace(out_dir, backup)
+    os.replace(staging, out_dir)
+    shutil.rmtree(backup, ignore_errors=True)
+    return manifest
+
+
+def bucketed_join_dataset(left_dir: str, right_dir: str, key: str,
+                          how: str = "inner") -> rd.Dataset:
+    """Zero-exchange join of two bucketed tables: a Dataset of bucket
+    ids fans out one task per bucket; each task reads ``bucket=i`` from
+    BOTH dirs (only that directory's files open) and joins locally with
+    the Arrow hash-join kernel. Refuses mismatched bucket layouts."""
+    mans = []
+    for d in (left_dir, right_dir):
+        with open(os.path.join(d, _MANIFEST)) as f:
+            mans.append(json.load(f))
+    if mans[0] != mans[1] or mans[0]["key"] != key:
+        raise ValueError(f"bucket layouts disagree or key mismatch: "
+                         f"{mans[0]} vs {mans[1]} (want key={key!r})")
+    num_buckets = mans[0]["num_buckets"]
+
+    def join_bucket(t: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+        outs = []
+        for b in t.column("id").to_pylist():
+            sides = []
+            for d in (left_dir, right_dir):
+                p = os.path.join(d, f"bucket={b}")
+                sides.append(pq.read_table(p) if os.path.isdir(p)
+                             else None)
+            lt, rt = sides
+            if lt is None or rt is None or lt.num_rows == 0 \
+                    or rt.num_rows == 0:
+                continue
+            outs.append(lt.join(rt, keys=key,
+                                join_type={"inner": "inner",
+                                           "left": "left outer"}[how]))
+        if not outs:
+            return pa.table({})
+        return pa.concat_tables(outs, promote_options="default")
+
+    return rd.range(num_buckets).map_batches(
+        join_bucket, batch_format="pyarrow", batch_size=1)
+
+
+def colocated_order_revenue(sf_dir: str, num_buckets: int = 32) -> pa.Table:
+    """(o_orderpriority, n_items, revenue_c100): lineitem⋈orders revenue
+    by order priority, executed over CO-LOCATED bucketed storage — both
+    tables are written bucketed on the orderkey (the once-per-layout
+    exchange), then the join runs one-task-per-bucket with no shuffle
+    and the tiny priority aggregate folds map-side. The SQL twin is the
+    plain join; at 100 TB this is the layout under every repeated
+    orderkey join."""
+    import pyarrow.compute as pc
+
+    from raydoc.functions._collect import collect_table
+    from raydoc.functions.agg import partial_groupby
+    from raydoc.functions.relational import _rev_c100
+
+    scratch = os.path.join(
+        "/tmp", f"raydoc_bucketed_{os.path.basename(sf_dir.rstrip('/'))}")
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderpriority"]) \
+        .map_batches(lambda t: t.rename_columns(
+            ["l_orderkey", "o_orderpriority"]), batch_format="pyarrow")
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_extendedprice",
+                                  "l_discount"])
+    write_bucketed_parquet(li, f"{scratch}/lineitem", "l_orderkey",
+                           num_buckets)
+    write_bucketed_parquet(orders, f"{scratch}/orders", "l_orderkey",
+                           num_buckets)
+    joined = bucketed_join_dataset(f"{scratch}/lineitem",
+                                   f"{scratch}/orders", "l_orderkey")
+
+    def rev(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "o_orderpriority" not in t.schema.names:
+            return pa.table({"o_orderpriority": pa.array([], pa.string()),
+                             "rev": pa.array([], pa.int64())})
+        return pa.table({"o_orderpriority": t["o_orderpriority"],
+                         "rev": _rev_c100(t)})
+
+    out = partial_groupby(joined.map_batches(rev, batch_format="pyarrow"),
+                          ["o_orderpriority"],
+                          {"n_items": ("rev", "count"),
+                           "revenue_c100": ("rev", "sum")})
+    t = collect_table(out)
+    # drop the storage bucket column if the partitioned read surfaced it
+    keep = [c for c in ("o_orderpriority", "n_items", "revenue_c100")
+            if c in t.schema.names]
+    return t.select(keep).sort_by("o_orderpriority")

