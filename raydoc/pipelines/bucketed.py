@@ -151,3 +151,36 @@ def colocated_order_revenue(sf_dir: str, num_buckets: int = 32) -> pa.Table:
     keep = [c for c in ("o_orderpriority", "n_items", "revenue_c100")
             if c in t.schema.names]
     return t.select(keep).sort_by("o_orderpriority")
+
+
+def bucketed_point_lookup(dir_: str, key: str,
+                          values: list[int]) -> pa.Table:
+    """Point lookups served from the bucket layout as a hash index:
+    each probe key hashes to ITS bucket directory, so only
+    |distinct buckets probed| directories open — the other
+    ``num_buckets − k`` never leave storage (the read-side dividend of
+    the write-time exchange; the bucket twin of
+    ``read_clustered_range``'s zone-map pruning)."""
+    import pyarrow.parquet as pq
+    import pyarrow.compute as pc
+
+    from raydoc.functions.dedup import _splitmix64
+
+    with open(os.path.join(dir_, _MANIFEST)) as f:
+        man = json.load(f)
+    if man["key"] != key:
+        raise ValueError(f"layout is bucketed on {man['key']!r}, "
+                         f"not {key!r}")
+    vals = np.asarray(sorted(set(values)), dtype=np.int64)
+    buckets = np.unique(_splitmix64(vals) % np.uint64(man["num_buckets"]))
+    outs = []
+    for b in buckets.tolist():
+        p = os.path.join(dir_, f"bucket={b}")
+        if not os.path.isdir(p):
+            continue
+        t = pq.read_table(p)
+        outs.append(t.filter(pc.is_in(t[key], value_set=pa.array(
+            vals, pa.int64()))))
+    if not outs:
+        return pa.table({})
+    return pa.concat_tables(outs, promote_options="default")

@@ -61,3 +61,18 @@ def test_bucketed_rewrite_is_atomic_swap(ray_session, tmp_path):
     buckets = sorted(glob.glob(d + "/bucket=*"))
     assert len(buckets) <= 4
     assert rd.read_parquet(d).count() == 100
+
+
+def test_bucketed_point_lookup_prunes_and_is_exact(ray_session, tmp_path):
+    left, _ = _two_tables(35)
+    d = str(tmp_path / "t")
+    write_bucketed_parquet(rd.from_arrow(left), d, "k", num_buckets=16)
+    from raydoc.pipelines.bucketed import bucketed_point_lookup
+    got = bucketed_point_lookup(d, "k", [7, 500, 999]).to_pandas()
+    exp = left.to_pandas()
+    exp = exp[exp["k"].isin([7, 500, 999])]
+    key = lambda df: sorted(map(tuple,                       # noqa: E731
+                                df[["k", "lv"]].values.tolist()))
+    assert key(got) == key(exp)
+    with pytest.raises(ValueError, match="bucketed on"):
+        bucketed_point_lookup(d, "lv", [1])
