@@ -2219,6 +2219,11 @@ def value_acf_by_type(sf_dir: str) -> pa.Table:
     parts = collect_table(
         ds.map_batches(add_bucket, batch_format="pyarrow")
           .groupby("day").map_groups(per_day, batch_format="pandas"))
+    empty = pa.table({"event_type": pa.array([], pa.string()),
+                      "n_pairs": pa.array([], pa.int64()),
+                      "acf1": pa.array([], pa.float64())})
+    if parts.num_rows == 0 or "event_type" not in parts.schema.names:
+        return empty
     df = parts.to_pandas().sort_values(["event_type", "day"])
     types, ns, rs = [], [], []
     for et, sub in df.groupby("event_type", sort=True):
@@ -2328,11 +2333,16 @@ def event_rate_cusum(sf_dir: str, k_sigma: float = 0.5,
             "window_start": pc.floor_temporal(t["ts"], unit="hour"),
             "event_type": t["event_type"]})
 
-    counts = collect_table(partial_groupby(
+    counts_t = collect_table(partial_groupby(
         ds.map_batches(prep, batch_format="pyarrow"),
         ["window_start", "event_type"],
-        {"n": ("event_type", "count")})).to_pandas()
+        {"n": ("event_type", "count")}))
     out_t, out_w, out_c = [], [], []
+    if counts_t.num_rows == 0 or "event_type" not in counts_t.schema.names:
+        counts = pd.DataFrame({"event_type": [], "window_start": [],
+                               "n": []})
+    else:
+        counts = counts_t.to_pandas()
     for et, sub in counts.groupby("event_type", sort=True):
         sub = sub.sort_values("window_start")
         x = sub["n"].to_numpy(dtype=np.float64)
