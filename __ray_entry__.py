@@ -261,6 +261,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_part_revenue_share": relational.q_top_part_revenue_share,
         "supplier_count_by_part": relational.q_supplier_count_by_part,
         "lone_return_suppliers": relational.q_lone_return_suppliers,
+        "line_priority_counts": relational.q_line_priority_counts,
+        "dominant_part_suppliers": relational.q_dominant_part_suppliers,
         "snapshot_diff": relational.q_snapshot_diff,
         "bloom_filtered_revenue": relational.q_bloom_filtered_revenue,
         "colocated_order_revenue": _colocated_order_revenue,
@@ -1833,6 +1835,37 @@ def oracle_sql() -> dict[str, str]:
             WHERE per.ret = 1 AND o.n_supp > 1 AND o.n_ret = 1
             GROUP BY s_suppkey, s_name
             ORDER BY n_orders DESC, s_suppkey""",
+        "line_priority_counts": """
+            SELECT l_linestatus,
+                   CAST(SUM(CASE WHEN o_orderpriority IN
+                                      ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS high_line_count,
+                   CAST(SUM(CASE WHEN o_orderpriority NOT IN
+                                      ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS low_line_count
+            FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+            GROUP BY l_linestatus ORDER BY l_linestatus""",
+        "dominant_part_suppliers": """
+            WITH sq AS (
+              SELECT l_partkey, l_suppkey,
+                     SUM(CAST(l_quantity AS BIGINT)) AS sq
+              FROM lineitem JOIN part ON p_partkey = l_partkey
+              WHERE p_name LIKE 'large%'
+                AND l_shipdate >= TIMESTAMP '2000-01-01'
+                AND l_shipdate <  TIMESTAMP '2001-01-01'
+              GROUP BY l_partkey, l_suppkey),
+            tot AS (SELECT l_partkey, SUM(sq) AS tq
+                    FROM sq GROUP BY l_partkey)
+            SELECT s_suppkey, s_name, CAST(COUNT(*) AS BIGINT) AS n_parts
+            FROM sq JOIN tot USING (l_partkey)
+            JOIN supplier ON s_suppkey = sq.l_suppkey
+            WHERE 2 * sq.sq > tot.tq
+            GROUP BY s_suppkey, s_name
+            ORDER BY s_suppkey""",
         "profit_by_nation": f"""
             SELECT n_name,
                    CAST(year(l_shipdate) AS BIGINT) AS o_year,

@@ -36,6 +36,19 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # order. extract_turns (the flagship) is timed separately via run_job so the
 # number includes the checkpointed parquet write + manifests.
 BENCH_QUERIES = [
+    "line_priority_counts",
+    "dominant_part_suppliers",
+    "value_acf_by_type",
+    "top_session_paths",
+    "conversion_latency",
+    "bloom_filtered_revenue",
+    "colocated_order_revenue",
+    "kfold_split",
+    "canonical_urls",
+    "audience_overlap_hll",
+    "mmr_diverse_topk",
+    "event_rate_cusum",
+    "jsonl_export_meta",
     "pricing_summary",
     "filter_project",
     "distinct_flags",

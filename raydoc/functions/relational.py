@@ -2808,3 +2808,173 @@ def q_bloom_filtered_revenue(sf_dir: str,
                           {"n_items": ("rev", "count"),
                            "revenue_c100": ("rev", "sum")})
     return collect_table(out).sort_by("l_returnflag")
+
+
+def q_line_priority_counts(sf_dir: str) -> pa.Table:
+    """(l_linestatus, high_line_count, low_line_count): TPC-H Q12 shape —
+    per line status (this schema's stand-in for l_shipmode), how many
+    1997-shipped lineitems belong to critical- vs normal-priority
+    orders. The fact-fact join moves only pre-reduced partials:
+    lineitems combine map-side to per-batch (orderkey, linestatus,
+    n_lines), orders project (orderkey, is_high), both tag_union into
+    ONE orderkey-bucket exchange, and each bucket joins + folds to
+    (linestatus, hi, lo) partial counts — only |status|-sized rows
+    leave the reduce. All-integer → hash-exact twin.
+    Reference parity: DocFlow has no relational engine; this completes
+    the 22/22 TPC-H query-shape sweep of the wider engine surface."""
+    from raydoc.functions.joins import tag_union
+
+    t0 = pa.scalar(__import__("datetime").datetime(1997, 1, 1),
+                   pa.timestamp("us"))
+    t1 = pa.scalar(__import__("datetime").datetime(1998, 1, 1),
+                   pa.timestamp("us"))
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linestatus", "l_shipdate"])
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "l_orderkey" not in t.schema.names:
+            return pa.table({"o_orderkey": pa.array([], pa.int64()),
+                             "l_linestatus": pa.array([], pa.string()),
+                             "n_lines": pa.array([], pa.int64())})
+        t = t.filter(pc.and_(pc.greater_equal(t["l_shipdate"], t0),
+                             pc.less(t["l_shipdate"], t1)))
+        g = pa.table({"o_orderkey": t["l_orderkey"],
+                      "l_linestatus": t["l_linestatus"],
+                      "one": pa.array(np.ones(t.num_rows, np.int64))}) \
+            .group_by(["o_orderkey", "l_linestatus"]).aggregate(
+            [("one", "sum")])
+        return g.rename_columns(["o_orderkey", "l_linestatus", "n_lines"])
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+
+    def ord_prep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "o_orderkey" not in t.schema.names:
+            return pa.table({"o_orderkey": pa.array([], pa.int64()),
+                             "is_high": pa.array([], pa.int64())})
+        hi = pc.cast(pc.is_in(t["o_orderpriority"],
+                              value_set=pa.array(["1-URGENT", "2-HIGH"])),
+                     pa.int64())
+        return pa.table({"o_orderkey": t["o_orderkey"], "is_high": hi})
+
+    all_fields = [("o_orderkey", pa.int64()),
+                  ("l_linestatus", pa.string()),
+                  ("n_lines", pa.int64()), ("is_high", pa.int64())]
+    tagged = tag_union(
+        orders.map_batches(ord_prep, batch_format="pyarrow"),
+        li.map_batches(li_prep, batch_format="pyarrow"),
+        "o_orderkey", all_fields, num_buckets=32)
+
+    out_schema = pa.schema([("l_linestatus", pa.string()),
+                            ("high_line_count", pa.int64()),
+                            ("low_line_count", pa.int64())])
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        side = group.column("__side")
+        o = group.filter(pc.equal(side, 0)).select(
+            ["o_orderkey", "is_high"])
+        l = group.filter(pc.equal(side, 1)).select(
+            ["o_orderkey", "l_linestatus", "n_lines"])
+        if o.num_rows == 0 or l.num_rows == 0:
+            return out_schema.empty_table()
+        j = l.join(o, keys="o_orderkey", join_type="inner")
+        hi = pc.multiply(j["n_lines"], j["is_high"])
+        lo = pc.subtract(j["n_lines"], hi)
+        g = pa.table({"l_linestatus": j["l_linestatus"],
+                      "high_line_count": hi, "low_line_count": lo}) \
+            .group_by(["l_linestatus"]).aggregate(
+            [("high_line_count", "sum"), ("low_line_count", "sum")])
+        return g.rename_columns(["l_linestatus", "high_line_count",
+                                 "low_line_count"]).cast(out_schema)
+
+    counts = tagged.groupby("__bucket").map_groups(
+        per_bucket, batch_format="pyarrow")
+    out = partial_groupby(counts, ["l_linestatus"],
+                          {"high_line_count": ("high_line_count", "sum"),
+                           "low_line_count": ("low_line_count", "sum")})
+    return collect_table(out).sort_by("l_linestatus")
+
+
+def q_dominant_part_suppliers(sf_dir: str) -> pa.Table:
+    """(s_suppkey, s_name, n_parts): TPC-H Q20 shape — suppliers that
+    shipped MORE THAN HALF of the total shipped quantity of at least
+    one 'large …' part during the 2000 ship-year (no partsupp table in
+    this schema; lineitem stands in for the supply relationship, the
+    0.5·SUM correlated subquery over a one-year window is the Q20
+    semantics being exercised). Topology: the part
+    prefix filter broadcasts a partkey SET once (``ray.put``) so
+    lineitem prunes map-side BEFORE the exchange; surviving lines
+    combine to per-batch (partkey, suppkey, qty) partials; ONE
+    partkey-bucket exchange finishes per-pair and per-part totals
+    locally and emits only qualifying (suppkey, partkey) pairs —
+    integer compare 2·sq > tq, no division; a supplier-sized combiner
+    groupby counts parts per supplier and ONE broadcast attaches
+    names. Driver sees supplier-sized rows only."""
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_name"])
+    keep = part.filter(
+        pc.starts_with(part["p_name"], "large"))["p_partkey"]
+    keys_ref = ray.put(pc.cast(keep, pa.int64()).combine_chunks())
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"])
+
+    from raydoc.functions._buckets import reduce_bucket_count
+    mask = reduce_bucket_count() - 1
+    import datetime
+    d0 = pa.scalar(datetime.datetime(2000, 1, 1), pa.timestamp("us"))
+    d1 = pa.scalar(datetime.datetime(2001, 1, 1), pa.timestamp("us"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"l_partkey": pa.array([], pa.int64()),
+                          "l_suppkey": pa.array([], pa.int64()),
+                          "qty": pa.array([], pa.int64()),
+                          "bucket": pa.array([], pa.int32())})
+        if t.num_rows == 0 or "l_partkey" not in t.schema.names:
+            return empty
+        t = t.filter(pc.and_(
+            pc.is_in(t["l_partkey"], value_set=ray.get(keys_ref)),
+            pc.and_(pc.greater_equal(t["l_shipdate"], d0),
+                    pc.less(t["l_shipdate"], d1))))
+        if t.num_rows == 0:
+            return empty
+        g = pa.table({"l_partkey": t["l_partkey"],
+                      "l_suppkey": t["l_suppkey"],
+                      "qty": pc.cast(t["l_quantity"], pa.int64())}) \
+            .group_by(["l_partkey", "l_suppkey"]).aggregate(
+            [("qty", "sum")]) \
+            .rename_columns(["l_partkey", "l_suppkey", "qty"])
+        bk = pc.cast(pc.bit_wise_and(g["l_partkey"], mask), pa.int32())
+        return g.append_column("bucket", bk)
+
+    exploded = li.map_batches(partial, batch_format="pyarrow")
+
+    pair_schema = pa.schema([("l_suppkey", pa.int64()),
+                             ("n_parts", pa.int64())])
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pair_schema.empty_table()
+        d = g.select(["l_partkey", "l_suppkey", "qty"]) \
+             .group_by(["l_partkey", "l_suppkey"]).aggregate(
+            [("qty", "sum")]) \
+             .rename_columns(["l_partkey", "l_suppkey", "sq"])
+        tot = d.group_by("l_partkey").aggregate([("sq", "sum")]) \
+               .rename_columns(["l_partkey", "tq"])
+        j = d.join(tot, keys="l_partkey", join_type="inner")
+        j = j.filter(pc.greater(pc.multiply(j["sq"], pa.scalar(2, pa.int64())),
+                                j["tq"]))
+        c = j.group_by("l_suppkey").aggregate([("l_partkey", "count")])
+        return c.rename_columns(["l_suppkey", "n_parts"]).cast(pair_schema)
+
+    counts = exploded.groupby("bucket").map_groups(
+        per_bucket, batch_format="pyarrow")
+    out = partial_groupby(counts, ["l_suppkey"],
+                          {"n_parts": ("n_parts", "sum")})
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_name"]) \
+             .rename_columns(["l_suppkey", "s_name"])
+    named = broadcast_join(out, supp, key="l_suppkey")
+    t = collect_table(named).sort_by([("l_suppkey", "ascending")])
+    return pa.table({"s_suppkey": t["l_suppkey"], "s_name": t["s_name"],
+                     "n_parts": t["n_parts"]})
