@@ -363,6 +363,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms_by_lang": textstats.top_terms_by_lang,
         "extract_mentions": textstats.extract_mentions,
         "pii_by_source": textstats.pii_by_source,
+        "pseudonymize_users": textstats.pseudonymize_users,
         "canonical_urls": textstats.canonical_urls,
         "value_iqr_outliers": windows.value_iqr_outliers,
         "user_time_weighted_avg": windows.user_time_weighted_avg,
@@ -945,6 +946,11 @@ def oracle_sql() -> dict[str, str]:
                     FROM pts)
             SELECT user_id, CAST(MAX(c) AS BIGINT) AS peak
             FROM run GROUP BY user_id ORDER BY user_id""",
+        "pseudonymize_users": """
+            SELECT substr(sha256('pepper:' || CAST(user_id AS VARCHAR)),
+                          1, 16) AS pseudo_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY user_id ORDER BY pseudo_id""",
         "pii_by_source": r"""
             WITH aug AS (
               SELECT source,

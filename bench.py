@@ -38,6 +38,7 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_QUERIES = [
     "line_priority_counts",
     "dominant_part_suppliers",
+    "pseudonymize_users",
     "value_acf_by_type",
     "top_session_paths",
     "conversion_latency",

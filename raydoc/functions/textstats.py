@@ -1946,3 +1946,43 @@ def canonical_urls(sf_dir: str) -> pa.Table:
 
     return collect_table(ds.map_batches(fn, batch_format="pyarrow")) \
         .sort_by("doc_id")
+
+
+def pseudonymize_users(sf_dir: str, pepper: str = "pepper:") -> pa.Table:
+    """(pseudo_id, n_events): GDPR-style keyed pseudonymization — every
+    user_id is replaced corpus-wide by a deterministic one-way token
+    (first 16 hex chars of sha256(pepper || id)) while aggregates keep
+    working on the new key. The heavy stream never carries the token:
+    events fold to per-user counts in a combiner groupby FIRST (the
+    exchange moves |users|-sized partials), then one vectorized-bounded
+    map over the user-sized result attaches tokens. At 100 TB the
+    pepper would live in a secret store and rotate per release; the
+    operator only needs it broadcast once as a task-closure constant.
+    DuckDB twin: substr(sha256(...), 1, 16) — byte-identical hex."""
+    from raydoc.functions.agg import partial_groupby
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    def ones(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.schema.names:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "n_events": pa.array([], pa.int64())})
+        return pa.table({"user_id": t["user_id"],
+                         "n_events": pa.array(
+                             _np.ones(t.num_rows, _np.int64))})
+
+    per_user = partial_groupby(ds.map_batches(ones, batch_format="pyarrow"),
+                               ["user_id"],
+                               {"n_events": ("n_events", "sum")})
+
+    def tokenize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.schema.names:
+            return pa.table({"pseudo_id": pa.array([], pa.string()),
+                             "n_events": pa.array([], pa.int64())})
+        toks = [hashlib.sha256(f"{pepper}{u}".encode()).hexdigest()[:16]
+                for u in t.column("user_id").to_pylist()]
+        return pa.table({"pseudo_id": pa.array(toks, pa.string()),
+                         "n_events": t["n_events"]})
+
+    out = per_user.map_batches(tokenize, batch_format="pyarrow")
+    return collect_table(out).sort_by("pseudo_id")

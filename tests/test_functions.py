@@ -89,6 +89,7 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
     "user_peak_concurrency", "asof_recent_view", "event_trigrams",
     "orders_apply_changes", "user_rfm_segments",
     "line_priority_counts", "dominant_part_suppliers",
+    "pseudonymize_users",
 ])
 def test_query_matches_oracle(ray_session, oracle, name):
     import __ray_entry__ as entrymod
