@@ -81,7 +81,12 @@ def export_jsonl(ds: rd.Dataset, out_dir: str,
     leaves no torn shard — the manifest-discipline of the parquet
     sinks applied to JSONL. Oversized blocks split at ``shard_rows``.
     Returns the manifest (shard, n_rows, n_bytes) sorted by shard, and
-    stamps it as ``_jsonl_manifest.json`` for resume checks.
+    stamps it as ``_jsonl_manifest.json`` for resume checks. Shards in
+    ``out_dir`` that this run did not produce are removed (a rerun over
+    changed data must not leave the previous run's shards mixed in),
+    and byte-identical blocks collapse to ONE shard file + ONE manifest
+    row — content-addressed storage semantics: the manifest always
+    describes exactly what the directory holds.
 
     Lines are ``json.dumps(..., sort_keys=True, ensure_ascii=False)``
     of each row dict — byte-deterministic for a given row, so shard
@@ -117,6 +122,19 @@ def export_jsonl(ds: rd.Dataset, out_dir: str,
 
     manifest = collect_table(
         ds.map_batches(write_block, batch_format="pyarrow")).sort_by("shard")
+    # identical blocks hash to the same shard file — keep one manifest
+    # row per file so totals match the directory contents
+    manifest = manifest.group_by(["shard"], use_threads=False).aggregate(
+        [("n_rows", "max"), ("n_bytes", "max")]).rename_columns(
+        ["shard", "n_rows", "n_bytes"]).sort_by("shard")
+    # drop stale shards from a previous run over different data
+    current = set(manifest.column("shard").to_pylist())
+    for name in os.listdir(out_dir):
+        if name.endswith(".jsonl") and name not in current:
+            try:
+                os.remove(os.path.join(out_dir, name))
+            except OSError:
+                pass
     import json as _json
     tmp = os.path.join(out_dir, "_jsonl_manifest.json.tmp")
     with open(tmp, "w") as fh:

@@ -2345,7 +2345,14 @@ def event_rate_cusum(sf_dir: str, k_sigma: float = 0.5,
         counts = counts_t.to_pandas()
     for et, sub in counts.groupby("event_type", sort=True):
         sub = sub.sort_values("window_start")
-        x = sub["n"].to_numpy(dtype=np.float64)
+        # a rate monitor must see zero-event hours as rate 0, not skip
+        # them: reindex over the type's full hourly span so gaps both
+        # enter mu/sigma and drain S through the (0-mu)/sigma terms
+        full = sub.set_index("window_start")["n"].reindex(
+            pd.date_range(sub["window_start"].iloc[0],
+                          sub["window_start"].iloc[-1], freq="h"),
+            fill_value=0)
+        x = full.to_numpy(dtype=np.float64)
         if len(x) < 2:
             continue
         mu = float(x.mean())
@@ -2353,7 +2360,7 @@ def event_rate_cusum(sf_dir: str, k_sigma: float = 0.5,
         if sd == 0.0:
             continue
         s = 0.0
-        for w, xi in zip(sub["window_start"], x):
+        for w, xi in zip(full.index, x):
             s = max(0.0, s + (xi - mu) / sd - k_sigma)
             if s > h_sigma:
                 out_t.append(et)

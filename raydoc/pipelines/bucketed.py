@@ -66,12 +66,28 @@ def write_bucketed_parquet(ds: rd.Dataset, out_dir: str, key: str,
     return manifest
 
 
+def _layout_schema(dir_: str) -> pa.Schema | None:
+    """Schema of a bucketed layout from its first parquet fragment
+    (partition col ``bucket`` is not stored in the files), or None for
+    a layout with no data files (an empty dataset writes none)."""
+    import glob
+
+    import pyarrow.parquet as pq
+    frags = glob.glob(os.path.join(dir_, "bucket=*", "*.parquet"))
+    return pq.read_schema(frags[0]) if frags else None
+
+
 def bucketed_join_dataset(left_dir: str, right_dir: str, key: str,
                           how: str = "inner") -> rd.Dataset:
     """Zero-exchange join of two bucketed tables: a Dataset of bucket
     ids fans out one task per bucket; each task reads ``bucket=i`` from
     BOTH dirs (only that directory's files open) and joins locally with
-    the Arrow hash-join kernel. Refuses mismatched bucket layouts."""
+    the Arrow hash-join kernel. ``how='left'`` null-pads left rows
+    whose bucket has no right-side data (a right bucket dir may simply
+    not exist — keys can hash into a subset of buckets). Refuses
+    mismatched bucket layouts and unknown ``how`` upfront."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
     mans = []
     for d in (left_dir, right_dir):
         with open(os.path.join(d, _MANIFEST)) as f:
@@ -80,6 +96,20 @@ def bucketed_join_dataset(left_dir: str, right_dir: str, key: str,
         raise ValueError(f"bucket layouts disagree or key mismatch: "
                          f"{mans[0]} vs {mans[1]} (want key={key!r})")
     num_buckets = mans[0]["num_buckets"]
+
+    left_schema = _layout_schema(left_dir)
+    right_schema = _layout_schema(right_dir)
+    if left_schema is None:
+        # no left data at all -> empty join, any schema info we have
+        out_schema = pa.schema([])
+    else:
+        rfields = [] if right_schema is None else \
+            [f for f in right_schema if f.name != key]
+        out_schema = pa.schema(list(left_schema) + rfields)
+    if how == "left" and left_schema is not None and right_schema is None:
+        raise ValueError(
+            f"right layout {right_dir!r} has no data files; cannot "
+            f"infer the null-padding schema for how='left'")
 
     def join_bucket(t: pa.Table) -> pa.Table:
         import pyarrow.parquet as pq
@@ -91,15 +121,19 @@ def bucketed_join_dataset(left_dir: str, right_dir: str, key: str,
                 sides.append(pq.read_table(p) if os.path.isdir(p)
                              else None)
             lt, rt = sides
-            if lt is None or rt is None or lt.num_rows == 0 \
-                    or rt.num_rows == 0:
+            if lt is None or lt.num_rows == 0:
                 continue
+            if rt is None or rt.num_rows == 0:
+                if how == "inner":
+                    continue
+                rt = right_schema.empty_table()
             outs.append(lt.join(rt, keys=key,
                                 join_type={"inner": "inner",
                                            "left": "left outer"}[how]))
         if not outs:
-            return pa.table({})
-        return pa.concat_tables(outs, promote_options="default")
+            return out_schema.empty_table()
+        return pa.concat_tables(
+            outs, promote_options="default").select(out_schema.names)
 
     return rd.range(num_buckets).map_batches(
         join_bucket, batch_format="pyarrow", batch_size=1)
@@ -113,14 +147,15 @@ def colocated_order_revenue(sf_dir: str, num_buckets: int = 32) -> pa.Table:
     and the tiny priority aggregate folds map-side. The SQL twin is the
     plain join; at 100 TB this is the layout under every repeated
     orderkey join."""
-    import pyarrow.compute as pc
+    import tempfile
 
     from raydoc.functions._collect import collect_table
     from raydoc.functions.agg import partial_groupby
     from raydoc.functions.relational import _rev_c100
 
-    scratch = os.path.join(
-        "/tmp", f"raydoc_bucketed_{os.path.basename(sf_dir.rstrip('/'))}")
+    # per-run scratch: a fixed path would race concurrent runs through
+    # write_bucketed_parquet's directory swap (bench + pytest overlap)
+    scratch = tempfile.mkdtemp(prefix="raydoc_bucketed_")
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
                              columns=["o_orderkey", "o_orderpriority"]) \
         .map_batches(lambda t: t.rename_columns(
@@ -128,29 +163,35 @@ def colocated_order_revenue(sf_dir: str, num_buckets: int = 32) -> pa.Table:
     li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                          columns=["l_orderkey", "l_extendedprice",
                                   "l_discount"])
-    write_bucketed_parquet(li, f"{scratch}/lineitem", "l_orderkey",
-                           num_buckets)
-    write_bucketed_parquet(orders, f"{scratch}/orders", "l_orderkey",
-                           num_buckets)
-    joined = bucketed_join_dataset(f"{scratch}/lineitem",
-                                   f"{scratch}/orders", "l_orderkey")
+    try:
+        write_bucketed_parquet(li, f"{scratch}/lineitem", "l_orderkey",
+                               num_buckets)
+        write_bucketed_parquet(orders, f"{scratch}/orders", "l_orderkey",
+                               num_buckets)
+        joined = bucketed_join_dataset(f"{scratch}/lineitem",
+                                       f"{scratch}/orders", "l_orderkey")
 
-    def rev(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or "o_orderpriority" not in t.schema.names:
-            return pa.table({"o_orderpriority": pa.array([], pa.string()),
-                             "rev": pa.array([], pa.int64())})
-        return pa.table({"o_orderpriority": t["o_orderpriority"],
-                         "rev": _rev_c100(t)})
+        def rev(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "o_orderpriority" not in t.schema.names:
+                return pa.table(
+                    {"o_orderpriority": pa.array([], pa.string()),
+                     "rev": pa.array([], pa.int64())})
+            return pa.table({"o_orderpriority": t["o_orderpriority"],
+                             "rev": _rev_c100(t)})
 
-    out = partial_groupby(joined.map_batches(rev, batch_format="pyarrow"),
-                          ["o_orderpriority"],
-                          {"n_items": ("rev", "count"),
-                           "revenue_c100": ("rev", "sum")})
-    t = collect_table(out)
-    # drop the storage bucket column if the partitioned read surfaced it
-    keep = [c for c in ("o_orderpriority", "n_items", "revenue_c100")
-            if c in t.schema.names]
-    return t.select(keep).sort_by("o_orderpriority")
+        out = partial_groupby(
+            joined.map_batches(rev, batch_format="pyarrow"),
+            ["o_orderpriority"],
+            {"n_items": ("rev", "count"),
+             "revenue_c100": ("rev", "sum")})
+        t = collect_table(out)
+        # drop the storage bucket column if the partitioned read
+        # surfaced it
+        keep = [c for c in ("o_orderpriority", "n_items", "revenue_c100")
+                if c in t.schema.names]
+        return t.select(keep).sort_by("o_orderpriority")
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
 
 
 def bucketed_point_lookup(dir_: str, key: str,
@@ -182,5 +223,6 @@ def bucketed_point_lookup(dir_: str, key: str,
         outs.append(t.filter(pc.is_in(t[key], value_set=pa.array(
             vals, pa.int64()))))
     if not outs:
-        return pa.table({})
+        schema = _layout_schema(dir_)
+        return schema.empty_table() if schema is not None else pa.table({})
     return pa.concat_tables(outs, promote_options="default")

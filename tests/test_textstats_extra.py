@@ -120,3 +120,49 @@ def test_canonicalize_url_rules():
         "http://a.b:8080/x"
     assert canonicalize_url("http://a.b:80/x?q=1&q=2") == \
         "http://a.b/x?q=1&q=2"
+
+
+def test_export_jsonl_removes_stale_shards(ray_session, tmp_path):
+    """A rerun over DIFFERENT data must not leave the previous run's
+    shards mixed into the directory (consumers glob *.jsonl)."""
+    import glob
+    import os
+
+    import ray.data as rd
+    from raydoc.functions.export import export_jsonl
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "shards")
+    full = rd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["doc_id", "text"])
+    export_jsonl(full, out)
+    sub = rd.read_parquet(f"{sf}/documents.parquet",
+                          columns=["doc_id", "text"]) \
+        .filter(lambda r: r["doc_id"] < 100)
+    m2 = export_jsonl(sub, out).to_pandas()
+    files = sorted(os.path.basename(f)
+                   for f in glob.glob(out + "/*.jsonl"))
+    assert files == sorted(m2["shard"])
+    back = rd.read_json(glob.glob(out + "/*.jsonl")).to_pandas()
+    assert len(back) == int(m2["n_rows"].sum())
+    assert back["doc_id"].max() < 100
+
+
+def test_export_jsonl_collapses_identical_blocks(ray_session, tmp_path):
+    """Byte-identical blocks hash to ONE shard file; the manifest must
+    describe the directory (one row per file), not the input blocks."""
+    import glob
+
+    import pyarrow as pa
+    import ray.data as rd
+    from raydoc.functions.export import export_jsonl
+
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": ["a", "b", "c"]})
+    ds = rd.from_arrow(t).union(rd.from_arrow(t))
+    out = str(tmp_path / "shards")
+    m = export_jsonl(ds, out).to_pandas()
+    files = glob.glob(out + "/*.jsonl")
+    assert len(files) == len(m)
+    n_lines = sum(1 for f in files for _ in open(f))
+    assert n_lines == int(m["n_rows"].sum())

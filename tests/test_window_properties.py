@@ -274,3 +274,45 @@ def test_conversion_latency_matches_duckdb(ray_session, tmp_path, seed):
     got = conversion_latency(sf, num_buckets=8).to_pandas()
     exp = _sql(sf, e.oracle_sql()["conversion_latency"])
     assert _canon(got) == _canon(exp)
+
+
+def test_cusum_counts_zero_event_hours(ray_session, tmp_path):
+    """Hours with NO events are rate 0, not skipped: the distributed
+    result must equal a pure-Python reference that zero-fills the
+    hourly grid (a gap both shifts mu/sigma and drains S)."""
+    import pyarrow.parquet as pq
+    from raydoc.functions.windows import event_rate_cusum
+
+    hour = 3_600_000_000
+    base = np.int64(1_700_000_000_000_000 // hour * hour)  # hour-aligned
+    counts = [20] * 10 + [0] * 5 + [25] * 10
+    rows = []
+    for h, n in enumerate(counts):
+        for i in range(n):
+            rows.append((len(rows), base + h * hour + i, "gappy"))
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array(pd.to_datetime([r[1] for r in rows], unit="us"),
+                       pa.timestamp("us")),
+        "user_id": pa.array([1] * len(rows), pa.int64()),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+        "value": pa.array([1.0] * len(rows)),
+        "props": pa.array(["{}"] * len(rows)),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+    k_sigma, h_sigma = 0.5, 2.0
+    out = event_rate_cusum(str(tmp_path), k_sigma=k_sigma,
+                           h_sigma=h_sigma).to_pandas()
+
+    x = np.asarray(counts, dtype=np.float64)
+    mu, sd = x.mean(), x.std()
+    s, exp_hours = 0.0, []
+    for h, xi in enumerate(x):
+        s = max(0.0, s + (xi - mu) / sd - k_sigma)
+        if s > h_sigma:
+            exp_hours.append(h)
+    got_hours = sorted(
+        int((ts.value // 1000 - base) // hour)
+        for ts in out[out["event_type"] == "gappy"]["window_start"])
+    assert got_hours == exp_hours
+    assert len(exp_hours) > 0
