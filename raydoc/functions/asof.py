@@ -126,46 +126,10 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, key: str, ts: str,
                                                  batch_format="pandas")
 
 
-def q_asof_last_view(sf_dir: str) -> pa.Table:
-    """For every 'click' event: the id of the same user's most recent
-    'view' at or before the click (null if none). Oracle: DuckDB
-    ASOF LEFT JOIN."""
-    import pyarrow.compute as pc
-
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
-                         columns=["event_id", "ts", "user_id", "event_type"])
-
-    def _typed(kind: str, keep_id: str):
-        def fn(t: pa.Table) -> pa.Table:
-            t = t.filter(pc.equal(t["event_type"], kind))
-            return pa.table({"user_id": t["user_id"], "ts": t["ts"],
-                             keep_id: t["event_id"]})
-        return fn
-
-    clicks = ev.map_batches(_typed("click", "event_id"),
-                            batch_format="pyarrow")
-    views = ev.map_batches(_typed("view", "view_id"), batch_format="pyarrow")
-    # ties on (user_id, ts) resolve to max view_id INSIDE the join block
-    # (right_tiebreak) — no separate dedup shuffle
-    joined = asof_join(clicks, views, key="user_id", ts="ts",
-                       right_tiebreak=["view_id"])
-    df = joined.to_pandas()
-    t = pa.table({
-        "event_id": pa.array(df["event_id"].astype("int64")),
-        "user_id": pa.array(df["user_id"].astype("int64")),
-        # unmatched clicks carry NaN → nullable int64
-        "view_id": pa.Array.from_pandas(df["view_id"].astype("Int64"),
-                                        type=pa.int64()),
-    })
-    return t.sort_by("event_id")
-
-
-def q_asof_nearest_view(sf_dir: str) -> pa.Table:
-    """For every 'click' event: the same user's view CLOSEST in time
-    (either direction; distance tie → the earlier view; equal-ts tie →
-    max view_id). The attribution variant where a click may precede its
-    tracked view by clock skew. Oracle: DuckDB argmin via row_number
-    over |Δts| with the same explicit tie chain."""
+def _click_view_asof(sf_dir: str, **join_kwargs) -> pa.Table:
+    """Shared scaffold of the click→view attribution queries: split the
+    event stream into (clicks, views) keyed streams, run ``asof_join``
+    with the caller's kwargs, rebuild nullable int64 view ids."""
     import pyarrow.compute as pc
 
     ev = rd.read_parquet(f"{sf_dir}/events.parquet",
@@ -184,15 +148,33 @@ def q_asof_nearest_view(sf_dir: str) -> pa.Table:
     views = ev.map_batches(_typed("view", "view_id"),
                            batch_format="pyarrow")
     joined = asof_join(clicks, views, key="user_id", ts="ts",
-                       direction="nearest", right_tiebreak=["view_id"])
+                       right_tiebreak=["view_id"], **join_kwargs)
     df = joined.to_pandas()
     t = pa.table({
         "event_id": pa.array(df["event_id"].astype("int64")),
         "user_id": pa.array(df["user_id"].astype("int64")),
+        # unmatched clicks carry NaN -> nullable int64
         "view_id": pa.Array.from_pandas(df["view_id"].astype("Int64"),
                                         type=pa.int64()),
     })
     return t.sort_by("event_id")
+
+
+def q_asof_last_view(sf_dir: str) -> pa.Table:
+    """For every 'click' event: the id of the same user's most recent
+    'view' at or before the click (null if none); ties on (user_id, ts)
+    resolve to max view_id INSIDE the join block (right_tiebreak) — no
+    separate dedup shuffle. Oracle: DuckDB ASOF LEFT JOIN."""
+    return _click_view_asof(sf_dir)
+
+
+def q_asof_nearest_view(sf_dir: str) -> pa.Table:
+    """For every 'click' event: the same user's view CLOSEST in time
+    (either direction; distance tie -> the earlier view; equal-ts tie ->
+    max view_id). The attribution variant where a click may precede its
+    tracked view by clock skew. Oracle: DuckDB argmin via row_number
+    over |dt| with the same explicit tie chain."""
+    return _click_view_asof(sf_dir, direction="nearest")
 
 
 def q_asof_recent_view(sf_dir: str, window_minutes: int = 60) -> pa.Table:
@@ -202,31 +184,5 @@ def q_asof_recent_view(sf_dir: str, window_minutes: int = 60) -> pa.Table:
     express. Exercises asof_join's ``tolerance``; oracle: argmax over
     the window-filtered inequality join (left join keeps unattributed
     clicks)."""
-    import pyarrow.compute as pc
-
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
-                         columns=["event_id", "ts", "user_id",
-                                  "event_type"])
-
-    def _typed(kind: str, keep_id: str):
-        def fn(t: pa.Table) -> pa.Table:
-            t = t.filter(pc.equal(t["event_type"], kind))
-            return pa.table({"user_id": t["user_id"], "ts": t["ts"],
-                             keep_id: t["event_id"]})
-        return fn
-
-    clicks = ev.map_batches(_typed("click", "event_id"),
-                            batch_format="pyarrow")
-    views = ev.map_batches(_typed("view", "view_id"),
-                           batch_format="pyarrow")
-    joined = asof_join(clicks, views, key="user_id", ts="ts",
-                       right_tiebreak=["view_id"],
-                       tolerance=pd.Timedelta(minutes=window_minutes))
-    df = joined.to_pandas()
-    t = pa.table({
-        "event_id": pa.array(df["event_id"].astype("int64")),
-        "user_id": pa.array(df["user_id"].astype("int64")),
-        "view_id": pa.Array.from_pandas(df["view_id"].astype("Int64"),
-                                        type=pa.int64()),
-    })
-    return t.sort_by("event_id")
+    return _click_view_asof(
+        sf_dir, tolerance=pd.Timedelta(minutes=window_minutes))

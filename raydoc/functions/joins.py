@@ -832,16 +832,9 @@ def apply_changes(base: rd.Dataset, changes: rd.Dataset, key: str,
     all_fields += [(version_col, pa.int64()), (op_col, pa.string())]
     out_schema = pa.schema(arrow_field_types(base_schema, base_cols))
 
-    def widen_base(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or key not in t.schema.names:
-            return pa.schema(all_fields).empty_table()
-        t = t.append_column(version_col,
-                            pa.nulls(t.num_rows, pa.int64()))
-        return t.append_column(op_col, pa.nulls(t.num_rows, pa.string()))
-
-    tagged = tag_union(base.map_batches(widen_base,
-                                        batch_format="pyarrow"),
-                       changes, key, all_fields, num_buckets)
+    # tag_union's _widen null-pads the version/op columns missing from
+    # base batches — no separate widen pass over the base table needed
+    tagged = tag_union(base, changes, key, all_fields, num_buckets)
 
     def per_bucket(group: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

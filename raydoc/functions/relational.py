@@ -36,6 +36,12 @@ def _cents(col: pa.ChunkedArray) -> pa.ChunkedArray:
     return pc.cast(pc.round(pc.multiply(col, pa.scalar(100.0))), pa.int64())
 
 
+def _pc_mod(col, n: int):
+    """Integer k % n for pyarrow columns (no modulo kernel in pa 16):
+    k - (k // n) * n — shared by the deterministic CDC/versioned feeds."""
+    return pc.subtract(col, pc.multiply(pc.divide(col, n), n))
+
+
 def q_pricing_summary(sf_dir: str) -> pa.Table:
     """TPC-H Q1-shaped pricing summary: filter on ship date, grouped exact
     aggregates by (returnflag, linestatus)."""
@@ -888,8 +894,7 @@ def q_orders_upsert(sf_dir: str) -> pa.Table:
 
     def upd_fn(t: pa.Table) -> pa.Table:
         k = t["o_orderkey"]
-        m = pc.equal(pc.subtract(k, pc.multiply(pc.divide(k, 7), 7)), 0)
-        t = t.filter(m)
+        t = t.filter(pc.equal(_pc_mod(k, 7), 0))
         return pa.table({
             "o_orderkey": t["o_orderkey"],
             "o_custkey": t["o_custkey"],
@@ -1511,9 +1516,7 @@ def q_orders_scd2(sf_dir: str) -> pa.Table:
         def fn(t: pa.Table) -> pa.Table:
             k = t["o_orderkey"]
             if mod > 1:
-                m = pc.equal(pc.subtract(
-                    k, pc.multiply(pc.divide(k, mod), mod)), 0)
-                t = t.filter(m)
+                t = t.filter(pc.equal(_pc_mod(k, mod), 0))
             return pa.table({
                 "o_orderkey": t["o_orderkey"],
                 "version": pa.array([version] * t.num_rows, pa.int64()),
@@ -1819,13 +1822,9 @@ def q_snapshot_diff(sf_dir: str) -> pa.Table:
                              "o_orderstatus": pa.array([], pa.string())})
         k = t["o_orderkey"]
 
-        def mod(n: int):
-            return pc.subtract(k, pc.multiply(pc.divide(k, n), n))
-
-        keep = t.filter(pc.not_equal(mod(11), 0))
+        keep = t.filter(pc.not_equal(_pc_mod(k, 11), 0))
         kk = keep["o_orderkey"]
-        bump = pc.equal(pc.subtract(kk, pc.multiply(
-            pc.divide(kk, 7), 7)), 0)
+        bump = pc.equal(_pc_mod(kk, 7), 0)
         upd = pa.table({
             "o_orderkey": kk,
             "o_totalprice": pc.if_else(
@@ -1833,7 +1832,7 @@ def q_snapshot_diff(sf_dir: str) -> pa.Table:
                 keep["o_totalprice"]),
             "o_orderstatus": keep["o_orderstatus"],
         })
-        ins = t.filter(pc.equal(mod(13), 0))
+        ins = t.filter(pc.equal(_pc_mod(k, 13), 0))
         ins = pa.table({
             "o_orderkey": pc.add(ins["o_orderkey"], 10_000_000),
             "o_totalprice": ins["o_totalprice"],
@@ -2718,10 +2717,7 @@ def q_orders_apply_changes(sf_dir: str) -> pa.Table:
             return empty
         k = t["o_orderkey"]
 
-        def mod(n: int):
-            return pc.subtract(k, pc.multiply(pc.divide(k, n), n))
-
-        upd = t.filter(pc.equal(mod(7), 0))
+        upd = t.filter(pc.equal(_pc_mod(k, 7), 0))
         upd = pa.table({
             "o_orderkey": upd["o_orderkey"],
             "o_totalprice": pc.add(upd["o_totalprice"], 5.0),
@@ -2729,7 +2725,7 @@ def q_orders_apply_changes(sf_dir: str) -> pa.Table:
             "version": pa.array([2] * upd.num_rows, pa.int64()),
             "op": pa.array(["U"] * upd.num_rows, pa.string()),
         })
-        dele = t.filter(pc.equal(mod(11), 0))
+        dele = t.filter(pc.equal(_pc_mod(k, 11), 0))
         dele = pa.table({
             "o_orderkey": dele["o_orderkey"],
             "o_totalprice": pa.nulls(dele.num_rows, pa.float64()),
@@ -2737,7 +2733,7 @@ def q_orders_apply_changes(sf_dir: str) -> pa.Table:
             "version": pa.array([3] * dele.num_rows, pa.int64()),
             "op": pa.array(["D"] * dele.num_rows, pa.string()),
         })
-        ins = t.filter(pc.equal(mod(13), 0))
+        ins = t.filter(pc.equal(_pc_mod(k, 13), 0))
         ins = pa.table({
             "o_orderkey": pc.add(ins["o_orderkey"], 20_000_000),
             "o_totalprice": ins["o_totalprice"],

@@ -501,20 +501,45 @@ def _exact_group_rank_elements(
     bucket) cells with a combiner — only G×B tiny count rows reach the
     driver, which locates each requested rank's target bucket and the
     rank within it; pass B fetches ONLY the target buckets (≈ n/B of
-    the data per group) and selects the exact elements. A pathological
-    bucket (all of a group's mass on one value range) degrades to that
-    bucket's size — recurse with finer cuts inside the bucket if that
-    matters."""
-    lo, hi = _global_min_max(ds, "value")
-    cuts = np.linspace(lo, hi, num_buckets + 1)[1:-1]
+    the data per group) and selects the exact elements. The range grid
+    is PER GROUP (each group's own observed [min, max] cut into B
+    linear buckets): groups whose value ranges differ by orders of
+    magnitude — e.g. µs timestamps vs counts melted into one stream
+    (RFM) — would each collapse into one bucket of a global grid,
+    degrading pass B to a whole-group driver fetch. Cut choice affects
+    only balance, never the output (selection is exact under any
+    order-preserving bucketing). A pathological bucket (all of a
+    group's mass on one value) degrades to that bucket's size —
+    recurse with finer cuts inside the bucket if that matters."""
+    gmm = collect_table(partial_groupby(
+        ds, ["event_type"],
+        {"lo": ("value", "min"), "hi": ("value", "max")}))
+    if gmm.num_rows == 0 or "event_type" not in gmm.schema.names:
+        return {}, {}
+    lo_map = dict(zip(gmm.column("event_type").to_pylist(),
+                      (float(x) for x in gmm.column("lo").to_pylist())))
+    hi_map = dict(zip(gmm.column("event_type").to_pylist(),
+                      (float(x) for x in gmm.column("hi").to_pylist())))
+    nb = num_buckets
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        v = t.column("value").to_numpy(zero_copy_only=False)
+        if t.num_rows == 0 or "event_type" not in t.schema.names:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "value": pa.array([], pa.float64()),
+                             "bucket": pa.array([], pa.int32())})
+        g = t.column("event_type").to_pandas()
+        lo = g.map(lo_map).to_numpy(dtype=np.float64)
+        hi = g.map(hi_map).to_numpy(dtype=np.float64)
+        v = t.column("value").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        span = hi - lo
+        with np.errstate(divide="ignore", invalid="ignore"):
+            frac = np.where(span > 0, (v - lo) / span, 0.0)
+        b = np.clip((frac * nb).astype(np.int64), 0, nb - 1)
         return pa.table({
             "event_type": t["event_type"],
             "value": t["value"],
-            "bucket": pa.array(np.searchsorted(cuts, v, side="right")
-                               .astype(np.int32)),
+            "bucket": pa.array(b.astype(np.int32)),
         })
 
     bucketed = ds.map_batches(add_bucket, batch_format="pyarrow") \
@@ -542,10 +567,12 @@ def _exact_group_rank_elements(
     keep = set(targets)
 
     def only_targets(t: pa.Table) -> pa.Table:
-        mask = [(g, b) in keep for g, b in
-                zip(t.column("event_type").to_pylist(),
-                    t.column("bucket").to_pylist())]
-        return t.filter(pa.array(mask))
+        if t.num_rows == 0:
+            return t
+        mi = pd.MultiIndex.from_arrays(
+            [t.column("event_type").to_pandas(),
+             t.column("bucket").to_pandas()])
+        return t.filter(pa.array(mi.isin(keep)))
 
     picked = collect_table(
         bucketed.map_batches(only_targets,
@@ -2022,6 +2049,11 @@ def event_trigrams(sf_dir: str, top_n: int = 25,
     out = partial_groupby(counted, ["t1", "t2", "t3"],
                           {"n": ("n", "sum")})
     t = collect_table(out)
+    if t.num_rows == 0 or "n" not in t.schema.names:
+        return pa.table({"t1": pa.array([], pa.string()),
+                         "t2": pa.array([], pa.string()),
+                         "t3": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
     idx = pc.sort_indices(t, sort_keys=[("n", "descending"),
                                         ("t1", "ascending"),
                                         ("t2", "ascending"),
@@ -2101,6 +2133,16 @@ def user_rfm_segments(sf_dir: str, num_buckets: int = 256,
     # selection exchanges — measured 7.2 s → ~4 s at sf0.1); a larger
     # population runs the distributed two-pass selection
     n_users = agg.count()
+    if n_users == 0:
+        return pa.table({
+            "user_id": pa.array([], pa.int64()),
+            "recency_us": pa.array([], pa.int64()),
+            "frequency": pa.array([], pa.int64()),
+            "monetary_c": pa.array([], pa.int64()),
+            "r_score": pa.array([], pa.int64()),
+            "f_score": pa.array([], pa.int64()),
+            "m_score": pa.array([], pa.int64()),
+            "rfm": pa.array([], pa.int64())})
     if n_users <= driver_cut_max:
         t_agg = collect_table(agg)
         cuts = {}
