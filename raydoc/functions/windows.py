@@ -1876,7 +1876,14 @@ def value_iqr_outliers(sf_dir: str, num_buckets: int = 256) -> pa.Table:
         return j.select(["event_id", "event_type", "value", "lo", "hi"])
 
     out = ds.map_batches(pick, batch_format="pyarrow")
-    return collect_table(out).sort_by("event_id")
+    t = collect_table(out)
+    if t.num_rows == 0 or "event_id" not in t.schema.names:
+        return pa.table({"event_id": pa.array([], pa.int64()),
+                         "event_type": pa.array([], pa.string()),
+                         "value": pa.array([], pa.float64()),
+                         "lo": pa.array([], pa.float64()),
+                         "hi": pa.array([], pa.float64())})
+    return t.sort_by("event_id")
 
 
 def user_time_weighted_avg(sf_dir: str,
@@ -1940,7 +1947,13 @@ def user_time_weighted_avg(sf_dir: str,
     out = (ds.map_batches(prep, batch_format="pyarrow")
            .groupby("bucket").map_groups(per_bucket,
                                          batch_format="pandas"))
-    return collect_table(out).sort_by("user_id")
+    t = collect_table(out)
+    if t.num_rows == 0 or "user_id" not in t.schema.names:
+        return pa.table({"user_id": pa.array([], pa.int64()),
+                         "num_c_us": pa.array([], pa.int64()),
+                         "span_us": pa.array([], pa.int64()),
+                         "twa": pa.array([], pa.float64())})
+    return t.sort_by("user_id")
 
 
 def user_peak_concurrency(sf_dir: str,
