@@ -179,8 +179,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     first: the flagship extraction queries, then every oracle-backed
     query, then the rows-only (no-oracle) family last — round 2's five
     missing CORRECTNESS rows were exactly the last five dict entries."""
-    from raydoc.functions import dedup, export, graph, multimodal, profile
-    from raydoc.functions import relational, similarity, sketches
+    from raydoc.functions import dedup, export, graph, multimodal, orcio
+    from raydoc.functions import profile, relational, similarity, sketches
     from raydoc.functions import textstats, windows
 
     return {
@@ -218,6 +218,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_pricing": relational.q_rollup_pricing,
         "customers_semi_f": relational.q_customers_semi_f,
         "customers_anti_f": relational.q_customers_anti_f,
+        "building_orders_full_join":
+            relational.q_building_orders_full_join,
         "order_status_except": relational.q_order_status_except,
         "cube_orders": relational.q_cube_orders,
         "order_status_intersect": relational.q_order_status_intersect,
@@ -384,6 +386,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_logreg": similarity.embedding_logreg,
         "docx_meta": export.docx_meta,
         "jsonl_export_meta": export.jsonl_export_meta,
+        "orc_roundtrip_stats": orcio.orc_roundtrip_stats,
         "phash_neardups": multimodal.phash_neardups,
         "phash_clusters": multimodal.phash_clusters,
         "shuffle_sample": textstats.shuffle_sample,
@@ -1100,6 +1103,26 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o_custkey = c_custkey
                                 AND o_orderstatus = 'F')
             ORDER BY c_custkey""",
+        "building_orders_full_join": """
+            SELECT COALESCE(c.c_custkey, o.c_custkey) AS c_custkey,
+                   c.acctbal_cents, o.n_orders, o.total_cents
+            FROM (SELECT c_custkey,
+                         CAST(ROUND(c_acctbal*100) AS BIGINT)
+                             AS acctbal_cents
+                  FROM customer WHERE c_mktsegment = 'BUILDING') c
+            FULL OUTER JOIN
+                 (SELECT o_custkey AS c_custkey,
+                         COUNT(*) AS n_orders,
+                         CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))
+                              AS BIGINT) AS total_cents
+                  FROM orders GROUP BY o_custkey) o
+            ON c.c_custkey = o.c_custkey
+            ORDER BY c_custkey""",
+        "orc_roundtrip_stats": """
+            SELECT event_type, COUNT(value) AS n,
+                   CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT)
+                       AS sum_value_cents
+            FROM events GROUP BY event_type ORDER BY event_type""",
         "order_status_except": """
             SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
             EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'

@@ -36,6 +36,8 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # order. extract_turns (the flagship) is timed separately via run_job so the
 # number includes the checkpointed parquet write + manifests.
 BENCH_QUERIES = [
+    "orc_roundtrip_stats",
+    "building_orders_full_join",
     "line_priority_counts",
     "dominant_part_suppliers",
     "pseudonymize_users",

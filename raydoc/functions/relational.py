@@ -2974,3 +2974,40 @@ def q_dominant_part_suppliers(sf_dir: str) -> pa.Table:
     t = collect_table(named).sort_by([("l_suppkey", "ascending")])
     return pa.table({"s_suppkey": t["l_suppkey"], "s_name": t["s_name"],
                      "n_parts": t["n_parts"]})
+
+
+def q_building_orders_full_join(sf_dir: str) -> pa.Table:
+    """FULL OUTER JOIN driver twin: BUILDING-segment customers vs
+    per-customer order rollups. Non-vacuous on BOTH unmatched sides —
+    TPC-H leaves ~1/3 of customers orderless (left-only rows: account
+    balance, null order stats) and the segment filter strands every
+    non-BUILDING customer's orders (right-only rows: order stats, null
+    balance).
+
+    Scale shape: orders fold to one row per custkey map-side
+    (``partial_groupby`` — the exchange never carries raw orders), the
+    filtered dimension joins via the bucketed hash join's full-outer
+    mode (pyarrow coalesces the key, unmatched sides null-pad from the
+    declared schema). Integer cents keep the DuckDB hash bit-exact."""
+    from raydoc.functions.agg import partial_groupby
+    from raydoc.functions.joins import bucket_hash_join
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_mktsegment", "c_acctbal"]) \
+        .map_batches(lambda t: pa.table({
+            "c_custkey": (f := t.filter(
+                pc.equal(t["c_mktsegment"], "BUILDING")))["c_custkey"],
+            "acctbal_cents": _cents(f["c_acctbal"])}),
+            batch_format="pyarrow")
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]) \
+        .map_batches(lambda t: pa.table({
+            "c_custkey": t["o_custkey"],
+            "price_cents": _cents(t["o_totalprice"])}),
+            batch_format="pyarrow")
+    per_cust = partial_groupby(orders, ["c_custkey"],
+                               {"n_orders": ("price_cents", "count"),
+                                "total_cents": ("price_cents", "sum")})
+
+    out = bucket_hash_join(cust, per_cust, key="c_custkey", how="full")
+    return collect_table(out).sort_by("c_custkey")

@@ -46,7 +46,8 @@ TRANSCRIPT_COLUMNS = ["conv_id", "turn_idx", "text"]
 
 def read_transcripts(path: str) -> rd.Dataset:
     """Column-pruned read: only (conv_id, turn_idx, text) leave storage.
-    Dispatches on file extension: parquet (default), jsonl/json, csv.
+    Dispatches on file extension: parquet (default), jsonl/json, csv,
+    feather/arrow IPC, orc, or a folder of md/txt/html documents.
 
     Shuffle strategy note: the conv_id groupby uses Ray's default pull-based
     sort shuffle. HASH_SHUFFLE was measured faster in isolation (~1.6×) but
@@ -62,6 +63,9 @@ def read_transcripts(path: str) -> rd.Dataset:
         return ds.select_columns(TRANSCRIPT_COLUMNS)
     if fmt == "feather":
         return _read_feather_dataset(path)
+    if fmt == "orc":
+        from raydoc.functions.orcio import read_orc
+        return read_orc(path, columns=TRANSCRIPT_COLUMNS)
     if fmt == "textdir":
         return _read_text_dir(path)
     return rd.read_parquet(path, columns=TRANSCRIPT_COLUMNS)
@@ -134,6 +138,8 @@ def _input_format(path: str) -> str:
         return "csv"
     if exts & _FEATHER_EXTS:
         return "feather"
+    if ".orc" in exts:
+        return "orc"
     if exts & _TEXT_EXTS:
         return "textdir"
     return "parquet"
