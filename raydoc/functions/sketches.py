@@ -65,6 +65,26 @@ def hll_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return np.maximum(a, b)
 
 
+def _fold_type_regs(t: pa.Table) -> pa.Table:
+    """Worker-side pre-fold for (event_type, regs) HLL partial streams:
+    merge same-type registers WITHIN the batch (no exchange), so the
+    later per-type groupby folds ~#batches/64^levels rows per type
+    instead of one per input batch — the grouped twin of the global
+    HLL/CMS tree-fold levels."""
+    if t.num_rows == 0:
+        return t
+    accs: dict = {}
+    for g, blob in zip(t.column("event_type").to_pylist(),
+                       t.column("regs").to_pylist()):
+        cur = np.frombuffer(blob, dtype=np.uint8)
+        prev = accs.get(g)
+        accs[g] = cur if prev is None else hll_merge(prev, cur)
+    return pa.table({
+        "event_type": pa.array(list(accs), pa.string()),
+        "regs": pa.array([a.tobytes() for a in accs.values()],
+                         pa.binary())})
+
+
 def hll_estimate(regs: np.ndarray) -> float:
     est = _ALPHA * M * M / float(np.sum(np.exp2(-regs.astype(np.float64))))
     zeros = int(np.count_nonzero(regs == 0))
@@ -346,6 +366,11 @@ def distinct_users_by_type_hll(sf_dir: str) -> pa.Table:
                                          pa.int64())})
 
     parts = ds.map_batches(partial, batch_format="pyarrow")
+    # two worker-side pre-fold levels (64× row cut each) keep the final
+    # per-type group a handful of rows regardless of input batch count
+    for _ in range(2):
+        parts = parts.map_batches(_fold_type_regs, batch_format="pyarrow",
+                                  batch_size=64)
     out = parts.groupby("event_type").map_groups(fold_group,
                                                  batch_format="pyarrow")
     return collect_table(out).sort_by("event_type")
@@ -441,10 +466,13 @@ def audience_overlap_hll(sf_dir: str) -> pa.Table:
         return pa.table({"event_type": t.column("event_type").slice(0, 1),
                          "regs": pa.array([acc.tobytes()], pa.binary())})
 
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    for _ in range(2):
+        parts = parts.map_batches(_fold_type_regs, batch_format="pyarrow",
+                                  batch_size=64)
     per_type = collect_table(
-        ds.map_batches(partial, batch_format="pyarrow")
-          .groupby("event_type").map_groups(fold_group,
-                                            batch_format="pyarrow"))
+        parts.groupby("event_type").map_groups(fold_group,
+                                               batch_format="pyarrow"))
     regs = {r["event_type"]: np.frombuffer(r["regs"], dtype=np.uint8)
             for r in per_type.to_pylist()}
     types = sorted(regs)
