@@ -2984,13 +2984,14 @@ def q_building_orders_full_join(sf_dir: str) -> pa.Table:
     non-BUILDING customer's orders (right-only rows: order stats, null
     balance).
 
-    Scale shape: orders fold to one row per custkey map-side
-    (``partial_groupby`` — the exchange never carries raw orders), the
-    filtered dimension joins via the bucketed hash join's full-outer
-    mode (pyarrow coalesces the key, unmatched sides null-pad from the
-    declared schema). Integer cents keep the DuckDB hash bit-exact."""
-    from raydoc.functions.agg import partial_groupby
-    from raydoc.functions.joins import bucket_hash_join
+    Scale shape: orders pre-reduce map-side to per-batch (custkey,
+    n_part, sum_part) partials and tag_union into ONE custkey-bucket
+    exchange with the filtered dimension; each bucket finishes the
+    fold AND the pyarrow full-outer join (coalesced key, unmatched
+    sides null-pad) — the ``line_priority_counts`` single-exchange
+    shape with an outer join at the end. Integer cents keep the
+    DuckDB hash bit-exact."""
+    from raydoc.functions.joins import tag_union
 
     cust = _read(sf_dir, "customer",
                  ["c_custkey", "c_mktsegment", "c_acctbal"]) \
@@ -3000,14 +3001,45 @@ def q_building_orders_full_join(sf_dir: str) -> pa.Table:
             "acctbal_cents": _cents(f["c_acctbal"])}),
             batch_format="pyarrow")
 
-    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]) \
-        .map_batches(lambda t: pa.table({
-            "c_custkey": t["o_custkey"],
-            "price_cents": _cents(t["o_totalprice"])}),
-            batch_format="pyarrow")
-    per_cust = partial_groupby(orders, ["c_custkey"],
-                               {"n_orders": ("price_cents", "count"),
-                                "total_cents": ("price_cents", "sum")})
+    def ord_prep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "o_custkey" not in t.schema.names:
+            return pa.table({"c_custkey": pa.array([], pa.int64()),
+                             "n_part": pa.array([], pa.int64()),
+                             "sum_part": pa.array([], pa.int64())})
+        g = pa.table({"c_custkey": t["o_custkey"],
+                      "one": pa.array(np.ones(t.num_rows, np.int64)),
+                      "cents": _cents(t["o_totalprice"])}) \
+            .group_by(["c_custkey"]).aggregate(
+            [("one", "sum"), ("cents", "sum")])
+        return g.rename_columns(["c_custkey", "n_part", "sum_part"])
 
-    out = bucket_hash_join(cust, per_cust, key="c_custkey", how="full")
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]) \
+        .map_batches(ord_prep, batch_format="pyarrow")
+
+    all_fields = [("c_custkey", pa.int64()), ("acctbal_cents", pa.int64()),
+                  ("n_part", pa.int64()), ("sum_part", pa.int64())]
+    tagged = tag_union(cust, orders, "c_custkey", all_fields,
+                       num_buckets=32)
+
+    out_schema = pa.schema([("c_custkey", pa.int64()),
+                            ("acctbal_cents", pa.int64()),
+                            ("n_orders", pa.int64()),
+                            ("total_cents", pa.int64())])
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        side = group.column("__side")
+        c = group.filter(pc.equal(side, 0)).select(
+            ["c_custkey", "acctbal_cents"])
+        o = group.filter(pc.equal(side, 1)).select(
+            ["c_custkey", "n_part", "sum_part"])
+        if c.num_rows == 0 and o.num_rows == 0:
+            return out_schema.empty_table()
+        o = o.group_by(["c_custkey"]).aggregate(
+            [("n_part", "sum"), ("sum_part", "sum")]).rename_columns(
+            ["c_custkey", "n_orders", "total_cents"])
+        j = c.join(o, keys="c_custkey", join_type="full outer")
+        return j.select(out_schema.names).cast(out_schema)
+
+    out = tagged.groupby("__bucket").map_groups(per_bucket,
+                                                batch_format="pyarrow")
     return collect_table(out).sort_by("c_custkey")
