@@ -275,6 +275,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_upsert": relational.q_orders_upsert,
         "orders_apply_changes": relational.q_orders_apply_changes,
         "orders_scd2": relational.q_orders_scd2,
+        "orders_scd2_snapshot": relational.q_orders_scd2_snapshot,
         "cohort_retention": windows.cohort_retention,
         "value_histogram": windows.value_histogram,
         "resample_ffill": windows.resample_ffill,
@@ -2015,6 +2016,25 @@ def oracle_sql() -> dict[str, str]:
                                             ORDER BY version) - 1
                         AS DOUBLE) AS valid_to
             FROM allr ORDER BY o_orderkey, version""",
+        "orders_scd2_snapshot": """
+            WITH base AS (SELECT o_orderkey, CAST(1 AS BIGINT) AS version,
+                                 o_totalprice FROM orders),
+                 u2 AS (SELECT o_orderkey, CAST(2 AS BIGINT),
+                               o_totalprice + 1.0
+                        FROM orders WHERE o_orderkey % 7 = 0),
+                 u3 AS (SELECT o_orderkey, CAST(3 AS BIGINT),
+                               o_totalprice + 2.0
+                        FROM orders WHERE o_orderkey % 21 = 0),
+                 allr AS (SELECT * FROM base
+                          UNION ALL SELECT * FROM u2
+                          UNION ALL SELECT * FROM u3),
+                 ranked AS (SELECT o_orderkey, version, o_totalprice,
+                                   ROW_NUMBER() OVER (
+                                       PARTITION BY o_orderkey
+                                       ORDER BY version DESC) AS rn
+                            FROM allr WHERE version <= 2)
+            SELECT o_orderkey, version, o_totalprice
+            FROM ranked WHERE rn = 1 ORDER BY o_orderkey""",
         "cohort_retention": """
             WITH d AS (SELECT DISTINCT user_id,
                               CAST(epoch_us(ts) // 86400000000 AS BIGINT)

@@ -197,6 +197,7 @@ BENCH_QUERIES = [
     "orders_checksum",
     "user_longest_streak",
     "orders_scd2",
+    "orders_scd2_snapshot",
     "value_hour_corr",
     "embedding_dbscan",
     "sliding_distinct_users",

@@ -3043,3 +3043,59 @@ def q_building_orders_full_join(sf_dir: str) -> pa.Table:
     out = tagged.groupby("__bucket").map_groups(per_bucket,
                                                 batch_format="pyarrow")
     return collect_table(out).sort_by("c_custkey")
+
+
+def q_orders_scd2_snapshot(sf_dir: str, at_version: int = 2) -> pa.Table:
+    """(o_orderkey, version, o_totalprice): TIME-TRAVEL read — the
+    orders table AS OF ``at_version``, reconstructed from the same SCD2
+    history ``q_orders_scd2`` builds. Snapshot selection is a pure
+    validity filter on the history (version ≤ v AND (valid_to IS NULL
+    OR valid_to ≥ v)) — one map_batches after the history's single
+    key-bucket exchange, no extra shuffle: the lakehouse ``FOR
+    TIMESTAMP AS OF`` primitive expressed over the versioned stream."""
+    from raydoc.functions.joins import scd2_history
+
+    cols = ["o_orderkey", "o_totalprice"]
+
+    def ver(version: int, mod: int, bump: float):
+        def fn(t: pa.Table) -> pa.Table:
+            k = t["o_orderkey"]
+            if mod > 1:
+                t = t.filter(pc.equal(_pc_mod(k, mod), 0))
+            return pa.table({
+                "o_orderkey": t["o_orderkey"],
+                "version": pa.array([version] * t.num_rows, pa.int64()),
+                "o_totalprice": pc.add(t["o_totalprice"], bump)
+                if bump else t["o_totalprice"]})
+        return fn
+
+    base = _read(sf_dir, "orders", cols).map_batches(
+        ver(1, 1, 0.0), batch_format="pyarrow")
+    u2 = _read(sf_dir, "orders", cols).map_batches(
+        ver(2, 7, 1.0), batch_format="pyarrow")
+    u3 = _read(sf_dir, "orders", cols).map_batches(
+        ver(3, 21, 2.0), batch_format="pyarrow")
+    hist = scd2_history(base.union(u2).union(u3), key="o_orderkey",
+                        version_col="version", num_buckets=16)
+
+    v = at_version
+
+    def live_at(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "version" not in t.schema.names:
+            return pa.table({"o_orderkey": pa.array([], pa.int64()),
+                             "version": pa.array([], pa.int64()),
+                             "o_totalprice": pa.array([], pa.float64())})
+        # valid_to is NULL while current (a pandas hop inside
+        # scd2_history may surface it as float64 NaN — nan_is_null
+        # covers both), and the OR must be Kleene: plain pc.or_
+        # propagates the null from >=(NULL, v) and filter() DROPS
+        # null-mask rows, silently losing every current row
+        keep = pc.and_(
+            pc.less_equal(t["version"], v),
+            pc.or_kleene(pc.is_null(t["valid_to"], nan_is_null=True),
+                         pc.greater_equal(t["valid_to"], v)))
+        return t.filter(keep).select(
+            ["o_orderkey", "version", "o_totalprice"])
+
+    out = hist.map_batches(live_at, batch_format="pyarrow")
+    return collect_table(out).sort_by("o_orderkey")

@@ -3,7 +3,7 @@
 
 Usage: python tools/run_query.py QUERY [QUERY ...] [--sf DIR] [--rows N]
 
-The user-facing probe for any of the 106 `__ray_entry__.queries()`
+The user-facing probe for any of the `__ray_entry__.queries()`
 entries — owns its own Ray session (library code never calls ray.init).
 """
 from __future__ import annotations
@@ -21,6 +21,11 @@ def main() -> int:
         "GRAFT_SF_DIR", "/root/testdata/sf0.001"))
     ap.add_argument("--rows", type=int, default=10,
                     help="preview row count (0 = just the row total)")
+    ap.add_argument("--stats", action="store_true",
+                    help="log per-operator Dataset stats after each "
+                         "execution (wall time, blocks, rows, memory "
+                         "per map/shuffle stage — the ds.stats() "
+                         "feedback loop for shape tuning)")
     args = ap.parse_args()
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(
@@ -38,6 +43,12 @@ def main() -> int:
     if not ray.is_initialized():
         ray.init(address="local", include_dashboard=False,
                  logging_level="ERROR")
+    if args.stats:
+        import logging
+
+        from ray.data import DataContext
+        DataContext.get_current().enable_auto_log_stats = True
+        logging.getLogger("ray.data").setLevel(logging.INFO)
     try:
         for name in args.queries:
             t0 = time.perf_counter()
