@@ -213,6 +213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pdf_dates": relational.q_pdf_dates,
         "json_props_stats": relational.q_json_props_stats,
         "stratified_sample": relational.q_stratified_sample,
+        "domain_temperature_sample": textstats.domain_temperature_sample,
         "status_priority_pivot": relational.q_status_priority_pivot,
         "status_priority_unpivot": relational.q_status_priority_unpivot,
         "rollup_pricing": relational.q_rollup_pricing,
@@ -1077,6 +1078,19 @@ def oracle_sql() -> dict[str, str]:
                 FROM events)
             SELECT event_id, event_type FROM ranked WHERE rk <= 20
             ORDER BY event_type, event_id""",
+        "domain_temperature_sample": """
+            WITH w AS (SELECT source, SUM(n_chars) AS w
+                       FROM documents GROUP BY source),
+                 q AS (SELECT source,
+                              CAST(FLOOR(SQRT(CAST(w AS DOUBLE)) / 16)
+                                   AS BIGINT) AS quota FROM w),
+                 r AS (SELECT doc_id, source,
+                              row_number() OVER (PARTITION BY source
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)))
+                                  AS rn
+                       FROM documents)
+            SELECT r.doc_id, r.source FROM r JOIN q USING (source)
+            WHERE rn <= quota ORDER BY source, doc_id""",
         "status_priority_pivot": """
             SELECT o_orderpriority,
                    CAST(SUM(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END)

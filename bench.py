@@ -198,6 +198,7 @@ BENCH_QUERIES = [
     "user_longest_streak",
     "orders_scd2",
     "orders_scd2_snapshot",
+    "domain_temperature_sample",
     "value_hour_corr",
     "embedding_dbscan",
     "sliding_distinct_users",

@@ -1986,3 +1986,77 @@ def pseudonymize_users(sf_dir: str, pepper: str = "pepper:") -> pa.Table:
 
     out = per_user.map_batches(tokenize, batch_format="pyarrow")
     return collect_table(out).sort_by("pseudo_id")
+
+
+def domain_temperature_sample(sf_dir: str, divisor: int = 16) -> pa.Table:
+    """(doc_id, source): temperature-based domain mixture sampling —
+    the GPT-3/LLaMA data-recipe step that re-balances a corpus toward
+    small domains by sampling each domain ∝ weight^α (α = 0.5 here:
+    quota_d = ⌊√(Σ n_chars of domain d) / divisor⌋), with a
+    content-derived md5 rank choosing WHICH docs — stable across runs,
+    cluster sizes and input order, and exactly SQL-replicable.
+
+    Hash-exactness: the quota uses only correctly-rounded IEEE ops on
+    an exact integer weight (int64 SUM → double cast < 2⁵³ → SQRT →
+    /2⁴ → FLOOR), each bit-identical in numpy and DuckDB; no
+    cross-domain float sum ever forms, so summation order can't flip a
+    boundary.
+
+    Scale shape: pass A is one combiner groupby to |domains| weight
+    rows (driver arithmetic on a tiny table → broadcast quota map);
+    pass B reuses the stratified-sample two-phase rank — per
+    doc_id-hash bucket keep the LOCAL md5-top-quota_d per domain, then
+    one tiny global merge — so a dominant domain spreads across all
+    buckets instead of one pandas group."""
+    import math
+
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from raydoc.functions._buckets import reduce_bucket_count
+    from raydoc.functions.agg import partial_groupby
+
+    mask = reduce_bucket_count() - 1
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "source", "n_chars"])
+    weights = collect_table(partial_groupby(
+        docs, ["source"], {"w": ("n_chars", "sum")}))
+    quota = {s: int(math.floor(math.sqrt(float(w)) / divisor))
+             for s, w in zip(weights.column("source").to_pylist(),
+                             weights.column("w").to_pylist())}
+
+    def add_keys(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_id" not in t.schema.names:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "source": pa.array([], pa.string()),
+                             "rk": pa.array([], pa.string()),
+                             "bucket": pa.array([], pa.int32())})
+        keys = [hashlib.md5(str(v).encode()).hexdigest()
+                for v in t.column("doc_id").to_pylist()]
+        return pa.table({
+            "doc_id": t["doc_id"], "source": t["source"],
+            "rk": pa.array(keys, pa.string()),
+            "bucket": pc.cast(pc.bit_wise_and(t["doc_id"], mask),
+                              pa.int32())})
+
+    def local_top(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["source", "rk"], ignore_index=True)
+        rank = g.groupby("source", sort=False).cumcount()
+        keep = rank < g["source"].map(quota).fillna(0)
+        return g[keep][["doc_id", "source", "rk"]]
+
+    survivors = collect_table(
+        docs.select_columns(["doc_id", "source"])
+            .map_batches(add_keys, batch_format="pyarrow")
+            .groupby("bucket").map_groups(local_top,
+                                          batch_format="pandas"))
+    df = survivors.to_pandas().sort_values(["source", "rk"],
+                                           ignore_index=True)
+    rank = df.groupby("source", sort=False).cumcount()
+    keep = rank < df["source"].map(quota).fillna(0)
+    out = pa.Table.from_pandas(df[keep][["doc_id", "source"]],
+                               preserve_index=False)
+    return out.cast(pa.schema([("doc_id", pa.int64()),
+                               ("source", pa.string())])).sort_by(
+        [("source", "ascending"), ("doc_id", "ascending")])
