@@ -214,6 +214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_props_stats": relational.q_json_props_stats,
         "stratified_sample": relational.q_stratified_sample,
         "domain_temperature_sample": textstats.domain_temperature_sample,
+        "uniform_sample_md5": textstats.uniform_sample_md5,
         "status_priority_pivot": relational.q_status_priority_pivot,
         "status_priority_unpivot": relational.q_status_priority_unpivot,
         "rollup_pricing": relational.q_rollup_pricing,
@@ -1091,6 +1092,12 @@ def oracle_sql() -> dict[str, str]:
                        FROM documents)
             SELECT r.doc_id, r.source FROM r JOIN q USING (source)
             WHERE rn <= quota ORDER BY source, doc_id""",
+        "uniform_sample_md5": """
+            SELECT event_id, event_type, value FROM (
+                SELECT event_id, event_type, value
+                FROM events
+                ORDER BY md5(CAST(event_id AS VARCHAR)) LIMIT 100)
+            ORDER BY event_id""",
         "status_priority_pivot": """
             SELECT o_orderpriority,
                    CAST(SUM(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END)

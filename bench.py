@@ -199,6 +199,7 @@ BENCH_QUERIES = [
     "orders_scd2",
     "orders_scd2_snapshot",
     "domain_temperature_sample",
+    "uniform_sample_md5",
     "value_hour_corr",
     "embedding_dbscan",
     "sliding_distinct_users",

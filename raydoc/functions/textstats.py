@@ -2060,3 +2060,37 @@ def domain_temperature_sample(sf_dir: str, divisor: int = 16) -> pa.Table:
     return out.cast(pa.schema([("doc_id", pa.int64()),
                                ("source", pa.string())])).sort_by(
         [("source", "ascending"), ("doc_id", "ascending")])
+
+
+def uniform_sample_md5(sf_dir: str, k: int = 100) -> pa.Table:
+    """(event_id, event_type, value): exact fixed-k uniform sample of
+    the events table under a content-derived pseudo-random order
+    (md5 of the event id) — the ORACLE-CHECKABLE twin of the seeded
+    ``shuffle_sample``: stable across runs, cluster sizes and input
+    order, and exactly replicable in SQL (ORDER BY md5 LIMIT k).
+
+    Scale shape: each block prunes to its local md5-top-k map-side (no
+    exchange — the global top-k is a subset of the union of per-block
+    top-ks), ≤ k·n_blocks survivors collect, one tiny driver sort
+    finishes. The corpus never sorts or shuffles."""
+    import pyarrow.compute as pc
+
+    from raydoc.functions.relational import _global_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+
+    def add_rank(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "event_id" not in t.schema.names:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "event_type": pa.array([], pa.string()),
+                             "value": pa.array([], pa.float64()),
+                             "rk": pa.array([], pa.string())})
+        keys = [hashlib.md5(str(v).encode()).hexdigest()
+                for v in t.column("event_id").to_pylist()]
+        return t.append_column("rk", pa.array(keys, pa.string()))
+
+    top = _global_topk(ds.map_batches(add_rank, batch_format="pyarrow"),
+                       ["rk"], [False], k)
+    return top.select(["event_id", "event_type", "value"]).sort_by(
+        "event_id")
