@@ -182,6 +182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from raydoc.functions import dedup, export, graph, multimodal, orcio
     from raydoc.functions import profile, relational, similarity, sketches
     from raydoc.functions import textstats, windows
+    from raydoc.sources import warc as warcsrc
 
     return {
         # --- the extraction engine itself (the flagship) ---
@@ -390,6 +391,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docx_meta": export.docx_meta,
         "jsonl_export_meta": export.jsonl_export_meta,
         "orc_roundtrip_stats": orcio.orc_roundtrip_stats,
+        "warc_roundtrip_stats": warcsrc.warc_roundtrip_stats,
         "phash_neardups": multimodal.phash_neardups,
         "phash_clusters": multimodal.phash_clusters,
         "shuffle_sample": textstats.shuffle_sample,
@@ -1145,6 +1147,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT)
                        AS sum_value_cents
             FROM events GROUP BY event_type ORDER BY event_type""",
+        "warc_roundtrip_stats": """
+            WITH h AS (SELECT source, length(text) AS nc,
+                       CAST(('0x' || substr(md5(
+                           'http://' || source || '/doc/' ||
+                           CAST(doc_id AS VARCHAR) || '|' || text),
+                           1, 16)) AS UBIGINT) AS h
+                       FROM documents)
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(nc) AS BIGINT) AS sum_chars,
+                   lower(lpad(hex(CAST(
+                       SUM(CAST(h AS HUGEINT))
+                       % CAST(18446744073709551616 AS HUGEINT)
+                       AS UBIGINT)), 16, '0')) AS checksum
+            FROM h GROUP BY source ORDER BY source""",
         "order_status_except": """
             SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
             EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'

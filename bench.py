@@ -37,6 +37,7 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # number includes the checkpointed parquet write + manifests.
 BENCH_QUERIES = [
     "orc_roundtrip_stats",
+    "warc_roundtrip_stats",
     "building_orders_full_join",
     "line_priority_counts",
     "dominant_part_suppliers",

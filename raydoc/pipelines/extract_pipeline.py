@@ -66,6 +66,8 @@ def read_transcripts(path: str) -> rd.Dataset:
     if fmt == "orc":
         from raydoc.functions.orcio import read_orc
         return read_orc(path, columns=TRANSCRIPT_COLUMNS)
+    if fmt == "warc":
+        return _read_warc_dataset(path)
     if fmt == "textdir":
         return _read_text_dir(path)
     return rd.read_parquet(path, columns=TRANSCRIPT_COLUMNS)
@@ -104,6 +106,26 @@ def _read_text_dir(path: str) -> rd.Dataset:
     return ds.map_batches(to_rows, batch_format="pyarrow")
 
 
+def _read_warc_dataset(path: str) -> rd.Dataset:
+    """WARC crawl-archive corpus (sources/warc.py): each response
+    record becomes a single-turn conversation — conv_id = the
+    WARC-Target-URI, turn_idx = 0, text = the HTTP payload. The native
+    input shape of a web-scale extraction job (Common Crawl hands you
+    exactly this)."""
+    import pyarrow as pa
+
+    from raydoc.sources.warc import read_warc
+
+    def to_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "conv_id": pc.cast(t.column("url"), pa.string()),
+            "turn_idx": pa.array([0] * t.num_rows, pa.int32()),
+            "text": pc.cast(t.column("text"), pa.string()),
+        })
+
+    return read_warc(path).map_batches(to_rows, batch_format="pyarrow")
+
+
 def _read_feather_dataset(path: str) -> rd.Dataset:
     """Arrow IPC / Feather corpus: one read task per file (Ray has no
     native IPC reader; the file list fans out and each task returns its
@@ -130,8 +152,11 @@ def _read_feather_dataset(path: str) -> rd.Dataset:
 
 def _input_format(path: str) -> str:
     """Sniff the corpus format from its file extensions."""
-    exts = {os.path.splitext(f)[1].lower()
-            for f in (os.listdir(path) if os.path.isdir(path) else [path])}
+    names = [f.lower()
+             for f in (os.listdir(path) if os.path.isdir(path) else [path])]
+    if any(f.endswith(".warc") or f.endswith(".warc.gz") for f in names):
+        return "warc"
+    exts = {os.path.splitext(f)[1] for f in names}
     if exts & {".jsonl", ".json"}:
         return "json"
     if ".csv" in exts:
