@@ -301,6 +301,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_hourly_stats": windows.incremental_hourly_stats,
         "hourly_distinct_users": windows.hourly_distinct_users,
         "sliding_event_stats": windows.sliding_event_stats,
+        "late_event_stats": windows.late_event_stats,
         "sessionize": windows.sessionize,
         "events_with_prev": windows.events_with_prev,
         "user_running_value": windows.user_running_value,
@@ -2302,6 +2303,27 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events, MIN(value) AS min_value,
                    MAX(value) AS max_value
             FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+        "late_event_stats": """
+            WITH a AS (SELECT md5(CAST(event_id AS VARCHAR)) AS ak, ts,
+                              CAST(ROUND(value*100) AS BIGINT) AS vc
+                       FROM events),
+                 w AS (SELECT ts, vc,
+                              MAX(ts) OVER (ORDER BY ak
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS pm
+                       FROM a),
+                 f AS (SELECT date_trunc('hour', ts) AS window_start,
+                              (pm IS NOT NULL AND
+                               ts < pm - INTERVAL 14 DAY) AS late, vc
+                       FROM w)
+            SELECT window_start,
+                   CAST(SUM(CASE WHEN NOT late THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_ontime,
+                   CAST(SUM(CASE WHEN NOT late THEN vc ELSE 0 END)
+                        AS BIGINT) AS sum_value_cents,
+                   CAST(SUM(CASE WHEN late THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_late
+            FROM f GROUP BY 1 ORDER BY 1""",
         "sliding_event_stats": """
             SELECT window_start, COUNT(*) AS n_events FROM (
                 SELECT CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800)

@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "brand_volume",
     "hourly_event_stats",
     "sliding_event_stats",
+    "late_event_stats",
     "sessionize",
     "events_with_prev",
     "value_percentiles",

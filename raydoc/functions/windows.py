@@ -2476,3 +2476,99 @@ def conversion_latency(sf_dir: str,
            .groupby("bucket").map_groups(per_bucket,
                                          batch_format="pandas"))
     return collect_table(out).sort_by("user_id")
+
+
+def late_event_stats(sf_dir: str, delay_days: int = 14,
+                     hex_prefix_len: int = 2) -> pa.Table:
+    """(window_start, n_ontime, sum_value_cents, n_late): tumbling
+    1-hour event-time windows with STREAMING WATERMARK semantics —
+    the Beam/Flink allowed-lateness model the strictly-batch reference
+    has no analog for (SURVEY.md §2.10). Arrival order is a
+    content-derived deterministic scramble (md5 of the event id — the
+    repo's seeded-permutation idiom, ``uniform_sample_md5``), modeling
+    out-of-order network delivery over the ts-sorted log. The watermark
+    before a record arrives is max(event time) over all earlier
+    arrivals minus ``delay_days``; records behind the watermark are
+    LATE and excluded from their window's aggregate but counted in its
+    ``n_late`` — exact dropped-data accounting per window.
+
+    Shape (no global sort): arrivals go to ORDER-PRESERVING buckets by
+    the md5 hex prefix (256 lexicographic ranges); a combiner pass
+    reduces each bucket to its max event time (B tiny rows); the driver
+    exclusive-prefix-maxes the B values into per-bucket incoming
+    watermarks; each bucket then sorts locally and runs a vectorized
+    prefix max seeded with its base — the prefix-scan decomposition of
+    ``global_rank_ntile`` applied to a running max. Per-bucket
+    (window, late) partials fold in a final combiner groupby."""
+    import hashlib
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "value"])
+    delay_us = delay_days * 86_400_000_000
+    _NEG = -(1 << 62)  # "no earlier arrival" sentinel (overflow-safe)
+
+    def add_arrival(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "event_id" not in t.schema.names:
+            return pa.table({"ak": pa.array([], pa.string()),
+                             "bucket": pa.array([], pa.int32()),
+                             "ts": pa.array([], pa.timestamp("us")),
+                             "vc": pa.array([], pa.int64())})
+        ak = [hashlib.md5(str(v).encode()).hexdigest()
+              for v in t.column("event_id").to_pylist()]
+        return pa.table({
+            "ak": pa.array(ak, pa.string()),
+            "bucket": pa.array([int(k[:hex_prefix_len], 16) for k in ak],
+                               pa.int32()),
+            "ts": t["ts"],
+            "vc": pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                          pa.int64())})
+
+    # materialize: the bucket-max pass and the main pass both consume it
+    arr = ds.map_batches(add_arrival, batch_format="pyarrow").materialize()
+    bmax = collect_table(partial_groupby(
+        arr, ["bucket"], {"mx": ("ts", "max")})).sort_by("bucket")
+    bases: dict[int, int] = {}
+    run = _NEG
+    for b, m in zip(bmax.column("bucket").to_pylist(),
+                    pc.cast(bmax.column("mx"), pa.int64()).to_pylist()):
+        bases[int(b)] = run
+        run = max(run, int(m))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ak", ignore_index=True)
+        ts = g["ts"].astype("int64").to_numpy()
+        prev = np.empty_like(ts)
+        prev[0] = bases[int(g["bucket"].iloc[0])]
+        np.maximum.accumulate(ts[:-1], out=prev[1:]) if len(ts) > 1 else None
+        np.maximum(prev, prev[0], out=prev)
+        late = ts < prev - delay_us
+        win = (ts // 3_600_000_000) * 3_600_000_000
+        vc = g["vc"].to_numpy()
+        f = pd.DataFrame({"w": win, "late": late, "vc": vc})
+        out = f.groupby("w", sort=False).agg(
+            n_ontime=("late", lambda s: int((~s).sum())),
+            sum_value_cents=("vc", "sum"),
+            n_late=("late", "sum")).reset_index()
+        # sum only on-time values: subtract the late contribution
+        late_vc = f.loc[f["late"]].groupby("w", sort=False)["vc"].sum()
+        out["sum_value_cents"] = (
+            out["sum_value_cents"]
+            - out["w"].map(late_vc).fillna(0).astype("int64"))
+        return pd.DataFrame({
+            "w": out["w"].astype("int64"),
+            "n_ontime": out["n_ontime"].astype("int64"),
+            "sum_value_cents": out["sum_value_cents"].astype("int64"),
+            "n_late": out["n_late"].astype("int64")})
+
+    parts = arr.groupby("bucket").map_groups(per_bucket,
+                                             batch_format="pandas")
+    out = collect_table(partial_groupby(
+        parts, ["w"], {"n_ontime": ("n_ontime", "sum"),
+                       "sum_value_cents": ("sum_value_cents", "sum"),
+                       "n_late": ("n_late", "sum")})).sort_by("w")
+    return pa.table({
+        "window_start": pc.cast(pc.cast(out["w"], pa.int64()),
+                                pa.timestamp("us")),
+        "n_ontime": pc.cast(out["n_ontime"], pa.int64()),
+        "sum_value_cents": pc.cast(out["sum_value_cents"], pa.int64()),
+        "n_late": pc.cast(out["n_late"], pa.int64())})

@@ -316,3 +316,22 @@ def test_cusum_counts_zero_event_hours(ray_session, tmp_path):
         for ts in out[out["event_type"] == "gappy"]["window_start"])
     assert got_hours == exp_hours
     assert len(exp_hours) > 0
+
+
+def test_late_event_stats_bucket_invariance(ray_session):
+    """The watermark prefix-max decomposition is exact: 16 vs 256
+    arrival buckets produce identical windows, and the late/on-time
+    accounting is non-vacuous and conserves the row count."""
+    import duckdb
+
+    from raydoc.functions.windows import late_event_stats
+
+    sf = "/root/testdata/sf0.001"
+    a = late_event_stats(sf, hex_prefix_len=1).to_pandas()
+    b = late_event_stats(sf, hex_prefix_len=2).to_pandas()
+    assert a.equals(b)
+    n = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{sf}/events.parquet')"
+    ).fetchone()[0]
+    assert int(a["n_ontime"].sum() + a["n_late"].sum()) == n
+    assert int(a["n_late"].sum()) > 0 and int(a["n_ontime"].sum()) > 0
