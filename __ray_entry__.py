@@ -242,6 +242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_hour_corr": relational.q_value_hour_corr,
         "type_drift_cells": relational.q_type_drift_cells,
         "orders_checksum": relational.q_orders_checksum,
+        "star_flatten": relational.q_star_flatten,
         "user_value_ewma": windows.user_value_ewma,
         "bm25_search": textstats.bm25_search,
         "bpe_learn_merges": textstats.bpe_learn_merges,
@@ -1290,6 +1291,41 @@ def oracle_sql() -> dict[str, str]:
                    / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
                       * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS pearson_r
             FROM m ORDER BY event_type""",
+        "star_flatten": """
+            WITH wide AS (
+              SELECT l.l_orderkey, l.l_linenumber,
+                     CAST(ROUND(l.l_quantity) AS BIGINT) AS qty,
+                     CAST(ROUND(l.l_extendedprice*100) AS BIGINT)
+                         AS price_c,
+                     epoch_us(o.o_orderdate) AS odate_us,
+                     o.o_orderstatus, c.c_mktsegment,
+                     cn.n_name AS c_nation, s.s_name,
+                     sn.n_name AS s_nation, p.p_brand, p.p_type
+              FROM lineitem l
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+              JOIN supplier s ON l.l_suppkey = s.s_suppkey
+              JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+              JOIN part p ON l.l_partkey = p.p_partkey),
+            h AS (SELECT c_nation, s_nation,
+                    CAST(('0x' || substr(md5(
+                      CAST(l_orderkey AS VARCHAR) || '|' ||
+                      CAST(l_linenumber AS VARCHAR) || '|' ||
+                      CAST(qty AS VARCHAR) || '|' ||
+                      CAST(price_c AS VARCHAR) || '|' ||
+                      CAST(odate_us AS VARCHAR) || '|' ||
+                      o_orderstatus || '|' || c_mktsegment || '|' ||
+                      c_nation || '|' || s_name || '|' || s_nation ||
+                      '|' || p_brand || '|' || p_type),
+                      1, 16)) AS UBIGINT) AS h
+                  FROM wide)
+            SELECT c_nation, s_nation, COUNT(*) AS n_rows,
+                   lower(lpad(hex(CAST(
+                       SUM(CAST(h AS HUGEINT))
+                       % CAST(18446744073709551616 AS HUGEINT)
+                       AS UBIGINT)), 16, '0')) AS checksum
+            FROM h GROUP BY 1, 2 ORDER BY 1, 2""",
         "orders_checksum": """
             WITH h AS (SELECT CAST(('0x' || substr(md5(
                            CAST(o_orderkey AS VARCHAR) || '|' ||

@@ -38,6 +38,7 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_QUERIES = [
     "orc_roundtrip_stats",
     "warc_roundtrip_stats",
+    "star_flatten",
     "building_orders_full_join",
     "line_priority_counts",
     "dominant_part_suppliers",

@@ -3099,3 +3099,211 @@ def q_orders_scd2_snapshot(sf_dir: str, at_version: int = 2) -> pa.Table:
 
     out = hist.map_batches(live_at, batch_format="pyarrow")
     return collect_table(out).sort_by("o_orderkey")
+
+
+def q_star_flatten(sf_dir: str, num_buckets: int = 32) -> pa.Table:
+    """(c_nation, s_nation, n_rows, checksum): star-schema
+    DENORMALIZATION — every lineitem flattened to the full wide
+    training row (order date/status, customer segment + nation,
+    supplier name + nation, part brand + type), the feature-store /
+    training-table materialization pattern. The result is summarized as
+    per-(customer-nation, supplier-nation) row counts plus an
+    order-independent md5 checksum over the complete wide-row content
+    (Σ md5₆₄ mod 2⁶⁴, 16-bit limb partials — the orders_checksum
+    discipline), so the oracle proves every attribute of every wide row
+    bit-exact without shipping 6 B wide rows to the driver.
+
+    Topology (the honest 100-TB star shape): the two BIG dimensions
+    meet the facts in thin bucketed exchanges — orders⋈customer on ONE
+    custkey-bucket exchange, the result⋈lineitem on ONE orderkey-bucket
+    exchange whose lineitem side carries integers only; the genuinely
+    small dimensions (nation, supplier, part) broadcast once via
+    ``ray.put`` and attach INSIDE the bucket task AFTER the join, so
+    no dimension string ever rides an exchange twice."""
+    import hashlib
+
+    import pandas as pd
+
+    from raydoc.functions.joins import tag_union
+
+    def _i64(t: pa.Table, key: str) -> pa.Table:
+        return t.set_column(t.schema.get_field_index(key), key,
+                            pc.cast(t[key], pa.int64()))
+
+    nat = _i64(pq.read_table(f"{sf_dir}/nation.parquet",
+                             columns=["n_nationkey", "n_name"]),
+               "n_nationkey")
+    sup = _i64(_i64(pq.read_table(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_name", "s_nationkey"]), "s_suppkey"),
+        "s_nationkey") \
+        .join(nat.rename_columns(["s_nationkey", "n_name"]),
+              keys="s_nationkey") \
+        .select(["s_suppkey", "s_name", "n_name"]) \
+        .rename_columns(["s_suppkey", "s_name", "s_nation"])
+    prt = _i64(pq.read_table(f"{sf_dir}/part.parquet",
+                             columns=["p_partkey", "p_brand", "p_type"]),
+               "p_partkey")
+    cnat = nat.rename_columns(["c_nationkey", "c_nation"])
+    nat_ref = ray.put(cnat)
+    sup_ref = ray.put(sup)
+    prt_ref = ray.put(prt)
+
+    # ---- exchange 1: orders ⋈ customer on custkey -------------------
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderstatus",
+                    "o_orderdate"])
+
+    def ord_prep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "o_orderkey" not in t.schema.names:
+            return pa.table({"o_custkey": pa.array([], pa.int64()),
+                             "o_orderkey": pa.array([], pa.int64()),
+                             "odate_us": pa.array([], pa.int64()),
+                             "o_orderstatus": pa.array([], pa.string())})
+        return pa.table({"o_custkey": t["o_custkey"],
+                         "o_orderkey": t["o_orderkey"],
+                         "odate_us": pc.cast(t["o_orderdate"], pa.int64()),
+                         "o_orderstatus": t["o_orderstatus"]})
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_mktsegment", "c_nationkey"])
+
+    def cust_prep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "c_custkey" not in t.schema.names:
+            return pa.table({"o_custkey": pa.array([], pa.int64()),
+                             "c_mktsegment": pa.array([], pa.string()),
+                             "c_nationkey": pa.array([], pa.int64())})
+        return pa.table({"o_custkey": t["c_custkey"],
+                         "c_mktsegment": t["c_mktsegment"],
+                         "c_nationkey": t["c_nationkey"]})
+
+    fields1 = [("o_custkey", pa.int64()), ("o_orderkey", pa.int64()),
+               ("odate_us", pa.int64()), ("o_orderstatus", pa.string()),
+               ("c_mktsegment", pa.string()), ("c_nationkey", pa.int64())]
+    tagged1 = tag_union(
+        orders.map_batches(ord_prep, batch_format="pyarrow"),
+        cust.map_batches(cust_prep, batch_format="pyarrow"),
+        "o_custkey", fields1, num_buckets)
+
+    oside_schema = pa.schema(
+        [("o_orderkey", pa.int64()), ("odate_us", pa.int64()),
+         ("o_orderstatus", pa.string()), ("c_mktsegment", pa.string()),
+         ("c_nationkey", pa.int64())])
+
+    def join1(group: pa.Table) -> pa.Table:
+        side = group.column("__side")
+        o = group.filter(pc.equal(side, 0)).select(
+            ["o_custkey", "o_orderkey", "odate_us", "o_orderstatus"])
+        c = group.filter(pc.equal(side, 1)).select(
+            ["o_custkey", "c_mktsegment", "c_nationkey"])
+        if o.num_rows == 0 or c.num_rows == 0:
+            return oside_schema.empty_table()
+        return o.join(c, keys="o_custkey", join_type="inner") \
+            .select(oside_schema.names).cast(oside_schema)
+
+    oside = tagged1.groupby("__bucket").map_groups(
+        join1, batch_format="pyarrow")
+
+    # ---- exchange 2: lineitem ⋈ order-side on orderkey (ints only) --
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_quantity",
+                "l_extendedprice", "l_suppkey", "l_partkey"])
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "l_orderkey" not in t.schema.names:
+            return pa.table({"o_orderkey": pa.array([], pa.int64()),
+                             "l_linenumber": pa.array([], pa.int64()),
+                             "qty": pa.array([], pa.int64()),
+                             "price_c": pa.array([], pa.int64()),
+                             "l_suppkey": pa.array([], pa.int64()),
+                             "l_partkey": pa.array([], pa.int64())})
+        return pa.table({"o_orderkey": t["l_orderkey"],
+                         "l_linenumber": pc.cast(t["l_linenumber"],
+                                                 pa.int64()),
+                         "qty": pc.cast(pc.round(t["l_quantity"]),
+                                        pa.int64()),
+                         "price_c": _cents(t["l_extendedprice"]),
+                         "l_suppkey": t["l_suppkey"],
+                         "l_partkey": t["l_partkey"]})
+
+    fields2 = [("o_orderkey", pa.int64()), ("l_linenumber", pa.int64()),
+               ("qty", pa.int64()), ("price_c", pa.int64()),
+               ("l_suppkey", pa.int64()), ("l_partkey", pa.int64()),
+               ("odate_us", pa.int64()), ("o_orderstatus", pa.string()),
+               ("c_mktsegment", pa.string()), ("c_nationkey", pa.int64())]
+    tagged2 = tag_union(oside, li.map_batches(li_prep,
+                                              batch_format="pyarrow"),
+                        "o_orderkey", fields2, num_buckets)
+
+    part_schema = pa.schema(
+        [("c_nation", pa.string()), ("s_nation", pa.string()),
+         ("n", pa.int64())] +
+        [(f"s{i}", pa.int64()) for i in range(4)])
+
+    def join2(group: pa.Table) -> pa.Table:
+        side = group.column("__side")
+        o = group.filter(pc.equal(side, 0)).select(
+            ["o_orderkey", "odate_us", "o_orderstatus", "c_mktsegment",
+             "c_nationkey"])
+        l = group.filter(pc.equal(side, 1)).select(
+            ["o_orderkey", "l_linenumber", "qty", "price_c", "l_suppkey",
+             "l_partkey"])
+        if o.num_rows == 0 or l.num_rows == 0:
+            return part_schema.empty_table()
+        w = l.join(o, keys="o_orderkey", join_type="inner")
+        # broadcast dims attach AFTER the exchange (zero-copy reads)
+        w = w.join(ray.get(nat_ref), keys="c_nationkey")
+        w = w.join(ray.get(sup_ref), keys="l_suppkey",
+                   right_keys="s_suppkey")
+        w = w.join(ray.get(prt_ref), keys="l_partkey",
+                   right_keys="p_partkey")
+        # wide-row content string built vectorized; only md5 is a loop
+        key_str = pc.binary_join_element_wise(
+            pc.cast(w["o_orderkey"], pa.string()),
+            pc.cast(w["l_linenumber"], pa.string()),
+            pc.cast(w["qty"], pa.string()),
+            pc.cast(w["price_c"], pa.string()),
+            pc.cast(w["odate_us"], pa.string()),
+            w["o_orderstatus"], w["c_mktsegment"], w["c_nation"],
+            w["s_name"], w["s_nation"], w["p_brand"], w["p_type"],
+            pa.scalar("|")).cast(pa.binary())
+        md5 = hashlib.md5
+        hs = np.fromiter(
+            (int.from_bytes(md5(s.as_py()).digest()[:8], "big")
+             for s in key_str.combine_chunks()),
+            dtype=np.uint64, count=w.num_rows)
+        df = pd.DataFrame({
+            "c_nation": w["c_nation"].to_pandas(),
+            "s_nation": w["s_nation"].to_pandas(),
+            "n": np.ones(w.num_rows, np.int64),
+            **{f"s{i}": ((hs >> np.uint64(16 * i))
+                         & np.uint64(0xFFFF)).astype(np.int64)
+               for i in range(4)}})
+        out = df.groupby(["c_nation", "s_nation"], sort=True,
+                         as_index=False).sum()
+        return pa.Table.from_pandas(out, preserve_index=False) \
+            .cast(part_schema)
+
+    parts = tagged2.groupby("__bucket").map_groups(
+        join2, batch_format="pyarrow")
+    # per-bucket partials are ≤ |c_nation|·|s_nation| rows each — fold
+    # the ≤ buckets·625 tiny rows on the driver instead of paying a
+    # third all-to-all barrier
+    g = collect_table(parts).group_by(
+        ["c_nation", "s_nation"], use_threads=False).aggregate(
+        [("n", "sum")] + [(f"s{i}", "sum") for i in range(4)]) \
+        .rename_columns(["c_nation", "s_nation", "n_rows"]
+                        + [f"s{i}" for i in range(4)]).sort_by(
+        [("c_nation", "ascending"), ("s_nation", "ascending")])
+    sums = [(int(a) + (int(b) << 16) + (int(c) << 32) + (int(d) << 48))
+            % (1 << 64)
+            for a, b, c, d in zip(g.column("s0").to_pylist(),
+                                  g.column("s1").to_pylist(),
+                                  g.column("s2").to_pylist(),
+                                  g.column("s3").to_pylist())]
+    return pa.table({
+        "c_nation": g.column("c_nation"),
+        "s_nation": g.column("s_nation"),
+        "n_rows": pc.cast(g.column("n_rows"), pa.int64()),
+        "checksum": pa.array([format(v, "016x") for v in sums],
+                             pa.string())})

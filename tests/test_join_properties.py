@@ -734,3 +734,21 @@ def test_apply_changes_accepts_from_pandas(ray_session):
                         key="k", version_col="version", op_col="op",
                         num_buckets=4).to_pandas()
     assert sorted(zip(got["k"], got["val"])) == [(1, 10), (3, 30)]
+
+
+def test_star_flatten_bucket_invariance(ray_session):
+    """The two-exchange star denormalization is bucket-count exact:
+    8 vs 32 buckets produce identical per-nation-pair checksums, and
+    every lineitem lands in exactly one wide row."""
+    import duckdb
+
+    from raydoc.functions.relational import q_star_flatten
+
+    sf = "/root/testdata/sf0.001"
+    a = q_star_flatten(sf, num_buckets=8).to_pandas()
+    b = q_star_flatten(sf, num_buckets=32).to_pandas()
+    assert a.equals(b)
+    n = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{sf}/lineitem.parquet')"
+    ).fetchone()[0]
+    assert int(a["n_rows"].sum()) == n
