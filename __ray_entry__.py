@@ -216,6 +216,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": relational.q_stratified_sample,
         "domain_temperature_sample": textstats.domain_temperature_sample,
         "uniform_sample_md5": textstats.uniform_sample_md5,
+        "url_path_rollup": textstats.url_path_rollup,
         "status_priority_pivot": relational.q_status_priority_pivot,
         "status_priority_unpivot": relational.q_status_priority_unpivot,
         "rollup_pricing": relational.q_rollup_pricing,
@@ -1102,6 +1103,23 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
                 ORDER BY md5(CAST(event_id AS VARCHAR)) LIMIT 100)
             ORDER BY event_id""",
+        "url_path_rollup": """
+            WITH u AS (SELECT n_chars,
+                          'site' || CAST(doc_id % 5 AS VARCHAR)
+                              || '.example' AS host,
+                          's' || CAST(doc_id % 3 AS VARCHAR) AS seg1,
+                          't' || CAST(doc_id % 4 AS VARCHAR) AS seg2
+                       FROM documents),
+                 p AS (SELECT host AS prefix, 1 AS depth, n_chars FROM u
+                       UNION ALL
+                       SELECT host || '/' || seg1, 2, n_chars FROM u
+                       UNION ALL
+                       SELECT host || '/' || seg1 || '/' || seg2, 3,
+                              n_chars FROM u)
+            SELECT prefix, CAST(depth AS BIGINT) AS depth,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM p GROUP BY prefix, depth ORDER BY prefix, depth""",
         "status_priority_pivot": """
             SELECT o_orderpriority,
                    CAST(SUM(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END)

@@ -203,6 +203,7 @@ BENCH_QUERIES = [
     "orders_scd2_snapshot",
     "domain_temperature_sample",
     "uniform_sample_md5",
+    "url_path_rollup",
     "value_hour_corr",
     "embedding_dbscan",
     "sliding_distinct_users",

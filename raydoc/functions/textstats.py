@@ -2094,3 +2094,62 @@ def uniform_sample_md5(sf_dir: str, k: int = 100) -> pa.Table:
                        ["rk"], [False], k)
     return top.select(["event_id", "event_type", "value"]).sort_by(
         "event_id")
+
+
+def url_path_rollup(sf_dir: str) -> pa.Table:
+    """(prefix, depth, n_docs, sum_chars): hierarchical URL-path
+    rollup — corpus volume aggregated at EVERY ancestor of each page's
+    path (host, host/section, host/section/subsection), the trie-style
+    crawl-frequency-by-site-section analysis used to budget recrawls
+    and spot over-represented site sections. The synthetic corpus has
+    no URLs, so both engines first derive one deterministic URL per
+    doc_id (the ``canonical_urls`` injection discipline: host from
+    doc_id%5, two path segments from %3 / %4), then every doc explodes
+    to its ≤3 path prefixes map-side (bounded fan-out, vectorized
+    string joins) and a combiner groupby folds per prefix — one
+    exchange over ~|distinct prefixes| partial rows, never the docs."""
+    import pyarrow.compute as pc
+
+    from raydoc.functions.agg import partial_groupby
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "n_chars"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_id" not in t.schema.names:
+            return pa.table({"prefix": pa.array([], pa.string()),
+                             "depth": pa.array([], pa.int64()),
+                             "nc": pa.array([], pa.int64())})
+        d = t.column("doc_id")
+        host = pc.binary_join_element_wise(
+            pa.scalar("site"),
+            pc.cast(pc.subtract(d, pc.multiply(
+                pc.divide(d, pa.scalar(5)), pa.scalar(5))), pa.string()),
+            pa.scalar(".example"), pa.scalar(""))
+        s1 = pc.binary_join_element_wise(
+            host, pc.binary_join_element_wise(
+                pa.scalar("s"),
+                pc.cast(pc.subtract(d, pc.multiply(
+                    pc.divide(d, pa.scalar(3)), pa.scalar(3))),
+                    pa.string()), pa.scalar("")), pa.scalar("/"))
+        s2 = pc.binary_join_element_wise(
+            s1, pc.binary_join_element_wise(
+                pa.scalar("t"),
+                pc.cast(pc.subtract(d, pc.multiply(
+                    pc.divide(d, pa.scalar(4)), pa.scalar(4))),
+                    pa.string()), pa.scalar("")), pa.scalar("/"))
+        nc = pc.cast(t.column("n_chars"), pa.int64())
+        n = t.num_rows
+        return pa.concat_tables([
+            pa.table({"prefix": col,
+                      "depth": pa.array([depth] * n, pa.int64()),
+                      "nc": nc})
+            for depth, col in ((1, host), (2, s1), (3, s2))])
+
+    out = partial_groupby(ds.map_batches(explode, batch_format="pyarrow"),
+                          ["prefix", "depth"],
+                          {"n_docs": ("nc", "count"),
+                           "sum_chars": ("nc", "sum")})
+    return collect_table(out).sort_by(
+        [("prefix", "ascending"), ("depth", "ascending")]).select(
+        ["prefix", "depth", "n_docs", "sum_chars"])
