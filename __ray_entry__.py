@@ -393,6 +393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_logreg": similarity.embedding_logreg,
         "docx_meta": export.docx_meta,
         "jsonl_export_meta": export.jsonl_export_meta,
+        "jsonl_gz_roundtrip_stats": export.jsonl_gz_roundtrip_stats,
         "orc_roundtrip_stats": orcio.orc_roundtrip_stats,
         "warc_roundtrip_stats": warcsrc.warc_roundtrip_stats,
         "phash_neardups": multimodal.phash_neardups,
@@ -1163,6 +1164,11 @@ def oracle_sql() -> dict[str, str]:
             ON c.c_custkey = o.c_custkey
             ORDER BY c_custkey""",
         "orc_roundtrip_stats": """
+            SELECT event_type, COUNT(value) AS n,
+                   CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT)
+                       AS sum_value_cents
+            FROM events GROUP BY event_type ORDER BY event_type""",
+        "jsonl_gz_roundtrip_stats": """
             SELECT event_type, COUNT(value) AS n,
                    CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT)
                        AS sum_value_cents

@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "orc_roundtrip_stats",
     "warc_roundtrip_stats",
     "star_flatten",
+    "jsonl_gz_roundtrip_stats",
     "building_orders_full_join",
     "line_priority_counts",
     "dominant_part_suppliers",

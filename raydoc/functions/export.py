@@ -72,7 +72,7 @@ def export_docx(sf_dir: str, out_dir: str) -> int:
 
 
 def export_jsonl(ds: rd.Dataset, out_dir: str,
-                 shard_rows: int = 100_000) -> "pa.Table":
+                 shard_rows: int = 100_000, gz: bool = False) -> "pa.Table":
     """JSONL shard sink — the interchange format most LLM training
     stacks consume. Each input BLOCK writes its own shard from the
     worker (atomic tmp+rename; rows never visit the driver), named by
@@ -90,11 +90,19 @@ def export_jsonl(ds: rd.Dataset, out_dir: str,
 
     Lines are ``json.dumps(..., sort_keys=True, ensure_ascii=False)``
     of each row dict — byte-deterministic for a given row, so shard
-    content hashes are stable across runs and cluster sizes."""
+    content hashes are stable across runs and cluster sizes.
+
+    ``gz=True`` writes ``.jsonl.gz`` shards (stdlib gzip, ``mtime=0``
+    so the compressed bytes stay deterministic) — the interchange
+    format web-scale text corpora actually ship in; shard names hash
+    the UNCOMPRESSED payload, so gz and plain runs of the same data
+    agree on shard identity."""
+    import gzip
     import hashlib
     import json
 
     os.makedirs(out_dir, exist_ok=True)
+    ext = ".jsonl.gz" if gz else ".jsonl"
 
     def write_block(t: pa.Table) -> pa.Table:
         shards, nrows, nbytes = [], [], []
@@ -107,7 +115,9 @@ def export_jsonl(ds: rd.Dataset, out_dir: str,
                            default=str) + "\n"
                 for r in sub.to_pylist()).encode()
             name = ("part-"
-                    + hashlib.sha256(payload).hexdigest()[:16] + ".jsonl")
+                    + hashlib.sha256(payload).hexdigest()[:16] + ext)
+            if gz:
+                payload = gzip.compress(payload, compresslevel=6, mtime=0)
             path = os.path.join(out_dir, name)
             tmp = path + f".tmp-{os.getpid()}"
             with open(tmp, "wb") as fh:
@@ -130,7 +140,8 @@ def export_jsonl(ds: rd.Dataset, out_dir: str,
     # drop stale shards from a previous run over different data
     current = set(manifest.column("shard").to_pylist())
     for name in os.listdir(out_dir):
-        if name.endswith(".jsonl") and name not in current:
+        if (name.endswith(".jsonl") or name.endswith(".jsonl.gz")) \
+                and name not in current:
             try:
                 os.remove(os.path.join(out_dir, name))
             except OSError:
@@ -154,3 +165,44 @@ def jsonl_export_meta(sf_dir: str) -> "pa.Table":
     out = os.path.join(tempfile.gettempdir(),
                        f"raydoc_jsonl_{os.path.basename(sf_dir.rstrip('/'))}")
     return export_jsonl(ds, out)
+
+
+def jsonl_gz_roundtrip_stats(sf_dir: str) -> "pa.Table":
+    """(event_type, n, sum_value_cents) computed off a gzipped-JSONL
+    round-trip of the events table: export (event_type, value) as
+    ``.jsonl.gz`` shards to scratch, read them back with Ray's native
+    JSON reader (decompresses by extension, one task per file), and
+    aggregate in integer cents. Oracle = the same aggregate straight
+    off the parquet view — bit-exact proof of the compressed sink +
+    source (doubles survive json repr round-trip exactly)."""
+    import tempfile
+
+    import pyarrow.compute as pc
+
+    from raydoc.functions._collect import collect_table
+    from raydoc.functions.agg import partial_groupby
+
+    src = rd.read_parquet(f"{sf_dir}/events.parquet",
+                          columns=["event_type", "value"])
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"raydoc_jsonlgz_{os.path.basename(sf_dir.rstrip('/'))}")
+    export_jsonl(src, out, gz=True)
+
+    back = rd.read_json(out, file_extensions=["gz"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "event_type" not in t.schema.names:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "v_c": pa.array([], pa.int64())})
+        return pa.table({
+            "event_type": t["event_type"],
+            "v_c": pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                           pa.int64())})
+
+    agg = partial_groupby(back.map_batches(to_cents,
+                                           batch_format="pyarrow"),
+                          ["event_type"],
+                          {"n": ("v_c", "count"),
+                           "sum_value_cents": ("v_c", "sum")})
+    return collect_table(agg).sort_by("event_type")

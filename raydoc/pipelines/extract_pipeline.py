@@ -56,7 +56,18 @@ def read_transcripts(path: str) -> rd.Dataset:
     we keep the sort shuffle — it needs no long-lived reducer actors."""
     fmt = _input_format(path)
     if fmt == "json":
-        ds = rd.read_json(path)
+        if os.path.isdir(path):
+            # skip _-prefixed metadata (e.g. the sink's manifest), keep
+            # data shards incl. .jsonl.gz (Ray decompresses by extension)
+            files = sorted(
+                os.path.join(root, f)
+                for root, _, fs in os.walk(path) for f in fs
+                if not f.startswith("_")
+                and (f.endswith(".json") or f.endswith(".jsonl")
+                     or f.endswith(".jsonl.gz")))
+            ds = rd.read_json(files)
+        else:
+            ds = rd.read_json(path)
         return ds.select_columns(TRANSCRIPT_COLUMNS)
     if fmt == "csv":
         ds = rd.read_csv(path)
@@ -156,6 +167,8 @@ def _input_format(path: str) -> str:
              for f in (os.listdir(path) if os.path.isdir(path) else [path])]
     if any(f.endswith(".warc") or f.endswith(".warc.gz") for f in names):
         return "warc"
+    if any(f.endswith(".jsonl.gz") for f in names):
+        return "json"          # Ray's JSON reader decompresses .gz natively
     exts = {os.path.splitext(f)[1] for f in names}
     if exts & {".jsonl", ".json"}:
         return "json"

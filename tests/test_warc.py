@@ -130,3 +130,37 @@ def test_warc_roundtrip_stats_matches_direct(ray_session):
                    AS UBIGINT)), 16, '0')) AS checksum
         FROM h GROUP BY source ORDER BY source""").fetchdf()
     assert mine.reset_index(drop=True).equals(exp.reset_index(drop=True))
+
+
+def test_jsonl_gz_sink_and_transcript_dispatch(ray_session, tmp_path):
+    """gz JSONL shards round-trip through Ray's native reader and the
+    extraction pipeline dispatches a .jsonl.gz corpus; gz and plain
+    runs of the same data agree on shard identity."""
+    import gzip
+    import os
+
+    import ray.data as rd
+
+    from raydoc.functions.export import export_jsonl
+    from raydoc.sources import transcripts as tgen
+
+    table = tgen.generate_transcripts(n_convs=4, seed=11,
+                                      min_turns=2, max_turns=3)
+    out = str(tmp_path / "gz")
+    m_gz = export_jsonl(rd.from_arrow(table), out, shard_rows=10, gz=True)
+    m_plain = export_jsonl(rd.from_arrow(table), str(tmp_path / "plain"),
+                           shard_rows=10, gz=False)
+    assert [s.removesuffix(".gz") for s in
+            sorted(m_gz.column("shard").to_pylist())] == \
+        sorted(m_plain.column("shard").to_pylist())
+    for name in os.listdir(out):
+        if name.endswith(".jsonl.gz"):
+            with gzip.open(os.path.join(out, name)) as fh:
+                fh.read()  # valid gzip
+
+    from raydoc.pipelines.extract_pipeline import extract_dataset
+
+    rows = extract_dataset(out).take_all()
+    assert len(rows) == table.num_rows
+    assert {r["conv_id"] for r in rows} == \
+        set(table.column("conv_id").to_pylist())
