@@ -391,6 +391,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_kmeans": similarity.embedding_kmeans,
         "embedding_pca": similarity.embedding_pca,
         "embedding_logreg": similarity.embedding_logreg,
+        "als_item_factors": similarity.als_item_factors,
         "docx_meta": export.docx_meta,
         "jsonl_export_meta": export.jsonl_export_meta,
         "jsonl_gz_roundtrip_stats": export.jsonl_gz_roundtrip_stats,

@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "warc_roundtrip_stats",
     "star_flatten",
     "jsonl_gz_roundtrip_stats",
+    "als_item_factors",
     "building_orders_full_join",
     "line_priority_counts",
     "dominant_part_suppliers",

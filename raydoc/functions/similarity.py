@@ -1051,3 +1051,151 @@ def mmr_diverse_topk(sf_dir: str, query_ids: list[int] | None = None,
                      "vec_id": pa.array(out["vec_id"], pa.int64()),
                      "mmr_score": pa.array(out["mmr_score"], pa.float64()),
                      "cosine": pa.array(out["cosine"], pa.float64())})
+
+
+def als_fit(sf_dir: str, rank: int = 2, iters: int = 4,
+            reg: float = 0.1, num_buckets: int | None = None):
+    """Distributed ALS matrix factorization over the implicit
+    user × event_type interaction matrix (rating = ln(1+count)) — the
+    factorization member of the distributed-ML family (k-means, PCA,
+    logreg). Returns (item_types, item_factors (m×rank), rmse_history).
+
+    Scale shape: the rating matrix reduces ONCE to per-(user, item)
+    counts inside coarse user-hash buckets and materializes; every
+    iteration then broadcasts the m×rank item-factor matrix (tiny),
+    maps over the bucketed ratings with NO exchange — each bucket
+    solves its users' rank×rank normal equations locally (user factors
+    never leave the task) and emits one partial blob of per-item Gram
+    sums (m·rank² + m·rank floats) plus an SSE partial — and the blobs
+    tree-fold worker-side (the logreg/CMS fold discipline) so the
+    driver solves m tiny systems per iteration regardless of corpus
+    size. User factors are recomputable from the broadcast item
+    factors, so nothing O(users) ever lands on the driver."""
+    import hashlib
+
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from raydoc.functions._buckets import reduce_bucket_count
+    from raydoc.functions._collect import collect_table
+    from raydoc.functions.agg import partial_groupby
+
+    nb = num_buckets or reduce_bucket_count()
+    mask = nb - 1
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.schema.names:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "event_type": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        g = pa.table({"user_id": t["user_id"],
+                      "event_type": t["event_type"],
+                      "n": pa.array(np.ones(t.num_rows, np.int64))}) \
+            .group_by(["user_id", "event_type"]).aggregate([("n", "sum")])
+        return g.rename_columns(["user_id", "event_type", "n"])
+
+    ratings = partial_groupby(
+        ds.map_batches(count_partial, batch_format="pyarrow"),
+        ["user_id", "event_type"], {"n": ("n", "sum")})
+
+    # item vocabulary: tiny (event types); fixed sorted order
+    items = sorted(collect_table(
+        ds.map_batches(
+            lambda t: pa.table(
+                {"event_type": pc.unique(t["event_type"])})
+            if t.num_rows and "event_type" in t.schema.names
+            else pa.table({"event_type": pa.array([], pa.string())}),
+            batch_format="pyarrow")).column(
+        "event_type").unique().to_pylist())
+    m = len(items)
+    item_idx = {it: i for i, it in enumerate(items)}
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.schema.names:
+            return pa.table({"bucket": pa.array([], pa.int32()),
+                             "user_id": pa.array([], pa.int64()),
+                             "item": pa.array([], pa.int32()),
+                             "r": pa.array([], pa.float64())})
+        return pa.table({
+            "bucket": pc.cast(pc.bit_wise_and(t["user_id"], mask),
+                              pa.int32()),
+            "user_id": t["user_id"],
+            "item": pa.array([item_idx[e] for e in
+                              t["event_type"].to_pylist()], pa.int32()),
+            "r": pc.ln(pc.add(pc.cast(t["n"], pa.float64()), 1.0))})
+
+    rmat = ratings.map_batches(bucketize,
+                               batch_format="pyarrow").materialize()
+
+    # deterministic item-factor init from md5 of (item name, k)
+    f = np.array([[int(hashlib.md5(f"{it}:{k}".encode()).hexdigest()[:8],
+                       16) / 0xFFFFFFFF
+                   for k in range(rank)] for it in items], np.float64)
+
+    def fold(t: pa.Table) -> pa.Table:
+        g = np.zeros(m * rank * rank + m * rank + 2, np.float64)
+        for b in t.column("blob").to_pylist():
+            g += np.frombuffer(b, np.float64)
+        return pa.table({"blob": pa.array([g.tobytes()], pa.binary())})
+
+    rmse_hist = []
+    eye = np.eye(rank)
+    for _ in range(iters):
+        ref = ray.put(f)
+
+        def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            fi = ray.get(ref)
+            gram = np.zeros((m, rank, rank))
+            rhs = np.zeros((m, rank))
+            sse, cnt = 0.0, 0
+            items_a = g["item"].to_numpy()
+            r_a = g["r"].to_numpy()
+            order = np.argsort(g["user_id"].to_numpy(), kind="stable")
+            items_a, r_a = items_a[order], r_a[order]
+            uids = g["user_id"].to_numpy()[order]
+            starts = np.concatenate(
+                ([0], np.nonzero(np.diff(uids))[0] + 1, [len(uids)]))
+            for s, e in zip(starts[:-1], starts[1:]):
+                obs, rv = items_a[s:e], r_a[s:e]
+                fo = fi[obs]
+                xu = np.linalg.solve(fo.T @ fo + reg * eye, fo.T @ rv)
+                err = fo @ xu - rv
+                sse += float(err @ err)
+                cnt += len(rv)
+                np.add.at(gram, obs, np.outer(xu, xu))
+                np.add.at(rhs, obs, xu[None, :] * rv[:, None])
+            blob = np.concatenate(
+                [gram.ravel(), rhs.ravel(), [sse, float(cnt)]])
+            return pd.DataFrame({"blob": [blob.tobytes()]})
+
+        parts = rmat.groupby("bucket").map_groups(per_bucket,
+                                                  batch_format="pandas")
+        for _ in range(2):
+            parts = parts.map_batches(fold, batch_format="pyarrow",
+                                      batch_size=64)
+        total = np.zeros(m * rank * rank + m * rank + 2, np.float64)
+        for b in collect_table(parts).column("blob").to_pylist():
+            total += np.frombuffer(b, np.float64)
+        gram = total[:m * rank * rank].reshape(m, rank, rank)
+        rhs = total[m * rank * rank:m * rank * rank + m * rank] \
+            .reshape(m, rank)
+        sse, cnt = total[-2], total[-1]
+        rmse_hist.append(float(np.sqrt(sse / max(cnt, 1.0))))
+        f = np.stack([np.linalg.solve(gram[i] + reg * eye, rhs[i])
+                      for i in range(m)])
+    return items, f, rmse_hist
+
+
+def als_item_factors(sf_dir: str, rank: int = 2,
+                     iters: int = 4) -> pa.Table:
+    """(event_type, f0..f{rank-1}): the converged ALS item-factor
+    matrix — rows-only (float training; determinism + rmse-decrease +
+    local-equivalence property tests)."""
+    items, f, _ = als_fit(sf_dir, rank=rank, iters=iters)
+    cols = {"event_type": pa.array(items, pa.string())}
+    for k in range(rank):
+        cols[f"f{k}"] = pa.array(f[:, k], pa.float64())
+    return pa.table(cols)

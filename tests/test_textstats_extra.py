@@ -166,3 +166,53 @@ def test_export_jsonl_collapses_identical_blocks(ray_session, tmp_path):
     assert len(files) == len(m)
     n_lines = sum(1 for f in files for _ in open(f))
     assert n_lines == int(m["n_rows"].sum())
+
+
+def test_als_deterministic_and_converges(ray_session):
+    """ALS: bucket-count invariance is within float fold tolerance,
+    RMSE is monotone decreasing, and the distributed fit matches a
+    local numpy ALS with the same init and update rule."""
+    import duckdb
+    import hashlib
+    import numpy as np
+
+    from raydoc.functions.similarity import als_fit
+
+    sf = "/root/testdata/sf0.001"
+    rank, iters, reg = 2, 4, 0.1
+    items, f, hist = als_fit(sf, rank=rank, iters=iters, reg=reg,
+                             num_buckets=64)
+    assert all(b < a for a, b in zip(hist, hist[1:]))
+
+    items2, f2, _ = als_fit(sf, rank=rank, iters=iters, reg=reg,
+                            num_buckets=16)
+    assert items2 == items
+    assert np.allclose(f, f2, rtol=1e-9, atol=1e-12)
+
+    # local twin: same ratings, same deterministic init, same updates
+    rows = duckdb.sql(f"""
+        SELECT user_id, event_type, COUNT(*) AS n
+        FROM read_parquet('{sf}/events.parquet')
+        GROUP BY 1, 2""").fetchall()
+    idx = {it: i for i, it in enumerate(items)}
+    by_user: dict[int, list[tuple[int, float]]] = {}
+    for u, e, n in rows:
+        by_user.setdefault(u, []).append((idx[e], np.log1p(float(n))))
+    lf = np.array([[int(hashlib.md5(f"{it}:{k}".encode()).hexdigest()[:8],
+                        16) / 0xFFFFFFFF
+                    for k in range(rank)] for it in items])
+    eye = np.eye(rank)
+    m = len(items)
+    for _ in range(iters):
+        gram = np.zeros((m, rank, rank))
+        rhs = np.zeros((m, rank))
+        for u in sorted(by_user):
+            obs = np.array([i for i, _ in by_user[u]])
+            rv = np.array([r for _, r in by_user[u]])
+            fo = lf[obs]
+            xu = np.linalg.solve(fo.T @ fo + reg * eye, fo.T @ rv)
+            np.add.at(gram, obs, np.outer(xu, xu))
+            np.add.at(rhs, obs, xu[None, :] * rv[:, None])
+        lf = np.stack([np.linalg.solve(gram[i] + reg * eye, rhs[i])
+                       for i in range(m)])
+    assert np.allclose(f, lf, rtol=1e-8, atol=1e-10)
