@@ -335,6 +335,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_outage_overlap": _session_outage_overlap,
         # --- dedup / similarity (oracle-backed members) ---
         "dedup_exact": dedup.exact_dedup,
+        "dedup_conversations": dedup.dedup_conversations,
         "paragraph_dedup_global": dedup.paragraph_dedup_global,
         "minhash_clusters": dedup.minhash_lsh_clusters,
         "neardup_dedup_corpus": dedup.neardup_dedup_corpus,

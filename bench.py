@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "star_flatten",
     "jsonl_gz_roundtrip_stats",
     "als_item_factors",
+    "dedup_conversations",
     "building_orders_full_join",
     "line_priority_counts",
     "dominant_part_suppliers",

@@ -883,3 +883,113 @@ def bloom_novel_docs(sf_dir: str, n_bits: int = 1 << 20) -> pa.Table:
     out = collect_table(novel.select_columns(["doc_id"]))
     return out.sort_by("doc_id")
 
+
+
+def dedup_conversations(sf_dir: str, turns_per_conv: int = 6) -> pa.Table:
+    """(n_convs, n_unique, n_dup_convs, kept_checksum): corpus-level
+    exact dedup of WHOLE conversations — two transcript sessions are
+    duplicates iff their ordered turn texts are identical (the
+    session-level twin of ``dedup_exact``; identical chat sessions are
+    a real contamination source in conversational training data). The
+    derived corpus is duplicate-free by construction, so duplicates are
+    injected deterministically (every doc with doc_id % 7 == 0 gains a
+    second copy of its conversation under conv_id ``dup-<doc_id>`` —
+    the pii_by_source injection discipline), making the counts
+    non-vacuous and exactly predictable.
+
+    Shape: turns shuffle ONCE on a coarse conv-hash bucket (whole
+    conversations co-located — the extraction exchange); each bucket
+    folds every conversation to ONE (fp, conv_id) row, fp = md5 over
+    the ordered turn texts joined with \\x1f; the per-conv stream
+    (1/turns_per_conv the size) then folds per fingerprint with a
+    combiner groupby (keep = MIN conv_id — deterministic canonical
+    pick), and the kept set reduces to counts plus an order-independent
+    Σ md5₆₄(kept conv_id) checksum carried as 16-bit limb partials —
+    nothing O(conversations) lands on the driver."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from raydoc.functions._buckets import reduce_bucket_count
+    from raydoc.sources.transcripts import transcripts_from_documents
+
+    import pyarrow.parquet as _pq
+
+    docs = _pq.read_table(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "text"])
+    base = transcripts_from_documents(docs, turns_per_conv=turns_per_conv)
+    base = base.select(["conv_id", "turn_idx", "text"])
+    dup_ids = [d for d in docs.column("doc_id").to_pylist() if d % 7 == 0]
+    dup_mask = pa.array(
+        [c in {f"doc-{d}" for d in dup_ids}
+         for c in base.column("conv_id").to_pylist()], pa.bool_())
+    dups = base.filter(dup_mask)
+    dups = dups.set_column(
+        0, "conv_id",
+        pa.array(["dup-" + c[len("doc-"):] for c in
+                  dups.column("conv_id").to_pylist()], pa.string()))
+    corpus = pa.concat_tables([base, dups])
+
+    nb = reduce_bucket_count()
+    ds = rd.from_arrow(corpus)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "conv_id" not in t.schema.names:
+            return pa.table({"bucket": pa.array([], pa.int32()),
+                             "conv_id": pa.array([], pa.string()),
+                             "turn_idx": pa.array([], pa.int32()),
+                             "text": pa.array([], pa.string())})
+        b = [int(hashlib.md5(c.encode()).hexdigest()[:8], 16) % nb
+             for c in t.column("conv_id").to_pylist()]
+        return pa.table({"bucket": pa.array(b, pa.int32()),
+                         "conv_id": t["conv_id"],
+                         "turn_idx": pc.cast(t["turn_idx"], pa.int32()),
+                         "text": pc.cast(t["text"], pa.string())})
+
+    def fingerprint(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], ignore_index=True)
+        out_fp, out_cid = [], []
+        for cid, grp in g.groupby("conv_id", sort=False):
+            fp = hashlib.md5(
+                "\x1f".join(grp["text"].fillna("")).encode()).hexdigest()
+            out_fp.append(fp)
+            out_cid.append(cid)
+        return pd.DataFrame({"fp": out_fp, "conv_id": out_cid})
+
+    convs = ds.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(fingerprint, batch_format="pandas")
+
+    per_fp = partial_groupby(convs, ["fp"],
+                             {"kept": ("conv_id", "min"),
+                              "n_copies": ("conv_id", "count")})
+
+    def summarize(t: pa.Table) -> pa.Table:
+        n_fp = t.num_rows
+        copies = sum(t.column("n_copies").to_pylist()) if n_fp else 0
+        s = [0, 0, 0, 0]
+        for c in (t.column("kept").to_pylist() if n_fp else []):
+            h = int(hashlib.md5(c.encode()).hexdigest()[:16], 16)
+            for i in range(4):
+                s[i] += (h >> (16 * i)) & 0xFFFF
+        return pa.table({"one": pa.array([1], pa.int64()),
+                         "n_convs": pa.array([copies], pa.int64()),
+                         "n_unique": pa.array([n_fp], pa.int64()),
+                         **{f"s{i}": pa.array([s[i]], pa.int64())
+                            for i in range(4)}})
+
+    spec = {"n_convs": ("n_convs", "sum"), "n_unique": ("n_unique", "sum")}
+    for i in range(4):
+        spec[f"s{i}"] = (f"s{i}", "sum")
+    g = collect_table(partial_groupby(
+        per_fp.map_batches(summarize, batch_format="pyarrow"),
+        ["one"], spec))
+    n_convs = int(g.column("n_convs")[0].as_py())
+    n_unique = int(g.column("n_unique")[0].as_py())
+    total = (int(g.column("s0")[0].as_py())
+             + (int(g.column("s1")[0].as_py()) << 16)
+             + (int(g.column("s2")[0].as_py()) << 32)
+             + (int(g.column("s3")[0].as_py()) << 48)) % (1 << 64)
+    return pa.table({
+        "n_convs": pa.array([n_convs], pa.int64()),
+        "n_unique": pa.array([n_unique], pa.int64()),
+        "n_dup_convs": pa.array([n_convs - n_unique], pa.int64()),
+        "kept_checksum": pa.array([format(total, "016x")], pa.string())})

@@ -216,3 +216,27 @@ def test_als_deterministic_and_converges(ray_session):
         lf = np.stack([np.linalg.solve(gram[i] + reg * eye, rhs[i])
                        for i in range(m)])
     assert np.allclose(f, lf, rtol=1e-8, atol=1e-10)
+
+
+def test_dedup_conversations_planted_duplicates(ray_session):
+    """Session-level dedup: the planted duplicate count is recovered
+    exactly, every kept conversation is the original (min conv_id), and
+    the kept checksum matches a local recomputation."""
+    import duckdb
+    import hashlib
+
+    from raydoc.functions.dedup import dedup_conversations
+
+    sf = "/root/testdata/sf0.001"
+    out = dedup_conversations(sf).to_pandas()
+    ids = [r[0] for r in duckdb.sql(
+        f"SELECT doc_id FROM read_parquet('{sf}/documents.parquet')"
+    ).fetchall()]
+    planted = sum(1 for d in ids if d % 7 == 0)
+    assert int(out["n_unique"][0]) == len(ids)
+    assert int(out["n_dup_convs"][0]) == planted
+    assert int(out["n_convs"][0]) == len(ids) + planted
+    total = 0
+    for d in ids:  # kept = the "doc-" original, never the "dup-" copy
+        total += int(hashlib.md5(f"doc-{d}".encode()).hexdigest()[:16], 16)
+    assert out["kept_checksum"][0] == format(total % (1 << 64), "016x")
