@@ -285,61 +285,117 @@ def q_customer_order_stats(sf_dir: str) -> pa.Table:
     return collect_table(out).sort_by("c_mktsegment")
 
 
-def q_orders_above_avg(sf_dir: str) -> pa.Table:
+def q_orders_above_avg(sf_dir: str, num_buckets: int = 32) -> pa.Table:
     """Decorrelated-subquery shape (TPC-H Q17 family): orders strictly
     above their OWN customer's average order price. The correlated
-    ``WHERE o_totalprice > (SELECT AVG(..) ..)`` decorrelates into a
-    combiner group-by (per-customer sum+count partials — one small
-    exchange), a broadcast of the per-customer aggregates back onto the
-    streaming fact, and an integer cross-multiplied filter
-    (``price_c · n > sum_c``) so the avg comparison is exact — no float
-    division on either side."""
+    ``WHERE o_totalprice > (SELECT AVG(..) ..)`` decorrelates inside
+    ONE custkey-bucket exchange: every customer's orders co-locate, so
+    the per-customer sum+count folds in the bucket that already holds
+    them and the integer cross-multiplied filter (``price_c · n >
+    sum_c`` — exact, no float division on either side) applies in
+    place. No O(customers) driver collect, no broadcast — the
+    single-exchange rewrite of the round-2 combiner+broadcast shape
+    (same rows, same hash; the aggregate exchange, the driver
+    round-trip and the second parquet read all fold away)."""
+    from raydoc.functions.joins import _key_hash
+
     orders = _read(sf_dir, "orders",
                    ["o_orderkey", "o_custkey", "o_totalprice"])
 
-    def to_cents(t: pa.Table) -> pa.Table:
-        return pa.table({"o_custkey": t["o_custkey"],
+    out_schema = pa.schema([("o_orderkey", pa.int64()),
+                            ("o_custkey", pa.int64()),
+                            ("o_totalprice", pa.float64())])
+
+    def prep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "o_custkey" not in t.schema.names:
+            return pa.table({"bucket": pa.array([], pa.int32()),
+                             "o_orderkey": pa.array([], pa.int64()),
+                             "o_custkey": pa.array([], pa.int64()),
+                             "o_totalprice": pa.array([], pa.float64()),
+                             "price_c": pa.array([], pa.int64())})
+        b = _key_hash(t["o_custkey"].combine_chunks(), num_buckets)
+        return pa.table({"bucket": pa.array(b, pa.int32()),
+                         "o_orderkey": t["o_orderkey"],
+                         "o_custkey": t["o_custkey"],
+                         "o_totalprice": t["o_totalprice"],
                          "price_c": _cents(t["o_totalprice"])})
 
-    cents = orders.map_batches(to_cents, batch_format="pyarrow")
-    per_cust = collect_table(partial_groupby(
-        cents, ["o_custkey"], {"sum_c": ("price_c", "sum"),
-                               "n_ord": ("price_c", "count")}))
+    def per_bucket(g: pa.Table) -> pa.Table:
+        agg = pa.table({"o_custkey": g["o_custkey"],
+                        "price_c": g["price_c"]}) \
+            .group_by("o_custkey", use_threads=False).aggregate(
+            [("price_c", "sum"), ("price_c", "count")])
+        j = g.join(agg, keys="o_custkey")
+        keep = pc.greater(pc.multiply(j["price_c"], j["price_c_count"]),
+                          j["price_c_sum"])
+        return j.filter(keep).select(out_schema.names).cast(out_schema)
 
-    flagged = broadcast_join(orders, per_cust, key="o_custkey")
-
-    def filt(t: pa.Table) -> pa.Table:
-        price_c = _cents(t["o_totalprice"])
-        keep = pc.greater(pc.multiply(price_c, t["n_ord"]), t["sum_c"])
-        t = t.filter(keep)
-        return pa.table({"o_orderkey": t["o_orderkey"],
-                         "o_custkey": t["o_custkey"],
-                         "o_totalprice": t["o_totalprice"]})
-
-    return collect_table(flagged.map_batches(
-        filt, batch_format="pyarrow")).sort_by("o_orderkey")
+    out = orders.map_batches(prep, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(per_bucket, batch_format="pyarrow")
+    return collect_table(out).sort_by("o_orderkey")
 
 
 def q_customer_order_dist(sf_dir: str) -> pa.Table:
     """TPC-H Q13 shape: the distribution of customers by order count,
     INCLUDING zero-order customers (the left-outer subtlety). Orders
-    collapse to per-customer counts with combiner partials (small), the
-    counts broadcast-join LEFT onto the streaming customer table with
-    null→0 fill, and a second tiny group-by histograms the counts."""
+    pre-reduce map-side to per-batch (custkey, n) partials, the partial
+    stream and the customer stream tag_union into ONE custkey-bucket
+    exchange, and each bucket folds its counts, LEFT-joins its own
+    customers (null→0) and emits a tiny per-bucket histogram partial —
+    no O(customers) driver collect, no broadcast (the single-exchange
+    rewrite of the round-2 combiner+broadcast shape; same rows, same
+    hash)."""
+    from raydoc.functions.joins import tag_union
+
     orders = _read(sf_dir, "orders", ["o_custkey"])
-    counts = collect_table(partial_groupby(
-        orders, ["o_custkey"], {"c_count": ("o_custkey", "count")})) \
-        .rename_columns(["c_custkey", "c_count"])
+
+    def ord_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "o_custkey" not in t.schema.names:
+            return pa.table({"c_custkey": pa.array([], pa.int64()),
+                             "ocnt": pa.array([], pa.int64())})
+        g = pa.table({"c_custkey": t["o_custkey"],
+                      "one": pa.array(np.ones(t.num_rows, np.int64))}) \
+            .group_by("c_custkey", use_threads=False).aggregate(
+            [("one", "sum")])
+        return g.rename_columns(["c_custkey", "ocnt"])
 
     cust = _read(sf_dir, "customer", ["c_custkey"])
-    withc = broadcast_join(cust, counts, key="c_custkey", how="left")
 
-    def fill(t: pa.Table) -> pa.Table:
-        return pa.table({"c_count": pc.coalesce(
-            t["c_count"], pa.scalar(0, t["c_count"].type))})
+    def cust_prep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "c_custkey" not in t.schema.names:
+            return pa.table({"c_custkey": pa.array([], pa.int64())})
+        return pa.table({"c_custkey": pc.cast(t["c_custkey"],
+                                              pa.int64())})
 
-    dist = partial_groupby(withc.map_batches(fill, batch_format="pyarrow"),
-                           ["c_count"], {"n_cust": ("c_count", "count")})
+    fields = [("c_custkey", pa.int64()), ("ocnt", pa.int64())]
+    tagged = tag_union(
+        orders.map_batches(ord_partial, batch_format="pyarrow"),
+        cust.map_batches(cust_prep, batch_format="pyarrow"),
+        "c_custkey", fields, num_buckets=32)
+
+    hist_schema = pa.schema([("c_count", pa.int64()),
+                             ("n_cust", pa.int64())])
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        side = g.column("__side")
+        o = g.filter(pc.equal(side, 0)).select(["c_custkey", "ocnt"])
+        c = g.filter(pc.equal(side, 1)).select(["c_custkey"])
+        if c.num_rows == 0:
+            return hist_schema.empty_table()
+        folded = o.group_by("c_custkey", use_threads=False).aggregate(
+            [("ocnt", "sum")])
+        j = c.join(folded, keys="c_custkey", join_type="left outer")
+        cc = pc.coalesce(j["ocnt_sum"], pa.scalar(0, pa.int64()))
+        h = pa.table({"c_count": cc,
+                      "one": pa.array(np.ones(len(cc), np.int64))}) \
+            .group_by("c_count", use_threads=False).aggregate(
+            [("one", "sum")])
+        return h.rename_columns(["c_count", "n_cust"]).cast(hist_schema)
+
+    dist = partial_groupby(
+        tagged.groupby("__bucket").map_groups(per_bucket,
+                                              batch_format="pyarrow"),
+        ["c_count"], {"n_cust": ("n_cust", "sum")})
     t = collect_table(dist).sort_by([("c_count", "ascending")])
     return pa.table({"c_count": t["c_count"].cast(pa.int64()),
                      "n_cust": t["n_cust"].cast(pa.int64())})
