@@ -303,10 +303,16 @@ def q_session_outage_overlap(sf_dir: str,
                              err_threshold: int = 2) -> pa.Table:
     """(user_id, n_overlaps): how many system-wide OUTAGE hours (hours
     with ≥ ``err_threshold`` error events) each user's per-day activity
-    span overlaps — the interval-overlap join wired end-to-end: both
-    interval sets derive distributedly (per-(user, day) min/max span via
-    combiner group-by; outage hours via an error-count group-by), meet
-    in ``interval_overlap_join``, and fold to one count per user."""
+    span overlaps. Both interval sets derive distributedly (per-(user,
+    day) min/max span via combiner group-by; outage hours via an
+    error-count group-by) — but the outage side is BOUNDED BY TIME, not
+    by corpus size (one candidate row per wall-clock hour), so instead
+    of paying the interval-join exchange it broadcasts once as a sorted
+    hour-index array and each span counts its overlaps with two
+    vectorized searchsorteds (an hour h overlaps [a_start, a_end] iff
+    h ∈ [a_start//H, a_end//H]). Two exchanges total (span fold + final
+    per-user fold); the general ``interval_overlap_join`` remains the
+    path for two UNBOUNDED interval sets (value_band_pairs et al)."""
     from raydoc.functions._collect import collect_table
     from raydoc.functions.agg import partial_groupby
 
@@ -342,19 +348,34 @@ def q_session_outage_overlap(sf_dir: str,
     def to_outage(t: pa.Table) -> pa.Table:
         t = t.filter(pc.greater_equal(
             t["c"], pa.scalar(err_threshold, pa.int64())))
-        start = pc.multiply(t["hour"], pa.scalar(_HOUR, pa.int64()))
-        return pa.table({
-            "o_start": start,
-            "o_end": pc.add(start, pa.scalar(_HOUR - 1, pa.int64()))})
+        return pa.table({"hour": t["hour"]})
 
-    outages = hours.map_batches(to_outage, batch_format="pyarrow")
+    import ray as _ray
+    outage_hours = np.sort(collect_table(
+        hours.map_batches(to_outage, batch_format="pyarrow"))
+        .column("hour").to_numpy(zero_copy_only=False).astype(np.int64))
+    hours_ref = _ray.put(outage_hours)
 
-    pairs = interval_overlap_join(spans, outages,
-                                  "a_start", "a_end",
-                                  "o_start", "o_end",
-                                  granule_us=_HOUR)
-    out = partial_groupby(pairs, ["user_id"],
-                          {"n_overlaps": ("o_start", "count")})
+    def count_overlaps(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.schema.names:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        oh = _ray.get(hours_ref)
+        a0 = t.column("a_start").to_numpy(zero_copy_only=False) // _HOUR
+        a1 = t.column("a_end").to_numpy(zero_copy_only=False) // _HOUR
+        n = (np.searchsorted(oh, a1, "right")
+             - np.searchsorted(oh, a0, "left")).astype(np.int64)
+        keep = n > 0          # inner-join semantics: zero-overlap spans
+        g = pa.table({        # (and users) never surface
+            "user_id": t.column("user_id").filter(pa.array(keep)),
+            "n": pa.array(n[keep])}) \
+            .group_by("user_id", use_threads=False).aggregate(
+            [("n", "sum")])
+        return g.rename_columns(["user_id", "n"])
+
+    out = partial_groupby(
+        spans.map_batches(count_overlaps, batch_format="pyarrow"),
+        ["user_id"], {"n_overlaps": ("n", "sum")})
     t = collect_table(out)
     return pa.table({"user_id": t["user_id"].cast(pa.int64()),
                      "n_overlaps": t["n_overlaps"].cast(pa.int64()),
