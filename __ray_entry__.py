@@ -322,6 +322,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "covariance_by_type": windows.covariance_by_type,
         "pmi_collocations": textstats.pmi_collocations,
         "fuzzy_name_pairs": textstats.fuzzy_name_pairs,
+        "entity_resolution": textstats.entity_resolution,
         "domain_mix": textstats.domain_mix,
         "corpus_quality_report": textstats.corpus_quality_report,
         "zonemap_value_scan": _zonemap_value_scan,
@@ -1594,6 +1595,37 @@ def oracle_sql() -> dict[str, str]:
             FROM customer a JOIN customer b ON a.c_name < b.c_name
             WHERE levenshtein(a.c_name, b.c_name) <= 1
             ORDER BY w1, w2""",
+        "entity_resolution": """
+            WITH RECURSIVE
+            names AS (SELECT DISTINCT p_name FROM part),
+            pairs AS (SELECT a.p_name AS a, b.p_name AS b
+                      FROM names a JOIN names b ON a.p_name < b.p_name
+                      WHERE levenshtein(a.p_name, b.p_name) <= 1),
+            sym2 AS (SELECT a, b FROM pairs
+                     UNION ALL SELECT b, a FROM pairs),
+            reach(id, n) AS (
+                SELECT a, b FROM sym2
+                UNION
+                SELECT r.id, s2.b FROM reach r JOIN sym2 s2
+                  ON s2.a = r.n),
+            lab AS (SELECT id, MIN(n) AS mn FROM reach GROUP BY id),
+            ent AS (SELECT p.p_partkey, p.p_name,
+                           LEAST(p.p_name, COALESCE(l.mn, p.p_name))
+                               AS entity
+                    FROM part p LEFT JOIN lab l ON l.id = p.p_name),
+            dim AS (SELECT entity,
+                           CAST(COUNT(DISTINCT p_name) AS BIGINT)
+                               AS n_names,
+                           COUNT(*) AS n_parts
+                    FROM ent GROUP BY entity),
+            vol AS (SELECT e.entity,
+                           CAST(SUM(CAST(ROUND(li.l_quantity) AS BIGINT))
+                                AS BIGINT) AS sum_qty
+                    FROM lineitem li
+                    JOIN ent e ON li.l_partkey = e.p_partkey
+                    GROUP BY e.entity)
+            SELECT entity, n_names, n_parts, sum_qty
+            FROM dim JOIN vol USING (entity) ORDER BY entity""",
         "zonemap_value_scan": """
             SELECT CAST(COUNT(*) AS BIGINT) AS n,
                    CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT)

@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "jsonl_gz_roundtrip_stats",
     "als_item_factors",
     "dedup_conversations",
+    "entity_resolution",
     "building_orders_full_join",
     "line_priority_counts",
     "dominant_part_suppliers",

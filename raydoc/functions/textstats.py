@@ -780,7 +780,9 @@ def _edit1(a: str, b: str) -> bool:
 
 
 def fuzzy_name_pairs(sf_dir: str,
-                     num_buckets: int | None = None) -> pa.Table:
+                     num_buckets: int | None = None,
+                     table: str = "customer",
+                     column: str = "c_name") -> pa.Table:
     """(w1, w2): every UNORDERED pair of distinct customer names within
     Levenshtein distance 1 — the string-similarity self-join (record
     linkage / typo clustering), SQL twin = the quadratic
@@ -800,11 +802,11 @@ def fuzzy_name_pairs(sf_dir: str,
     from raydoc.functions.agg import partial_groupby
 
     mask = (num_buckets or reduce_bucket_count()) - 1
-    ds = rd.read_parquet(f"{sf_dir}/customer.parquet",
-                         columns=["c_name"])
+    ds = rd.read_parquet(f"{sf_dir}/{table}.parquet",
+                         columns=[column])
 
     def vocab_partial(t: pa.Table) -> pa.Table:
-        vs = {v for v in t.column("c_name").to_pylist() if v is not None}
+        vs = {v for v in t.column(column).to_pylist() if v is not None}
         return pa.table({"w": pa.array(sorted(vs), pa.string())})
 
     vocab = partial_groupby(
@@ -2153,3 +2155,70 @@ def url_path_rollup(sf_dir: str) -> pa.Table:
     return collect_table(out).sort_by(
         [("prefix", "ascending"), ("depth", "ascending")]).select(
         ["prefix", "depth", "n_docs", "sum_chars"])
+
+
+def entity_resolution(sf_dir: str) -> pa.Table:
+    """(entity, n_names, n_parts, sum_qty): record linkage over part
+    names — names within Levenshtein distance 1 merge into one entity
+    (connected components of the distance-1 graph, canonical = MIN
+    name), and lineitem order volume rolls up to the RESOLVED entity —
+    the catalog-dedup pipeline (typo'd product variants polluting
+    per-product aggregates) end-to-end in one query.
+
+    Composes the SymSpell deletion-blocked distance-1 self-join
+    (``fuzzy_name_pairs`` machinery — shuffle volume is key-set-scale,
+    never O(V²)) with the shared adaptive component labeler
+    (``graph.label_components``); the name→entity map is
+    component-sized (tiny) and the part dimension broadcast follows the
+    ``brand_volume`` discipline, so the only corpus-scale work is one
+    combiner aggregate over the streaming lineitem table."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as _pq
+
+    import ray as _ray
+
+    from raydoc.functions._collect import collect_table
+    from raydoc.functions.agg import partial_groupby
+    from raydoc.functions.graph import label_components
+    from raydoc.functions.joins import broadcast_join
+
+    pairs = fuzzy_name_pairs(sf_dir, table="part", column="p_name")
+    labels: dict = {}
+    if pairs.num_rows:
+        labels = label_components(
+            rd.from_arrow(pairs.rename_columns(["a", "b"])))
+
+    part = _pq.read_table(f"{sf_dir}/part.parquet",
+                          columns=["p_partkey", "p_name"])
+    names = part.column("p_name").to_pylist()
+    ents = [labels.get(n, n) for n in names]
+    ent_dim = pa.table({
+        "l_partkey": pc.cast(part["p_partkey"], pa.int64()),
+        "entity": pa.array(ents, pa.string())})
+
+    # dimension-scale counts (same driver budget as the part broadcast)
+    import collections as _c
+    n_parts = _c.Counter(ents)
+    n_names = _c.Counter()
+    for e, _name in set(zip(ents, names)):
+        n_names[e] += 1
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_quantity"])
+    joined = broadcast_join(li, ent_dim, key="l_partkey")
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"entity": t["entity"],
+                         "qty": pc.cast(pc.round(t["l_quantity"]),
+                                        pa.int64())})
+
+    vol = collect_table(partial_groupby(
+        joined.map_batches(prep, batch_format="pyarrow"),
+        ["entity"], {"sum_qty": ("qty", "sum")})).sort_by("entity")
+
+    ent_sorted = vol.column("entity").to_pylist()
+    return pa.table({
+        "entity": pa.array(ent_sorted, pa.string()),
+        "n_names": pa.array([n_names[e] for e in ent_sorted], pa.int64()),
+        "n_parts": pa.array([n_parts[e] for e in ent_sorted], pa.int64()),
+        "sum_qty": pc.cast(vol["sum_qty"], pa.int64())})
