@@ -194,7 +194,13 @@ def read_warc(path: str,
               record_types: tuple[str, ...] = ("response",)) -> rd.Dataset:
     """WARC corpus source: one parse task per shard file. ``path`` is a
     single .warc[.gz] file or a directory tree. gzip members concatenate,
-    so a multi-member shard decompresses in one stdlib call."""
+    so a multi-member shard decompresses in one stdlib call.
+
+    Memory note: each task holds ONE decompressed shard (export_warc
+    bounds shards at ``shard_records``; Common Crawl shards are ~1 GiB
+    compressed). Corpora with multi-GiB individual shards should be
+    re-sharded first — the unit of parallelism AND of worker memory is
+    the shard file."""
     if os.path.isfile(path):
         files = [path]
     else:
