@@ -397,6 +397,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docx_meta": export.docx_meta,
         "jsonl_export_meta": export.jsonl_export_meta,
         "jsonl_gz_roundtrip_stats": export.jsonl_gz_roundtrip_stats,
+        "csv_roundtrip_stats": export.csv_roundtrip_stats,
         "orc_roundtrip_stats": orcio.orc_roundtrip_stats,
         "warc_roundtrip_stats": warcsrc.warc_roundtrip_stats,
         "phash_neardups": multimodal.phash_neardups,
@@ -1176,6 +1177,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT)
                        AS sum_value_cents
             FROM events GROUP BY event_type ORDER BY event_type""",
+        "csv_roundtrip_stats": """
+            WITH h AS (SELECT source, length(text) AS nc,
+                       CAST(('0x' || substr(md5(
+                           CAST(doc_id AS VARCHAR) || '|' || text),
+                           1, 16)) AS UBIGINT) AS h
+                       FROM documents)
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(nc) AS BIGINT) AS sum_chars,
+                   lower(lpad(hex(CAST(
+                       SUM(CAST(h AS HUGEINT))
+                       % CAST(18446744073709551616 AS HUGEINT)
+                       AS UBIGINT)), 16, '0')) AS checksum
+            FROM h GROUP BY source ORDER BY source""",
         "warc_roundtrip_stats": """
             WITH h AS (SELECT source, length(text) AS nc,
                        CAST(('0x' || substr(md5(
