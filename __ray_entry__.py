@@ -179,7 +179,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     first: the flagship extraction queries, then every oracle-backed
     query, then the rows-only (no-oracle) family last — round 2's five
     missing CORRECTNESS rows were exactly the last five dict entries."""
-    from raydoc.functions import dedup, export, graph, multimodal, orcio
+    from raydoc.functions import avroio, dedup, export, graph, multimodal
+    from raydoc.functions import orcio
     from raydoc.functions import profile, relational, similarity, sketches
     from raydoc.functions import textstats, windows
     from raydoc.sources import warc as warcsrc
@@ -399,6 +400,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_gz_roundtrip_stats": export.jsonl_gz_roundtrip_stats,
         "csv_roundtrip_stats": export.csv_roundtrip_stats,
         "orc_roundtrip_stats": orcio.orc_roundtrip_stats,
+        "avro_roundtrip_stats": avroio.avro_roundtrip_stats,
         "warc_roundtrip_stats": warcsrc.warc_roundtrip_stats,
         "phash_neardups": multimodal.phash_neardups,
         "phash_clusters": multimodal.phash_clusters,
@@ -1168,6 +1170,11 @@ def oracle_sql() -> dict[str, str]:
             ON c.c_custkey = o.c_custkey
             ORDER BY c_custkey""",
         "orc_roundtrip_stats": """
+            SELECT event_type, COUNT(value) AS n,
+                   CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT)
+                       AS sum_value_cents
+            FROM events GROUP BY event_type ORDER BY event_type""",
+        "avro_roundtrip_stats": """
             SELECT event_type, COUNT(value) AS n,
                    CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT)
                        AS sum_value_cents

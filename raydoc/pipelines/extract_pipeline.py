@@ -47,7 +47,8 @@ TRANSCRIPT_COLUMNS = ["conv_id", "turn_idx", "text"]
 def read_transcripts(path: str) -> rd.Dataset:
     """Column-pruned read: only (conv_id, turn_idx, text) leave storage.
     Dispatches on file extension: parquet (default), jsonl/json, csv,
-    feather/arrow IPC, orc, or a folder of md/txt/html documents.
+    feather/arrow IPC, orc, avro, warc, or a folder of md/txt/html
+    documents.
 
     Shuffle strategy note: the conv_id groupby uses Ray's default pull-based
     sort shuffle. HASH_SHUFFLE was measured faster in isolation (~1.6×) but
@@ -77,6 +78,9 @@ def read_transcripts(path: str) -> rd.Dataset:
     if fmt == "orc":
         from raydoc.functions.orcio import read_orc
         return read_orc(path, columns=TRANSCRIPT_COLUMNS)
+    if fmt == "avro":
+        from raydoc.functions.avroio import read_avro
+        return read_avro(path, columns=TRANSCRIPT_COLUMNS)
     if fmt == "warc":
         return _read_warc_dataset(path)
     if fmt == "textdir":
@@ -162,9 +166,12 @@ def _read_feather_dataset(path: str) -> rd.Dataset:
 
 
 def _input_format(path: str) -> str:
-    """Sniff the corpus format from its file extensions."""
+    """Sniff the corpus format from its file extensions. `_`-prefixed
+    metadata files (sink manifests like _orc_manifest.json) don't count
+    — an export_* output dir must dispatch on its data shards."""
     names = [f.lower()
-             for f in (os.listdir(path) if os.path.isdir(path) else [path])]
+             for f in (os.listdir(path) if os.path.isdir(path) else [path])
+             if not os.path.basename(f).startswith("_")]
     if any(f.endswith(".warc") or f.endswith(".warc.gz") for f in names):
         return "warc"
     if any(f.endswith(".jsonl.gz") for f in names):
@@ -178,6 +185,8 @@ def _input_format(path: str) -> str:
         return "feather"
     if ".orc" in exts:
         return "orc"
+    if ".avro" in exts:
+        return "avro"
     if exts & _TEXT_EXTS:
         return "textdir"
     return "parquet"
