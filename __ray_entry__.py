@@ -182,7 +182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from raydoc.functions import avroio, dedup, export, graph, multimodal
     from raydoc.functions import orcio
     from raydoc.functions import profile, relational, similarity, sketches
-    from raydoc.functions import textstats, windows
+    from raydoc.functions import mltree, textstats, windows
     from raydoc.sources import warc as warcsrc
 
     return {
@@ -363,6 +363,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "markdown_to_html": textstats.markdown_to_html_docs,
         "train_test_split": textstats.train_test_split,
         "kfold_split": textstats.kfold_split,
+        "value_regression_tree": mltree.value_regression_tree,
         "pack_sequences": textstats.pack_sequences,
         "decontaminate": textstats.decontaminate,
         "tfidf_top_terms": textstats.tfidf_top_terms,
@@ -2907,6 +2908,86 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS revenue_c100
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+        "value_regression_tree": """
+            WITH base AS (
+              SELECT (epoch_us(ts) // 3600000000) % 24 AS f0,
+                     ((epoch_us(ts) // 86400000000) + 4) % 7 AS f1,
+                     user_id % 32 AS f2,
+                     CAST(ROUND(value*100) AS BIGINT) AS v
+              FROM events),
+            long0 AS (
+              SELECT f, b, COUNT(*) AS n, SUM(v) AS s FROM (
+                SELECT 0 AS f, f0 AS b, v FROM base
+                UNION ALL SELECT 1, f1, v FROM base
+                UNION ALL SELECT 2, f2, v FROM base)
+              GROUP BY f, b),
+            tot0 AS (SELECT SUM(n) AS nt, SUM(s) AS st FROM long0 WHERE f = 0),
+            cand0 AS (
+              SELECT f, b,
+                     SUM(n) OVER (PARTITION BY f ORDER BY b) AS nl,
+                     SUM(s) OVER (PARTITION BY f ORDER BY b) AS sl,
+                     nt, st, st // nt AS c
+              FROM long0, tot0),
+            p0 AS (
+              SELECT f, b,
+                     CAST(sl - nl*c AS HUGEINT) AS slp,
+                     CAST((st - nt*c) - (sl - nl*c) AS HUGEINT) AS srp,
+                     CAST(nl AS HUGEINT) AS nl, CAST(nt - nl AS HUGEINT) AS nr,
+                     nt, st
+              FROM cand0 WHERE nl > 0 AND nl < nt),
+            g0 AS (SELECT f, b, slp*slp*nr + srp*srp*nl AS p, nl*nr AS q, nt, st FROM p0),
+            best0 AS (
+              SELECT f, b, nt, st FROM g0 c1
+              WHERE NOT EXISTS (SELECT 1 FROM g0 c2 WHERE
+                 c2.p*c1.q > c1.p*c2.q OR
+                 (c2.p*c1.q = c1.p*c2.q AND (c2.f < c1.f OR (c2.f = c1.f AND c2.b < c1.b))))),
+            lvl1 AS (
+              SELECT CASE WHEN (CASE b0.f WHEN 0 THEN f0 WHEN 1 THEN f1 ELSE f2 END) <= b0.b
+                          THEN 1 ELSE 2 END AS node, f0, f1, f2, v
+              FROM base, best0 b0),
+            long1 AS (
+              SELECT node, f, b, COUNT(*) AS n, SUM(v) AS s FROM (
+                SELECT node, 0 AS f, f0 AS b, v FROM lvl1
+                UNION ALL SELECT node, 1, f1, v FROM lvl1
+                UNION ALL SELECT node, 2, f2, v FROM lvl1)
+              GROUP BY node, f, b),
+            tot1 AS (SELECT node, SUM(n) AS nt, SUM(s) AS st FROM long1
+                     WHERE f = 0 GROUP BY node),
+            cand1 AS (
+              SELECT l.node, l.f, l.b,
+                     SUM(l.n) OVER (PARTITION BY l.node, l.f ORDER BY l.b) AS nl,
+                     SUM(l.s) OVER (PARTITION BY l.node, l.f ORDER BY l.b) AS sl,
+                     t.nt, t.st, t.st // t.nt AS c
+              FROM long1 l JOIN tot1 t ON l.node = t.node),
+            p1 AS (
+              SELECT node, f, b,
+                     CAST(sl - nl*c AS HUGEINT) AS slp,
+                     CAST((st - nt*c) - (sl - nl*c) AS HUGEINT) AS srp,
+                     CAST(nl AS HUGEINT) AS nl, CAST(nt - nl AS HUGEINT) AS nr, nt, st
+              FROM cand1 WHERE nl > 0 AND nl < nt),
+            g1 AS (SELECT node, f, b, slp*slp*nr + srp*srp*nl AS p, nl*nr AS q, nt, st
+                   FROM p1),
+            best1 AS (
+              SELECT node, f, b, nt, st FROM g1 c1
+              WHERE NOT EXISTS (SELECT 1 FROM g1 c2 WHERE c2.node = c1.node AND
+                 (c2.p*c1.q > c1.p*c2.q OR
+                  (c2.p*c1.q = c1.p*c2.q AND
+                   (c2.f < c1.f OR (c2.f = c1.f AND c2.b < c1.b)))))),
+            lvl2 AS (
+              SELECT l.node*2 + CASE WHEN (CASE b1.f WHEN 0 THEN l.f0 WHEN 1 THEN l.f1
+                                           ELSE l.f2 END) <= b1.b
+                                     THEN 1 ELSE 2 END AS node, l.v
+              FROM lvl1 l JOIN best1 b1 ON l.node = b1.node),
+            leaves AS (SELECT node, COUNT(*) AS n, SUM(v) AS s FROM lvl2 GROUP BY node)
+            SELECT node, feature, bin, n, sum_cents FROM (
+              SELECT 0 AS node, CAST(f AS BIGINT) AS feature, CAST(b AS BIGINT) AS bin,
+                     CAST(nt AS BIGINT) AS n, CAST(st AS BIGINT) AS sum_cents FROM best0
+              UNION ALL
+              SELECT node, CAST(f AS BIGINT), CAST(b AS BIGINT), CAST(nt AS BIGINT),
+                     CAST(st AS BIGINT) FROM best1
+              UNION ALL
+              SELECT node, NULL, NULL, CAST(n AS BIGINT), CAST(s AS BIGINT) FROM leaves)
+            ORDER BY node""",
         "kfold_split": """
             SELECT doc_id,
                    CAST(CAST(('0x' || substr(md5(text),1,8)) AS UBIGINT)
