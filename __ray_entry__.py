@@ -182,7 +182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from raydoc.functions import avroio, dedup, export, graph, multimodal
     from raydoc.functions import orcio
     from raydoc.functions import profile, relational, similarity, sketches
-    from raydoc.functions import mltree, textstats, windows
+    from raydoc.functions import audit, mltree, textstats, windows
     from raydoc.sources import warc as warcsrc
 
     return {
@@ -364,6 +364,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_test_split": textstats.train_test_split,
         "kfold_split": textstats.kfold_split,
         "value_regression_tree": mltree.value_regression_tree,
+        "benford_values": audit.benford_values,
+        "cohen_kappa": audit.cohen_kappa,
+        "association_rules": audit.association_rules,
         "pack_sequences": textstats.pack_sequences,
         "decontaminate": textstats.decontaminate,
         "tfidf_top_terms": textstats.tfidf_top_terms,
@@ -2988,6 +2991,64 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT node, NULL, NULL, CAST(n AS BIGINT), CAST(s AS BIGINT) FROM leaves)
             ORDER BY node""",
+        "benford_values": """
+            WITH v AS (SELECT CAST(ROUND(value*100) AS BIGINT) AS c
+                       FROM events
+                       WHERE CAST(ROUND(value*100) AS BIGINT) > 0),
+            d AS (SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT)
+                             AS digit,
+                         COUNT(*) AS n
+                  FROM v GROUP BY digit)
+            SELECT digit, CAST(n AS BIGINT) AS n,
+                   CAST(n * 1000000 // (SELECT SUM(n) FROM d) AS BIGINT)
+                       AS ppm
+            FROM d ORDER BY digit""",
+        "cohen_kappa": """
+            WITH l AS (SELECT n_chars >= 300 AS a,
+                              length(text) - length(replace(text, ' ', ''))
+                                  >= 55 AS b
+                       FROM documents),
+            c AS (SELECT
+                SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS n11,
+                SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS n10,
+                SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS n01,
+                SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS n00,
+                COUNT(*) AS nn FROM l)
+            SELECT CAST(n11 AS BIGINT) AS n_both_pos,
+                   CAST(n10 AS BIGINT) AS n_a_only,
+                   CAST(n01 AS BIGINT) AS n_b_only,
+                   CAST(n00 AS BIGINT) AS n_both_neg,
+                   CAST((n11 + n00) * 1000000 // nn AS BIGINT) AS po_ppm,
+                   CAST(((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00))
+                        * 1000000 // (nn*nn) AS BIGINT) AS pe_ppm,
+                   CAST((CAST(nn AS HUGEINT)*(n11+n00)
+                         - ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00)))
+                        * 1000000
+                        // (CAST(nn AS HUGEINT)*nn
+                            - ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00)))
+                        AS BIGINT) AS kappa_ppm
+            FROM c""",
+        "association_rules": """
+            WITH d AS (SELECT DISTINCT user_id, event_type FROM events),
+            n_tot AS (SELECT COUNT(DISTINCT user_id) AS nu FROM events),
+            sizes AS (SELECT event_type, COUNT(*) AS n
+                      FROM d GROUP BY event_type),
+            pairs AS (SELECT a.event_type AS ta, b.event_type AS tb,
+                             COUNT(*) AS nab
+                      FROM d a JOIN d b ON a.user_id = b.user_id
+                       AND a.event_type <> b.event_type
+                      GROUP BY ta, tb)
+            SELECT ta AS antecedent, tb AS consequent,
+                   CAST(nab AS BIGINT) AS n_both,
+                   CAST(sa.n AS BIGINT) AS n_ante,
+                   CAST(nab * 1000000 // sa.n AS BIGINT) AS conf_ppm,
+                   CAST(CAST(nab AS HUGEINT) * nu * 1000000
+                        // (CAST(sa.n AS HUGEINT) * sb.n) AS BIGINT)
+                       AS lift_ppm
+            FROM pairs
+            JOIN sizes sa ON ta = sa.event_type
+            JOIN sizes sb ON tb = sb.event_type, n_tot
+            ORDER BY antecedent, consequent""",
         "kfold_split": """
             SELECT doc_id,
                    CAST(CAST(('0x' || substr(md5(text),1,8)) AS UBIGINT)
