@@ -364,6 +364,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_test_split": textstats.train_test_split,
         "kfold_split": textstats.kfold_split,
         "value_regression_tree": mltree.value_regression_tree,
+        "trailing_hour_value": windows.trailing_hour_value,
         "benford_values": audit.benford_values,
         "cohen_kappa": audit.cohen_kappa,
         "association_rules": audit.association_rules,
@@ -2991,6 +2992,13 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT node, NULL, NULL, CAST(n AS BIGINT), CAST(s AS BIGINT) FROM leaves)
             ORDER BY node""",
+        "trailing_hour_value": """
+            SELECT event_id, user_id,
+                   CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS trail_cents
+            FROM events ORDER BY event_id""",
         "benford_values": """
             WITH v AS (SELECT CAST(ROUND(value*100) AS BIGINT) AS c
                        FROM events

@@ -2572,3 +2572,67 @@ def late_event_stats(sf_dir: str, delay_days: int = 14,
         "n_ontime": pc.cast(out["n_ontime"], pa.int64()),
         "sum_value_cents": pc.cast(out["sum_value_cents"], pa.int64()),
         "n_late": pc.cast(out["n_late"], pa.int64())})
+
+
+def trailing_hour_value(sf_dir: str,
+                        num_buckets: int | None = None) -> pa.Table:
+    """(event_id, user_id, trail_cents): per event, the sum of the SAME
+    user's values over the trailing hour — SQL's RANGE frame
+    (``RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW``),
+    which the ROWS-frame moving sum can't express: the frame is bounded
+    by event TIME, peers with equal ts share one frame, and a user's
+    row count inside the frame varies row to row.
+
+    Scale shape: the events_with_prev bucket discipline — coarse-bucket
+    users, ONE exchange, then a fully vectorized per-block kernel: sort
+    by (user, ts, event_id), lift each user's timestamps onto a single
+    globally ascending axis (per-segment offsets with an hour-plus gap
+    so no window can bleed across users), and resolve every frame with
+    two whole-block searchsorteds against a prefix-sum of cents. No
+    per-user loop, no per-row loop."""
+    from raydoc.functions._buckets import reduce_bucket_count
+    mask = (num_buckets or reduce_bucket_count()) - 1
+    hour = 3_600_000_000
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id", "value"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        t = t.append_column(
+            "cents", pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                             pa.int64()))
+        return t.drop_columns(["value"]).append_column(
+            "bucket", pc.cast(pc.bit_wise_and(t["user_id"], mask),
+                              pa.int32()))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          ignore_index=True)
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        cents = g["cents"].to_numpy()
+        new = np.empty(len(g), np.bool_)
+        new[0] = True
+        new[1:] = uid[1:] != uid[:-1]
+        seg = np.cumsum(new) - 1                       # per-row segment id
+        starts = np.flatnonzero(new)
+        seg_min = ts[starts]                           # ts ascending per seg
+        ends = np.append(starts[1:], len(g)) - 1
+        span = ts[ends] - seg_min
+        seg_base = np.concatenate(
+            [[0], np.cumsum(span + hour + 2)[:-1]])    # gap blocks bleed
+        adj = ts - seg_min[seg] + seg_base[seg]        # globally ascending
+        left = np.searchsorted(adj, adj - hour, side="left")
+        right = np.searchsorted(adj, adj, side="right")
+        cum = np.concatenate([[0], np.cumsum(cents)])
+        return pd.DataFrame({"event_id": g["event_id"].to_numpy(),
+                             "user_id": uid,
+                             "trail_cents": cum[right] - cum[left]})
+
+    out = (ds.map_batches(add_bucket, batch_format="pyarrow")
+           .groupby("bucket").map_groups(per_bucket, batch_format="pandas"))
+    t = collect_table(out)
+    return pa.table({
+        "event_id": pc.cast(t["event_id"], pa.int64()),
+        "user_id": pc.cast(t["user_id"], pa.int64()),
+        "trail_cents": pc.cast(t["trail_cents"], pa.int64()),
+    }).sort_by("event_id")

@@ -335,3 +335,58 @@ def test_late_event_stats_bucket_invariance(ray_session):
     ).fetchone()[0]
     assert int(a["n_ontime"].sum() + a["n_late"].sum()) == n
     assert int(a["n_late"].sum()) > 0 and int(a["n_ontime"].sum()) > 0
+
+
+def test_trailing_hour_value_adversarial_peers(ray_session, tmp_path):
+    """RANGE-frame semantics on a corpus dense with equal-ts peers and
+    exact window-boundary hits: every peer must share one frame, a row
+    exactly one hour back is IN the frame, one microsecond further is
+    out. Pinned to DuckDB's window engine on the same rows; also
+    bucket-count invariant."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raydoc.functions.windows import trailing_hour_value
+
+    rng = np.random.default_rng(17)
+    n, hour = 600, 3_600_000_000
+    base = 1_700_000_000_000_000
+    uid = rng.integers(0, 7, n)
+    # cluster timestamps so many collide exactly and many land exactly
+    # one hour apart
+    ts = base + rng.integers(0, 5, n) * hour + \
+        rng.integers(0, 3, n) * (hour // 2)
+    t = pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array(uid, pa.int64()),
+        "event_type": pa.array(["x"] * n, pa.string()),
+        "value": pa.array(rng.integers(1, 10_000, n) / 100.0,
+                          pa.float64()),
+        "props": pa.array(["{}"] * n, pa.string()),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "events.parquet"))
+
+    mine = trailing_hour_value(str(d)).to_pandas()
+    alt = trailing_hour_value(str(d), num_buckets=2).to_pandas()
+    assert mine.equals(alt)
+
+    exp = duckdb.sql(f"""
+        SELECT event_id, user_id,
+               CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                         AND CURRENT ROW) AS BIGINT) AS trail_cents
+        FROM read_parquet('{d}/events.parquet')
+        ORDER BY event_id""").fetchdf()
+    assert mine.reset_index(drop=True).equals(exp.reset_index(drop=True))
+    # non-vacuous: some frame actually accumulates >1 row
+    solo = duckdb.sql(f"""
+        SELECT CAST(ROUND(value*100) AS BIGINT)
+        FROM read_parquet('{d}/events.parquet') ORDER BY event_id
+        """).fetchdf().iloc[:, 0]
+    assert (mine["trail_cents"].to_numpy() > solo.to_numpy()).any()
