@@ -365,6 +365,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kfold_split": textstats.kfold_split,
         "value_regression_tree": mltree.value_regression_tree,
         "trailing_hour_value": windows.trailing_hour_value,
+        "neardup_kcore": graph.neardup_kcore,
         "benford_values": audit.benford_values,
         "cohen_kappa": audit.cohen_kappa,
         "association_rules": audit.association_rules,

@@ -19,6 +19,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 from raydoc.functions._collect import collect_table
+from raydoc.functions.agg import partial_groupby
 
 
 def _min_by_node(ds: rd.Dataset, num_buckets: int) -> rd.Dataset:
@@ -746,3 +747,98 @@ def embedding_dbscan(sf_dir: str, threshold: float = 0.4,
                            columns=["vec_id"])
     return collect_table(vecs.map_batches(
         tag, batch_format="pyarrow")).sort_by("vec_id")
+
+
+def _k_core_driver(edges: list, k: int) -> set:
+    """Local peeling over a small edge list → the k-core node set."""
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    stack = [n for n, nb in adj.items() if len(nb) < k]
+    removed: set = set()
+    while stack:
+        n = stack.pop()
+        if n in removed:
+            continue
+        removed.add(n)
+        for m in adj[n]:
+            if m not in removed:
+                adj[m].discard(n)
+                if len(adj[m]) < k:
+                    stack.append(m)
+    return {n for n in adj if n not in removed}
+
+
+def k_core(edges: rd.Dataset, k: int = 2,
+           num_buckets: int = 32) -> pa.Table:
+    """(node,) membership of the k-core — the maximal subgraph where
+    every node keeps degree ≥ k — by round-synchronous distributed
+    peeling: each round, a combiner degree count finds the survivors
+    (degree ≥ k) and two adaptive semi-joins (joins.bucket_semi_join —
+    broadcast when the survivor set is small, bucketed exchange
+    otherwise) prune edges touching eliminated nodes. No adjacency
+    structure or per-round removal set ever lands on the driver; each
+    round removes ≥ 1 node so the loop terminates. Rounds materialize
+    their shrinking edge set (iterative algorithms re-consume it) —
+    the same discipline as pagerank/bfs here.
+
+    ``edges``: undirected unique (a, b) rows. Returns the sorted core
+    node table (the driver-resident output IS the answer)."""
+    from raydoc.functions.joins import bucket_semi_join
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        return pa.concat_tables([
+            pa.table({"src": t["a"], "dst": t["b"]}),
+            pa.table({"src": t["b"], "dst": t["a"]})])
+
+    cur = edges.map_batches(both_dirs, batch_format="pyarrow") \
+        .materialize()
+    while True:
+        deg = partial_groupby(cur, ["src"],
+                              {"d": ("dst", "count")}).materialize()
+        survivors = deg.map_batches(
+            lambda t: t.filter(pc.greater_equal(
+                t["d"], pa.scalar(k, pa.int64()))).select(["src"]),
+            batch_format="pyarrow").materialize()
+        n_nodes, n_surv = deg.count(), survivors.count()
+        if n_surv == 0:
+            return pa.table({"node": pa.array([], pa.int64())})
+        if n_surv == n_nodes:
+            out = collect_table(survivors)
+            return pa.table({"node": pc.cast(out["src"], pa.int64())
+                             }).sort_by("node")
+        def swap(t: pa.Table) -> pa.Table:
+            return pa.table({"src": t["dst"], "dst": t["src"]})
+
+        cur = bucket_semi_join(cur, survivors, key="src",
+                               num_buckets=num_buckets)
+        cur = bucket_semi_join(
+            cur.map_batches(swap, batch_format="pyarrow"),
+            survivors, key="src", num_buckets=num_buckets)
+        cur = cur.map_batches(swap,
+                              batch_format="pyarrow").materialize()
+
+
+def neardup_kcore(sf_dir: str, k: int = 2,
+                  max_driver_pairs: int = 50_000) -> pa.Table:
+    """(vec_id,) members of the k-core of the exact embedding-cosine
+    near-dup graph (τ=0.4) — the density screen that separates genuine
+    duplicate CLUSTERS (mutually-close cores survive) from chains of
+    borderline pairs (peeled away). Same adaptive regime as
+    neardup_components: the LSH-contract-sized pair table peels on the
+    driver in microseconds; larger edge sets run the distributed
+    round-synchronous peel (identical output — asserted in
+    tests/test_graph.py)."""
+    from raydoc.functions.dedup import embedding_neardups
+
+    pairs = embedding_neardups(sf_dir)
+    if pairs.num_rows == 0:
+        return pa.table({"vec_id": pa.array([], pa.int64())})
+    if pairs.num_rows <= max_driver_pairs:
+        core = sorted(_k_core_driver(
+            list(zip(pairs.column("a").to_pylist(),
+                     pairs.column("b").to_pylist())), k))
+        return pa.table({"vec_id": pa.array(core, pa.int64())})
+    t = k_core(rd.from_arrow(pairs.select(["a", "b"])), k=k)
+    return pa.table({"vec_id": t["node"]})

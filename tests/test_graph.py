@@ -139,3 +139,79 @@ def test_dbscan_core_border_noise(ray_session, tmp_path):
     out = embedding_dbscan(str(tmp_path)).to_pandas()
     assert list(out["label"]) == [0, 0, 0, 0, -1]
     assert list(out["is_core"]) == [1, 1, 1, 0, 0]
+
+
+def _kcore_brute(edges, k):
+    """Independent reference: repeatedly drop any node with degree < k
+    until a fixed point (set-algebra, no peeling queue)."""
+    nodes = {x for e in edges for x in e}
+    while True:
+        deg = {n: 0 for n in nodes}
+        for a, b in edges:
+            if a in nodes and b in nodes:
+                deg[a] += 1
+                deg[b] += 1
+        keep = {n for n in nodes if deg[n] >= k}
+        if keep == nodes:
+            return nodes
+        nodes = keep
+
+
+def test_kcore_driver_matches_brute_force():
+    import numpy as np
+
+    from raydoc.functions.graph import _k_core_driver
+
+    rng = np.random.default_rng(3)
+    for trial in range(25):
+        n = int(rng.integers(4, 40))
+        m = int(rng.integers(3, 80))
+        edges = {tuple(sorted(p)) for p in
+                 rng.integers(0, n, (m, 2)).tolist() if p[0] != p[1]}
+        for k in (1, 2, 3):
+            assert _k_core_driver(list(edges), k) == \
+                _kcore_brute(edges, k), (trial, k)
+
+
+def test_kcore_distributed_matches_driver(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raydoc.functions.graph import _k_core_driver, k_core
+
+    rng = np.random.default_rng(9)
+    edges = {tuple(sorted(p)) for p in
+             rng.integers(0, 60, (150, 2)).tolist() if p[0] != p[1]}
+    t = pa.table({"a": pa.array([a for a, _ in sorted(edges)], pa.int64()),
+                  "b": pa.array([b for _, b in sorted(edges)], pa.int64())})
+    for k in (2, 3, 4):
+        dist = k_core(rd.from_arrow(t), k=k, num_buckets=4)
+        assert set(dist.column("node").to_pylist()) == \
+            _k_core_driver(list(edges), k), k
+
+
+def test_kcore_empty_and_full(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raydoc.functions.graph import k_core
+
+    # a triangle is its own 2-core; k=3 peels it away entirely
+    tri = pa.table({"a": pa.array([1, 1, 2], pa.int64()),
+                    "b": pa.array([2, 3, 3], pa.int64())})
+    assert k_core(rd.from_arrow(tri), k=2).column(
+        "node").to_pylist() == [1, 2, 3]
+    assert k_core(rd.from_arrow(tri), k=3).num_rows == 0
+
+
+def test_neardup_kcore_nonvacuous(ray_session):
+    from raydoc.functions.graph import neardup_kcore, neardup_triangles
+
+    core = neardup_kcore("/root/testdata/sf0.01")
+    tris = neardup_triangles("/root/testdata/sf0.01")
+    members = set(core.column("vec_id").to_pylist())
+    # every triangle vertex sits in the 2-core
+    for c in ("a", "b", "c"):
+        assert set(tris.column(c).to_pylist()) <= members
+    assert len(members) > 0
