@@ -366,6 +366,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_regression_tree": mltree.value_regression_tree,
         "trailing_hour_value": windows.trailing_hour_value,
         "neardup_kcore": graph.neardup_kcore,
+        "attribution_linear": windows.attribution_linear,
         "benford_values": audit.benford_values,
         "cohen_kappa": audit.cohen_kappa,
         "association_rules": audit.association_rules,
@@ -2993,6 +2994,27 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT node, NULL, NULL, CAST(n AS BIGINT), CAST(s AS BIGINT) FROM leaves)
             ORDER BY node""",
+        "attribution_linear": """
+            WITH v AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'view'),
+            p AS (SELECT event_id, user_id, ts,
+                         CAST(ROUND(value*100) AS BIGINT) AS cents
+                  FROM events WHERE event_type = 'purchase'),
+            pairs AS (
+                SELECT p.event_id AS pid, v.event_id AS vid, p.cents,
+                       COUNT(*) OVER (PARTITION BY p.event_id) AS nv,
+                       ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                          ORDER BY v.ts, v.event_id)
+                           AS rn
+                FROM p JOIN v ON p.user_id = v.user_id
+                 AND v.ts <= p.ts AND v.ts > p.ts - INTERVAL 7 DAY)
+            SELECT vid AS view_event_id,
+                   CAST(SUM(cents // nv
+                            + CASE WHEN rn <= cents % nv
+                                   THEN 1 ELSE 0 END) AS BIGINT)
+                       AS attributed_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_purchases
+            FROM pairs GROUP BY vid ORDER BY view_event_id""",
         "trailing_hour_value": """
             SELECT event_id, user_id,
                    CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) OVER (

@@ -2636,3 +2636,110 @@ def trailing_hour_value(sf_dir: str,
         "user_id": pc.cast(t["user_id"], pa.int64()),
         "trail_cents": pc.cast(t["trail_cents"], pa.int64()),
     }).sort_by("event_id")
+
+
+def attribution_linear(sf_dir: str,
+                       num_buckets: int | None = None) -> pa.Table:
+    """(view_event_id, attributed_cents, n_purchases): linear
+    multi-touch attribution — every purchase's value (integer cents)
+    splits equally across the SAME user's view events in the preceding
+    7 days (ts in (purchase−7d, purchase]); the integer remainder goes
+    to the earliest views (ROW_NUMBER by (ts, event_id)), so credit
+    conserves exactly: Σ attributed = Σ cents over attributed
+    purchases, bit-identical to the SQL twin.
+
+    Scale shape: one coarse user-bucket exchange co-locates each user's
+    views and purchases, then a fully vectorized per-block kernel —
+    views lift onto the trailing_hour_value global axis (segment
+    offsets, 7-day-plus gap), each purchase's window resolves with two
+    searchsorteds clipped to its user's view segment, and the
+    purchase×view pairs explode via np.repeat + range arithmetic (no
+    per-user or per-row loop). Per-view credits pre-fold in-block, one
+    combiner groupby finishes."""
+    from raydoc.functions._buckets import reduce_bucket_count
+    mask = (num_buckets or reduce_bucket_count()) - 1
+    week = 7 * 86_400_000_000
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id",
+                                  "event_type", "value"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["event_type"],
+                        value_set=pa.array(["view", "purchase"]))
+        t = t.filter(keep)
+        t = t.append_column(
+            "cents", pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                             pa.int64()))
+        return t.drop_columns(["value"]).append_column(
+            "bucket", pc.cast(pc.bit_wise_and(t["user_id"], mask),
+                              pa.int32()))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "vid": pd.Series([], dtype="int64"),
+            "credit": pd.Series([], dtype="int64"),
+            "np_": pd.Series([], dtype="int64")})
+        v = g[g["event_type"] == "view"].sort_values(
+            ["user_id", "ts", "event_id"], ignore_index=True)
+        p = g[g["event_type"] == "purchase"]
+        if not len(v) or not len(p):
+            return empty
+        uid_v = v["user_id"].to_numpy()
+        ts_v = v["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        vid = v["event_id"].to_numpy()
+        new = np.empty(len(v), np.bool_)
+        new[0] = True
+        new[1:] = uid_v[1:] != uid_v[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(v))          # exclusive
+        seg_min = ts_v[starts]
+        span = ts_v[ends - 1] - seg_min
+        seg_base = np.concatenate([[0], np.cumsum(span + week + 2)[:-1]])
+        seg = np.cumsum(new) - 1
+        adj_v = ts_v - seg_min[seg] + seg_base[seg]
+
+        users = uid_v[starts]                          # sorted unique
+        uid_p = p["user_id"].to_numpy()
+        pos = np.searchsorted(users, uid_p)
+        ok = (pos < len(users)) & (users[np.minimum(
+            pos, len(users) - 1)] == uid_p)
+        if not ok.any():
+            return empty
+        p = p[ok]
+        pos = pos[ok]
+        ts_p = p["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        cents = p["cents"].to_numpy()
+        adj_p = ts_p - seg_min[pos] + seg_base[pos]
+        left = np.clip(np.searchsorted(adj_v, adj_p - week, side="right"),
+                       starts[pos], ends[pos])
+        right = np.clip(np.searchsorted(adj_v, adj_p, side="right"),
+                        starts[pos], ends[pos])
+        nv = right - left
+        has = nv > 0
+        if not has.any():
+            return empty
+        left, nv, cents = left[has], nv[has], cents[has]
+
+        total = int(nv.sum())
+        rep_end = np.cumsum(nv)
+        # view index for each (purchase, view) pair
+        offs = np.arange(total) - np.repeat(rep_end - nv, nv)
+        vidx = np.repeat(left, nv) + offs
+        rn = offs + 1                                   # 1-based, ts order
+        base_credit = np.repeat(cents // nv, nv)
+        credit = base_credit + (rn <= np.repeat(cents % nv, nv))
+        out = pd.DataFrame({"vid": vid[vidx], "credit": credit,
+                            "np_": np.ones(total, np.int64)})
+        return out.groupby("vid", as_index=False).sum()
+
+    pairs = (ds.map_batches(add_bucket, batch_format="pyarrow")
+             .groupby("bucket").map_groups(per_bucket,
+                                           batch_format="pandas"))
+    out = collect_table(partial_groupby(
+        pairs, ["vid"], {"attributed_cents": ("credit", "sum"),
+                         "n_purchases": ("np_", "sum")}))
+    return pa.table({
+        "view_event_id": pc.cast(out["vid"], pa.int64()),
+        "attributed_cents": pc.cast(out["attributed_cents"], pa.int64()),
+        "n_purchases": pc.cast(out["n_purchases"], pa.int64()),
+    }).sort_by("view_event_id")

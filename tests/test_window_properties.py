@@ -390,3 +390,33 @@ def test_trailing_hour_value_adversarial_peers(ray_session, tmp_path):
         FROM read_parquet('{d}/events.parquet') ORDER BY event_id
         """).fetchdf().iloc[:, 0]
     assert (mine["trail_cents"].to_numpy() > solo.to_numpy()).any()
+
+
+def test_attribution_linear_conserves_credit(ray_session):
+    """Credit conservation: summed attributed cents equal the exact
+    cents of every purchase that has >= 1 view in its 7-day window
+    (DuckDB computes the attributed-purchase set); bucket-count
+    invariant; remainder goes to earliest views so no credit is lost
+    to integer division."""
+    import duckdb
+
+    from raydoc.functions.windows import attribution_linear
+
+    sf = "/root/testdata/sf0.001"
+    mine = attribution_linear(sf).to_pandas()
+    alt = attribution_linear(sf, num_buckets=2).to_pandas()
+    assert mine.equals(alt)
+
+    expected_total = duckdb.sql(f"""
+        WITH v AS (SELECT user_id, ts FROM
+                   read_parquet('{sf}/events.parquet')
+                   WHERE event_type = 'view'),
+        p AS (SELECT user_id, ts, CAST(ROUND(value*100) AS BIGINT) AS c
+              FROM read_parquet('{sf}/events.parquet')
+              WHERE event_type = 'purchase')
+        SELECT COALESCE(SUM(c), 0) FROM p WHERE EXISTS (
+            SELECT 1 FROM v WHERE v.user_id = p.user_id
+             AND v.ts <= p.ts AND v.ts > p.ts - INTERVAL 7 DAY)
+        """).fetchone()[0]
+    assert int(mine["attributed_cents"].sum()) == int(expected_total)
+    assert (mine["n_purchases"] >= 1).all()
