@@ -183,6 +183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from raydoc.functions import orcio
     from raydoc.functions import profile, relational, similarity, sketches
     from raydoc.functions import audit, mltree, textstats, windows
+    from raydoc.state import table_log
     from raydoc.sources import warc as warcsrc
 
     return {
@@ -367,6 +368,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trailing_hour_value": windows.trailing_hour_value,
         "neardup_kcore": graph.neardup_kcore,
         "attribution_linear": windows.attribution_linear,
+        "orders_time_travel": table_log.orders_time_travel,
         "benford_values": audit.benford_values,
         "cohen_kappa": audit.cohen_kappa,
         "association_rules": audit.association_rules,
@@ -2994,6 +2996,17 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT node, NULL, NULL, CAST(n AS BIGINT), CAST(s AS BIGINT) FROM leaves)
             ORDER BY node""",
+        "orders_time_travel": """
+            SELECT 0 AS version, COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))
+                        AS BIGINT) AS sum_cents
+            FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+            UNION ALL
+            SELECT 1, COUNT(*),
+                   CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))
+                        AS BIGINT)
+            FROM orders
+            ORDER BY version""",
         "attribution_linear": """
             WITH v AS (SELECT event_id, user_id, ts FROM events
                        WHERE event_type = 'view'),

@@ -1,0 +1,279 @@
+"""Versioned table log: Delta-style ACID commits + time travel for a
+directory of parquet shards.
+
+The manifests in ``state/manifest.py`` make ONE writer resumable; this
+adds what a multi-writer 100-TB pipeline needs on top of a dumb object
+store — the public Delta/Iceberg recipe, dependency-free:
+
+- a table is a directory of immutable content-addressed parquet shards
+  plus ``_log/<version 8-digit>.json`` commit files;
+- each commit lists add/remove actions; the LIVE file set at version V
+  folds the log prefix [0..V];
+- commits serialize via optimistic concurrency: a writer claims the
+  next version with ``os.open(..., O_CREAT | O_EXCL)`` (atomic on
+  POSIX); the loser re-reads the log and retries, so concurrent
+  appends both land, in some order, and never corrupt state;
+- shard files are written worker-side (rows never visit the driver),
+  tmp+rename, named by content hash — a crashed writer leaves only
+  unreferenced garbage that ``vacuum`` collects; readers are never
+  affected because the log is the source of truth;
+- time travel: ``read_table(dir, version=V)`` streams any historical
+  snapshot (the SCD2 queries time-travel ROWS; this time-travels the
+  TABLE).
+
+No wall-clock enters the log (commit payloads are content + version
+only), so reruns are byte-deterministic.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import pyarrow as pa
+
+import ray.data as rd
+
+from raydoc.functions._collect import collect_table
+
+_LOG = "_log"
+
+
+def _log_dir(table_dir: str) -> str:
+    return os.path.join(table_dir, _LOG)
+
+
+def _version_path(table_dir: str, version: int) -> str:
+    return os.path.join(_log_dir(table_dir), f"{version:08d}.json")
+
+
+def list_versions(table_dir: str) -> list[int]:
+    d = _log_dir(table_dir)
+    if not os.path.isdir(d):
+        return []
+    return sorted(int(f[:-5]) for f in os.listdir(d)
+                  if f.endswith(".json") and f[:-5].isdigit())
+
+
+def latest_version(table_dir: str) -> int | None:
+    vs = list_versions(table_dir)
+    return vs[-1] if vs else None
+
+
+def snapshot(table_dir: str, version: int | None = None) -> dict:
+    """Fold the commit log through ``version`` (default: latest) →
+    {"version": V, "files": {name: n_rows}}."""
+    vs = list_versions(table_dir)
+    if not vs:
+        raise ValueError(f"{table_dir!r} has no table log")
+    if version is None:
+        version = vs[-1]
+    if version not in vs:
+        raise ValueError(f"version {version} not in log (have {vs})")
+    files: dict[str, int] = {}
+    for v in vs:
+        if v > version:
+            break
+        with open(_version_path(table_dir, v)) as fh:
+            commit = json.load(fh)
+        for a in commit["actions"]:
+            if "add" in a:
+                files[a["add"]] = a["n_rows"]
+            elif "remove" in a:
+                files.pop(a["remove"], None)
+    return {"version": version, "files": files}
+
+
+def _write_shards(ds: rd.Dataset, table_dir: str,
+                  shard_rows: int = 250_000) -> list[dict]:
+    """Worker-side content-addressed parquet shard writes (the
+    export_* sink discipline); returns [{add, n_rows, n_bytes}]."""
+    import pyarrow.parquet as pq
+
+    os.makedirs(table_dir, exist_ok=True)
+
+    def write_block(t: pa.Table) -> pa.Table:
+        names, rows, sizes = [], [], []
+        for off in range(0, max(t.num_rows, 1), shard_rows):
+            sub = t.slice(off, shard_rows)
+            if sub.num_rows == 0:
+                continue
+            sub = sub.combine_chunks()
+            sink = pa.BufferOutputStream()
+            with pa.ipc.new_stream(sink, sub.schema) as w:
+                w.write_table(sub)
+            digest = hashlib.sha256(
+                sink.getvalue().to_pybytes()).hexdigest()[:20]
+            name = f"part-{digest}.parquet"
+            path = os.path.join(table_dir, name)
+            if not os.path.exists(path):
+                tmp = path + f".tmp-{os.getpid()}"
+                pq.write_table(sub, tmp)
+                os.replace(tmp, path)
+            names.append(name)
+            rows.append(sub.num_rows)
+            sizes.append(os.path.getsize(path))
+        return pa.table({"name": pa.array(names, pa.string()),
+                         "n_rows": pa.array(rows, pa.int64()),
+                         "n_bytes": pa.array(sizes, pa.int64())})
+
+    m = collect_table(ds.map_batches(write_block,
+                                     batch_format="pyarrow"))
+    seen: dict[str, dict] = {}
+    for r in m.to_pylist():
+        seen[r["name"]] = {"add": r["name"], "n_rows": r["n_rows"],
+                           "n_bytes": r["n_bytes"]}
+    return [seen[k] for k in sorted(seen)]
+
+
+def _try_commit(table_dir: str, actions, operation: str,
+                max_retries: int = 64) -> int:
+    """Claim the next version atomically (O_CREAT|O_EXCL); on a race,
+    re-read the log head and retry at the bumped version. ``actions``
+    is a list OR a callable(head_version) -> list, re-evaluated per
+    attempt so conflict resolution (e.g. overwrite's remove set) sees
+    the commit that beat it."""
+    os.makedirs(_log_dir(table_dir), exist_ok=True)
+    for _ in range(max_retries):
+        head = latest_version(table_dir)
+        version = 0 if head is None else head + 1
+        acts = actions(head) if callable(actions) else actions
+        path = _version_path(table_dir, version)
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            continue  # lost the race — rebase on the new head
+        with os.fdopen(fd, "w") as fh:
+            json.dump({"version": version, "operation": operation,
+                       "actions": acts}, fh, indent=1)
+        return version
+    raise RuntimeError(f"commit contention: {max_retries} retries "
+                       f"exhausted on {table_dir!r}")
+
+
+def append(ds: rd.Dataset, table_dir: str,
+           shard_rows: int = 250_000) -> int:
+    """Append ``ds`` as a new version; returns the committed version.
+    Shards land before the commit, so a crash mid-append leaves the
+    table unchanged (plus vacuumable garbage)."""
+    actions = _write_shards(ds, table_dir, shard_rows)
+    return _try_commit(table_dir, actions, "append")
+
+
+def overwrite(ds: rd.Dataset, table_dir: str,
+              shard_rows: int = 250_000) -> int:
+    """Replace the table contents atomically: one commit removes every
+    currently-live file and adds the new shards. Readers of any prior
+    version still see their snapshot (files are immutable)."""
+    adds = _write_shards(ds, table_dir, shard_rows)
+    new_names = {a["add"] for a in adds}
+
+    def actions(head):
+        if head is None:
+            return adds
+        live = snapshot(table_dir, head)["files"]
+        return adds + [{"remove": n} for n in sorted(live)
+                       if n not in new_names]
+
+    return _try_commit(table_dir, actions, "overwrite")
+
+
+def read_table(table_dir: str, version: int | None = None,
+               columns: list[str] | None = None) -> rd.Dataset:
+    """Stream a snapshot (default: latest) as a Ray Dataset — the
+    time-travel read. Column pruning pushes into the parquet reader."""
+    snap = snapshot(table_dir, version)
+    files = [os.path.join(table_dir, n) for n in sorted(snap["files"])]
+    if not files:
+        raise ValueError(
+            f"version {snap['version']} of {table_dir!r} is empty")
+    return rd.read_parquet(files, columns=columns)
+
+
+def vacuum(table_dir: str, keep_versions: int = 2) -> list[str]:
+    """Delete shard files referenced by NO version in the retained
+    window (the last ``keep_versions`` versions) — crashed-writer
+    garbage and files removed long ago. Returns the deleted names."""
+    vs = list_versions(table_dir)
+    if not vs:
+        return []
+    keep = vs[-keep_versions:]
+    referenced: set[str] = set()
+    for v in keep:
+        referenced |= set(snapshot(table_dir, v)["files"])
+    deleted = []
+    for name in sorted(os.listdir(table_dir)):
+        if not (name.endswith(".parquet") or ".parquet.tmp-" in name):
+            continue
+        if name not in referenced:
+            try:
+                os.remove(os.path.join(table_dir, name))
+                deleted.append(name)
+            except OSError:
+                pass
+    return deleted
+
+
+def orders_time_travel(sf_dir: str) -> pa.Table:
+    """(version, n_orders, sum_cents): end-to-end proof of the table
+    log — orders before 1998-01-01 commit as version 0, the remainder
+    appends as version 1, then BOTH snapshots stream back through
+    ``read_table`` (version 0 must still see only the old rows after
+    the append) and aggregate in integer cents. Oracle = the same two
+    aggregates straight off the parquet view, so a snapshot that
+    leaks, loses, or double-counts rows flips the hash. The table
+    rebuilds from scratch in /tmp each run (it is the demo subject,
+    not a cache)."""
+    import shutil
+    import tempfile
+
+    import pyarrow.compute as pc
+
+    from raydoc.functions.agg import partial_groupby
+
+    cutoff = pa.scalar(883_612_800_000_000, pa.timestamp("us"))  # 1998-01-01
+    tdir = os.path.join(
+        tempfile.gettempdir(),
+        f"raydoc_tlog_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(tdir, ignore_errors=True)
+
+    src = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                          columns=["o_orderkey", "o_orderdate",
+                                   "o_totalprice"])
+    old = src.map_batches(
+        lambda t: t.filter(pc.less(t["o_orderdate"], cutoff)),
+        batch_format="pyarrow")
+    new = src.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["o_orderdate"], cutoff)),
+        batch_format="pyarrow")
+    v0 = append(old, tdir, shard_rows=50_000)
+    v1 = append(new, tdir, shard_rows=50_000)
+    assert (v0, v1) == (0, 1), (v0, v1)
+
+    outs = []
+    for v in (0, 1):
+        ds = read_table(tdir, version=v,
+                        columns=["o_orderkey", "o_totalprice"])
+
+        def cents(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "o_totalprice" not in t.schema.names:
+                return pa.table({"k": pa.array([], pa.int64()),
+                                 "c": pa.array([], pa.int64())})
+            return pa.table({
+                "k": pa.array([0] * t.num_rows, pa.int64()),
+                "c": pa.compute.cast(pa.compute.round(
+                    pa.compute.multiply(t["o_totalprice"], 100.0)),
+                    pa.int64())})
+
+        g = collect_table(partial_groupby(
+            ds.map_batches(cents, batch_format="pyarrow"), ["k"],
+            {"n_orders": ("c", "count"), "sum_cents": ("c", "sum")}))
+        outs.append({"version": v,
+                     "n_orders": int(g.column("n_orders")[0].as_py()),
+                     "sum_cents": int(g.column("sum_cents")[0].as_py())})
+    return pa.table({
+        "version": pa.array([o["version"] for o in outs], pa.int64()),
+        "n_orders": pa.array([o["n_orders"] for o in outs], pa.int64()),
+        "sum_cents": pa.array([o["sum_cents"] for o in outs],
+                              pa.int64())})

@@ -1,0 +1,173 @@
+"""Versioned table log: append/overwrite/time-travel semantics,
+optimistic-concurrency commit races, overwrite remove-set rebasing,
+vacuum of unreferenced + torn files, and crash-garbage immunity."""
+
+import json
+import os
+import threading
+
+import pyarrow as pa
+import pytest
+
+
+def _t(lo, hi):
+    return pa.table({"x": pa.array(range(lo, hi), pa.int64())})
+
+
+def _rows(ds):
+    return sorted(r["x"] for r in ds.take_all())
+
+
+def test_append_and_time_travel(ray_session, tmp_path):
+    import ray.data as rd
+
+    from raydoc.state import table_log as tl
+
+    d = str(tmp_path / "t")
+    assert tl.append(rd.from_arrow(_t(0, 10)), d, shard_rows=4) == 0
+    assert tl.append(rd.from_arrow(_t(10, 15)), d, shard_rows=4) == 1
+
+    assert _rows(tl.read_table(d)) == list(range(15))
+    assert _rows(tl.read_table(d, version=0)) == list(range(10))
+    snap = tl.snapshot(d, 0)
+    assert sum(snap["files"].values()) == 10
+
+    with pytest.raises(ValueError, match="not in log"):
+        tl.snapshot(d, 7)
+
+
+def test_overwrite_preserves_history(ray_session, tmp_path):
+    import ray.data as rd
+
+    from raydoc.state import table_log as tl
+
+    d = str(tmp_path / "t")
+    tl.append(rd.from_arrow(_t(0, 10)), d, shard_rows=4)
+    v = tl.overwrite(rd.from_arrow(_t(100, 103)), d, shard_rows=4)
+    assert v == 1
+    assert _rows(tl.read_table(d)) == [100, 101, 102]
+    # the old snapshot still reads in full (files are immutable)
+    assert _rows(tl.read_table(d, version=0)) == list(range(10))
+
+
+def test_concurrent_commits_all_land(tmp_path):
+    """16 threads race _try_commit; every commit gets a distinct
+    consecutive version and none is lost or overwritten."""
+    from raydoc.state import table_log as tl
+
+    d = str(tmp_path / "t")
+    got = []
+    lock = threading.Lock()
+
+    def worker(i):
+        v = tl._try_commit(
+            d, [{"add": f"f{i}.parquet", "n_rows": 1, "n_bytes": 1}],
+            "append")
+        with lock:
+            got.append((i, v))
+
+    threads = [threading.Thread(target=worker, args=(i,))
+               for i in range(16)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    versions = sorted(v for _, v in got)
+    assert versions == list(range(16))
+    live = tl.snapshot(d)["files"]
+    assert set(live) == {f"f{i}.parquet" for i in range(16)}
+
+
+def test_overwrite_rebases_remove_set_on_race(ray_session, tmp_path):
+    """An append that sneaks in while an overwrite prepares must still
+    be removed by the overwrite's rebased remove set (the callable
+    actions path)."""
+    import ray.data as rd
+
+    from raydoc.state import table_log as tl
+
+    d = str(tmp_path / "t")
+    tl.append(rd.from_arrow(_t(0, 5)), d)
+
+    adds = tl._write_shards(rd.from_arrow(_t(100, 105)), d)
+    new_names = {a["add"] for a in adds}
+
+    calls = {"n": 0}
+
+    def actions(head):
+        # simulate a concurrent append landing after the first look
+        if calls["n"] == 0:
+            calls["n"] += 1
+            sneak = tl._write_shards(rd.from_arrow(_t(50, 55)), d)
+            tl._try_commit(d, sneak, "append")
+        live = tl.snapshot(d, tl.latest_version(d))["files"]
+        return adds + [{"remove": n} for n in sorted(live)
+                       if n not in new_names]
+
+    tl._try_commit(d, actions, "overwrite")
+    assert _rows(tl.read_table(d)) == list(range(100, 105))
+
+
+def test_vacuum_drops_garbage_keeps_window(ray_session, tmp_path):
+    import ray.data as rd
+
+    from raydoc.state import table_log as tl
+
+    d = str(tmp_path / "t")
+    tl.append(rd.from_arrow(_t(0, 5)), d)
+    tl.overwrite(rd.from_arrow(_t(10, 15)), d)
+    # torn writer leftovers + an orphan shard never committed
+    open(os.path.join(d, "part-orphan.parquet"), "wb").write(b"junk")
+    open(os.path.join(d, "part-x.parquet.tmp-999"), "wb").write(b"junk")
+
+    deleted = tl.vacuum(d, keep_versions=2)
+    assert "part-orphan.parquet" in deleted
+    assert "part-x.parquet.tmp-999" in deleted
+    # both versions still within the keep window -> still readable
+    assert _rows(tl.read_table(d, version=0)) == list(range(5))
+    assert _rows(tl.read_table(d, version=1)) == list(range(10, 15))
+
+    tl.append(rd.from_arrow(_t(20, 22)), d)
+    deleted = tl.vacuum(d, keep_versions=1)
+    # version-0 files are now outside the window and unreferenced
+    assert any(n.startswith("part-") for n in deleted)
+    assert _rows(tl.read_table(d)) == list(range(10, 15)) + [20, 21]
+
+
+def test_commit_files_are_json_with_actions(ray_session, tmp_path):
+    import ray.data as rd
+
+    from raydoc.state import table_log as tl
+
+    d = str(tmp_path / "t")
+    tl.append(rd.from_arrow(_t(0, 3)), d)
+    with open(os.path.join(d, "_log", "00000000.json")) as fh:
+        c = json.load(fh)
+    assert c["version"] == 0 and c["operation"] == "append"
+    assert all("add" in a for a in c["actions"])
+    assert sum(a["n_rows"] for a in c["actions"]) == 3
+
+
+def test_orders_time_travel_matches_duckdb(ray_session):
+    import duckdb
+
+    from raydoc.state.table_log import orders_time_travel
+
+    sf = "/root/testdata/sf0.001"
+    mine = orders_time_travel(sf).to_pandas()
+    exp = duckdb.sql(f"""
+        SELECT 0 AS version, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))
+                    AS BIGINT) AS sum_cents
+        FROM read_parquet('{sf}/orders.parquet')
+        WHERE o_orderdate < TIMESTAMP '1998-01-01'
+        UNION ALL
+        SELECT 1, COUNT(*),
+               CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))
+                    AS BIGINT)
+        FROM read_parquet('{sf}/orders.parquet')
+        ORDER BY version""").fetchdf()
+    import pandas as pd
+    pd.testing.assert_frame_equal(mine.reset_index(drop=True),
+                                  exp.reset_index(drop=True),
+                                  check_dtype=False)
