@@ -63,7 +63,9 @@ def latest_version(table_dir: str) -> int | None:
 
 def snapshot(table_dir: str, version: int | None = None) -> dict:
     """Fold the commit log through ``version`` (default: latest) →
-    {"version": V, "files": {name: n_rows}}."""
+    {"version": V, "files": {name: add-action}} where each add-action
+    carries n_rows/n_bytes and, if recorded, per-column zone-map
+    stats."""
     vs = list_versions(table_dir)
     if not vs:
         raise ValueError(f"{table_dir!r} has no table log")
@@ -71,7 +73,7 @@ def snapshot(table_dir: str, version: int | None = None) -> dict:
         version = vs[-1]
     if version not in vs:
         raise ValueError(f"version {version} not in log (have {vs})")
-    files: dict[str, int] = {}
+    files: dict[str, dict] = {}
     for v in vs:
         if v > version:
             break
@@ -79,22 +81,28 @@ def snapshot(table_dir: str, version: int | None = None) -> dict:
             commit = json.load(fh)
         for a in commit["actions"]:
             if "add" in a:
-                files[a["add"]] = a["n_rows"]
+                files[a["add"]] = a
             elif "remove" in a:
                 files.pop(a["remove"], None)
     return {"version": version, "files": files}
 
 
 def _write_shards(ds: rd.Dataset, table_dir: str,
-                  shard_rows: int = 250_000) -> list[dict]:
+                  shard_rows: int = 250_000,
+                  stats_cols: list[str] | None = None) -> list[dict]:
     """Worker-side content-addressed parquet shard writes (the
-    export_* sink discipline); returns [{add, n_rows, n_bytes}]."""
+    export_* sink discipline); returns [{add, n_rows, n_bytes[,
+    stats]}]. ``stats_cols`` records per-shard min/max zone maps in
+    the commit (the Iceberg manifest-stats idea) so ``read_table``
+    can prune files without opening them."""
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     os.makedirs(table_dir, exist_ok=True)
+    scols = list(stats_cols or [])
 
     def write_block(t: pa.Table) -> pa.Table:
-        names, rows, sizes = [], [], []
+        names, rows, sizes, stats = [], [], [], []
         for off in range(0, max(t.num_rows, 1), shard_rows):
             sub = t.slice(off, shard_rows)
             if sub.num_rows == 0:
@@ -114,16 +122,29 @@ def _write_shards(ds: rd.Dataset, table_dir: str,
             names.append(name)
             rows.append(sub.num_rows)
             sizes.append(os.path.getsize(path))
+            st = {}
+            for c in scols:
+                mm = pc.min_max(sub.column(c)).as_py()
+                lo, hi = mm["min"], mm["max"]
+                if hasattr(lo, "isoformat"):    # timestamps → epoch us
+                    lo = int(lo.timestamp() * 1_000_000)
+                    hi = int(hi.timestamp() * 1_000_000)
+                st[c] = [lo, hi]
+            stats.append(json.dumps(st, sort_keys=True))
         return pa.table({"name": pa.array(names, pa.string()),
                          "n_rows": pa.array(rows, pa.int64()),
-                         "n_bytes": pa.array(sizes, pa.int64())})
+                         "n_bytes": pa.array(sizes, pa.int64()),
+                         "stats": pa.array(stats, pa.string())})
 
     m = collect_table(ds.map_batches(write_block,
                                      batch_format="pyarrow"))
     seen: dict[str, dict] = {}
     for r in m.to_pylist():
-        seen[r["name"]] = {"add": r["name"], "n_rows": r["n_rows"],
-                           "n_bytes": r["n_bytes"]}
+        act = {"add": r["name"], "n_rows": r["n_rows"],
+               "n_bytes": r["n_bytes"]}
+        if scols:
+            act["stats"] = json.loads(r["stats"])
+        seen[r["name"]] = act
     return [seen[k] for k in sorted(seen)]
 
 
@@ -152,21 +173,22 @@ def _try_commit(table_dir: str, actions, operation: str,
                        f"exhausted on {table_dir!r}")
 
 
-def append(ds: rd.Dataset, table_dir: str,
-           shard_rows: int = 250_000) -> int:
+def append(ds: rd.Dataset, table_dir: str, shard_rows: int = 250_000,
+           stats_cols: list[str] | None = None) -> int:
     """Append ``ds`` as a new version; returns the committed version.
     Shards land before the commit, so a crash mid-append leaves the
-    table unchanged (plus vacuumable garbage)."""
-    actions = _write_shards(ds, table_dir, shard_rows)
+    table unchanged (plus vacuumable garbage). ``stats_cols`` records
+    per-shard zone maps for pruned reads."""
+    actions = _write_shards(ds, table_dir, shard_rows, stats_cols)
     return _try_commit(table_dir, actions, "append")
 
 
-def overwrite(ds: rd.Dataset, table_dir: str,
-              shard_rows: int = 250_000) -> int:
+def overwrite(ds: rd.Dataset, table_dir: str, shard_rows: int = 250_000,
+              stats_cols: list[str] | None = None) -> int:
     """Replace the table contents atomically: one commit removes every
     currently-live file and adds the new shards. Readers of any prior
     version still see their snapshot (files are immutable)."""
-    adds = _write_shards(ds, table_dir, shard_rows)
+    adds = _write_shards(ds, table_dir, shard_rows, stats_cols)
     new_names = {a["add"] for a in adds}
 
     def actions(head):
@@ -180,14 +202,32 @@ def overwrite(ds: rd.Dataset, table_dir: str,
 
 
 def read_table(table_dir: str, version: int | None = None,
-               columns: list[str] | None = None) -> rd.Dataset:
+               columns: list[str] | None = None,
+               where: tuple | None = None) -> rd.Dataset:
     """Stream a snapshot (default: latest) as a Ray Dataset — the
-    time-travel read. Column pruning pushes into the parquet reader."""
+    time-travel read. Column pruning pushes into the parquet reader;
+    ``where=(col, lo, hi)`` (inclusive; timestamps as epoch-us ints)
+    prunes whole shards via the commit-recorded zone maps BEFORE any
+    file opens — the Iceberg manifest-stats read path. Shards without
+    stats for ``col`` are conservatively kept, and the filter is only
+    a pruning hint: rows outside the range in surviving shards still
+    stream (exact filtering stays the caller's map stage)."""
     snap = snapshot(table_dir, version)
-    files = [os.path.join(table_dir, n) for n in sorted(snap["files"])]
+    live = snap["files"]
+    names = sorted(live)
+    if where is not None:
+        col, lo, hi = where
+        kept = []
+        for n in names:
+            st = live[n].get("stats", {}).get(col)
+            if st is None or not (st[1] < lo or st[0] > hi):
+                kept.append(n)
+        names = kept
+    files = [os.path.join(table_dir, n) for n in names]
     if not files:
         raise ValueError(
-            f"version {snap['version']} of {table_dir!r} is empty")
+            f"version {snap['version']} of {table_dir!r} is empty "
+            f"(or fully pruned)")
     return rd.read_parquet(files, columns=columns)
 
 

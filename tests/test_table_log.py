@@ -30,7 +30,7 @@ def test_append_and_time_travel(ray_session, tmp_path):
     assert _rows(tl.read_table(d)) == list(range(15))
     assert _rows(tl.read_table(d, version=0)) == list(range(10))
     snap = tl.snapshot(d, 0)
-    assert sum(snap["files"].values()) == 10
+    assert sum(a["n_rows"] for a in snap["files"].values()) == 10
 
     with pytest.raises(ValueError, match="not in log"):
         tl.snapshot(d, 7)
@@ -171,3 +171,32 @@ def test_orders_time_travel_matches_duckdb(ray_session):
     pd.testing.assert_frame_equal(mine.reset_index(drop=True),
                                   exp.reset_index(drop=True),
                                   check_dtype=False)
+
+
+def test_zone_map_pruned_read(ray_session, tmp_path):
+    """stats_cols records per-shard min/max in the commit; a ranged
+    read keeps only overlapping shards (here the input is ordered so
+    the 3 shards carry disjoint ranges), and a fully-disjoint range
+    prunes everything."""
+    import ray.data as rd
+
+    from raydoc.state import table_log as tl
+
+    d = str(tmp_path / "t")
+    tl.append(rd.from_arrow(_t(0, 12)), d, shard_rows=4,
+              stats_cols=["x"])
+    snap = tl.snapshot(d)
+    got = {tuple(a["stats"]["x"]) for a in snap["files"].values()}
+    assert got == {(0, 3), (4, 7), (8, 11)}
+
+    # only the [8, 11] shard overlaps
+    assert _rows(tl.read_table(d, where=("x", 9, 10))) == [8, 9, 10, 11]
+    # hint semantics: surviving shards stream whole
+    assert _rows(tl.read_table(d, where=("x", 3, 4))) == list(range(8))
+
+    with pytest.raises(ValueError, match="fully pruned"):
+        tl.read_table(d, where=("x", 100, 200))
+
+    # shards without stats for the column are conservatively kept
+    tl.append(rd.from_arrow(_t(100, 101)), d)  # no stats_cols
+    assert 100 in _rows(tl.read_table(d, where=("x", 0, 0)))
