@@ -412,6 +412,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "avro_roundtrip_stats": avroio.avro_roundtrip_stats,
         "warc_roundtrip_stats": warcsrc.warc_roundtrip_stats,
         "phash_neardups": multimodal.phash_neardups,
+        "audio_corpus_stats": multimodal.audio_corpus_stats,
         "phash_clusters": multimodal.phash_clusters,
         "shuffle_sample": textstats.shuffle_sample,
         "ngram_logprob": textstats.ngram_logprob,

@@ -652,3 +652,73 @@ def phash_clusters(sf_dir: str, max_hamming: int = 3,
         "media_id": pa.array(media, pa.int64()),
         "cluster": pa.array([lab[m] for m in media], pa.int64()),
     })
+
+
+def make_test_wav(doc_id: int) -> bytes:
+    """Deterministic synthetic audio for ``audio_corpus_stats``: a
+    constant-amplitude square wave whose amplitude/length derive from
+    the id (amplitude amp ⇒ rms exactly amp/32768 — integer over a
+    power of two, so IEEE sqrt reproduces it bit-exactly and loudness
+    thresholds can't sit on a rounding edge). Every 17th id emits a
+    deliberately undecodable payload to exercise the fail-soft path."""
+    import numpy as np
+    if doc_id % 17 == 0:
+        return b"MP3\x00 compressed payload " + bytes([doc_id % 251])
+    amp = 2000 + (doc_id % 8) * 3000
+    n = 800 + (doc_id % 5) * 400
+    wave_ = np.where(np.arange(n) % 2 == 0, amp, -amp).astype(np.int16)
+    return make_wav(8000, wave_)
+
+
+def audio_corpus_stats(sf_dir: str) -> pa.Table:
+    """One-row audio-corpus audit: deterministic per-document WAVs
+    stream through the AudioFeatureActor pool (small batches for wide
+    binary rows — the multimodal discipline) and fold to exact integer
+    counters: decoded / malformed / loud (rms > 0.15; amplitudes are
+    engineered clear of the threshold). Rows-only evidence for the
+    audio modality at the driver gate; the codec itself is pinned by
+    tests/test_multimodal_codecs.py."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from raydoc.functions._collect import collect_table
+    from raydoc.functions.agg import partial_groupby
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_id" not in t.schema.names:
+            return pa.table({"media_id": pa.array([], pa.int64()),
+                             "payload": pa.array([], pa.binary())})
+        ids = t.column("doc_id").to_pylist()
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array([make_test_wav(i) for i in ids],
+                                pa.binary())})
+
+    feats = audio_feature_pipeline(
+        ds.map_batches(synth, batch_format="pyarrow"), batch_size=64)
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "decoded" not in t.schema.names:
+            z = pa.array([], pa.int64())
+            return pa.table({"k": z, "n_media": z, "n_decoded": z,
+                             "n_malformed": z, "n_loud": z})
+        dec = t.column("decoded").to_numpy(zero_copy_only=False)
+        rms = t.column("rms").to_numpy(zero_copy_only=False)
+        loud = dec & (np.nan_to_num(rms.astype(np.float64)) > 0.15)
+        return pa.table({
+            "k": pa.array([0], pa.int64()),
+            "n_media": pa.array([t.num_rows], pa.int64()),
+            "n_decoded": pa.array([int(dec.sum())], pa.int64()),
+            "n_malformed": pa.array([int((~dec).sum())], pa.int64()),
+            "n_loud": pa.array([int(loud.sum())], pa.int64())})
+
+    g = collect_table(partial_groupby(
+        feats.map_batches(fold, batch_format="pyarrow"), ["k"],
+        {c: (c, "sum") for c in ("n_media", "n_decoded",
+                                 "n_malformed", "n_loud")}))
+    return pa.table({c: pc.cast(g[c], pa.int64())
+                     for c in ("n_media", "n_decoded",
+                               "n_malformed", "n_loud")})

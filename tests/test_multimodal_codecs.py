@@ -221,3 +221,25 @@ def test_phash_clusters_match_planted_bases(ray_session):
     for c, ms in members.items():
         assert c == min(ms)
         assert len({m % n_bases for m in ms}) == 1
+
+
+def test_audio_corpus_stats_known_answer(ray_session):
+    """Counters reproduce the synthesis plan exactly: malformed =
+    ids % 17 == 0, loud = amplitude >= 5000 (rms = amp/32768 exact)."""
+    import duckdb
+
+    from raydoc.functions.multimodal import audio_corpus_stats
+
+    sf = "/root/testdata/sf0.001"
+    r = audio_corpus_stats(sf).to_pylist()[0]
+    ids = [x[0] for x in duckdb.sql(
+        f"SELECT doc_id FROM read_parquet('{sf}/documents.parquet')"
+    ).fetchall()]
+    exp_malformed = sum(1 for i in ids if i % 17 == 0)
+    exp_loud = sum(1 for i in ids
+                   if i % 17 != 0 and 2000 + (i % 8) * 3000 > 4915)
+    assert r["n_media"] == len(ids)
+    assert r["n_malformed"] == exp_malformed
+    assert r["n_decoded"] == len(ids) - exp_malformed
+    assert r["n_loud"] == exp_loud
+    assert 0 < exp_loud < len(ids) - exp_malformed  # non-vacuous
