@@ -36,6 +36,17 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # order. extract_turns (the flagship) is timed separately via run_job so the
 # number includes the checkpointed parquet write + manifests.
 BENCH_QUERIES = [
+    "csv_roundtrip_stats",
+    "avro_roundtrip_stats",
+    "value_regression_tree",
+    "benford_values",
+    "cohen_kappa",
+    "association_rules",
+    "trailing_hour_value",
+    "neardup_kcore",
+    "attribution_linear",
+    "orders_time_travel",
+    "audio_corpus_stats",
     "orc_roundtrip_stats",
     "warc_roundtrip_stats",
     "star_flatten",
