@@ -358,6 +358,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- text analysis (documents) ---
         "token_counts": textstats.token_counts,
         "bpe_token_counts": textstats.bpe_token_counts,
+        "loss_mask_spans": textstats.loss_mask_spans,
         "redact_pii": textstats.redact_pii,
         "paragraph_dedup_stats": textstats.paragraph_dedup_stats,
         "markdown_to_txt": textstats.markdown_to_txt_docs,
@@ -2412,6 +2413,39 @@ def oracle_sql() -> dict[str, str]:
                         '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+'))
                         AS BIGINT) AS n_bpe_tokens
             FROM documents ORDER BY doc_id""",
+        # chat-template flatten: UNNEST(range()) lateral turn explode +
+        # window SUM = the engine's segmented exclusive cumsum
+        "loss_mask_spans": r"""
+            WITH n AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(text,
+                          '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+'))
+                          AS BIGINT) AS n_tok
+              FROM documents
+            ),
+            cand AS (
+              SELECT doc_id, n_tok, CAST(u.t AS BIGINT) AS turn_idx,
+                     CAST(5 + (doc_id + u.t) % 7 AS BIGINT) AS tlen
+              FROM n, UNNEST(range(0, (n_tok + 4) // 5)) AS u(t)
+              WHERE n_tok > 0
+            ),
+            sp AS (
+              SELECT doc_id, n_tok, turn_idx, tlen,
+                     COALESCE(SUM(tlen) OVER (PARTITION BY doc_id
+                         ORDER BY turn_idx ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS tok_start
+              FROM cand
+            )
+            SELECT doc_id, CAST(turn_idx AS INT) AS turn_idx,
+                   CASE WHEN turn_idx % 3 = 0 THEN 'user'
+                        WHEN turn_idx % 3 = 1 THEN 'assistant'
+                        ELSE 'tool' END AS role,
+                   CAST(tok_start AS BIGINT) AS tok_start,
+                   CAST(LEAST(tok_start + tlen, n_tok) AS BIGINT) AS tok_end,
+                   CAST(CASE WHEN turn_idx % 3 = 1 THEN 1 ELSE 0 END
+                        AS BIGINT) AS loss_mask
+            FROM sp WHERE tok_start < n_tok
+            ORDER BY doc_id, turn_idx""",
         "hourly_event_stats": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    COUNT(*) AS n_events, MIN(value) AS min_value,

@@ -36,6 +36,7 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # order. extract_turns (the flagship) is timed separately via run_job so the
 # number includes the checkpointed parquet write + manifests.
 BENCH_QUERIES = [
+    "loss_mask_spans",
     "csv_roundtrip_stats",
     "avro_roundtrip_stats",
     "value_regression_tree",

@@ -2222,3 +2222,77 @@ def entity_resolution(sf_dir: str) -> pa.Table:
         "n_names": pa.array([n_names[e] for e in ent_sorted], pa.int64()),
         "n_parts": pa.array([n_parts[e] for e in ent_sorted], pa.int64()),
         "sum_qty": pc.cast(vol["sum_qty"], pa.int64())})
+
+
+def loss_mask_spans(sf_dir: str, base_len: int = 5,
+                    len_mod: int = 7) -> pa.Table:
+    """(doc_id, turn_idx, role, tok_start, tok_end, loss_mask): the
+    SFT-training-prep flatten — each document becomes one chat-template
+    conversation whose token stream (GPT-2-style pre-tokenizer pieces,
+    the ``bpe_token_counts`` regex) is segmented into variable-length
+    turns of ``base_len + (doc_id + t) % len_mod`` pieces; roles cycle
+    user/assistant/tool and ``loss_mask=1`` marks assistant spans — the
+    span table every supervised fine-tune dataloader consumes (reference
+    analog: the per-turn span bookkeeping of the extraction pipeline,
+    §2.2, re-expressed as example preparation).
+
+    Shape: ONE vectorized map_batches pass, zero exchange — ``n_tok``
+    comes from an Arrow RE2 count (no Python tokenize loop), turns
+    explode with np.repeat range arithmetic, and ``tok_start`` is a
+    SEGMENTED exclusive cumsum (global cumsum minus per-doc base), so a
+    batch of any width is O(rows-out) numpy work. The within-conversation
+    prefix sum never crosses documents, so blocks split anywhere.
+    DuckDB twin: UNNEST(range()) lateral explode + a window SUM
+    (__ray_entry__.oracle_sql()['loss_mask_spans'])."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    _ROLES = np.array(["user", "assistant", "tool"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        empty = {
+            "doc_id": pa.array([], pa.int64()),
+            "turn_idx": pa.array([], pa.int32()),
+            "role": pa.array([], pa.string()),
+            "tok_start": pa.array([], pa.int64()),
+            "tok_end": pa.array([], pa.int64()),
+            "loss_mask": pa.array([], pa.int64())}
+        if t.num_rows == 0 or "doc_id" not in t.schema.names:
+            return pa.table(empty)
+        n_tok = pc.count_substring_regex(
+            pc.fill_null(t["text"], ""), _BPE_SPLIT.pattern).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        doc_id = t["doc_id"].to_numpy(zero_copy_only=False)
+        # upper bound on turns (every turn is >= base_len pieces), then
+        # trim to the spans that actually start inside the stream
+        reps = (n_tok + base_len - 1) // base_len
+        keep_doc = reps > 0
+        doc_id, n_tok, reps = doc_id[keep_doc], n_tok[keep_doc], reps[keep_doc]
+        if len(doc_id) == 0:
+            return pa.table(empty)
+        did = np.repeat(doc_id, reps)
+        ntk = np.repeat(n_tok, reps)
+        ends = np.cumsum(reps)
+        starts = ends - reps
+        tix = np.arange(ends[-1], dtype=np.int64) - np.repeat(starts, reps)
+        tlen = base_len + (did + tix) % len_mod
+        ex = np.concatenate(([0], np.cumsum(tlen)[:-1]))
+        tok_start = ex - np.repeat(ex[starts], reps)
+        keep = tok_start < ntk
+        did, tix, tlen = did[keep], tix[keep], tlen[keep]
+        tok_start, ntk = tok_start[keep], ntk[keep]
+        return pa.table({
+            "doc_id": pa.array(did, pa.int64()),
+            "turn_idx": pa.array(tix.astype(np.int32), pa.int32()),
+            "role": pa.array(_ROLES[tix % 3], pa.string()),
+            "tok_start": pa.array(tok_start, pa.int64()),
+            "tok_end": pa.array(np.minimum(tok_start + tlen, ntk),
+                                pa.int64()),
+            "loss_mask": pa.array((tix % 3 == 1).astype(np.int64),
+                                  pa.int64())})
+
+    return collect_table(
+        ds.map_batches(fn, batch_format="pyarrow")).sort_by(
+        [("doc_id", "ascending"), ("turn_idx", "ascending")])

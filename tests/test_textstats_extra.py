@@ -240,3 +240,33 @@ def test_dedup_conversations_planted_duplicates(ray_session):
     for d in ids:  # kept = the "doc-" original, never the "dup-" copy
         total += int(hashlib.md5(f"doc-{d}".encode()).hexdigest()[:16], 16)
     assert out["kept_checksum"][0] == format(total % (1 << 64), "016x")
+
+
+def test_loss_mask_spans_tile_and_mask(ray_session):
+    """Spans of each conversation tile [0, n_tok) exactly (no gap, no
+    overlap), roles cycle user/assistant/tool, and loss_mask marks
+    exactly the assistant spans."""
+    import re
+
+    import duckdb
+
+    from raydoc.functions.textstats import _BPE_SPLIT, loss_mask_spans
+
+    sf = "/root/testdata/sf0.001"
+    out = loss_mask_spans(sf).to_pandas()
+    texts = dict(duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf}/documents.parquet')"
+    ).fetchall())
+    assert set(out["doc_id"]) == {d for d, v in texts.items()
+                                  if _BPE_SPLIT.findall(v or "")}
+    for doc_id, g in out.groupby("doc_id"):
+        g = g.sort_values("turn_idx")
+        n_tok = len(_BPE_SPLIT.findall(texts[doc_id] or ""))
+        assert list(g["turn_idx"]) == list(range(len(g)))
+        assert g["tok_start"].iloc[0] == 0
+        assert g["tok_end"].iloc[-1] == n_tok
+        assert (g["tok_end"].values[:-1] == g["tok_start"].values[1:]).all()
+        assert (g["tok_end"].values > g["tok_start"].values).all()
+        assert (g["loss_mask"].values == (g["turn_idx"].values % 3 == 1)).all()
+        assert (g["role"].values[g["loss_mask"].values == 1] ==
+                "assistant").all()
