@@ -183,7 +183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from raydoc.functions import orcio
     from raydoc.functions import profile, relational, similarity, sketches
     from raydoc.functions import audit, mltree, textstats, windows
-    from raydoc.state import table_log
+    from raydoc.state import lsh_index, table_log
     from raydoc.sources import warc as warcsrc
 
     return {
@@ -370,6 +370,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_kcore": graph.neardup_kcore,
         "attribution_linear": windows.attribution_linear,
         "orders_time_travel": table_log.orders_time_travel,
+        "incremental_neardup_stats": lsh_index.incremental_neardup_stats,
         "benford_values": audit.benford_values,
         "cohen_kappa": audit.cohen_kappa,
         "association_rules": audit.association_rules,

@@ -37,6 +37,7 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # number includes the checkpointed parquet write + manifests.
 BENCH_QUERIES = [
     "loss_mask_spans",
+    "incremental_neardup_stats",
     "csv_roundtrip_stats",
     "avro_roundtrip_stats",
     "value_regression_tree",

@@ -82,7 +82,8 @@ def _dedupe_bucket(g):
 
 def build_training_corpus(transcripts_path: str, out_dir: str,
                           cfg: PipelineConfig = DEFAULT_CONFIG,
-                          global_dedup_dir: str | None = None
+                          global_dedup_dir: str | None = None,
+                          global_neardup_dir: str | None = None
                           ) -> dict[str, Any]:
     """Run the composed pipeline and write train/test parquet; returns corpus
     stats (rows in/kept/deduped, split sizes).
@@ -90,7 +91,12 @@ def build_training_corpus(transcripts_path: str, out_dir: str,
     ``global_dedup_dir``: enable CROSS-JOB dedup — rows whose extracted
     text was seen by any previous corpus build sharing this directory are
     dropped (sharded-actor index, state/dedup_index.py); the updated index
-    persists back to the directory after the write."""
+    persists back to the directory after the write.
+
+    ``global_neardup_dir``: the MinHash-LSH analog (state/lsh_index.py) —
+    also drops rows NEAR-duplicate (band collision) of anything any prior
+    build ingested; runs after the exact index so it only pays for
+    first-seen rows."""
     from raydoc.functions._buckets import reduce_bucket_count
     ds = extract_dataset(transcripts_path, cfg)
     ds = ds.map_batches(_quality_filter, batch_format="pyarrow")
@@ -113,7 +119,24 @@ def build_training_corpus(transcripts_path: str, out_dir: str,
         index = (load_index(global_dedup_dir)
                  if os.path.isdir(global_dedup_dir)
                  else create_dedup_index())
-        ds = incremental_dedup(ds, index, col="extracted_text")
+        # one fresh salt per BUILD RUN: task retries inside this run share
+        # it (idempotent), while a rerun over identical input gets new
+        # tokens, so its rows hit the real seen-set instead of replaying
+        # the first run's memoized "all new" answers
+        import uuid
+        ds = incremental_dedup(ds, index, col="extracted_text",
+                               token_salt=uuid.uuid4().hex)
+    nd_index = None
+    if global_neardup_dir:
+        from raydoc.state.lsh_index import (create_lsh_index,
+                                            incremental_neardup,
+                                            load_lsh_index)
+        import uuid
+        nd_index = (load_lsh_index(global_neardup_dir)
+                    if os.path.isdir(global_neardup_dir)
+                    else create_lsh_index())
+        ds = incremental_neardup(ds, nd_index, col="extracted_text",
+                                 token_salt=uuid.uuid4().hex)
     # replace, never append — but via a STAGING dir + swap-on-success: the
     # previous corpus stays intact until the new one is fully written, so
     # a crash mid-build (or a fully-deduped empty rerun) can never destroy
@@ -137,7 +160,8 @@ def build_training_corpus(transcripts_path: str, out_dir: str,
                                           "*.parquet")))
 
     train_rows, test_rows = _rows("train"), _rows("test")
-    if (global_dedup_dir and train_rows + test_rows == 0
+    if ((global_dedup_dir or global_neardup_dir)
+            and train_rows + test_rows == 0
             and os.path.isdir(out_dir) and any(os.scandir(out_dir))):
         # 0 rows into a FRESH directory is legitimate (the documented
         # already-ingested case); 0 rows REPLACING an existing corpus is
@@ -153,6 +177,9 @@ def build_training_corpus(transcripts_path: str, out_dir: str,
     if index is not None:
         from raydoc.state.dedup_index import save_index
         save_index(index, global_dedup_dir)
+    if nd_index is not None:
+        from raydoc.state.lsh_index import save_lsh_index
+        save_lsh_index(nd_index, global_neardup_dir)
     return {
         "rows": train_rows + test_rows,
         "train_rows": train_rows,

@@ -100,14 +100,20 @@ def create_dedup_index(n_shards: int = 8) -> list:
 
 
 def incremental_dedup(ds: rd.Dataset, index: list,
-                      col: str = "text") -> rd.Dataset:
+                      col: str = "text",
+                      token_salt: bytes | str = b"") -> rd.Dataset:
     """Drop rows whose ``col`` content hash was ever seen by ``index``
     (across ALL prior and concurrent ingests); first occurrence wins.
     Safe under Ray task retries (per-batch token memoization in the
-    shards — see DedupIndexShard)."""
+    shards — see DedupIndexShard). Pass a distinct ``token_salt`` per
+    INGEST JOB: without it, a later job re-ingesting byte-identical
+    batches replays the first job's memoized "all new" answers while
+    the memo still holds them (duplicates leak); retries within one job
+    share the salt, so idempotence is unaffected."""
     if not index:
         raise ValueError("incremental_dedup needs at least one index shard")
     n = len(index)
+    salt = token_salt.encode() if isinstance(token_salt, str) else token_salt
 
     def fn(t: pa.Table) -> pa.Table:
         digests = [hashlib.md5((v or "").encode()).digest()
@@ -121,7 +127,7 @@ def incremental_dedup(ds: rd.Dataset, index: list,
         # any re-execution of the same logical batch — regardless of task
         # id or slicing stability — gets its first-attempt answers back
         # instead of seeing its own digests as duplicates
-        token = hashlib.md5(b"".join(digests)).digest()
+        token = hashlib.md5(salt + b"".join(digests)).digest()
         futures = {s: index[s].seen_then_add.remote(
             [digests[i] for i in rows], token) for s, rows in by_shard.items()}
         for s, rows in by_shard.items():

@@ -123,3 +123,29 @@ def test_corpus_rerun_never_destroys_existing_output(ray_session, tmp_path):
     assert sorted(glob.glob(f"{out}/**/*.parquet",
                             recursive=True)) == files_before
     assert not os.path.isdir(out + ".staging")
+
+
+def test_corpus_global_neardup_across_builds(ray_session, tmp_path):
+    """Two corpus builds sharing a global_neardup_dir: the second build
+    over the SAME transcripts yields zero rows via the LSH index alone
+    (no exact index in play)."""
+    from dataclasses import replace
+
+    from raydoc.config import DEFAULT_CONFIG
+    from raydoc.pipelines.training_corpus import build_training_corpus
+    from raydoc.sources import transcripts as tgen
+
+    in_dir = tmp_path / "shards"
+    in_dir.mkdir()
+    tgen.write_transcripts_parquet(str(in_dir / "s.parquet"), n_convs=5,
+                                   seed=654, min_turns=2, max_turns=4)
+    cfg = replace(DEFAULT_CONFIG, assume_conv_aligned=True,
+                  extract_concurrency=2)
+    idx = str(tmp_path / "lsh_index")
+
+    s1 = build_training_corpus(str(in_dir), str(tmp_path / "c1"), cfg=cfg,
+                               global_neardup_dir=idx)
+    assert s1["rows"] > 0
+    s2 = build_training_corpus(str(in_dir), str(tmp_path / "c2"), cfg=cfg,
+                               global_neardup_dir=idx)
+    assert s2["rows"] == 0

@@ -33,6 +33,10 @@ def main() -> int:
                     help="cross-job dedup index directory (rows whose "
                          "text was seen by any prior build here are "
                          "dropped; index persists back)")
+    ap.add_argument("--global-neardup-dir", default=None,
+                    help="cross-job NEAR-dup (MinHash-LSH) index "
+                         "directory — also drops paraphrase-grade "
+                         "near-duplicates of prior builds")
     ap.add_argument("--address", default="local")
     args = ap.parse_args()
 
@@ -54,7 +58,8 @@ def main() -> int:
     cfg = replace(DEFAULT_CONFIG, **overrides) if overrides else DEFAULT_CONFIG
 
     stats = build_training_corpus(args.input, args.output, cfg=cfg,
-                              global_dedup_dir=args.global_dedup_dir)
+                              global_dedup_dir=args.global_dedup_dir,
+                              global_neardup_dir=args.global_neardup_dir)
     print(json.dumps(stats))
     ray.shutdown()
     return 0
