@@ -359,6 +359,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": textstats.token_counts,
         "bpe_token_counts": textstats.bpe_token_counts,
         "loss_mask_spans": textstats.loss_mask_spans,
+        "textrank_windows": textstats.textrank_windows,
         "redact_pii": textstats.redact_pii,
         "paragraph_dedup_stats": textstats.paragraph_dedup_stats,
         "markdown_to_txt": textstats.markdown_to_txt_docs,
@@ -684,6 +685,57 @@ def _pagerank_oracle(n_iter: int = 5, scale: int = 10 ** 12,
     return ("WITH " + head + "," + ",".join(iters) +
             f"\n        SELECT node, CAST(r AS BIGINT) AS rank_fp "
             f"FROM r{n_iter} ORDER BY node")
+
+
+def _textrank_oracle(n_iter: int = 5, scale: int = 10 ** 12,
+                     damping: int = 85) -> str:
+    """Chained-CTE twin of textstats.textrank_windows: per-document
+    window graph (shared-distinct-word weights) + the same all-integer
+    fixed-point damped PageRank, iteration by iteration."""
+    head = f"""
+        toks AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+          FROM documents),
+        tl AS (
+          SELECT doc_id, unnest(ts) AS tok,
+                 generate_subscripts(ts, 1) AS ord FROM toks),
+        tw AS (
+          SELECT DISTINCT doc_id, CAST((ord - 1) // 10 AS BIGINT) AS w, tok
+          FROM tl),
+        nodes AS (SELECT DISTINCT doc_id, w FROM tw),
+        nd AS (SELECT doc_id, COUNT(*) AS n_w FROM nodes GROUP BY doc_id),
+        edges AS (
+          SELECT a.doc_id, a.w AS src, b.w AS dst, COUNT(*) AS wt
+          FROM tw a JOIN tw b
+            ON a.doc_id = b.doc_id AND a.tok = b.tok AND a.w <> b.w
+          GROUP BY a.doc_id, a.w, b.w),
+        outw AS (SELECT doc_id, src, CAST(SUM(wt) AS BIGINT) AS twt
+                 FROM edges GROUP BY doc_id, src),
+        r0 AS (SELECT n.doc_id, n.w, {scale} // nd.n_w AS r
+               FROM nodes n JOIN nd USING (doc_id))"""
+    iters = []
+    for i in range(1, n_iter + 1):
+        iters.append(f"""
+        r{i} AS (
+          SELECT n.doc_id, n.w,
+                 ({100 - damping} * ({scale} // nd.n_w)) // 100
+                 + ({damping} * COALESCE(s.s, 0)) // 100 AS r
+          FROM nodes n JOIN nd USING (doc_id)
+          LEFT JOIN (
+            SELECT e.doc_id, e.dst AS w,
+                   CAST(SUM(r.r * e.wt // o.twt) AS BIGINT) AS s
+            FROM edges e
+            JOIN r{i - 1} r ON e.doc_id = r.doc_id AND e.src = r.w
+            JOIN outw o ON e.doc_id = o.doc_id AND e.src = o.src
+            GROUP BY e.doc_id, e.dst) s
+          ON n.doc_id = s.doc_id AND n.w = s.w)""")
+    return ("WITH " + head + "," + ",".join(iters) + f"""
+        SELECT doc_id, CAST(w AS INT) AS window_idx,
+               CAST(r AS BIGINT) AS rank_fp,
+               CAST(CASE WHEN ROW_NUMBER() OVER (PARTITION BY doc_id
+                    ORDER BY r DESC, w) = 1 THEN 1 ELSE 0 END AS BIGINT)
+                   AS is_top
+        FROM r{n_iter} ORDER BY doc_id, window_idx""")
 
 
 def _profile_oracle() -> str:
@@ -1540,6 +1592,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents ORDER BY key, doc_id LIMIT 100)
             ORDER BY doc_id""",
         "user_type_pagerank": _pagerank_oracle(),
+        "textrank_windows": _textrank_oracle(),
         "global_rank_ntile": """
             SELECT event_id,
                    ROW_NUMBER() OVER (ORDER BY value, event_id) AS rn,

@@ -38,6 +38,7 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_QUERIES = [
     "loss_mask_spans",
     "incremental_neardup_stats",
+    "textrank_windows",
     "csv_roundtrip_stats",
     "avro_roundtrip_stats",
     "value_regression_tree",

@@ -270,3 +270,30 @@ def test_loss_mask_spans_tile_and_mask(ray_session):
         assert (g["loss_mask"].values == (g["turn_idx"].values % 3 == 1)).all()
         assert (g["role"].values[g["loss_mask"].values == 1] ==
                 "assistant").all()
+
+
+def test_textrank_windows_invariants(ray_session):
+    """Exactly one is_top window per doc (the lexicographic argmax), ranks
+    per doc sum near the fixed-point scale envelope, and every window of
+    every tokenized doc is present."""
+    import re
+
+    import duckdb
+
+    from raydoc.functions.textstats import textrank_windows
+
+    sf = "/root/testdata/sf0.001"
+    out = textrank_windows(sf).to_pandas()
+    texts = dict(duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf}/documents.parquet')"
+    ).fetchall())
+    for doc_id, g in out.groupby("doc_id"):
+        toks = re.findall(r"[a-z0-9]+", (texts[doc_id] or "").lower())
+        assert len(g) == (len(toks) + 9) // 10
+        assert g["is_top"].sum() == 1
+        best = g.sort_values(["rank_fp", "window_idx"],
+                             ascending=[False, True]).iloc[0]
+        assert g.set_index("window_idx")["is_top"][best["window_idx"]] == 1
+    assert set(out["doc_id"]) == {d for d, v in texts.items()
+                                  if re.findall(r"[a-z0-9]+",
+                                                (v or "").lower())}
