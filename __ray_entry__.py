@@ -371,7 +371,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_kcore": graph.neardup_kcore,
         "attribution_linear": windows.attribution_linear,
         "orders_time_travel": table_log.orders_time_travel,
-        "incremental_neardup_stats": lsh_index.incremental_neardup_stats,
         "benford_values": audit.benford_values,
         "cohen_kappa": audit.cohen_kappa,
         "association_rules": audit.association_rules,
@@ -397,6 +396,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_session_paths": windows.top_session_paths,
         "conversion_latency": windows.conversion_latency,
         # --- rows-only family (no SQL oracle; property/golden-tested) ---
+        "incremental_neardup_stats": lsh_index.incremental_neardup_stats,
         "bloom_novel_docs": dedup.bloom_novel_docs,
         "compression_ratio": textstats.compression_ratio,
         "embedding_neardups_clustered": _embedding_neardup_clustered,
