@@ -269,7 +269,8 @@ def build_extraction_aligned(input_path: str,
     pool, one file per task, zero exchange. Streaming end-to-end; skew is
     handled by file-granular work stealing (many files ≫ actors)."""
     from raydoc.stages.extract import FusedFileActor
-    files = list_parquet_files(input_path)
+    files = (list(input_path) if isinstance(input_path, (list, tuple))
+             else list_parquet_files(input_path))
     ds = rd.from_items([{"path": p} for p in files])
     return ds.map_batches(
         FusedFileActor,

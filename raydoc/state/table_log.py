@@ -183,6 +183,58 @@ def append(ds: rd.Dataset, table_dir: str, shard_rows: int = 250_000,
     return _try_commit(table_dir, actions, "append")
 
 
+def commit_info(table_dir: str, version: int) -> dict:
+    """The raw commit record (version, operation, actions) — lineage
+    inspection for ingestion ledgers and audits."""
+    with open(_version_path(table_dir, version)) as fh:
+        return json.load(fh)
+
+
+def ingested_sources(table_dir: str) -> set[str]:
+    """Source tags of every ``ingest:`` commit in the log — the
+    exactly-once ledger for continuous ingestion (the commit IS the
+    ledger entry, so there is no second write to crash between)."""
+    out: set[str] = set()
+    for v in list_versions(table_dir):
+        with open(_version_path(table_dir, v)) as fh:
+            op = json.load(fh).get("operation", "")
+        if op.startswith("ingest:"):
+            out.update(op[len("ingest:"):].split(";"))
+    return out
+
+
+class _AlreadyIngested(Exception):
+    pass
+
+
+def append_once(ds: rd.Dataset, table_dir: str, sources: list[str],
+                shard_rows: int = 250_000,
+                stats_cols: list[str] | None = None) -> int | None:
+    """Exactly-once append keyed by ``sources`` (input-shard tags):
+    commits with operation ``ingest:<s1;s2;...>``; returns None without
+    committing if ANY tag already appears in the log — including one
+    committed by a concurrent ingestor during our attempt (the actions
+    callback re-checks against the rebased head on every conflict
+    retry). An aborted attempt leaves only vacuumable orphan shards;
+    the table itself is untouched."""
+    if any(";" in s for s in sources):
+        raise ValueError("source tags must not contain ';'")
+    if set(sources) & ingested_sources(table_dir):
+        return None
+    adds = _write_shards(ds, table_dir, shard_rows, stats_cols)
+
+    def actions(head):
+        if set(sources) & ingested_sources(table_dir):
+            raise _AlreadyIngested
+        return adds
+
+    try:
+        return _try_commit(table_dir, actions,
+                           "ingest:" + ";".join(sources))
+    except _AlreadyIngested:
+        return None
+
+
 def overwrite(ds: rd.Dataset, table_dir: str, shard_rows: int = 250_000,
               stats_cols: list[str] | None = None) -> int:
     """Replace the table contents atomically: one commit removes every
