@@ -3111,8 +3111,12 @@ def oracle_sql() -> dict[str, str]:
                 FROM p JOIN v ON p.user_id = v.user_id
                  AND v.ts <= p.ts AND v.ts > p.ts - INTERVAL 7 DAY)
             SELECT vid AS view_event_id,
-                   CAST(SUM(cents // nv
-                            + CASE WHEN rn <= cents % nv
+                   -- FLOOR division with non-negative remainder (numpy
+                   -- semantics; conserves credit for negative/refund
+                   -- cents, where DuckDB's // truncates toward zero):
+                   -- pm = ((c % nv) + nv) % nv, base = (c - pm)/nv exact
+                   CAST(SUM((cents - ((cents % nv) + nv) % nv) // nv
+                            + CASE WHEN rn <= ((cents % nv) + nv) % nv
                                    THEN 1 ELSE 0 END) AS BIGINT)
                        AS attributed_cents,
                    CAST(COUNT(*) AS BIGINT) AS n_purchases
