@@ -146,3 +146,53 @@ def test_textrank_windows_match_duckdb(ray_session, tmp_path, seed):
     got = textrank_windows(sf).to_pandas()
     exp = _sql(sf, e.oracle_sql()["textrank_windows"], "documents")
     assert _canon(got) == _canon(exp)
+
+
+@pytest.mark.parametrize("seed", [57, 58])
+def test_url_path_rollup_matches_duckdb(ray_session, tmp_path, seed):
+    import __ray_entry__ as e
+    from raydoc.functions.textstats import url_path_rollup
+    sf = _mk_documents(tmp_path, seed)
+    got = url_path_rollup(sf).to_pandas()
+    exp = _sql(sf, e.oracle_sql()["url_path_rollup"], "documents")
+    assert _canon(got) == _canon(exp)
+
+
+@pytest.mark.parametrize("seed", [59, 60])
+def test_tfidf_top_terms_matches_duckdb(ray_session, tmp_path, seed):
+    import __ray_entry__ as e
+    from raydoc.functions.textstats import tfidf_top_terms
+    sf = _mk_documents(tmp_path, seed)
+    got = tfidf_top_terms(sf).to_pandas()
+    exp = _sql(sf, e.oracle_sql()["tfidf_top_terms"], "documents")
+    assert _canon(got) == _canon(exp)
+
+
+@pytest.mark.parametrize("seed", [61, 62])
+def test_pack_sequences_matches_duckdb(ray_session, tmp_path, seed):
+    import __ray_entry__ as e
+    from raydoc.functions.textstats import pack_sequences
+    sf = _mk_documents(tmp_path, seed)
+    got = pack_sequences(sf).to_pandas()
+    exp = _sql(sf, e.oracle_sql()["pack_sequences"], "documents")
+    assert _canon(got) == _canon(exp)
+
+
+@pytest.mark.parametrize("seed", [63, 64])
+def test_decontaminate_matches_duckdb(ray_session, tmp_path, seed):
+    import __ray_entry__ as e
+    from raydoc.functions.textstats import decontaminate
+    sf = _mk_documents(tmp_path, seed)
+    got = decontaminate(sf).to_pandas()
+    exp = _sql(sf, e.oracle_sql()["decontaminate"], "documents")
+    assert _canon(got) == _canon(exp)
+
+
+@pytest.mark.parametrize("seed", [65, 66])
+def test_simhash_neardups_match_duckdb(ray_session, tmp_path, seed):
+    import __ray_entry__ as e
+    from raydoc.functions.dedup import simhash_neardups
+    sf = _mk_documents(tmp_path, seed)
+    got = simhash_neardups(sf).to_pandas()
+    exp = _sql(sf, e.oracle_sql()["simhash_neardups"], "documents")
+    assert _canon(got) == _canon(exp)
