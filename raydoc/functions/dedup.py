@@ -184,6 +184,8 @@ def _lsh_candidate_pairs(exploded: rd.Dataset,
     pairs = exploded.groupby("bucket").map_groups(
         block_pairs, batch_format="pyarrow")
     t = collect_table(pairs)
+    if t.num_rows == 0 or "a" not in t.schema.names:
+        return set()        # zero collisions → fully-empty (schemaless) ds
     return set(zip(t.column("a").to_pylist(), t.column("b").to_pylist()))
 
 
@@ -196,6 +198,8 @@ def _candidate_signatures(ds: rd.Dataset, cand_ids: set, id_col: str,
     the LSH regime's small candidate set, never corpus-sized."""
     import ray
 
+    if not cand_ids:            # zero LSH collisions → nothing to verify
+        return {}
     ids_ref = ray.put(frozenset(cand_ids))
 
     def sig_rows(t: pa.Table) -> pa.Table:

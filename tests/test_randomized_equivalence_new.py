@@ -196,3 +196,23 @@ def test_simhash_neardups_match_duckdb(ray_session, tmp_path, seed):
     got = simhash_neardups(sf).to_pandas()
     exp = _sql(sf, e.oracle_sql()["simhash_neardups"], "documents")
     assert _canon(got) == _canon(exp)
+
+
+@pytest.mark.parametrize("seed", [67])
+def test_minhash_clusters_match_duckdb(ray_session, tmp_path, seed):
+    import __ray_entry__ as e
+    from raydoc.functions.dedup import minhash_lsh_clusters
+    sf = _mk_documents(tmp_path, seed)
+    got = minhash_lsh_clusters(sf).to_pandas()
+    exp = _sql(sf, e.oracle_sql()["minhash_clusters"], "documents")
+    assert _canon(got) == _canon(exp)
+
+
+@pytest.mark.parametrize("seed", [68])
+def test_ngram_jaccard_matches_duckdb(ray_session, tmp_path, seed):
+    import __ray_entry__ as e
+    from raydoc.functions.dedup import ngram_jaccard_pairs
+    sf = _mk_documents(tmp_path, seed)
+    got = ngram_jaccard_pairs(sf).to_pandas()
+    exp = _sql(sf, e.oracle_sql()["ngram_jaccard"], "documents")
+    assert _canon(got) == _canon(exp)
