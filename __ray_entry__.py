@@ -1662,7 +1662,8 @@ def oracle_sql() -> dict[str, str]:
         "domain_mix": """
             WITH w AS (
                 SELECT source,
-                       CAST(substr(source, 4) AS INT) % 3 + 1 AS wt
+                       CAST(md5_number_lower(source) % 3 + 1 AS BIGINT)
+                           AS wt
                 FROM documents GROUP BY source),
             tot AS (SELECT SUM(wt) AS sw FROM w),
             k AS (SELECT source, (200 * wt) // sw AS k FROM w, tot),

@@ -585,7 +585,14 @@ def q_json_props_stats(sf_dir: str) -> pa.Table:
                           ["event_type"], {"n_events": ("k", "count"),
                                            "sum_k": ("k", "sum"),
                                            "max_k": ("k", "max")})
-    return collect_table(out).sort_by("event_type")
+    t = collect_table(out)
+    if t.num_rows == 0 or "event_type" not in t.schema.names:
+        # no event carries key "k" → fully-empty (schemaless) aggregate
+        return pa.table({"event_type": pa.array([], pa.string()),
+                         "n_events": pa.array([], pa.int64()),
+                         "sum_k": pa.array([], pa.int64()),
+                         "max_k": pa.array([], pa.int64())})
+    return t.sort_by("event_type")
 
 
 def pivot_agg(ds: rd.Dataset, index: list[str], pivot_col: str,

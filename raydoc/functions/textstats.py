@@ -951,7 +951,11 @@ def domain_mix(sf_dir: str, total: int = 200,
         ds.select_columns(["source"]), ["source"],
         {"n": ("source", "count")}))
     sources = sorted(src_t.column("source").to_pylist())
-    weights = {s: int(s[3:]) % 3 + 1 for s in sources}
+    # demo weights from an md5 of the source NAME (not a parse of a
+    # corpus-specific "srcN" pattern — any naming scheme works); real
+    # pipelines pass their mixing table instead. md5_number_lower twin.
+    weights = {s: int.from_bytes(_hl.md5(s.encode()).digest()[8:16],
+                                 "little") % 3 + 1 for s in sources}
     sw = sum(weights.values())
     targets = {s: total * w // sw for s, w in weights.items()}
 
