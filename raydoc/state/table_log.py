@@ -219,13 +219,23 @@ def append_once(ds: rd.Dataset, table_dir: str, sources: list[str],
     the table itself is untouched."""
     if any(";" in s for s in sources):
         raise ValueError("source tags must not contain ';'")
+    base = latest_version(table_dir)
     if set(sources) & ingested_sources(table_dir):
         return None
     adds = _write_shards(ds, table_dir, shard_rows, stats_cols)
+    tags = set(sources)
 
     def actions(head):
-        if set(sources) & ingested_sources(table_dir):
-            raise _AlreadyIngested
+        # only commits that landed AFTER our full pre-scan can race us —
+        # rescan just (base, head], not the whole ledger, so a long-lived
+        # table pays O(new commits) per attempt, not O(all versions)
+        lo = 0 if base is None else base + 1
+        hi = -1 if head is None else head
+        for v in range(lo, hi + 1):
+            op = commit_info(table_dir, v).get("operation", "")
+            if (op.startswith("ingest:")
+                    and tags & set(op[len("ingest:"):].split(";"))):
+                raise _AlreadyIngested
         return adds
 
     try:
