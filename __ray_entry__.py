@@ -371,6 +371,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_kcore": graph.neardup_kcore,
         "attribution_linear": windows.attribution_linear,
         "orders_time_travel": table_log.orders_time_travel,
+        "orders_gdpr_delete": table_log.orders_gdpr_delete,
         "benford_values": audit.benford_values,
         "cohen_kappa": audit.cohen_kappa,
         "association_rules": audit.association_rules,
@@ -3086,6 +3087,18 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT node, NULL, NULL, CAST(n AS BIGINT), CAST(s AS BIGINT) FROM leaves)
             ORDER BY node""",
+        "orders_gdpr_delete": """
+            SELECT CAST(0 AS BIGINT) AS version,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))
+                        AS BIGINT) AS sum_cents
+            FROM orders
+            UNION ALL
+            SELECT 1, CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))
+                        AS BIGINT)
+            FROM orders WHERE o_custkey % 97 <> 0
+            ORDER BY version""",
         "orders_time_travel": """
             SELECT 0 AS version, COUNT(*) AS n_orders,
                    CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))

@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "loss_mask_spans",
     "incremental_neardup_stats",
     "textrank_windows",
+    "orders_gdpr_delete",
     "csv_roundtrip_stats",
     "avro_roundtrip_stats",
     "value_regression_tree",

@@ -293,6 +293,86 @@ def read_table(table_dir: str, version: int | None = None,
     return rd.read_parquet(files, columns=columns)
 
 
+def delete_where(table_dir: str, col: str, values) -> int:
+    """DELETE rows whose ``col`` is in ``values`` — the right-to-be-
+    forgotten / compliance operation. Shards that can't contain a
+    target (commit-recorded zone maps) are left UNTOUCHED (no rewrite,
+    no commit entry); every possibly-affected shard is rewritten
+    without the matching rows in ONE distributed pass (worker-side
+    content-addressed writes — the append machinery), and a single
+    commit swaps the rewritten set in. Prior versions still see the
+    deleted rows (immutable snapshots — audit trail); ``vacuum``
+    physically drops them once the retention window passes. Returns
+    the committed version, or -1 if no shard could contain a target."""
+    import pyarrow.compute as pc
+
+    import bisect
+
+    head = latest_version(table_dir)
+    snap = snapshot(table_dir, head)
+    vals = sorted(values)
+    touched = []
+    for name, meta in sorted(snap["files"].items()):
+        st = meta.get("stats", {}).get(col)
+        if st is None:
+            touched.append(name)        # no zone map → conservatively in
+            continue
+        i = bisect.bisect_left(vals, st[0])
+        if i < len(vals) and vals[i] <= st[1]:
+            touched.append(name)
+    if not touched:
+        return -1
+    ds = rd.read_parquet([os.path.join(table_dir, n) for n in touched])
+    val_arr = pa.array(vals)
+
+    def drop(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or col not in t.schema.names:
+            return t
+        return t.filter(pc.invert(pc.is_in(t[col], value_set=val_arr)))
+
+    stats_cols = sorted({c for m in snap["files"].values()
+                         for c in m.get("stats", {})})
+    adds = _write_shards(ds.map_batches(drop, batch_format="pyarrow"),
+                         table_dir, stats_cols=stats_cols or None)
+    new_names = {a["add"] for a in adds}
+
+    def actions(h):
+        live = snapshot(table_dir, h)["files"] if h is not None else {}
+        return adds + [{"remove": n} for n in sorted(touched)
+                       if n in live and n not in new_names]
+
+    return _try_commit(table_dir, actions, f"delete:{col}")
+
+
+def optimize(table_dir: str, target_rows: int = 250_000) -> int:
+    """Bin-pack the live shards into ~``target_rows`` files (the Delta
+    OPTIMIZE small-file compaction): streams every live shard through
+    the content-addressed writer at the target size and commits ONE
+    swap. Readers of prior versions are untouched; vacuum reclaims the
+    small files after retention. Returns the committed version, or -1
+    when the table is already a single shard."""
+    head = latest_version(table_dir)
+    snap = snapshot(table_dir, head)
+    names = sorted(snap["files"])
+    if len(names) <= 1:
+        return -1
+    stats_cols = sorted({c for m in snap["files"].values()
+                         for c in m.get("stats", {})})
+    ds = rd.read_parquet([os.path.join(table_dir, n) for n in names]) \
+        .repartition(max(1, sum(m.get("n_rows", 0) for m in
+                                snap["files"].values()) // target_rows))
+    adds = _write_shards(ds, table_dir, shard_rows=target_rows,
+                         stats_cols=stats_cols or None)
+    new_names = {a["add"] for a in adds}
+
+    def actions(h):
+        live = snapshot(table_dir, h)["files"] if h is not None else {}
+        return adds + [{"remove": n} for n in sorted(live)
+                       if n not in new_names]
+
+    return _try_commit(table_dir, actions, "optimize")
+
+
 def vacuum(table_dir: str, keep_versions: int = 2) -> list[str]:
     """Delete shard files referenced by NO version in the retained
     window (the last ``keep_versions`` versions) — crashed-writer
@@ -379,3 +459,66 @@ def orders_time_travel(sf_dir: str) -> pa.Table:
         "n_orders": pa.array([o["n_orders"] for o in outs], pa.int64()),
         "sum_cents": pa.array([o["sum_cents"] for o in outs],
                               pa.int64())})
+
+
+def orders_gdpr_delete(sf_dir: str, mod: int = 97) -> pa.Table:
+    """(version, n_orders, sum_cents): end-to-end proof of
+    ``delete_where`` — every order commits as version 0 (custkey zone
+    maps recorded), then the right-to-be-forgotten request deletes all
+    orders of customers with ``o_custkey % mod == 0`` as version 1;
+    BOTH snapshots stream back and aggregate in integer cents (the
+    audit-trail read: version 0 must still show the erased customers
+    until vacuum). Oracle = the same two aggregates with/without the
+    deleted custkeys straight off the parquet view. Scratch table in
+    /tmp per run."""
+    import shutil
+    import tempfile
+
+    import pyarrow.compute as pc
+
+    from raydoc.functions._collect import collect_table
+    from raydoc.functions.agg import partial_groupby
+
+    tdir = os.path.join(
+        tempfile.gettempdir(),
+        f"raydoc_gdpr_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(tdir, ignore_errors=True)
+
+    src = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                          columns=["o_orderkey", "o_custkey",
+                                   "o_totalprice"])
+    v0 = append(src, tdir, shard_rows=20_000, stats_cols=["o_custkey"])
+    assert v0 == 0, v0
+    hi = collect_table(src.select_columns(["o_custkey"])).column(
+        "o_custkey")
+    max_ck = pc.max(hi).as_py() or 0
+    targets = list(range(0, int(max_ck) + 1, mod))
+    v1 = delete_where(tdir, "o_custkey", targets)
+    assert v1 == 1, v1
+
+    outs = []
+    for v in (0, 1):
+        ds = read_table(tdir, version=v,
+                        columns=["o_orderkey", "o_totalprice"])
+
+        def cents(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "o_totalprice" not in t.schema.names:
+                return pa.table({"one": pa.array([], pa.int64()),
+                                 "n": pa.array([], pa.int64()),
+                                 "c": pa.array([], pa.int64())})
+            return pa.table({
+                "one": pa.array([1] * t.num_rows, pa.int64()),
+                "n": pa.array([1] * t.num_rows, pa.int64()),
+                "c": pc.cast(pc.round(pc.multiply(t["o_totalprice"],
+                                                  100.0)), pa.int64())})
+
+        g = collect_table(partial_groupby(
+            ds.map_batches(cents, batch_format="pyarrow"), ["one"],
+            {"n_orders": ("n", "sum"), "sum_cents": ("c", "sum")}))
+        outs.append((v, int(g.column("n_orders")[0].as_py()),
+                     int(g.column("sum_cents")[0].as_py())))
+    shutil.rmtree(tdir, ignore_errors=True)
+    return pa.table({
+        "version": pa.array([o[0] for o in outs], pa.int64()),
+        "n_orders": pa.array([o[1] for o in outs], pa.int64()),
+        "sum_cents": pa.array([o[2] for o in outs], pa.int64())})

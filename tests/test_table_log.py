@@ -200,3 +200,76 @@ def test_zone_map_pruned_read(ray_session, tmp_path):
     # shards without stats for the column are conservatively kept
     tl.append(rd.from_arrow(_t(100, 101)), d)  # no stats_cols
     assert 100 in _rows(tl.read_table(d, where=("x", 0, 0)))
+
+
+def test_delete_where_prunes_and_time_travels(ray_session, tmp_path):
+    """delete_where removes exactly the matching rows at head, leaves
+    zone-map-pruned shards untouched (no rewrite for shards that cannot
+    contain a target), keeps prior versions intact, and vacuum reclaims
+    the rewritten originals."""
+    import os
+
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from raydoc.state import table_log as tl
+
+    table = str(tmp_path / "t")
+    # two appends → two shards with disjoint x zone maps
+    tl.append(rd.from_arrow(pa.table({
+        "x": pa.array(range(0, 100), pa.int64())})), table,
+        stats_cols=["x"])
+    tl.append(rd.from_arrow(pa.table({
+        "x": pa.array(range(1000, 1100), pa.int64())})), table,
+        stats_cols=["x"])
+    before = tl.snapshot(table, 1)["files"]
+    low_shard = [n for n, m in before.items()
+                 if m["stats"]["x"][1] < 1000]
+    assert len(low_shard) == 1
+
+    v = tl.delete_where(table, "x", [1005, 1060, 2_000_000])
+    assert v == 2
+    acts = tl.commit_info(table, v)["actions"]
+    removed = {a["remove"] for a in acts if "remove" in a}
+    assert low_shard[0] not in removed          # pruned, never rewritten
+    from raydoc.functions._collect import collect_table
+    head_x = sorted(collect_table(tl.read_table(table))
+                    .column("x").to_pylist())
+    assert 1005 not in head_x and 1060 not in head_x
+    assert len(head_x) == 198
+    # time travel: version 1 still has the deleted rows
+    old_x = collect_table(tl.read_table(table, version=1)) \
+        .column("x").to_pylist()
+    assert 1005 in old_x
+    # no-op delete: every target outside every zone map
+    assert tl.delete_where(table, "x", [5_000_000]) == -1
+    # vacuum with retention 1 reclaims the rewritten original
+    deleted = tl.vacuum(table, keep_versions=1)
+    for n in removed:
+        assert n in deleted
+
+
+def test_optimize_binpacks_preserving_content(ray_session, tmp_path):
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from raydoc.functions._collect import collect_table
+    from raydoc.state import table_log as tl
+
+    table = str(tmp_path / "t")
+    for off in range(0, 500, 100):        # 5 appends → >= 5 shards
+        tl.append(rd.from_arrow(pa.table({
+            "x": pa.array(range(off, off + 100), pa.int64())})), table,
+            shard_rows=40, stats_cols=["x"])
+    n_before = len(tl.snapshot(table)["files"])
+    assert n_before >= 5
+    v = tl.optimize(table, target_rows=250)
+    assert v == 5
+    snap = tl.snapshot(table)
+    assert len(snap["files"]) < n_before
+    xs = sorted(collect_table(tl.read_table(table))
+                .column("x").to_pylist())
+    assert xs == list(range(500))
+    assert tl.optimize(table, target_rows=10 ** 6) in (6, -1)
