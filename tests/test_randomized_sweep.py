@@ -125,6 +125,10 @@ SWEEP = [
     "ann_topk", "embedding_neardups", "knn_graph", "label_centroids",
     "semantic_clusters", "semantic_dedup", "rrf_fusion",
     "embedding_dbscan",
+    # interchange roundtrips (sink → source → checksum; commas, quotes,
+    # embedded markup and URLs in text are the stress case)
+    "csv_roundtrip_stats", "avro_roundtrip_stats", "orc_roundtrip_stats",
+    "warc_roundtrip_stats", "jsonl_gz_roundtrip_stats", "media_meta",
 ]
 
 

@@ -78,6 +78,7 @@ SWEEP = [
     "conversion_latency", "clicks_after_error", "session_outage_overlap",
     "top_session_paths", "value_acf_by_type", "user_value_ewma",
     "asof_last_view", "asof_nearest_view", "asof_recent_view",
+    "orders_time_travel", "orders_gdpr_delete",
 ]
 
 
