@@ -183,7 +183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from raydoc.functions import orcio
     from raydoc.functions import profile, relational, similarity, sketches
     from raydoc.functions import audit, mltree, textstats, windows
-    from raydoc.state import lsh_index, table_log
+    from raydoc.state import lsh_index, matview, table_log
     from raydoc.sources import warc as warcsrc
 
     return {
@@ -372,6 +372,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "attribution_linear": windows.attribution_linear,
         "orders_time_travel": table_log.orders_time_travel,
         "orders_gdpr_delete": table_log.orders_gdpr_delete,
+        "events_matview": matview.events_matview,
         "benford_values": audit.benford_values,
         "cohen_kappa": audit.cohen_kappa,
         "association_rules": audit.association_rules,
@@ -3087,6 +3088,12 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT node, NULL, NULL, CAST(n AS BIGINT), CAST(s AS BIGINT) FROM leaves)
             ORDER BY node""",
+        "events_matview": """
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT)
+                       AS sum_cents
+            FROM events WHERE event_id % 1000 <> 0
+            GROUP BY event_type ORDER BY event_type""",
         "orders_gdpr_delete": """
             SELECT CAST(0 AS BIGINT) AS version,
                    CAST(COUNT(*) AS BIGINT) AS n_orders,

@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "incremental_neardup_stats",
     "textrank_windows",
     "orders_gdpr_delete",
+    "events_matview",
     "csv_roundtrip_stats",
     "avro_roundtrip_stats",
     "value_regression_tree",

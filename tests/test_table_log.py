@@ -273,3 +273,54 @@ def test_optimize_binpacks_preserving_content(ray_session, tmp_path):
                 .column("x").to_pylist())
     assert xs == list(range(500))
     assert tl.optimize(table, target_rows=10 ** 6) in (6, -1)
+
+
+def test_matview_incremental_equals_recompute(ray_session, tmp_path):
+    """Refresh folds only new shards; after appends, deletes and
+    optimize, the view always equals a full recompute of the head."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from raydoc.functions._collect import collect_table
+    from raydoc.state import table_log as tl
+    from raydoc.state.matview import read_matview, refresh_matview
+
+    table, view = str(tmp_path / "t"), str(tmp_path / "v")
+
+    def tbl(lo, hi):
+        return rd.from_arrow(pa.table({
+            "k": pa.array([i % 3 for i in range(lo, hi)], pa.int64()),
+            "x": pa.array(range(lo, hi), pa.int64()),
+            "v": pa.array([i * 10 for i in range(lo, hi)], pa.int64())}))
+
+    def expected():
+        df = collect_table(tl.read_table(table)).to_pandas()
+        g = df.groupby("k").agg(n_rows=("k", "size"), sum_v=("v", "sum"))
+        return sorted(map(tuple, g.reset_index().itertuples(index=False)))
+
+    def view_rows():
+        df = collect_table(read_matview(view)).to_pandas()
+        return sorted(map(tuple,
+                          df[["k", "n_rows", "sum_v"]]
+                          .itertuples(index=False)))
+
+    tl.append(tbl(0, 100), table, shard_rows=30, stats_cols=["x"])
+    r = refresh_matview(table, view, ["k"], ["v"])
+    assert r["mode"] == "incremental" and view_rows() == expected()
+
+    r = refresh_matview(table, view, ["k"], ["v"])
+    assert r["mode"] == "noop"
+
+    tl.append(tbl(100, 150), table, shard_rows=30, stats_cols=["x"])
+    r = refresh_matview(table, view, ["k"], ["v"])
+    assert r["mode"] == "incremental" and r["new_files"] >= 1
+    assert view_rows() == expected()
+
+    tl.delete_where(table, "x", [5, 17, 120])
+    r = refresh_matview(table, view, ["k"], ["v"])
+    assert r["mode"] == "rebuild" and view_rows() == expected()
+
+    tl.optimize(table, target_rows=1000)
+    r = refresh_matview(table, view, ["k"], ["v"])
+    assert r["mode"] == "rebuild" and view_rows() == expected()
