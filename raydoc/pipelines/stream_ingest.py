@@ -52,10 +52,15 @@ def _relpaths(files: list[str], input_dir: str) -> list[str]:
 def ingest_new_shards(input_dir: str, table_dir: str,
                       cfg: PipelineConfig = DEFAULT_CONFIG,
                       group_size: int = 16,
-                      stats_cols: list[str] | None = None
+                      stats_cols: list[str] | None = None,
+                      matviews: list[tuple] | None = None
                       ) -> dict[str, Any]:
     """Extract-and-commit every input shard not yet in the table log.
-    Returns a report (files seen/new/ingested, rows, versions)."""
+    Returns a report (files seen/new/ingested, rows, versions).
+    ``matviews`` = [(view_dir, group_cols, sum_cols), ...]: after any
+    commit lands, each materialized view refreshes incrementally
+    (state/matview.py), so downstream rollups stay current with zero
+    extra passes over old data."""
     files = list_parquet_files(input_dir)
     rels = _relpaths(files, input_dir)
     done = table_log.ingested_sources(table_dir)
@@ -81,6 +86,11 @@ def ingest_new_shards(input_dir: str, table_dir: str,
             a.get("n_rows", 0)
             for a in table_log.commit_info(table_dir, version)["actions"]
             if "add" in a)
+    if report["versions"] and matviews:
+        from raydoc.state.matview import refresh_matview
+        report["matviews"] = [
+            refresh_matview(table_dir, vd, gc, sc)
+            for vd, gc, sc in matviews]
     return report
 
 

@@ -105,3 +105,38 @@ def test_watch_bounded_rounds(ray_session, tmp_path):
     assert len(reports) == 2
     assert reports[0]["files_ingested"] == 1
     assert reports[1]["files_ingested"] == 0
+
+
+def test_ingest_refreshes_matviews(ray_session, tmp_path):
+    """The ingestion loop keeps a materialized rollup current: after
+    each round the view equals a full recompute of the landed table."""
+    from raydoc.functions._collect import collect_table
+    from raydoc.state.matview import read_matview
+
+    inp, table = tmp_path / "in", str(tmp_path / "table")
+    view = str(tmp_path / "view")
+    inp.mkdir()
+    _shard(inp / "a.parquet", seed=41)
+    mv = [(view, ["language"], ["quality_score"])]
+
+    r1 = ingest_new_shards(str(inp), table, group_size=4, matviews=mv)
+    assert r1["matviews"][0]["mode"] == "incremental"
+
+    def recompute():
+        df = collect_table(table_log.read_table(table)).to_pandas()
+        g = df.groupby("language").agg(n_rows=("language", "size"),
+                                       s=("quality_score", "sum"))
+        return {(k, int(v.n_rows), float(round(v.s, 6)))
+                for k, v in g.iterrows()}
+
+    def view_rows():
+        df = collect_table(read_matview(view)).to_pandas()
+        return {(r.language, int(r.n_rows),
+                 float(round(r.sum_quality_score, 6)))
+                for r in df.itertuples(index=False)}
+
+    assert view_rows() == recompute()
+    _shard(inp / "b.parquet", seed=42)
+    r2 = ingest_new_shards(str(inp), table, group_size=4, matviews=mv)
+    assert r2["matviews"][0]["mode"] == "incremental"
+    assert view_rows() == recompute()
