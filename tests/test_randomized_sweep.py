@@ -107,7 +107,7 @@ SWEEP = [
     "value_band_pairs", "value_decile", "value_histogram",
     "value_hour_corr", "value_iqr_outliers", "value_percentiles",
     "value_target_encode", "value_trend_by_type", "value_winsorized",
-    "resample_ffill",
+    "resample_ffill", "zonemap_value_scan", "zorder_box_scan",
     # documents / text
     "token_counts", "bpe_token_counts", "quality_counters",
     "gopher_quality", "fingerprints", "lexical_diversity",

@@ -140,3 +140,20 @@ def test_ingest_refreshes_matviews(ray_session, tmp_path):
     r2 = ingest_new_shards(str(inp), table, group_size=4, matviews=mv)
     assert r2["matviews"][0]["mode"] == "incremental"
     assert view_rows() == recompute()
+
+
+def test_append_once_concurrent_race_single_winner(ray_session, tmp_path):
+    """TRUE concurrency: two threads race append_once with the same
+    source tag against one table — exactly one commits, the loser
+    aborts, and the table holds exactly one copy."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    table = str(tmp_path / "table")
+    ds = rd.from_arrow(pa.table({"x": pa.array(range(50), pa.int64())}))
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        futs = [ex.submit(table_log.append_once, ds, table, ["race-tag"])
+                for _ in range(2)]
+        results = [f.result() for f in futs]
+    assert results.count(None) == 1 and 0 in results
+    assert table_log.read_table(table).count() == 50
+    assert table_log.ingested_sources(table) == {"race-tag"}
