@@ -360,6 +360,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_counts": textstats.bpe_token_counts,
         "loss_mask_spans": textstats.loss_mask_spans,
         "textrank_windows": textstats.textrank_windows,
+        "curriculum_order": textstats.curriculum_order,
         "redact_pii": textstats.redact_pii,
         "paragraph_dedup_stats": textstats.paragraph_dedup_stats,
         "markdown_to_txt": textstats.markdown_to_txt_docs,
@@ -3088,6 +3089,14 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT node, NULL, NULL, CAST(n AS BIGINT), CAST(s AS BIGINT) FROM leaves)
             ORDER BY node""",
+        "curriculum_order": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]'))
+                        AS BIGINT) AS score,
+                   CAST(ROW_NUMBER() OVER (
+                       ORDER BY len(regexp_extract_all(text, '[A-Za-z]')),
+                                doc_id) AS BIGINT) AS curriculum_rank
+            FROM documents ORDER BY doc_id""",
         "events_matview": """
             SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
                    CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT)

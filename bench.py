@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "textrank_windows",
     "orders_gdpr_delete",
     "events_matview",
+    "curriculum_order",
     "csv_roundtrip_stats",
     "avro_roundtrip_stats",
     "value_regression_tree",

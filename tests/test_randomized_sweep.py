@@ -115,7 +115,7 @@ SWEEP = [
     "dup_ngram_fraction", "strip_dup_ngrams", "html_docs",
     "extract_mentions", "canonical_urls", "chunk_documents",
     "inverted_index", "pmi_collocations", "top_terms_by_lang",
-    "domain_mix", "dedup_exact", "simhash_signatures",
+    "domain_mix", "dedup_exact", "simhash_signatures", "curriculum_order",
     "uniform_sample_md5", "weighted_sample", "train_test_split",
     "domain_temperature_sample", "paragraph_dedup_global",
     "pii_by_source", "corpus_quality_report", "markdown_to_txt",
