@@ -76,6 +76,10 @@ def refresh_matview(table_dir: str, view_dir: str,
         spec[f"sum_{c}"] = (c, "sum")
 
     def read_shards(files: list[str]) -> rd.Dataset:
+        if not files:       # fully-emptied table (e.g. delete-all)
+            empty = {c: pa.array([], pa.string()) for c in group_cols}
+            empty |= {c: pa.array([], pa.int64()) for c in sum_cols}
+            return rd.from_arrow(pa.table(empty))
         return rd.read_parquet([os.path.join(table_dir, n)
                                 for n in sorted(files)],
                                columns=group_cols + sum_cols)
