@@ -361,6 +361,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "loss_mask_spans": textstats.loss_mask_spans,
         "textrank_windows": textstats.textrank_windows,
         "curriculum_order": textstats.curriculum_order,
+        "pack_conversations": textstats.pack_conversations,
         "redact_pii": textstats.redact_pii,
         "paragraph_dedup_stats": textstats.paragraph_dedup_stats,
         "markdown_to_txt": textstats.markdown_to_txt_docs,
@@ -3089,6 +3090,47 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT node, NULL, NULL, CAST(n AS BIGINT), CAST(s AS BIGINT) FROM leaves)
             ORDER BY node""",
+        # greedy no-split packing: recursive CTE stepping rn→rn+1 per
+        # bucket = the engine's per-bucket sequential fold
+        "pack_conversations": r"""
+            WITH RECURSIVE n AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(text,
+                          '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+'))
+                          AS BIGINT) AS n_tok
+              FROM documents
+            ),
+            mx AS (SELECT MAX(doc_id) + 1 AS span FROM n),
+            r AS (
+              SELECT doc_id, n_tok,
+                     CAST(doc_id * 8 // (SELECT span FROM mx) AS BIGINT)
+                         AS bucket,
+                     ROW_NUMBER() OVER (
+                         PARTITION BY doc_id * 8 // (SELECT span FROM mx)
+                         ORDER BY doc_id) AS rn
+              FROM n
+            ),
+            packed AS (
+              SELECT bucket, rn, doc_id, n_tok,
+                     CAST(0 AS BIGINT) AS seq_in_bucket,
+                     CAST(0 AS BIGINT) AS tok_start_in_seq,
+                     n_tok AS cum
+              FROM r WHERE rn = 1
+              UNION ALL
+              SELECT r.bucket, r.rn, r.doc_id, r.n_tok,
+                     CASE WHEN p.cum + r.n_tok > 512
+                          THEN p.seq_in_bucket + 1
+                          ELSE p.seq_in_bucket END,
+                     CASE WHEN p.cum + r.n_tok > 512 THEN 0
+                          ELSE p.cum END,
+                     CASE WHEN p.cum + r.n_tok > 512
+                          THEN r.n_tok ELSE p.cum + r.n_tok END
+              FROM packed p JOIN r
+                ON r.bucket = p.bucket AND r.rn = p.rn + 1
+            )
+            SELECT doc_id, n_tok AS n_tokens, bucket, seq_in_bucket,
+                   tok_start_in_seq
+            FROM packed ORDER BY doc_id""",
         "curriculum_order": """
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text, '[A-Za-z]'))

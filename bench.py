@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "orders_gdpr_delete",
     "events_matview",
     "curriculum_order",
+    "pack_conversations",
     "csv_roundtrip_stats",
     "avro_roundtrip_stats",
     "value_regression_tree",

@@ -2435,3 +2435,71 @@ def curriculum_order(sf_dir: str, num_buckets: int = 64) -> pa.Table:
     out = collect_table(bucketed.groupby("bucket").map_groups(
         per_bucket, batch_format="pandas"))
     return out.sort_by("doc_id")
+
+
+def pack_conversations(sf_dir: str, budget: int = 512,
+                       num_buckets: int = 8) -> pa.Table:
+    """(doc_id, n_tokens, bucket, seq_in_bucket, tok_start_in_seq):
+    conversation-aware greedy sequence packing — unlike
+    ``pack_sequences`` (which CUTS the token stream at exact budget
+    boundaries), an SFT packer must keep each conversation whole: in
+    doc order, a conversation opens a new sequence iff appending it
+    would exceed ``budget`` (an oversized conversation gets its own
+    sequence). Sequences never span the ``num_buckets``
+    ORDER-PRESERVING doc-id ranges — exactly the shard-local packing
+    real pipelines run (boundary waste ≤ one partial sequence per
+    bucket; buckets scale with the cluster so the per-bucket
+    sequential fold stays bounded).
+
+    Shape: one vectorized token-count pass (Arrow RE2), one bucket
+    exchange, and a per-bucket greedy fold over conversation COUNTS
+    (never text). DuckDB twin: recursive CTE stepping rn→rn+1 per
+    bucket (__ray_entry__.oracle_sql()['pack_conversations'])."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def count_fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_id" not in t.schema.names:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64())})
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "n_tokens": pc.cast(pc.count_substring_regex(
+                pc.fill_null(t["text"], ""), _BPE_SPLIT.pattern),
+                pa.int64())})
+
+    counts = ds.map_batches(count_fn, batch_format="pyarrow").materialize()
+    span = counts.max("doc_id") + 1
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.divide(pc.multiply(t["doc_id"], num_buckets),
+                              span), pa.int64())
+        return t.append_column("bucket", b)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", ignore_index=True)
+        toks = g["n_tokens"].to_numpy()
+        seq = np.empty(len(g), np.int64)
+        off = np.empty(len(g), np.int64)
+        s, cum = 0, 0
+        for i, nt in enumerate(toks):
+            if i and cum + nt > budget:
+                s, cum = s + 1, 0
+            elif not i:
+                s, cum = 0, 0
+            off[i] = cum
+            seq[i] = s
+            cum += nt
+        g["seq_in_bucket"] = seq
+        g["tok_start_in_seq"] = off
+        return g[["doc_id", "n_tokens", "bucket", "seq_in_bucket",
+                  "tok_start_in_seq"]]
+
+    out = collect_table(
+        counts.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket").map_groups(per_bucket, batch_format="pandas"))
+    return out.sort_by("doc_id")

@@ -116,6 +116,7 @@ SWEEP = [
     "extract_mentions", "canonical_urls", "chunk_documents",
     "inverted_index", "pmi_collocations", "top_terms_by_lang",
     "domain_mix", "dedup_exact", "simhash_signatures", "curriculum_order",
+    "pack_conversations",
     "uniform_sample_md5", "weighted_sample", "train_test_split",
     "domain_temperature_sample", "paragraph_dedup_global",
     "pii_by_source", "corpus_quality_report", "markdown_to_txt",
