@@ -297,3 +297,28 @@ def test_textrank_windows_invariants(ray_session):
     assert set(out["doc_id"]) == {d for d, v in texts.items()
                                   if re.findall(r"[a-z0-9]+",
                                                 (v or "").lower())}
+
+
+def test_pack_conversations_invariants(ray_session):
+    """Every sequence fits the budget unless it is a single oversized
+    conversation; within a sequence offsets are contiguous in doc order;
+    every document appears exactly once."""
+    import duckdb
+
+    from raydoc.functions.textstats import pack_conversations
+
+    sf = "/root/testdata/sf0.001"
+    budget = 512
+    out = pack_conversations(sf, budget=budget).to_pandas()
+    n_docs = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{sf}/documents.parquet')"
+    ).fetchone()[0]
+    assert len(out) == n_docs and out["doc_id"].is_unique
+    for (_b, _s), g in out.groupby(["bucket", "seq_in_bucket"]):
+        g = g.sort_values("doc_id")
+        total = int(g["n_tokens"].sum())
+        assert total <= budget or len(g) == 1       # oversized singleton
+        starts = g["tok_start_in_seq"].to_numpy()
+        toks = g["n_tokens"].to_numpy()
+        assert starts[0] == 0
+        assert (starts[1:] == (starts + toks)[:-1]).all()
