@@ -13,14 +13,13 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
-SEED = 4321
 _SRC = "/root/testdata/sf0.001"
 _TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
            "lineitem", "events", "documents", "embeddings")
 
 
-def _write_corpus(tmp_path):
-    rng = np.random.RandomState(SEED)
+def _write_corpus(tmp_path, seed):
+    rng = np.random.RandomState(seed)
     for name in _TABLES:
         t = pq.read_table(f"{_SRC}/{name}.parquet")
         cols = {}
@@ -32,9 +31,10 @@ def _write_corpus(tmp_path):
     return str(tmp_path)
 
 
-@pytest.fixture(scope="module")
-def corpus(tmp_path_factory):
-    return _write_corpus(tmp_path_factory.mktemp("tpch_sweep"))
+@pytest.fixture(scope="module", params=[4321, 8765])
+def corpus(request, tmp_path_factory):
+    return _write_corpus(tmp_path_factory.mktemp("tpch_sweep"),
+                         request.param)
 
 
 def _sql(sf, q):
