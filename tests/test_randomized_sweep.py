@@ -13,11 +13,8 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
-SEED = 1234
-
-
-def _write_corpus(tmp_path):
-    rng = np.random.RandomState(SEED)
+def _write_corpus(tmp_path, seed):
+    rng = np.random.RandomState(seed)
     n = 2500
     users = rng.zipf(1.3, n) % 31
     ts = pd.to_datetime(
@@ -67,9 +64,10 @@ def _write_corpus(tmp_path):
     return str(tmp_path)
 
 
-@pytest.fixture(scope="module")
-def corpus(tmp_path_factory):
-    return _write_corpus(tmp_path_factory.mktemp("sweep"))
+@pytest.fixture(scope="module", params=[1234, 5678])
+def corpus(request, tmp_path_factory):
+    return _write_corpus(tmp_path_factory.mktemp("sweep"),
+                         request.param)
 
 
 def _sql(sf, q):
