@@ -374,6 +374,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "attribution_linear": windows.attribution_linear,
         "orders_time_travel": table_log.orders_time_travel,
         "orders_gdpr_delete": table_log.orders_gdpr_delete,
+        "orders_merge_upsert": table_log.orders_merge_upsert,
+        "orders_table_changes": table_log.orders_table_changes,
+        "orders_schema_evolution": table_log.orders_schema_evolution,
         "events_matview": matview.events_matview,
         "benford_values": audit.benford_values,
         "cohen_kappa": audit.cohen_kappa,
@@ -3168,6 +3171,70 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT)
             FROM orders
             ORDER BY version""",
+        "orders_merge_upsert": """
+            -- twin of table_log.orders_merge_upsert: version 0 = the
+            -- raw table; version 1 = MERGE applied (keys %37 updated
+            -- to price+1.00, a -k-1 insert per key %53)
+            WITH base AS (
+                SELECT CAST(o_orderkey AS BIGINT) AS k,
+                       CAST(ROUND(o_totalprice*100) AS BIGINT) AS c
+                FROM orders),
+            merged AS (
+                SELECT CAST(o_orderkey AS BIGINT) AS k,
+                       CAST(ROUND(o_totalprice*100) AS BIGINT) AS c
+                FROM orders WHERE o_orderkey % 37 <> 0
+                UNION ALL
+                SELECT CAST(o_orderkey AS BIGINT),
+                       CAST(ROUND((o_totalprice + 1.0)*100) AS BIGINT)
+                FROM orders WHERE o_orderkey % 37 = 0
+                UNION ALL
+                SELECT CAST(-o_orderkey - 1 AS BIGINT),
+                       CAST(ROUND(o_totalprice*100) AS BIGINT)
+                FROM orders WHERE o_orderkey % 53 = 0)
+            SELECT CAST(0 AS BIGINT) AS version,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(c) AS BIGINT) AS sum_cents,
+                   CAST(SUM(k) AS BIGINT) AS key_sum
+            FROM base
+            UNION ALL
+            SELECT 1, CAST(COUNT(*) AS BIGINT), CAST(SUM(c) AS BIGINT),
+                   CAST(SUM(k) AS BIGINT)
+            FROM merged
+            ORDER BY version""",
+        "orders_table_changes": """
+            -- twin of table_log.orders_table_changes: the CDF of the
+            -- two appends (inserts) and the GDPR delete (deletes)
+            WITH o AS (
+                SELECT CAST(o_orderkey AS BIGINT) AS k, o_custkey,
+                       o_orderdate,
+                       CAST(ROUND(o_totalprice*100) AS BIGINT) AS c
+                FROM orders)
+            SELECT CAST(0 AS BIGINT) AS version, 'insert' AS change,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COALESCE(SUM(c), 0) AS BIGINT) AS sum_cents,
+                   CAST(COALESCE(SUM(k), 0) AS BIGINT) AS key_sum
+            FROM o WHERE o_orderdate < TIMESTAMP '1998-01-01'
+            UNION ALL
+            SELECT 1, 'insert', CAST(COUNT(*) AS BIGINT),
+                   CAST(COALESCE(SUM(c), 0) AS BIGINT),
+                   CAST(COALESCE(SUM(k), 0) AS BIGINT)
+            FROM o WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+            UNION ALL
+            SELECT 2, 'delete', CAST(COUNT(*) AS BIGINT),
+                   CAST(COALESCE(SUM(c), 0) AS BIGINT),
+                   CAST(COALESCE(SUM(k), 0) AS BIGINT)
+            FROM o WHERE o_custkey % 97 = 0
+            ORDER BY version""",
+        "orders_schema_evolution": """
+            -- twin of table_log.orders_schema_evolution: even keys
+            -- committed before the priority column existed (nulls →
+            -- '<none>'), odd keys carry it
+            SELECT CASE WHEN o_orderkey % 2 = 0 THEN '<none>'
+                        ELSE o_orderpriority END AS o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))
+                        AS BIGINT) AS sum_cents
+            FROM orders GROUP BY 1 ORDER BY o_orderpriority""",
         "attribution_linear": """
             WITH v AS (SELECT event_id, user_id, ts FROM events
                        WHERE event_type = 'view'),

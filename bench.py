@@ -36,6 +36,9 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # order. extract_turns (the flagship) is timed separately via run_job so the
 # number includes the checkpointed parquet write + manifests.
 BENCH_QUERIES = [
+    "orders_merge_upsert",
+    "orders_table_changes",
+    "orders_schema_evolution",
     "loss_mask_spans",
     "incremental_neardup_stats",
     "textrank_windows",

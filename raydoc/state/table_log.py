@@ -265,7 +265,8 @@ def overwrite(ds: rd.Dataset, table_dir: str, shard_rows: int = 250_000,
 
 def read_table(table_dir: str, version: int | None = None,
                columns: list[str] | None = None,
-               where: tuple | None = None) -> rd.Dataset:
+               where: tuple | None = None,
+               unify: bool = False) -> rd.Dataset:
     """Stream a snapshot (default: latest) as a Ray Dataset — the
     time-travel read. Column pruning pushes into the parquet reader;
     ``where=(col, lo, hi)`` (inclusive; timestamps as epoch-us ints)
@@ -273,7 +274,16 @@ def read_table(table_dir: str, version: int | None = None,
     file opens — the Iceberg manifest-stats read path. Shards without
     stats for ``col`` are conservatively kept, and the filter is only
     a pruning hint: rows outside the range in surviving shards still
-    stream (exact filtering stays the caller's map stage)."""
+    stream (exact filtering stays the caller's map stage).
+
+    ``unify=True`` is the schema-evolution read: shards written under
+    DIFFERENT schema versions (a column added by a later append) read
+    under their union schema — per-shard footers group the live set by
+    schema fingerprint (driver-side, footer-only: O(shards), the same
+    budget as the zone-map scan), each group reads with its own
+    pruned column list, and every batch widens map-side to the unified
+    schema (missing columns become typed nulls — the
+    sources/evolved.py discipline)."""
     snap = snapshot(table_dir, version)
     live = snap["files"]
     names = sorted(live)
@@ -290,7 +300,38 @@ def read_table(table_dir: str, version: int | None = None,
         raise ValueError(
             f"version {snap['version']} of {table_dir!r} is empty "
             f"(or fully pruned)")
-    return rd.read_parquet(files, columns=columns)
+    if not unify:
+        return rd.read_parquet(files, columns=columns)
+
+    import pyarrow.parquet as pq
+
+    from raydoc.sources.evolved import widen_to_schema
+
+    groups: dict[bytes, list[str]] = {}
+    schemas: dict[bytes, pa.Schema] = {}
+    for f in files:
+        s = pq.read_schema(f)
+        k = s.serialize().to_pybytes()
+        groups.setdefault(k, []).append(f)
+        schemas[k] = s
+    target = pa.unify_schemas(list(schemas.values()))
+    if columns is not None:
+        target = pa.schema([target.field(c) for c in columns])
+    want = [f.name for f in target]
+    parts = []
+    for k in sorted(groups):
+        have = [c for c in want if c in schemas[k].names]
+        # a shard with NONE of the requested columns still contributes
+        # its row count — read its narrowest column to keep the rows
+        cols = have or [schemas[k].names[0]]
+        ds = rd.read_parquet(groups[k], columns=cols)
+        parts.append(ds.map_batches(
+            lambda t, _tg=target: widen_to_schema(t, _tg),
+            batch_format="pyarrow"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
 
 
 def delete_where(table_dir: str, col: str, values) -> int:
@@ -342,6 +383,127 @@ def delete_where(table_dir: str, col: str, values) -> int:
                        if n in live and n not in new_names]
 
     return _try_commit(table_dir, actions, f"delete:{col}")
+
+
+def merge_into(changes: rd.Dataset, table_dir: str, key: str,
+               shard_rows: int = 250_000) -> int:
+    """MERGE (upsert) ``changes`` into the table by ``key`` — the Delta
+    ``MERGE INTO`` shape: a table row whose key appears in ``changes``
+    is REPLACED by the change row, keys with no match INSERT. One
+    distributed pass, ONE commit: shards whose commit-recorded zone
+    maps cannot contain a changed key are untouched; every possibly-
+    affected shard rewrites without the matched rows, and the change
+    rows land as fresh shards in the same commit.
+
+    Scale contract (the ``delete_where`` one): the DISTINCT change
+    keys fold to the driver through a combiner — key scalars only,
+    never change payloads; a merge whose key set cannot fit the driver
+    should be expressed as a partitioned overwrite instead. ``changes``
+    must be unique per key (last-writer-wins resolution is the
+    caller's CDC step — see relational.q_orders_apply_changes) and
+    must match the table schema."""
+    import bisect
+
+    import pyarrow.compute as pc
+
+    from raydoc.functions.agg import partial_groupby
+
+    keys_t = collect_table(partial_groupby(
+        changes.select_columns([key]), [key], {"n": (key, "count")}))
+    vals = sorted(keys_t.column(key).to_pylist())
+    head = latest_version(table_dir)
+    snap = snapshot(table_dir, head)
+    touched = []
+    for name, meta in sorted(snap["files"].items()):
+        st = meta.get("stats", {}).get(key)
+        if st is None:
+            touched.append(name)
+            continue
+        i = bisect.bisect_left(vals, st[0])
+        if i < len(vals) and vals[i] <= st[1]:
+            touched.append(name)
+    stats_cols = sorted({c for m in snap["files"].values()
+                         for c in m.get("stats", {})})
+    val_arr = pa.array(vals)
+
+    def drop_matched(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or key not in t.schema.names:
+            return t
+        return t.filter(pc.invert(pc.is_in(t[key], value_set=val_arr)))
+
+    if touched:
+        kept = rd.read_parquet(
+            [os.path.join(table_dir, n) for n in touched]).map_batches(
+            drop_matched, batch_format="pyarrow")
+        merged = kept.union(changes)
+    else:
+        merged = changes
+    adds = _write_shards(merged, table_dir, shard_rows,
+                         stats_cols=stats_cols or None)
+    new_names = {a["add"] for a in adds}
+
+    def actions(h):
+        live = snapshot(table_dir, h)["files"] if h is not None else {}
+        return adds + [{"remove": n} for n in sorted(touched)
+                       if n in live and n not in new_names]
+
+    return _try_commit(table_dir, actions, f"merge:{key}")
+
+
+def table_changes(table_dir: str, version: int) -> rd.Dataset:
+    """Row-level change-data-feed of commit ``version`` (the Delta CDF
+    analog): what a downstream consumer must apply to move from
+    snapshot ``version-1`` to snapshot ``version``. Returns a Dataset
+    of the table columns plus ``change`` ('insert' | 'delete') and
+    ``n`` (multiplicity) — rows that merely moved between shards
+    (compaction, the kept side of a delete rewrite) cancel out.
+
+    Shape: the files ADDED by the commit stream with tag +1, the files
+    REMOVED stream with tag −1, and one combiner groupby over the full
+    row folds the multiset difference — the ``except_all`` discipline
+    over whole rows; nothing but the surviving net-change rows leaves
+    the workers. Add-actions for files already live at ``version-1``
+    (a rewrite that reproduced identical content) are ignored."""
+    ci = commit_info(table_dir, version)
+    prev_live = (set(snapshot(table_dir, version - 1)["files"])
+                 if version > 0 else set())
+    adds = [a["add"] for a in ci["actions"]
+            if "add" in a and a["add"] not in prev_live]
+    removes = [a["remove"] for a in ci["actions"]
+               if "remove" in a and a["remove"] in prev_live]
+
+    from raydoc.functions.agg import partial_groupby
+
+    def tagged(names: list[str], tag: int) -> rd.Dataset | None:
+        if not names:
+            return None
+        ds = rd.read_parquet([os.path.join(table_dir, n)
+                              for n in names])
+        return ds.map_batches(
+            lambda t, _g=tag: t.append_column(
+                "tag", pa.array([_g] * t.num_rows, pa.int64())),
+            batch_format="pyarrow")
+
+    plus, minus = tagged(adds, 1), tagged(removes, -1)
+    if plus is None and minus is None:
+        raise ValueError(f"commit {version} changed no files")
+    both = plus.union(minus) if plus is not None and minus is not None \
+        else (plus if plus is not None else minus)
+    data_cols = [c for c in both.schema().names if c != "tag"]
+    folded = partial_groupby(both, data_cols, {"delta": ("tag", "sum")})
+
+    def finalize(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        if t.num_rows == 0 or "delta" not in t.schema.names:
+            return t
+        t = t.filter(pc.not_equal(t["delta"], 0))
+        change = pc.if_else(pc.greater(t["delta"], 0),
+                            pa.scalar("insert"), pa.scalar("delete"))
+        out = t.drop_columns(["delta"])
+        return out.append_column("change", change).append_column(
+            "n", pc.abs(t["delta"]))
+
+    return folded.map_batches(finalize, batch_format="pyarrow")
 
 
 def optimize(table_dir: str, target_rows: int = 250_000) -> int:
@@ -522,3 +684,270 @@ def orders_gdpr_delete(sf_dir: str, mod: int = 97) -> pa.Table:
         "version": pa.array([o[0] for o in outs], pa.int64()),
         "n_orders": pa.array([o[1] for o in outs], pa.int64()),
         "sum_cents": pa.array([o[2] for o in outs], pa.int64())})
+
+
+def _agg_snapshot(ds: rd.Dataset) -> tuple[int, int, int]:
+    """(n_orders, sum_cents, key_sum) of an orders snapshot — integer
+    cents so the oracle hash is bit-exact."""
+    import pyarrow.compute as pc
+
+    from raydoc.functions.agg import partial_groupby
+
+    def m(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "o_totalprice" not in t.schema.names:
+            return pa.table({"k": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64())})
+        return pa.table({
+            "k": pa.array([0] * t.num_rows, pa.int64()),
+            "n": pa.array([1] * t.num_rows, pa.int64()),
+            "c": pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+                         pa.int64()),
+            "s": pc.cast(t["o_orderkey"], pa.int64())})
+
+    g = collect_table(partial_groupby(
+        ds.map_batches(m, batch_format="pyarrow"), ["k"],
+        {"n_orders": ("n", "sum"), "sum_cents": ("c", "sum"),
+         "key_sum": ("s", "sum")}))
+    if g.num_rows == 0:
+        return 0, 0, 0
+    return (int(g.column("n_orders")[0].as_py()),
+            int(g.column("sum_cents")[0].as_py()),
+            int(g.column("key_sum")[0].as_py()))
+
+
+def _mod_eq(col: pa.ChunkedArray, m: int, r: int):
+    """Arrow boolean mask col % m == r (non-negative ints)."""
+    import pyarrow.compute as pc
+
+    ids = pc.cast(col, pa.int64())
+    rem = pc.subtract(ids, pc.multiply(
+        pc.divide(ids, pa.scalar(m, pa.int64())),
+        pa.scalar(m, pa.int64())))
+    return pc.equal(rem, pa.scalar(r, pa.int64()))
+
+
+def orders_merge_upsert(sf_dir: str) -> pa.Table:
+    """(version, n_orders, sum_cents, key_sum): end-to-end proof of
+    ``merge_into`` — every order commits as version 0 (orderkey zone
+    maps), then ONE merge applies a CDC batch that UPDATES every order
+    with ``o_orderkey % 37 == 0`` (price +1.00) and INSERTS a synthetic
+    order with key ``-o_orderkey-1`` for every ``o_orderkey % 53 == 0``
+    (negative keys prove the no-touch insert path: no live shard's
+    zone map admits them). Both snapshots aggregate in integer cents +
+    an orderkey checksum, so a merge that drops, duplicates, or
+    misses a row flips the hash. Scratch table in /tmp per run."""
+    import shutil
+    import tempfile
+
+    import pyarrow.compute as pc
+
+    tdir = os.path.join(
+        tempfile.gettempdir(),
+        f"raydoc_merge_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(tdir, ignore_errors=True)
+
+    src = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                          columns=["o_orderkey", "o_custkey",
+                                   "o_totalprice"])
+    v0 = append(src, tdir, shard_rows=20_000,
+                stats_cols=["o_orderkey"])
+    assert v0 == 0, v0
+
+    def upd(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        t = t.filter(_mod_eq(t["o_orderkey"], 37, 0))
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "o_custkey": t["o_custkey"],
+            "o_totalprice": pc.add(t["o_totalprice"], 1.0)})
+
+    def ins(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        t = t.filter(_mod_eq(t["o_orderkey"], 53, 0))
+        return pa.table({
+            "o_orderkey": pc.subtract(
+                pc.negate(pc.cast(t["o_orderkey"], pa.int64())),
+                pa.scalar(1, pa.int64())),
+            "o_custkey": t["o_custkey"],
+            "o_totalprice": t["o_totalprice"]})
+
+    changes = src.map_batches(upd, batch_format="pyarrow").union(
+        src.map_batches(ins, batch_format="pyarrow"))
+    v1 = merge_into(changes, tdir, key="o_orderkey",
+                    shard_rows=20_000)
+    assert v1 == 1, v1
+
+    rows = []
+    for v in (0, 1):
+        n, c, s = _agg_snapshot(read_table(tdir, version=v))
+        rows.append((v, n, c, s))
+    shutil.rmtree(tdir, ignore_errors=True)
+    return pa.table({
+        "version": pa.array([r[0] for r in rows], pa.int64()),
+        "n_orders": pa.array([r[1] for r in rows], pa.int64()),
+        "sum_cents": pa.array([r[2] for r in rows], pa.int64()),
+        "key_sum": pa.array([r[3] for r in rows], pa.int64())})
+
+
+def orders_table_changes(sf_dir: str, mod: int = 97) -> pa.Table:
+    """(version, change, n_rows, sum_cents, key_sum): end-to-end proof
+    of the row-level change-data-feed — orders split at 1998-01-01
+    commit as versions 0 and 1, a GDPR delete of every customer with
+    ``o_custkey % mod == 0`` commits as version 2, then
+    ``table_changes`` reconstructs each commit's net row delta: pure
+    inserts for the appends, pure deletes for the erasure (rows the
+    delete-rewrite merely MOVED between shards must cancel). The
+    oracle recomputes all three change sets straight off the parquet
+    view. Scratch table in /tmp per run."""
+    import shutil
+    import tempfile
+
+    import pyarrow.compute as pc
+
+    from raydoc.functions.agg import partial_groupby
+
+    cutoff = pa.scalar(883_612_800_000_000, pa.timestamp("us"))
+    tdir = os.path.join(
+        tempfile.gettempdir(),
+        f"raydoc_cdf_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(tdir, ignore_errors=True)
+
+    src = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                          columns=["o_orderkey", "o_custkey",
+                                   "o_orderdate", "o_totalprice"])
+
+    def split(t: pa.Table, old: bool) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"o_orderkey": pa.array([], pa.int64()),
+                             "o_custkey": pa.array([], pa.int64()),
+                             "o_totalprice": pa.array([], pa.float64())})
+        mask = (pc.less(t["o_orderdate"], cutoff) if old
+                else pc.greater_equal(t["o_orderdate"], cutoff))
+        t = t.filter(mask)
+        return t.select(["o_orderkey", "o_custkey", "o_totalprice"])
+
+    v0 = append(src.map_batches(lambda t: split(t, True),
+                                batch_format="pyarrow"),
+                tdir, shard_rows=20_000, stats_cols=["o_custkey"])
+    v1 = append(src.map_batches(lambda t: split(t, False),
+                                batch_format="pyarrow"),
+                tdir, shard_rows=20_000, stats_cols=["o_custkey"])
+    assert (v0, v1) == (0, 1), (v0, v1)
+    max_ck = int(src.max("o_custkey") or 0)
+    v2 = delete_where(tdir, "o_custkey",
+                      list(range(0, max_ck + 1, mod)))
+
+    rows = []
+    for v in (0, 1, 2):
+        if v > (v2 if v2 >= 0 else 1):
+            rows.append((v, "delete", 0, 0, 0))
+            continue
+        cdc = table_changes(tdir, v)
+
+        def m(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "change" not in t.schema.names:
+                return pa.table({"change": pa.array([], pa.string()),
+                                 "n": pa.array([], pa.int64()),
+                                 "c": pa.array([], pa.int64()),
+                                 "s": pa.array([], pa.int64())})
+            n = pc.cast(t["n"], pa.int64())
+            cents = pc.cast(pc.round(pc.multiply(
+                t["o_totalprice"], 100.0)), pa.int64())
+            return pa.table({
+                "change": t["change"], "n": n,
+                "c": pc.multiply(cents, n),
+                "s": pc.multiply(pc.cast(t["o_orderkey"], pa.int64()),
+                                 n)})
+
+        g = collect_table(partial_groupby(
+            cdc.map_batches(m, batch_format="pyarrow"), ["change"],
+            {"n_rows": ("n", "sum"), "sum_cents": ("c", "sum"),
+             "key_sum": ("s", "sum")}))
+        if g.num_rows == 0:
+            rows.append((v, "delete" if v == 2 else "insert", 0, 0, 0))
+            continue
+        for r in g.sort_by("change").to_pylist():
+            rows.append((v, r["change"], int(r["n_rows"]),
+                         int(r["sum_cents"]), int(r["key_sum"])))
+    shutil.rmtree(tdir, ignore_errors=True)
+    return pa.table({
+        "version": pa.array([r[0] for r in rows], pa.int64()),
+        "change": pa.array([r[1] for r in rows], pa.string()),
+        "n_rows": pa.array([r[2] for r in rows], pa.int64()),
+        "sum_cents": pa.array([r[3] for r in rows], pa.int64()),
+        "key_sum": pa.array([r[4] for r in rows], pa.int64())})
+
+
+def orders_schema_evolution(sf_dir: str) -> pa.Table:
+    """(o_orderpriority, n_orders, sum_cents): end-to-end proof of the
+    unified-schema read — even orderkeys commit as version 0 WITHOUT
+    the priority column, odd orderkeys append as version 1 WITH it,
+    and ``read_table(unify=True)`` streams the union schema (nulls for
+    the early shards) through one grouped aggregate. The oracle
+    reproduces the null-fill with a CASE on orderkey parity."""
+    import shutil
+    import tempfile
+
+    import pyarrow.compute as pc
+
+    from raydoc.functions.agg import partial_groupby
+
+    tdir = os.path.join(
+        tempfile.gettempdir(),
+        f"raydoc_evolve_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(tdir, ignore_errors=True)
+
+    src = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                          columns=["o_orderkey", "o_totalprice",
+                                   "o_orderpriority"])
+
+    def old_half(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"o_orderkey": pa.array([], pa.int64()),
+                             "o_totalprice": pa.array([], pa.float64())})
+        t = t.filter(_mod_eq(t["o_orderkey"], 2, 0))
+        return t.select(["o_orderkey", "o_totalprice"])
+
+    def new_half(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "o_orderkey": pa.array([], pa.int64()),
+                "o_totalprice": pa.array([], pa.float64()),
+                "o_orderpriority": pa.array([], pa.string())})
+        return t.filter(_mod_eq(t["o_orderkey"], 2, 1))
+
+    v0 = append(src.map_batches(old_half, batch_format="pyarrow"),
+                tdir, shard_rows=20_000)
+    v1 = append(src.map_batches(new_half, batch_format="pyarrow"),
+                tdir, shard_rows=20_000)
+    assert (v0, v1) == (0, 1), (v0, v1)
+
+    ds = read_table(tdir, unify=True)
+
+    def m(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "o_totalprice" not in t.schema.names:
+            return pa.table({"o_orderpriority": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        pr = t["o_orderpriority"] if "o_orderpriority" in t.schema.names \
+            else pa.nulls(t.num_rows, pa.string())
+        return pa.table({
+            "o_orderpriority": pc.fill_null(pr, "<none>"),
+            "n": pa.array([1] * t.num_rows, pa.int64()),
+            "c": pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+                         pa.int64())})
+
+    g = collect_table(partial_groupby(
+        ds.map_batches(m, batch_format="pyarrow"), ["o_orderpriority"],
+        {"n_orders": ("n", "sum"), "sum_cents": ("c", "sum")}))
+    shutil.rmtree(tdir, ignore_errors=True)
+    if g.num_rows == 0:
+        return pa.table({"o_orderpriority": pa.array([], pa.string()),
+                         "n_orders": pa.array([], pa.int64()),
+                         "sum_cents": pa.array([], pa.int64())})
+    return g.select(["o_orderpriority", "n_orders",
+                     "sum_cents"]).sort_by("o_orderpriority")

@@ -324,3 +324,102 @@ def test_matview_incremental_equals_recompute(ray_session, tmp_path):
     tl.optimize(table, target_rows=1000)
     r = refresh_matview(table, view, ["k"], ["v"])
     assert r["mode"] == "rebuild" and view_rows() == expected()
+
+
+def _kv(keys, vals):
+    return pa.table({"k": pa.array(keys, pa.int64()),
+                     "v": pa.array(vals, pa.int64())})
+
+
+def test_merge_into_update_and_insert(ray_session, tmp_path):
+    """Matched keys replace, unmatched insert; untouchable shards
+    (zone maps exclude every change key) keep their file names."""
+    import ray.data as rd
+
+    from raydoc.state import table_log as tl
+
+    d = str(tmp_path / "t")
+    tl.append(rd.from_arrow(_kv([1, 2, 3, 10, 11, 12], [1] * 6)), d,
+              shard_rows=3, stats_cols=["k"])
+    before = set(tl.snapshot(d)["files"])
+    # touches only the low shard; 99 is a pure insert
+    v = tl.merge_into(rd.from_arrow(_kv([2, 99], [20, 990])), d,
+                      key="k", shard_rows=3)
+    assert v == 1
+    got = {r["k"]: r["v"] for r in tl.read_table(d).take_all()}
+    assert got == {1: 1, 2: 20, 3: 1, 10: 1, 11: 1, 12: 1, 99: 990}
+    # the high shard (k in 10..12) survived untouched
+    after = set(tl.snapshot(d)["files"])
+    assert before & after, "zone-map-pruned shard should persist"
+    # prior snapshot unaffected
+    assert {r["k"] for r in tl.read_table(d, version=0).take_all()} \
+        == {1, 2, 3, 10, 11, 12}
+
+
+def test_table_changes_appends_and_delete(ray_session, tmp_path):
+    import ray.data as rd
+
+    from raydoc.state import table_log as tl
+
+    d = str(tmp_path / "t")
+    tl.append(rd.from_arrow(_kv([1, 2, 3, 4], [10, 20, 30, 40])), d,
+              shard_rows=2, stats_cols=["k"])
+    tl.delete_where(d, "k", [2, 3])
+
+    ins = tl.table_changes(d, 0).take_all()
+    assert sorted((r["k"], r["change"], r["n"]) for r in ins) == [
+        (1, "insert", 1), (2, "insert", 1),
+        (3, "insert", 1), (4, "insert", 1)]
+    dels = tl.table_changes(d, 1).take_all()
+    assert sorted((r["k"], r["change"], r["n"]) for r in dels) == [
+        (2, "delete", 1), (3, "delete", 1)]
+
+
+def test_table_changes_optimize_is_noop(ray_session, tmp_path):
+    """Compaction moves every row between shards but changes nothing
+    — the CDF must fold to zero rows."""
+    import ray.data as rd
+
+    from raydoc.state import table_log as tl
+
+    d = str(tmp_path / "t")
+    tl.append(rd.from_arrow(_kv(list(range(8)), list(range(8)))), d,
+              shard_rows=2)
+    v = tl.optimize(d, target_rows=100)
+    assert v == 1
+    assert tl.table_changes(d, v).count() == 0
+
+
+def test_table_changes_multiplicity(ray_session, tmp_path):
+    """Duplicate rows carry their multiplicity through the CDF."""
+    import ray.data as rd
+
+    from raydoc.state import table_log as tl
+
+    d = str(tmp_path / "t")
+    tl.append(rd.from_arrow(_kv([5, 5, 5], [1, 1, 1])), d)
+    rows = tl.table_changes(d, 0).take_all()
+    assert [(r["k"], r["change"], r["n"]) for r in rows] == [
+        (5, "insert", 3)]
+
+
+def test_read_table_unify_schema_evolution(ray_session, tmp_path):
+    import ray.data as rd
+
+    from raydoc.state import table_log as tl
+
+    d = str(tmp_path / "t")
+    tl.append(rd.from_arrow(pa.table({
+        "k": pa.array([1, 2], pa.int64())})), d)
+    tl.append(rd.from_arrow(pa.table({
+        "k": pa.array([3], pa.int64()),
+        "extra": pa.array(["x"], pa.string())})), d)
+
+    got = sorted(tl.read_table(d, unify=True).take_all(),
+                 key=lambda r: r["k"])
+    assert [r["k"] for r in got] == [1, 2, 3]
+    assert [r["extra"] for r in got] == [None, None, "x"]
+    # column pruning through the unified read, including a shard with
+    # NONE of the requested columns
+    only = tl.read_table(d, unify=True, columns=["extra"]).take_all()
+    assert sorted(x["extra"] or "" for x in only) == ["", "", "x"]
