@@ -296,12 +296,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": lambda sf: textstats.chunk_documents(
             sf, chunk=32, overlap=8),
         "neardup_triangles": graph.neardup_triangles,
+        "knn_geodesic": graph.knn_geodesic,
         "profile_events": profile.profile_events,
         "constraint_report": profile.constraint_report,
         "weighted_sample": textstats.weighted_sample,
         "user_type_pagerank": graph.user_type_pagerank,
         # --- windows / sessions (events) ---
         "hourly_event_stats": windows.hourly_event_stats,
+        "seasonal_hour_deviation": windows.seasonal_hour_deviation,
         "incremental_hourly_stats": windows.incremental_hourly_stats,
         "hourly_distinct_users": windows.hourly_distinct_users,
         "sliding_event_stats": windows.sliding_event_stats,
@@ -657,6 +659,51 @@ _SIMHASH_SIG_CTE = r"""toks AS (
             s AS (
                 SELECT d.doc_id, COALESCE(sg.sig, 0) AS sig
                 FROM documents d LEFT JOIN sigs sg USING (doc_id))"""
+
+
+def _knn_geodesic_oracle(k: int = 5, rounds: int = 8,
+                         seed_mod: int = 50) -> str:
+    """Chained-CTE twin of functions/graph.py:knn_geodesic — the exact
+    k-NN graph (integer-quantized squared-L2, the knn_graph twin as a
+    CTE), symmetrized, then ``rounds`` synchronous Bellman-Ford
+    relaxations from the seed set. All-integer edge costs make every
+    path sum exact, so the hash matches bit-for-bit."""
+    head = f"""
+        WITH q AS (SELECT vec_id,
+                          list_transform(embedding,
+                              x -> CAST(floor(CAST(x AS DOUBLE) * 1024)
+                                        AS BIGINT)) AS qe
+                   FROM embeddings),
+        p AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+                     CAST(list_inner_product(a.qe, a.qe)
+                          + list_inner_product(b.qe, b.qe)
+                          - 2 * list_inner_product(a.qe, b.qe)
+                          AS BIGINT) AS d2
+              FROM q a, q b WHERE a.vec_id != b.vec_id),
+        knn AS (SELECT vec_id, neighbor_id, d2 FROM (
+                    SELECT vec_id, neighbor_id, d2,
+                           row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY d2, neighbor_id)
+                               AS nn_rank
+                    FROM p) WHERE nn_rank <= {k}),
+        sym AS (SELECT vec_id AS a, neighbor_id AS b, d2 AS w FROM knn
+                UNION ALL
+                SELECT neighbor_id, vec_id, d2 FROM knn),
+        d0 AS (SELECT vec_id AS node, CAST(0 AS BIGINT) AS dist
+               FROM embeddings WHERE vec_id % {seed_mod} = 0)"""
+    iters = []
+    for i in range(1, rounds + 1):
+        iters.append(f"""
+        d{i} AS (SELECT node, MIN(dist) AS dist FROM (
+                    SELECT node, dist FROM d{i - 1}
+                    UNION ALL
+                    SELECT s.b, d.dist + s.w
+                    FROM d{i - 1} d JOIN sym s ON s.a = d.node)
+                 GROUP BY node)""")
+    return (head + "," + ",".join(iters)
+            + f"""
+        SELECT node AS vec_id, CAST(dist AS BIGINT) AS dist
+        FROM d{rounds} ORDER BY vec_id""")
 
 
 def _pagerank_oracle(n_iter: int = 5, scale: int = 10 ** 12,
@@ -2513,6 +2560,21 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events, MIN(value) AS min_value,
                    MAX(value) AS max_value
             FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+        "seasonal_hour_deviation": """
+            -- twin of windows.seasonal_hour_deviation: hourly cents
+            -- per type LEFT-joined to the same hour 168h earlier
+            WITH h AS (
+                SELECT event_type, date_trunc('hour', ts) AS ws,
+                       CAST(SUM(CAST(ROUND(value*100) AS BIGINT))
+                            AS BIGINT) AS c
+                FROM events GROUP BY 1, 2)
+            SELECT a.event_type, a.ws AS window_start,
+                   a.c AS sum_cents, b.c AS prev_week_cents,
+                   a.c - b.c AS delta_cents
+            FROM h a LEFT JOIN h b
+              ON b.event_type = a.event_type
+             AND b.ws = a.ws - INTERVAL 168 HOUR
+            ORDER BY a.event_type, window_start""",
         "hourly_distinct_users": """
             SELECT date_trunc('hour', ts) AS window_start,
                    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
@@ -2810,6 +2872,7 @@ def oracle_sql() -> dict[str, str]:
                                            ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank,
                    vec_id
             FROM sims QUALIFY rank <= 10 ORDER BY query_id, rank""",
+        "knn_geodesic": _knn_geodesic_oracle(),
         "knn_graph": """
             WITH q AS (SELECT vec_id,
                               list_transform(embedding,

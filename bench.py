@@ -39,6 +39,8 @@ BENCH_QUERIES = [
     "orders_merge_upsert",
     "orders_table_changes",
     "orders_schema_evolution",
+    "knn_geodesic",
+    "seasonal_hour_deviation",
     "loss_mask_spans",
     "incremental_neardup_stats",
     "textrank_windows",

@@ -842,3 +842,177 @@ def neardup_kcore(sf_dir: str, k: int = 2,
         return pa.table({"vec_id": pa.array(core, pa.int64())})
     t = k_core(rd.from_arrow(pairs.select(["a", "b"])), k=k)
     return pa.table({"vec_id": t["node"]})
+
+
+def _sssp_driver(edges: list, seeds: set, rounds: int) -> dict:
+    """Synchronous Bellman-Ford over a small directed (a, b, w) edge
+    list: {node: min path cost from any seed over paths of ≤ ``rounds``
+    edges}. Relaxations in round k read ONLY round k-1 distances, so
+    the result matches the chained-CTE SQL twin exactly; converged
+    rounds early-exit (identical output — distances are monotone)."""
+    dist = {s: 0 for s in seeds}
+    for _ in range(rounds):
+        nxt = dict(dist)
+        changed = False
+        for a, b, w in edges:
+            da = dist.get(a)
+            if da is None:
+                continue
+            cand = da + w
+            old = nxt.get(b)
+            if old is None or cand < old:
+                nxt[b] = cand
+                changed = True
+        dist = nxt
+        if not changed:
+            break
+    return dist
+
+
+def sssp_distributed(edges: rd.Dataset, seeds: rd.Dataset, rounds: int,
+                     num_buckets: int = 64) -> rd.Dataset:
+    """(node, dist): round-synchronous multi-source weighted shortest
+    paths (Bellman-Ford) over a DIRECTED (a, b, w) edge Dataset —
+    min total cost from any seed over paths of ≤ ``rounds`` edges.
+    Per round: ONE bucketed hash join (edges ⋈ current distances on the
+    source node) relaxes every out-edge of a reached node, then one
+    combiner-min exchange folds candidates with the standing distances;
+    the driver sees only a (node-count, dist-sum) convergence scalar
+    per round (distances are monotone non-increasing and the node set
+    non-decreasing, so an unchanged pair ⇒ a fixed point and the loop
+    exits early with the identical result). Edges materialize once;
+    the per-round exchanges move node-sized tables, never the edge
+    table."""
+    from raydoc.functions.agg import partial_groupby
+    from raydoc.functions.joins import bucket_hash_join
+
+    def prep_edges(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "dst": pa.array([], pa.int64()),
+                             "w": pa.array([], pa.int64())})
+        return pa.table({"node": pc.cast(t["a"], pa.int64()),
+                         "dst": pc.cast(t["b"], pa.int64()),
+                         "w": pc.cast(t["w"], pa.int64())})
+
+    edges0 = edges.map_batches(prep_edges,
+                               batch_format="pyarrow").materialize()
+
+    def seed0(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "label": pa.array([], pa.int64())})
+        n = pc.cast(t["node"], pa.int64()).combine_chunks().unique()
+        return pa.table({"node": n,
+                         "label": pa.array([0] * len(n), pa.int64())})
+
+    dist = seeds.map_batches(seed0, batch_format="pyarrow").materialize()
+    prev_sig = None
+    for _ in range(rounds):
+        cand = bucket_hash_join(edges0, dist, key="node",
+                                num_buckets=num_buckets)
+
+        def relax(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "dst" not in t.schema.names:
+                return pa.table({"node": pa.array([], pa.int64()),
+                                 "label": pa.array([], pa.int64())})
+            return pa.table({"node": t["dst"],
+                             "label": pc.add(t["label"], t["w"])})
+
+        new = _min_by_node(
+            dist.union(cand.map_batches(relax, batch_format="pyarrow")),
+            num_buckets).materialize()
+
+        def m(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "label" not in t.schema.names:
+                return pa.table({"k": pa.array([], pa.int64()),
+                                 "n": pa.array([], pa.int64()),
+                                 "s": pa.array([], pa.int64())})
+            return pa.table({
+                "k": pa.array([0] * t.num_rows, pa.int64()),
+                "n": pa.array([1] * t.num_rows, pa.int64()),
+                "s": pc.cast(t["label"], pa.int64())})
+
+        g = collect_table(partial_groupby(
+            new.map_batches(m, batch_format="pyarrow"), ["k"],
+            {"n": ("n", "sum"), "s": ("s", "sum")}))
+        sig = ((int(g.column("n")[0].as_py()),
+                int(g.column("s")[0].as_py()))
+               if g.num_rows else (0, 0))
+        dist = new
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    return dist.map_batches(
+        lambda t: (t.rename_columns(["node", "dist"])
+                   if t.num_rows else pa.table(
+                       {"node": pa.array([], pa.int64()),
+                        "dist": pa.array([], pa.int64())})),
+        batch_format="pyarrow")
+
+
+def knn_geodesic(sf_dir: str, k: int = 5, rounds: int = 8,
+                 seed_mod: int = 50,
+                 max_driver_edges: int = 50_000) -> pa.Table:
+    """(vec_id, dist): hop-bounded graph-geodesic distance from any SEED
+    vector (vec_id % ``seed_mod`` == 0) through the symmetrized EXACT
+    k-NN graph, edge cost = the integer-quantized squared-L2 ``d2``
+    from ``similarity.knn_graph`` — min total cost over paths of ≤
+    ``rounds`` edges (synchronous Bellman-Ford; the fixed round count
+    ties the engine bit-for-bit to the chained-CTE DuckDB twin).
+    Unreached vectors are omitted (inner semantics). This is the
+    manifold-distance primitive (ISOMAP's first stage) over the corpus
+    embedding space, and the weighted complement of ``neardup_hops``.
+
+    Adaptive regime (the label_components discipline): the k-NN table
+    is O(n·k) rows by construction — below ``max_driver_edges`` a
+    driver Bellman-Ford over the symmetrized edge list; above, the
+    round-synchronous ``sssp_distributed`` path. Regime equality is
+    pinned in tests/test_graph.py."""
+    from raydoc.functions.similarity import knn_graph
+
+    kn = knn_graph(sf_dir, k=k)
+    fwd = pa.table({"a": pc.cast(kn["vec_id"], pa.int64()),
+                    "b": pc.cast(kn["neighbor_id"], pa.int64()),
+                    "w": pc.cast(kn["d2"], pa.int64())})
+    sym = pa.concat_tables([fwd, pa.table({
+        "a": fwd["b"], "b": fwd["a"], "w": fwd["w"]})])
+    out_schema = pa.schema([("vec_id", pa.int64()),
+                            ("dist", pa.int64())])
+
+    if sym.num_rows > max_driver_edges:
+        vecs = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id"])
+
+        def seed_filter(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({"node": pa.array([], pa.int64())})
+            ids = pc.cast(t["vec_id"], pa.int64())
+            rem = pc.subtract(ids, pc.multiply(
+                pc.divide(ids, pa.scalar(seed_mod, pa.int64())),
+                pa.scalar(seed_mod, pa.int64())))
+            return pa.table({"node": ids.filter(
+                pc.equal(rem, pa.scalar(0, pa.int64())))})
+
+        got = collect_table(sssp_distributed(
+            rd.from_arrow(sym),
+            vecs.map_batches(seed_filter, batch_format="pyarrow"),
+            rounds))
+        if got.num_rows == 0:
+            return out_schema.empty_table()
+        return pa.table({"vec_id": got["node"],
+                         "dist": got["dist"]}).cast(
+            out_schema).sort_by("vec_id")
+
+    edge_list = list(zip(sym.column("a").to_pylist(),
+                         sym.column("b").to_pylist(),
+                         sym.column("w").to_pylist()))
+    nodes = {x for e in edge_list for x in e[:2]}
+    seeds = {n for n in nodes if n % seed_mod == 0}
+    dist = _sssp_driver(edge_list, seeds, rounds)
+    if not dist:
+        return out_schema.empty_table()
+    ks = sorted(dist)
+    return pa.table({"vec_id": pa.array(ks, pa.int64()),
+                     "dist": pa.array([dist[k_] for k_ in ks],
+                                      pa.int64())})

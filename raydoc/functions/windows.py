@@ -2743,3 +2743,86 @@ def attribution_linear(sf_dir: str,
         "attributed_cents": pc.cast(out["attributed_cents"], pa.int64()),
         "n_purchases": pc.cast(out["n_purchases"], pa.int64()),
     }).sort_by("view_event_id")
+
+
+def seasonal_hour_deviation(sf_dir: str,
+                            lag_hours: int = 168) -> pa.Table:
+    """(event_type, window_start, sum_cents, prev_week_cents,
+    delta_cents): hourly revenue per type against the SAME HOUR LAST
+    WEEK (``lag_hours`` = 168 back) — the seasonal-baseline anomaly
+    screen (traffic is hour-of-week periodic; a raw hour-over-hour
+    delta alarms every morning). Hours with no prior-week counterpart
+    carry NULLs (LEFT semantics, matching the twin's self-join).
+
+    Shape: the hourly rollup is combiner partials (the
+    ``hourly_event_stats`` shape — integer cents, exact); the week-back
+    lookup never re-exchanges the event table — the aggregated
+    (type, hour) grid coarse-buckets by event_type hash (a bucket holds
+    COMPLETE types), and one vectorized pandas self-merge per bucket
+    resolves hour−lag. Oracle: hourly CTE + LEFT self-join on
+    (type, hour − 168h)."""
+    from raydoc.functions._buckets import reduce_bucket_count
+
+    _HOUR_US = 3_600_000_000
+    mask = reduce_bucket_count() - 1
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "hidx": pc.divide(pc.cast(t["ts"], pa.int64()),
+                              pa.scalar(_HOUR_US, pa.int64())),
+            "cents": pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                             pa.int64())})
+
+    hourly = partial_groupby(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["event_type", "hidx"], {"sum_cents": ("cents", "sum")})
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "event_type" not in t.schema.names:
+            return pa.table({
+                "event_type": pa.array([], pa.string()),
+                "hidx": pa.array([], pa.int64()),
+                "sum_cents": pa.array([], pa.int64()),
+                "bucket": pa.array([], pa.int32())})
+        h = pd.util.hash_array(
+            t.column("event_type").to_numpy(zero_copy_only=False),
+            categorize=False)
+        return t.append_column(
+            "bucket", pa.array((h & mask).astype("int32")))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        prev = g[["event_type", "hidx", "sum_cents"]].copy()
+        prev["hidx"] = prev["hidx"] + lag_hours
+        prev = prev.rename(columns={"sum_cents": "prev_week_cents"})
+        out = g[["event_type", "hidx", "sum_cents"]].merge(
+            prev, on=["event_type", "hidx"], how="left")
+        out["prev_week_cents"] = out["prev_week_cents"].astype("Int64")
+        out["delta_cents"] = (out["sum_cents"]
+                              - out["prev_week_cents"]).astype("Int64")
+        return out
+
+    t = collect_table(
+        hourly.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket").map_groups(per_bucket,
+                                      batch_format="pandas"))
+    if t.num_rows == 0:
+        return pa.table({
+            "event_type": pa.array([], pa.string()),
+            "window_start": pa.array([], pa.timestamp("us")),
+            "sum_cents": pa.array([], pa.int64()),
+            "prev_week_cents": pa.array([], pa.int64()),
+            "delta_cents": pa.array([], pa.int64())})
+    ws = pc.cast(pc.multiply(pc.cast(t["hidx"], pa.int64()),
+                             pa.scalar(_HOUR_US, pa.int64())),
+                 pa.timestamp("us"))
+    out = pa.table({
+        "event_type": t["event_type"],
+        "window_start": ws,
+        "sum_cents": pc.cast(t["sum_cents"], pa.int64()),
+        "prev_week_cents": pc.cast(t["prev_week_cents"], pa.int64()),
+        "delta_cents": pc.cast(t["delta_cents"], pa.int64())})
+    return out.sort_by([("event_type", "ascending"),
+                        ("window_start", "ascending")])

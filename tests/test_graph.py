@@ -215,3 +215,63 @@ def test_neardup_kcore_nonvacuous(ray_session):
     for c in ("a", "b", "c"):
         assert set(tris.column(c).to_pylist()) <= members
     assert len(members) > 0
+
+
+@pytest.mark.parametrize("seed", [7, 21])
+def test_sssp_distributed_matches_driver(ray_session, seed):
+    """Round-synchronous distributed Bellman-Ford equals the driver
+    Bellman-Ford on a random weighted digraph: same reached set, same
+    min costs, round cap honored (paths needing more edges than
+    ``rounds`` stay at their bounded-length optimum)."""
+    import numpy as np
+
+    from raydoc.functions.graph import _sssp_driver, sssp_distributed
+
+    rng = np.random.default_rng(seed)
+    n = 50
+    a = rng.integers(0, n, 150)
+    b = rng.integers(0, n, 150)
+    w = rng.integers(1, 100, 150)
+    keep = a != b
+    edges = list({(int(x), int(y), int(z)) for x, y, z
+                  in zip(a[keep], b[keep], w[keep])})
+    seeds = sorted({int(x) for x in rng.integers(0, n, 3)})
+    for rounds in (1, 3, 8):
+        exp = _sssp_driver(edges, set(seeds), rounds)
+        eds = rd.from_arrow(pa.table({
+            "a": pa.array([e[0] for e in edges], pa.int64()),
+            "b": pa.array([e[1] for e in edges], pa.int64()),
+            "w": pa.array([e[2] for e in edges], pa.int64())}))
+        sds = rd.from_arrow(pa.table({
+            "node": pa.array(seeds, pa.int64())}))
+        got = {r["node"]: r["dist"] for r in sssp_distributed(
+            eds, sds, rounds, num_buckets=4).take_all()}
+        assert got == exp, rounds
+
+
+def test_sssp_round_cap_is_path_length_bound(ray_session):
+    """On a pure chain with a costly shortcut, round k must report the
+    best cost among paths of ≤ k edges — not the converged optimum."""
+    from raydoc.functions.graph import _sssp_driver
+
+    # 0 → 1 → 2 → 3 each cost 1; direct 0 → 3 cost 10
+    edges = [(0, 1, 1), (1, 2, 1), (2, 3, 1), (0, 3, 10)]
+    assert _sssp_driver(edges, {0}, 1)[3] == 10
+    assert _sssp_driver(edges, {0}, 2)[3] == 10
+    assert _sssp_driver(edges, {0}, 3)[3] == 3
+
+
+def test_knn_geodesic_regimes_agree(ray_session):
+    """The driver Bellman-Ford fast path and the distributed
+    round-synchronous path return identical geodesic tables on the
+    real k-NN graph."""
+    from raydoc.functions.graph import knn_geodesic
+
+    sf = "/root/testdata/sf0.001"
+    fast = knn_geodesic(sf)
+    dist = knn_geodesic(sf, max_driver_edges=0)   # force distributed
+    assert fast.equals(dist)
+    # seeds are zero-distance, non-seeds strictly positive
+    rows = {r["vec_id"]: r["dist"] for r in fast.to_pylist()}
+    assert all(d == 0 for v, d in rows.items() if v % 50 == 0)
+    assert all(d > 0 for v, d in rows.items() if v % 50 != 0)

@@ -106,6 +106,7 @@ SWEEP = [
     "value_hour_corr", "value_iqr_outliers", "value_percentiles",
     "value_target_encode", "value_trend_by_type", "value_winsorized",
     "resample_ffill", "zonemap_value_scan", "zorder_box_scan",
+    "seasonal_hour_deviation",
     # documents / text
     "token_counts", "bpe_token_counts", "quality_counters",
     "gopher_quality", "fingerprints", "lexical_diversity",
@@ -121,7 +122,8 @@ SWEEP = [
     "markdown_to_html", "pdf_dates", "collapse_repeats", "bm25_search",
     "normalize_markdown",
     # embeddings
-    "ann_topk", "embedding_neardups", "knn_graph", "label_centroids",
+    "ann_topk", "embedding_neardups", "knn_graph", "knn_geodesic",
+    "label_centroids",
     "semantic_clusters", "semantic_dedup", "rrf_fusion",
     "embedding_dbscan",
     # interchange roundtrips (sink → source → checksum; commas, quotes,
