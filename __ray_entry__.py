@@ -345,6 +345,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_clusters": dedup.minhash_lsh_clusters,
         "neardup_dedup_corpus": dedup.neardup_dedup_corpus,
         "ngram_jaccard": dedup.ngram_jaccard_pairs,
+        "ngram_containment": dedup.ngram_containment_pairs,
         "simhash_signatures": dedup.simhash_signatures,
         "simhash_neardups": dedup.simhash_neardups,
         "neardup_components": _neardup_components,
@@ -386,6 +387,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": textstats.pack_sequences,
         "decontaminate": textstats.decontaminate,
         "tfidf_top_terms": textstats.tfidf_top_terms,
+        "term_label_chi2": textstats.term_label_chi2,
         "quality_counters": textstats.quality_counters,
         "gopher_quality": textstats.gopher_quality,
         "fingerprints": textstats.fingerprints,
@@ -398,6 +400,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pseudonymize_users": textstats.pseudonymize_users,
         "canonical_urls": textstats.canonical_urls,
         "value_iqr_outliers": windows.value_iqr_outliers,
+        "value_robust_scale": windows.value_robust_scale,
         "user_time_weighted_avg": windows.user_time_weighted_avg,
         "user_peak_concurrency": windows.user_peak_concurrency,
         "user_rfm_segments": windows.user_rfm_segments,
@@ -583,6 +586,29 @@ jac AS (
                JOIN sizes sb ON sb.doc_id = i.b)
 SELECT a, b, round_even(j, 6) AS jaccard
 FROM jac WHERE j >= 0.4 ORDER BY a, b"""
+
+
+def _ngram_containment_oracle() -> str:
+    """dedup.ngram_containment_pairs twin: same LSH candidates and
+    exact shingle sets as the Jaccard twin, but the denominator is
+    LEAST(|A|, |B|) (Broder containment), filter on the unrounded
+    value ≥ 0.5, round_even to 6."""
+    return rf"""
+WITH
+{_lsh_ctes(2)},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.a, c.b, COUNT(sb.v) AS i
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.a
+  LEFT JOIN sh sb ON sb.doc_id = c.b AND sb.v = sa.v
+  GROUP BY c.a, c.b),
+con AS (
+  SELECT i.a, i.b, CAST(i.i AS DOUBLE) / LEAST(sa.n, sb.n) AS c
+  FROM inter i JOIN sizes sa ON sa.doc_id = i.a
+               JOIN sizes sb ON sb.doc_id = i.b)
+SELECT a, b, round_even(c, 6) AS containment
+FROM con WHERE c >= 0.5 ORDER BY a, b"""
 
 
 # shared CTE chain ending in r(doc_id, score, rank): the BM25 ranking —
@@ -3420,5 +3446,65 @@ def oracle_sql() -> dict[str, str]:
             FROM ({_minhash_oracle()})
             GROUP BY cluster ORDER BY doc_id""",
         "ngram_jaccard": _ngram_jaccard_oracle(),
+        "ngram_containment": _ngram_containment_oracle(),
+        "term_label_chi2": r"""
+            -- twin of textstats.term_label_chi2: doc-presence 2x2 per
+            -- (term, lang), exact HUGEINT chi-square ppm, top-10 per
+            -- lang by (chi2 desc, term)
+            WITH tok AS (SELECT DISTINCT doc_id, lang, term FROM (
+                    SELECT doc_id, lang,
+                           unnest(regexp_extract_all(lower(text),
+                                                     '\w+')) AS term
+                    FROM documents)),
+            tl AS (SELECT term, lang, CAST(COUNT(*) AS BIGINT) AS a
+                   FROM tok GROUP BY 1, 2),
+            td AS (SELECT term, CAST(SUM(a) AS BIGINT) AS df
+                   FROM tl GROUP BY 1),
+            ln AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS ln_n
+                   FROM documents GROUP BY 1),
+            cells AS (
+                SELECT tl.term, tl.lang, tl.a, td.df, ln.ln_n,
+                       (SELECT CAST(COUNT(*) AS BIGINT)
+                        FROM documents) AS n
+                FROM tl JOIN td USING (term) JOIN ln USING (lang)
+                WHERE td.df >= 5),
+            chi AS (
+                SELECT lang, term,
+                       CAST((1000000 * CAST(n AS HUGEINT)
+                             * (CAST(a AS HUGEINT)*(n - df - ln_n + a)
+                                - CAST(df - a AS HUGEINT)*(ln_n - a))
+                             * (CAST(a AS HUGEINT)*(n - df - ln_n + a)
+                                - CAST(df - a AS HUGEINT)*(ln_n - a)))
+                            // (CAST(df AS HUGEINT) * (n - df)
+                                * ln_n * (n - ln_n)) AS BIGINT)
+                           AS chi2_ppm
+                FROM cells
+                WHERE n - df > 0 AND ln_n > 0 AND n - ln_n > 0)
+            SELECT lang, term, chi2_ppm,
+                   CAST(row_number() OVER (PARTITION BY lang
+                        ORDER BY chi2_ppm DESC, term) AS BIGINT)
+                       AS rank
+            FROM chi QUALIFY rank <= 10
+            ORDER BY lang, rank""",
+        "value_robust_scale": """
+            -- twin of windows.value_robust_scale: per-type
+            -- (cents - median) * 1e6 FLOOR-div IQR via the
+            -- non-negative-remainder split (DuckDB // truncates)
+            WITH c AS (SELECT event_id, event_type,
+                              CAST(ROUND(value*100) AS BIGINT) AS cents
+                       FROM events),
+            q AS (SELECT event_type,
+                         CAST(quantile_disc(cents, 0.5) AS BIGINT)
+                             AS med,
+                         CAST(quantile_disc(cents, 0.75)
+                              - quantile_disc(cents, 0.25) AS BIGINT)
+                             AS iqr
+                  FROM c GROUP BY event_type)
+            SELECT event_id, c.event_type,
+                   CAST(((cents - med) * 1000000
+                         - (((((cents - med) * 1000000) % iqr) + iqr)
+                            % iqr)) // iqr AS BIGINT) AS scaled_ppm
+            FROM c JOIN q USING (event_type)
+            WHERE iqr > 0 ORDER BY event_id""",
         "normalize_markdown": _normalize_markdown_oracle(),
     }

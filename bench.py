@@ -41,6 +41,9 @@ BENCH_QUERIES = [
     "orders_schema_evolution",
     "knn_geodesic",
     "seasonal_hour_deviation",
+    "term_label_chi2",
+    "ngram_containment",
+    "value_robust_scale",
     "loss_mask_spans",
     "incremental_neardup_stats",
     "textrank_windows",

@@ -429,17 +429,40 @@ def simhash_neardups(sf_dir: str, max_hamming: int = 3,
                      "hamming": pa.array(df["hamming"], pa.int32())})
 
 
+def ngram_containment_pairs(sf_dir: str, threshold: float = 0.5,
+                            k: int = 3,
+                            id_col: str = "doc_id") -> pa.Table:
+    """(a, b, containment): exact word-k-gram MAX-CONTAINMENT
+    |A∩B| / min(|A|, |B|) ≥ τ over the same LSH candidate pairs as
+    ``ngram_jaccard_pairs`` — the subset-duplication detector (a short
+    doc quoted whole inside a long one scores ~1.0 containment but low
+    Jaccard, so a Jaccard-only dedup pass misses it; Broder's original
+    resemblance/containment split). Same distributed shape: LSH
+    proposes, a candidate-text semi-join fetches only candidate texts,
+    exact shingle sets decide."""
+    return ngram_jaccard_pairs(sf_dir, threshold=threshold, k=k,
+                               id_col=id_col, metric="containment")
+
+
 def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.4, k: int = 3,
-                        id_col: str = "doc_id") -> pa.Table:
+                        id_col: str = "doc_id",
+                        metric: str = "jaccard") -> pa.Table:
     """Exact word-k-gram Jaccard over LSH candidate pairs: LSH proposes,
-    exact shingle sets (recomputed per pair inside the verify stage) decide."""
+    exact shingle sets (recomputed per pair inside the verify stage)
+    decide. ``metric="containment"`` divides the intersection by
+    min(|A|, |B|) instead of the union (see
+    ``ngram_containment_pairs``); pairs where the smaller set is empty
+    are skipped under either metric (no band rows → never candidates)."""
+    if metric not in ("jaccard", "containment"):
+        raise ValueError(f"unknown metric {metric!r}")
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=[id_col, "text"])
     exploded = minhash_band_rows(ds, id_col=id_col, bands=32, k=k)
     candidates = _lsh_candidate_pairs(exploded, id_col)
+    score_col = "jaccard" if metric == "jaccard" else "containment"
     empty = pa.table({"a": pa.array([], pa.int64()),
                       "b": pa.array([], pa.int64()),
-                      "jaccard": pa.array([], pa.float64())})
+                      score_col: pa.array([], pa.float64())})
     if not candidates:
         return empty
 
@@ -487,15 +510,16 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.4, k: int = 3,
         a_out, b_out, j_out = [], [], []
         for a, b in zip(t.column("a").to_pylist(), t.column("b").to_pylist()):
             sa, sb = sh(a), sh(b)
-            union = len(sa | sb)
-            j = len(sa & sb) / union if union else 0.0
+            den = (min(len(sa), len(sb)) if metric == "containment"
+                   else len(sa | sb))
+            j = len(sa & sb) / den if den else 0.0
             if j >= threshold:
                 a_out.append(a)
                 b_out.append(b)
                 j_out.append(round(j, 6))
         return pa.table({"a": pa.array(a_out, pa.int64()),
                          "b": pa.array(b_out, pa.int64()),
-                         "jaccard": pa.array(j_out, pa.float64())})
+                         score_col: pa.array(j_out, pa.float64())})
 
     out = collect_table(pairs_ds.map_batches(verify, batch_format="pyarrow"))
     if out.num_rows == 0:

@@ -2503,3 +2503,120 @@ def pack_conversations(sf_dir: str, budget: int = 512,
         counts.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("bucket").map_groups(per_bucket, batch_format="pandas"))
     return out.sort_by("doc_id")
+
+
+def term_label_chi2(sf_dir: str, top_n: int = 10, min_df: int = 5,
+                    num_buckets: int | None = None) -> pa.Table:
+    """(lang, term, chi2_ppm, rank): each language's ``top_n`` most
+    label-discriminative terms by exact-integer χ² over the 2×2
+    doc-presence table (a = docs with term & lang, b = term & ¬lang,
+    c = ¬term & lang, d = rest) — the classic feature-selection /
+    corpus-drift screen. chi2_ppm = ⌊10⁶·N·(ad−bc)² / ((a+b)(c+d)
+    (a+c)(b+d))⌋ in arbitrary-precision integers (the HUGEINT twin
+    renders identically); ties break (chi2 desc, term asc). Terms with
+    corpus df < ``min_df`` and degenerate margins (single-language
+    corpus, all-doc terms) are excluded by both engines.
+
+    Scale shape: distinct (doc, term) explodes map-side WITH the doc's
+    lang riding along (one row per distinct term per doc — never tf
+    duplicates); (term, lang) presence counts and per-term df are
+    combiner groupbys; lang totals are a |langs|-row broadcast. The χ²
+    arithmetic runs on the vocabulary×|langs| aggregate (post-
+    aggregation rows, not corpus rows), and the per-lang top-N is
+    two-phase — term-bucket-local top-N per lang, then a tiny global
+    merge — so no stratum ever occupies one task (the
+    q_stratified_sample discipline)."""
+    import pandas as pd
+
+    from raydoc.functions._buckets import reduce_bucket_count
+    from raydoc.functions.agg import partial_groupby
+    from raydoc.functions.joins import bucket_hash_join
+
+    word = re.compile(r"\w+")
+    mask = (num_buckets or reduce_bucket_count()) - 1
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        terms, langs = [], []
+        for txt, lg in zip(t.column("text").to_pylist(),
+                           t.column("lang").to_pylist()):
+            for tok in set(word.findall((txt or "").lower())):
+                terms.append(tok)
+                langs.append(lg)
+        return pa.table({"term": pa.array(terms, pa.string()),
+                         "lang": pa.array(langs, pa.string())})
+
+    pres = ds.map_batches(explode, batch_format="pyarrow")
+    tl = partial_groupby(pres, ["term", "lang"],
+                         {"a": ("term", "count")}).materialize()
+    td = partial_groupby(tl, ["term"], {"df": ("a", "sum")})
+
+    lang_tbl = collect_table(partial_groupby(
+        ds.select_columns(["lang"]), ["lang"],
+        {"n_docs": ("lang", "count")}))
+    lang_n = dict(zip(lang_tbl.column("lang").to_pylist(),
+                      (int(x) for x in
+                       lang_tbl.column("n_docs").to_pylist())))
+    n_total = sum(lang_n.values())
+
+    joined = bucket_hash_join(tl, td, "term")
+
+    def chi2(t: pa.Table) -> pa.Table:
+        out_l, out_t, out_c = [], [], []
+        for term, lg, a, df in zip(t.column("term").to_pylist(),
+                                   t.column("lang").to_pylist(),
+                                   t.column("a").to_pylist(),
+                                   t.column("df").to_pylist()):
+            if df < min_df:
+                continue
+            a, df = int(a), int(df)
+            ln = lang_n.get(lg, 0)
+            b = df - a
+            c = ln - a
+            d = n_total - df - ln + a
+            den = (a + b) * (c + d) * (a + c) * (b + d)
+            if den <= 0:
+                continue
+            num = a * d - b * c
+            out_l.append(lg)
+            out_t.append(term)
+            out_c.append(1_000_000 * n_total * num * num // den)
+        # χ² runs on vocabulary-sized aggregate rows (never corpus
+        # rows); Python ints keep N·(ad−bc)² exact past int64
+        h = pd.util.hash_array(_np.array(out_t, dtype=object),
+                               categorize=False) if out_t else \
+            _np.array([], dtype="uint64")
+        return pa.table({"lang": pa.array(out_l, pa.string()),
+                         "term": pa.array(out_t, pa.string()),
+                         "chi2_ppm": pa.array(out_c, pa.int64()),
+                         "bucket": pa.array(
+                             (h & mask).astype("int32"))})
+
+    def local_topn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["lang", "chi2_ppm", "term"],
+                          ascending=[True, False, True],
+                          ignore_index=True)
+        return g.groupby("lang", sort=False).head(top_n)[
+            ["lang", "term", "chi2_ppm"]]
+
+    locl = collect_table(
+        joined.map_batches(chi2, batch_format="pyarrow")
+        .groupby("bucket").map_groups(local_topn,
+                                      batch_format="pandas"))
+    if locl.num_rows == 0:
+        return pa.table({"lang": pa.array([], pa.string()),
+                         "term": pa.array([], pa.string()),
+                         "chi2_ppm": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64())})
+    # tiny global merge: ≤ B × |langs| × top_n candidate rows
+    df = locl.to_pandas().sort_values(
+        ["lang", "chi2_ppm", "term"], ascending=[True, False, True],
+        ignore_index=True)
+    df = df.groupby("lang", sort=False).head(top_n).reset_index(
+        drop=True)
+    df["rank"] = df.groupby("lang", sort=False).cumcount() + 1
+    return pa.table({"lang": pa.array(df["lang"], pa.string()),
+                     "term": pa.array(df["term"], pa.string()),
+                     "chi2_ppm": pa.array(df["chi2_ppm"], pa.int64()),
+                     "rank": pa.array(df["rank"], pa.int64())})

@@ -2826,3 +2826,86 @@ def seasonal_hour_deviation(sf_dir: str,
         "delta_cents": pc.cast(t["delta_cents"], pa.int64())})
     return out.sort_by([("event_type", "ascending"),
                         ("window_start", "ascending")])
+
+
+def value_robust_scale(sf_dir: str, num_buckets: int = 256) -> pa.Table:
+    """(event_id, event_type, scaled_ppm): robust scaling of every
+    value within its type — ⌊10⁶·(cents − median_cents) / IQR_cents⌋
+    in exact integer arithmetic (the sklearn RobustScaler transform,
+    kept integer so the twin hashes bit-identically; the FLOOR division
+    on negative numerators uses the non-negative-remainder split that
+    DuckDB's truncating ``//`` replicates exactly). Types whose IQR is
+    zero (constant or near-constant values) are omitted by both
+    engines.
+
+    Shape: all three quartile ranks of every type come out of ONE
+    ``_exact_group_rank_elements`` two-pass selection over the integer
+    cents stream (no group in one task); the |types|-row
+    (median, IQR) table broadcasts via ray.put and the transform is
+    one vectorized map over the events — no exchange touches the full
+    table (the value_iqr_outliers discipline)."""
+    from fractions import Fraction
+
+    import ray as _ray
+
+    def _disc_rank(n_g: int, qf) -> int:
+        return max(0, -((-n_g * qf.numerator) // qf.denominator) - 1)
+
+    q25, q50, q75 = Fraction(1, 4), Fraction(1, 2), Fraction(3, 4)
+
+    def ranks_of(n_g: int) -> list[int]:
+        return sorted({_disc_rank(n_g, q) for q in (q25, q50, q75)})
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "value" not in t.schema.names:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "value": pa.array([], pa.float64())})
+        return pa.table({
+            "event_type": t["event_type"],
+            # float64 carries cents exactly to 2^53 — the selection
+            # machinery is type-agnostic, order is what matters
+            "value": pc.cast(pc.cast(pc.round(pc.multiply(
+                t["value"], 100.0)), pa.int64()), pa.float64())})
+
+    counts, elems = _exact_group_rank_elements(
+        ds.map_batches(to_cents, batch_format="pyarrow"), ranks_of,
+        num_buckets)
+    med, iqr = {}, {}
+    for g, n_g in counts.items():
+        e = elems[g]
+        med[g] = int(e[_disc_rank(n_g, q50)])
+        iqr[g] = int(e[_disc_rank(n_g, q75)]) - int(e[_disc_rank(n_g,
+                                                                 q25)])
+    live = sorted(g for g in counts if iqr[g] > 0)
+    fence_tbl = pa.table({
+        "event_type": pa.array(live, pa.string()),
+        "med": pa.array([med[g] for g in live], pa.int64()),
+        "iqr": pa.array([iqr[g] for g in live], pa.int64())})
+    fence_ref = _ray.put(fence_tbl)
+
+    def scale(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "event_id" not in t.schema.names:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "event_type": pa.array([], pa.string()),
+                             "scaled_ppm": pa.array([], pa.int64())})
+        j = t.join(_ray.get(fence_ref), keys="event_type",
+                   join_type="inner")
+        cents = pc.cast(pc.round(pc.multiply(j["value"], 100.0)),
+                        pa.int64()).to_numpy(zero_copy_only=False)
+        gm = j.column("med").to_numpy(zero_copy_only=False)
+        gi = j.column("iqr").to_numpy(zero_copy_only=False)
+        scaled = np.floor_divide((cents - gm) * 1_000_000, gi)
+        return pa.table({
+            "event_id": j["event_id"],
+            "event_type": j["event_type"],
+            "scaled_ppm": pa.array(scaled, pa.int64())})
+
+    t = collect_table(ds.map_batches(scale, batch_format="pyarrow"))
+    if t.num_rows == 0:
+        return pa.table({"event_id": pa.array([], pa.int64()),
+                         "event_type": pa.array([], pa.string()),
+                         "scaled_ppm": pa.array([], pa.int64())})
+    return t.sort_by("event_id")

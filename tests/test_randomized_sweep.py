@@ -106,7 +106,7 @@ SWEEP = [
     "value_hour_corr", "value_iqr_outliers", "value_percentiles",
     "value_target_encode", "value_trend_by_type", "value_winsorized",
     "resample_ffill", "zonemap_value_scan", "zorder_box_scan",
-    "seasonal_hour_deviation",
+    "seasonal_hour_deviation", "value_robust_scale",
     # documents / text
     "token_counts", "bpe_token_counts", "quality_counters",
     "gopher_quality", "fingerprints", "lexical_diversity",
@@ -115,7 +115,7 @@ SWEEP = [
     "extract_mentions", "canonical_urls", "chunk_documents",
     "inverted_index", "pmi_collocations", "top_terms_by_lang",
     "domain_mix", "dedup_exact", "simhash_signatures", "curriculum_order",
-    "pack_conversations",
+    "pack_conversations", "term_label_chi2", "ngram_containment",
     "uniform_sample_md5", "weighted_sample", "train_test_split",
     "domain_temperature_sample", "paragraph_dedup_global",
     "pii_by_source", "corpus_quality_report", "markdown_to_txt",
