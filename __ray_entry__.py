@@ -401,6 +401,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canonical_urls": textstats.canonical_urls,
         "value_iqr_outliers": windows.value_iqr_outliers,
         "value_robust_scale": windows.value_robust_scale,
+        "m4_downsample": windows.m4_downsample,
+        "mannwhitney_value": windows.mannwhitney_value,
+        # step=100: the synthetic vocabulary saturates within ~500
+        # tokens, so a production-sized window would yield one row
+        "vocab_growth": lambda sf: textstats.vocab_growth(sf, step=100),
+        "cdc_chunk_stats": dedup.cdc_chunk_stats,
         "user_time_weighted_avg": windows.user_time_weighted_avg,
         "user_peak_concurrency": windows.user_peak_concurrency,
         "user_rfm_segments": windows.user_rfm_segments,
@@ -3506,5 +3512,77 @@ def oracle_sql() -> dict[str, str]:
                             % iqr)) // iqr AS BIGINT) AS scaled_ppm
             FROM c JOIN q USING (event_type)
             WHERE iqr > 0 ORDER BY event_id""",
+        "m4_downsample": """
+            -- twin of windows.m4_downsample: per (type, 24h bucket) the
+            -- first/last/min/max points via four ROW_NUMBER picks whose
+            -- tiebreaks mirror the engine's packed-key orderings
+            WITH p AS (SELECT event_type, ts, epoch_us(ts) AS tus,
+                              CAST(ROUND(value*100) AS BIGINT) AS cents,
+                              epoch_us(ts) // 86400000000 AS b
+                       FROM events),
+            r AS (SELECT event_type, ts, cents,
+                    ROW_NUMBER() OVER (PARTITION BY event_type, b
+                        ORDER BY tus ASC, cents ASC) AS rf,
+                    ROW_NUMBER() OVER (PARTITION BY event_type, b
+                        ORDER BY tus DESC, cents DESC) AS rl,
+                    ROW_NUMBER() OVER (PARTITION BY event_type, b
+                        ORDER BY cents ASC, tus ASC) AS rmn,
+                    ROW_NUMBER() OVER (PARTITION BY event_type, b
+                        ORDER BY cents DESC, tus DESC) AS rmx
+                  FROM p)
+            SELECT DISTINCT event_type, ts, cents FROM r
+            WHERE rf = 1 OR rl = 1 OR rmn = 1 OR rmx = 1
+            ORDER BY event_type, ts, cents""",
+        "mannwhitney_value": """
+            -- twin of windows.mannwhitney_value: tie-averaged rank*2
+            -- from the value histogram (rank2 = 2*|<v| + |=v| + 1)
+            WITH c AS (SELECT event_type,
+                              CAST(ROUND(value*100) AS BIGINT) AS v
+                       FROM events),
+            tot AS (SELECT v, COUNT(*) AS nc FROM c GROUP BY v),
+            cum AS (SELECT v, nc,
+                           COALESCE(SUM(nc) OVER (ORDER BY v
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS cl
+                    FROM tot),
+            g AS (SELECT event_type, v, COUNT(*) AS nt
+                  FROM c GROUP BY 1, 2)
+            SELECT g.event_type,
+                   CAST(SUM(nt) AS BIGINT) AS n,
+                   CAST(SUM(nt * (2*cl + nc + 1)) AS BIGINT)
+                       AS rank_sum2,
+                   CAST(SUM(nt * (2*cl + nc + 1))
+                        - SUM(nt) * (SUM(nt) + 1) AS BIGINT) AS u2
+            FROM g JOIN cum USING (v)
+            GROUP BY g.event_type ORDER BY g.event_type""",
+        "vocab_growth": r"""
+            -- twin of textstats.vocab_growth: global token positions
+            -- via a window-SUM doc offset, MIN first occurrence per
+            -- term, 10k-position histogram + running vocab
+            WITH tk AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '\w+'))
+                         AS term,
+                     generate_subscripts(
+                         regexp_extract_all(lower(text), '\w+'), 1) - 1
+                         AS idx
+              FROM documents),
+            cnt AS (SELECT doc_id, COUNT(*) AS ntok
+                    FROM tk GROUP BY doc_id),
+            off AS (SELECT doc_id,
+                           COALESCE(SUM(ntok) OVER (ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS base
+                    FROM cnt),
+            fp AS (SELECT term, MIN(base + idx) AS first_pos
+                   FROM tk JOIN off USING (doc_id) GROUP BY term),
+            h AS (SELECT first_pos // 100 AS pos_bucket,
+                         COUNT(*) AS new_terms
+                  FROM fp GROUP BY 1)
+            SELECT CAST(pos_bucket AS BIGINT) AS pos_bucket,
+                   CAST(new_terms AS BIGINT) AS new_terms,
+                   CAST(SUM(new_terms) OVER (ORDER BY pos_bucket)
+                        AS BIGINT) AS vocab_size
+            FROM h ORDER BY pos_bucket""",
         "normalize_markdown": _normalize_markdown_oracle(),
     }

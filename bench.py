@@ -36,6 +36,10 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # order. extract_turns (the flagship) is timed separately via run_job so the
 # number includes the checkpointed parquet write + manifests.
 BENCH_QUERIES = [
+    "m4_downsample",
+    "mannwhitney_value",
+    "vocab_growth",
+    "cdc_chunk_stats",
     "orders_merge_upsert",
     "orders_table_changes",
     "orders_schema_evolution",

@@ -1021,3 +1021,99 @@ def dedup_conversations(sf_dir: str, turns_per_conv: int = 6) -> pa.Table:
         "n_unique": pa.array([n_unique], pa.int64()),
         "n_dup_convs": pa.array([n_convs - n_unique], pa.int64()),
         "kept_checksum": pa.array([format(total, "016x")], pa.string())})
+
+
+# Gear table for content-defined chunking: 256 stable 64-bit values
+# derived from md5 so every worker/process regenerates them identically.
+_GEAR = np.array([int.from_bytes(hashlib.md5(bytes([b])).digest()[:8],
+                                 "big") for b in range(256)],
+                 dtype=np.uint64)
+_GEAR_WINDOW = 64  # (h << 1) + gear[b] forgets bytes older than 64 shifts
+
+
+def _cdc_boundaries(data: np.ndarray, mask: np.uint64) -> np.ndarray:
+    """Positions i where the gear rolling hash hits the boundary mask
+    (cut AFTER byte i). The recurrence h = (h << 1) + gear[b] (mod 2^64)
+    only ever sees the last 64 bytes, so it vectorizes as 64 shifted
+    adds over the whole byte array — no Python loop over bytes."""
+    n = len(data)
+    g = _GEAR[data]
+    h = np.zeros(n, dtype=np.uint64)
+    for j in range(min(_GEAR_WINDOW, n)):
+        # gear[b_{i-j}] << j contributes to h_i
+        h[j:] += g[:n - j] << np.uint64(j)
+    return np.nonzero((h & mask) == 0)[0]
+
+
+def cdc_chunk_stats(sf_dir: str, avg_bits: int = 6) -> pa.Table:
+    """One-row corpus report (total_chunks, distinct_chunks,
+    total_bytes, distinct_bytes, dup_byte_pct): content-defined
+    chunking dedup — every document is split at gear-rolling-hash
+    boundaries (expected chunk ~2^avg_bits bytes), chunks are keyed by
+    md5, and the corpus-level duplicate mass is measured at CHUNK
+    granularity. This is the storage-dedup / near-identical-long-doc
+    screen that whole-document hashing misses: insert one sentence into
+    a 100-page doc and every chunk except the edited one still
+    deduplicates (the CDC shift-invariance property — pinned by the
+    property tests).
+
+    Scale shape: chunking + hashing is one map_batches pass (the
+    rolling hash vectorizes as 64 shifted adds — no per-byte Python);
+    only (digest16, nbytes) rows cross the wire into a combiner
+    groupby; the final count/sum partials fold to one row. No oracle:
+    the boundary function is a rolling hash DuckDB cannot express —
+    invariance and mass-conservation property tests pin it instead."""
+    mask = np.uint64((1 << avg_bits) - 1)
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["text"])
+
+    def chunk(t: pa.Table) -> pa.Table:
+        digs, sizes = [], []
+        for txt in t.column("text").to_pylist():
+            raw = (txt or "").encode("utf-8", "surrogatepass")
+            if not raw:
+                continue
+            arr = np.frombuffer(raw, dtype=np.uint8)
+            cutpos = _cdc_boundaries(arr, mask)
+            prev = 0
+            for cp in cutpos:
+                end = int(cp) + 1
+                if end < len(raw):  # trailing remainder merges below
+                    digs.append(hashlib.md5(raw[prev:end]).digest())
+                    sizes.append(end - prev)
+                    prev = end
+            digs.append(hashlib.md5(raw[prev:]).digest())
+            sizes.append(len(raw) - prev)
+        return pa.table({"dig": pa.array(digs, pa.binary(16)),
+                         "nbytes": pa.array(sizes, pa.int64())})
+
+    per_chunk = partial_groupby(
+        ds.map_batches(chunk, batch_format="pyarrow"),
+        ["dig"], {"n": ("nbytes", "count"), "nb": ("nbytes", "min")})
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "n" not in t.schema.names:
+            z = pa.array([0], pa.int64())
+            return pa.table({"total_chunks": z, "distinct_chunks": z,
+                             "total_bytes": z, "distinct_bytes": z})
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        nb = t.column("nb").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "total_chunks": pa.array([int(n.sum())], pa.int64()),
+            "distinct_chunks": pa.array([len(n)], pa.int64()),
+            "total_bytes": pa.array([int((n * nb).sum())], pa.int64()),
+            "distinct_bytes": pa.array([int(nb.sum())], pa.int64())})
+
+    parts = collect_table(per_chunk.map_batches(fold,
+                                                batch_format="pyarrow"))
+    tot_c = int(pa.compute.sum(parts["total_chunks"]).as_py() or 0)
+    dis_c = int(pa.compute.sum(parts["distinct_chunks"]).as_py() or 0)
+    tot_b = int(pa.compute.sum(parts["total_bytes"]).as_py() or 0)
+    dis_b = int(pa.compute.sum(parts["distinct_bytes"]).as_py() or 0)
+    dup_pct = 0 if tot_b == 0 else (tot_b - dis_b) * 100 // tot_b
+    return pa.table({
+        "total_chunks": pa.array([tot_c], pa.int64()),
+        "distinct_chunks": pa.array([dis_c], pa.int64()),
+        "total_bytes": pa.array([tot_b], pa.int64()),
+        "distinct_bytes": pa.array([dis_b], pa.int64()),
+        "dup_byte_pct": pa.array([dup_pct], pa.int64())})

@@ -2620,3 +2620,115 @@ def term_label_chi2(sf_dir: str, top_n: int = 10, min_df: int = 5,
                      "term": pa.array(df["term"], pa.string()),
                      "chi2_ppm": pa.array(df["chi2_ppm"], pa.int64()),
                      "rank": pa.array(df["rank"], pa.int64())})
+
+
+def vocab_growth(sf_dir: str, step: int = 10_000,
+                 num_buckets: int = 64) -> pa.Table:
+    """(pos_bucket, new_terms, vocab_size): Heaps'-law vocabulary-growth
+    curve — reading the corpus in doc_id order, how many NEW distinct
+    terms first appear inside each window of ``step`` token positions,
+    plus the running vocabulary size. The standard corpus-health audit:
+    a healthy natural corpus grows ~n^beta; a template-stamped or
+    looping corpus flatlines early.
+
+    Shape (NO global sort): global token positions come from the
+    ``curriculum_order`` decomposition — order-preserving doc_id range
+    buckets, a combiner sums each bucket's Arrow-RE2 token counts, the
+    driver exclusive-scans B bucket sums into base offsets (B rows,
+    never docs), and each bucket re-derives its docs' offsets locally.
+    First occurrences then reduce with one combiner min per term and a
+    tiny histogram groupby. Oracle: UNNEST + generate_subscripts with a
+    window-SUM offset and MIN per term."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from raydoc.functions.agg import partial_groupby
+
+    word = re.compile(r"\w+")
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    empty = pa.table({"pos_bucket": pa.array([], pa.int64()),
+                      "new_terms": pa.array([], pa.int64()),
+                      "vocab_size": pa.array([], pa.int64())})
+    lo = ds.min("doc_id")
+    if lo is None:
+        return empty
+    hi = ds.max("doc_id")
+    cuts = _np.linspace(lo, hi, num_buckets + 1)[1:-1]
+
+    def count_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_id" not in t.schema.names:
+            return pa.table({"bucket": pa.array([], pa.int32()),
+                             "ntok": pa.array([], pa.int64())})
+        ids = pc.cast(t["doc_id"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array(_np.searchsorted(cuts, ids, side="right")
+                               .astype(_np.int32)),
+            "ntok": pc.cast(pc.count_substring_regex(
+                pc.fill_null(t["text"], ""), r"\w+"), pa.int64())})
+
+    counts = collect_table(partial_groupby(
+        ds.map_batches(count_bucket, batch_format="pyarrow"),
+        ["bucket"], {"btok": ("ntok", "sum")})).sort_by("bucket")
+    bids = counts.column("bucket").to_pylist()
+    btoks = counts.column("btok").to_pylist()
+    bases = dict(zip(bids, _np.concatenate(
+        ([0], _np.cumsum(btoks)[:-1])).astype(_np.int64)))
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_id" not in t.schema.names:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "text": pa.array([], pa.string()),
+                             "bucket": pa.array([], pa.int32())})
+        ids = pc.cast(t["doc_id"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "text": t["text"],
+            "bucket": pa.array(_np.searchsorted(cuts, ids, side="right")
+                               .astype(_np.int32))})
+
+    def first_positions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", ignore_index=True)
+        base = int(bases[int(g["bucket"].iloc[0])])
+        terms, poss = [], []
+        off = base
+        for txt in g["text"]:
+            toks = word.findall((txt or "").lower())
+            seen = {}
+            for i, tok in enumerate(toks):
+                if tok not in seen:
+                    seen[tok] = off + i
+            terms.extend(seen.keys())
+            poss.extend(seen.values())
+            off += len(toks)
+        return pd.DataFrame({"term": terms, "gpos": poss})
+
+    firsts = partial_groupby(
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket").map_groups(first_positions,
+                                      batch_format="pandas"),
+        ["term"], {"first_pos": ("gpos", "min")})
+
+    def to_hist(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "first_pos" not in t.schema.names:
+            return pa.table({"pos_bucket": pa.array([], pa.int64()),
+                             "one": pa.array([], pa.int64())})
+        fp = pc.cast(t["first_pos"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "pos_bucket": pa.array(fp // step),
+            "one": pa.array(_np.ones(len(fp), _np.int64))})
+
+    hist = collect_table(partial_groupby(
+        firsts.map_batches(to_hist, batch_format="pyarrow"),
+        ["pos_bucket"], {"new_terms": ("one", "sum")})).sort_by(
+            "pos_bucket")
+    if hist.num_rows == 0:
+        return empty
+    nt = hist.column("new_terms").to_numpy(zero_copy_only=False)
+    return pa.table({
+        "pos_bucket": pc.cast(hist["pos_bucket"], pa.int64()),
+        "new_terms": pc.cast(hist["new_terms"], pa.int64()),
+        "vocab_size": pa.array(_np.cumsum(nt).astype(_np.int64))})

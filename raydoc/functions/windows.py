@@ -2909,3 +2909,160 @@ def value_robust_scale(sf_dir: str, num_buckets: int = 256) -> pa.Table:
                          "event_type": pa.array([], pa.string()),
                          "scaled_ppm": pa.array([], pa.int64())})
     return t.sort_by("event_id")
+
+
+def m4_downsample(sf_dir: str, width_hours: int = 24) -> pa.Table:
+    """(event_type, ts, cents): M4 time-series downsampling (Jugel et
+    al., VLDB 2014) — per (event_type, time bucket of ``width_hours``)
+    keep exactly the FIRST, LAST, MIN-value and MAX-value points, the
+    lossless-for-line-rendering reduction used to ship billion-point
+    series to a dashboard. Points are deduplicated (a bucket with one
+    point emits one row).
+
+    Scale shape: each of the four argpoints is an associative min/max
+    over a 16-byte packed key ((ts,cents) big-endian for first/last,
+    (cents,ts) for min/max — offset to keep negatives ordered), so the
+    whole reduction is per-batch pyarrow partials followed by one
+    coarse-bucket fold on aggregated rows; the raw event stream crosses
+    the wire only as per-batch partials. Ties break exactly like the
+    twin's ROW_NUMBER orderings (secondary key = the other component).
+
+    Oracle: four ROW_NUMBER()=1 picks per (type, bucket) UNION'd then
+    DISTINCT."""
+    _HOUR_US = 3_600_000_000
+    _OFF = np.uint64(1) << np.uint64(63)
+    from raydoc.functions._buckets import reduce_bucket_count
+    mask = reduce_bucket_count() - 1
+    width_us = width_hours * _HOUR_US
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type", "value"])
+
+    def _pack(hi: np.ndarray, lo: np.ndarray) -> pa.Array:
+        n = len(hi)
+        packed = np.empty((n, 16), np.uint8)
+        packed[:, :8] = (hi + _OFF).astype(">u8").view(np.uint8).reshape(n, 8)
+        packed[:, 8:] = (lo + _OFF).astype(">u8").view(np.uint8).reshape(n, 8)
+        offs = pa.array(np.arange(n + 1, dtype=np.int32) * 16)
+        return pa.BinaryArray.from_buffers(
+            pa.binary(), n, [None, offs.buffers()[1],
+                             pa.py_buffer(packed.tobytes())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "hbucket": pa.array([], pa.int64()),
+                             "kt_min": pa.array([], pa.binary()),
+                             "kt_max": pa.array([], pa.binary()),
+                             "kv_min": pa.array([], pa.binary()),
+                             "kv_max": pa.array([], pa.binary())})
+        tus = pc.cast(t["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False).astype(np.uint64)
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                        pa.int64()).to_numpy(
+            zero_copy_only=False).astype(np.uint64)
+        kt = _pack(tus, cents)
+        kv = _pack(cents, tus)
+        base = pa.table({
+            "event_type": t["event_type"],
+            "hbucket": pa.array((tus.astype(np.int64)
+                                 // width_us).astype(np.int64)),
+            "kt": kt, "kv": kv})
+        g = base.group_by(["event_type", "hbucket"]).aggregate(
+            [("kt", "min"), ("kt", "max"), ("kv", "min"), ("kv", "max")])
+        return g.select(["event_type", "hbucket",
+                         "kt_min", "kt_max", "kv_min", "kv_max"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "event_type" not in t.schema.names:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "hbucket": pa.array([], pa.int64()),
+                             "kt_min": pa.array([], pa.binary()),
+                             "kt_max": pa.array([], pa.binary()),
+                             "kv_min": pa.array([], pa.binary()),
+                             "kv_max": pa.array([], pa.binary()),
+                             "bucket": pa.array([], pa.int32())})
+        h = pd.util.hash_array(
+            t.column("event_type").to_numpy(zero_copy_only=False),
+            categorize=False)
+        return t.append_column(
+            "bucket", pa.array((h & mask).astype("int32")))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["event_type", "hbucket"], sort=False).agg(
+            kt_min=("kt_min", "min"), kt_max=("kt_max", "max"),
+            kv_min=("kv_min", "min"), kv_max=("kv_max", "max"))
+        out = agg.reset_index()
+        rows = []
+        for r in out.itertuples(index=False):
+            for key, flip in ((r.kt_min, False), (r.kt_max, False),
+                              (r.kv_min, True), (r.kv_max, True)):
+                hi = int.from_bytes(key[:8], "big") - (1 << 63)
+                lo = int.from_bytes(key[8:], "big") - (1 << 63)
+                tus, cents = (lo, hi) if flip else (hi, lo)
+                rows.append((r.event_type, tus, cents))
+        return pd.DataFrame(rows, columns=["event_type", "tus", "cents"]) \
+            .drop_duplicates()
+
+    t = collect_table(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket").map_groups(fold, batch_format="pandas"))
+    if t.num_rows == 0:
+        return pa.table({"event_type": pa.array([], pa.string()),
+                         "ts": pa.array([], pa.timestamp("us")),
+                         "cents": pa.array([], pa.int64())})
+    t = pa.table({
+        "event_type": t["event_type"],
+        "ts": pc.cast(pc.cast(t["tus"], pa.int64()), pa.timestamp("us")),
+        "cents": pc.cast(t["cents"], pa.int64())})
+    return t.sort_by([("event_type", "ascending"), ("ts", "ascending"),
+                      ("cents", "ascending")])
+
+
+def mannwhitney_value(sf_dir: str) -> pa.Table:
+    """(event_type, n, rank_sum2, u2): Mann-Whitney rank-sum screen of
+    each event_type's value distribution against the REST of the stream
+    — the nonparametric "is this segment's metric shifted?" audit that
+    needs no normality assumption. ``rank_sum2`` is twice the tie-
+    averaged rank sum (×2 keeps half-ranks integer-exact) and
+    ``u2 = rank_sum2 - n*(n+1)`` is twice the U statistic.
+
+    Scale shape: global ranks never materialize — ranks are derived
+    from the VALUE HISTOGRAM: rank2(v) = 2·|{x<v}| + |{x=v}| + 1, so
+    the whole test reduces to one combiner groupby over (cents,
+    event_type) (grid bounded by value-domain × types, NOT by row
+    count) plus a driver prefix-sum over the sorted distinct cents —
+    the ``value_percentiles`` regime. Oracle: window cumulative counts
+    over the same grid."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "cents": pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                             pa.int64())})
+
+    grid = collect_table(partial_groupby(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["cents", "event_type"], {"nt": ("cents", "count")}))
+    if grid.num_rows == 0:
+        return pa.table({"event_type": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64()),
+                         "rank_sum2": pa.array([], pa.int64()),
+                         "u2": pa.array([], pa.int64())})
+    df = grid.to_pandas().sort_values(["cents", "event_type"])
+    per_c = df.groupby("cents", sort=True)["nt"].sum()
+    cumless = per_c.cumsum().shift(fill_value=0)
+    df = df.merge(per_c.rename("nc"), left_on="cents", right_index=True)
+    df = df.merge(cumless.rename("cl"), left_on="cents", right_index=True)
+    df["r2"] = df["nt"] * (2 * df["cl"] + df["nc"] + 1)
+    out = df.groupby("event_type", sort=True).agg(
+        n=("nt", "sum"), rank_sum2=("r2", "sum")).reset_index()
+    out["u2"] = out["rank_sum2"] - out["n"] * (out["n"] + 1)
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "n": pa.array(out["n"], pa.int64()),
+        "rank_sum2": pa.array(out["rank_sum2"], pa.int64()),
+        "u2": pa.array(out["u2"], pa.int64())})

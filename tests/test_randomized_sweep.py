@@ -107,7 +107,9 @@ SWEEP = [
     "value_target_encode", "value_trend_by_type", "value_winsorized",
     "resample_ffill", "zonemap_value_scan", "zorder_box_scan",
     "seasonal_hour_deviation", "value_robust_scale",
+    "m4_downsample", "mannwhitney_value",
     # documents / text
+    "vocab_growth",
     "token_counts", "bpe_token_counts", "quality_counters",
     "gopher_quality", "fingerprints", "lexical_diversity",
     "unicode_normalize", "redact_pii", "paragraph_dedup_stats",
