@@ -403,6 +403,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_robust_scale": windows.value_robust_scale,
         "m4_downsample": windows.m4_downsample,
         "mannwhitney_value": windows.mannwhitney_value,
+        "value_changepoint": windows.value_changepoint,
+        "holt_forecast_hourly": windows.holt_forecast_hourly,
         # step=100: the synthetic vocabulary saturates within ~500
         # tokens, so a production-sized window would yield one row
         "vocab_growth": lambda sf: textstats.vocab_growth(sf, step=100),
@@ -3555,6 +3557,88 @@ def oracle_sql() -> dict[str, str]:
                         - SUM(nt) * (SUM(nt) + 1) AS BIGINT) AS u2
             FROM g JOIN cum USING (v)
             GROUP BY g.event_type ORDER BY g.event_type""",
+        "value_changepoint": """
+            -- twin of windows.value_changepoint: centered-CUSUM argmax
+            -- (S1*n - S*k)^2 in HUGEINT over each type's hourly series
+            WITH hourly AS (
+              SELECT event_type, epoch_us(ts) // 3600000000 AS hidx,
+                     CAST(SUM(CAST(ROUND(value*100) AS BIGINT))
+                          AS BIGINT) AS y
+              FROM events GROUP BY 1, 2),
+            seq AS (
+              SELECT event_type, hidx,
+                     ROW_NUMBER() OVER (PARTITION BY event_type
+                                        ORDER BY hidx) AS k,
+                     SUM(y) OVER (PARTITION BY event_type
+                                  ORDER BY hidx) AS s1,
+                     COUNT(*) OVER (PARTITION BY event_type) AS n,
+                     SUM(y) OVER (PARTITION BY event_type) AS s
+              FROM hourly),
+            cand AS (
+              SELECT event_type, hidx, k, n,
+                     (CAST(s1 AS HUGEINT) * n - CAST(s AS HUGEINT) * k)
+                     * (CAST(s1 AS HUGEINT) * n - CAST(s AS HUGEINT) * k)
+                         AS stat
+              FROM seq WHERE k < n),
+            pick AS (
+              SELECT event_type, hidx, k, n, stat,
+                     ROW_NUMBER() OVER (PARTITION BY event_type
+                         ORDER BY stat DESC, k ASC) AS rn
+              FROM cand)
+            SELECT event_type,
+                   CAST(hidx AS BIGINT) AS split_hidx,
+                   CAST(k AS BIGINT) AS n_before,
+                   CAST(n - k AS BIGINT) AS n_after,
+                   CAST(stat AS VARCHAR) AS stat
+            FROM pick WHERE rn = 1 ORDER BY event_type""",
+        "holt_forecast_hourly": """
+            -- twin of windows.holt_forecast_hourly: WITH RECURSIVE over
+            -- the densified hourly grid; alpha=1/4, beta=1/10 floor
+            -- divisions via the non-negative-remainder split
+            WITH RECURSIVE hourly AS (
+              SELECT event_type, epoch_us(ts) // 3600000000 AS hidx,
+                     CAST(SUM(CAST(ROUND(value*100) AS BIGINT))
+                          AS BIGINT) AS y
+              FROM events GROUP BY 1, 2),
+            rng AS (SELECT event_type, MIN(hidx) AS h0, MAX(hidx) AS h1
+                    FROM hourly GROUP BY 1),
+            ex AS (
+              SELECT event_type, h0,
+                     unnest(range(h0, h1 + 1)) AS g
+              FROM rng),
+            dense AS (
+              SELECT ex.event_type, CAST(ex.g - ex.h0 AS BIGINT) AS t,
+                     COALESCE(h.y, 0) AS y
+              FROM ex
+              LEFT JOIN hourly h
+                ON h.event_type = ex.event_type AND h.hidx = ex.g),
+            st AS (
+              SELECT event_type, t, CAST(y AS BIGINT) AS l,
+                     CAST(0 AS BIGINT) AS b
+              FROM dense WHERE t = 0
+              UNION ALL
+              SELECT event_type, t, l,
+                     CAST(((l - lp + 9*bp)
+                           - ((((l - lp + 9*bp) % 10) + 10) % 10)) // 10
+                          AS BIGINT) AS b
+              FROM (
+                SELECT d.event_type AS event_type, d.t AS t,
+                       CAST(((d.y + 3*(st.l + st.b))
+                             - ((((d.y + 3*(st.l + st.b)) % 4) + 4) % 4))
+                            // 4 AS BIGINT) AS l,
+                       st.l AS lp, st.b AS bp
+                FROM st JOIN dense d
+                  ON d.event_type = st.event_type AND d.t = st.t + 1
+              ) q),
+            last AS (SELECT event_type, MAX(t) AS tmax
+                     FROM dense GROUP BY 1)
+            SELECT s.event_type,
+                   CAST(l2.tmax + 1 AS BIGINT) AS n_hours,
+                   s.l AS level, s.b AS trend,
+                   s.l + s.b AS forecast_next
+            FROM st s JOIN last l2
+              ON s.event_type = l2.event_type AND s.t = l2.tmax
+            ORDER BY s.event_type""",
         "vocab_growth": r"""
             -- twin of textstats.vocab_growth: global token positions
             -- via a window-SUM doc offset, MIN first occurrence per

@@ -37,6 +37,8 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # number includes the checkpointed parquet write + manifests.
 BENCH_QUERIES = [
     "m4_downsample",
+    "value_changepoint",
+    "holt_forecast_hourly",
     "mannwhitney_value",
     "vocab_growth",
     "cdc_chunk_stats",

@@ -3066,3 +3066,155 @@ def mannwhitney_value(sf_dir: str) -> pa.Table:
         "n": pa.array(out["n"], pa.int64()),
         "rank_sum2": pa.array(out["rank_sum2"], pa.int64()),
         "u2": pa.array(out["u2"], pa.int64())})
+
+
+def _hourly_cents_by_type(sf_dir: str) -> "rd.Dataset":
+    """Shared combiner rollup: (event_type, hidx, y) hourly cents."""
+    _HOUR_US = 3_600_000_000
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "hidx": pc.divide(pc.cast(t["ts"], pa.int64()),
+                              pa.scalar(_HOUR_US, pa.int64())),
+            "cents": pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                             pa.int64())})
+
+    return partial_groupby(ds.map_batches(prep, batch_format="pyarrow"),
+                           ["event_type", "hidx"],
+                           {"y": ("cents", "sum")})
+
+
+def _type_bucketed(hourly: "rd.Dataset", empty_cols: dict) -> "rd.Dataset":
+    from raydoc.functions._buckets import reduce_bucket_count
+    mask = reduce_bucket_count() - 1
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "event_type" not in t.schema.names:
+            cols = dict(empty_cols)
+            cols["bucket"] = pa.array([], pa.int32())
+            return pa.table(cols)
+        h = pd.util.hash_array(
+            t.column("event_type").to_numpy(zero_copy_only=False),
+            categorize=False)
+        return t.append_column(
+            "bucket", pa.array((h & mask).astype("int32")))
+
+    return hourly.map_batches(add_bucket, batch_format="pyarrow")
+
+
+def value_changepoint(sf_dir: str) -> pa.Table:
+    """(event_type, split_hidx, n_before, n_after, stat): the single
+    most likely level-shift point in each type's hourly revenue series
+    — the hour AFTER which the centered-CUSUM statistic
+    ``(S1*n - S*n1)^2`` peaks (S1 = prefix cents sum over the first n1
+    observed hours; ties -> earliest split). The classic at-most-one-
+    change screen run before alerting on a metric. ``stat`` is emitted
+    as a decimal STRING: it is exact at ~10^28 and would overflow
+    int64 (the twin compares in HUGEINT and casts to VARCHAR).
+
+    Shape: the raw stream folds to (type, hour) combiner partials; the
+    argmax scans each type's AGGREGATED series (bounded by the time
+    span, never by row count) inside a coarse type-bucket group with
+    exact Python-int arithmetic. Oracle: window cumulative sums +
+    ROW_NUMBER over the HUGEINT statistic."""
+    hourly = _hourly_cents_by_type(sf_dir)
+    empty = {"event_type": pa.array([], pa.string()),
+             "hidx": pa.array([], pa.int64()),
+             "y": pa.array([], pa.int64())}
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, grp in g.groupby("event_type", sort=False):
+            grp = grp.sort_values("hidx", ignore_index=True)
+            ys = [int(v) for v in grp["y"]]
+            n = len(ys)
+            if n < 2:
+                continue
+            total = sum(ys)
+            best_k, best_stat = None, -1
+            s1 = 0
+            for k in range(1, n):          # split after k-th observation
+                s1 += ys[k - 1]
+                stat = (s1 * n - total * k) ** 2
+                if stat > best_stat:
+                    best_k, best_stat = k, stat
+            rows.append((et, int(grp["hidx"].iloc[best_k - 1]),
+                         best_k, n - best_k, str(best_stat)))
+        return pd.DataFrame(rows, columns=[
+            "event_type", "split_hidx", "n_before", "n_after", "stat"])
+
+    t = collect_table(
+        _type_bucketed(hourly, empty)
+        .groupby("bucket").map_groups(per_bucket, batch_format="pandas"))
+    if t.num_rows == 0:
+        return pa.table({"event_type": pa.array([], pa.string()),
+                         "split_hidx": pa.array([], pa.int64()),
+                         "n_before": pa.array([], pa.int64()),
+                         "n_after": pa.array([], pa.int64()),
+                         "stat": pa.array([], pa.string())})
+    return pa.table({
+        "event_type": t["event_type"],
+        "split_hidx": pc.cast(t["split_hidx"], pa.int64()),
+        "n_before": pc.cast(t["n_before"], pa.int64()),
+        "n_after": pc.cast(t["n_after"], pa.int64()),
+        "stat": pc.cast(t["stat"], pa.string())}).sort_by("event_type")
+
+
+def holt_forecast_hourly(sf_dir: str) -> pa.Table:
+    """(event_type, n_hours, level, trend, forecast_next): Holt linear-
+    trend exponential smoothing over each type's DENSE hourly revenue
+    series (missing hours are genuine zeros), in integer fixed point so
+    the recursive-CTE twin hashes bit-identically: alpha=1/4, beta=1/10
+    with FLOOR division —
+        l_t = floor((y_t + 3*(l_{t-1} + b_{t-1})) / 4)
+        b_t = floor(((l_t - l_{t-1}) + 9*b_{t-1}) / 10)
+    seeded l_0 = y_0, b_0 = 0; ``forecast_next = level + trend`` is the
+    one-step-ahead revenue forecast — the capacity-planning primitive.
+
+    Shape: combiner partials fold the stream to (type, hour); the
+    recurrence is inherently sequential but runs on the AGGREGATED
+    series (len = time-span hours, independent of row count) inside a
+    coarse type-bucket group. Oracle: WITH RECURSIVE over the
+    generate_series-densified grid with the same remainder-split floor
+    divisions."""
+    hourly = _hourly_cents_by_type(sf_dir)
+    empty = {"event_type": pa.array([], pa.string()),
+             "hidx": pa.array([], pa.int64()),
+             "y": pa.array([], pa.int64())}
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, grp in g.groupby("event_type", sort=False):
+            grp = grp.sort_values("hidx", ignore_index=True)
+            h0, h1 = int(grp["hidx"].iloc[0]), int(grp["hidx"].iloc[-1])
+            dense = np.zeros(h1 - h0 + 1, dtype=np.int64)
+            dense[(grp["hidx"].to_numpy() - h0)] = grp["y"].to_numpy()
+            lvl = int(dense[0])
+            trd = 0
+            for y in dense[1:]:
+                prev = lvl
+                lvl = (int(y) + 3 * (lvl + trd)) // 4
+                trd = ((lvl - prev) + 9 * trd) // 10
+            rows.append((et, len(dense), lvl, trd, lvl + trd))
+        return pd.DataFrame(rows, columns=[
+            "event_type", "n_hours", "level", "trend", "forecast_next"])
+
+    t = collect_table(
+        _type_bucketed(hourly, empty)
+        .groupby("bucket").map_groups(per_bucket, batch_format="pandas"))
+    if t.num_rows == 0:
+        return pa.table({"event_type": pa.array([], pa.string()),
+                         "n_hours": pa.array([], pa.int64()),
+                         "level": pa.array([], pa.int64()),
+                         "trend": pa.array([], pa.int64()),
+                         "forecast_next": pa.array([], pa.int64())})
+    return pa.table({
+        "event_type": t["event_type"],
+        "n_hours": pc.cast(t["n_hours"], pa.int64()),
+        "level": pc.cast(t["level"], pa.int64()),
+        "trend": pc.cast(t["trend"], pa.int64()),
+        "forecast_next": pc.cast(t["forecast_next"], pa.int64())}) \
+        .sort_by("event_type")

@@ -192,3 +192,48 @@ def test_cdc_shift_invariance(ray_session, tmp_path_factory):
     # below the 2x total an unshared pair would produce
     assert r["distinct_bytes"] < r["total_bytes"] * 0.6
     assert r["dup_byte_pct"] >= 40
+
+
+def test_changepoint_finds_step(ray_session, tmp_path):
+    """A clean level shift: 50 hours at ~10.00 then 50 at ~500.00 —
+    the argmax split must land exactly at the boundary."""
+    n = 100
+    ts = pd.to_datetime(np.arange(n) * 3_600_000_000
+                        + np.int64(1_700_000_000_000_000), unit="us")
+    vals = np.where(np.arange(n) < 50, 10.0, 500.0)
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array(np.zeros(n, np.int64)),
+        "event_type": pa.array(["view"] * n),
+        "value": pa.array(vals),
+        "props": pa.array(["{}"] * n),
+    }), tmp_path / "events.parquet")
+    from raydoc.functions.windows import value_changepoint
+    got = value_changepoint(str(tmp_path)).to_pandas()
+    assert len(got) == 1
+    assert got["n_before"].iloc[0] == 50
+    assert got["n_after"].iloc[0] == 50
+
+
+def test_holt_constant_series_converges(ray_session, tmp_path):
+    """On a constant 100.00/hour series the level locks to 10000 cents
+    and the trend decays to 0 — the fixed point of the recurrence."""
+    n = 120
+    ts = pd.to_datetime(np.arange(n) * 3_600_000_000
+                        + np.int64(1_700_000_000_000_000), unit="us")
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array(np.zeros(n, np.int64)),
+        "event_type": pa.array(["view"] * n),
+        "value": pa.array(np.full(n, 100.0)),
+        "props": pa.array(["{}"] * n),
+    }), tmp_path / "events.parquet")
+    from raydoc.functions.windows import holt_forecast_hourly
+    got = holt_forecast_hourly(str(tmp_path)).to_pandas()
+    assert len(got) == 1
+    assert got["n_hours"].iloc[0] == n
+    assert abs(got["level"].iloc[0] - 10000) <= 1
+    assert abs(got["trend"].iloc[0]) <= 1
+    assert abs(got["forecast_next"].iloc[0] - 10000) <= 2
