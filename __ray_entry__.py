@@ -297,6 +297,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, chunk=32, overlap=8),
         "neardup_triangles": graph.neardup_triangles,
         "knn_geodesic": graph.knn_geodesic,
+        "label_propagation": graph.label_propagation,
         "profile_events": profile.profile_events,
         "constraint_report": profile.constraint_report,
         "weighted_sample": textstats.weighted_sample,
@@ -738,6 +739,49 @@ def _knn_geodesic_oracle(k: int = 5, rounds: int = 8,
             + f"""
         SELECT node AS vec_id, CAST(dist AS BIGINT) AS dist
         FROM d{rounds} ORDER BY vec_id""")
+
+
+def _labelprop_oracle(k: int = 5, rounds: int = 6) -> str:
+    """Unrolled chained-CTE twin of functions/graph.py:label_propagation
+    — the knn_graph twin as a CTE, symmetrized, then ``rounds``
+    synchronous mode-of-neighbor-labels updates (ties -> smallest
+    label via ROW_NUMBER), seeded label(v) = v."""
+    head = f"""
+        WITH q AS (SELECT vec_id,
+                          list_transform(embedding,
+                              x -> CAST(floor(CAST(x AS DOUBLE) * 1024)
+                                        AS BIGINT)) AS qe
+                   FROM embeddings),
+        p AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+                     CAST(list_inner_product(a.qe, a.qe)
+                          + list_inner_product(b.qe, b.qe)
+                          - 2 * list_inner_product(a.qe, b.qe)
+                          AS BIGINT) AS d2
+              FROM q a, q b WHERE a.vec_id != b.vec_id),
+        knn AS (SELECT vec_id, neighbor_id FROM (
+                    SELECT vec_id, neighbor_id,
+                           row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY d2, neighbor_id)
+                               AS nn_rank
+                    FROM p) WHERE nn_rank <= {k}),
+        sym AS (SELECT vec_id AS a, neighbor_id AS b FROM knn
+                UNION ALL
+                SELECT neighbor_id, vec_id FROM knn),
+        l0 AS (SELECT DISTINCT b AS node, b AS label FROM sym)"""
+    iters = []
+    for i in range(1, rounds + 1):
+        iters.append(f"""
+        l{i} AS (SELECT node, label FROM (
+                    SELECT s.b AS node, l.label, COUNT(*) AS c,
+                           ROW_NUMBER() OVER (PARTITION BY s.b
+                               ORDER BY COUNT(*) DESC, l.label ASC)
+                               AS rn
+                    FROM sym s JOIN l{i - 1} l ON l.node = s.a
+                    GROUP BY s.b, l.label) WHERE rn = 1)""")
+    return (head + "," + ",".join(iters)
+            + f"""
+        SELECT node AS vec_id, CAST(label AS BIGINT) AS community
+        FROM l{rounds} ORDER BY vec_id""")
 
 
 def _pagerank_oracle(n_iter: int = 5, scale: int = 10 ** 12,
@@ -2907,6 +2951,7 @@ def oracle_sql() -> dict[str, str]:
                    vec_id
             FROM sims QUALIFY rank <= 10 ORDER BY query_id, rank""",
         "knn_geodesic": _knn_geodesic_oracle(),
+        "label_propagation": _labelprop_oracle(),
         "knn_graph": """
             WITH q AS (SELECT vec_id,
                               list_transform(embedding,

@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "orders_table_changes",
     "orders_schema_evolution",
     "knn_geodesic",
+    "label_propagation",
     "seasonal_hour_deviation",
     "term_label_chi2",
     "ngram_containment",

@@ -1016,3 +1016,118 @@ def knn_geodesic(sf_dir: str, k: int = 5, rounds: int = 8,
     return pa.table({"vec_id": pa.array(ks, pa.int64()),
                      "dist": pa.array([dist[k_] for k_ in ks],
                                       pa.int64())})
+
+
+def labelprop_distributed(edges: rd.Dataset, labels: rd.Dataset,
+                          rounds: int,
+                          num_buckets: int | None = None) -> rd.Dataset:
+    """Synchronous label propagation: ``rounds`` iterations of
+    label(v) <- mode of neighbor labels (ties -> smallest label) over a
+    directed edge dataset (a, b) — pass both directions for an
+    undirected graph. ``labels`` is (node, label); every node must
+    appear as some edge's ``b`` to be updated. Per round: one bucketed
+    hash join (edge source -> current label), one combiner count
+    groupby, one coarse-bucket argmax — no whole-graph state on any
+    single worker or the driver."""
+    import pandas as pd
+
+    from raydoc.functions._buckets import reduce_bucket_count
+    from raydoc.functions.joins import bucket_hash_join
+
+    mask = (num_buckets or reduce_bucket_count()) - 1
+
+    def lab_as_src(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "node" not in t.schema.names:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "label": pa.array([], pa.int64())})
+        return pa.table({"a": pc.cast(t["node"], pa.int64()),
+                         "label": pc.cast(t["label"], pa.int64())})
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "b" not in t.schema.names:
+            return pa.table({"b": pa.array([], pa.int64()),
+                             "label": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int32())})
+        bv = t.column("b").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "bucket", pa.array((bv & mask).astype("int32")))
+
+    def pick_mode(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["b", "cnt", "label"],
+                          ascending=[True, False, True],
+                          ignore_index=True)
+        top = g.groupby("b", sort=False).head(1)
+        return pd.DataFrame({"node": top["b"].to_numpy(),
+                             "label": top["label"].to_numpy()})
+
+    cur = labels
+    for _ in range(rounds):
+        j = bucket_hash_join(
+            edges, cur.map_batches(lab_as_src, batch_format="pyarrow"),
+            "a")
+        counts = partial_groupby(j, ["b", "label"],
+                                 {"cnt": ("label", "count")})
+        cur = (counts.map_batches(add_bucket, batch_format="pyarrow")
+               .groupby("bucket").map_groups(pick_mode,
+                                             batch_format="pandas"))
+        cur = cur.materialize()
+    return cur
+
+
+def label_propagation(sf_dir: str, k: int = 5, rounds: int = 6,
+                      max_driver_edges: int = 50_000) -> pa.Table:
+    """(vec_id, community): community detection over the symmetrized
+    exact k-NN embedding graph by SYNCHRONOUS label propagation —
+    ``rounds`` iterations of label(v) <- most frequent neighbor label,
+    ties to the smallest label, seeded with label(v) = v. The fixed
+    round count and deterministic tiebreak tie the engine bit-for-bit
+    to the unrolled chained-CTE DuckDB twin (the cheap Louvain stand-in
+    for topic/duplicate neighborhoods in embedding space).
+
+    Adaptive regime (the ``knn_geodesic`` discipline): the k-NN edge
+    list is O(n*k) rows — below ``max_driver_edges`` the rounds run on
+    the driver; above, ``labelprop_distributed`` runs them as
+    join + combiner-count + coarse-bucket argmax per round. Regime
+    equality is pinned in tests/test_graph.py."""
+    from raydoc.functions.similarity import knn_graph
+
+    kn = knn_graph(sf_dir, k=k)
+    fwd = pa.table({"a": pc.cast(kn["vec_id"], pa.int64()),
+                    "b": pc.cast(kn["neighbor_id"], pa.int64())})
+    sym = pa.concat_tables([fwd, pa.table({"a": fwd["b"],
+                                           "b": fwd["a"]})])
+    out_schema = pa.schema([("vec_id", pa.int64()),
+                            ("community", pa.int64())])
+    if sym.num_rows == 0:
+        return out_schema.empty_table()
+
+    if sym.num_rows > max_driver_edges:
+        nodes = pc.unique(sym["b"])
+        labels = rd.from_arrow(pa.table({"node": nodes,
+                                         "label": nodes}))
+        got = collect_table(labelprop_distributed(
+            rd.from_arrow(sym), labels, rounds))
+        return pa.table({"vec_id": got["node"],
+                         "community": got["label"]}).cast(
+            out_schema).sort_by("vec_id")
+
+    a = sym.column("a").to_pylist()
+    b = sym.column("b").to_pylist()
+    nbrs: dict = {}
+    for s, d in zip(a, b):
+        nbrs.setdefault(d, []).append(s)
+    labels_d = {v: v for v in nbrs}
+    for _ in range(rounds):
+        nxt = {}
+        for v, ns in nbrs.items():
+            cnt: dict = {}
+            for u in ns:
+                lu = labels_d[u]
+                cnt[lu] = cnt.get(lu, 0) + 1
+            nxt[v] = min(cnt, key=lambda l: (-cnt[l], l))
+        labels_d = nxt
+    ks = sorted(labels_d)
+    return pa.table({"vec_id": pa.array(ks, pa.int64()),
+                     "community": pa.array([labels_d[x] for x in ks],
+                                           pa.int64())})

@@ -275,3 +275,41 @@ def test_knn_geodesic_regimes_agree(ray_session):
     rows = {r["vec_id"]: r["dist"] for r in fast.to_pylist()}
     assert all(d == 0 for v, d in rows.items() if v % 50 == 0)
     assert all(d > 0 for v, d in rows.items() if v % 50 != 0)
+
+
+def test_label_propagation_regimes_agree(ray_session):
+    """The driver fast path and the distributed join+argmax path return
+    identical community tables on the real embedding knn graph."""
+    from raydoc.functions.graph import label_propagation
+    sf = "/root/testdata/sf0.001"
+    fast = label_propagation(sf)
+    dist = label_propagation(sf, max_driver_edges=0)
+    assert fast.equals(dist)
+
+
+def test_label_propagation_two_blobs(ray_session, tmp_path):
+    """Two well-separated embedding blobs converge to two communities,
+    each labeled by its smallest member id."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    from raydoc.functions.graph import label_propagation
+    rng = np.random.RandomState(3)
+    a = rng.standard_normal((12, 8)) * 0.05 + 5.0
+    b = rng.standard_normal((12, 8)) * 0.05 - 5.0
+    emb = np.vstack([a, b]).astype(np.float32)
+    pq.write_table(pa.table({
+        "vec_id": pa.array(np.arange(24), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in emb],
+                              pa.list_(pa.float32())),
+        "label": pa.array(np.zeros(24, np.int32), pa.int32()),
+    }), tmp_path / "embeddings.parquet")
+    got = label_propagation(str(tmp_path), k=3).to_pandas()
+    comm = dict(zip(got["vec_id"], got["community"]))
+    # synchronous LP may keep sub-communities inside a blob, but no
+    # community ever spans the two separated blobs, and every label is
+    # a member id of its own blob
+    left = {comm[i] for i in range(12)}
+    right = {comm[i] for i in range(12, 24)}
+    assert left.isdisjoint(right)
+    assert all(0 <= l < 12 for l in left)
+    assert all(12 <= l < 24 for l in right)

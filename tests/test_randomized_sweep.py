@@ -126,6 +126,7 @@ SWEEP = [
     "normalize_markdown",
     # embeddings
     "ann_topk", "embedding_neardups", "knn_graph", "knn_geodesic",
+    "label_propagation",
     "label_centroids",
     "semantic_clusters", "semantic_dedup", "rrf_fusion",
     "embedding_dbscan",
