@@ -409,6 +409,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # step=100: the synthetic vocabulary saturates within ~500
         # tokens, so a production-sized window would yield one row
         "vocab_growth": lambda sf: textstats.vocab_growth(sf, step=100),
+        "token_fertility": textstats.token_fertility,
+        "dup_source_matrix": textstats.dup_source_matrix,
         "cdc_chunk_stats": dedup.cdc_chunk_stats,
         "user_time_weighted_avg": windows.user_time_weighted_avg,
         "user_peak_concurrency": windows.user_peak_concurrency,
@@ -3684,6 +3686,35 @@ def oracle_sql() -> dict[str, str]:
             FROM st s JOIN last l2
               ON s.event_type = l2.event_type AND s.t = l2.tmax
             ORDER BY s.event_type""",
+        "token_fertility": r"""
+            -- twin of textstats.token_fertility: BPE-piece / word
+            -- fertility per language, integer floor ppm
+            SELECT lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(COALESCE(SUM(len(regexp_extract_all(
+                        text, '\w+'))), 0) AS BIGINT) AS n_words,
+                   CAST(COALESCE(SUM(len(regexp_extract_all(text,
+                        '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+'))),
+                        0) AS BIGINT) AS n_pieces,
+                   CAST(CASE WHEN COALESCE(SUM(len(regexp_extract_all(
+                                 text, '\w+'))), 0) > 0
+                        THEN COALESCE(SUM(len(regexp_extract_all(text,
+                             '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+'))),
+                             0) * 1000000
+                             // SUM(len(regexp_extract_all(text, '\w+')))
+                        ELSE 0 END AS BIGINT) AS fertility_ppm
+            FROM documents GROUP BY lang ORDER BY lang""",
+        "dup_source_matrix": """
+            -- twin of textstats.dup_source_matrix: distinct md5 per
+            -- source, self-join on digest, unordered pair counts
+            WITH h AS (SELECT DISTINCT md5(text) AS d, source
+                       FROM documents WHERE text IS NOT NULL),
+            p AS (SELECT a.source AS src_a, b.source AS src_b
+                  FROM h a JOIN h b
+                    ON a.d = b.d AND a.source < b.source)
+            SELECT src_a, src_b,
+                   CAST(COUNT(*) AS BIGINT) AS shared_texts
+            FROM p GROUP BY 1, 2 ORDER BY 1, 2""",
         "vocab_growth": r"""
             -- twin of textstats.vocab_growth: global token positions
             -- via a window-SUM doc offset, MIN first occurrence per

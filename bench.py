@@ -41,6 +41,8 @@ BENCH_QUERIES = [
     "holt_forecast_hourly",
     "mannwhitney_value",
     "vocab_growth",
+    "token_fertility",
+    "dup_source_matrix",
     "cdc_chunk_stats",
     "orders_merge_upsert",
     "orders_table_changes",

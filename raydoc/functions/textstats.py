@@ -2732,3 +2732,123 @@ def vocab_growth(sf_dir: str, step: int = 10_000,
         "pos_bucket": pc.cast(hist["pos_bucket"], pa.int64()),
         "new_terms": pc.cast(hist["new_terms"], pa.int64()),
         "vocab_size": pa.array(_np.cumsum(nt).astype(_np.int64))})
+
+
+def token_fertility(sf_dir: str) -> pa.Table:
+    """(lang, n_docs, n_words, n_pieces, fertility_ppm): tokenizer
+    fertility audit per language — BPE-style pre-tokenizer pieces per
+    word (×10⁶, integer floor) over the corpus. Fertility far above
+    ~1.3e6 for a language flags a tokenizer that fragments it (the
+    standard multilingual-tokenizer health check before training).
+
+    Shape: two vectorized Arrow-RE2 counts per batch + per-batch lang
+    partials; only |langs| rows reach the final groupby. Oracle: the
+    same regexp counts grouped by lang."""
+    import pyarrow.compute as pc
+
+    from raydoc.functions.agg import partial_groupby
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "text"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(t["text"], "")
+        return pa.table({
+            "lang": t["lang"],
+            "one": pa.array(_np.ones(t.num_rows, _np.int64)),
+            "words": pc.cast(pc.count_substring_regex(txt, r"\w+"),
+                             pa.int64()),
+            "pieces": pc.cast(pc.count_substring_regex(
+                txt, _BPE_SPLIT.pattern), pa.int64())})
+
+    t = collect_table(partial_groupby(
+        ds.map_batches(prep, batch_format="pyarrow"), ["lang"],
+        {"n_docs": ("one", "sum"), "n_words": ("words", "sum"),
+         "n_pieces": ("pieces", "sum")}))
+    if t.num_rows == 0:
+        return pa.table({"lang": pa.array([], pa.string()),
+                         "n_docs": pa.array([], pa.int64()),
+                         "n_words": pa.array([], pa.int64()),
+                         "n_pieces": pa.array([], pa.int64()),
+                         "fertility_ppm": pa.array([], pa.int64())})
+    w = t.column("n_words").to_numpy(zero_copy_only=False)
+    p = t.column("n_pieces").to_numpy(zero_copy_only=False)
+    fert = _np.where(w > 0, (p * 1_000_000) // _np.maximum(w, 1), 0)
+    return pa.table({
+        "lang": t["lang"],
+        "n_docs": pc.cast(t["n_docs"], pa.int64()),
+        "n_words": pc.cast(t["n_words"], pa.int64()),
+        "n_pieces": pc.cast(t["n_pieces"], pa.int64()),
+        "fertility_ppm": pa.array(fert.astype(_np.int64))}) \
+        .sort_by("lang")
+
+
+def dup_source_matrix(sf_dir: str,
+                      num_buckets: int | None = None) -> pa.Table:
+    """(src_a, src_b, shared_texts): cross-source contamination matrix
+    — for every unordered source pair, how many distinct text digests
+    occur in BOTH sources. The pretraining-mix audit that catches one
+    feed re-serving another's content (inflating that content's
+    effective epoch count).
+
+    Shape: md5 digests only cross the wire; (digest, source) dedups in
+    a combiner groupby, pairs emit per digest inside a coarse
+    digest-bucket group (≤ |sources|² rows per digest), and a second
+    combiner counts pairs. Oracle: DISTINCT md5 self-join."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from raydoc.functions._buckets import reduce_bucket_count
+    from raydoc.functions.agg import partial_groupby
+
+    mask = (num_buckets or reduce_bucket_count()) - 1
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["text", "source"])
+
+    def digest(t: pa.Table) -> pa.Table:
+        ds_, ss = [], []
+        for txt, src in zip(t.column("text").to_pylist(),
+                            t.column("source").to_pylist()):
+            if txt is None:
+                continue
+            ds_.append(hashlib.md5(txt.encode()).hexdigest())
+            ss.append(src)
+        return pa.table({"d": pa.array(ds_, pa.string()),
+                         "source": pa.array(ss, pa.string())})
+
+    distinct = partial_groupby(
+        ds.map_batches(digest, batch_format="pyarrow"),
+        ["d", "source"], {"n": ("source", "count")})
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "d" not in t.schema.names:
+            return pa.table({"d": pa.array([], pa.string()),
+                             "source": pa.array([], pa.string()),
+                             "bucket": pa.array([], pa.int32())})
+        h = pd.util.hash_array(
+            t.column("d").to_numpy(zero_copy_only=False),
+            categorize=False)
+        return pa.table({"d": t["d"], "source": t["source"],
+                         "bucket": pa.array((h & mask).astype("int32"))})
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, grp in g.groupby("d", sort=False):
+            srcs = sorted(set(grp["source"]))
+            for i in range(len(srcs)):
+                for j in range(i + 1, len(srcs)):
+                    rows.append((srcs[i], srcs[j]))
+        return pd.DataFrame(rows, columns=["src_a", "src_b"])
+
+    counted = collect_table(partial_groupby(
+        distinct.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket").map_groups(pairs, batch_format="pandas"),
+        ["src_a", "src_b"], {"shared_texts": ("src_a", "count")}))
+    if counted.num_rows == 0:
+        return pa.table({"src_a": pa.array([], pa.string()),
+                         "src_b": pa.array([], pa.string()),
+                         "shared_texts": pa.array([], pa.int64())})
+    return pa.table({
+        "src_a": counted["src_a"], "src_b": counted["src_b"],
+        "shared_texts": pc.cast(counted["shared_texts"], pa.int64())}) \
+        .sort_by([("src_a", "ascending"), ("src_b", "ascending")])

@@ -237,3 +237,37 @@ def test_holt_constant_series_converges(ray_session, tmp_path):
     assert abs(got["level"].iloc[0] - 10000) <= 1
     assert abs(got["trend"].iloc[0]) <= 1
     assert abs(got["forecast_next"].iloc[0] - 10000) <= 2
+
+
+def test_dup_source_matrix_counts_cross_source_digests(ray_session,
+                                                       tmp_path):
+    """Constructed corpus: texts A and B live in web+pdf, text C in
+    web+pdf+chat, text D only in web — the matrix counts distinct
+    shared digests per unordered source pair."""
+    texts = ["A", "A", "B", "B", "C", "C", "C", "D", "A"]
+    srcs = ["web", "pdf", "web", "pdf", "web", "pdf", "chat", "web",
+            "web"]  # trailing duplicate A-in-web must NOT double-count
+    n = len(texts)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(n), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * n),
+        "source": pa.array(srcs, pa.string()),
+        "n_chars": pa.array([1] * n, pa.int64()),
+    }), tmp_path / "documents.parquet")
+    from raydoc.functions.textstats import dup_source_matrix
+    got = dup_source_matrix(str(tmp_path)).to_pandas()
+    want = {("chat", "pdf"): 1,       # C
+            ("chat", "web"): 1,       # C
+            ("pdf", "web"): 3}        # A, B, C
+    assert dict(zip(zip(got["src_a"], got["src_b"]),
+                    got["shared_texts"])) == want
+
+
+def test_token_fertility_matches_twin(ray_session, tmp_path):
+    from raydoc.functions.textstats import token_fertility
+    import __ray_entry__ as e
+    sf = _mk_docs(tmp_path, 55)
+    got = token_fertility(sf).to_pandas()
+    exp = _sql(sf, e.oracle_sql()["token_fertility"])
+    assert _canon(got) == _canon(exp)

@@ -110,7 +110,7 @@ SWEEP = [
     "m4_downsample", "mannwhitney_value",
     "value_changepoint", "holt_forecast_hourly",
     # documents / text
-    "vocab_growth",
+    "vocab_growth", "token_fertility", "dup_source_matrix",
     "token_counts", "bpe_token_counts", "quality_counters",
     "gopher_quality", "fingerprints", "lexical_diversity",
     "unicode_normalize", "redact_pii", "paragraph_dedup_stats",
