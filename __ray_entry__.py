@@ -381,6 +381,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_merge_upsert": table_log.orders_merge_upsert,
         "orders_table_changes": table_log.orders_table_changes,
         "orders_schema_evolution": table_log.orders_schema_evolution,
+        "orders_point_lookup": table_log.orders_point_lookup,
         "events_matview": matview.events_matview,
         "benford_values": audit.benford_values,
         "cohen_kappa": audit.cohen_kappa,
@@ -3561,6 +3562,15 @@ def oracle_sql() -> dict[str, str]:
                             % iqr)) // iqr AS BIGINT) AS scaled_ppm
             FROM c JOIN q USING (event_type)
             WHERE iqr > 0 ORDER BY event_id""",
+        "orders_point_lookup": """
+            -- twin of state/table_log.py:orders_point_lookup: the 3
+            -- smallest custkeys ending in 7, plain WHERE IN
+            WITH pk AS (SELECT DISTINCT o_custkey AS k FROM orders
+                        WHERE o_custkey % 10 = 7 ORDER BY k LIMIT 3)
+            SELECT o_orderkey, o_custkey,
+                   CAST(ROUND(o_totalprice*100) AS BIGINT) AS cents
+            FROM orders WHERE o_custkey IN (SELECT k FROM pk)
+            ORDER BY o_orderkey""",
         "m4_downsample": """
             -- twin of windows.m4_downsample: per (type, 24h bucket) the
             -- first/last/min/max points via four ROW_NUMBER picks whose

@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "orders_merge_upsert",
     "orders_table_changes",
     "orders_schema_evolution",
+    "orders_point_lookup",
     "knn_geodesic",
     "label_propagation",
     "seasonal_hour_deviation",

@@ -87,19 +87,65 @@ def snapshot(table_dir: str, version: int | None = None) -> dict:
     return {"version": version, "files": files}
 
 
+_BLOOM_K = 4                       # hash probes per value
+
+
+def _bloom_bits(values, m_bits: int):
+    """k=4 double-hashed bit positions for each value — deterministic
+    across processes (pd.util.hash_array with the fixed default key).
+    Returns an (n, k) int array of positions in [0, m_bits)."""
+    import numpy as np
+    import pandas as pd
+
+    arr = np.asarray(values, dtype=object)
+    h1 = pd.util.hash_array(arr, categorize=False)
+    h2 = (h1 >> np.uint64(17)) | np.uint64(1)     # odd => full cycle
+    ks = np.arange(_BLOOM_K, dtype=np.uint64)
+    return ((h1[:, None] + ks[None, :] * h2[:, None])
+            % np.uint64(m_bits)).astype(np.int64)
+
+
+def _bloom_build(values, m_bits: int) -> bytes:
+    import numpy as np
+
+    bits = np.zeros(m_bits, dtype=np.uint8)
+    pos = _bloom_bits(values, m_bits)
+    bits[pos.ravel()] = 1
+    return np.packbits(bits).tobytes()
+
+
+def _bloom_may_contain(blob: bytes, value) -> bool:
+    import numpy as np
+
+    bits = np.unpackbits(np.frombuffer(blob, dtype=np.uint8))
+    pos = _bloom_bits([value], len(bits))[0]
+    return bool(bits[pos].all())
+
+
+def _bloom_sidecar(name: str, col: str) -> str:
+    return f"{name}.bloom-{col}"
+
+
 def _write_shards(ds: rd.Dataset, table_dir: str,
                   shard_rows: int = 250_000,
-                  stats_cols: list[str] | None = None) -> list[dict]:
+                  stats_cols: list[str] | None = None,
+                  bloom_cols: list[str] | None = None) -> list[dict]:
     """Worker-side content-addressed parquet shard writes (the
     export_* sink discipline); returns [{add, n_rows, n_bytes[,
     stats]}]. ``stats_cols`` records per-shard min/max zone maps in
     the commit (the Iceberg manifest-stats idea) so ``read_table``
-    can prune files without opening them."""
+    can prune files without opening them. ``bloom_cols`` additionally
+    writes a per-shard Bloom-filter SIDECAR per column (the
+    Iceberg-puffin idea — ~20 bits/row, k=4, sized to the shard) for
+    ``point_lookup`` equality pruning; sidecars stay OUT of the commit
+    JSON (they'd bloat the log) and are content-addressed by their
+    shard's name, so vacuum can collect them with the shard."""
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     os.makedirs(table_dir, exist_ok=True)
     scols = list(stats_cols or [])
+    bcols = list(bloom_cols or [])
 
     def write_block(t: pa.Table) -> pa.Table:
         names, rows, sizes, stats = [], [], [], []
@@ -122,6 +168,17 @@ def _write_shards(ds: rd.Dataset, table_dir: str,
             names.append(name)
             rows.append(sub.num_rows)
             sizes.append(os.path.getsize(path))
+            for c in bcols:
+                side = os.path.join(table_dir, _bloom_sidecar(name, c))
+                if not os.path.exists(side):
+                    m_bits = 1 << max(
+                        10, (20 * sub.num_rows - 1).bit_length())
+                    blob = _bloom_build(
+                        sub.column(c).to_pylist(), m_bits)
+                    tmp = side + f".tmp-{os.getpid()}"
+                    with open(tmp, "wb") as fh:
+                        fh.write(blob)
+                    os.replace(tmp, side)
             st = {}
             for c in scols:
                 mm = pc.min_max(sub.column(c)).as_py()
@@ -174,12 +231,15 @@ def _try_commit(table_dir: str, actions, operation: str,
 
 
 def append(ds: rd.Dataset, table_dir: str, shard_rows: int = 250_000,
-           stats_cols: list[str] | None = None) -> int:
+           stats_cols: list[str] | None = None,
+           bloom_cols: list[str] | None = None) -> int:
     """Append ``ds`` as a new version; returns the committed version.
     Shards land before the commit, so a crash mid-append leaves the
     table unchanged (plus vacuumable garbage). ``stats_cols`` records
-    per-shard zone maps for pruned reads."""
-    actions = _write_shards(ds, table_dir, shard_rows, stats_cols)
+    per-shard zone maps for pruned reads; ``bloom_cols`` writes
+    per-shard Bloom sidecars for ``point_lookup``."""
+    actions = _write_shards(ds, table_dir, shard_rows, stats_cols,
+                            bloom_cols)
     return _try_commit(table_dir, actions, "append")
 
 
@@ -548,6 +608,15 @@ def vacuum(table_dir: str, keep_versions: int = 2) -> list[str]:
         referenced |= set(snapshot(table_dir, v)["files"])
     deleted = []
     for name in sorted(os.listdir(table_dir)):
+        if ".parquet.bloom-" in name:
+            base = name.split(".bloom-", 1)[0]
+            if base not in referenced:
+                try:
+                    os.remove(os.path.join(table_dir, name))
+                    deleted.append(name)
+                except OSError:
+                    pass
+            continue
         if not (name.endswith(".parquet") or ".parquet.tmp-" in name):
             continue
         if name not in referenced:
@@ -951,3 +1020,97 @@ def orders_schema_evolution(sf_dir: str) -> pa.Table:
                          "sum_cents": pa.array([], pa.int64())})
     return g.select(["o_orderpriority", "n_orders",
                      "sum_cents"]).sort_by("o_orderpriority")
+
+
+def point_lookup(table_dir: str, col: str, value,
+                 version: int | None = None
+                 ) -> tuple[rd.Dataset, dict]:
+    """Equality point lookup through the per-shard Bloom sidecars:
+    shards whose filter says DEFINITELY-ABSENT never open; survivors
+    stream with an exact map-side equality filter (Bloom false
+    positives only cost a scan, never a wrong row). Returns
+    ``(dataset, {"shards_total": T, "shards_scanned": S})`` — S/T is
+    the pruning ratio a point query on a 100-TB table lives or dies
+    by. Shards written without a sidecar for ``col`` are
+    conservatively scanned."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    if value is None:
+        raise ValueError("point_lookup value must be non-null")
+    snap = snapshot(table_dir, version)
+    names = sorted(snap["files"])
+    kept = []
+    for n in names:
+        side = os.path.join(table_dir, _bloom_sidecar(n, col))
+        if os.path.exists(side):
+            with open(side, "rb") as fh:
+                blob = fh.read()
+            if not _bloom_may_contain(blob, value):
+                continue
+        kept.append(n)
+    stats = {"shards_total": len(names), "shards_scanned": len(kept)}
+    if not kept:
+        schema = pq.read_schema(os.path.join(table_dir, names[0]))
+        return rd.from_arrow(schema.empty_table()), stats
+
+    def exact(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or col not in t.schema.names:
+            return t
+        return t.filter(pc.equal(t[col], value))
+
+    ds = rd.read_parquet([os.path.join(table_dir, n) for n in kept])
+    return ds.map_batches(exact, batch_format="pyarrow"), stats
+
+
+def orders_point_lookup(sf_dir: str, n_probes: int = 3) -> pa.Table:
+    """(o_orderkey, o_custkey, cents): Bloom-indexed point lookups —
+    the orders table commits once with ``bloom_cols=["o_custkey"]``
+    (20 bits/row k=4 sidecars), then the ``n_probes`` smallest
+    custkeys ending in 7 probe through ``point_lookup``. The test
+    suite pins that probes scan a strict subset of shards; the oracle
+    is a plain WHERE IN. Exactness never depends on the filter —
+    false positives fall to the map-side equality."""
+    import shutil
+    import tempfile
+
+    import pyarrow.compute as pc
+
+    tdir = os.path.join(
+        tempfile.gettempdir(),
+        f"raydoc_bloomtbl_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(tdir, ignore_errors=True)
+    src = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                          columns=["o_orderkey", "o_custkey",
+                                   "o_totalprice"])
+    append(src, tdir, shard_rows=5_000, bloom_cols=["o_custkey"])
+
+    keys = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                           columns=["o_custkey"])
+
+    def ending7(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"k": pa.array([], pa.int64())})
+        ks = pc.cast(t["o_custkey"], pa.int64())
+        return pa.table({"k": ks.filter(pc.equal(
+            pc.subtract(ks, pc.multiply(pc.divide(ks, 10), 10)), 7))})
+
+    kt = collect_table(keys.map_batches(ending7,
+                                        batch_format="pyarrow"))
+    probes = sorted(set(kt.column("k").to_pylist()))[:n_probes]
+
+    parts = []
+    for k in probes:
+        ds, _ = point_lookup(tdir, "o_custkey", int(k))
+        parts.append(collect_table(ds))
+    if not parts:
+        return pa.table({"o_orderkey": pa.array([], pa.int64()),
+                         "o_custkey": pa.array([], pa.int64()),
+                         "cents": pa.array([], pa.int64())})
+    t = pa.concat_tables(parts)
+    return pa.table({
+        "o_orderkey": pa.compute.cast(t["o_orderkey"], pa.int64()),
+        "o_custkey": pa.compute.cast(t["o_custkey"], pa.int64()),
+        "cents": pa.compute.cast(pa.compute.round(
+            pa.compute.multiply(t["o_totalprice"], 100.0)),
+            pa.int64())}).sort_by([("o_orderkey", "ascending")])

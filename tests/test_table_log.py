@@ -423,3 +423,58 @@ def test_read_table_unify_schema_evolution(ray_session, tmp_path):
     # NONE of the requested columns
     only = tl.read_table(d, unify=True, columns=["extra"]).take_all()
     assert sorted(x["extra"] or "" for x in only) == ["", "", "x"]
+
+
+def test_point_lookup_prunes_and_is_exact(ray_session, tmp_path):
+    """Three appends with disjoint key ranges -> three shards; a probe
+    for one key scans a strict subset of shards (usually exactly one)
+    and returns exactly the matching rows."""
+    import ray.data as rd
+
+    from raydoc.state import table_log as tl
+
+    d = str(tmp_path / "t")
+    for base in (0, 1000, 2000):
+        tl.append(rd.from_arrow(pa.table({
+            "k": pa.array(range(base, base + 1000), pa.int64()),
+            "v": pa.array([f"r{i}" for i in range(base, base + 1000)],
+                          pa.string())})), d, bloom_cols=["k"])
+    ds, st = tl.point_lookup(d, "k", 1500)
+    rows = ds.take_all()
+    assert st["shards_total"] == 3
+    assert st["shards_scanned"] < 3
+    assert [(r["k"], r["v"]) for r in rows] == [(1500, "r1500")]
+    # absent key: exact empty result regardless of filter verdicts
+    ds2, _ = tl.point_lookup(d, "k", 999_999)
+    assert ds2.take_all() == []
+
+
+def test_point_lookup_without_sidecar_is_conservative(ray_session,
+                                                      tmp_path):
+    import ray.data as rd
+
+    from raydoc.state import table_log as tl
+
+    d = str(tmp_path / "t")
+    tl.append(rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3], pa.int64())})), d)   # no bloom_cols
+    ds, st = tl.point_lookup(d, "k", 2)
+    assert st == {"shards_total": 1, "shards_scanned": 1}
+    assert [r["k"] for r in ds.take_all()] == [2]
+
+
+def test_vacuum_collects_orphaned_bloom_sidecars(ray_session, tmp_path):
+    import ray.data as rd
+
+    from raydoc.state import table_log as tl
+
+    d = str(tmp_path / "t")
+    tl.append(rd.from_arrow(pa.table({
+        "k": pa.array([1, 2], pa.int64())})), d, bloom_cols=["k"])
+    old_sides = [f for f in os.listdir(d) if ".bloom-" in f]
+    assert old_sides
+    tl.overwrite(rd.from_arrow(pa.table({
+        "k": pa.array([9], pa.int64())})), d)
+    tl.vacuum(d, keep_versions=1)
+    left = [f for f in os.listdir(d) if ".bloom-" in f]
+    assert not set(left) & set(old_sides)
