@@ -183,7 +183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from raydoc.functions import orcio
     from raydoc.functions import profile, relational, similarity, sketches
     from raydoc.functions import audit, mltree, textstats, windows
-    from raydoc.state import lsh_index, matview, table_log
+    from raydoc.state import catalog, lsh_index, matview, table_log
     from raydoc.sources import warc as warcsrc
 
     return {
@@ -382,6 +382,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_table_changes": table_log.orders_table_changes,
         "orders_schema_evolution": table_log.orders_schema_evolution,
         "orders_point_lookup": table_log.orders_point_lookup,
+        "catalog_txn_snapshot": catalog.catalog_txn_snapshot,
         "events_matview": matview.events_matview,
         "benford_values": audit.benford_values,
         "cohen_kappa": audit.cohen_kappa,
@@ -3571,6 +3572,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROUND(o_totalprice*100) AS BIGINT) AS cents
             FROM orders WHERE o_custkey IN (SELECT k FROM pk)
             ORDER BY o_orderkey""",
+        "catalog_txn_snapshot": """
+            -- twin of state/catalog.py:catalog_txn_snapshot: the two
+            -- txn halves recomputed directly from orders
+            WITH h AS (SELECT CAST(ROUND(o_totalprice*100) AS BIGINT)
+                              AS c, o_orderkey % 2 AS par FROM orders),
+            v0 AS (SELECT COUNT(*) AS n, SUM(c) AS s FROM h
+                   WHERE par = 0),
+            vall AS (SELECT COUNT(*) AS n, SUM(c) AS s FROM h)
+            SELECT CAST(0 AS BIGINT) AS cat_version,
+                   CAST(n AS BIGINT) AS n_facts,
+                   CAST(s AS BIGINT) AS sum_cents,
+                   CAST(1 AS BIGINT) AS audit_rows,
+                   CAST(n AS BIGINT) AS audit_total FROM v0
+            UNION ALL
+            SELECT CAST(1 AS BIGINT), CAST(n AS BIGINT),
+                   CAST(s AS BIGINT), CAST(2 AS BIGINT),
+                   CAST(n AS BIGINT) FROM vall
+            ORDER BY cat_version""",
         "m4_downsample": """
             -- twin of windows.m4_downsample: per (type, 24h bucket) the
             -- first/last/min/max points via four ROW_NUMBER picks whose

@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "orders_table_changes",
     "orders_schema_evolution",
     "orders_point_lookup",
+    "catalog_txn_snapshot",
     "knn_geodesic",
     "label_propagation",
     "seasonal_hour_deviation",

@@ -1,0 +1,209 @@
+"""Catalog-level multi-table transactions over ``state/table_log.py``
+tables — snapshot isolation ACROSS tables (the Iceberg-REST-catalog
+idea, dependency-free).
+
+A single table log makes one table's commits atomic; a pipeline that
+maintains, say, a fact table AND its quarantine/rejects table needs the
+PAIR to move together. The catalog is its own tiny commit log whose
+entries pin ``{table_name: (table_dir, version)}``:
+
+- ``txn(catalog_dir, writes)`` appends to every table FIRST (each
+  append is individually atomic and, crucially, invisible to catalog
+  readers until pinned), then claims the next catalog version with the
+  same ``O_CREAT | O_EXCL`` optimistic-concurrency protocol the table
+  log uses. A crash between the table appends and the catalog commit
+  leaves newer table versions that no catalog snapshot references —
+  catalog readers NEVER observe a partial transaction; the orphaned
+  versions are ordinary vacuumable history.
+- ``catalog_snapshot`` / ``read_catalog_table`` resolve a consistent
+  cross-table view: every table reads at its pinned version, so a
+  reader joining two tables can never see one table's half of a
+  transaction without the other's.
+- Racing transactions both land, in some order: the loser of the
+  catalog-version race re-reads the head and re-pins (its table
+  appends already landed; pins are per-table versions, so rebasing is
+  just taking the union of the head's pins with this txn's).
+
+No wall-clock enters the log; reruns are byte-deterministic.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import ray.data as rd
+
+from raydoc.state import table_log as _tl
+
+_LOG = "_catalog"
+
+
+def _log_dir(catalog_dir: str) -> str:
+    return os.path.join(catalog_dir, _LOG)
+
+
+def _version_path(catalog_dir: str, version: int) -> str:
+    return os.path.join(_log_dir(catalog_dir), f"{version:08d}.json")
+
+
+def list_versions(catalog_dir: str) -> list[int]:
+    d = _log_dir(catalog_dir)
+    if not os.path.isdir(d):
+        return []
+    return sorted(int(f[:-5]) for f in os.listdir(d)
+                  if f.endswith(".json") and f[:-5].isdigit())
+
+
+def catalog_snapshot(catalog_dir: str,
+                     version: int | None = None) -> dict:
+    """{"version": V, "tables": {name: {"dir": ..., "version": v}}} —
+    the consistent cross-table view at catalog version V (default:
+    latest)."""
+    vs = list_versions(catalog_dir)
+    if not vs:
+        raise ValueError(f"{catalog_dir!r} has no catalog log")
+    if version is None:
+        version = vs[-1]
+    if version not in vs:
+        raise ValueError(f"catalog version {version} not in {vs}")
+    with open(_version_path(catalog_dir, version)) as fh:
+        return json.load(fh)
+
+
+def read_catalog_table(catalog_dir: str, name: str,
+                       version: int | None = None,
+                       columns: list[str] | None = None) -> rd.Dataset:
+    """Stream table ``name`` at its version PINNED by the catalog
+    snapshot — the only read path that is consistent across tables."""
+    snap = catalog_snapshot(catalog_dir, version)
+    ent = snap["tables"].get(name)
+    if ent is None:
+        raise ValueError(f"table {name!r} not in catalog "
+                         f"(have {sorted(snap['tables'])})")
+    return _tl.read_table(ent["dir"], version=ent["version"],
+                          columns=columns)
+
+
+def txn(catalog_dir: str,
+        writes: list[tuple[str, rd.Dataset, str]],
+        shard_rows: int = 250_000, max_retries: int = 20) -> int:
+    """Atomically (to catalog readers) append each dataset to its
+    table: ``writes`` is [(table_name, dataset, table_dir)]. Returns
+    the committed catalog version. Table appends land first; the
+    catalog commit pins the new versions — until it lands, no catalog
+    snapshot references them, so a crash mid-txn is invisible (the
+    newer table versions become ordinary vacuumable history)."""
+    os.makedirs(_log_dir(catalog_dir), exist_ok=True)
+    pins: dict[str, dict] = {}
+    for name, ds, tdir in writes:
+        v = _tl.append(ds, tdir, shard_rows=shard_rows)
+        pins[name] = {"dir": os.path.abspath(tdir), "version": v}
+
+    for _ in range(max_retries):
+        vs = list_versions(catalog_dir)
+        head = catalog_snapshot(catalog_dir, vs[-1]) if vs else None
+        nxt = (vs[-1] + 1) if vs else 0
+        tables = dict(head["tables"]) if head else {}
+        # rebase: racing txns touching DISJOINT tables both land; a
+        # race on the SAME table keeps the higher pinned version (both
+        # appends are in that table's log; the pin is monotone)
+        for name, ent in pins.items():
+            cur = tables.get(name)
+            if cur is None or ent["version"] > cur["version"]:
+                tables[name] = ent
+        payload = {"version": nxt, "tables": tables}
+        path = _version_path(catalog_dir, nxt)
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            continue  # lost the race — rebase on the new head
+        with os.fdopen(fd, "w") as fh:
+            json.dump(payload, fh, sort_keys=True)
+        return nxt
+    raise RuntimeError("catalog txn lost the commit race "
+                       f"{max_retries} times")
+
+
+def catalog_txn_snapshot(sf_dir: str) -> "pa.Table":
+    """(cat_version, n_facts, sum_cents, audit_rows, audit_total):
+    end-to-end proof of cross-table snapshot isolation — each txn
+    appends a half of orders to the ``facts`` table AND its row-count
+    record to the ``audit`` table as ONE catalog commit; reading BOTH
+    tables through each catalog snapshot must satisfy the invariant
+    ``audit_total == n_facts`` at every version (a reader can never
+    see facts without their audit row or vice versa). Oracle: the two
+    halves recomputed directly from orders."""
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from raydoc.functions._collect import collect_table
+    from raydoc.functions.agg import partial_groupby
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"raydoc_catalog_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(root, ignore_errors=True)
+    facts_dir = os.path.join(root, "facts")
+    audit_dir = os.path.join(root, "audit")
+
+    src = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                          columns=["o_orderkey", "o_totalprice"])
+
+    def half(parity: int):
+        def f(t):
+            if t.num_rows == 0:
+                return t
+            k = pc.cast(t["o_orderkey"], pa.int64())
+            rem = pc.subtract(k, pc.multiply(
+                pc.divide(k, pa.scalar(2, pa.int64())),
+                pa.scalar(2, pa.int64())))
+            return t.filter(pc.equal(rem, pa.scalar(parity, pa.int64())))
+        return src.map_batches(f, batch_format="pyarrow")
+
+    for i, parity in enumerate((0, 1)):
+        h = half(parity).materialize()
+        audit_row = rd.from_arrow(pa.table({
+            "txn": pa.array([f"t{i}"], pa.string()),
+            "n_rows": pa.array([h.count()], pa.int64())}))
+        txn(root, [("facts", h, facts_dir),
+                   ("audit", audit_row, audit_dir)],
+            shard_rows=50_000)
+
+    out = []
+    for v in (0, 1):
+        facts = read_catalog_table(root, "facts", version=v)
+
+        def cents(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "o_totalprice" not in t.schema.names:
+                return pa.table({"k": pa.array([], pa.int64()),
+                                 "c": pa.array([], pa.int64())})
+            return pa.table({
+                "k": pa.array([0] * t.num_rows, pa.int64()),
+                "c": pc.cast(pc.round(pc.multiply(
+                    t["o_totalprice"], 100.0)), pa.int64())})
+
+        g = collect_table(partial_groupby(
+            facts.map_batches(cents, batch_format="pyarrow"), ["k"],
+            {"n_facts": ("c", "count"), "sum_cents": ("c", "sum")}))
+        audit = collect_table(read_catalog_table(root, "audit",
+                                                 version=v))
+        out.append({
+            "cat_version": v,
+            "n_facts": int(g.column("n_facts")[0].as_py()),
+            "sum_cents": int(g.column("sum_cents")[0].as_py()),
+            "audit_rows": audit.num_rows,
+            "audit_total": int(pc.sum(audit["n_rows"]).as_py())})
+    return pa.table({
+        "cat_version": pa.array([o["cat_version"] for o in out],
+                                pa.int64()),
+        "n_facts": pa.array([o["n_facts"] for o in out], pa.int64()),
+        "sum_cents": pa.array([o["sum_cents"] for o in out],
+                              pa.int64()),
+        "audit_rows": pa.array([o["audit_rows"] for o in out],
+                               pa.int64()),
+        "audit_total": pa.array([o["audit_total"] for o in out],
+                                pa.int64())})

@@ -79,7 +79,7 @@ SWEEP = [
     "top_session_paths", "value_acf_by_type", "user_value_ewma",
     "asof_last_view", "asof_nearest_view", "asof_recent_view",
     "orders_time_travel", "orders_gdpr_delete",
-    "orders_point_lookup",
+    "orders_point_lookup", "catalog_txn_snapshot",
 ]
 
 
