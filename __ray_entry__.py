@@ -298,6 +298,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_triangles": graph.neardup_triangles,
         "knn_geodesic": graph.knn_geodesic,
         "label_propagation": graph.label_propagation,
+        "ann_recall_report": similarity.ann_recall_report,
         "profile_events": profile.profile_events,
         "constraint_report": profile.constraint_report,
         "weighted_sample": textstats.weighted_sample,

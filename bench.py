@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "catalog_txn_snapshot",
     "knn_geodesic",
     "label_propagation",
+    "ann_recall_report",
     "seasonal_hour_deviation",
     "term_label_chi2",
     "ngram_containment",

@@ -1199,3 +1199,37 @@ def als_item_factors(sf_dir: str, rank: int = 2,
     for k in range(rank):
         cols[f"f{k}"] = pa.array(f[:, k], pa.float64())
     return pa.table(cols)
+
+
+def ann_recall_report(sf_dir: str, k: int = 10) -> pa.Table:
+    """(method, n_queries, k, hits, possible, recall_pct): the ANN
+    quality dashboard — recall@k of every approximate index (LSH, IVF,
+    PQ) against the exact brute-force top-k on the SAME queries. The
+    number an embedding-retrieval pipeline alarms on when a re-trained
+    index or a new corpus shard silently degrades candidate quality.
+    Integer recall_pct = hits*100 // possible keeps the row exact.
+
+    Rows-only (no SQL can run the index internals); the recall floors
+    are pinned by the existing per-method property tests — this query
+    turns them into a monitorable report."""
+    truth = brute_force_topk(sf_dir, k=k).to_pandas()
+    want: dict = {}
+    for q, grp in truth.groupby("query_id"):
+        want[q] = set(grp["vec_id"])
+    methods = [("lsh", lsh_topk), ("ivf", ivf_topk), ("pq", pq_topk)]
+    rows = []
+    for name, fn in methods:
+        got = fn(sf_dir, k=k).to_pandas()
+        hits = 0
+        for q, grp in got.groupby("query_id"):
+            hits += len(set(grp["vec_id"]) & want.get(q, set()))
+        possible = sum(len(v) for v in want.values())
+        pct = hits * 100 // possible if possible else 0
+        rows.append((name, len(want), k, hits, possible, pct))
+    return pa.table({
+        "method": pa.array([r[0] for r in rows], pa.string()),
+        "n_queries": pa.array([r[1] for r in rows], pa.int64()),
+        "k": pa.array([r[2] for r in rows], pa.int64()),
+        "hits": pa.array([r[3] for r in rows], pa.int64()),
+        "possible": pa.array([r[4] for r in rows], pa.int64()),
+        "recall_pct": pa.array([r[5] for r in rows], pa.int64())})

@@ -52,3 +52,20 @@ def test_mmr_first_pick_is_global_best_and_diverse(ray_session):
     assert mean_pairwise(mmr["vec_id"]) < mean_pairwise(plain["vec_id"])
     again = mmr_diverse_topk(sf, k=k).to_pandas()
     assert again.equals(mmr)
+
+
+def test_ann_recall_report_floors(ray_session):
+    """The report runs all three indexes on the real sf0.01 embeddings.
+    The corpus is unstructured random normals — a hard case — so the
+    floors pin the measured regime (IVF/PQ useful, default-config LSH
+    weak: surfacing that IS the report's job), not aspirations."""
+    from raydoc.functions.similarity import ann_recall_report
+    got = ann_recall_report("/root/testdata/sf0.01").to_pandas()
+    assert sorted(got["method"]) == ["ivf", "lsh", "pq"]
+    assert (got["possible"] > 0).all()
+    rec = dict(zip(got["method"], got["recall_pct"]))
+    assert rec["ivf"] >= 30
+    assert rec["pq"] >= 30
+    assert rec["lsh"] >= 2
+    assert (got["hits"] <= got["possible"]).all()
+    assert (got["recall_pct"] <= 100).all()
