@@ -409,6 +409,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mannwhitney_value": windows.mannwhitney_value,
         "value_changepoint": windows.value_changepoint,
         "holt_forecast_hourly": windows.holt_forecast_hourly,
+        "hourly_gaps": windows.hourly_gaps,
         # step=100: the synthetic vocabulary saturates within ~500
         # tokens, so a production-sized window would yield one row
         "vocab_growth": lambda sf: textstats.vocab_growth(sf, step=100),
@@ -3745,6 +3746,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT src_a, src_b,
                    CAST(COUNT(*) AS BIGINT) AS shared_texts
             FROM p GROUP BY 1, 2 ORDER BY 1, 2""",
+        "hourly_gaps": """
+            -- twin of windows.hourly_gaps: dense grid minus observed
+            -- hours; longest gap from window diffs over observed hours
+            WITH hourly AS (
+              SELECT event_type, epoch_us(ts) // 3600000000 AS hidx
+              FROM events GROUP BY 1, 2),
+            rng AS (SELECT event_type, MIN(hidx) AS h0, MAX(hidx) AS h1,
+                           COUNT(*) AS n_obs
+                    FROM hourly GROUP BY 1),
+            d AS (SELECT event_type,
+                         hidx - LAG(hidx) OVER (PARTITION BY event_type
+                                                ORDER BY hidx) - 1
+                             AS gap
+                  FROM hourly)
+            SELECT r.event_type,
+                   CAST(r.h1 - r.h0 + 1 AS BIGINT) AS n_hours_span,
+                   CAST(r.n_obs AS BIGINT) AS n_observed,
+                   CAST(r.h1 - r.h0 + 1 - r.n_obs AS BIGINT)
+                       AS n_missing,
+                   CAST(COALESCE((SELECT MAX(gap) FROM d
+                                  WHERE d.event_type = r.event_type
+                                    AND gap > 0), 0) AS BIGINT)
+                       AS longest_gap
+            FROM rng r ORDER BY r.event_type""",
         "vocab_growth": r"""
             -- twin of textstats.vocab_growth: global token positions
             -- via a window-SUM doc offset, MIN first occurrence per

@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "m4_downsample",
     "value_changepoint",
     "holt_forecast_hourly",
+    "hourly_gaps",
     "mannwhitney_value",
     "vocab_growth",
     "token_fertility",

@@ -3218,3 +3218,50 @@ def holt_forecast_hourly(sf_dir: str) -> pa.Table:
         "trend": pc.cast(t["trend"], pa.int64()),
         "forecast_next": pc.cast(t["forecast_next"], pa.int64())}) \
         .sort_by("event_type")
+
+
+def hourly_gaps(sf_dir: str) -> pa.Table:
+    """(event_type, n_hours_span, n_observed, n_missing, longest_gap):
+    feed-outage detection — hours inside each type's [first, last]
+    hourly span that recorded NO events, plus the longest consecutive
+    silent stretch. The data-freshness monitor that catches a
+    partially-dead ingest long before volumes drift.
+
+    Shape: the stream folds to (type, hour) combiner partials; gap
+    arithmetic runs on each type's AGGREGATED hour list (bounded by
+    the time span) inside a coarse type-bucket group. Oracle: dense
+    unnest(range) grid anti-join + window-diff longest gap."""
+    hourly = _hourly_cents_by_type(sf_dir)
+    empty = {"event_type": pa.array([], pa.string()),
+             "hidx": pa.array([], pa.int64()),
+             "y": pa.array([], pa.int64())}
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, grp in g.groupby("event_type", sort=False):
+            h = np.sort(grp["hidx"].to_numpy())
+            span = int(h[-1] - h[0] + 1)
+            n_obs = len(h)
+            diffs = np.diff(h)
+            longest = int(diffs.max() - 1) if len(diffs) else 0
+            rows.append((et, span, n_obs, span - n_obs, max(longest, 0)))
+        return pd.DataFrame(rows, columns=[
+            "event_type", "n_hours_span", "n_observed", "n_missing",
+            "longest_gap"])
+
+    t = collect_table(
+        _type_bucketed(hourly, empty)
+        .groupby("bucket").map_groups(per_bucket, batch_format="pandas"))
+    if t.num_rows == 0:
+        return pa.table({"event_type": pa.array([], pa.string()),
+                         "n_hours_span": pa.array([], pa.int64()),
+                         "n_observed": pa.array([], pa.int64()),
+                         "n_missing": pa.array([], pa.int64()),
+                         "longest_gap": pa.array([], pa.int64())})
+    return pa.table({
+        "event_type": t["event_type"],
+        "n_hours_span": pc.cast(t["n_hours_span"], pa.int64()),
+        "n_observed": pc.cast(t["n_observed"], pa.int64()),
+        "n_missing": pc.cast(t["n_missing"], pa.int64()),
+        "longest_gap": pc.cast(t["longest_gap"], pa.int64())}) \
+        .sort_by("event_type")
