@@ -410,6 +410,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_changepoint": windows.value_changepoint,
         "holt_forecast_hourly": windows.holt_forecast_hourly,
         "hourly_gaps": windows.hourly_gaps,
+        "session_entry_stats": windows.session_entry_stats,
         # step=100: the synthetic vocabulary saturates within ~500
         # tokens, so a production-sized window would yield one row
         "vocab_growth": lambda sf: textstats.vocab_growth(sf, step=100),
@@ -3770,6 +3771,34 @@ def oracle_sql() -> dict[str, str]:
                                     AND gap > 0), 0) AS BIGINT)
                        AS longest_gap
             FROM rng r ORDER BY r.event_type""",
+        "session_entry_stats": """
+            -- twin of windows.session_entry_stats: LAG gap flags ->
+            -- window-cumsum session ids -> FIRST_VALUE entry type
+            WITH o AS (
+              SELECT user_id, ts, event_id, event_type,
+                     CASE WHEN LAG(ts) OVER w IS NULL
+                          OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS ns
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (SELECT *, SUM(ns) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id) AS sid FROM o),
+            g AS (SELECT user_id, sid, ts,
+                         FIRST_VALUE(event_type) OVER (
+                             PARTITION BY user_id, sid
+                             ORDER BY ts, event_id) AS entry_type
+                  FROM s),
+            per AS (SELECT user_id, sid, MIN(entry_type) AS entry_type,
+                           COUNT(*) AS ne,
+                           epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dur
+                    FROM g GROUP BY user_id, sid)
+            SELECT entry_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_sessions,
+                   CAST(SUM(CASE WHEN ne = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_bounces,
+                   CAST(SUM(ne) AS BIGINT) AS total_events,
+                   CAST(SUM(dur) AS BIGINT) AS total_duration_us
+            FROM per GROUP BY entry_type ORDER BY entry_type""",
         "vocab_growth": r"""
             -- twin of textstats.vocab_growth: global token positions
             -- via a window-SUM doc offset, MIN first occurrence per

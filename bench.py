@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "value_changepoint",
     "holt_forecast_hourly",
     "hourly_gaps",
+    "session_entry_stats",
     "mannwhitney_value",
     "vocab_growth",
     "token_fertility",

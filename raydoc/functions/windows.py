@@ -3265,3 +3265,79 @@ def hourly_gaps(sf_dir: str) -> pa.Table:
         "n_missing": pc.cast(t["n_missing"], pa.int64()),
         "longest_gap": pc.cast(t["longest_gap"], pa.int64())}) \
         .sort_by("event_type")
+
+
+def session_entry_stats(sf_dir: str, gap_minutes: int = 30,
+                        num_buckets: int | None = None) -> pa.Table:
+    """(entry_type, n_sessions, n_bounces, total_events,
+    total_duration_us): landing-page analytics over 30-minute-gap
+    sessions — per ENTRY event type (the session's first event under
+    (ts, event_id) order): session count, single-event bounces, event
+    volume and total dwell time. The funnel-health rollup sitting one
+    level above ``sessionize``.
+
+    Shape: the ``sessionize`` coarse-user-bucket scan (whole blocks,
+    vectorized sort + diff; no per-user micro-groups) emits per-bucket
+    per-entry-type partials; one tiny combiner groupby finishes.
+    Oracle: LAG gap flags + window cumsum sid + FIRST_VALUE entry."""
+    from raydoc.functions._buckets import reduce_bucket_count
+    from raydoc.functions.agg import partial_groupby
+    mask = (num_buckets or reduce_bucket_count()) - 1
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id",
+                                  "event_type"])
+    gap = np.timedelta64(gap_minutes * 60, "s")
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "bucket", pc.cast(pc.bit_wise_and(t["user_id"], mask),
+                              pa.int32()))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          ignore_index=True)
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy()
+        new_session = np.empty(len(g), dtype=bool)
+        new_session[0] = True
+        new_session[1:] = uid[1:] != uid[:-1]
+        if len(g) > 1:
+            new_session[1:] |= np.diff(ts) > gap
+        sid = np.cumsum(new_session)
+        df = pd.DataFrame({
+            "sid": sid, "entry_type": g["event_type"].to_numpy(),
+            "tus": ts.astype("datetime64[us]").astype(np.int64)})
+        per = df.groupby("sid", sort=False).agg(
+            entry_type=("entry_type", "first"),
+            ne=("tus", "size"), lo=("tus", "min"), hi=("tus", "max"))
+        per["bounce"] = (per["ne"] == 1).astype(np.int64)
+        per["dur"] = per["hi"] - per["lo"]
+        per["one"] = np.int64(1)
+        out = per.groupby("entry_type", sort=False).agg(
+            n_sessions=("one", "sum"), n_bounces=("bounce", "sum"),
+            total_events=("ne", "sum"),
+            total_duration_us=("dur", "sum")).reset_index()
+        return out
+
+    parts = (ds.map_batches(add_bucket, batch_format="pyarrow")
+             .groupby("bucket").map_groups(per_bucket,
+                                           batch_format="pandas"))
+    t = collect_table(partial_groupby(parts, ["entry_type"], {
+        "n_sessions": ("n_sessions", "sum"),
+        "n_bounces": ("n_bounces", "sum"),
+        "total_events": ("total_events", "sum"),
+        "total_duration_us": ("total_duration_us", "sum")}))
+    if t.num_rows == 0:
+        return pa.table({
+            "entry_type": pa.array([], pa.string()),
+            "n_sessions": pa.array([], pa.int64()),
+            "n_bounces": pa.array([], pa.int64()),
+            "total_events": pa.array([], pa.int64()),
+            "total_duration_us": pa.array([], pa.int64())})
+    return pa.table({
+        "entry_type": t["entry_type"],
+        "n_sessions": pc.cast(t["n_sessions"], pa.int64()),
+        "n_bounces": pc.cast(t["n_bounces"], pa.int64()),
+        "total_events": pc.cast(t["total_events"], pa.int64()),
+        "total_duration_us": pc.cast(t["total_duration_us"],
+                                     pa.int64())}).sort_by("entry_type")
