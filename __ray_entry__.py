@@ -411,6 +411,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "holt_forecast_hourly": windows.holt_forecast_hourly,
         "hourly_gaps": windows.hourly_gaps,
         "session_entry_stats": windows.session_entry_stats,
+        "conversation_structure": textstats.conversation_structure,
         # step=100: the synthetic vocabulary saturates within ~500
         # tokens, so a production-sized window would yield one row
         "vocab_growth": lambda sf: textstats.vocab_growth(sf, step=100),

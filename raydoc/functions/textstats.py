@@ -2852,3 +2852,101 @@ def dup_source_matrix(sf_dir: str,
         "src_a": counted["src_a"], "src_b": counted["src_b"],
         "shared_texts": pc.cast(counted["shared_texts"], pa.int64())}) \
         .sort_by([("src_a", "ascending"), ("src_b", "ascending")])
+
+
+def conversation_structure(sf_dir: str,
+                           transcripts: "pa.Table | None" = None,
+                           num_buckets: int = 16) -> pa.Table:
+    """(n_convs, valid_convs, dense_violations, role_violations,
+    empty_turn_convs, total_turns): SFT-readiness validation of the
+    transcript table — per conversation, turn_idx must be dense from 0
+    under the stable (turn_idx) order, roles must follow the
+    user/assistant/tool cycle, and no turn may be empty text; a
+    conversation failing any check is excluded from ``valid_convs``.
+    The pre-training-prep gate run before packing/loss-masking.
+
+    Rows-only: the transcript model is synthesized (no driver view for
+    DuckDB), so constructed-violation unit tests carry correctness.
+    Shape: one coarse conv-hash bucket exchange, vectorized per-bucket
+    checks over whole blocks — the sessionize discipline."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from raydoc.functions.agg import partial_groupby
+
+    if transcripts is None:
+        # same derivation the extraction queries use (documents ->
+        # deterministic multi-turn transcripts)
+        import pyarrow.parquet as pq
+
+        from raydoc.sources.transcripts import transcripts_from_documents
+        doc_table = pq.read_table(f"{sf_dir}/documents.parquet",
+                                  columns=["doc_id", "text"])
+        transcripts = transcripts_from_documents(doc_table,
+                                                 turns_per_conv=6)
+    ds = rd.from_arrow(transcripts)
+    mask = num_buckets - 1
+    cycle = {0: "user", 1: "assistant", 2: "tool"}
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "conv_id" not in t.schema.names:
+            return pa.table({"conv_id": pa.array([], pa.string()),
+                             "turn_idx": pa.array([], pa.int32()),
+                             "role": pa.array([], pa.string()),
+                             "text": pa.array([], pa.string()),
+                             "bucket": pa.array([], pa.int32())})
+        h = pd.util.hash_array(
+            t.column("conv_id").to_numpy(zero_copy_only=False),
+            categorize=False)
+        return pa.table({
+            "conv_id": t["conv_id"],
+            "turn_idx": t["turn_idx"],
+            "role": t["role"],
+            "text": t["text"],
+            "bucket": pa.array((h & mask).astype("int32"))})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], ignore_index=True)
+        n_convs = valid = dense_v = role_v = empty_v = 0
+        total = len(g)
+        for _, grp in g.groupby("conv_id", sort=False):
+            n_convs += 1
+            idx = grp["turn_idx"].to_numpy()
+            ok_dense = bool((idx == _np.arange(len(idx))).all())
+            ok_role = all(r == cycle[i % 3]
+                          for i, r in enumerate(grp["role"]))
+            ok_text = bool(grp["text"].fillna("").str.len().gt(0).all())
+            dense_v += not ok_dense
+            role_v += not ok_role
+            empty_v += not ok_text
+            valid += ok_dense and ok_role and ok_text
+        return pd.DataFrame({
+            "k": [0], "n_convs": [n_convs], "valid_convs": [valid],
+            "dense_violations": [dense_v], "role_violations": [role_v],
+            "empty_turn_convs": [empty_v], "total_turns": [total]})
+
+    t = collect_table(partial_groupby(
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket").map_groups(per_bucket,
+                                      batch_format="pandas"),
+        ["k"], {"n_convs": ("n_convs", "sum"),
+                "valid_convs": ("valid_convs", "sum"),
+                "dense_violations": ("dense_violations", "sum"),
+                "role_violations": ("role_violations", "sum"),
+                "empty_turn_convs": ("empty_turn_convs", "sum"),
+                "total_turns": ("total_turns", "sum")}))
+    if t.num_rows == 0:
+        z = pa.array([0], pa.int64())
+        return pa.table({"n_convs": z, "valid_convs": z,
+                         "dense_violations": z, "role_violations": z,
+                         "empty_turn_convs": z, "total_turns": z})
+    return pa.table({
+        "n_convs": pa.compute.cast(t["n_convs"], pa.int64()),
+        "valid_convs": pa.compute.cast(t["valid_convs"], pa.int64()),
+        "dense_violations": pa.compute.cast(t["dense_violations"],
+                                            pa.int64()),
+        "role_violations": pa.compute.cast(t["role_violations"],
+                                           pa.int64()),
+        "empty_turn_convs": pa.compute.cast(t["empty_turn_convs"],
+                                            pa.int64()),
+        "total_turns": pa.compute.cast(t["total_turns"], pa.int64())})

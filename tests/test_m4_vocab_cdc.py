@@ -271,3 +271,47 @@ def test_token_fertility_matches_twin(ray_session, tmp_path):
     got = token_fertility(sf).to_pandas()
     exp = _sql(sf, e.oracle_sql()["token_fertility"])
     assert _canon(got) == _canon(exp)
+
+
+def test_conversation_structure_flags_violations(ray_session):
+    """Constructed conversations: one valid, one with a turn_idx gap,
+    one breaking the role cycle, one with an empty turn."""
+    from raydoc.functions.textstats import conversation_structure
+
+    def conv(cid, idxs, roles, texts):
+        n = len(idxs)
+        return pa.table({
+            "conv_id": pa.array([cid] * n, pa.string()),
+            "turn_idx": pa.array(idxs, pa.int32()),
+            "role": pa.array(roles, pa.string()),
+            "text": pa.array(texts, pa.string()),
+            "tool": pa.array([""] * n, pa.string()),
+            "ts": pa.array([0] * n, pa.timestamp("us"))})
+
+    t = pa.concat_tables([
+        conv("ok", [0, 1, 2], ["user", "assistant", "tool"],
+             ["a", "b", "c"]),
+        conv("gap", [0, 2, 3], ["user", "assistant", "tool"],
+             ["a", "b", "c"]),
+        conv("role", [0, 1], ["assistant", "user"], ["a", "b"]),
+        conv("empty", [0, 1], ["user", "assistant"], ["a", ""]),
+    ])
+    got = conversation_structure("unused", transcripts=t).to_pandas()
+    r = got.iloc[0]
+    assert r["n_convs"] == 4
+    assert r["valid_convs"] == 1
+    assert r["dense_violations"] == 1
+    assert r["role_violations"] == 1
+    assert r["empty_turn_convs"] == 1
+    assert r["total_turns"] == 10
+
+
+def test_conversation_structure_synthetic_corpus_valid(ray_session):
+    """The derived transcript corpus is structurally valid by
+    construction — the gate must report 100% valid."""
+    from raydoc.functions.textstats import conversation_structure
+    got = conversation_structure("/root/testdata/sf0.001").to_pandas()
+    r = got.iloc[0]
+    assert r["n_convs"] > 0
+    assert r["valid_convs"] == r["n_convs"]
+    assert r["dense_violations"] == 0
