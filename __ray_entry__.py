@@ -411,6 +411,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "holt_forecast_hourly": windows.holt_forecast_hourly,
         "hourly_gaps": windows.hourly_gaps,
         "session_entry_stats": windows.session_entry_stats,
+        "quantile_normalize": windows.quantile_normalize_values,
         "conversation_structure": textstats.conversation_structure,
         # step=100: the synthetic vocabulary saturates within ~500
         # tokens, so a production-sized window would yield one row
@@ -3800,6 +3801,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(ne) AS BIGINT) AS total_events,
                    CAST(SUM(dur) AS BIGINT) AS total_duration_us
             FROM per GROUP BY entry_type ORDER BY entry_type""",
+        "quantile_normalize": """
+            -- twin of windows.quantile_normalize_values: within-type
+            -- rank -> global order statistic at rk*(N-1)//(nt-1)
+            WITH c AS (SELECT event_id, event_type,
+                              CAST(ROUND(value*100) AS BIGINT) AS v
+                       FROM events),
+            r AS (SELECT event_id, event_type, v,
+                    ROW_NUMBER() OVER (PARTITION BY event_type
+                        ORDER BY v, event_id) - 1 AS rk,
+                    COUNT(*) OVER (PARTITION BY event_type) AS nt,
+                    COUNT(*) OVER () AS n
+                  FROM c),
+            g AS (SELECT v AS gv,
+                         ROW_NUMBER() OVER (ORDER BY v, event_id) - 1
+                             AS gp
+                  FROM c),
+            m AS (SELECT event_id, event_type,
+                         CASE WHEN nt > 1
+                              THEN rk * (n - 1) // (nt - 1)
+                              ELSE (n - 1) // 2 END AS pos
+                  FROM r)
+            SELECT m.event_id, m.event_type,
+                   CAST(g.gv AS BIGINT) AS qnorm_cents
+            FROM m JOIN g ON g.gp = m.pos ORDER BY m.event_id""",
         "vocab_growth": r"""
             -- twin of textstats.vocab_growth: global token positions
             -- via a window-SUM doc offset, MIN first occurrence per

@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "holt_forecast_hourly",
     "hourly_gaps",
     "session_entry_stats",
+    "quantile_normalize",
     "conversation_structure",
     "mannwhitney_value",
     "vocab_growth",

@@ -3341,3 +3341,104 @@ def session_entry_stats(sf_dir: str, gap_minutes: int = 30,
         "total_events": pc.cast(t["total_events"], pa.int64()),
         "total_duration_us": pc.cast(t["total_duration_us"],
                                      pa.int64())}).sort_by("entry_type")
+
+
+def quantile_normalize_values(sf_dir: str,
+                              num_buckets: int | None = None
+                              ) -> pa.Table:
+    """(event_id, event_type, qnorm_cents): quantile normalization —
+    every event's value is replaced by the GLOBAL order statistic at
+    its within-type rank position (rk·(N−1)//(n_t−1)), mapping each
+    type's distribution exactly onto the pooled one. The batch-effect
+    remover (microarray-style) for metrics whose per-segment scales
+    drift; all arithmetic integer-exact.
+
+    Shape: no global sort of rows — the global order statistic comes
+    from the VALUE HISTOGRAM (combiner groupby over cents, driver
+    prefix-scan over the bounded distinct-value domain, searchsorted
+    lookup); within-type ranks need row identity only at TIE
+    resolution, so rows exchange once on a (type, cents) hash bucket
+    and rank = per-type cum-less(cents) + local event_id order.
+    Oracle: two ROW_NUMBER windows + position join."""
+    from raydoc.functions._buckets import reduce_bucket_count
+
+    import ray as _ray
+
+    mask = (num_buckets or reduce_bucket_count()) - 1
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "event_type": pa.array([], pa.string()),
+                             "cents": pa.array([], pa.int64())})
+        return pa.table({
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+            "event_type": t["event_type"],
+            "cents": pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                             pa.int64())})
+
+    rows = ds.map_batches(prep, batch_format="pyarrow").materialize()
+    grid = collect_table(partial_groupby(
+        rows, ["event_type", "cents"], {"n": ("cents", "count")}))
+    if grid.num_rows == 0:
+        return pa.table({"event_id": pa.array([], pa.int64()),
+                         "event_type": pa.array([], pa.string()),
+                         "qnorm_cents": pa.array([], pa.int64())})
+    gdf = grid.to_pandas().sort_values(["event_type", "cents"],
+                                       ignore_index=True)
+    # per-type cumulative-less and sizes
+    gdf["cumless_t"] = (gdf.groupby("event_type")["n"].cumsum()
+                        - gdf["n"])
+    n_t = gdf.groupby("event_type")["n"].sum().to_dict()
+    # global histogram: sorted distinct cents + inclusive cum counts
+    gg = gdf.groupby("cents", sort=True)["n"].sum()
+    gvals = gg.index.to_numpy(dtype=np.int64)
+    gcum = gg.to_numpy(dtype=np.int64).cumsum()
+    n_total = int(gcum[-1])
+    cumless_map = {(r.event_type, int(r.cents)): int(r.cumless_t)
+                   for r in gdf.itertuples(index=False)}
+    ref = _ray.put((cumless_map, n_t, gvals, gcum, n_total))
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "event_type" not in t.schema.names:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "event_type": pa.array([], pa.string()),
+                             "cents": pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int32())})
+        h = (pd.util.hash_array(
+            t.column("event_type").to_numpy(zero_copy_only=False),
+            categorize=False)
+            ^ pd.util.hash_array(
+                t.column("cents").to_numpy(zero_copy_only=False)))
+        return t.append_column(
+            "bucket", pa.array((h & mask).astype("int32")))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cumless_m, nt_m, gv, gc, n = _ray.get(ref)
+        g = g.sort_values(["event_type", "cents", "event_id"],
+                          ignore_index=True)
+        local = g.groupby(["event_type", "cents"], sort=False).cumcount()
+        et = g["event_type"].to_numpy()
+        cv = g["cents"].to_numpy()
+        rk = np.fromiter(
+            (cumless_m[(e, int(c))] for e, c in zip(et, cv)),
+            dtype=np.int64, count=len(g)) + local.to_numpy()
+        ntv = np.fromiter((nt_m[e] for e in et), dtype=np.int64,
+                          count=len(g))
+        pos = np.where(ntv > 1, rk * (n - 1) // np.maximum(ntv - 1, 1),
+                       (n - 1) // 2)
+        qn = gv[np.searchsorted(gc, pos, side="right")]
+        return pd.DataFrame({"event_id": g["event_id"].to_numpy(),
+                             "event_type": et, "qnorm_cents": qn})
+
+    t = collect_table(
+        rows.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket").map_groups(per_bucket,
+                                      batch_format="pandas"))
+    return pa.table({
+        "event_id": pc.cast(t["event_id"], pa.int64()),
+        "event_type": pc.cast(t["event_type"], pa.string()),
+        "qnorm_cents": pc.cast(t["qnorm_cents"], pa.int64())}) \
+        .sort_by("event_id")

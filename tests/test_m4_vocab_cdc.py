@@ -315,3 +315,18 @@ def test_conversation_structure_synthetic_corpus_valid(ray_session):
     assert r["n_convs"] > 0
     assert r["valid_convs"] == r["n_convs"]
     assert r["dense_violations"] == 0
+
+
+def test_quantile_normalize_aligns_distributions(ray_session, tmp_path):
+    """After normalization every type's min maps to the global min and
+    its max to the global max, and outputs take only observed global
+    values — the defining property of quantile normalization."""
+    from raydoc.functions.windows import quantile_normalize_values
+    sf = _mk_events(tmp_path, 77, n=2000)
+    got = quantile_normalize_values(sf).to_pandas()
+    raw = pq.read_table(sf + "/events.parquet").to_pandas()
+    gc = (raw["value"] * 100).round().astype("int64")
+    assert set(got["qnorm_cents"]).issubset(set(gc))
+    for et, grp in got.groupby("event_type"):
+        assert grp["qnorm_cents"].min() == gc.min()
+        assert grp["qnorm_cents"].max() == gc.max()
