@@ -412,6 +412,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_gaps": windows.hourly_gaps,
         "session_entry_stats": windows.session_entry_stats,
         "quantile_normalize": windows.quantile_normalize_values,
+        "event_type_stationary": windows.event_type_stationary,
         "conversation_structure": textstats.conversation_structure,
         # step=100: the synthetic vocabulary saturates within ~500
         # tokens, so a production-sized window would yield one row
@@ -791,6 +792,42 @@ def _labelprop_oracle(k: int = 5, rounds: int = 6) -> str:
             + f"""
         SELECT node AS vec_id, CAST(label AS BIGINT) AS community
         FROM l{rounds} ORDER BY vec_id""")
+
+
+def _stationary_oracle(n_iter: int = 10, scale: int = 10 ** 12) -> str:
+    """Unrolled chained-CTE twin of windows.event_type_stationary —
+    LAG bigram counts -> row-stochastic fixed-point matrix -> n_iter
+    synchronous power-iteration steps in integer floor arithmetic."""
+    head = f"""
+        WITH tr AS (
+          SELECT prev_type, event_type, COUNT(*) AS n FROM (
+            SELECT LAG(event_type) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS prev_type,
+                   event_type
+            FROM events) WHERE prev_type IS NOT NULL
+          GROUP BY 1, 2),
+        states AS (SELECT DISTINCT prev_type AS s FROM tr
+                   UNION SELECT DISTINCT event_type FROM tr),
+        kk AS (SELECT COUNT(*) AS k FROM states),
+        rs AS (SELECT prev_type, SUM(n) AS tot FROM tr GROUP BY 1),
+        p AS (SELECT t.prev_type AS i, t.event_type AS j,
+                     t.n * {scale} // r.tot AS pij
+              FROM tr t JOIN rs r USING (prev_type)),
+        pi0 AS (SELECT s AS j, {scale} // (SELECT k FROM kk) AS v
+                FROM states)"""
+    iters = []
+    for t in range(1, n_iter + 1):
+        iters.append(f"""
+        pi{t} AS (SELECT p.j, SUM(pi{t - 1}.v * p.pij // {scale}) AS v
+                  FROM pi{t - 1} JOIN p ON p.i = pi{t - 1}.j
+                  GROUP BY p.j)""")
+    return (head + "," + ",".join(iters)
+            + f"""
+        SELECT s.s AS event_type,
+               CAST(COALESCE(pi{n_iter}.v, 0) AS BIGINT)
+                   AS stationary_fp
+        FROM states s LEFT JOIN pi{n_iter} ON pi{n_iter}.j = s.s
+        ORDER BY s.s""")
 
 
 def _pagerank_oracle(n_iter: int = 5, scale: int = 10 ** 12,
@@ -2960,6 +2997,7 @@ def oracle_sql() -> dict[str, str]:
                    vec_id
             FROM sims QUALIFY rank <= 10 ORDER BY query_id, rank""",
         "knn_geodesic": _knn_geodesic_oracle(),
+        "event_type_stationary": _stationary_oracle(),
         "label_propagation": _labelprop_oracle(),
         "knn_graph": """
             WITH q AS (SELECT vec_id,

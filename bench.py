@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "hourly_gaps",
     "session_entry_stats",
     "quantile_normalize",
+    "event_type_stationary",
     "conversation_structure",
     "mannwhitney_value",
     "vocab_growth",

@@ -3442,3 +3442,40 @@ def quantile_normalize_values(sf_dir: str,
         "event_type": pc.cast(t["event_type"], pa.string()),
         "qnorm_cents": pc.cast(t["qnorm_cents"], pa.int64())}) \
         .sort_by("event_id")
+
+
+def event_type_stationary(sf_dir: str, n_iter: int = 10,
+                          scale: int = 10 ** 12) -> pa.Table:
+    """(event_type, stationary_fp): the long-run state mix of the
+    per-user event-type Markov chain — ``n_iter`` synchronous power-
+    iteration steps over the row-stochastic transition matrix in
+    integer fixed point (``scale`` = 1.0): p_ij = n_ij·scale // n_i,
+    pi'_j = Σ_i pi_i·p_ij // scale, seeded uniform. Fixed iteration
+    count + floor division tie the result bit-for-bit to the unrolled
+    chained-CTE twin (the ``pagerank`` discipline). States with no
+    outgoing transition drop their mass (sub-stochastic, deterministic
+    in both engines).
+
+    Shape: the heavy work is the distributed ``event_transitions``
+    bigram count (coarse user buckets + combiner); the |types|² matrix
+    then iterates on the driver — the aggregated-series regime."""
+    tr = event_transitions(sf_dir).to_pandas()
+    if tr.empty:
+        return pa.table({"event_type": pa.array([], pa.string()),
+                         "stationary_fp": pa.array([], pa.int64())})
+    states = sorted(set(tr["prev_type"]) | set(tr["event_type"]))
+    idx = {s: i for i, s in enumerate(states)}
+    k = len(states)
+    n_ij = [[0] * k for _ in range(k)]
+    for r in tr.itertuples(index=False):
+        n_ij[idx[r.prev_type]][idx[r.event_type]] = int(r.n)
+    row_sum = [sum(row) for row in n_ij]
+    p = [[(n_ij[i][j] * scale // row_sum[i]) if row_sum[i] else 0
+          for j in range(k)] for i in range(k)]
+    pi = [scale // k] * k
+    for _ in range(n_iter):
+        pi = [sum(pi[i] * p[i][j] // scale for i in range(k))
+              for j in range(k)]
+    return pa.table({
+        "event_type": pa.array(states, pa.string()),
+        "stationary_fp": pa.array(pi, pa.int64())})
