@@ -2,8 +2,6 @@
 brute-force oracles and the CDC invariance properties the DuckDB gate
 cannot express."""
 
-import hashlib
-
 import duckdb
 import numpy as np
 import pandas as pd
