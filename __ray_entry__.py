@@ -413,6 +413,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_entry_stats": windows.session_entry_stats,
         "quantile_normalize": windows.quantile_normalize_values,
         "event_type_stationary": windows.event_type_stationary,
+        "interevent_gap_percentiles": windows.interevent_gap_percentiles,
         "conversation_structure": textstats.conversation_structure,
         # step=100: the synthetic vocabulary saturates within ~500
         # tokens, so a production-sized window would yield one row
@@ -3863,6 +3864,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT m.event_id, m.event_type,
                    CAST(g.gv AS BIGINT) AS qnorm_cents
             FROM m JOIN g ON g.gp = m.pos ORDER BY m.event_id""",
+        "interevent_gap_percentiles": """
+            -- twin of windows.interevent_gap_percentiles: LAG gaps ->
+            -- rank-element percentile selection
+            WITH g AS (SELECT event_id,
+                              epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                                  PARTITION BY user_id
+                                  ORDER BY ts, event_id)) AS gap_us
+                       FROM events QUALIFY gap_us IS NOT NULL),
+            ord AS (SELECT gap_us,
+                           row_number() OVER (ORDER BY gap_us,
+                                              event_id) AS rn
+                    FROM g),
+            n AS (SELECT COUNT(*) AS c FROM g)
+            SELECT CAST(t.q AS DOUBLE) AS q,
+                   CAST(ord.gap_us AS BIGINT) AS gap_us
+            FROM (VALUES (0.25),(0.5),(0.75),(0.9),(0.99)) t(q), ord, n
+            WHERE ord.rn = CAST(floor((n.c - 1) * t.q) AS BIGINT) + 1
+            ORDER BY q""",
         "vocab_growth": r"""
             -- twin of textstats.vocab_growth: global token positions
             -- via a window-SUM doc offset, MIN first occurrence per

@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "session_entry_stats",
     "quantile_normalize",
     "event_type_stationary",
+    "interevent_gap_percentiles",
     "conversation_structure",
     "mannwhitney_value",
     "vocab_growth",

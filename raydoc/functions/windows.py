@@ -3479,3 +3479,63 @@ def event_type_stationary(sf_dir: str, n_iter: int = 10,
     return pa.table({
         "event_type": pa.array(states, pa.string()),
         "stationary_fp": pa.array(pi, pa.int64())})
+
+
+def interevent_gap_percentiles(sf_dir: str,
+                               qs: tuple[float, ...] = (0.25, 0.5, 0.75,
+                                                        0.9, 0.99),
+                               num_buckets: int | None = None
+                               ) -> pa.Table:
+    """(q, gap_us): EXACT percentiles of per-user inter-event gaps —
+    the arrival-process / engagement-latency distribution (p99 gap is
+    the "has this feed stalled for anyone" alarm). Gap = microseconds
+    since the same user's previous event under (ts, event_id) order;
+    rank-element semantics (1-based rank = floor((n−1)·q)+1 under
+    (gap, event_id) order) keep it bit-identical to the twin.
+
+    Shape: gaps derive in coarse user buckets (vectorized sort +
+    shift, the ``events_with_prev`` scan); percentiles then reuse the
+    ``value_percentiles`` decomposition — ONE global sort of the gap
+    rows and ``split_at_indices`` at the precomputed ranks; only the
+    first row of each split is fetched."""
+    from raydoc.functions._buckets import reduce_bucket_count
+    mask = (num_buckets or reduce_bucket_count()) - 1
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "bucket", pc.cast(pc.bit_wise_and(t["user_id"], mask),
+                              pa.int32()))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          ignore_index=True)
+        uid = g["user_id"].to_numpy()
+        tus = g["ts"].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        same = np.zeros(len(g), dtype=bool)
+        same[1:] = uid[1:] == uid[:-1]
+        gap = np.empty(len(g), np.int64)
+        gap[1:] = tus[1:] - tus[:-1]
+        return pd.DataFrame({
+            "gap_us": gap[same],
+            "event_id": g["event_id"].to_numpy()[same]})
+
+    gaps = (ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket").map_groups(per_bucket,
+                                          batch_format="pandas")
+            ).materialize()
+    n = gaps.count()
+    if n == 0:
+        return pa.table({"q": pa.array([], pa.float64()),
+                         "gap_us": pa.array([], pa.int64())})
+    idxs = [int((n - 1) * q) for q in qs]
+    uniq = sorted(set(idxs))
+    splits = gaps.sort(["gap_us", "event_id"]).split_at_indices(uniq)
+    at_rank = {ix: splits[i + 1].take(1)[0]["gap_us"]
+               for i, ix in enumerate(uniq)}
+    return pa.table({
+        "q": pa.array(list(qs), pa.float64()),
+        "gap_us": pa.array([int(at_rank[ix]) for ix in idxs],
+                           pa.int64())})

@@ -108,7 +108,7 @@ SWEEP = [
     "resample_ffill", "zonemap_value_scan", "zorder_box_scan",
     "seasonal_hour_deviation", "value_robust_scale",
     "m4_downsample", "mannwhitney_value",
-    "value_changepoint", "holt_forecast_hourly", "hourly_gaps", "session_entry_stats", "quantile_normalize", "event_type_stationary",
+    "value_changepoint", "holt_forecast_hourly", "hourly_gaps", "session_entry_stats", "quantile_normalize", "event_type_stationary", "interevent_gap_percentiles",
     # documents / text
     "vocab_growth", "token_fertility", "dup_source_matrix",
     "token_counts", "bpe_token_counts", "quality_counters",
