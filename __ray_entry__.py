@@ -414,6 +414,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_normalize": windows.quantile_normalize_values,
         "event_type_stationary": windows.event_type_stationary,
         "interevent_gap_percentiles": windows.interevent_gap_percentiles,
+        "hour_of_week_profile": windows.hour_of_week_profile,
         "conversation_structure": textstats.conversation_structure,
         # step=100: the synthetic vocabulary saturates within ~500
         # tokens, so a production-sized window would yield one row
@@ -3882,6 +3883,14 @@ def oracle_sql() -> dict[str, str]:
             FROM (VALUES (0.25),(0.5),(0.75),(0.9),(0.99)) t(q), ord, n
             WHERE ord.rn = CAST(floor((n.c - 1) * t.q) AS BIGINT) + 1
             ORDER BY q""",
+        "hour_of_week_profile": """
+            -- twin of windows.hour_of_week_profile
+            SELECT event_type,
+                   (epoch_us(ts) // 3600000000) % 168 AS how,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(ROUND(value*100) AS BIGINT))
+                        AS BIGINT) AS sum_cents
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
         "vocab_growth": r"""
             -- twin of textstats.vocab_growth: global token positions
             -- via a window-SUM doc offset, MIN first occurrence per

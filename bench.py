@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "quantile_normalize",
     "event_type_stationary",
     "interevent_gap_percentiles",
+    "hour_of_week_profile",
     "conversation_structure",
     "mannwhitney_value",
     "vocab_growth",

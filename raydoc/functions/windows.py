@@ -3539,3 +3539,43 @@ def interevent_gap_percentiles(sf_dir: str,
         "q": pa.array(list(qs), pa.float64()),
         "gap_us": pa.array([int(at_rank[ix]) for ix in idxs],
                            pa.int64())})
+
+
+def hour_of_week_profile(sf_dir: str) -> pa.Table:
+    """(event_type, how, n_events, sum_cents): the 168-cell hour-of-week
+    traffic fingerprint per type (how = hours-since-epoch mod 168,
+    epoch-anchored — a pure modular index, no calendar/timezone
+    dependency). The seasonal-baseline table ``seasonal_hour_deviation``
+    compares against, exposed directly for capacity planning.
+
+    Shape: one combiner groupby — per-batch partials only."""
+    _HOUR_US = 3_600_000_000
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        hidx = pc.divide(pc.cast(t["ts"], pa.int64()),
+                         pa.scalar(_HOUR_US, pa.int64()))
+        return pa.table({
+            "event_type": t["event_type"],
+            "how": pc.subtract(hidx, pc.multiply(
+                pc.divide(hidx, pa.scalar(168, pa.int64())),
+                pa.scalar(168, pa.int64()))),
+            "cents": pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                             pa.int64())})
+
+    t = collect_table(partial_groupby(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["event_type", "how"],
+        {"n_events": ("cents", "count"), "sum_cents": ("cents", "sum")}))
+    if t.num_rows == 0:
+        return pa.table({"event_type": pa.array([], pa.string()),
+                         "how": pa.array([], pa.int64()),
+                         "n_events": pa.array([], pa.int64()),
+                         "sum_cents": pa.array([], pa.int64())})
+    return pa.table({
+        "event_type": t["event_type"],
+        "how": pc.cast(t["how"], pa.int64()),
+        "n_events": pc.cast(t["n_events"], pa.int64()),
+        "sum_cents": pc.cast(t["sum_cents"], pa.int64())}).sort_by(
+        [("event_type", "ascending"), ("how", "ascending")])
