@@ -415,6 +415,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_stationary": windows.event_type_stationary,
         "interevent_gap_percentiles": windows.interevent_gap_percentiles,
         "hour_of_week_profile": windows.hour_of_week_profile,
+        "dedup_cluster_histogram": dedup.dedup_cluster_histogram,
+        "user_activity_histogram": windows.user_activity_histogram,
         "conversation_structure": textstats.conversation_structure,
         # step=100: the synthetic vocabulary saturates within ~500
         # tokens, so a production-sized window would yield one row
@@ -3891,6 +3893,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(ROUND(value*100) AS BIGINT))
                         AS BIGINT) AS sum_cents
             FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+        "dedup_cluster_histogram": """
+            -- twin of dedup.dedup_cluster_histogram
+            WITH h AS (SELECT md5(text) AS d, COUNT(*) AS n
+                       FROM documents WHERE text IS NOT NULL
+                       GROUP BY 1)
+            SELECT CAST(n AS BIGINT) AS cluster_size,
+                   CAST(COUNT(*) AS BIGINT) AS n_clusters,
+                   CAST(SUM(n) AS BIGINT) AS n_docs
+            FROM h GROUP BY n ORDER BY n""",
+        "user_activity_histogram": """
+            -- twin of windows.user_activity_histogram: bit-length
+            -- magnitude buckets via length(printf('%b', n))
+            WITH u AS (SELECT user_id, COUNT(*) AS n FROM events
+                       GROUP BY 1)
+            SELECT CAST(length(printf('%b', n)) AS BIGINT)
+                       AS magnitude,
+                   CAST(COUNT(*) AS BIGINT) AS n_users,
+                   CAST(SUM(n) AS BIGINT) AS n_events
+            FROM u GROUP BY 1 ORDER BY 1""",
         "vocab_growth": r"""
             -- twin of textstats.vocab_growth: global token positions
             -- via a window-SUM doc offset, MIN first occurrence per

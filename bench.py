@@ -45,6 +45,8 @@ BENCH_QUERIES = [
     "event_type_stationary",
     "interevent_gap_percentiles",
     "hour_of_week_profile",
+    "dedup_cluster_histogram",
+    "user_activity_histogram",
     "conversation_structure",
     "mannwhitney_value",
     "vocab_growth",

@@ -1117,3 +1117,51 @@ def cdc_chunk_stats(sf_dir: str, avg_bits: int = 6) -> pa.Table:
         "total_bytes": pa.array([tot_b], pa.int64()),
         "distinct_bytes": pa.array([dis_b], pa.int64()),
         "dup_byte_pct": pa.array([dup_pct], pa.int64())})
+
+
+def dedup_cluster_histogram(sf_dir: str) -> pa.Table:
+    """(cluster_size, n_clusters, n_docs): the exact-duplicate cluster
+    SIZE DISTRIBUTION — how much of the corpus sits in 2×, 3×, …
+    duplicated groups. The monitoring view over ``exact_dedup``: a fat
+    tail here means one template is stamping the corpus (and the
+    effective epoch count of that content is silently multiplied).
+
+    Shape: md5 partials + combiner counts per digest (the exact_dedup
+    exchange), then a second tiny combiner over cluster sizes. Oracle:
+    GROUP BY md5 -> GROUP BY count."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["text"])
+
+    def digest(t: pa.Table) -> pa.Table:
+        ds_ = [hashlib.md5(v.encode()).hexdigest()
+               for v in t.column("text").to_pylist() if v is not None]
+        return pa.table({"d": pa.array(ds_, pa.string())})
+
+    per_digest = partial_groupby(
+        ds.map_batches(digest, batch_format="pyarrow"),
+        ["d"], {"n": ("d", "count")})
+
+    def sizes(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "n" not in t.schema.names:
+            return pa.table({"cluster_size": pa.array([], pa.int64()),
+                             "one": pa.array([], pa.int64()),
+                             "docs": pa.array([], pa.int64())})
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        return pa.table({"cluster_size": pa.array(n.astype(np.int64)),
+                         "one": pa.array(np.ones(len(n), np.int64)),
+                         "docs": pa.array(n.astype(np.int64))})
+
+    t = collect_table(partial_groupby(
+        per_digest.map_batches(sizes, batch_format="pyarrow"),
+        ["cluster_size"], {"n_clusters": ("one", "sum"),
+                           "n_docs": ("docs", "sum")}))
+    if t.num_rows == 0:
+        return pa.table({"cluster_size": pa.array([], pa.int64()),
+                         "n_clusters": pa.array([], pa.int64()),
+                         "n_docs": pa.array([], pa.int64())})
+    import pyarrow.compute as pc
+    return pa.table({
+        "cluster_size": pc.cast(t["cluster_size"], pa.int64()),
+        "n_clusters": pc.cast(t["n_clusters"], pa.int64()),
+        "n_docs": pc.cast(t["n_docs"], pa.int64())}).sort_by(
+        "cluster_size")

@@ -3579,3 +3579,48 @@ def hour_of_week_profile(sf_dir: str) -> pa.Table:
         "n_events": pc.cast(t["n_events"], pa.int64()),
         "sum_cents": pc.cast(t["sum_cents"], pa.int64())}).sort_by(
         [("event_type", "ascending"), ("how", "ascending")])
+
+
+def user_activity_histogram(sf_dir: str) -> pa.Table:
+    """(magnitude, n_users, n_events): the user-activity SKEW profile —
+    users bucketed by the bit length of their event count (magnitude m
+    covers counts in [2^(m-1), 2^m)). The one-glance answer to "will a
+    per-user shuffle group explode": a heavy top magnitude says salt
+    the hot keys. Shape: per-user combiner counts, then a tiny
+    magnitude combiner. Oracle: GROUP BY user -> length(printf('%b'))."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id"])
+
+    def one(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": pc.cast(t["user_id"], pa.int64()),
+                         "one": pa.array(
+                             np.ones(t.num_rows, np.int64))})
+
+    per_user = partial_groupby(ds.map_batches(one,
+                                              batch_format="pyarrow"),
+                               ["user_id"], {"n": ("one", "sum")})
+
+    def mag(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "n" not in t.schema.names:
+            return pa.table({"magnitude": pa.array([], pa.int64()),
+                             "one": pa.array([], pa.int64()),
+                             "ev": pa.array([], pa.int64())})
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        m = np.frompyfunc(int.bit_length, 1, 1)(n).astype(np.int64)
+        return pa.table({"magnitude": pa.array(m),
+                         "one": pa.array(np.ones(len(n), np.int64)),
+                         "ev": pa.array(n)})
+
+    t = collect_table(partial_groupby(
+        per_user.map_batches(mag, batch_format="pyarrow"),
+        ["magnitude"], {"n_users": ("one", "sum"),
+                        "n_events": ("ev", "sum")}))
+    if t.num_rows == 0:
+        return pa.table({"magnitude": pa.array([], pa.int64()),
+                         "n_users": pa.array([], pa.int64()),
+                         "n_events": pa.array([], pa.int64())})
+    return pa.table({
+        "magnitude": pc.cast(t["magnitude"], pa.int64()),
+        "n_users": pc.cast(t["n_users"], pa.int64()),
+        "n_events": pc.cast(t["n_events"], pa.int64())}).sort_by(
+        "magnitude")

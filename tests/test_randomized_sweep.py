@@ -109,7 +109,7 @@ SWEEP = [
     "seasonal_hour_deviation", "value_robust_scale",
     "m4_downsample", "mannwhitney_value",
     "value_changepoint", "holt_forecast_hourly", "hourly_gaps", "session_entry_stats", "quantile_normalize", "event_type_stationary", "interevent_gap_percentiles",
-    "hour_of_week_profile",
+    "hour_of_week_profile", "user_activity_histogram",
     # documents / text
     "vocab_growth", "token_fertility", "dup_source_matrix",
     "token_counts", "bpe_token_counts", "quality_counters",
@@ -118,7 +118,7 @@ SWEEP = [
     "dup_ngram_fraction", "strip_dup_ngrams", "html_docs",
     "extract_mentions", "canonical_urls", "chunk_documents",
     "inverted_index", "pmi_collocations", "top_terms_by_lang",
-    "domain_mix", "dedup_exact", "simhash_signatures", "curriculum_order",
+    "domain_mix", "dedup_exact", "dedup_cluster_histogram", "simhash_signatures", "curriculum_order",
     "pack_conversations", "term_label_chi2", "ngram_containment",
     "uniform_sample_md5", "weighted_sample", "train_test_split",
     "domain_temperature_sample", "paragraph_dedup_global",
