@@ -9,6 +9,18 @@ num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and prints ONE JSON line::
      "queries": {"extract_turns": sec, ...}, "sf": 0.1, "num_cpus": 32,
      "extract_turns_per_sec": ..., "extract_rows": ...}
 
+The default mode is SHARDED: the parent process owns no Ray session and
+fans the query list out to a handful of fresh-process workers (plus one
+worker for the headline jobs), merging their incremental per-query timing
+lines into the single JSON result. Rationale: Ray 2.49.2 has a
+nondeterministic core race (``reference_count.cc:581 Check failed:
+submitted_task_ref_count > 0``) that can abort a session which
+creates/destroys hundreds of Datasets; one long session lost the whole
+round-3 bench to it. With sharding, a crashed worker costs only its
+unfinished queries, which are re-queued into new processes (halving the
+chunk, bounded attempts) — a flaky abort can no longer zero the bench.
+``--one-process`` restores the old single-session behavior.
+
 ``--scaling`` runs the headline extraction job in FRESH processes at two
 parallelism levels (default 8 and 32; override with ``--lo/--hi`` — e.g.
 ``--lo 4 --hi 16`` measures the unsaturated regime, where the host's
@@ -17,7 +29,9 @@ scaling efficiency = (thr_hi/thr_lo)/(hi/lo); the sandbox stand-in for the
 N-node vs 4N-node cluster criterion (BASELINE.json), recorded in
 BASELINE.md along with the host's multiprocessing ceiling.
 
-Internal ``--headline-only`` mode is the per-process worker for --scaling.
+Internal worker modes: ``--headline-only`` (per-process worker for
+--scaling), ``--run-chunk`` (query-chunk worker), ``--headline-bench``
+(headline + training-corpus worker for the sharded default).
 """
 
 from __future__ import annotations
@@ -312,6 +326,8 @@ def _init_ray(num_cpus: int) -> None:
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=num_cpus,
                  include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
 
 
 def prepare_transcripts(sf_dir: str, out_dir: str, shards: int = 32,
@@ -394,20 +410,21 @@ def _consume(result) -> int:
     return len(result)
 
 
-def full_bench(sf_dir: str, num_cpus: int) -> dict:
-    _init_ray(num_cpus)
+def _run_queries(sf_dir: str, names: list[str],
+                 emit: bool = False) -> dict[str, float]:
+    """Time each named queries() entry in the CURRENT Ray session. With
+    ``emit``, print one ``##Q {json}`` line per query as it completes so a
+    mid-run Ray-core crash loses nothing already measured."""
     import __ray_entry__ as entrymod
     qs = entrymod.queries()
-
-    timings: dict[str, float] = {}
-    tdir = prepare_transcripts(sf_dir, f"/tmp/raydoc_bench_transcripts_{_sf_of(sf_dir)}")
 
     # one tiny dataset op so Ray Data session warmup (~2-4 s: executor,
     # worker start) isn't billed to the first query
     import ray.data as _rd
     _rd.range(1000).map_batches(lambda b: b).count()
 
-    for name in BENCH_QUERIES:
+    timings: dict[str, float] = {}
+    for name in names:
         fn = qs.get(name)
         if fn is None:
             continue
@@ -418,12 +435,23 @@ def full_bench(sf_dir: str, num_cpus: int) -> dict:
         except Exception as exc:  # a failed query is reported, not fatal
             timings[name] = -1.0
             print(f"# bench query {name} failed: {exc}", file=sys.stderr)
+        if emit:
+            print("##Q " + json.dumps({"name": name, "sec": timings[name]}),
+                  flush=True)
+    return timings
 
-    # headline jobs LAST so actor-pool teardown doesn't pollute the first
-    # query timings. INTERLEAVED best-of-2 per mode (general, aligned,
-    # general, aligned): the sandbox host's load drifts ±40% on the
-    # minutes scale, so a single timing of either mode is noise — the
-    # repo-wide measurement rule (BASELINE.md / CLAUDE.md).
+
+def _headline_and_corpus(sf_dir: str) -> tuple[dict, dict]:
+    """Headline extraction jobs + composed training-corpus pipeline in the
+    CURRENT Ray session. Returns (timings, headline summary fields).
+
+    INTERLEAVED best-of-2 per mode (general, aligned, general, aligned):
+    the sandbox host's load drifts ±40% on the minutes scale, so a single
+    timing of either mode is noise — the repo-wide measurement rule
+    (BASELINE.md / CLAUDE.md)."""
+    timings: dict[str, float] = {}
+    tdir = prepare_transcripts(
+        sf_dir, f"/tmp/raydoc_bench_transcripts_{_sf_of(sf_dir)}")
     runs: dict[str, list[dict]] = {"general": [], "aligned": []}
     for mode in ("general", "aligned", "general", "aligned"):
         t0 = time.perf_counter()
@@ -447,6 +475,26 @@ def full_bench(sf_dir: str, num_cpus: int) -> dict:
         cfg=replace(DEFAULT_CONFIG, assume_conv_aligned=True))
     timings["training_corpus"] = round(time.perf_counter() - t0, 3)
 
+    fields = {
+        "extract_rows": headline["rows"],
+        "extract_wall_sec": headline["wall_sec"],
+        "extract_turns_per_sec": headline["turns_per_sec"],
+        "extract_aligned_wall_sec": headline_aligned["wall_sec"],
+        "extract_aligned_turns_per_sec": headline_aligned["turns_per_sec"],
+        "corpus_rows": corpus_stats["rows"],
+        "corpus_train_rows": corpus_stats["train_rows"],
+    }
+    return timings, fields
+
+
+def full_bench(sf_dir: str, num_cpus: int) -> dict:
+    """Single-session bench (the pre-round-4 behavior; ``--one-process``)."""
+    _init_ray(num_cpus)
+    timings = _run_queries(sf_dir, BENCH_QUERIES)
+    # headline jobs LAST so actor-pool teardown doesn't pollute the first
+    # query timings
+    h_timings, fields = _headline_and_corpus(sf_dir)
+    timings.update(h_timings)
     total = round(sum(v for v in timings.values() if v > 0), 3)
     return {
         "metric": "raydoc_bench_total",
@@ -455,13 +503,120 @@ def full_bench(sf_dir: str, num_cpus: int) -> dict:
         "queries": timings,
         "sf": _sf_of(sf_dir),
         "num_cpus": num_cpus,
-        "extract_rows": headline["rows"],
-        "extract_wall_sec": headline["wall_sec"],
-        "extract_turns_per_sec": headline["turns_per_sec"],
-        "extract_aligned_wall_sec": headline_aligned["wall_sec"],
-        "extract_aligned_turns_per_sec": headline_aligned["turns_per_sec"],
-        "corpus_rows": corpus_stats["rows"],
-        "corpus_train_rows": corpus_stats["train_rows"],
+        **fields,
+    }
+
+
+def chunk_worker(sf_dir: str, num_cpus: int, names: list[str]) -> None:
+    """``--run-chunk`` worker: fresh Ray session, incremental ##Q lines."""
+    crash_after = int(os.environ.get("RAYDOC_BENCH_CRASH_AFTER", "-1"))
+    if crash_after >= 0:  # test hook simulating the Ray-core session abort
+        names, rest = names[:crash_after], names[crash_after:]
+        _init_ray(num_cpus)
+        _run_queries(sf_dir, names, emit=True)
+        if rest:
+            os._exit(134)
+        return
+    _init_ray(num_cpus)
+    _run_queries(sf_dir, names, emit=True)
+
+
+def headline_worker(sf_dir: str, num_cpus: int) -> None:
+    """``--headline-bench`` worker: fresh Ray session, one ##H line."""
+    _init_ray(num_cpus)
+    timings, fields = _headline_and_corpus(sf_dir)
+    print("##H " + json.dumps({"timings": timings, **fields}), flush=True)
+
+
+def _collect_marked(stdout: str, mark: str) -> list[dict]:
+    out = []
+    for line in stdout.splitlines():
+        if line.startswith(mark):
+            try:
+                out.append(json.loads(line[len(mark):]))
+            except json.JSONDecodeError:
+                pass
+    return out
+
+
+def sharded_bench(sf_dir: str, num_cpus: int, chunk_size: int = 55) -> dict:
+    """Default mode: fan BENCH_QUERIES out to fresh-process workers so the
+    flaky Ray 2.49.2 ``reference_count.cc:581`` session abort (triggered by
+    hundreds of Dataset create/teardowns in one session) can only cost the
+    unfinished queries of one worker, which are re-queued (chunk halved,
+    ≤3 attempts per query) into new processes. The parent owns no Ray
+    session. Output schema is identical to the single-session bench."""
+    import subprocess
+
+    me = os.path.abspath(__file__)
+    timings: dict[str, float] = {}
+    pending = [BENCH_QUERIES[i:i + chunk_size]
+               for i in range(0, len(BENCH_QUERIES), chunk_size)]
+    attempts: dict[str, int] = {}
+    while pending:
+        chunk = [n for n in pending.pop(0) if n not in timings]
+        if not chunk:
+            continue
+        cmd = [sys.executable, me, "--run-chunk",
+               "--queries", ",".join(chunk),
+               "--sf-dir", sf_dir, "--num-cpus", str(num_cpus)]
+        try:
+            proc = subprocess.run(cmd, capture_output=True, text=True,
+                                  timeout=2400)
+            stdout, rc, stderr = proc.stdout, proc.returncode, proc.stderr
+        except subprocess.TimeoutExpired as exc:
+            stdout = (exc.stdout or b"").decode(errors="replace") \
+                if isinstance(exc.stdout, bytes) else (exc.stdout or "")
+            rc, stderr = -9, "chunk worker timed out"
+        for rec in _collect_marked(stdout, "##Q "):
+            timings[rec["name"]] = rec["sec"]
+        if rc != 0:
+            lost = [n for n in chunk if n not in timings]
+            print(f"# chunk worker rc={rc}; {len(lost)} queries lost, "
+                  f"requeueing\n{stderr[-2000:]}", file=sys.stderr)
+            retry = []
+            for n in lost:
+                attempts[n] = attempts.get(n, 0) + 1
+                if attempts[n] >= 3:
+                    timings[n] = -1.0
+                else:
+                    retry.append(n)
+            if len(retry) > 1:  # halve so a poisoned chunk converges
+                mid = len(retry) // 2
+                pending[:0] = [retry[:mid], retry[mid:]]
+            elif retry:
+                pending.insert(0, retry)
+
+    fields: dict = {}
+    for attempt in range(2):  # headline worker, retried once on a crash
+        cmd = [sys.executable, me, "--headline-bench",
+               "--sf-dir", sf_dir, "--num-cpus", str(num_cpus)]
+        try:
+            proc = subprocess.run(cmd, capture_output=True, text=True,
+                                  timeout=3600)
+            marked = _collect_marked(proc.stdout, "##H ")
+        except subprocess.TimeoutExpired:
+            marked = []
+            proc = None
+        if marked:
+            h = marked[-1]
+            timings.update(h.pop("timings"))
+            fields = h
+            break
+        print("# headline worker failed"
+              + (f" rc={proc.returncode}\n{proc.stderr[-2000:]}" if proc
+                 else " (timeout)"), file=sys.stderr)
+
+    total = round(sum(v for v in timings.values() if v > 0), 3)
+    return {
+        "metric": "raydoc_bench_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_of(sf_dir),
+        "num_cpus": num_cpus,
+        "sharded": True,
+        **fields,
     }
 
 
@@ -563,6 +718,15 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--headline-only", action="store_true")
+    ap.add_argument("--one-process", action="store_true",
+                    help="single-session bench (pre-round-4 behavior)")
+    ap.add_argument("--run-chunk", action="store_true",
+                    help="internal: query-chunk worker")
+    ap.add_argument("--headline-bench", action="store_true",
+                    help="internal: headline+corpus worker")
+    ap.add_argument("--queries", default="",
+                    help="comma-separated query names for --run-chunk")
+    ap.add_argument("--chunk-size", type=int, default=55)
     ap.add_argument("--sf-dir", default=SF_DIR)
     ap.add_argument("--num-cpus", type=int, default=NUM_CPUS)
     # criterion pair N -> 4N. Default 4 -> 16 rather than 8 -> 32: this
@@ -580,11 +744,21 @@ def main() -> None:
     if args.headline_only:
         out = headline_only(args.sf_dir, args.num_cpus, args.replicate,
                             args.mode)
+    elif args.run_chunk:
+        chunk_worker(args.sf_dir, args.num_cpus,
+                     [n for n in args.queries.split(",") if n])
+        out = None
+    elif args.headline_bench:
+        headline_worker(args.sf_dir, args.num_cpus)
+        out = None
     elif args.scaling:
         out = scaling(args.sf_dir, args.lo, args.hi)
-    else:
+    elif args.one_process:
         out = full_bench(args.sf_dir, args.num_cpus)
-    print(json.dumps(out))
+    else:
+        out = sharded_bench(args.sf_dir, args.num_cpus, args.chunk_size)
+    if out is not None:
+        print(json.dumps(out))
 
     import ray
     if ray.is_initialized():
