@@ -153,11 +153,11 @@ def minhash_band_rows(ds: rd.Dataset, id_col: str = "doc_id",
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
-def _lsh_candidate_pairs(exploded: rd.Dataset,
-                         id_col: str) -> set[tuple[int, int]]:
-    """Candidate (a, b) pairs sharing any LSH band bucket. One reduce call
-    per COARSE bucket (≈256 groups total instead of one per band-hash);
-    inside, plain dict grouping over the block."""
+def _block_pairs_fn(id_col: str):
+    """Per-coarse-bucket reducer emitting candidate (a, b) pairs for every
+    (band, band_hash) group inside the block; pairs within one reducer
+    call are emitted once, but the SAME pair colliding in several bands
+    reappears across buckets (deduped downstream)."""
 
     def block_pairs(g: pa.Table) -> pa.Table:
         ids = g.column(id_col).to_pylist()
@@ -171,22 +171,63 @@ def _lsh_candidate_pairs(exploded: rd.Dataset,
             if len(members) < 2:
                 continue
             members.sort(key=lambda i: ids[i])
+            seen = set()
             for x in range(len(members)):
                 for y in range(x + 1, len(members)):
                     i, j = members[x], members[y]
-                    if ids[i] == ids[j]:
+                    if ids[i] == ids[j] or (ids[i], ids[j]) in seen:
                         continue
+                    seen.add((ids[i], ids[j]))
                     a_out.append(int(ids[i]))
                     b_out.append(int(ids[j]))
         return pa.table({"a": pa.array(a_out, pa.int64()),
                          "b": pa.array(b_out, pa.int64())})
 
+    return block_pairs
+
+
+def _lsh_candidate_pairs(exploded: rd.Dataset,
+                         id_col: str) -> set[tuple[int, int]]:
+    """Candidate (a, b) pairs sharing any LSH band bucket, collected to a
+    driver set. One reduce call per COARSE bucket (≈256 groups total
+    instead of one per band-hash); inside, plain dict grouping over the
+    block. Small-regime path — ``_lsh_candidate_pairs_ds`` is the
+    cluster-resident variant."""
     pairs = exploded.groupby("bucket").map_groups(
-        block_pairs, batch_format="pyarrow")
+        _block_pairs_fn(id_col), batch_format="pyarrow")
     t = collect_table(pairs)
     if t.num_rows == 0 or "a" not in t.schema.names:
         return set()        # zero collisions → fully-empty (schemaless) ds
     return set(zip(t.column("a").to_pylist(), t.column("b").to_pylist()))
+
+
+def _lsh_candidate_pairs_ds(exploded: rd.Dataset,
+                            id_col: str) -> rd.Dataset:
+    """Globally-deduped candidate (a, b) pair DATASET — never lands on the
+    driver. Same per-coarse-bucket reduce as ``_lsh_candidate_pairs``,
+    then one hashes-only exchange on a pair-hash bucket (a given (a, b)
+    always lands in exactly one bucket, so block-local dedup there is
+    global dedup)."""
+    raw = exploded.groupby("bucket").map_groups(
+        _block_pairs_fn(id_col), batch_format="pyarrow")
+
+    def add_pair_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "a" not in t.schema.names:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "pbucket": pa.array([], pa.int32())})
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        pb = ((a * 1000003 + b) % 256).astype(np.int32)
+        return t.select(["a", "b"]).append_column(
+            "pbucket", pa.array(pb, pa.int32()))
+
+    def dedup_block(g: pa.Table) -> pa.Table:
+        t = g.select(["a", "b"]).group_by(["a", "b"]).aggregate([])
+        return t.select(["a", "b"])
+
+    return raw.map_batches(add_pair_bucket, batch_format="pyarrow") \
+        .groupby("pbucket").map_groups(dedup_block, batch_format="pyarrow")
 
 
 def _candidate_signatures(ds: rd.Dataset, cand_ids: set, id_col: str,
@@ -220,58 +261,136 @@ def _candidate_signatures(ds: rd.Dataset, cand_ids: set, id_col: str,
                             t.column("sig").to_pylist())}
 
 
+def _minhash_verified_pairs(ds: rd.Dataset, threshold: float,
+                            bands: int, k: int, id_col: str,
+                            max_driver_pairs: int = 50_000) -> rd.Dataset:
+    """Estimated-Jaccard-verified near-dup (a, b) pair Dataset, ADAPTIVE
+    in the candidate-pair count (counted cluster-side, never assumed):
+
+    - ≤ ``max_driver_pairs``: the standard LSH regime — pairs collect to
+      the driver, signatures for candidate docs only come back via the
+      broadcast-set semi-join (one corpus pass), and the filter runs
+      driver-side in microseconds.
+    - above it (dup-heavy web corpora, where the pair set must never land
+      on a driver): signatures flow as a (id, sig) Dataset through a
+      distributed semi-join against the pair-node ids, and the filter is
+      two bucketed hash joins (pair ⋈ sig_a ⋈ sig_b) + a vectorized
+      per-batch compare — every step cluster-resident.
+
+    Both regimes produce the identical pair set (equality pinned by
+    tests/test_minhash_distributed.py)."""
+    from raydoc.functions.joins import bucket_hash_join, bucket_semi_join
+
+    exploded = minhash_band_rows(ds, id_col=id_col, bands=bands, k=k)
+    pairs = _lsh_candidate_pairs_ds(exploded, id_col).materialize()
+    n_pairs = pairs.count()
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64())})
+    if n_pairs == 0:
+        return rd.from_arrow(empty)
+
+    if n_pairs <= max_driver_pairs:
+        t = collect_table(pairs)
+        candidates = set(zip(t.column("a").to_pylist(),
+                             t.column("b").to_pylist()))
+        sigs = _candidate_signatures(
+            ds, {x for p in candidates for x in p}, id_col, "text", k)
+        keep = sorted((a, b) for a, b in candidates
+                      if float((sigs[a] == sigs[b]).mean()) >= threshold)
+        return rd.from_arrow(pa.table({
+            "a": pa.array([p[0] for p in keep], pa.int64()),
+            "b": pa.array([p[1] for p in keep], pa.int64())}))
+
+    # distributed regime -------------------------------------------------
+    def nodes_fn(t: pa.Table) -> pa.Table:
+        return pa.table({id_col: pa.concat_arrays(
+            [t.column("a").combine_chunks(),
+             t.column("b").combine_chunks()])})
+
+    node_ids = pairs.map_batches(nodes_fn, batch_format="pyarrow")
+
+    def sig_fn(t: pa.Table) -> pa.Table:
+        out_ids, out_sigs = [], []
+        for doc_id, text in zip(t.column(id_col).to_pylist(),
+                                t.column("text").to_pylist()):
+            out_ids.append(doc_id)
+            out_sigs.append(minhash_signature(text or "", k).tobytes())
+        return pa.table({id_col: pa.array(out_ids, pa.int64()),
+                         "sig": pa.array(out_sigs, pa.binary())})
+
+    sigs_ds = bucket_semi_join(ds, node_ids, id_col) \
+        .map_batches(sig_fn, batch_format="pyarrow").materialize()
+
+    def rename(to_key: str, sig_name: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({to_key: t.column(id_col),
+                             sig_name: t.column("sig")})
+        return fn
+
+    j = bucket_hash_join(
+        pairs, sigs_ds.map_batches(rename("a", "sig_a"),
+                                   batch_format="pyarrow"), key="a")
+    j = bucket_hash_join(
+        j, sigs_ds.map_batches(rename("b", "sig_b"),
+                               batch_format="pyarrow"), key="b")
+
+    n_perm = len(_MH_A)
+    min_eq = int(np.ceil(threshold * n_perm))
+
+    def jaccard_filter(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        sa = np.frombuffer(b"".join(t.column("sig_a").to_pylist()),
+                           np.uint64).reshape(-1, n_perm)
+        sb = np.frombuffer(b"".join(t.column("sig_b").to_pylist()),
+                           np.uint64).reshape(-1, n_perm)
+        keep = (sa == sb).sum(axis=1) >= min_eq
+        return t.select(["a", "b"]).filter(pa.array(keep))
+
+    return j.map_batches(jaccard_filter, batch_format="pyarrow")
+
+
 def _minhash_component_labels(ds: rd.Dataset, threshold: float,
-                              bands: int, k: int,
-                              id_col: str) -> dict[int, int]:
+                              bands: int, k: int, id_col: str,
+                              max_driver_pairs: int = 50_000) -> dict[int, int]:
     """NON-TRIVIAL near-dup component labels (doc_id → min-id root,
     entries only where root ≠ doc_id): banded LSH candidate pairs →
-    estimated-Jaccard filter over a candidate-only signature semi-join →
-    driver union-find over surviving pairs (tiny in the LSH regime)."""
-    exploded = minhash_band_rows(ds, id_col=id_col, bands=bands, k=k)
-    candidates = _lsh_candidate_pairs(exploded, id_col)
+    adaptive estimated-Jaccard verify (``_minhash_verified_pairs``) →
+    the shared adaptive component labeler ``graph.label_components``
+    (driver union-find below ``max_driver_pairs`` verified edges,
+    distributed min-label propagation above — only the label MAP ever
+    collects)."""
+    from raydoc.functions.graph import label_components
 
-    # estimated-Jaccard filter: signatures for the candidate docs only
-    # (distributed semi-join recompute — band rows stay signature-free)
-    sigs = _candidate_signatures(ds, {x for p in candidates for x in p},
-                                 id_col, "text", k)
-    pair_rows = {(a, b) for a, b in candidates
-                 if float((sigs[a] == sigs[b]).mean()) >= threshold}
-
-    # union-find over the (small) candidate pair set
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
-
-    for a, b in sorted(pair_rows):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            lo, hi = min(ra, rb), max(ra, rb)
-            parent[hi] = lo
-
-    nodes = {x for pair in pair_rows for x in pair}
-    labels = {x: find(x) for x in nodes}
+    verified = _minhash_verified_pairs(ds, threshold, bands, k, id_col,
+                                       max_driver_pairs=max_driver_pairs)
+    labels = label_components(verified.materialize(),
+                              max_driver_pairs=max_driver_pairs)
     return {x: r for x, r in labels.items() if r != x}
 
 
 def minhash_lsh_clusters(sf_dir: str, threshold: float = 0.5,
                          bands: int = 16, k: int = 3,
-                         id_col: str = "doc_id") -> pa.Table:
+                         id_col: str = "doc_id",
+                         max_driver_pairs: int = 50_000) -> pa.Table:
     """(doc_id, cluster) where cluster = min doc id of the near-dup
     component; singletons cluster with themselves.
 
-    Scale shape: only CANDIDATE PAIRS reach the driver (the standard LSH
-    regime — union-find over pairs is tiny). The non-trivial component map
-    is broadcast back through one map_batches over the id column; the full
-    id list is never materialized driver-side."""
+    Scale shape: ADAPTIVE in the candidate-pair count. Below
+    ``max_driver_pairs`` the standard LSH small-candidate-set regime runs
+    (pairs + union-find driver-side, microseconds); above it — the
+    dup-heavy 100 TB web-corpus regime — the verify is a distributed
+    semi-join + two bucketed hash joins and the labeling is distributed
+    min-label propagation (``graph.label_components``), with only the
+    non-trivial component map collecting. That map is broadcast back
+    through one map_batches over the id column; the full id list is never
+    materialized driver-side."""
     import ray
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=[id_col, "text"])
-    labels = _minhash_component_labels(ds, threshold, bands, k, id_col)
+    labels = _minhash_component_labels(ds, threshold, bands, k, id_col,
+                                       max_driver_pairs=max_driver_pairs)
     labels_ref = ray.put(labels)
 
     def label_fn(t: pa.Table) -> pa.Table:
@@ -290,23 +409,25 @@ def minhash_lsh_clusters(sf_dir: str, threshold: float = 0.5,
 
 def neardup_dedup_corpus(sf_dir: str, threshold: float = 0.5,
                          bands: int = 16, k: int = 3,
-                         id_col: str = "doc_id") -> pa.Table:
+                         id_col: str = "doc_id",
+                         max_driver_pairs: int = 50_000) -> pa.Table:
     """(doc_id, n_dups): the END USE of near-dedup — the deduplicated
     corpus. One KEPT canonical document per MinHash/LSH near-dup
     component (the min-id member) with the component size it represents
     (1 for singletons). Feeding a training run = keep exactly these ids.
 
-    Shape: identical to ``minhash_lsh_clusters`` (band-row shuffle →
-    candidate pairs → signature semi-join → driver union-find over pairs
-    only); the kept-set filter is the same broadcast-labels map pass —
-    dropped docs filter OUT in the workers, and cluster sizes come from
-    the (small) non-trivial component map alone."""
+    Shape: identical to ``minhash_lsh_clusters`` (adaptive verify +
+    adaptive component labeling — see there); the kept-set filter is the
+    same broadcast-labels map pass — dropped docs filter OUT in the
+    workers, and cluster sizes come from the (small) non-trivial
+    component map alone."""
     import ray
     from collections import Counter
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=[id_col, "text"])
-    labels = _minhash_component_labels(ds, threshold, bands, k, id_col)
+    labels = _minhash_component_labels(ds, threshold, bands, k, id_col,
+                                       max_driver_pairs=max_driver_pairs)
     sizes = Counter(labels.values())          # non-trivial members per root
     labels_ref = ray.put(labels)
     sizes_ref = ray.put(dict(sizes))
