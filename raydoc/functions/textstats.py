@@ -2644,7 +2644,13 @@ def vocab_growth(sf_dir: str, step: int = 10_000,
 
     from raydoc.functions.agg import partial_groupby
 
-    word = re.compile(r"\w+")
+    # ONE tokenizer for both sides of the offset decomposition: bucket
+    # token counts (Arrow RE2) and in-bucket positions (Python re) must
+    # agree or every downstream global position shifts. RE2's \w is ASCII
+    # while Python's is Unicode, so both use the explicit ASCII class
+    # over LOWERED text — exactly what the DuckDB twin's
+    # regexp_extract_all(lower(text), '\w+') computes.
+    word = re.compile(r"[0-9A-Za-z_]+")
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     empty = pa.table({"pos_bucket": pa.array([], pa.int64()),
@@ -2666,7 +2672,8 @@ def vocab_growth(sf_dir: str, step: int = 10_000,
             "bucket": pa.array(_np.searchsorted(cuts, ids, side="right")
                                .astype(_np.int32)),
             "ntok": pc.cast(pc.count_substring_regex(
-                pc.fill_null(t["text"], ""), r"\w+"), pa.int64())})
+                pc.utf8_lower(pc.fill_null(t["text"], "")),
+                r"[0-9A-Za-z_]+"), pa.int64())})
 
     counts = collect_table(partial_groupby(
         ds.map_batches(count_bucket, batch_format="pyarrow"),

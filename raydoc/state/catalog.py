@@ -19,10 +19,21 @@ entries pin ``{table_name: (table_dir, version)}``:
   cross-table view: every table reads at its pinned version, so a
   reader joining two tables can never see one table's half of a
   transaction without the other's.
-- Racing transactions both land, in some order: the loser of the
-  catalog-version race re-reads the head and re-pins (its table
-  appends already landed; pins are per-table versions, so rebasing is
-  just taking the union of the head's pins with this txn's).
+- Racing transactions touching DISJOINT tables both land, in some
+  order: the loser of the catalog-version race re-reads the head and
+  re-pins. Racing transactions writing the SAME table serialize at the
+  catalog: a commit only lands when its pin for every written table
+  sits directly on the head's pin (head version + this txn's appends —
+  table-log versions are cumulative, so pinning across an interleaved
+  foreign append would expose that txn's rows without its other
+  tables); otherwise it backs off until the interleaver's commit lands
+  and rebases on it. A crashed interleaver (appended, never committed)
+  surfaces as a clear ``RuntimeError`` after ``max_retries`` — vacuum
+  its orphaned versions or re-run its txn. One documented gap: two
+  concurrent FIRST writers of a table unknown to the catalog can't be
+  ordered (no head pin to validate against, and adoption of a
+  pre-catalog table's history must stay legal) — create a shared table
+  with a solo txn first.
 
 No wall-clock enters the log; reruns are byte-deterministic.
 """
@@ -31,6 +42,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 
 import ray.data as rd
 
@@ -100,29 +112,101 @@ def txn(catalog_dir: str,
         v = _tl.append(ds, tdir, shard_rows=shard_rows)
         pins[name] = {"dir": os.path.abspath(tdir), "version": v}
 
-    for _ in range(max_retries):
+    # appends per table this txn (writes may hit one table repeatedly)
+    n_appends: dict[str, int] = {}
+    for name, _, _ in writes:
+        n_appends[name] = n_appends.get(name, 0) + 1
+
+    for attempt in range(max_retries):
         vs = list_versions(catalog_dir)
         head = catalog_snapshot(catalog_dir, vs[-1]) if vs else None
         nxt = (vs[-1] + 1) if vs else 0
         tables = dict(head["tables"]) if head else {}
-        # rebase: racing txns touching DISJOINT tables both land; a
-        # race on the SAME table keeps the higher pinned version (both
-        # appends are in that table's log; the pin is monotone)
+        # rebase: racing txns touching DISJOINT tables both land. For a
+        # table THIS txn wrote, the pin must sit DIRECTLY on the head's
+        # pin (head_version + this txn's appends): table-log versions
+        # are cumulative, so pinning across an interleaved foreign
+        # append would expose that txn's rows without its other tables
+        # (partial-transaction read). On interleaving we wait for the
+        # other writer's catalog commit to land (its pin then becomes
+        # our base) — same-table txns serialize at the catalog, as in
+        # Iceberg REST commit-conflict retries.
+        stale = []
         for name, ent in pins.items():
             cur = tables.get(name)
-            if cur is None or ent["version"] > cur["version"]:
-                tables[name] = ent
+            if cur is not None and \
+                    ent["version"] != cur["version"] + n_appends[name]:
+                stale.append((name, cur["version"], ent["version"]))
+            tables[name] = ent
+        if stale:
+            import time
+            time.sleep(0.02 * (attempt + 1))  # backoff only, never logged
+            continue
         payload = {"version": nxt, "tables": tables}
         path = _version_path(catalog_dir, nxt)
+        # content-atomic claim: full payload lands in a tmp file first,
+        # then os.link claims the version name (EEXIST = lost the race)
+        # — a crash or concurrent reader can never observe a truncated
+        # head commit, unlike O_EXCL-create-then-write
+        tmp = f"{path}.tmp-{os.getpid()}-{threading.get_ident()}"
+        with open(tmp, "w") as fh:
+            json.dump(payload, fh, sort_keys=True)
+            fh.flush()
+            os.fsync(fh.fileno())
         try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.link(tmp, path)
         except FileExistsError:
             continue  # lost the race — rebase on the new head
-        with os.fdopen(fd, "w") as fh:
-            json.dump(payload, fh, sort_keys=True)
+        finally:
+            os.unlink(tmp)
         return nxt
-    raise RuntimeError("catalog txn lost the commit race "
-                       f"{max_retries} times")
+    raise RuntimeError(
+        "catalog txn could not commit after "
+        f"{max_retries} attempts: "
+        + ("another writer's table append interleaved with this txn's "
+           f"and its catalog commit never landed (stale pins: {stale}) — "
+           "a crashed concurrent writer leaves this hole; vacuum its "
+           "orphaned table versions or re-run its txn"
+           if stale else "lost the catalog-version race every time"))
+
+
+def adopt_table(catalog_dir: str, name: str, table_dir: str) -> int:
+    """Operator repair / adoption: commit a catalog version pinning
+    ``table_dir``'s CURRENT head version for ``name``, bypassing the
+    succession validation ``txn`` enforces. Two uses: adopting a
+    pre-catalog table's history, and unwedging the fail-stop left by a
+    crashed writer (its orphaned appends become visible as one
+    operator-sanctioned batch — by construction without the crashed
+    txn's other-table rows, which is exactly what the operator is
+    signing off on)."""
+    v = _tl.latest_version(table_dir)
+    if v is None:
+        raise ValueError(f"{table_dir!r} has no table log to adopt")
+    os.makedirs(_log_dir(catalog_dir), exist_ok=True)
+    ent = {"dir": os.path.abspath(table_dir), "version": v}
+    while True:
+        vs = list_versions(catalog_dir)
+        head = catalog_snapshot(catalog_dir, vs[-1]) if vs else None
+        nxt = (vs[-1] + 1) if vs else 0
+        tables = dict(head["tables"]) if head else {}
+        cur = tables.get(name)
+        if cur is not None and cur["version"] >= v:
+            return vs[-1]          # already at/past this version — no-op
+        tables[name] = ent
+        payload = {"version": nxt, "tables": tables}
+        path = _version_path(catalog_dir, nxt)
+        tmp = f"{path}.tmp-{os.getpid()}-{threading.get_ident()}"
+        with open(tmp, "w") as fh:
+            json.dump(payload, fh, sort_keys=True)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, path)
+        except FileExistsError:
+            continue
+        finally:
+            os.unlink(tmp)
+        return nxt
 
 
 def catalog_txn_snapshot(sf_dir: str) -> "pa.Table":

@@ -30,6 +30,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import threading
 
 import pyarrow as pa
 
@@ -207,24 +208,35 @@ def _write_shards(ds: rd.Dataset, table_dir: str,
 
 def _try_commit(table_dir: str, actions, operation: str,
                 max_retries: int = 64) -> int:
-    """Claim the next version atomically (O_CREAT|O_EXCL); on a race,
-    re-read the log head and retry at the bumped version. ``actions``
-    is a list OR a callable(head_version) -> list, re-evaluated per
-    attempt so conflict resolution (e.g. overwrite's remove set) sees
-    the commit that beat it."""
+    """Claim the next version atomically; on a race, re-read the log
+    head and retry at the bumped version. ``actions`` is a list OR a
+    callable(head_version) -> list, re-evaluated per attempt so
+    conflict resolution (e.g. overwrite's remove set) sees the commit
+    that beat it.
+
+    Content-atomic: the full record lands in a tmp file first, then
+    ``os.link`` claims the version name (EEXIST = lost the race) — a
+    crash or concurrent reader can never observe a truncated commit,
+    unlike O_EXCL-create-then-write (the commit file IS referenced
+    state the moment its name exists)."""
     os.makedirs(_log_dir(table_dir), exist_ok=True)
     for _ in range(max_retries):
         head = latest_version(table_dir)
         version = 0 if head is None else head + 1
         acts = actions(head) if callable(actions) else actions
         path = _version_path(table_dir, version)
-        try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            continue  # lost the race — rebase on the new head
-        with os.fdopen(fd, "w") as fh:
+        tmp = f"{path}.tmp-{os.getpid()}-{threading.get_ident()}"
+        with open(tmp, "w") as fh:
             json.dump({"version": version, "operation": operation,
                        "actions": acts}, fh, indent=1)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, path)
+        except FileExistsError:
+            continue  # lost the race — rebase on the new head
+        finally:
+            os.unlink(tmp)
         return version
     raise RuntimeError(f"commit contention: {max_retries} retries "
                        f"exhausted on {table_dir!r}")
@@ -610,7 +622,10 @@ def vacuum(table_dir: str, keep_versions: int = 2) -> list[str]:
     for name in sorted(os.listdir(table_dir)):
         if ".parquet.bloom-" in name:
             base = name.split(".bloom-", 1)[0]
-            if base not in referenced:
+            # a tmp sidecar is NEVER the live sidecar after os.replace —
+            # collect crashed-writer tmp files even when their base
+            # shard is still referenced
+            if base not in referenced or ".tmp-" in name:
                 try:
                     os.remove(os.path.join(table_dir, name))
                     deleted.append(name)
@@ -1050,6 +1065,12 @@ def point_lookup(table_dir: str, col: str, value,
                 continue
         kept.append(n)
     stats = {"shards_total": len(names), "shards_scanned": len(kept)}
+    if not names:
+        # a valid EMPTY snapshot (empty-dataset append or delete-all):
+        # no shard carries a schema, so the result is an empty
+        # single-column table of the probe column's value type
+        schema = pa.schema([(col, pa.scalar(value).type)])
+        return rd.from_arrow(schema.empty_table()), stats
     if not kept:
         schema = pq.read_schema(os.path.join(table_dir, names[0]))
         return rd.from_arrow(schema.empty_table()), stats

@@ -78,3 +78,80 @@ def test_unknown_table_raises(ray_session, tmp_path):
     cat.txn(root, [("a", _tbl([1]), os.path.join(root, "a"))])
     with pytest.raises(ValueError, match="not in catalog"):
         cat.read_catalog_table(root, "zz")
+
+
+def test_same_table_interleaving_fail_stops(ray_session, tmp_path):
+    """A foreign append interleaved between a txn's append and its
+    catalog commit (the crashed-concurrent-writer hole) must make the
+    commit REFUSE rather than pin across the foreign rows — pinning
+    them would expose that txn's facts without its audit row."""
+    root = str(tmp_path)
+    facts = os.path.join(root, "facts")
+    audit = os.path.join(root, "audit")
+    cat.txn(root, [("facts", _tbl([1]), facts),
+                   ("audit", _tbl([100]), audit)])
+    tl.append(_tbl([99]), facts)       # txn B appended, then crashed
+    with pytest.raises(RuntimeError, match="interleaved"):
+        cat.txn(root, [("facts", _tbl([2]), facts),
+                       ("audit", _tbl([200]), audit)], max_retries=3)
+    # catalog still consistent: head pins unchanged, B's (and the
+    # failed txn C's) rows invisible
+    got = [r["x"] for r in
+           cat.read_catalog_table(root, "facts").take_all()]
+    assert got == [1]
+    assert cat.catalog_snapshot(root)["version"] == 0
+
+
+def test_adopt_table_unwedges_after_crashed_writer(ray_session,
+                                                   tmp_path):
+    """adopt_table is the operator repair: it pins the table's current
+    head (sanctioning the orphaned rows), after which normal txns land
+    again."""
+    root = str(tmp_path)
+    facts = os.path.join(root, "facts")
+    audit = os.path.join(root, "audit")
+    cat.txn(root, [("facts", _tbl([1]), facts),
+                   ("audit", _tbl([100]), audit)])
+    tl.append(_tbl([99]), facts)       # crashed writer's orphan
+    with pytest.raises(RuntimeError):
+        cat.txn(root, [("facts", _tbl([2]), facts),
+                       ("audit", _tbl([200]), audit)], max_retries=2)
+    # the failed txn orphaned an append in BOTH tables — the operator
+    # repairs the full set
+    cat.adopt_table(root, "facts", facts)
+    cat.adopt_table(root, "audit", audit)
+    v = cat.txn(root, [("facts", _tbl([3]), facts),
+                       ("audit", _tbl([300]), audit)])
+    got = sorted(r["x"] for r in
+                 cat.read_catalog_table(root, "facts", v).take_all())
+    # adopted state includes the orphans (99 from B, 2 from failed C)
+    assert got == [1, 2, 3, 99]
+
+
+def test_same_table_racing_txns_serialize(ray_session, tmp_path):
+    """Two live txns writing the SAME table pair: the later committer
+    waits for the earlier commit, so every catalog version satisfies
+    the facts-sum == audit-sum invariant (no partial transaction)."""
+    root = str(tmp_path)
+    facts = os.path.join(root, "facts")
+    audit = os.path.join(root, "audit")
+    errs = []
+
+    def run(vals):
+        try:
+            cat.txn(root, [("facts", _tbl(vals), facts),
+                           ("audit", _tbl([len(vals)]), audit)])
+        except Exception as e:        # noqa: BLE001
+            errs.append(e)
+
+    t1 = threading.Thread(target=run, args=([1, 2],))
+    t2 = threading.Thread(target=run, args=([3, 4, 5],))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs
+    head = cat.catalog_snapshot(root)
+    for v in range(head["version"] + 1):
+        nf = len(cat.read_catalog_table(root, "facts", v).take_all())
+        na = sum(r["x"] for r in
+                 cat.read_catalog_table(root, "audit", v).take_all())
+        assert nf == na
+    assert len(cat.read_catalog_table(root, "facts").take_all()) == 5

@@ -130,7 +130,9 @@ def test_vocab_growth_matches_bruteforce(ray_session, tmp_path, seed):
     got = vocab_growth(sf, step=step, num_buckets=8).to_pandas()
     docs = pq.read_table(sf + "/documents.parquet").to_pandas() \
         .sort_values("doc_id")
-    word = re.compile(r"\w+")
+    # the canonical sequential definition: ASCII word runs over lowered
+    # text (= the DuckDB twin's regexp_extract_all(lower(text), '\w+'))
+    word = re.compile(r"[0-9A-Za-z_]+")
     first = {}
     pos = 0
     for txt in docs["text"]:
@@ -143,6 +145,36 @@ def test_vocab_growth_matches_bruteforce(ray_session, tmp_path, seed):
     got_map = dict(zip(got["pos_bucket"], got["new_terms"]))
     assert got_map == want
     assert list(got["vocab_size"]) == list(np.cumsum(got["new_terms"]))
+    assert int(got["vocab_size"].iloc[-1]) == len(first)
+
+
+def test_vocab_growth_non_ascii_consistent(ray_session, tmp_path):
+    """Non-ASCII word chars must not desynchronize bucket token counts
+    from in-bucket positions (the two tokenizers are pinned to the same
+    ASCII class over lowered text): 'déjà' is 2 tokens ('d', 'j') on both
+    sides, never 3-vs-2."""
+    import re
+
+    from raydoc.functions.textstats import vocab_growth
+    texts = ["déjà vu encore déjà", "naïve café crème naïve",
+             "plain ascii words here", "déjà naïve mixtures vu café",
+             "zürich über straße zürich", "plain words again encore"]
+    t = pa.table({"doc_id": pa.array(range(1, len(texts) + 1), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    pq.write_table(t, tmp_path / "documents.parquet")
+    step = 4
+    got = vocab_growth(str(tmp_path), step=step, num_buckets=3).to_pandas()
+
+    word = re.compile(r"[0-9A-Za-z_]+")
+    first, pos = {}, 0
+    for txt in texts:
+        for tok in word.findall(txt.lower()):
+            first.setdefault(tok, pos)
+            pos += 1
+    want = {}
+    for p in first.values():
+        want[p // step] = want.get(p // step, 0) + 1
+    assert dict(zip(got["pos_bucket"], got["new_terms"])) == want
     assert int(got["vocab_size"].iloc[-1]) == len(first)
 
 

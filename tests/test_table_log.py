@@ -478,3 +478,43 @@ def test_vacuum_collects_orphaned_bloom_sidecars(ray_session, tmp_path):
     tl.vacuum(d, keep_versions=1)
     left = [f for f in os.listdir(d) if ".bloom-" in f]
     assert not set(left) & set(old_sides)
+
+
+def test_point_lookup_on_empty_snapshot(ray_session, tmp_path):
+    """A valid EMPTY snapshot (delete-all) returns an empty result, not
+    an IndexError from dereferencing a nonexistent shard's schema."""
+    import ray.data as rd
+
+    from raydoc.state import table_log as tl
+
+    d = str(tmp_path / "t")
+    tl.append(rd.from_arrow(pa.table({
+        "k": pa.array([1, 2], pa.int64())})), d, bloom_cols=["k"])
+    # force an empty snapshot via overwrite with an empty dataset
+    tl.overwrite(rd.from_arrow(pa.table({
+        "k": pa.array([], pa.int64())})), d)
+    ds, st = tl.point_lookup(d, "k", 1)
+    assert ds.take_all() == []
+    assert st == {"shards_total": 0, "shards_scanned": 0}
+
+
+def test_vacuum_collects_crashed_bloom_tmp_of_live_shard(ray_session,
+                                                         tmp_path):
+    """A crashed bloom-sidecar tmp file whose base shard is still LIVE
+    must be collected (it is never the live sidecar after os.replace)."""
+    import ray.data as rd
+
+    from raydoc.state import table_log as tl
+
+    d = str(tmp_path / "t")
+    tl.append(rd.from_arrow(pa.table({
+        "k": pa.array([1, 2], pa.int64())})), d, bloom_cols=["k"])
+    side = next(f for f in os.listdir(d) if ".bloom-" in f)
+    crashed = os.path.join(d, side + ".tmp-9999")
+    with open(crashed, "wb") as fh:
+        fh.write(b"torn")
+    deleted = tl.vacuum(d, keep_versions=2)
+    assert side + ".tmp-9999" in deleted
+    assert not os.path.exists(crashed)
+    # the real sidecar survives (its shard is referenced)
+    assert os.path.exists(os.path.join(d, side))
