@@ -82,6 +82,81 @@ def _extract_turns_aligned(sf_dir: str):
         "parse_failed", "was_html", "language", "gate_passed"])
 
 
+_CHECKSUM_DIR = "/tmp/raydoc_extract_checksum"
+
+
+def _extract_turns_checksum(sf_dir: str):
+    """Oracle-backed flagship validation: run the FULL extraction
+    pipeline, write (conv_id, turn_idx, extracted_text) to a scratch
+    parquet dir, re-read the WRITTEN files, and return per-bucket
+    order-independent content checksums — bucket = md5(conv_id) % 16,
+    per row the first 64 bits of md5(conv|turn|text), per bucket the
+    mod-2⁶⁴ sum (via int64-safe 16-bit limb partials, the
+    q_orders_checksum decomposition). The DuckDB twin recomputes the
+    same checksums from the same written parquet, so a hash-green
+    CORRECTNESS row pins end-to-end: the flagship runs, its output
+    parquet is complete and re-readable, and the distributed digest
+    aggregation agrees with a second engine bit-for-bit. (The per-turn
+    text itself is additionally pinned by reference goldens and the
+    aligned/general path-equality tests.)"""
+    import hashlib
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from raydoc.functions._collect import collect_table
+    from raydoc.functions.agg import partial_groupby
+
+    out = _extract_turns(sf_dir).select_columns(
+        ["conv_id", "turn_idx", "extracted_text"])
+    shutil.rmtree(_CHECKSUM_DIR, ignore_errors=True)
+    out.write_parquet(_CHECKSUM_DIR)
+
+    ds = rd.read_parquet(_CHECKSUM_DIR)
+
+    def partial(t: pa.Table) -> pa.Table:
+        acc: dict[int, list[int]] = {}
+        for conv, turn, text in zip(t.column("conv_id").to_pylist(),
+                                    t.column("turn_idx").to_pylist(),
+                                    t.column("extracted_text").to_pylist()):
+            b = int(hashlib.md5(str(conv).encode()).hexdigest()[:4],
+                    16) % 16
+            h = int(hashlib.md5(
+                f"{conv}|{turn}|{text}".encode()).hexdigest()[:16], 16)
+            s = acc.setdefault(b, [0, 0, 0, 0, 0])
+            s[0] += 1
+            s[1] += h & 0xFFFF
+            s[2] += (h >> 16) & 0xFFFF
+            s[3] += (h >> 32) & 0xFFFF
+            s[4] += (h >> 48) & 0xFFFF
+        bs = sorted(acc)
+        return pa.table({
+            "bucket": pa.array(bs, pa.int64()),
+            "n": pa.array([acc[b][0] for b in bs], pa.int64()),
+            **{f"s{i}": pa.array([acc[b][i + 1] for b in bs], pa.int64())
+               for i in range(4)}})
+
+    spec = {"n_turns": ("n", "sum")}
+    for i in range(4):
+        spec[f"s{i}"] = (f"s{i}", "sum")
+    g = collect_table(partial_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["bucket"], spec)).sort_by("bucket")
+    sums = [
+        (int(g.column("s0")[r].as_py())
+         + (int(g.column("s1")[r].as_py()) << 16)
+         + (int(g.column("s2")[r].as_py()) << 32)
+         + (int(g.column("s3")[r].as_py()) << 48)) % (1 << 64)
+        for r in range(g.num_rows)]
+    return pa.table({
+        "bucket": pc.cast(g.column("bucket"), pa.int64()),
+        "n_turns": pc.cast(g.column("n_turns"), pa.int64()),
+        "checksum": pa.array([format(s, "016x") for s in sums],
+                             pa.string())})
+
+
 def _normalize_documents(sf_dir: str):
     """Standalone flagship normalizer (M4) over the documents table."""
     import pyarrow as pa
@@ -190,6 +265,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- the extraction engine itself (the flagship) ---
         "extract_turns": _extract_turns,
         "extract_turns_aligned": _extract_turns_aligned,
+        "extract_turns_checksum": _extract_turns_checksum,
         "normalize_markdown": _normalize_documents,
         # --- multimodal plumbing ---
         "media_meta": multimodal.document_media_meta,
@@ -1620,6 +1696,28 @@ def oracle_sql() -> dict[str, str]:
                        % CAST(18446744073709551616 AS HUGEINT)
                        AS UBIGINT)), 16, '0')) AS checksum
             FROM h GROUP BY 1, 2 ORDER BY 1, 2""",
+        "extract_turns_checksum": """
+            -- twin of _extract_turns_checksum, over the parquet the
+            -- flagship query just wrote (the driver runs the Ray query
+            -- first, then the oracle — tools/check_correctness.py order)
+            WITH r AS (SELECT conv_id, turn_idx, extracted_text
+                       FROM read_parquet(
+                           '/tmp/raydoc_extract_checksum/*.parquet')),
+            h AS (SELECT CAST(('0x' || substr(md5(
+                             CAST(conv_id AS VARCHAR)), 1, 4)) AS INT)
+                             % 16 AS bucket,
+                         CAST(('0x' || substr(md5(
+                             CAST(conv_id AS VARCHAR) || '|' ||
+                             CAST(turn_idx AS VARCHAR) || '|' ||
+                             extracted_text), 1, 16)) AS UBIGINT) AS h
+                  FROM r)
+            SELECT CAST(bucket AS BIGINT) AS bucket,
+                   COUNT(*) AS n_turns,
+                   lower(lpad(hex(CAST(
+                       SUM(CAST(h AS HUGEINT))
+                       % CAST(18446744073709551616 AS HUGEINT)
+                       AS UBIGINT)), 16, '0')) AS checksum
+            FROM h GROUP BY 1 ORDER BY 1""",
         "orders_checksum": """
             WITH h AS (SELECT CAST(('0x' || substr(md5(
                            CAST(o_orderkey AS VARCHAR) || '|' ||

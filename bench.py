@@ -174,6 +174,7 @@ BENCH_QUERIES = [
     "cms_user_counts",
     "media_meta",
     "normalize_markdown",
+    "extract_turns_checksum",
     "status_priority_pivot",
     "rollup_pricing",
     "customers_semi_f",

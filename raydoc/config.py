@@ -84,6 +84,15 @@ class PipelineConfig:
     # groupby(shuffle_key) path runs. See stages/extract.py FusedFileActor.
     assume_conv_aligned: bool = False
     include_doc_markdown: bool = False   # carry full doc markdown on turn 0 rows
+    # Skew guard (SURVEY.md §7.4.5): the document stage co-locates a whole
+    # conversation, assuming turns/conv ≪ block size. A pathological
+    # million-turn conversation is processed in turn_idx-ordered chunks of
+    # this many turns instead of one giant kernel call — cross-turn context
+    # (repeaters, linking, doc markdown) becomes chunk-local and every row
+    # of the conversation is flagged (fallback_applied=True,
+    # suggested_action="oversize_conversation_chunked"), so the contract is
+    # enforced and visible, never silently assumed. None disables the guard.
+    max_turns_per_conv: int | None = 10_000
 
 
 DEFAULT_CONFIG = PipelineConfig()

@@ -9,7 +9,10 @@ linking, confidence aggregation, render, enforce, validate, gate).
 Skew note (SURVEY.md §7.4.5): group size = turns/conversation (realistic
 envelope ≪ block size). Document-level pure aggregates could be salted
 two-phase, but rendering needs the full conversation co-located — that is
-the partitioning assumption this operator documents and relies on.
+the partitioning assumption this operator documents and relies on. The
+assumption is ENFORCED, not assumed: conversations over
+``cfg.max_turns_per_conv`` degrade to chunk-local processing with every
+row flagged (see ``_process_conversation_guarded``).
 """
 
 from __future__ import annotations
@@ -19,6 +22,39 @@ import pyarrow as pa
 from raydoc.config import DEFAULT_CONFIG, PipelineConfig
 from raydoc.kernels.document import process_conversation
 from raydoc.schema import SPAN_TYPE
+
+
+OVERSIZE_ACTION = "oversize_conversation_chunked"
+
+
+def _process_conversation_guarded(conv_id, turn_idxs, prebuilt, stats,
+                                  cfg: PipelineConfig) -> list[dict]:
+    """Skew guard around ``process_conversation``: a conversation within
+    ``cfg.max_turns_per_conv`` runs the normal cross-turn kernel pipeline
+    (one result). An over-cap conversation (the pathological million-turn
+    case the co-location contract excludes) is processed in
+    turn_idx-ordered chunks of the cap instead — bounding the kernel-side
+    memory/quadratic work — with cross-turn context (repeaters, linking,
+    doc markdown) chunk-local and EVERY row flagged
+    (``fallback_applied=True``, ``suggested_action=OVERSIZE_ACTION``) so
+    the degradation is visible downstream, never silent."""
+    cap = cfg.max_turns_per_conv
+    if cap is None or len(turn_idxs) <= cap:
+        return [process_conversation(
+            conv_id, turn_idxs, [""] * len(turn_idxs), cfg=cfg,
+            prebuilt_elements=prebuilt, turn_stats=stats)]
+    order = sorted(range(len(turn_idxs)), key=lambda i: turn_idxs[i])
+    results = []
+    for off in range(0, len(order), cap):
+        ix = order[off:off + cap]
+        r = process_conversation(
+            conv_id, [turn_idxs[i] for i in ix], [""] * len(ix), cfg=cfg,
+            prebuilt_elements=[prebuilt[i] for i in ix],
+            turn_stats=[stats[i] for i in ix])
+        r["fallback_applied"] = True
+        r["suggested_action"] = OVERSIZE_ACTION
+        results.append(r)
+    return results
 
 
 def document_group_fn(group: pa.Table,
@@ -36,33 +72,53 @@ def document_group_fn(group: pa.Table,
     prebuilt = [pickle.loads(b) if b else [] for b in elements_col]
     stats = list(zip(was_html, strip_ratio, parse_failed))
 
-    result = process_conversation(
-        conv_id, turn_idxs, [""] * len(turn_idxs), cfg=cfg,
-        prebuilt_elements=prebuilt, turn_stats=stats)
+    results = _process_conversation_guarded(conv_id, turn_idxs, prebuilt,
+                                            stats, cfg)
 
-    n = len(result["turn_idx"])
+    cols: dict[str, list] = {k: [] for k in (
+        "turn_idx", "extracted_text", "spans", "n_elements", "strip_ratio",
+        "parse_failed", "was_html", "language", "quality_score",
+        "confidence_score", "gate_passed", "suggested_action",
+        "fallback_applied", "extraction_engine", "doc_markdown")}
+    for result in results:
+        n = len(result["turn_idx"])
+        cols["turn_idx"].extend(result["turn_idx"])
+        cols["extracted_text"].extend(result["turn_markdown"])
+        cols["spans"].extend(result["turn_spans"])
+        cols["n_elements"].extend(result["n_elements"])
+        cols["strip_ratio"].extend(result["strip_ratio"])
+        cols["parse_failed"].extend(result["parse_failed"])
+        cols["was_html"].extend(result["was_html"])
+        for k in ("language", "quality_score", "confidence_score",
+                  "gate_passed", "suggested_action", "fallback_applied",
+                  "extraction_engine"):
+            cols[k].extend([result[k]] * n)
+        if cfg.include_doc_markdown:
+            cols["doc_markdown"].extend(
+                [result["doc_markdown"]] + [""] * (n - 1))
+
+    n = len(cols["turn_idx"])
     out = {
         "conv_id": pa.array([conv_id] * n, pa.string()),
-        "turn_idx": pa.array(result["turn_idx"], pa.int32()),
-        "extracted_text": pa.array(result["turn_markdown"], pa.large_string()),
-        "spans": pa.array(result["turn_spans"], pa.list_(SPAN_TYPE)),
-        "n_elements": pa.array(result["n_elements"], pa.int32()),
-        "strip_ratio": pa.array(result["strip_ratio"], pa.float32()),
-        "parse_failed": pa.array(result["parse_failed"], pa.bool_()),
-        "was_html": pa.array(result["was_html"], pa.bool_()),
-        "language": pa.array([result["language"]] * n, pa.string()),
-        "quality_score": pa.array([result["quality_score"]] * n, pa.float32()),
-        "confidence_score": pa.array([result["confidence_score"]] * n, pa.float32()),
-        "gate_passed": pa.array([result["gate_passed"]] * n, pa.bool_()),
-        "suggested_action": pa.array([result["suggested_action"]] * n, pa.string()),
-        "fallback_applied": pa.array([result["fallback_applied"]] * n, pa.bool_()),
-        "extraction_engine": pa.array([result["extraction_engine"]] * n, pa.string()),
+        "turn_idx": pa.array(cols["turn_idx"], pa.int32()),
+        "extracted_text": pa.array(cols["extracted_text"], pa.large_string()),
+        "spans": pa.array(cols["spans"], pa.list_(SPAN_TYPE)),
+        "n_elements": pa.array(cols["n_elements"], pa.int32()),
+        "strip_ratio": pa.array(cols["strip_ratio"], pa.float32()),
+        "parse_failed": pa.array(cols["parse_failed"], pa.bool_()),
+        "was_html": pa.array(cols["was_html"], pa.bool_()),
+        "language": pa.array(cols["language"], pa.string()),
+        "quality_score": pa.array(cols["quality_score"], pa.float32()),
+        "confidence_score": pa.array(cols["confidence_score"], pa.float32()),
+        "gate_passed": pa.array(cols["gate_passed"], pa.bool_()),
+        "suggested_action": pa.array(cols["suggested_action"], pa.string()),
+        "fallback_applied": pa.array(cols["fallback_applied"], pa.bool_()),
+        "extraction_engine": pa.array(cols["extraction_engine"], pa.string()),
         "part": pa.array([part] * n, pa.int32()),
     }
     if cfg.include_doc_markdown:
-        out["doc_markdown"] = pa.array(
-            [result["doc_markdown"] if i == 0 else "" for i in range(n)],
-            pa.large_string())
+        out["doc_markdown"] = pa.array(cols["doc_markdown"],
+                                       pa.large_string())
     return pa.table(out)
 
 
@@ -129,28 +185,28 @@ def document_rows_from_raw(raw: dict,
     for cid, ix in by_conv.items():
         prebuilt = [prebuilt_col[i] for i in ix]
         stats = [(was_html[i], strip_ratio[i], parse_failed[i]) for i in ix]
-        result = process_conversation(
-            cid, [turn_idxs[i] for i in ix], [""] * len(ix), cfg=cfg,
-            prebuilt_elements=prebuilt, turn_stats=stats)
-        n = len(result["turn_idx"])
-        o_conv.extend([cid] * n)
-        o_turn.extend(result["turn_idx"])
-        o_text.extend(result["turn_markdown"])
-        o_spans.extend(result["turn_spans"])
-        o_nel.extend(result["n_elements"])
-        o_strip.extend(result["strip_ratio"])
-        o_pfail.extend(result["parse_failed"])
-        o_html.extend(result["was_html"])
-        o_lang.extend([result["language"]] * n)
-        o_qual.extend([result["quality_score"]] * n)
-        o_conf.extend([result["confidence_score"]] * n)
-        o_gate.extend([result["gate_passed"]] * n)
-        o_act.extend([result["suggested_action"]] * n)
-        o_fb.extend([result["fallback_applied"]] * n)
-        o_eng.extend([result["extraction_engine"]] * n)
-        o_part.extend([parts[ix[0]]] * n)
-        if cfg.include_doc_markdown:
-            o_docmd.extend([result["doc_markdown"]] + [""] * (n - 1))
+        results = _process_conversation_guarded(
+            cid, [turn_idxs[i] for i in ix], prebuilt, stats, cfg)
+        for result in results:
+            n = len(result["turn_idx"])
+            o_conv.extend([cid] * n)
+            o_turn.extend(result["turn_idx"])
+            o_text.extend(result["turn_markdown"])
+            o_spans.extend(result["turn_spans"])
+            o_nel.extend(result["n_elements"])
+            o_strip.extend(result["strip_ratio"])
+            o_pfail.extend(result["parse_failed"])
+            o_html.extend(result["was_html"])
+            o_lang.extend([result["language"]] * n)
+            o_qual.extend([result["quality_score"]] * n)
+            o_conf.extend([result["confidence_score"]] * n)
+            o_gate.extend([result["gate_passed"]] * n)
+            o_act.extend([result["suggested_action"]] * n)
+            o_fb.extend([result["fallback_applied"]] * n)
+            o_eng.extend([result["extraction_engine"]] * n)
+            o_part.extend([parts[ix[0]]] * n)
+            if cfg.include_doc_markdown:
+                o_docmd.extend([result["doc_markdown"]] + [""] * (n - 1))
 
     out = {
         "conv_id": pa.array(o_conv, pa.string()),
