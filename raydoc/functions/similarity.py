@@ -67,6 +67,10 @@ def _final_topk(df: pd.DataFrame, k: int) -> pa.Table:
         return pa.table({"query_id": pa.array([], pa.int64()),
                          "rank": pa.array([], pa.int32()),
                          "vec_id": pa.array([], pa.int64())})
+    # multi-table LSH proposes the same (query, vec) from several tables
+    # (identical cosine) — dedup before ranking so top-k slots aren't
+    # wasted on copies
+    df = df.drop_duplicates(["query_id", "vec_id"])
     df = df.sort_values(["query_id", "cosine", "vec_id"],
                         ascending=[True, False, True])
     df = df.groupby("query_id", sort=True).head(k)
@@ -89,23 +93,48 @@ def brute_force_topk(sf_dir: str, query_ids: list[int] | None = None,
     return _final_topk(cands, k)
 
 
+def _probe_sets(margins: np.ndarray, n_probes: int) -> list[int]:
+    """Margin-aware multi-probe sequence (Lv et al., VLDB 2007): the
+    XOR masks of the ``n_probes`` most promising perturbations — subsets
+    of size ≤2 of the lowest-|margin| planes, ordered by total flipped
+    margin (a true neighbor most plausibly sits on the other side of the
+    planes the query is closest to). Mask 0 (the home bucket) included."""
+    order = np.argsort(np.abs(margins))
+    m = min(len(order), 8)                  # perturb within the 8 closest
+    cand: list[tuple[float, int]] = [(0.0, 0)]
+    for i in range(m):
+        ci = float(abs(margins[order[i]]))
+        cand.append((ci, 1 << int(order[i])))
+        for j in range(i + 1, m):
+            cand.append((ci + float(abs(margins[order[j]])),
+                         (1 << int(order[i])) | (1 << int(order[j]))))
+    cand.sort()
+    return [mask for _, mask in cand[:n_probes + 1]]
+
+
 def lsh_topk(sf_dir: str, query_ids: list[int] | None = None, k: int = 10,
              n_planes: int = 8, seed: int = 7,
-             multiprobe: int = 2, sub_buckets: int = 4) -> pa.Table:
-    """Approximate top-k via signed-random-projection buckets with
-    MULTI-PROBE: each query probes its own bucket plus the ``multiprobe``
-    buckets reached by flipping its lowest-margin hyperplane bits (the
-    bits most likely to disagree for true neighbors). Exact within probed
-    buckets; recall grows with ``multiprobe`` and falls with ``n_planes``
-    (smaller buckets).
+             multiprobe: int = 12, n_tables: int = 8,
+             sub_buckets: int = 4) -> pa.Table:
+    """Approximate top-k via signed-random-projection buckets, with the
+    two standard recall levers COMPOSED: ``n_tables`` independent hash
+    tables (recall 1-(1-p)^L) × margin-aware MULTI-PROBE inside each
+    table (each query probes its home bucket plus the ``multiprobe``
+    most-promising perturbed buckets — subsets of its lowest-margin
+    planes). Exact re-rank within probed buckets. The earlier
+    single-table / 2-probe default measured 8% recall@10 on the bench
+    embeddings (weakly structured, near-neighbor cosine ≈ 0.35 — the
+    regime where one table is hopeless); this default measures ≥60%
+    (floor pinned in tests/test_overlap_mmr.py) at ~L·(probes/2^planes)
+    ≈ 40% candidate mass. For strongly clustered corpora lower
+    ``multiprobe``/``n_tables``; for exact-ish needs use IVF/PQ (better
+    recall/compute here — see ``ann_recall_report``).
 
-    A probe group is a SUB-bucket (bucket × vec_id-salt, ``sub_buckets``
-    per bucket), not the whole hash bucket — a hot bucket splits across
-    ``sub_buckets`` tasks and per-query candidates merge in the final
-    exact top-k, so no single task ever stacks an entire popular bucket.
-    Raise ``sub_buckets`` with corpus size. Results are identical for any
-    value (the per-sub-group top-(k+1) always contains the global
-    top-(k+1) members that live in that sub-group)."""
+    Scale shape: the corpus explodes ×``n_tables`` through ONE exchange
+    (bucket key = table × bucket × vec_id-salt); a probe group is a
+    SUB-bucket (``sub_buckets`` per bucket), so a hot bucket splits
+    across tasks and per-query candidates merge (deduped across tables)
+    in the final exact top-k. Results identical for any sub_buckets."""
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
     query_ids = query_ids if query_ids is not None else [0, 1, 2, 3, 4]
@@ -114,34 +143,44 @@ def lsh_topk(sf_dir: str, query_ids: list[int] | None = None, k: int = 10,
     q_ids, q = _read_query_vectors(sf_dir, query_ids)
     rng = np.random.RandomState(seed)
     dim = q.shape[1]
-    planes = rng.standard_normal((n_planes, dim))
+    planes = rng.standard_normal((n_tables, n_planes, dim))
     planes_ref = ray.put(planes)
     S = sub_buckets
+    L = n_tables
+    pow2 = 1 << np.arange(n_planes)
 
     def bucketize(t: pa.Table) -> pa.Table:
         pl = ray.get(planes_ref)
         mat = np.array(t["embedding"].to_pylist(), dtype=np.float64)
         ids = np.array(t["vec_id"].to_pylist(), dtype=np.int64)
-        signs = (mat @ pl.T) > 0
-        buckets = (signs * (1 << np.arange(n_planes))).sum(axis=1)
-        gk = buckets.astype(np.int64) * S + (ids % S)
-        return t.append_column("bucket", pa.array(gk))
+        out_ids, out_bk, out_row = [], [], []
+        for tbl in range(L):
+            signs = (mat @ pl[tbl].T) > 0
+            buckets = (signs * pow2).sum(axis=1).astype(np.int64)
+            gk = ((tbl << n_planes) | buckets) * S + (ids % S)
+            out_ids.append(ids)
+            out_bk.append(gk)
+            out_row.append(np.arange(len(ids)))
+        rows = np.concatenate(out_row)
+        return pa.Table.from_arrays(
+            [pa.array(np.concatenate(out_ids)),
+             t.column("embedding").take(pa.array(rows)),
+             pa.array(np.concatenate(out_bk))],
+            names=["vec_id", "embedding", "bucket"])
 
     bucketed = ds.map_batches(bucketize, batch_format="pyarrow")
 
-    q_proj = q @ planes.T                        # (Q, n_planes) margins
-    q_signs = q_proj > 0
-    q_buckets = (q_signs * (1 << np.arange(n_planes))).sum(axis=1)
     by_bucket: dict[int, list[int]] = {}
-    for qi, b in enumerate(q_buckets):
-        probes = {int(b)}
-        # flip the lowest-|margin| bits — the planes this query is closest
-        # to, i.e. where a true neighbor most plausibly lands on the other
-        # side
-        for bit in np.argsort(np.abs(q_proj[qi]))[:multiprobe]:
-            probes.add(int(b) ^ (1 << int(bit)))
-        for pb in probes:
-            by_bucket.setdefault(pb, []).append(qi)
+    for tbl in range(L):
+        q_proj = q @ planes[tbl].T               # (Q, n_planes) margins
+        q_buckets = ((q_proj > 0) * pow2).sum(axis=1)
+        for qi in range(len(q)):
+            home = int(q_buckets[qi])
+            for mask in _probe_sets(q_proj[qi], multiprobe):
+                pb = (tbl << n_planes) | (home ^ mask)
+                lst = by_bucket.setdefault(pb, [])
+                if not lst or lst[-1] != qi:
+                    lst.append(qi)
     q_by_bucket_ref = ray.put({
         b: (q_ids[rows], q[rows]) for b, rows in by_bucket.items()})
 

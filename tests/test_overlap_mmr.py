@@ -55,10 +55,12 @@ def test_mmr_first_pick_is_global_best_and_diverse(ray_session):
 
 
 def test_ann_recall_report_floors(ray_session):
-    """The report runs all three indexes on the real sf0.01 embeddings.
-    The corpus is unstructured random normals — a hard case — so the
-    floors pin the measured regime (IVF/PQ useful, default-config LSH
-    weak: surfacing that IS the report's job), not aspirations."""
+    """The report runs all three indexes on the real sf0.01 embeddings —
+    unstructured random normals, a hard case. The LSH floor pins the
+    multi-table + margin-aware-multiprobe redesign (8 tables × 12
+    probes, measured 74% here vs 8% for the old single-table/2-probe
+    config the report itself flagged); IVF/PQ floors pin their measured
+    regime with safety margin."""
     from raydoc.functions.similarity import ann_recall_report
     got = ann_recall_report("/root/testdata/sf0.01").to_pandas()
     assert sorted(got["method"]) == ["ivf", "lsh", "pq"]
@@ -66,6 +68,6 @@ def test_ann_recall_report_floors(ray_session):
     rec = dict(zip(got["method"], got["recall_pct"]))
     assert rec["ivf"] >= 30
     assert rec["pq"] >= 30
-    assert rec["lsh"] >= 2
+    assert rec["lsh"] >= 60
     assert (got["hits"] <= got["possible"]).all()
     assert (got["recall_pct"] <= 100).all()
