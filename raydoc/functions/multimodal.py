@@ -3,19 +3,22 @@ processed by an actor-pool decode stage.
 
 Codec support is tiered by what this container can honestly do:
 
-- **REAL, dependency-free codecs — one per modality**: uncompressed
-  24-bit BMP (struct + numpy: decode + nearest-neighbor resize
-  re-emitting valid BMP bytes), PCM WAV (stdlib ``wave``: decode +
-  channel downmix) and Y4M/YUV4MPEG2 video (text stream header +
+- **REAL, dependency-free codecs**: baseline JPEG — the dominant image
+  format of a 100-TB web corpus — (``kernels/jpeg.py``: full
+  entropy+IDCT decode of arbitrary baseline JFIF with stream-carried
+  tables, any subsampling, restart markers; encode for re-emit),
+  uncompressed 24-bit BMP (struct + numpy: decode + nearest-neighbor
+  resize re-emitting valid BMP bytes), PCM WAV (stdlib ``wave``: decode
+  + channel downmix) and Y4M/YUV4MPEG2 video (text stream header +
   ``FRAME``-delimited raw planar YUV demux, frame size derived from
   W/H/colorspace). These paths are fully functional, not stubs.
 - **Deterministic test formats** (``RAWDIM:``/``RAWVID:``/``RAWPCM:``)
   keep the plumbing exercisable with arbitrary dims in tests.
-- **Everything else** (JPEG/PNG/MP4/MP3…) raises ``NotImplementedError``
-  exactly like a missing codec library would; swapping in PIL/ffmpeg
-  later only changes the kernel body, not the Ray plumbing — binary
-  column schema, small batch sizes for wide rows, actor signature with
-  once-per-worker "model" setup, output layout.
+- **Everything else** (PNG/progressive JPEG/MP4/MP3…) raises
+  ``NotImplementedError`` exactly like a missing codec library would;
+  swapping in PIL/ffmpeg later only changes the kernel body, not the
+  Ray plumbing — binary column schema, small batch sizes for wide rows,
+  actor signature with once-per-worker "model" setup, output layout.
 """
 
 from __future__ import annotations
@@ -80,9 +83,11 @@ def make_bmp(pixels) -> bytes:
 def decode_image(payload: bytes) -> tuple[int, int]:
     """(width, height) of an image payload.
 
-    REAL decode for uncompressed BMP (pure struct); the deterministic
-    test header ``RAWDIM:<w>x<h>;`` also resolves; any other format
-    raises NotImplementedError exactly like a missing codec would."""
+    REAL decode for baseline JPEG (header scan; full pixel decode lives
+    in ``kernels/jpeg.py``) and uncompressed BMP (pure struct); the
+    deterministic test header ``RAWDIM:<w>x<h>;`` also resolves; any
+    other format raises NotImplementedError exactly like a missing
+    codec would."""
     head = payload[:32]
     if head.startswith(b"RAWDIM:"):
         dims = head[7:head.index(b";")].decode()
@@ -91,6 +96,9 @@ def decode_image(payload: bytes) -> tuple[int, int]:
     if head.startswith(b"BM"):
         w, h, _bpp, _off, _td = _parse_bmp(payload)
         return w, h
+    if head.startswith(b"\xff\xd8"):
+        from raydoc.kernels.jpeg import jpeg_dims
+        return jpeg_dims(payload)
     raise NotImplementedError("image codec not available in this build")
 
 
@@ -172,9 +180,11 @@ def document_media_meta(sf_dir: str) -> pa.Table:
 def resize_image(payload: bytes, max_side: int) -> tuple[bytes, int, int]:
     """Aspect-preserving downscale to ``max_side``.
 
-    REAL nearest-neighbor resize for 24-bit BMP (numpy index math,
-    re-emitting valid BMP bytes); the ``RAWDIM:`` test format rescales
-    its header; other formats raise like a missing codec would."""
+    REAL nearest-neighbor resize for baseline JPEG (full decode →
+    resample → re-encode, emitting valid JPEG bytes) and 24-bit BMP
+    (numpy index math, re-emitting valid BMP bytes); the ``RAWDIM:``
+    test format rescales its header; other formats raise like a missing
+    codec would."""
     import numpy as np
     w, h = decode_image(payload)   # raises NotImplementedError for real bytes
     scale = min(1.0, max_side / max(w, h))
@@ -184,6 +194,12 @@ def resize_image(payload: bytes, max_side: int) -> tuple[bytes, int, int]:
         ys = (np.arange(nh) * (h / nh)).astype(np.int64)
         xs = (np.arange(nw) * (w / nw)).astype(np.int64)
         return make_bmp(px[ys][:, xs]), nw, nh
+    if payload[:2] == b"\xff\xd8":
+        from raydoc.kernels.jpeg import decode_jpeg, encode_jpeg
+        px = decode_jpeg(payload)                 # (h, w, 3) RGB
+        ys = (np.arange(nh) * (h / nh)).astype(np.int64)
+        xs = (np.arange(nw) * (w / nw)).astype(np.int64)
+        return encode_jpeg(px[ys][:, xs], quality=85), nw, nh
     rest = payload[payload.index(b";") + 1:]
     return b"RAWDIM:%dx%d;" % (nw, nh) + rest, nw, nh
 

@@ -243,3 +243,142 @@ def test_audio_corpus_stats_known_answer(ray_session):
     assert r["n_decoded"] == len(ids) - exp_malformed
     assert r["n_loud"] == exp_loud
     assert 0 < exp_loud < len(ids) - exp_malformed  # non-vacuous
+
+
+# --- baseline JPEG (kernels/jpeg.py) ------------------------------------
+
+
+def test_jpeg_uniform_roundtrips_exactly():
+    """A uniform image is DC-only — quantization cannot touch it, so the
+    round-trip must be bit-exact."""
+    import numpy as np
+    from raydoc.kernels.jpeg import decode_jpeg, encode_jpeg, jpeg_dims
+
+    for level in (0, 77, 128, 255):
+        img = np.full((16, 24), level, np.uint8)
+        b = encode_jpeg(img, quality=85)
+        assert b[:2] == b"\xff\xd8" and b[-2:] == b"\xff\xd9"
+        assert jpeg_dims(b) == (24, 16)
+        out = decode_jpeg(b)
+        assert out.shape == (16, 24, 3)
+        assert int(np.abs(out.astype(int) - level).max()) == 0
+
+
+def test_jpeg_color_roundtrip_both_subsamplings():
+    import numpy as np
+    from raydoc.kernels.jpeg import decode_jpeg, encode_jpeg
+
+    h, w = 33, 47                      # non-multiple-of-16 dims
+    x = np.linspace(0, 255, w)
+    y = np.linspace(0, 255, h)
+    img = np.stack([np.tile(x, (h, 1)), np.tile(y[:, None], (1, w)),
+                    np.full((h, w), 64)], axis=2).astype(np.uint8)
+    for ss, tol in (("444", 8), ("420", 20)):
+        out = decode_jpeg(encode_jpeg(img, quality=90, subsampling=ss))
+        assert out.shape == img.shape
+        err = np.abs(out.astype(float) - img.astype(float))
+        assert err.mean() < 4.0 and err.max() <= tol
+
+
+def test_jpeg_noise_psnr_floor():
+    import numpy as np
+    from raydoc.kernels.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 256, (24, 24, 3), np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=95))
+    mse = ((out.astype(float) - img.astype(float)) ** 2).mean()
+    assert 10 * np.log10(255 ** 2 / mse) > 30.0
+
+
+def test_jpeg_decoder_on_handcrafted_stream():
+    """Decoder-only vector (independent of our encoder): a hand-built
+    8×8 grayscale JPEG whose entropy stream carries DC=0 and ONE AC
+    coefficient (scan position 1 → natural (0,1), value 4, quant 16)
+    must decode to 128 + IDCT of that lone coefficient, computed here
+    from the textbook IDCT formula."""
+    import struct
+
+    import numpy as np
+    from raydoc.kernels.jpeg import decode_jpeg
+
+    # DHT: DC symbols 0..11 at length 5, AC symbols EOB/ZRL/run-size at
+    # length 8 (canonical). Entropy stream, MSB-first:
+    #   DC: code(0) = 00000 (symbol 0 → size 0, no extra bits)
+    #   AC: symbol 0x12? no — (run=0, size=3): canonical index of
+    #       (0<<4)|3 in [0x00, 0xF0, 0x11..0x1A, 0x21..…] ordering used
+    #       by the encoder is irrelevant here: WE define the table in
+    #       THIS test, ordering symbols 0x00, 0x03, so code(0x00)=0,
+    #       code(0x03)=1 at length 2. value 4 → 3 extra bits '100'.
+    #   then EOB (code 0, length 2).
+    dc_bits = [0] * 16
+    dc_bits[4] = 12
+    dc_vals = bytes(range(12))
+    ac_bits = [0] * 16
+    ac_bits[1] = 2                  # two 2-bit codes: 0x00(EOB), 0x03
+    ac_vals = bytes([0x00, 0x03])
+
+    qtab = bytes([16] * 64)         # flat quant = 16
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + qtab
+    out += b"\xff\xc0" + struct.pack(">H", 11) \
+        + struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    for tc, bits, vals in ((0, dc_bits, dc_vals), (1, ac_bits, ac_vals)):
+        seg = bytes([tc << 4]) + bytes(bits) + vals
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(seg)) + seg
+    out += b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0]) \
+        + b"\x00\x3f\x00"
+    # bits: 00000 (DC sym 0) | 01 (AC sym 0x03) | 100 (value 4) |
+    #       00 (EOB) | padding 1111 → bytes: 000000 11 0000 0111 →
+    bitstr = "00000" + "01" + "100" + "00"
+    bitstr += "1" * ((8 - len(bitstr) % 8) % 8)
+    out += bytes(int(bitstr[i:i + 8], 2) for i in range(0, len(bitstr), 8))
+    out += b"\xff\xd9"
+
+    got = decode_jpeg(bytes(out)).astype(float)[:, :, 0]
+
+    # textbook IDCT of coefficient F(u=0, v=1) = 4*16 = 64
+    want = np.empty((8, 8))
+    for yy in range(8):
+        for xx in range(8):
+            want[yy, xx] = 128 + 0.25 * (1 / np.sqrt(2)) * 1.0 * 64 \
+                * np.cos((2 * xx + 1) * 1 * np.pi / 16)
+    assert np.abs(got - np.clip(np.round(want), 0, 255)).max() <= 1
+
+
+def test_jpeg_progressive_raises():
+    import numpy as np
+    import pytest as _pytest
+    from raydoc.kernels.jpeg import decode_jpeg, encode_jpeg
+
+    b = bytearray(encode_jpeg(np.full((8, 8), 90, np.uint8)))
+    i = b.find(b"\xff\xc0")
+    b[i + 1] = 0xC2                 # flip SOF0 → SOF2 (progressive)
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(b))
+
+
+def test_media_meta_and_resize_decode_jpeg(ray_session):
+    """The actor-pool stages treat JPEG as a first-class decodable
+    payload: dims from the header scan, resize re-emits valid JPEG."""
+    import numpy as np
+    import ray.data as rd
+    from raydoc.functions.multimodal import (MediaResizeActor,
+                                             media_pipeline)
+    from raydoc.kernels.jpeg import decode_jpeg, encode_jpeg, jpeg_dims
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (64, 96, 3), np.uint8)
+    payload = encode_jpeg(img, quality=85)
+    ds = rd.from_items([{"media_id": 1, "payload": payload,
+                         "mime": "image/jpeg"}])
+    meta = media_pipeline(ds).take_all()[0]
+    assert (meta["decoded"], meta["width"], meta["height"]) == (True, 96, 64)
+
+    import pyarrow as pa
+    resized = MediaResizeActor(max_side=48)(
+        pa.table({"media_id": [1], "payload": [payload]}))
+    row = resized.to_pylist()[0]
+    assert row["resized"] and row["width"] == 48 and row["height"] == 32
+    assert jpeg_dims(row["payload"]) == (48, 32)
+    assert decode_jpeg(row["payload"]).shape == (32, 48, 3)
