@@ -83,6 +83,8 @@ def read_transcripts(path: str) -> rd.Dataset:
         return read_avro(path, columns=TRANSCRIPT_COLUMNS)
     if fmt == "warc":
         return _read_warc_dataset(path)
+    if fmt == "pdf":
+        return _read_pdf_dir(path)
     if fmt == "textdir":
         return _read_text_dir(path)
     return rd.read_parquet(path, columns=TRANSCRIPT_COLUMNS)
@@ -116,6 +118,41 @@ def _read_text_dir(path: str) -> rd.Dataset:
             "text": pa.array(
                 [(b or b"").decode("utf-8", "replace") for b in blobs],
                 pa.string()),
+        })
+
+    return ds.map_batches(to_rows, batch_format="pyarrow")
+
+
+def _read_pdf_dir(path: str) -> rd.Dataset:
+    """Folder-of-PDFs source — the reference's FIRST-TOUCH input shape
+    (structure_engine.py:304 ingests a PDF path). Each PDF becomes a
+    single-turn conversation: conv_id = filename stem, turn_idx = 0,
+    text = the extracted text layer (sources/pdf.py minimal stream-text
+    walk: raw/Flate streams, BT/ET show operators). A scanned or
+    malformed PDF fail-softs to empty text and flows through the
+    pipeline's parse_failed path — the reference would OCR it (network
+    non-goal, SURVEY.md §2.1). Streams via Ray's binary-file reader."""
+    import pyarrow as pa
+
+    from raydoc.sources.pdf import pdf_extract_text
+
+    ds = rd.read_binary_files(path, include_paths=True,
+                              file_extensions=["pdf"])
+
+    def to_rows(t: pa.Table) -> pa.Table:
+        paths = t.column("path").to_pylist()
+        texts = []
+        for b in t.column("bytes").to_pylist():
+            try:
+                texts.append(pdf_extract_text(b or b""))
+            except ValueError:
+                texts.append("")
+        return pa.table({
+            "conv_id": pa.array(
+                [os.path.splitext(os.path.basename(p))[0]
+                 for p in paths], pa.string()),
+            "turn_idx": pa.array([0] * len(paths), pa.int32()),
+            "text": pa.array(texts, pa.string()),
         })
 
     return ds.map_batches(to_rows, batch_format="pyarrow")
@@ -187,6 +224,8 @@ def _input_format(path: str) -> str:
         return "orc"
     if ".avro" in exts:
         return "avro"
+    if ".pdf" in exts:
+        return "pdf"
     if exts & _TEXT_EXTS:
         return "textdir"
     return "parquet"
