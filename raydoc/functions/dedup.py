@@ -551,8 +551,8 @@ def simhash_neardups(sf_dir: str, max_hamming: int = 3,
 
 
 def ngram_containment_pairs(sf_dir: str, threshold: float = 0.5,
-                            k: int = 3,
-                            id_col: str = "doc_id") -> pa.Table:
+                            k: int = 3, id_col: str = "doc_id",
+                            max_driver_pairs: int = 50_000) -> pa.Table:
     """(a, b, containment): exact word-k-gram MAX-CONTAINMENT
     |A∩B| / min(|A|, |B|) ≥ τ over the same LSH candidate pairs as
     ``ngram_jaccard_pairs`` — the subset-duplication detector (a short
@@ -562,74 +562,49 @@ def ngram_containment_pairs(sf_dir: str, threshold: float = 0.5,
     proposes, a candidate-text semi-join fetches only candidate texts,
     exact shingle sets decide."""
     return ngram_jaccard_pairs(sf_dir, threshold=threshold, k=k,
-                               id_col=id_col, metric="containment")
+                               id_col=id_col, metric="containment",
+                               max_driver_pairs=max_driver_pairs)
 
 
 def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.4, k: int = 3,
                         id_col: str = "doc_id",
-                        metric: str = "jaccard") -> pa.Table:
+                        metric: str = "jaccard",
+                        max_driver_pairs: int = 50_000) -> pa.Table:
     """Exact word-k-gram Jaccard over LSH candidate pairs: LSH proposes,
     exact shingle sets (recomputed per pair inside the verify stage)
     decide. ``metric="containment"`` divides the intersection by
     min(|A|, |B|) instead of the union (see
     ``ngram_containment_pairs``); pairs where the smaller set is empty
-    are skipped under either metric (no band rows → never candidates)."""
+    are skipped under either metric (no band rows → never candidates).
+
+    ADAPTIVE like ``_minhash_verified_pairs``: the candidate-pair count
+    is measured cluster-side. At or below ``max_driver_pairs`` the
+    standard LSH small-candidate-set regime runs (pairs driver-side,
+    candidate texts broadcast once — fastest when the contract holds);
+    above it, texts reach the pairs through a distributed semi-join +
+    two bucketed hash joins and nothing corpus-shaped ever lands on the
+    driver (only the verified output table does — the function's return
+    contract). Regime equality pinned in
+    tests/test_minhash_distributed.py."""
     if metric not in ("jaccard", "containment"):
         raise ValueError(f"unknown metric {metric!r}")
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=[id_col, "text"])
     exploded = minhash_band_rows(ds, id_col=id_col, bands=32, k=k)
-    candidates = _lsh_candidate_pairs(exploded, id_col)
+    pairs_ds = _lsh_candidate_pairs_ds(exploded, id_col).materialize()
     score_col = "jaccard" if metric == "jaccard" else "containment"
     empty = pa.table({"a": pa.array([], pa.int64()),
                       "b": pa.array([], pa.int64()),
                       score_col: pa.array([], pa.float64())})
-    if not candidates:
+    n_pairs = pairs_ds.count()
+    if n_pairs == 0:
         return empty
 
-    # Distributed exact verify via CANDIDATE-TEXT semi-join: the corpus is
-    # scanned ONCE with a distributed filter keeping only docs that appear
-    # in some candidate pair; only those texts (bounded by the LSH regime's
-    # small candidate set — the documented invariant here) come back and
-    # are broadcast to the verify stage. The full corpus text never lands
-    # on the driver. If candidates ever outgrow memory, chunk the pair set
-    # and repeat the semi-join per chunk — same shape.
     import ray
 
-    cand_ids = sorted({x for p in candidates for x in p})
-    ids_ref = ray.put(frozenset(cand_ids))
-
-    def keep_candidates(t: pa.Table) -> pa.Table:
-        wanted = ray.get(ids_ref)
-        import pyarrow.compute as pc
-        mask = pa.array([i in wanted for i in t.column(id_col).to_pylist()],
-                        pa.bool_())
-        return t.filter(mask)
-
-    small = collect_table(ds.map_batches(keep_candidates,
-                                         batch_format="pyarrow"))
-    texts_ref = ray.put(dict(zip(small.column(id_col).to_pylist(),
-                                 small.column("text").to_pylist())))
-
-    pairs_sorted = sorted(candidates)
-    pairs_ds = rd.from_arrow(pa.table({
-        "a": pa.array([p[0] for p in pairs_sorted], pa.int64()),
-        "b": pa.array([p[1] for p in pairs_sorted], pa.int64()),
-    }))
-
-    def verify(t: pa.Table) -> pa.Table:
-        texts = ray.get(texts_ref)
-        memo: dict[int, set] = {}
-
-        def sh(i: int) -> set:
-            s = memo.get(i)
-            if s is None:
-                s = set(_shingles(texts.get(i) or "", k))
-                memo[i] = s
-            return s
-
+    def score_rows(a_ids, b_ids, sh):
         a_out, b_out, j_out = [], [], []
-        for a, b in zip(t.column("a").to_pylist(), t.column("b").to_pylist()):
+        for a, b in zip(a_ids, b_ids):
             sa, sb = sh(a), sh(b)
             den = (min(len(sa), len(sb)) if metric == "containment"
                    else len(sa | sb))
@@ -642,8 +617,92 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.4, k: int = 3,
                          "b": pa.array(b_out, pa.int64()),
                          score_col: pa.array(j_out, pa.float64())})
 
-    out = collect_table(pairs_ds.map_batches(verify, batch_format="pyarrow"))
-    if out.num_rows == 0:
+    if n_pairs <= max_driver_pairs:
+        # small regime: candidate texts come back through ONE corpus scan
+        # with a broadcast-set filter and are broadcast to the verify
+        # stage; the full corpus text never lands on the driver.
+        t = collect_table(pairs_ds)
+        candidates = set(zip(t.column("a").to_pylist(),
+                             t.column("b").to_pylist()))
+        cand_ids = sorted({x for p in candidates for x in p})
+        ids_ref = ray.put(frozenset(cand_ids))
+
+        def keep_candidates(t: pa.Table) -> pa.Table:
+            wanted = ray.get(ids_ref)
+            mask = pa.array(
+                [i in wanted for i in t.column(id_col).to_pylist()],
+                pa.bool_())
+            return t.filter(mask)
+
+        small = collect_table(ds.map_batches(keep_candidates,
+                                             batch_format="pyarrow"))
+        texts_ref = ray.put(dict(zip(small.column(id_col).to_pylist(),
+                                     small.column("text").to_pylist())))
+
+        def verify(t: pa.Table) -> pa.Table:
+            texts = ray.get(texts_ref)
+            memo: dict[int, set] = {}
+
+            def sh(i: int) -> set:
+                s = memo.get(i)
+                if s is None:
+                    s = set(_shingles(texts.get(i) or "", k))
+                    memo[i] = s
+                return s
+
+            return score_rows(t.column("a").to_pylist(),
+                              t.column("b").to_pylist(), sh)
+
+        out = collect_table(pairs_ds.map_batches(verify,
+                                                 batch_format="pyarrow"))
+    else:
+        # distributed regime: pair ⋈ text_a ⋈ text_b, all cluster-resident
+        from raydoc.functions.joins import (bucket_hash_join,
+                                            bucket_semi_join)
+
+        def nodes_fn(t: pa.Table) -> pa.Table:
+            return pa.table({id_col: pa.concat_arrays(
+                [t.column("a").combine_chunks(),
+                 t.column("b").combine_chunks()])})
+
+        node_ids = pairs_ds.map_batches(nodes_fn, batch_format="pyarrow")
+        texts_ds = bucket_semi_join(ds, node_ids, id_col).materialize()
+
+        def rename(to_key: str, text_name: str):
+            def fn(t: pa.Table) -> pa.Table:
+                return pa.table({to_key: t.column(id_col),
+                                 text_name: t.column("text")})
+            return fn
+
+        j = bucket_hash_join(
+            pairs_ds, texts_ds.map_batches(rename("a", "text_a"),
+                                           batch_format="pyarrow"),
+            key="a")
+        j = bucket_hash_join(
+            j, texts_ds.map_batches(rename("b", "text_b"),
+                                    batch_format="pyarrow"), key="b")
+
+        def verify_joined(t: pa.Table) -> pa.Table:
+            texts: dict = {}
+            for col_id, col_tx in (("a", "text_a"), ("b", "text_b")):
+                for i, tx in zip(t.column(col_id).to_pylist(),
+                                 t.column(col_tx).to_pylist()):
+                    texts.setdefault(i, tx)
+            memo: dict[int, set] = {}
+
+            def sh(i: int) -> set:
+                s = memo.get(i)
+                if s is None:
+                    s = set(_shingles(texts.get(i) or "", k))
+                    memo[i] = s
+                return s
+
+            return score_rows(t.column("a").to_pylist(),
+                              t.column("b").to_pylist(), sh)
+
+        out = collect_table(j.map_batches(verify_joined,
+                                          batch_format="pyarrow"))
+    if out.num_rows == 0 or "a" not in out.schema.names:
         return empty
     return out.sort_by([("a", "ascending"), ("b", "ascending")])
 

@@ -69,6 +69,21 @@ def test_neardup_dedup_corpus_distributed_equals_driver(ray_session,
     assert (small["n_dups"] > 1).sum() > 20   # real dup clusters survived
 
 
+def test_ngram_jaccard_distributed_equals_driver(ray_session, tmp_path):
+    """Same regime-equality pin for the exact n-gram verify family:
+    max_driver_pairs=0 forces the semi-join + bucketed-hash-join text
+    path; scores and pairs must match the driver regime exactly."""
+    from raydoc.functions.dedup import (ngram_containment_pairs,
+                                        ngram_jaccard_pairs)
+
+    sf = _dup_heavy_corpus(tmp_path, seed=13)
+    for fn in (ngram_jaccard_pairs, ngram_containment_pairs):
+        small = fn(sf).to_pandas()
+        dist = fn(sf, max_driver_pairs=0).to_pandas()
+        assert small.equals(dist)
+        assert len(small) > 20
+
+
 def test_verified_pairs_regimes_agree(ray_session, tmp_path):
     """The verify stage itself (pair set before labeling) agrees between
     regimes — catches a drift hidden by labeling coincidences."""
