@@ -436,6 +436,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": similarity.semantic_dedup,
         "semantic_clusters": similarity.semantic_clusters,
         "label_centroids": similarity.label_centroids,
+        "label_knn_accuracy": similarity.label_knn_accuracy,
         # --- text analysis (documents) ---
         "token_counts": textstats.token_counts,
         "bpe_token_counts": textstats.bpe_token_counts,
@@ -444,6 +445,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curriculum_order": textstats.curriculum_order,
         "pack_conversations": textstats.pack_conversations,
         "redact_pii": textstats.redact_pii,
+        "winnowing_fingerprints": textstats.winnowing_fingerprints,
+        "cross_source_gram_overlap": textstats.cross_source_gram_overlap,
         "paragraph_dedup_stats": textstats.paragraph_dedup_stats,
         "markdown_to_txt": textstats.markdown_to_txt_docs,
         "markdown_to_html": textstats.markdown_to_html_docs,
@@ -3101,6 +3104,82 @@ def oracle_sql() -> dict[str, str]:
         "knn_geodesic": _knn_geodesic_oracle(),
         "event_type_stationary": _stationary_oracle(),
         "label_propagation": _labelprop_oracle(),
+        "label_knn_accuracy": """
+            -- twin of similarity.label_knn_accuracy (k=1): LOO nearest
+            -- neighbor by the same integer-quantized squared L2 as the
+            -- knn_graph twin, strict-majority label agreement per label
+            WITH q AS (SELECT vec_id, label,
+                              list_transform(embedding,
+                                  x -> CAST(floor(CAST(x AS DOUBLE) * 1024)
+                                            AS BIGINT)) AS qe
+                       FROM embeddings),
+            p AS (SELECT a.vec_id AS vec_id, a.label AS la, b.label AS lb,
+                         b.vec_id AS nb,
+                         CAST(list_inner_product(a.qe, a.qe)
+                              + list_inner_product(b.qe, b.qe)
+                              - 2 * list_inner_product(a.qe, b.qe)
+                              AS BIGINT) AS d2
+                  FROM q a, q b WHERE a.vec_id != b.vec_id),
+            nn AS (SELECT vec_id, la, lb,
+                          row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY d2, nb) AS r
+                   FROM p),
+            per_vec AS (SELECT vec_id, MAX(la) AS la,
+                               SUM(CASE WHEN lb = la THEN 1 ELSE 0 END)
+                                   AS same
+                        FROM nn WHERE r <= 1 GROUP BY vec_id)
+            SELECT CAST(la AS BIGINT) AS label,
+                   COUNT(*) AS n_vecs,
+                   CAST(SUM(CASE WHEN same * 2 > 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_correct
+            FROM per_vec GROUP BY 1 ORDER BY 1""",
+        "winnowing_fingerprints": """
+            -- twin of textstats.winnowing_fingerprints (k=5, w=4):
+            -- char-5-gram md5-prefix hashes over normalized text,
+            -- window-of-4 minima, DISTINCT selected hashes per doc
+            WITH norm AS (SELECT doc_id,
+                                 regexp_replace(lower(text), '[^a-z0-9]',
+                                                '', 'g') AS s
+                          FROM documents),
+            grams AS (SELECT doc_id, i,
+                             CAST(('0x' || substr(md5(
+                                 substr(s, CAST(i AS INT), 5)), 1, 8))
+                                  AS BIGINT) AS h
+                      FROM norm, unnest(range(1, length(s) - 3)) AS t(i)
+                      WHERE length(s) >= 8),
+            wins AS (SELECT doc_id, i,
+                            MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                                         ROWS BETWEEN 3 PRECEDING
+                                         AND CURRENT ROW) AS wmin
+                     FROM grams),
+            sel AS (SELECT DISTINCT doc_id, wmin FROM wins WHERE i >= 4),
+            agg AS (SELECT doc_id, COUNT(*) AS n_fingerprints,
+                           SUM(wmin) AS fp_sum
+                    FROM sel GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(COALESCE(a.n_fingerprints, 0) AS BIGINT)
+                       AS n_fingerprints,
+                   CAST(COALESCE(a.fp_sum, 0) AS BIGINT) AS fp_sum
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+            ORDER BY d.doc_id""",
+        "cross_source_gram_overlap": """
+            -- twin of textstats.cross_source_gram_overlap (n=8): distinct
+            -- word-8-gram md5-prefix hashes per source, pairwise overlap
+            WITH toks AS (SELECT source,
+                                 regexp_extract_all(lower(text),
+                                                    '[0-9a-z_]+') AS tk
+                          FROM documents),
+            g AS (SELECT DISTINCT source,
+                         CAST(('0x' || substr(md5(array_to_string(
+                             list_slice(tk, CAST(j AS INT),
+                                        CAST(j AS INT) + 7), ' ')),
+                             1, 12)) AS BIGINT) AS h
+                  FROM toks, unnest(range(1, len(tk) - 6)) AS t(j)
+                  WHERE len(tk) >= 8)
+            SELECT a.source AS src_a, b.source AS src_b,
+                   COUNT(*) AS shared_grams
+            FROM g a JOIN g b ON a.h = b.h AND a.source < b.source
+            GROUP BY 1, 2 ORDER BY 1, 2""",
         "knn_graph": """
             WITH q AS (SELECT vec_id,
                               list_transform(embedding,

@@ -165,6 +165,8 @@ BENCH_QUERIES = [
     "gopher_quality",
     "ngram_logprob",
     "fingerprints",
+    "winnowing_fingerprints",
+    "cross_source_gram_overlap",
     "language_id",
     "validate_docs",
     "html_docs",
@@ -233,6 +235,7 @@ BENCH_QUERIES = [
     "corpus_quality_report",
     "strip_dup_ngrams",
     "knn_graph",
+    "label_knn_accuracy",
     "local_supplier_volume",
     "orders_above_avg",
     "customer_order_dist",

@@ -881,6 +881,45 @@ def semantic_dedup(sf_dir: str, tau: int = 1_400_000, n_blocks: int = 8,
     return collect_table(kept).sort_by("vec_id")
 
 
+def label_knn_accuracy(sf_dir: str, k: int = 1, n_blocks: int = 8,
+                       scale: int = 1024) -> pa.Table:
+    """(label, n_vecs, n_correct): leave-one-out k-NN label agreement
+    over the embedding table — the standard embedding-quality probe
+    (does vector geometry predict the label column). A vector counts
+    correct when a STRICT MAJORITY of its k nearest others (excluding
+    itself) carries its own label; k=1 is plain LOO-1NN accuracy.
+
+    Exactness: neighbors come from ``knn_graph`` (integer-quantized
+    squared L2, ties by (d2, neighbor_id) — no float summation-order
+    hazards), so the DuckDB twin hashes identically. Scale shape: the
+    block-pair kNN does the heavy lifting; the label join + per-label
+    fold run over the already-small (n·k) neighbor table. At 10⁹+
+    vectors swap ``knn_graph`` for the ANN paths (IVF/PQ) — same fold,
+    approximate neighbors (documented complement, like
+    embedding_neardups vs its clustered variant)."""
+    from raydoc.functions._collect import collect_table
+
+    nn = knn_graph(sf_dir, k=k, n_blocks=n_blocks, scale=scale)
+    labels = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "label"])
+    lab = collect_table(labels).to_pandas()
+    lab["label"] = lab["label"].astype("int64")
+    df = nn.to_pandas()[["vec_id", "neighbor_id"]]
+    df = df.merge(lab.rename(columns={"label": "la"}), on="vec_id")
+    df = df.merge(lab.rename(columns={"vec_id": "neighbor_id",
+                                      "label": "lb"}), on="neighbor_id")
+    per_vec = df.assign(hit=(df["la"] == df["lb"]).astype("int64")) \
+        .groupby("vec_id", sort=True).agg(la=("la", "max"),
+                                          same=("hit", "sum"))
+    per_vec["correct"] = (per_vec["same"] * 2 > k).astype("int64")
+    out = per_vec.groupby("la", sort=True).agg(
+        n_vecs=("correct", "size"), n_correct=("correct", "sum"))
+    return pa.table({
+        "label": pa.array(out.index.to_numpy(), pa.int64()),
+        "n_vecs": pa.array(out["n_vecs"].to_numpy(), pa.int64()),
+        "n_correct": pa.array(out["n_correct"].to_numpy(), pa.int64())})
+
+
 def label_centroids(sf_dir: str, scale: int = 1024) -> pa.Table:
     """(label, dim, sum_q, n_vecs): the exact distributed vector
     aggregate — per label, the element-wise SUM of integer-quantized

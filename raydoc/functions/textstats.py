@@ -80,6 +80,122 @@ def fingerprints(sf_dir: str) -> pa.Table:
     return collect_table(out).sort_by("doc_id")
 
 
+def winnowing_fingerprints(sf_dir: str, k: int = 5,
+                           w: int = 4) -> pa.Table:
+    """(doc_id, n_fingerprints, fp_sum): MOSS-style WINNOWING document
+    fingerprints (Schleimer et al., SIGMOD 2003) — over the normalized
+    text (lowercased, non-[a-z0-9] stripped), hash every char ``k``-gram
+    (first 32 bits of its md5), slide a window of ``w`` consecutive gram
+    hashes and select each window's MINIMUM; the fingerprint set is the
+    DISTINCT selected hashes. Guarantees any shared substring of length
+    ≥ k+w-1 contributes a shared fingerprint — the local-dedup /
+    plagiarism primitive that survives reordering and edits, unlike the
+    whole-doc ``fingerprints`` digest. Emitted as (count, sum) per doc
+    so the row stays tiny and integer-exact (hash < 2³², count < 2¹⁶ →
+    sum < 2⁴⁸); the DuckDB twin replays the same md5/window-min/distinct
+    pipeline with window functions.
+
+    Shape: embarrassingly parallel — one vectorized pass per batch
+    (numpy sliding-window min over the gram-hash array), no shuffle."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    strip = re.compile(r"[^a-z0-9]")
+
+    def fn(t: pa.Table) -> pa.Table:
+        counts, sums = [], []
+        for v in t.column("text").to_pylist():
+            s = strip.sub("", (v or "").lower())
+            n_grams = len(s) - k + 1
+            if n_grams < w:
+                counts.append(0)
+                sums.append(0)
+                continue
+            hs = _np.array(
+                [int.from_bytes(
+                    hashlib.md5(s[i:i + k].encode()).digest()[:4], "big")
+                 for i in range(n_grams)], dtype=_np.int64)
+            mins = _np.lib.stride_tricks.sliding_window_view(
+                hs, w).min(axis=1)
+            sel = _np.unique(mins)
+            counts.append(int(len(sel)))
+            sums.append(int(sel.sum()))
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_fingerprints": pa.array(counts, pa.int64()),
+                         "fp_sum": pa.array(sums, pa.int64())})
+
+    out = ds.map_batches(fn, batch_format="pyarrow")
+    return collect_table(out).sort_by("doc_id")
+
+
+def cross_source_gram_overlap(sf_dir: str, n: int = 8,
+                              num_buckets: int = 64) -> pa.Table:
+    """(src_a, src_b, shared_grams): GRAM-level cross-source
+    contamination — for every unordered source pair, how many distinct
+    word ``n``-gram hashes (first 48 bits of md5 over the
+    space-joined lowered ASCII tokens) occur in BOTH sources. The
+    sharper sibling of ``dup_source_matrix`` (whole-doc digests): one
+    feed paraphrasing or partially quoting another shows up here while
+    the doc-level matrix stays empty.
+
+    Shape: hashes-only wire — per batch, per-doc distinct (hash,
+    source) pairs emit with a coarse hash bucket; a combiner groupby
+    dedups globally; per bucket each hash's source set expands to ≤
+    |sources|² pairs; a final combiner sums pair counts. Oracle:
+    DISTINCT gram-source self-join."""
+    import pandas as pd
+
+    from raydoc.functions.agg import partial_groupby
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["text", "source"])
+    word = re.compile(r"[0-9a-z_]+")
+
+    def grams(t: pa.Table) -> pa.Table:
+        hs, srcs, buckets = [], [], []
+        for v, src in zip(t.column("text").to_pylist(),
+                          t.column("source").to_pylist()):
+            toks = word.findall((v or "").lower())
+            seen = set()
+            for i in range(len(toks) - n + 1):
+                g = " ".join(toks[i:i + n])
+                h = int(hashlib.md5(g.encode()).hexdigest()[:12], 16)
+                seen.add(h)
+            for h in seen:
+                hs.append(h)
+                srcs.append(src)
+                buckets.append(h % num_buckets)
+        return pa.table({"h": pa.array(hs, pa.int64()),
+                         "source": pa.array(srcs, pa.string()),
+                         "bucket": pa.array(buckets, pa.int32())})
+
+    deduped = partial_groupby(
+        ds.map_batches(grams, batch_format="pyarrow"),
+        ["bucket", "h", "source"], {"__n": ("h", "count")})
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        a_out, b_out = [], []
+        for _, grp in g.groupby("h", sort=False):
+            ss = sorted(set(grp["source"]))
+            for i in range(len(ss)):
+                for j in range(i + 1, len(ss)):
+                    a_out.append(ss[i])
+                    b_out.append(ss[j])
+        return pd.DataFrame({"src_a": a_out, "src_b": b_out,
+                             "one": [1] * len(a_out)})
+
+    counted = partial_groupby(
+        deduped.groupby("bucket").map_groups(pairs,
+                                             batch_format="pandas"),
+        ["src_a", "src_b"], {"shared_grams": ("one", "sum")})
+    out = collect_table(counted)
+    if out.num_rows == 0 or "src_a" not in out.schema.names:
+        return pa.table({"src_a": pa.array([], pa.string()),
+                         "src_b": pa.array([], pa.string()),
+                         "shared_grams": pa.array([], pa.int64())})
+    return out.select(["src_a", "src_b", "shared_grams"]).sort_by(
+        [("src_a", "ascending"), ("src_b", "ascending")])
+
+
 def language_id(sf_dir: str) -> pa.Table:
     """(doc_id, language, script) via the unicode-script/common-word
     heuristic (kernels/lang.py) — no SQL analog, rows-only check."""

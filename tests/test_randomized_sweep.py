@@ -123,11 +123,12 @@ SWEEP = [
     "uniform_sample_md5", "weighted_sample", "train_test_split",
     "domain_temperature_sample", "paragraph_dedup_global",
     "pii_by_source", "corpus_quality_report", "markdown_to_txt",
+    "winnowing_fingerprints", "cross_source_gram_overlap",
     "markdown_to_html", "pdf_dates", "collapse_repeats", "bm25_search",
     "normalize_markdown",
     # embeddings
     "ann_topk", "embedding_neardups", "knn_graph", "knn_geodesic",
-    "label_propagation",
+    "label_propagation", "label_knn_accuracy",
     "label_centroids",
     "semantic_clusters", "semantic_dedup", "rrf_fusion",
     "embedding_dbscan",
