@@ -446,6 +446,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_conversations": textstats.pack_conversations,
         "redact_pii": textstats.redact_pii,
         "winnowing_fingerprints": textstats.winnowing_fingerprints,
+        "winnowing_shared_pairs": textstats.winnowing_shared_pairs,
+        "ngram_novelty_curve": textstats.ngram_novelty_curve,
         "cross_source_gram_overlap": textstats.cross_source_gram_overlap,
         "paragraph_dedup_stats": textstats.paragraph_dedup_stats,
         "markdown_to_txt": textstats.markdown_to_txt_docs,
@@ -3161,6 +3163,69 @@ def oracle_sql() -> dict[str, str]:
                        AS n_fingerprints,
                    CAST(COALESCE(a.fp_sum, 0) AS BIGINT) AS fp_sum
             FROM documents d LEFT JOIN agg a USING (doc_id)
+            ORDER BY d.doc_id""",
+        "winnowing_shared_pairs": """
+            -- twin of textstats.winnowing_shared_pairs (k=5, w=4,
+            -- min_shared=5, max_df=20): winnowing selection self-join
+            -- with boilerplate fingerprints (df > 20) dropped
+            WITH norm AS (SELECT doc_id,
+                                 regexp_replace(lower(text), '[^a-z0-9]',
+                                                '', 'g') AS s
+                          FROM documents),
+            grams AS (SELECT doc_id, i,
+                             CAST(('0x' || substr(md5(
+                                 substr(s, CAST(i AS INT), 5)), 1, 8))
+                                  AS BIGINT) AS h
+                      FROM norm, unnest(range(1, length(s) - 3)) AS t(i)
+                      WHERE length(s) >= 8),
+            wins AS (SELECT doc_id, i,
+                            MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                                         ROWS BETWEEN 3 PRECEDING
+                                         AND CURRENT ROW) AS wmin
+                     FROM grams),
+            sel AS (SELECT DISTINCT doc_id, wmin FROM wins WHERE i >= 4),
+            keep AS (SELECT wmin FROM sel GROUP BY wmin
+                     HAVING COUNT(*) <= 20),
+            sk AS (SELECT s.doc_id, s.wmin FROM sel s
+                   JOIN keep USING (wmin))
+            SELECT x.doc_id AS a, y.doc_id AS b,
+                   COUNT(*) AS shared_fps
+            FROM sk x JOIN sk y
+              ON x.wmin = y.wmin AND x.doc_id < y.doc_id
+            GROUP BY 1, 2 HAVING COUNT(*) >= 5 ORDER BY 1, 2""",
+        "ngram_novelty_curve": """
+            -- twin of textstats.ngram_novelty_curve (n=8): first doc per
+            -- distinct word-8-gram hash, per-doc novel/total + ppm
+            WITH toks AS (SELECT doc_id,
+                                 regexp_extract_all(lower(text),
+                                                    '[0-9a-z_]+') AS tk
+                          FROM documents),
+            g AS (SELECT DISTINCT doc_id,
+                         CAST(('0x' || substr(md5(array_to_string(
+                             list_slice(tk, CAST(j AS INT),
+                                        CAST(j AS INT) + 7), ' ')),
+                             1, 12)) AS BIGINT) AS h
+                  FROM toks, unnest(range(1, len(tk) - 6)) AS t(j)
+                  WHERE len(tk) >= 8),
+            firsts AS (SELECT h, MIN(doc_id) AS first_doc FROM g
+                       GROUP BY h),
+            novel AS (SELECT first_doc AS doc_id,
+                             COUNT(*) AS novel_grams
+                      FROM firsts GROUP BY 1),
+            totals AS (SELECT doc_id, COUNT(*) AS total_grams FROM g
+                       GROUP BY 1)
+            SELECT d.doc_id,
+                   CAST(COALESCE(t.total_grams, 0) AS BIGINT)
+                       AS total_grams,
+                   CAST(COALESCE(nv.novel_grams, 0) AS BIGINT)
+                       AS novel_grams,
+                   CAST(CASE WHEN COALESCE(t.total_grams, 0) = 0 THEN 0
+                             ELSE 1000000 * COALESCE(nv.novel_grams, 0)
+                                  // t.total_grams END AS BIGINT)
+                       AS novelty_ppm
+            FROM documents d
+            LEFT JOIN totals t USING (doc_id)
+            LEFT JOIN novel nv USING (doc_id)
             ORDER BY d.doc_id""",
         "cross_source_gram_overlap": """
             -- twin of textstats.cross_source_gram_overlap (n=8): distinct

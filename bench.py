@@ -166,6 +166,8 @@ BENCH_QUERIES = [
     "ngram_logprob",
     "fingerprints",
     "winnowing_fingerprints",
+    "winnowing_shared_pairs",
+    "ngram_novelty_curve",
     "cross_source_gram_overlap",
     "language_id",
     "validate_docs",

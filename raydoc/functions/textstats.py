@@ -127,6 +127,159 @@ def winnowing_fingerprints(sf_dir: str, k: int = 5,
     return collect_table(out).sort_by("doc_id")
 
 
+def winnowing_shared_pairs(sf_dir: str, k: int = 5, w: int = 4,
+                           min_shared: int = 5, max_df: int = 20,
+                           num_buckets: int = 64) -> pa.Table:
+    """(a, b, shared_fps): document pairs sharing ≥ ``min_shared``
+    winnowing fingerprints — the pair-proposal stage that turns
+    ``winnowing_fingerprints`` into an actual local-dedup operator
+    (guaranteed to fire on any shared run of ≥ k+w-1 normalized chars,
+    robust to reordering of the surrounding text, unlike MinHash whose
+    signal needs whole-document resemblance).
+
+    Shape: (fingerprint, doc) rows — hashes only — shuffle once on a
+    coarse fingerprint bucket; per bucket each fingerprint's doc set
+    expands to pairs (bounded by the fingerprint's doc frequency; a
+    boilerplate fingerprint shared by everything is the hot-key case,
+    so fingerprints occurring in more than ``max_df`` documents are
+    DROPPED as boilerplate before pairing — the standard df-cap that
+    both bounds the blowup and removes meaningless template matches);
+    a combiner sums shared counts per pair. Oracle:
+    winnowing-selection self-join with the same df cap."""
+    import pandas as pd
+
+    from raydoc.functions.agg import partial_groupby
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    strip = re.compile(r"[^a-z0-9]")
+
+    def fps(t: pa.Table) -> pa.Table:
+        hs, ids, buckets = [], [], []
+        for doc_id, v in zip(t.column("doc_id").to_pylist(),
+                             t.column("text").to_pylist()):
+            s = strip.sub("", (v or "").lower())
+            n_grams = len(s) - k + 1
+            if n_grams < w:
+                continue
+            gh = _np.array(
+                [int.from_bytes(
+                    hashlib.md5(s[i:i + k].encode()).digest()[:4], "big")
+                 for i in range(n_grams)], dtype=_np.int64)
+            sel = _np.unique(
+                _np.lib.stride_tricks.sliding_window_view(gh, w)
+                .min(axis=1))
+            hs.extend(int(x) for x in sel)
+            ids.extend([doc_id] * len(sel))
+            buckets.extend(int(x) % num_buckets for x in sel)
+        return pa.table({"h": pa.array(hs, pa.int64()),
+                         "doc_id": pa.array(ids, pa.int64()),
+                         "bucket": pa.array(buckets, pa.int32())})
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        a_out, b_out = [], []
+        for _, grp in g.groupby("h", sort=False):
+            ds_ = sorted(set(grp["doc_id"]))
+            if len(ds_) > max_df:      # boilerplate fingerprint
+                continue
+            for i in range(len(ds_)):
+                for j in range(i + 1, len(ds_)):
+                    a_out.append(ds_[i])
+                    b_out.append(ds_[j])
+        return pd.DataFrame({"a": a_out, "b": b_out,
+                             "one": [1] * len(a_out)})
+
+    counted = partial_groupby(
+        ds.map_batches(fps, batch_format="pyarrow")
+        .groupby("bucket").map_groups(pairs, batch_format="pandas"),
+        ["a", "b"], {"shared_fps": ("one", "sum")})
+    out = collect_table(counted)
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64()),
+                      "shared_fps": pa.array([], pa.int64())})
+    if out.num_rows == 0 or "a" not in out.schema.names:
+        return empty
+    import pyarrow.compute as pc
+    out = out.filter(pc.greater_equal(out["shared_fps"],
+                                      pa.scalar(min_shared)))
+    return out.select(["a", "b", "shared_fps"]).sort_by(
+        [("a", "ascending"), ("b", "ascending")])
+
+
+def ngram_novelty_curve(sf_dir: str, n: int = 8,
+                        num_buckets: int = 64) -> pa.Table:
+    """(doc_id, total_grams, novel_grams, novelty_ppm): reading the
+    corpus in doc_id order, what fraction of each document's distinct
+    word ``n``-grams has NEVER appeared in an earlier document —
+    the memorization/diversity curve (a template-stamped or
+    self-plagiarizing corpus collapses toward 0 early; fresh corpora
+    stay high). ppm = 1e6·novel // total, integer-exact.
+
+    Shape: (gram-hash, doc) rows shuffle once on a coarse hash bucket;
+    a combiner MIN(doc_id) per hash finds each gram's first document;
+    per-doc novel counts and per-doc totals fold in two more combiner
+    groupbys — no sort, no corpus-sized driver state. Oracle: MIN per
+    hash + LEFT JOIN."""
+    from raydoc.functions.agg import partial_groupby
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    word = re.compile(r"[0-9a-z_]+")
+
+    def grams(t: pa.Table) -> pa.Table:
+        hs, ids, buckets = [], [], []
+        for doc_id, v in zip(t.column("doc_id").to_pylist(),
+                             t.column("text").to_pylist()):
+            toks = word.findall((v or "").lower())
+            seen = set()
+            for i in range(len(toks) - n + 1):
+                h = int(hashlib.md5(
+                    " ".join(toks[i:i + n]).encode()).hexdigest()[:12], 16)
+                seen.add(h)
+            for h in seen:
+                hs.append(h)
+                ids.append(doc_id)
+                buckets.append(h % num_buckets)
+        return pa.table({"h": pa.array(hs, pa.int64()),
+                         "doc_id": pa.array(ids, pa.int64()),
+                         "bucket": pa.array(buckets, pa.int32())})
+
+    gram_rows = ds.map_batches(grams, batch_format="pyarrow") \
+        .materialize()   # consumed twice: first-doc fold + totals fold
+
+    firsts = partial_groupby(gram_rows, ["bucket", "h"],
+                             {"first_doc": ("doc_id", "min")})
+    novel = partial_groupby(
+        firsts.map_batches(
+            lambda t: pa.table({"doc_id": t["first_doc"]})
+            if t.num_rows and "first_doc" in t.schema.names
+            else pa.table({"doc_id": pa.array([], pa.int64())}),
+            batch_format="pyarrow"),
+        ["doc_id"], {"novel_grams": ("doc_id", "count")})
+    totals = partial_groupby(gram_rows, ["doc_id"],
+                             {"total_grams": ("h", "count")})
+
+    nt = collect_table(novel)
+    tt = collect_table(totals)
+    nmap = (dict(zip(nt.column("doc_id").to_pylist(),
+                     nt.column("novel_grams").to_pylist()))
+            if nt.num_rows and "doc_id" in nt.schema.names else {})
+    tmap = (dict(zip(tt.column("doc_id").to_pylist(),
+                     tt.column("total_grams").to_pylist()))
+            if tt.num_rows and "doc_id" in tt.schema.names else {})
+    all_ids = sorted(collect_table(
+        ds.select_columns(["doc_id"])).column("doc_id").to_pylist())
+    tot = [int(tmap.get(d, 0)) for d in all_ids]
+    nov = [int(nmap.get(d, 0)) for d in all_ids]
+    return pa.table({
+        "doc_id": pa.array(all_ids, pa.int64()),
+        "total_grams": pa.array(tot, pa.int64()),
+        "novel_grams": pa.array(nov, pa.int64()),
+        "novelty_ppm": pa.array(
+            [1_000_000 * nv // t if t else 0 for nv, t in zip(nov, tot)],
+            pa.int64())})
+
+
 def cross_source_gram_overlap(sf_dir: str, n: int = 8,
                               num_buckets: int = 64) -> pa.Table:
     """(src_a, src_b, shared_grams): GRAM-level cross-source

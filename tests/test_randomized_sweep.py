@@ -124,6 +124,7 @@ SWEEP = [
     "domain_temperature_sample", "paragraph_dedup_global",
     "pii_by_source", "corpus_quality_report", "markdown_to_txt",
     "winnowing_fingerprints", "cross_source_gram_overlap",
+    "winnowing_shared_pairs", "ngram_novelty_curve",
     "markdown_to_html", "pdf_dates", "collapse_repeats", "bm25_search",
     "normalize_markdown",
     # embeddings
