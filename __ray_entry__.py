@@ -437,6 +437,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_clusters": similarity.semantic_clusters,
         "label_centroids": similarity.label_centroids,
         "label_knn_accuracy": similarity.label_knn_accuracy,
+        "label_distance_matrix": similarity.label_distance_matrix,
+        "quoted_sentences": textstats.quoted_sentences,
         # --- text analysis (documents) ---
         "token_counts": textstats.token_counts,
         "bpe_token_counts": textstats.bpe_token_counts,
@@ -3162,6 +3164,54 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(a.n_fingerprints, 0) AS BIGINT)
                        AS n_fingerprints,
                    CAST(COALESCE(a.fp_sum, 0) AS BIGINT) AS fp_sum
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+            ORDER BY d.doc_id""",
+        "label_distance_matrix": """
+            -- twin of similarity.label_distance_matrix: integer-quantized
+            -- squared L2 over every unordered vector pair, folded per
+            -- unordered label pair
+            WITH q AS (SELECT vec_id, label,
+                              list_transform(embedding,
+                                  x -> CAST(floor(CAST(x AS DOUBLE) * 1024)
+                                            AS BIGINT)) AS qe
+                       FROM embeddings),
+            p AS (SELECT LEAST(a.label, b.label) AS la,
+                         GREATEST(a.label, b.label) AS lb,
+                         CAST(list_inner_product(a.qe, a.qe)
+                              + list_inner_product(b.qe, b.qe)
+                              - 2 * list_inner_product(a.qe, b.qe)
+                              AS BIGINT) AS d2
+                  FROM q a JOIN q b ON a.vec_id < b.vec_id)
+            SELECT CAST(la AS BIGINT) AS label_a,
+                   CAST(lb AS BIGINT) AS label_b,
+                   COUNT(*) AS n_pairs,
+                   CAST(SUM(d2) AS BIGINT) AS sum_d2,
+                   CAST(SUM(d2) // COUNT(*) AS BIGINT) AS mean_d2
+            FROM p GROUP BY 1, 2 ORDER BY 1, 2""",
+        "quoted_sentences": """
+            -- twin of textstats.quoted_sentences (min_tokens=5):
+            -- sentence-token-hash doc frequency decides quoted-ness
+            WITH sents AS (SELECT doc_id,
+                                  unnest(string_split_regex(text,
+                                                            '[.!?]')) AS s
+                           FROM documents),
+            keys AS (SELECT DISTINCT doc_id,
+                            CAST(('0x' || substr(md5(array_to_string(
+                                regexp_extract_all(lower(s),
+                                                   '[0-9a-z_]+'), ' ')),
+                                1, 12)) AS BIGINT) AS h
+                     FROM sents
+                     WHERE len(regexp_extract_all(lower(s),
+                                                  '[0-9a-z_]+')) >= 5),
+            df AS (SELECT h, COUNT(*) AS df FROM keys GROUP BY h),
+            agg AS (SELECT k.doc_id, COUNT(*) AS n_sentences,
+                           SUM(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END)
+                               AS n_quoted
+                    FROM keys k JOIN df f USING (h) GROUP BY 1)
+            SELECT d.doc_id,
+                   CAST(COALESCE(a.n_sentences, 0) AS BIGINT)
+                       AS n_sentences,
+                   CAST(COALESCE(a.n_quoted, 0) AS BIGINT) AS n_quoted
             FROM documents d LEFT JOIN agg a USING (doc_id)
             ORDER BY d.doc_id""",
         "winnowing_shared_pairs": """

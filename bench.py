@@ -168,6 +168,7 @@ BENCH_QUERIES = [
     "winnowing_fingerprints",
     "winnowing_shared_pairs",
     "ngram_novelty_curve",
+    "quoted_sentences",
     "cross_source_gram_overlap",
     "language_id",
     "validate_docs",
@@ -238,6 +239,7 @@ BENCH_QUERIES = [
     "strip_dup_ngrams",
     "knn_graph",
     "label_knn_accuracy",
+    "label_distance_matrix",
     "local_supplier_volume",
     "orders_above_avg",
     "customer_order_dist",

@@ -920,6 +920,90 @@ def label_knn_accuracy(sf_dir: str, k: int = 1, n_blocks: int = 8,
         "n_correct": pa.array(out["n_correct"].to_numpy(), pa.int64())})
 
 
+def label_distance_matrix(sf_dir: str, n_blocks: int = 8,
+                          scale: int = 1024) -> pa.Table:
+    """(label_a, label_b, n_pairs, sum_d2, mean_d2): exact pairwise
+    separation audit of the embedding space by label — for every
+    unordered label pair, the count and total (and floor-mean) of
+    integer-quantized squared L2 distances over ALL cross-vector pairs.
+    Diagonal rows (label_a = label_b) are intra-class spread; a healthy
+    labeled embedding shows diagonal means ≪ off-diagonal means (the
+    centroid-free cousin of a silhouette score, exact enough to hash
+    against a DuckDB cross-join twin — no float summation hazards).
+
+    Shape: the same (i, j ≥ i) block-pair harness as ``knn_graph``
+    (each task holds exactly two quantized blocks; intra-block tasks
+    take the vec_id-ordered upper triangle so every unordered vector
+    pair counts exactly once), labels broadcast as a small map, and a
+    combiner groupby folds the ≤ |labels|² partial rows per task."""
+    from raydoc.functions._collect import collect_table
+    from raydoc.functions.agg import partial_groupby
+
+    refs_ref, tasks = _quantized_block_refs(sf_dir, n_blocks, scale)
+    lab_t = collect_table(rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"]))
+    lab_ref = ray.put(dict(zip(lab_t.column("vec_id").to_pylist(),
+                               (int(v) for v in
+                                lab_t.column("label").to_pylist()))))
+
+    def pair_fn(t: pa.Table) -> pa.Table:
+        all_refs = ray.get(refs_ref)
+        lab = ray.get(lab_ref)
+        acc: dict[tuple[int, int], list[int]] = {}
+        for i, j in zip(t["i"].to_pylist(), t["j"].to_pylist()):
+            ids_i, q_i, n_i = ray.get(all_refs[i])
+            ids_j, q_j, n_j = (ids_i, q_i, n_i) if j == i else \
+                ray.get(all_refs[j])
+            if not len(ids_i) or not len(ids_j):
+                continue
+            d2m = n_i[:, None] + n_j[None, :] - 2 * (q_i @ q_j.T)
+            valid = (ids_i[:, None] < ids_j[None, :]) if j == i else \
+                np.ones(d2m.shape, dtype=bool)
+            la = np.array([lab[int(x)] for x in ids_i], dtype=np.int64)
+            lb = np.array([lab[int(x)] for x in ids_j], dtype=np.int64)
+            lmin = np.minimum(la[:, None], lb[None, :])
+            lmax = np.maximum(la[:, None], lb[None, :])
+            for p in np.unique(la.tolist() + lb.tolist()):
+                for q in np.unique(la.tolist() + lb.tolist()):
+                    if q < p:
+                        continue
+                    m = valid & (lmin == p) & (lmax == q)
+                    cnt = int(m.sum())
+                    if not cnt:
+                        continue
+                    s = acc.setdefault((int(p), int(q)), [0, 0])
+                    s[0] += cnt
+                    s[1] += int(d2m[m].sum())
+        keys = sorted(acc)
+        return pa.table({
+            "label_a": pa.array([k[0] for k in keys], pa.int64()),
+            "label_b": pa.array([k[1] for k in keys], pa.int64()),
+            "n": pa.array([acc[k][0] for k in keys], pa.int64()),
+            "s": pa.array([acc[k][1] for k in keys], pa.int64())})
+
+    g = collect_table(partial_groupby(
+        tasks.map_batches(pair_fn, batch_format="pyarrow", batch_size=4),
+        ["label_a", "label_b"],
+        {"n_pairs": ("n", "sum"), "sum_d2": ("s", "sum")}))
+    empty = pa.table({"label_a": pa.array([], pa.int64()),
+                      "label_b": pa.array([], pa.int64()),
+                      "n_pairs": pa.array([], pa.int64()),
+                      "sum_d2": pa.array([], pa.int64()),
+                      "mean_d2": pa.array([], pa.int64())})
+    if g.num_rows == 0 or "label_a" not in g.schema.names:
+        return empty
+    g = g.sort_by([("label_a", "ascending"), ("label_b", "ascending")])
+    n = g.column("n_pairs").to_pylist()
+    s = g.column("sum_d2").to_pylist()
+    return pa.table({
+        "label_a": g.column("label_a"),
+        "label_b": g.column("label_b"),
+        "n_pairs": pa.array(n, pa.int64()),
+        "sum_d2": pa.array(s, pa.int64()),
+        "mean_d2": pa.array([sv // nv if nv else 0
+                             for nv, sv in zip(n, s)], pa.int64())})
+
+
 def label_centroids(sf_dir: str, scale: int = 1024) -> pa.Table:
     """(label, dim, sum_q, n_vecs): the exact distributed vector
     aggregate — per label, the element-wise SUM of integer-quantized

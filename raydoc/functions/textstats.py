@@ -206,6 +206,79 @@ def winnowing_shared_pairs(sf_dir: str, k: int = 5, w: int = 4,
         [("a", "ascending"), ("b", "ascending")])
 
 
+def quoted_sentences(sf_dir: str, min_tokens: int = 5,
+                     num_buckets: int = 64) -> pa.Table:
+    """(doc_id, n_sentences, n_quoted): verbatim quote contamination —
+    per document, how many of its distinct qualifying sentences
+    (split on [.!?], ≥ ``min_tokens`` words after tokenization) appear
+    in at least one OTHER document. The sentence-grain dedup audit:
+    quotation farms and mirror feeds light up here while doc- and
+    near-dup passes stay quiet. Sentence identity = md5-prefix hash of
+    the space-joined lowered ASCII token sequence, so whitespace and
+    punctuation inside the sentence don't split identities.
+
+    Shape: (hash, doc) rows — hashes only — one coarse-bucket exchange;
+    per bucket each hash's doc-frequency decides quoted-ness and emits
+    per-doc counts; a combiner folds. Oracle: DISTINCT sentence-hash
+    self-count."""
+    import pandas as pd
+
+    from raydoc.functions.agg import partial_groupby
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    word = re.compile(r"[0-9a-z_]+")
+    sent_split = re.compile(r"[.!?]")
+
+    def keys(t: pa.Table) -> pa.Table:
+        hs, ids, buckets = [], [], []
+        for doc_id, v in zip(t.column("doc_id").to_pylist(),
+                             t.column("text").to_pylist()):
+            seen = set()
+            for s in sent_split.split(v or ""):
+                toks = word.findall(s.lower())
+                if len(toks) < min_tokens:
+                    continue
+                seen.add(int(hashlib.md5(
+                    " ".join(toks).encode()).hexdigest()[:12], 16))
+            for h in seen:
+                hs.append(h)
+                ids.append(doc_id)
+                buckets.append(h % num_buckets)
+        return pa.table({"h": pa.array(hs, pa.int64()),
+                         "doc_id": pa.array(ids, pa.int64()),
+                         "bucket": pa.array(buckets, pa.int32())})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.groupby("h")["doc_id"].transform("size")
+        out = g.assign(q=(df >= 2).astype("int64"),
+                       one=1).groupby("doc_id", as_index=False) \
+            .agg(n_sentences=("one", "sum"), n_quoted=("q", "sum"))
+        return out
+
+    counted = partial_groupby(
+        ds.map_batches(keys, batch_format="pyarrow")
+        .groupby("bucket").map_groups(fold, batch_format="pandas"),
+        ["doc_id"], {"n_sentences": ("n_sentences", "sum"),
+                     "n_quoted": ("n_quoted", "sum")})
+    ct = collect_table(counted)
+    cmap_n: dict = {}
+    cmap_q: dict = {}
+    if ct.num_rows and "doc_id" in ct.schema.names:
+        cmap_n = dict(zip(ct.column("doc_id").to_pylist(),
+                          ct.column("n_sentences").to_pylist()))
+        cmap_q = dict(zip(ct.column("doc_id").to_pylist(),
+                          ct.column("n_quoted").to_pylist()))
+    all_ids = sorted(collect_table(
+        ds.select_columns(["doc_id"])).column("doc_id").to_pylist())
+    return pa.table({
+        "doc_id": pa.array(all_ids, pa.int64()),
+        "n_sentences": pa.array([int(cmap_n.get(d, 0)) for d in all_ids],
+                                pa.int64()),
+        "n_quoted": pa.array([int(cmap_q.get(d, 0)) for d in all_ids],
+                             pa.int64())})
+
+
 def ngram_novelty_curve(sf_dir: str, n: int = 8,
                         num_buckets: int = 64) -> pa.Table:
     """(doc_id, total_grams, novel_grams, novelty_ppm): reading the

@@ -125,11 +125,12 @@ SWEEP = [
     "pii_by_source", "corpus_quality_report", "markdown_to_txt",
     "winnowing_fingerprints", "cross_source_gram_overlap",
     "winnowing_shared_pairs", "ngram_novelty_curve",
+    "quoted_sentences",
     "markdown_to_html", "pdf_dates", "collapse_repeats", "bm25_search",
     "normalize_markdown",
     # embeddings
     "ann_topk", "embedding_neardups", "knn_graph", "knn_geodesic",
-    "label_propagation", "label_knn_accuracy",
+    "label_propagation", "label_knn_accuracy", "label_distance_matrix",
     "label_centroids",
     "semantic_clusters", "semantic_dedup", "rrf_fusion",
     "embedding_dbscan",
