@@ -439,6 +439,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_knn_accuracy": similarity.label_knn_accuracy,
         "label_distance_matrix": similarity.label_distance_matrix,
         "quoted_sentences": textstats.quoted_sentences,
+        "rare_token_docs": textstats.rare_token_docs,
+        "k_anonymity_report": audit.k_anonymity_report,
         # --- text analysis (documents) ---
         "token_counts": textstats.token_counts,
         "bpe_token_counts": textstats.bpe_token_counts,
@@ -3188,6 +3190,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(d2) AS BIGINT) AS sum_d2,
                    CAST(SUM(d2) // COUNT(*) AS BIGINT) AS mean_d2
             FROM p GROUP BY 1, 2 ORDER BY 1, 2""",
+        "k_anonymity_report": """
+            -- twin of audit.k_anonymity_report: quasi-identifier class
+            -- sizes over (nation, segment, 1000-balance band); the
+            -- +10000000 offset gives // floor semantics on negatives
+            WITH q AS (SELECT c_nationkey AS nat, c_mktsegment AS seg,
+                              (CAST(ROUND(c_acctbal * 100) AS BIGINT)
+                               + 10000000) // 100000 AS band
+                       FROM customer),
+            cls AS (SELECT nat, seg, band, COUNT(*) AS s FROM q
+                    GROUP BY 1, 2, 3)
+            SELECT CASE WHEN s = 1 THEN '1' WHEN s <= 4 THEN '2-4'
+                        WHEN s <= 9 THEN '5-9' ELSE '10+' END
+                       AS class_size,
+                   COUNT(*) AS n_classes,
+                   CAST(SUM(s) AS BIGINT) AS n_rows
+            FROM cls GROUP BY 1 ORDER BY 1""",
+        "rare_token_docs": """
+            -- twin of textstats.rare_token_docs: corpus token totals
+            -- (with multiplicity), hapax = total 1
+            WITH tok AS (SELECT doc_id,
+                                unnest(regexp_extract_all(lower(text),
+                                                          '[0-9a-z_]+'))
+                                    AS w
+                         FROM documents),
+            cnt AS (SELECT w, COUNT(*) AS total FROM tok GROUP BY w),
+            perdoc AS (SELECT doc_id, COUNT(DISTINCT w)
+                              AS n_tokens_distinct
+                       FROM tok GROUP BY doc_id),
+            hap AS (SELECT t.doc_id, COUNT(DISTINCT t.w) AS n_hapax
+                    FROM tok t JOIN cnt c USING (w)
+                    WHERE c.total = 1 GROUP BY 1)
+            SELECT d.doc_id,
+                   CAST(COALESCE(p.n_tokens_distinct, 0) AS BIGINT)
+                       AS n_tokens_distinct,
+                   CAST(COALESCE(h.n_hapax, 0) AS BIGINT) AS n_hapax
+            FROM documents d
+            LEFT JOIN perdoc p USING (doc_id)
+            LEFT JOIN hap h USING (doc_id)
+            ORDER BY d.doc_id""",
         "quoted_sentences": """
             -- twin of textstats.quoted_sentences (min_tokens=5):
             -- sentence-token-hash doc frequency decides quoted-ness

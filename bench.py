@@ -169,6 +169,8 @@ BENCH_QUERIES = [
     "winnowing_shared_pairs",
     "ngram_novelty_curve",
     "quoted_sentences",
+    "rare_token_docs",
+    "k_anonymity_report",
     "cross_source_gram_overlap",
     "language_id",
     "validate_docs",

@@ -187,3 +187,62 @@ def association_rules(sf_dir: str,
         "lift_ppm": pa.array(cols["lift_ppm"], pa.int64())})
     return t.sort_by([("antecedent", "ascending"),
                       ("consequent", "ascending")])
+
+
+def k_anonymity_report(sf_dir: str) -> pa.Table:
+    """(class_size, n_classes, n_rows): k-anonymity audit of the
+    customer table under the quasi-identifier triple (nation, market
+    segment, account-balance band of 1000) — the re-identification-risk
+    histogram a privacy review runs before releasing "anonymized" data:
+    every row in a class of size 1 is uniquely re-identifiable from the
+    quasi-identifiers alone; classes of 2-4 are linkage-attack cheap.
+
+    Exactness: the balance band uses an offset-then-truncate division
+    (cents + 10 000 000) // 100 000 so negative balances get floor
+    semantics in BOTH engines (DuckDB ``//`` truncates, Python floors —
+    the offset makes the dividend non-negative where they agree).
+
+    Shape: one combiner groupby over the quasi triple (class sizes),
+    then a second tiny combiner over the bucketed sizes — class rows
+    never collect."""
+    ds = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                         columns=["c_nationkey", "c_acctbal",
+                                  "c_mktsegment"])
+
+    def quasi(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["c_acctbal"], 100.0)),
+                        pa.int64())
+        band = pc.divide(pc.add(cents, pa.scalar(10_000_000, pa.int64())),
+                         pa.scalar(100_000, pa.int64()))
+        return pa.table({
+            "nat": pc.cast(t["c_nationkey"], pa.int64()),
+            "seg": t["c_mktsegment"],
+            "band": pc.cast(band, pa.int64()),
+            "one": pa.array(np.ones(t.num_rows, np.int64))})
+
+    classes = partial_groupby(
+        ds.map_batches(quasi, batch_format="pyarrow"),
+        ["nat", "seg", "band"], {"s": ("one", "sum")})
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "s" not in t.schema.names:
+            return pa.table({"class_size": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "rows": pa.array([], pa.int64())})
+        s = t.column("s").to_pylist()
+        lab = ["1" if v == 1 else "2-4" if v <= 4 else
+               "5-9" if v <= 9 else "10+" for v in s]
+        return pa.table({"class_size": pa.array(lab, pa.string()),
+                         "n": pa.array(np.ones(len(s), np.int64)),
+                         "rows": pa.array(s, pa.int64())})
+
+    out = collect_table(partial_groupby(
+        classes.map_batches(bucketize, batch_format="pyarrow"),
+        ["class_size"], {"n_classes": ("n", "sum"),
+                         "n_rows": ("rows", "sum")}))
+    if out.num_rows == 0 or "class_size" not in out.schema.names:
+        return pa.table({"class_size": pa.array([], pa.string()),
+                         "n_classes": pa.array([], pa.int64()),
+                         "n_rows": pa.array([], pa.int64())})
+    return out.select(["class_size", "n_classes", "n_rows"]) \
+        .sort_by("class_size")

@@ -206,6 +206,73 @@ def winnowing_shared_pairs(sf_dir: str, k: int = 5, w: int = 4,
         [("a", "ascending"), ("b", "ascending")])
 
 
+def rare_token_docs(sf_dir: str, num_buckets: int = 64) -> pa.Table:
+    """(doc_id, n_tokens_distinct, n_hapax): hapax audit — per document,
+    its distinct-token count and how many of its tokens occur EXACTLY
+    ONCE in the whole corpus (counting multiplicity). A high hapax share
+    marks OCR garble / random-string spam; near-zero across a large
+    corpus marks template stamping. The token-grain sibling of
+    ``ngram_novelty_curve``.
+
+    Shape: (token, doc, multiplicity) rows from per-doc Counters, one
+    coarse token-hash-bucket exchange (crc32 — deterministic, unlike
+    salted ``hash()``), per-bucket fold decides hapax-ness and emits
+    per-doc partials, a combiner sums. Oracle: token-count self-join."""
+    import zlib
+
+    import pandas as pd
+
+    from raydoc.functions.agg import partial_groupby
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    word = re.compile(r"[0-9a-z_]+")
+
+    def tok_rows(t: pa.Table) -> pa.Table:
+        ws, ids, ms, buckets = [], [], [], []
+        for doc_id, v in zip(t.column("doc_id").to_pylist(),
+                             t.column("text").to_pylist()):
+            from collections import Counter
+            for w, m in Counter(word.findall((v or "").lower())).items():
+                ws.append(w)
+                ids.append(doc_id)
+                ms.append(m)
+                buckets.append(zlib.crc32(w.encode()) % num_buckets)
+        return pa.table({"w": pa.array(ws, pa.string()),
+                         "doc_id": pa.array(ids, pa.int64()),
+                         "m": pa.array(ms, pa.int64()),
+                         "bucket": pa.array(buckets, pa.int32())})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        total = g.groupby("w")["m"].transform("sum")
+        return g.assign(hapax=(total == 1).astype("int64"), one=1) \
+            .groupby("doc_id", as_index=False) \
+            .agg(n_tokens_distinct=("one", "sum"),
+                 n_hapax=("hapax", "sum"))
+
+    counted = partial_groupby(
+        ds.map_batches(tok_rows, batch_format="pyarrow")
+        .groupby("bucket").map_groups(fold, batch_format="pandas"),
+        ["doc_id"], {"n_tokens_distinct": ("n_tokens_distinct", "sum"),
+                     "n_hapax": ("n_hapax", "sum")})
+    ct = collect_table(counted)
+    nmap: dict = {}
+    hmap: dict = {}
+    if ct.num_rows and "doc_id" in ct.schema.names:
+        nmap = dict(zip(ct.column("doc_id").to_pylist(),
+                        ct.column("n_tokens_distinct").to_pylist()))
+        hmap = dict(zip(ct.column("doc_id").to_pylist(),
+                        ct.column("n_hapax").to_pylist()))
+    all_ids = sorted(collect_table(
+        ds.select_columns(["doc_id"])).column("doc_id").to_pylist())
+    return pa.table({
+        "doc_id": pa.array(all_ids, pa.int64()),
+        "n_tokens_distinct": pa.array(
+            [int(nmap.get(d, 0)) for d in all_ids], pa.int64()),
+        "n_hapax": pa.array([int(hmap.get(d, 0)) for d in all_ids],
+                            pa.int64())})
+
+
 def quoted_sentences(sf_dir: str, min_tokens: int = 5,
                      num_buckets: int = 64) -> pa.Table:
     """(doc_id, n_sentences, n_quoted): verbatim quote contamination —
