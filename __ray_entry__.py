@@ -440,7 +440,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_distance_matrix": similarity.label_distance_matrix,
         "quoted_sentences": textstats.quoted_sentences,
         "rare_token_docs": textstats.rare_token_docs,
+        "markdown_structure_stats": textstats.markdown_structure_stats,
         "k_anonymity_report": audit.k_anonymity_report,
+        "image_corpus_stats": multimodal.image_corpus_stats,
         # --- text analysis (documents) ---
         "token_counts": textstats.token_counts,
         "bpe_token_counts": textstats.bpe_token_counts,
@@ -3206,6 +3208,19 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_classes,
                    CAST(SUM(s) AS BIGINT) AS n_rows
             FROM cls GROUP BY 1 ORDER BY 1""",
+        "markdown_structure_stats": """
+            -- twin of textstats.markdown_structure_stats: the SAME RE2
+            -- patterns (DuckDB and Arrow both embed RE2)
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(COALESCE(text, ''),
+                        '(?m)^#{1,6} ')) AS BIGINT) AS n_headings,
+                   CAST(len(regexp_extract_all(COALESCE(text, ''),
+                        '(?m)^[-*] ')) AS BIGINT) AS n_bullets,
+                   CAST(len(regexp_extract_all(COALESCE(text, ''),
+                        '```')) AS BIGINT) AS n_code_fences,
+                   CAST(len(regexp_extract_all(COALESCE(text, ''),
+                        '\\[[^\\]]*\\]\\([^)]*\\)')) AS BIGINT) AS n_links
+            FROM documents ORDER BY doc_id""",
         "rare_token_docs": """
             -- twin of textstats.rare_token_docs: corpus token totals
             -- (with multiplicity), hapax = total 1

@@ -171,6 +171,8 @@ BENCH_QUERIES = [
     "quoted_sentences",
     "rare_token_docs",
     "k_anonymity_report",
+    "markdown_structure_stats",
+    "image_corpus_stats",
     "cross_source_gram_overlap",
     "language_id",
     "validate_docs",

@@ -738,3 +738,85 @@ def audio_corpus_stats(sf_dir: str) -> pa.Table:
     return pa.table({c: pc.cast(g[c], pa.int64())
                      for c in ("n_media", "n_decoded",
                                "n_malformed", "n_loud")})
+
+
+def make_test_image(doc_id: int) -> bytes:
+    """Deterministic per-document image payload cycling the three image
+    shapes the corpus audit must handle: JPEG (doc_id % 3 == 0 — drives
+    the real baseline codec), BMP (% 3 == 1), undecodable junk
+    (% 3 == 2). Pixel content derives from md5(doc_id) so reruns are
+    byte-stable."""
+    import numpy as np
+
+    seed = hashlib.md5(f"img:{doc_id}".encode()).digest()
+    rng = np.frombuffer((seed * 72)[: 16 * 24 * 3], np.uint8)
+    if doc_id % 3 == 0:
+        from raydoc.kernels.jpeg import encode_jpeg
+        px = rng.reshape(16, 24, 3)
+        return encode_jpeg(px, quality=85)
+    if doc_id % 3 == 1:
+        return make_bmp(rng.reshape(16, 24, 3))
+    return b"\x89GARBAGE" + seed
+
+
+def image_corpus_stats(sf_dir: str) -> pa.Table:
+    """One-row image-corpus audit: deterministic per-document payloads
+    (JPEG via the real dependency-free codec / BMP / junk) stream
+    through the MediaMetaActor pool and fold to exact integer counters:
+    media count, decoded, malformed, JPEG-decoded, and total decoded
+    pixel area. Rows-only evidence that compressed-image decode is live
+    in the driver surface; the codec itself is pinned by
+    tests/test_multimodal_codecs.py."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from raydoc.functions._collect import collect_table
+    from raydoc.functions.agg import partial_groupby
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_id" not in t.schema.names:
+            return pa.table({"media_id": pa.array([], pa.int64()),
+                             "payload": pa.array([], pa.binary()),
+                             "mime": pa.array([], pa.string())})
+        ids = t.column("doc_id").to_pylist()
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array([make_test_image(i) for i in ids],
+                                pa.binary()),
+            "mime": pa.array(
+                ["image/jpeg" if i % 3 == 0 else
+                 "image/bmp" if i % 3 == 1 else
+                 "application/octet-stream" for i in ids], pa.string())})
+
+    meta = media_pipeline(ds.map_batches(synth, batch_format="pyarrow"),
+                          batch_size=64)
+
+    def fold(t: pa.Table) -> pa.Table:
+        z = pa.array([], pa.int64())
+        if t.num_rows == 0 or "decoded" not in t.schema.names:
+            return pa.table({"k": z, "n_media": z, "n_decoded": z,
+                             "n_malformed": z, "n_jpeg": z, "px_area": z})
+        dec = t.column("decoded").to_numpy(zero_copy_only=False)
+        ids = t.column("media_id").to_numpy(zero_copy_only=False)
+        w = np.nan_to_num(t.column("width").to_numpy(
+            zero_copy_only=False).astype(np.float64)).astype(np.int64)
+        h = np.nan_to_num(t.column("height").to_numpy(
+            zero_copy_only=False).astype(np.float64)).astype(np.int64)
+        jpeg = dec & (ids % 3 == 0)
+        return pa.table({
+            "k": pa.array([0], pa.int64()),
+            "n_media": pa.array([t.num_rows], pa.int64()),
+            "n_decoded": pa.array([int(dec.sum())], pa.int64()),
+            "n_malformed": pa.array([int((~dec).sum())], pa.int64()),
+            "n_jpeg": pa.array([int(jpeg.sum())], pa.int64()),
+            "px_area": pa.array([int((w[dec] * h[dec]).sum())],
+                                pa.int64())})
+
+    cols = ("n_media", "n_decoded", "n_malformed", "n_jpeg", "px_area")
+    g = collect_table(partial_groupby(
+        meta.map_batches(fold, batch_format="pyarrow"), ["k"],
+        {c: (c, "sum") for c in cols}))
+    return pa.table({c: pc.cast(g[c], pa.int64()) for c in cols})

@@ -206,6 +206,35 @@ def winnowing_shared_pairs(sf_dir: str, k: int = 5, w: int = 4,
         [("a", "ascending"), ("b", "ascending")])
 
 
+def markdown_structure_stats(sf_dir: str) -> pa.Table:
+    """(doc_id, n_headings, n_bullets, n_code_fences, n_links):
+    markdown structural profile per document — the corpus-structure
+    audit a markdown-extraction pipeline runs on its own output
+    (documents suddenly losing headings/links marks an upstream
+    extraction regression). Pure Arrow RE2 kernels per batch — zero
+    Python in the loop — and the DuckDB twin runs the SAME RE2 patterns
+    (both engines are RE2, so multiline anchors behave identically)."""
+    import pyarrow.compute as pc
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    pats = {"n_headings": r"(?m)^#{1,6} ",
+            "n_bullets": r"(?m)^[-*] ",
+            "n_code_fences": r"```",
+            "n_links": r"\[[^\]]*\]\([^)]*\)"}
+
+    def fn(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(t["text"], "")
+        cols = {"doc_id": pc.cast(t["doc_id"], pa.int64())}
+        for name, pat in pats.items():
+            cols[name] = pc.cast(pc.count_substring_regex(txt, pat),
+                                 pa.int64())
+        return pa.table(cols)
+
+    out = ds.map_batches(fn, batch_format="pyarrow")
+    return collect_table(out).sort_by("doc_id")
+
+
 def rare_token_docs(sf_dir: str, num_buckets: int = 64) -> pa.Table:
     """(doc_id, n_tokens_distinct, n_hapax): hapax audit — per document,
     its distinct-token count and how many of its tokens occur EXACTLY

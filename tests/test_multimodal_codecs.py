@@ -382,3 +382,23 @@ def test_media_meta_and_resize_decode_jpeg(ray_session):
     assert row["resized"] and row["width"] == 48 and row["height"] == 32
     assert jpeg_dims(row["payload"]) == (48, 32)
     assert decode_jpeg(row["payload"]).shape == (32, 48, 3)
+
+
+def test_image_corpus_stats_known_answer(ray_session):
+    """Deterministic synthesis → exact expected counters: ids cycle
+    JPEG / BMP / junk by doc_id % 3; every decodable image is 24×16."""
+    import pyarrow.parquet as pq
+    from raydoc.functions.multimodal import image_corpus_stats
+
+    sf = "/root/testdata/sf0.001"
+    ids = pq.read_table(f"{sf}/documents.parquet",
+                        columns=["doc_id"])["doc_id"].to_pylist()
+    want_jpeg = sum(1 for i in ids if i % 3 == 0)
+    want_bmp = sum(1 for i in ids if i % 3 == 1)
+    want_junk = len(ids) - want_jpeg - want_bmp
+    r = image_corpus_stats(sf).to_pylist()[0]
+    assert r["n_media"] == len(ids)
+    assert r["n_jpeg"] == want_jpeg
+    assert r["n_decoded"] == want_jpeg + want_bmp
+    assert r["n_malformed"] == want_junk
+    assert r["px_area"] == (want_jpeg + want_bmp) * 24 * 16

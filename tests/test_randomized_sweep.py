@@ -125,7 +125,7 @@ SWEEP = [
     "pii_by_source", "corpus_quality_report", "markdown_to_txt",
     "winnowing_fingerprints", "cross_source_gram_overlap",
     "winnowing_shared_pairs", "ngram_novelty_curve",
-    "quoted_sentences", "rare_token_docs",
+    "quoted_sentences", "rare_token_docs", "markdown_structure_stats",
     "markdown_to_html", "pdf_dates", "collapse_repeats", "bm25_search",
     "normalize_markdown",
     # embeddings
