@@ -442,6 +442,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rare_token_docs": textstats.rare_token_docs,
         "markdown_structure_stats": textstats.markdown_structure_stats,
         "k_anonymity_report": audit.k_anonymity_report,
+        "l_diversity_report": audit.l_diversity_report,
+        "hourly_duplicate_rate": windows.hourly_duplicate_rate,
         "image_corpus_stats": multimodal.image_corpus_stats,
         # --- text analysis (documents) ---
         "token_counts": textstats.token_counts,
@@ -3221,6 +3223,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(COALESCE(text, ''),
                         '\\[[^\\]]*\\]\\([^)]*\\)')) AS BIGINT) AS n_links
             FROM documents ORDER BY doc_id""",
+        "l_diversity_report": """
+            -- twin of audit.l_diversity_report: distinct sensitive
+            -- bands per (nation, segment) class, bucketed
+            WITH q AS (SELECT c_nationkey AS nat, c_mktsegment AS seg,
+                              (CAST(ROUND(c_acctbal * 100) AS BIGINT)
+                               + 10000000) // 100000 AS band
+                       FROM customer),
+            cls AS (SELECT nat, seg, COUNT(DISTINCT band) AS l,
+                           COUNT(*) AS rows_
+                    FROM q GROUP BY 1, 2)
+            SELECT CASE WHEN l = 1 THEN '1' WHEN l <= 4 THEN '2-4'
+                        WHEN l <= 9 THEN '5-9' ELSE '10+' END
+                       AS l_bucket,
+                   COUNT(*) AS n_classes,
+                   CAST(SUM(rows_) AS BIGINT) AS n_rows
+            FROM cls GROUP BY 1 ORDER BY 1""",
+        "hourly_duplicate_rate": """
+            -- twin of windows.hourly_duplicate_rate: dupes = events
+            -- minus distinct (user, type, cents) tuples per hour
+            WITH e AS (SELECT date_trunc('hour', ts) AS window_start,
+                              user_id, event_type,
+                              CAST(ROUND(value * 100) AS BIGINT) AS c
+                       FROM events),
+            g AS (SELECT window_start, user_id, event_type, c,
+                         COUNT(*) AS n
+                  FROM e GROUP BY 1, 2, 3, 4)
+            SELECT window_start,
+                   CAST(SUM(n) AS BIGINT) AS n_events,
+                   COUNT(*) AS n_distinct,
+                   CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_dupes
+            FROM g GROUP BY 1 ORDER BY 1""",
         "rare_token_docs": """
             -- twin of textstats.rare_token_docs: corpus token totals
             -- (with multiplicity), hapax = total 1

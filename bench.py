@@ -173,6 +173,8 @@ BENCH_QUERIES = [
     "k_anonymity_report",
     "markdown_structure_stats",
     "image_corpus_stats",
+    "l_diversity_report",
+    "hourly_duplicate_rate",
     "cross_source_gram_overlap",
     "language_id",
     "validate_docs",

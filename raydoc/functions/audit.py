@@ -246,3 +246,67 @@ def k_anonymity_report(sf_dir: str) -> pa.Table:
                          "n_rows": pa.array([], pa.int64())})
     return out.select(["class_size", "n_classes", "n_rows"]) \
         .sort_by("class_size")
+
+
+def l_diversity_report(sf_dir: str) -> pa.Table:
+    """(l_bucket, n_classes, n_rows): l-diversity companion to
+    ``k_anonymity_report`` — per quasi-identifier class (nation,
+    segment), how DIVERSE the sensitive attribute (1000-balance band)
+    is. A class can be k-anonymous yet leak everything when all its
+    members share one sensitive value (l = 1): this histogram counts
+    classes by their distinct-sensitive-value count."""
+    ds = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                         columns=["c_nationkey", "c_acctbal",
+                                  "c_mktsegment"])
+
+    def quasi(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["c_acctbal"], 100.0)),
+                        pa.int64())
+        band = pc.divide(pc.add(cents, pa.scalar(10_000_000, pa.int64())),
+                         pa.scalar(100_000, pa.int64()))
+        return pa.table({
+            "nat": pc.cast(t["c_nationkey"], pa.int64()),
+            "seg": t["c_mktsegment"],
+            "band": pc.cast(band, pa.int64()),
+            "one": pa.array(np.ones(t.num_rows, np.int64))})
+
+    # distinct (class, band) + per-cell row counts in ONE combiner pass
+    cells = partial_groupby(
+        ds.map_batches(quasi, batch_format="pyarrow"),
+        ["nat", "seg", "band"], {"rows": ("one", "sum")})
+
+    def per_class(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "nat" not in t.schema.names:
+            z = pa.array([], pa.int64())
+            return pa.table({"nat": z, "seg": pa.array([], pa.string()),
+                             "l": z, "rows": z})
+        return pa.table({"nat": t["nat"], "seg": t["seg"],
+                         "l": pa.array([1] * t.num_rows, pa.int64()),
+                         "rows": t["rows"]})
+
+    classes = partial_groupby(
+        cells.map_batches(per_class, batch_format="pyarrow"),
+        ["nat", "seg"], {"l": ("l", "sum"), "rows": ("rows", "sum")})
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "l" not in t.schema.names:
+            z = pa.array([], pa.int64())
+            return pa.table({"l_bucket": pa.array([], pa.string()),
+                             "n": z, "rows": z})
+        ls = t.column("l").to_pylist()
+        lab = ["1" if v == 1 else "2-4" if v <= 4 else
+               "5-9" if v <= 9 else "10+" for v in ls]
+        return pa.table({"l_bucket": pa.array(lab, pa.string()),
+                         "n": pa.array(np.ones(len(ls), np.int64)),
+                         "rows": t["rows"]})
+
+    out = collect_table(partial_groupby(
+        classes.map_batches(bucketize, batch_format="pyarrow"),
+        ["l_bucket"], {"n_classes": ("n", "sum"),
+                       "n_rows": ("rows", "sum")}))
+    if out.num_rows == 0 or "l_bucket" not in out.schema.names:
+        return pa.table({"l_bucket": pa.array([], pa.string()),
+                         "n_classes": pa.array([], pa.int64()),
+                         "n_rows": pa.array([], pa.int64())})
+    return out.select(["l_bucket", "n_classes", "n_rows"]) \
+        .sort_by("l_bucket")

@@ -3624,3 +3624,59 @@ def user_activity_histogram(sf_dir: str) -> pa.Table:
         "n_users": pc.cast(t["n_users"], pa.int64()),
         "n_events": pc.cast(t["n_events"], pa.int64())}).sort_by(
         "magnitude")
+
+
+def hourly_duplicate_rate(sf_dir: str) -> pa.Table:
+    """(window_start, n_events, n_distinct, n_dupes): per tumbling hour,
+    how many events repeat an identical (user, type, value) tuple
+    already seen that hour — the streaming-ingest duplicate monitor
+    (at-least-once upstream delivery shows up as a rising dupe rate
+    long before totals drift). n_dupes = n_events − n_distinct, so no
+    within-hour ordering is needed — two combiner exchanges, both on
+    hashes/short keys.
+
+    Exactness: values compare in integer cents."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "user_id", "event_type",
+                                  "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "window_start": pc.floor_temporal(t["ts"], unit="hour"),
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "event_type": t["event_type"],
+            "cents": pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                             pa.int64()),
+            "one": pa.array([1] * t.num_rows, pa.int64()),
+        })
+
+    groups = partial_groupby(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["window_start", "user_id", "event_type", "cents"],
+        {"n": ("one", "sum")})
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "window_start" not in t.schema.names:
+            z = pa.array([], pa.int64())
+            return pa.table({"window_start": pa.array(
+                [], pa.timestamp("us")), "n_events": z, "n_distinct": z})
+        return pa.table({
+            "window_start": t["window_start"],
+            "n_events": t["n"],
+            "n_distinct": pa.array([1] * t.num_rows, pa.int64())})
+
+    out = collect_table(partial_groupby(
+        groups.map_batches(fold, batch_format="pyarrow"),
+        ["window_start"], {"n_events": ("n_events", "sum"),
+                           "n_distinct": ("n_distinct", "sum")}))
+    out = out.set_column(
+        out.schema.get_field_index("window_start"), "window_start",
+        out.column("window_start").cast(pa.timestamp("us")))
+    ne = out.column("n_events").to_pylist()
+    nd = out.column("n_distinct").to_pylist()
+    return pa.table({
+        "window_start": out.column("window_start"),
+        "n_events": pa.array([int(v) for v in ne], pa.int64()),
+        "n_distinct": pa.array([int(v) for v in nd], pa.int64()),
+        "n_dupes": pa.array([int(a) - int(b) for a, b in zip(ne, nd)],
+                            pa.int64())}).sort_by("window_start")
