@@ -335,6 +335,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "merged_intervals": windows.merged_intervals,
         "late_shipment_orders": relational.q_late_shipment_orders,
         "promo_revenue": relational.q_promo_revenue,
+        "ship_latency_percentiles": relational.q_ship_latency_percentiles,
         "shipping_priority": relational.q_shipping_priority,
         "returned_item_customers": relational.q_returned_item_customers,
         "large_volume_customers": relational.q_large_volume_customers,
@@ -3223,6 +3224,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(COALESCE(text, ''),
                         '\\[[^\\]]*\\]\\([^)]*\\)')) AS BIGINT) AS n_links
             FROM documents ORDER BY doc_id""",
+        "ship_latency_percentiles": """
+            -- twin of relational.q_ship_latency_percentiles
+            WITH j AS (SELECT o_orderpriority AS prio,
+                              date_diff('day', o_orderdate, l_shipdate)
+                                  AS days
+                       FROM lineitem JOIN orders
+                         ON l_orderkey = o_orderkey)
+            SELECT prio AS o_orderpriority,
+                   CAST(quantile_disc(days, 0.5) AS DOUBLE) AS p50_days,
+                   CAST(quantile_disc(days, 0.9) AS DOUBLE) AS p90_days
+            FROM j GROUP BY 1 ORDER BY 1""",
         "l_diversity_report": """
             -- twin of audit.l_diversity_report: distinct sensitive
             -- bands per (nation, segment) class, bucketed

@@ -175,6 +175,7 @@ BENCH_QUERIES = [
     "image_corpus_stats",
     "l_diversity_report",
     "hourly_duplicate_rate",
+    "ship_latency_percentiles",
     "cross_source_gram_overlap",
     "language_id",
     "validate_docs",

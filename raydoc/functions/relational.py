@@ -3370,3 +3370,50 @@ def q_star_flatten(sf_dir: str, num_buckets: int = 32) -> pa.Table:
         "n_rows": pc.cast(g.column("n_rows"), pa.int64()),
         "checksum": pa.array([format(v, "016x") for v in sums],
                              pa.string())})
+
+
+def q_ship_latency_percentiles(sf_dir: str,
+                               num_buckets: int = 256) -> pa.Table:
+    """(o_orderpriority, p50_days, p90_days): EXACT median and p90 of
+    the order-to-ship latency (l_shipdate − o_orderdate, integer days)
+    per order priority — the fulfillment-SLA tail report, and a date-
+    arithmetic exercise of the two-pass distributed selection
+    (``windows._exact_group_quantile``, DuckDB ``quantile_disc``
+    semantics).
+
+    Shape: one bucketed hash join lineitem ⋈ orders (only the three
+    needed columns move), then the selection's two combiner passes —
+    the driver sees G×B count cells plus ~2/B of the rows, never the
+    join output."""
+    from raydoc.functions.windows import _exact_group_quantile
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    od = _read(sf_dir, "orders",
+               ["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"l_orderkey": t["o_orderkey"],
+                         "o_orderdate": t["o_orderdate"],
+                         "prio": t["o_orderpriority"]})
+
+    j = bucket_hash_join(
+        li, od.map_batches(rename, batch_format="pyarrow"),
+        key="l_orderkey")
+
+    def to_days(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "value": pa.array([], pa.float64())})
+        days = pc.days_between(t["o_orderdate"], t["l_shipdate"])
+        return pa.table({
+            "event_type": t["prio"],
+            "value": pc.cast(days, pa.float64())})
+
+    ds = j.map_batches(to_days, batch_format="pyarrow").materialize()
+    p50 = _exact_group_quantile(ds, 0.5, num_buckets)
+    p90 = _exact_group_quantile(ds, 0.9, num_buckets)
+    gs = sorted(p50)
+    return pa.table({
+        "o_orderpriority": pa.array(gs, pa.string()),
+        "p50_days": pa.array([p50[g] for g in gs], pa.float64()),
+        "p90_days": pa.array([p90[g] for g in gs], pa.float64())})

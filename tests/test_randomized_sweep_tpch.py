@@ -57,7 +57,7 @@ SWEEP = [
     "market_share", "profit_by_nation", "promo_revenue",
     "volume_shipping", "shipping_priority", "returned_item_customers",
     "large_volume_customers", "rich_inactive_customers",
-    "k_anonymity_report", "l_diversity_report",
+    "k_anonymity_report", "l_diversity_report", "ship_latency_percentiles",
     "late_shipment_orders", "lone_return_suppliers",
     "local_supplier_volume", "cheapest_supplier_per_part",
     "dominant_part_suppliers", "supplier_count_by_part",
