@@ -271,6 +271,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_meta": multimodal.document_media_meta,
         # --- sketches (cardinality) ---
         "cms_user_counts": sketches.cms_user_counts,
+        "cms_error_report": sketches.cms_error_report,
         "distinct_users": sketches.distinct_users_exact,
         "distinct_users_by_type": sketches.distinct_users_by_type,
         "heavy_hitter_users": sketches.heavy_hitter_users,
@@ -798,6 +799,51 @@ _SIMHASH_SIG_CTE = r"""toks AS (
             s AS (
                 SELECT d.doc_id, COALESCE(sg.sig, 0) AS sig
                 FROM documents d LEFT JOIN sigs sg USING (doc_id))"""
+
+
+def _cms_error_oracle(threshold: int = 70) -> str:
+    """Twin of sketches.cms_error_report: replay the splitmix64 bucket
+    scramble in SQL — 64-bit wrap-around multiplies via 32-bit limb
+    decomposition (HUGEINT can't hold a 64×64 product), cell sums over
+    ALL users, MIN over the 4 rows at each exact heavy hitter."""
+    salts = [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+             0x165667B19E3779F9, 0x27D4EB2F165667C5]
+
+    def mul(vexpr: str, c: int) -> str:
+        chi, clo = c >> 32, c & 0xFFFFFFFF
+        return (f"CAST(((CAST({vexpr} % 4294967296 AS HUGEINT) * {clo}) + "
+                f"(((CAST({vexpr} % 4294967296 AS HUGEINT) * {chi}) + "
+                f"(CAST({vexpr} // 4294967296 AS HUGEINT) * {clo})) "
+                f"% 4294967296) * 4294967296) "
+                f"% 18446744073709551616 AS UBIGINT)")
+
+    salt_rows = ", ".join(f"({d}, CAST({s} AS UBIGINT))"
+                          for d, s in enumerate(salts))
+    m1 = mul("xor(v0, v0 >> 30)", 0xBF58476D1CE4E5B9)
+    m2 = mul("xor(v1, v1 >> 27)", 0x94D049BB133111EB)
+    return f"""
+        WITH cnt AS (SELECT CAST(user_id AS UBIGINT) AS u,
+                            COUNT(*) AS n
+                     FROM events GROUP BY 1),
+        salts(d, salt) AS (VALUES {salt_rows}),
+        h0 AS (SELECT c.u, c.n, s.d, xor(c.u, s.salt) AS v0
+               FROM cnt c CROSS JOIN salts s),
+        h1 AS (SELECT u, n, d, {m1} AS v1 FROM h0),
+        h2 AS (SELECT u, n, d, {m2} AS v2 FROM h1),
+        hx AS (SELECT u, n, d,
+                      CAST(xor(v2, v2 >> 31) % 8192 AS BIGINT) AS b
+               FROM h2),
+        cells AS (SELECT d, b, CAST(SUM(n) AS BIGINT) AS cell
+                  FROM hx GROUP BY 1, 2),
+        probe AS (SELECT x.u, x.n, MIN(c.cell) AS est
+                  FROM hx x JOIN cells c ON c.d = x.d AND c.b = x.b
+                  WHERE x.n >= {threshold}
+                  GROUP BY 1, 2)
+        SELECT CAST(u AS BIGINT) AS user_id,
+               CAST(n AS BIGINT) AS true_n,
+               CAST(est AS BIGINT) AS est_n,
+               CAST(est - n AS BIGINT) AS overestimate
+        FROM probe ORDER BY 1"""
 
 
 def _knn_geodesic_oracle(k: int = 5, rounds: int = 8,
@@ -3113,6 +3159,7 @@ def oracle_sql() -> dict[str, str]:
                    vec_id
             FROM sims QUALIFY rank <= 10 ORDER BY query_id, rank""",
         "knn_geodesic": _knn_geodesic_oracle(),
+        "cms_error_report": _cms_error_oracle(),
         "event_type_stationary": _stationary_oracle(),
         "label_propagation": _labelprop_oracle(),
         "label_knn_accuracy": """

@@ -184,6 +184,7 @@ BENCH_QUERIES = [
     "distinct_users_hll",
     "heavy_hitter_users",
     "cms_user_counts",
+    "cms_error_report",
     "media_meta",
     "normalize_markdown",
     "extract_turns_checksum",

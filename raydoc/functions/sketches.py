@@ -499,3 +499,63 @@ def audience_overlap_hll(sf_dir: str) -> pa.Table:
         "n_union_est": pa.array(rows["n_union_est"], pa.int64()),
         "n_intersect_est": pa.array(rows["n_intersect_est"], pa.int64()),
         "jaccard_est": pa.array(rows["jaccard_est"], pa.float64())})
+
+
+def cms_error_report(sf_dir: str, threshold: int = 70) -> pa.Table:
+    """(user_id, true_n, est_n, overestimate): Count-Min ACCURACY audit
+    — the sketch's one-sided error measured against ground truth at the
+    exact heavy-hitter set. Unlike ``cms_user_counts`` (whose candidate
+    set depends on batch-local top-k proposals), every piece here is
+    partition-independent: the sketch is an associative SUM of per-batch
+    (D, W) counter partials, and the probe set is the deterministic
+    exact heavy hitters — so the whole report has a bit-exact DuckDB
+    twin that replays the splitmix64 bucket scramble in SQL
+    (32-bit-limb multiply mod 2⁶⁴). est ≥ true always (Count-Min is
+    one-sided); a growing overestimate tail tells you the sketch width
+    no longer fits the key cardinality."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        uids, counts = np.unique(
+            t.column("user_id").to_numpy(zero_copy_only=False),
+            return_counts=True)
+        sketch = np.zeros((_CMS_D, _CMS_W), dtype=np.int64)
+        if len(uids):
+            b = _cms_buckets(uids)
+            for d in range(_CMS_D):
+                np.add.at(sketch[d], b[d], counts)
+        return pa.table({"sketch": pa.array([sketch.tobytes()],
+                                            pa.binary())})
+
+    def fold(t: pa.Table) -> pa.Table:
+        acc = np.zeros((_CMS_D, _CMS_W), dtype=np.int64)
+        for blob in t.column("sketch").to_pylist():
+            acc += np.frombuffer(blob, dtype=np.int64).reshape(
+                _CMS_D, _CMS_W)
+        return pa.table({"sketch": pa.array([acc.tobytes()],
+                                            pa.binary())})
+
+    parts_ds = ds.map_batches(partial, batch_format="pyarrow")
+    for _ in range(2):
+        parts_ds = parts_ds.map_batches(fold, batch_format="pyarrow",
+                                        batch_size=64)
+    sketch = np.zeros((_CMS_D, _CMS_W), dtype=np.int64)
+    for blob in parts_ds.to_pandas()["sketch"]:
+        sketch += np.frombuffer(blob, dtype=np.int64).reshape(
+            _CMS_D, _CMS_W)
+
+    hh = heavy_hitter_users(sf_dir, threshold=threshold)
+    if hh.num_rows == 0:
+        z = pa.array([], pa.int64())
+        return pa.table({"user_id": z, "true_n": z, "est_n": z,
+                         "overestimate": z})
+    users = np.array(hh.column("user_id").to_pylist(), dtype=np.int64)
+    true_n = np.array(hh.column("n_events").to_pylist(), dtype=np.int64)
+    b = _cms_buckets(users)
+    est = np.min(np.stack([sketch[d][b[d]] for d in range(_CMS_D)]),
+                 axis=0)
+    return pa.table({
+        "user_id": pa.array(users, pa.int64()),
+        "true_n": pa.array(true_n, pa.int64()),
+        "est_n": pa.array(est, pa.int64()),
+        "overestimate": pa.array(est - true_n, pa.int64())})

@@ -110,7 +110,7 @@ SWEEP = [
     "m4_downsample", "mannwhitney_value",
     "value_changepoint", "holt_forecast_hourly", "hourly_gaps", "session_entry_stats", "quantile_normalize", "event_type_stationary", "interevent_gap_percentiles",
     "hour_of_week_profile", "user_activity_histogram",
-    "hourly_duplicate_rate",
+    "hourly_duplicate_rate", "cms_error_report",
     # documents / text
     "vocab_growth", "token_fertility", "dup_source_matrix",
     "token_counts", "bpe_token_counts", "quality_counters",
