@@ -100,6 +100,27 @@ _SOF_UNSUPPORTED = {0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                     0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
 
 
+def _corrupt_to_value_error(fn):
+    """Corrupt payloads that pass the SOI sniff can still blow up the
+    marker walk / entropy decode with struct.error (truncated segment
+    header), IndexError (missing restart interval), KeyError (missing
+    DHT id), or StopIteration (SOS names an unknown component). The
+    actor pools' fail-soft path catches ValueError — normalize here so
+    one truncated web-corpus JPEG lands in n_malformed instead of
+    killing the Ray task."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(payload, *a, **kw):
+        try:
+            return fn(payload, *a, **kw)
+        except (struct.error, IndexError, KeyError, StopIteration) as e:
+            raise ValueError(
+                f"corrupt JPEG ({type(e).__name__}: {e})") from e
+    return wrapper
+
+
+@_corrupt_to_value_error
 def jpeg_dims(payload: bytes) -> tuple[int, int]:
     """(width, height) from the SOF marker — a cheap header scan that
     never entropy-decodes."""
@@ -111,6 +132,9 @@ def jpeg_dims(payload: bytes) -> tuple[int, int]:
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
         marker = payload[pos + 1]
+        if marker == 0xFF:         # spec-legal fill byte before a marker
+            pos += 1
+            continue
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
@@ -183,6 +207,7 @@ def _entropy_intervals(payload: bytes, start: int) -> list[bytes]:
     return out
 
 
+@_corrupt_to_value_error
 def decode_jpeg(payload: bytes):
     """Baseline JPEG → (h, w, 3) uint8 RGB (grayscale replicates)."""
     if payload[:2] != b"\xff\xd8":
@@ -201,6 +226,9 @@ def decode_jpeg(payload: bytes):
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
         marker = payload[pos + 1]
+        if marker == 0xFF:         # spec-legal fill byte before a marker
+            pos += 1
+            continue
         pos += 2
         if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
             continue

@@ -80,10 +80,43 @@ def _decode_pdf_string(tok: bytes) -> str:
     return data.decode("latin-1", "replace")
 
 
+_FLATE_RE = re.compile(rb"/Filter\s*(?:\[\s*)?/FlateDecode")
+_ANY_FILTER_RE = re.compile(rb"/Filter\b")
+
+
+def _dict_before(payload: bytes, pos: int) -> bytes | None:
+    """The stream dictionary closing just before ``pos`` (the `stream`
+    keyword), found by a backward ``<<``/``>>`` balance scan so nested
+    dictionaries (/DecodeParms << … >>) resolve to the OUTER dict.
+    None when no well-formed dictionary precedes the keyword."""
+    win = payload[max(0, pos - 4096):pos].rstrip()
+    if not win.endswith(b">>"):
+        return None
+    depth = 0
+    i = len(win)
+    while i >= 2:
+        two = win[i - 2:i]
+        if two == b">>":
+            depth += 1
+            i -= 2
+        elif two == b"<<":
+            depth -= 1
+            if depth == 0:
+                return win[i - 2:]
+            i -= 2
+        else:
+            i -= 1
+    return None
+
+
 def _content_streams(payload: bytes) -> list[bytes]:
-    """All decodable stream bodies: raw, or inflated when the bytes
-    deflate (we try zlib regardless of the declared filter — a minimal
-    walk that also survives damaged dictionaries/xrefs)."""
+    """All decodable stream bodies. The stream dictionary's declared
+    /Filter decides when it is parseable: /FlateDecode inflates, no
+    filter stays raw (a raw stream whose bytes happen to start with a
+    zlib header must NOT be inflated into garbage — ADVICE round-4),
+    other filters are skipped. Only when the dictionary is damaged or
+    missing do we fall back to the try-inflate heuristic, which also
+    survives broken xrefs."""
     out = []
     for m in _STREAM_RE.finditer(payload):
         start = m.end()
@@ -91,7 +124,19 @@ def _content_streams(payload: bytes) -> list[bytes]:
         if end < 0:
             continue
         body = payload[start:end].rstrip(b"\r\n")
-        try:
+        head = _dict_before(payload, m.start())
+        if head is not None:
+            if _FLATE_RE.search(head):
+                try:
+                    out.append(zlib.decompress(body))
+                except zlib.error:
+                    pass               # declared Flate but corrupt: skip
+            elif _ANY_FILTER_RE.search(head):
+                continue               # declared non-Flate filter: skip
+            else:
+                out.append(body)       # no filter: raw, never inflated
+            continue
+        try:                           # damaged dictionary: heuristic
             out.append(zlib.decompress(body))
         except zlib.error:
             out.append(body)

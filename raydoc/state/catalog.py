@@ -21,27 +21,35 @@ entries pin ``{table_name: (table_dir, version)}``:
   transaction without the other's.
 - Racing transactions touching DISJOINT tables both land, in some
   order: the loser of the catalog-version race re-reads the head and
-  re-pins. Racing transactions writing the SAME table serialize at the
-  catalog: a commit only lands when its pin for every written table
-  sits directly on the head's pin (head version + this txn's appends —
-  table-log versions are cumulative, so pinning across an interleaved
-  foreign append would expose that txn's rows without its other
-  tables); otherwise it backs off until the interleaver's commit lands
-  and rebases on it. A crashed interleaver (appended, never committed)
-  surfaces as a clear ``RuntimeError`` after ``max_retries`` — vacuum
-  its orphaned versions or re-run its txn. One documented gap: two
-  concurrent FIRST writers of a table unknown to the catalog can't be
-  ordered (no head pin to validate against, and adoption of a
-  pre-catalog table's history must stay legal) — create a shared table
-  with a solo txn first.
+  re-pins. Racing transactions writing the SAME table serialize on a
+  per-table advisory lock (``flock`` on a file under the catalog log,
+  acquired in sorted-name order so opposite-order multi-table txns
+  can't deadlock) held across the append AND the catalog commit —
+  table-log versions are cumulative, so an interleaved foreign append
+  between a txn's append and its commit would expose that txn's rows
+  without its other tables; the lock makes the interleaving impossible
+  for LIVE writers, including two concurrent FIRST writers of a
+  brand-new table. The lock is tied to the open file description, so
+  a writer that dies releases it automatically. A CRASHED writer that
+  appended but never committed (its lock auto-released) still leaves
+  orphaned versions below the next txn's appends; that txn fail-stops
+  with a clear ``RuntimeError`` after ``max_retries`` — repair with
+  ``adopt_table`` (operator-sanctioned) or vacuum the orphans. If the
+  head has meanwhile advanced PAST a txn's own appends (an
+  ``adopt_table`` race), the txn re-pins on the head — cumulative
+  versions mean its rows are already covered — instead of retrying
+  forever.
 
 No wall-clock enters the log; reruns are byte-deterministic.
 """
 
 from __future__ import annotations
 
+import fcntl
+import hashlib
 import json
 import os
+import re
 import threading
 
 import ray.data as rd
@@ -57,6 +65,20 @@ def _log_dir(catalog_dir: str) -> str:
 
 def _version_path(catalog_dir: str, version: int) -> str:
     return os.path.join(_log_dir(catalog_dir), f"{version:08d}.json")
+
+
+def _table_lock_paths(catalog_dir: str, names: list[str]) -> list[str]:
+    """One lock file per distinct written table, SORTED by name —
+    ordered acquisition prevents deadlock between multi-table txns
+    that list the same tables in different orders."""
+    d = os.path.join(_log_dir(catalog_dir), "_locks")
+    os.makedirs(d, exist_ok=True)
+    out = []
+    for name in sorted(set(names)):
+        safe = re.sub(r"[^A-Za-z0-9._-]", "_", name)[:80]
+        tag = hashlib.blake2s(name.encode(), digest_size=4).hexdigest()
+        out.append(os.path.join(d, f"{safe}-{tag}.lock"))
+    return out
 
 
 def list_versions(catalog_dir: str) -> list[int]:
@@ -107,67 +129,96 @@ def txn(catalog_dir: str,
     snapshot references them, so a crash mid-txn is invisible (the
     newer table versions become ordinary vacuumable history)."""
     os.makedirs(_log_dir(catalog_dir), exist_ok=True)
-    pins: dict[str, dict] = {}
-    for name, ds, tdir in writes:
-        v = _tl.append(ds, tdir, shard_rows=shard_rows)
-        pins[name] = {"dir": os.path.abspath(tdir), "version": v}
+    # per-table exclusive locks held across append AND commit: cumulative
+    # table-log versions make a foreign append between the two phases
+    # unrecoverable (pinning across it exposes that txn's rows without
+    # its other tables), so same-table writers — including two FIRST
+    # writers of a brand-new table — must serialize here. Sorted-name
+    # acquisition prevents deadlock; flock dies with the holder, so a
+    # crashed writer never wedges the catalog (its orphaned appends
+    # fail-stop the next writer below instead).
+    lock_fds = []
+    try:
+        for lp in _table_lock_paths(catalog_dir,
+                                    [name for name, _, _ in writes]):
+            fd = open(lp, "w")
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            lock_fds.append(fd)
 
-    # appends per table this txn (writes may hit one table repeatedly)
-    n_appends: dict[str, int] = {}
-    for name, _, _ in writes:
-        n_appends[name] = n_appends.get(name, 0) + 1
+        pins: dict[str, dict] = {}
+        for name, ds, tdir in writes:
+            v = _tl.append(ds, tdir, shard_rows=shard_rows)
+            pins[name] = {"dir": os.path.abspath(tdir), "version": v}
 
-    for attempt in range(max_retries):
-        vs = list_versions(catalog_dir)
-        head = catalog_snapshot(catalog_dir, vs[-1]) if vs else None
-        nxt = (vs[-1] + 1) if vs else 0
-        tables = dict(head["tables"]) if head else {}
-        # rebase: racing txns touching DISJOINT tables both land. For a
-        # table THIS txn wrote, the pin must sit DIRECTLY on the head's
-        # pin (head_version + this txn's appends): table-log versions
-        # are cumulative, so pinning across an interleaved foreign
-        # append would expose that txn's rows without its other tables
-        # (partial-transaction read). On interleaving we wait for the
-        # other writer's catalog commit to land (its pin then becomes
-        # our base) — same-table txns serialize at the catalog, as in
-        # Iceberg REST commit-conflict retries.
-        stale = []
-        for name, ent in pins.items():
-            cur = tables.get(name)
-            if cur is not None and \
-                    ent["version"] != cur["version"] + n_appends[name]:
-                stale.append((name, cur["version"], ent["version"]))
-            tables[name] = ent
-        if stale:
-            import time
-            time.sleep(0.02 * (attempt + 1))  # backoff only, never logged
-            continue
-        payload = {"version": nxt, "tables": tables}
-        path = _version_path(catalog_dir, nxt)
-        # content-atomic claim: full payload lands in a tmp file first,
-        # then os.link claims the version name (EEXIST = lost the race)
-        # — a crash or concurrent reader can never observe a truncated
-        # head commit, unlike O_EXCL-create-then-write
-        tmp = f"{path}.tmp-{os.getpid()}-{threading.get_ident()}"
-        with open(tmp, "w") as fh:
-            json.dump(payload, fh, sort_keys=True)
-            fh.flush()
-            os.fsync(fh.fileno())
-        try:
-            os.link(tmp, path)
-        except FileExistsError:
-            continue  # lost the race — rebase on the new head
-        finally:
-            os.unlink(tmp)
-        return nxt
-    raise RuntimeError(
-        "catalog txn could not commit after "
-        f"{max_retries} attempts: "
-        + ("another writer's table append interleaved with this txn's "
-           f"and its catalog commit never landed (stale pins: {stale}) — "
-           "a crashed concurrent writer leaves this hole; vacuum its "
-           "orphaned table versions or re-run its txn"
-           if stale else "lost the catalog-version race every time"))
+        # appends per table this txn (writes may hit a table repeatedly)
+        n_appends: dict[str, int] = {}
+        for name, _, _ in writes:
+            n_appends[name] = n_appends.get(name, 0) + 1
+
+        for attempt in range(max_retries):
+            vs = list_versions(catalog_dir)
+            head = catalog_snapshot(catalog_dir, vs[-1]) if vs else None
+            nxt = (vs[-1] + 1) if vs else 0
+            tables = dict(head["tables"]) if head else {}
+            # rebase: racing txns touching DISJOINT tables both land.
+            # For a table THIS txn wrote, the table lock guarantees no
+            # LIVE writer interleaved, so only two abnormal cases can
+            # show here: (a) orphaned versions from a CRASHED writer sit
+            # between the head pin and our appends — committing would
+            # expose its partial transaction, so fail-stop toward
+            # adopt_table; (b) the head advanced PAST our appends (an
+            # adopt_table race) — cumulative versions mean our rows are
+            # already covered, so re-pin on the head and commit the
+            # txn's other tables rather than retrying forever.
+            stale = []
+            for name, ent in pins.items():
+                cur = tables.get(name)
+                if cur is None:
+                    # first catalog pin for this table: live first
+                    # writers serialize on the lock; pre-catalog
+                    # history adoption stays legal
+                    tables[name] = ent
+                elif ent["version"] > cur["version"] + n_appends[name]:
+                    stale.append((name, cur["version"], ent["version"]))
+                elif cur["version"] > ent["version"]:
+                    tables[name] = cur   # head already covers our rows
+                else:
+                    tables[name] = ent
+            if stale:
+                import time
+                time.sleep(0.02 * (attempt + 1))  # backoff, never logged
+                continue
+            payload = {"version": nxt, "tables": tables}
+            path = _version_path(catalog_dir, nxt)
+            # content-atomic claim: full payload lands in a tmp file
+            # first, then os.link claims the version name (EEXIST = lost
+            # the race) — a crash or concurrent reader can never observe
+            # a truncated head commit, unlike O_EXCL-create-then-write
+            tmp = f"{path}.tmp-{os.getpid()}-{threading.get_ident()}"
+            with open(tmp, "w") as fh:
+                json.dump(payload, fh, sort_keys=True)
+                fh.flush()
+                os.fsync(fh.fileno())
+            try:
+                os.link(tmp, path)
+            except FileExistsError:
+                continue  # lost the race — rebase on the new head
+            finally:
+                os.unlink(tmp)
+            return nxt
+        raise RuntimeError(
+            "catalog txn could not commit after "
+            f"{max_retries} attempts: "
+            + ("another writer's table append interleaved with this "
+               f"txn's and its catalog commit never landed (stale pins: "
+               f"{stale}) — a crashed writer leaves this hole (live "
+               "writers hold the table lock); repair with adopt_table "
+               "to sanction its orphaned versions, or vacuum them and "
+               "re-run its txn"
+               if stale else "lost the catalog-version race every time"))
+    finally:
+        for fd in lock_fds:
+            fd.close()                   # close releases the flock
 
 
 def adopt_table(catalog_dir: str, name: str, table_dir: str) -> int:

@@ -155,3 +155,110 @@ def test_same_table_racing_txns_serialize(ray_session, tmp_path):
                  cat.read_catalog_table(root, "audit", v).take_all())
         assert nf == na
     assert len(cat.read_catalog_table(root, "facts").take_all()) == 5
+
+
+def test_new_table_racing_txns_serialize(ray_session, tmp_path):
+    """N threads racing txns on a BRAND-NEW table pair (the catalog has
+    never seen either table): first-ever writers must serialize exactly
+    like existing-table writers — zero RuntimeErrors, and EVERY
+    committed catalog version satisfies the cross-table invariant
+    facts-count == audit-sum (no torn partial-transaction read)."""
+    root = str(tmp_path)
+    facts = os.path.join(root, "facts")
+    audit = os.path.join(root, "audit")
+    errs = []
+
+    def run(vals):
+        try:
+            cat.txn(root, [("facts", _tbl(vals), facts),
+                           ("audit", _tbl([len(vals)]), audit)])
+        except Exception as e:        # noqa: BLE001
+            errs.append(e)
+
+    payloads = [[1], [2, 3], [4, 5, 6], [7, 8, 9, 10]]
+    threads = [threading.Thread(target=run, args=(p,))
+               for p in payloads]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    head = cat.catalog_snapshot(root)
+    assert head["version"] == len(payloads) - 1
+    for v in range(head["version"] + 1):
+        nf = len(cat.read_catalog_table(root, "facts", v).take_all())
+        na = sum(r["x"] for r in
+                 cat.read_catalog_table(root, "audit", v).take_all())
+        assert nf == na, (v, nf, na)
+    got = sorted(r["x"] for r in
+                 cat.read_catalog_table(root, "facts").take_all())
+    assert got == sorted(x for p in payloads for x in p)
+
+
+def test_opposite_order_multi_table_txns_both_land(ray_session,
+                                                   tmp_path):
+    """Two txns listing the same two tables in OPPOSITE orders (A: t
+    then u; B: u then t) — the historical livelock interleaving: sorted
+    lock acquisition means both land with zero errors and every version
+    is consistent (t-count == u-sum)."""
+    root = str(tmp_path)
+    t_dir = os.path.join(root, "t")
+    u_dir = os.path.join(root, "u")
+    errs = []
+
+    def run(order, vals):
+        w = [("t", _tbl(vals), t_dir),
+             ("u", _tbl([len(vals)]), u_dir)]
+        if order == "reversed":
+            w = w[::-1]
+        try:
+            cat.txn(root, w)
+        except Exception as e:        # noqa: BLE001
+            errs.append(e)
+
+    t1 = threading.Thread(target=run, args=("forward", [1, 2]))
+    t2 = threading.Thread(target=run, args=("reversed", [3, 4, 5]))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs, errs
+    head = cat.catalog_snapshot(root)
+    assert head["version"] == 1
+    for v in range(head["version"] + 1):
+        nt = len(cat.read_catalog_table(root, "t", v).take_all())
+        nu = sum(r["x"] for r in
+                 cat.read_catalog_table(root, "u", v).take_all())
+        assert nt == nu, (v, nt, nu)
+
+
+def test_adopt_race_repins_on_head(ray_session, tmp_path,
+                                   monkeypatch):
+    """If the head advances PAST a txn's own appends between its append
+    and its catalog commit (an adopt_table operator-repair race), the
+    txn re-pins on the head — cumulative table-log versions mean its
+    rows are already covered — instead of burning retries into a
+    RuntimeError. Deterministic: the race is injected right after the
+    txn's append via a patched table_log.append."""
+    root = str(tmp_path)
+    a = os.path.join(root, "a")
+    b = os.path.join(root, "b")
+    cat.txn(root, [("a", _tbl([1]), a)])
+    real_append = tl.append
+
+    def racing_append(ds, tdir, **kw):
+        v = real_append(ds, tdir, **kw)
+        if os.path.abspath(tdir) == os.path.abspath(a) and v == 1:
+            # between the txn's append (v=1) and its commit, a foreign
+            # writer appends and an operator adopts the head past us
+            real_append(_tbl([99]), a)
+            cat.adopt_table(root, "a", a)
+        return v
+
+    monkeypatch.setattr(tl, "append", racing_append)
+    v = cat.txn(root, [("a", _tbl([2]), a), ("b", _tbl([7]), b)])
+    # the commit landed (no RuntimeError), pinned on the adopted head
+    snap = cat.catalog_snapshot(root, v)
+    assert snap["tables"]["a"]["version"] == 2
+    got = sorted(r["x"] for r in
+                 cat.read_catalog_table(root, "a", v).take_all())
+    assert got == [1, 2, 99]          # our rows covered by the head pin
+    gb = [r["x"] for r in cat.read_catalog_table(root, "b", v).take_all()]
+    assert gb == [7]

@@ -402,3 +402,61 @@ def test_image_corpus_stats_known_answer(ray_session):
     assert r["n_decoded"] == want_jpeg + want_bmp
     assert r["n_malformed"] == want_junk
     assert r["px_area"] == (want_jpeg + want_bmp) * 24 * 16
+
+
+def test_jpeg_truncated_and_corrupt_raise_value_error():
+    """Corrupt payloads that START with a valid SOI must still raise
+    ValueError (never struct.error / IndexError / KeyError) so the
+    actor-pool fail-soft path catches them — ADVICE round-4 finding."""
+    import numpy as np
+    import pytest as _pytest
+    from raydoc.kernels.jpeg import decode_jpeg, encode_jpeg, jpeg_dims
+
+    good = encode_jpeg(np.full((16, 16), 90, np.uint8), quality=85)
+    cases = {
+        # truncated mid-SOF header (struct.error class)
+        "trunc_header": good[: good.find(b"\xff\xc0") + 4],
+        # truncated entropy stream (tolerant zero-pad decode is legal;
+        # a struct/Index crash is not)
+        "trunc_entropy": good[:-3],
+        # DHT segment removed entirely (KeyError class in decode)
+        "no_dht": good[: good.find(b"\xff\xc4")]
+        + good[good.find(b"\xff\xda"):],
+        # SOS names a component id the SOF never declared
+        "bad_sos_comp": good.replace(b"\xff\xda", b"\xff\xda", 1),
+    }
+    i = cases["bad_sos_comp"].find(b"\xff\xda")
+    b = bytearray(cases["bad_sos_comp"])
+    b[i + 5] = 9                      # scan component id 9 (undeclared)
+    cases["bad_sos_comp"] = bytes(b)
+
+    for name, payload in cases.items():
+        try:
+            decode_jpeg(payload)      # tolerant decode is acceptable …
+        except (ValueError, NotImplementedError):
+            pass                      # … and so is a catchable reject
+        # anything else (struct.error/IndexError/KeyError) propagates
+        # and fails the test
+    for name in ("trunc_header", "no_dht", "bad_sos_comp"):
+        with _pytest.raises((ValueError, NotImplementedError)):
+            decode_jpeg(cases[name])
+
+    with _pytest.raises(ValueError):
+        jpeg_dims(good[:5])           # SOI + half a marker
+
+
+def test_jpeg_fill_bytes_before_markers_accepted():
+    """Spec-legal 0xFF fill/padding bytes before a marker must be
+    skipped, not parsed as a marker code — real-world JFIFs pad."""
+    import numpy as np
+    from raydoc.kernels.jpeg import decode_jpeg, encode_jpeg, jpeg_dims
+
+    img = np.full((16, 24), 77, np.uint8)
+    good = encode_jpeg(img, quality=85)
+    # insert fill bytes before the SOF and the SOS markers
+    padded = good.replace(b"\xff\xc0", b"\xff\xff\xff\xc0", 1)
+    padded = padded.replace(b"\xff\xda", b"\xff\xff\xff\xff\xda", 1)
+    assert jpeg_dims(padded) == (24, 16)
+    out = decode_jpeg(padded)
+    assert out.shape == (16, 24, 3)
+    assert int(abs(out.astype(int) - 77).max()) == 0

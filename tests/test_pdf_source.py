@@ -65,3 +65,52 @@ def test_folder_of_pdfs_flows_through_extract_dataset(ray_session,
     residue = [l for l in by_conv["scanned"]["extracted_text"].splitlines()
                if l.strip() and not l.strip().startswith("<!--")]
     assert residue == []
+
+
+def test_raw_stream_with_zlib_looking_prefix_not_inflated():
+    """A declared-raw (no /Filter) content stream whose bytes happen to
+    start with a valid zlib header (0x78 …) must be used verbatim, not
+    silently inflated into garbage — ADVICE round-4 finding."""
+    import zlib
+
+    from raydoc.sources.pdf import pdf_extract_text
+
+    # craft a raw content stream beginning with 0x78 0x9C that IS valid
+    # zlib data for some unrelated bytes, followed by the real text ops
+    decoy = zlib.compress(b"decoy-not-the-text")
+    assert decoy[:1] == b"\x78"
+    ops = b"BT (kept raw) Tj ET"
+    body = decoy + b"\n" + ops
+    pdf = (b"%PDF-1.4\n"
+           b"1 0 obj << /Length " + str(len(body)).encode()
+           + b" >>\nstream\n" + body + b"\nendstream\nendobj\n"
+           b"%%EOF\n")
+    # zlib.decompress(body) succeeds on the decoy prefix (garbage
+    # result); the declared-filter path must keep the raw bytes
+    assert "kept raw" in pdf_extract_text(pdf)
+
+
+def test_declared_flate_stream_still_inflates():
+    """Round-trip guard for the declared-filter path: FlateDecode
+    streams written by make_simple_pdf keep extracting."""
+    from raydoc.sources.pdf import make_simple_pdf, pdf_extract_text
+
+    pdf = make_simple_pdf(["Hello compressed world"], compress=True)
+    assert "Hello compressed world" in pdf_extract_text(pdf)
+    pdf_raw = make_simple_pdf(["Hello raw world"], compress=False)
+    assert "Hello raw world" in pdf_extract_text(pdf_raw)
+
+
+def test_nested_dict_stream_filter_resolution():
+    """/DecodeParms nested dicts must not confuse the backward dict
+    scan: the OUTER dictionary's /Filter decides."""
+    import zlib
+
+    from raydoc.sources.pdf import pdf_extract_text
+
+    body = zlib.compress(b"BT (nested ok) Tj ET")
+    pdf = (b"%PDF-1.4\n"
+           b"1 0 obj << /Filter /FlateDecode /DecodeParms << /X 1 >> "
+           b"/Length " + str(len(body)).encode()
+           + b" >>\nstream\n" + body + b"\nendstream\nendobj\n%%EOF\n")
+    assert "nested ok" in pdf_extract_text(pdf)
