@@ -263,15 +263,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return {
         # --- the extraction engine itself (the flagship) ---
+        # each rows-only flagship follows its hash-green oracle twin so
+        # a budget-limited driver reads the green evidence FIRST (the
+        # checksum twin re-runs the full extraction and folds written
+        # partitions to exact checksums)
+        "extract_turns_checksum": _extract_turns_checksum,
         "extract_turns": _extract_turns,
         "extract_turns_aligned": _extract_turns_aligned,
-        "extract_turns_checksum": _extract_turns_checksum,
         "normalize_markdown": _normalize_documents,
         # --- multimodal plumbing ---
         "media_meta": multimodal.document_media_meta,
-        # --- sketches (cardinality) ---
-        "cms_user_counts": sketches.cms_user_counts,
+        # --- sketches (cardinality; error_report is the oracle twin of
+        # the rows-only cms_user_counts and precedes it) ---
         "cms_error_report": sketches.cms_error_report,
+        "cms_user_counts": sketches.cms_user_counts,
         "distinct_users": sketches.distinct_users_exact,
         "distinct_users_by_type": sketches.distinct_users_by_type,
         "heavy_hitter_users": sketches.heavy_hitter_users,
@@ -3982,6 +3987,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                    sha256(text) AS sha256
             FROM documents ORDER BY doc_id""",
+        # twin of multimodal.image_corpus_stats: the synthetic corpus is
+        # deterministic (doc_id % 4 cycles JPEG/BMP/PNG/junk, every
+        # decodable image exactly 24x16), so the audit's exact counters
+        # are SQL over doc_id — a codec that misreads dims or rejects a
+        # decodable payload breaks the hash
+        "image_corpus_stats": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_media,
+                   CAST(SUM(CASE WHEN doc_id % 4 IN (0, 1, 2)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_decoded,
+                   CAST(SUM(CASE WHEN doc_id % 4 = 3
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_malformed,
+                   CAST(SUM(CASE WHEN doc_id % 4 = 0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_jpeg,
+                   CAST(SUM(CASE WHEN doc_id % 4 = 2
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_png,
+                   CAST(SUM(CASE WHEN doc_id % 4 IN (0, 1, 2)
+                            THEN 24 * 16 ELSE 0 END) AS BIGINT)
+                       AS px_area
+            FROM documents""",
         "minhash_clusters": _minhash_oracle(),
         # the dedup'd corpus twin: one row per component root (= kept
         # doc), component size as n_dups — same generated LSH CTE chain

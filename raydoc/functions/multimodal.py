@@ -6,15 +6,18 @@ Codec support is tiered by what this container can honestly do:
 - **REAL, dependency-free codecs**: baseline JPEG — the dominant image
   format of a 100-TB web corpus — (``kernels/jpeg.py``: full
   entropy+IDCT decode of arbitrary baseline JFIF with stream-carried
-  tables, any subsampling, restart markers; encode for re-emit),
-  uncompressed 24-bit BMP (struct + numpy: decode + nearest-neighbor
-  resize re-emitting valid BMP bytes), PCM WAV (stdlib ``wave``: decode
-  + channel downmix) and Y4M/YUV4MPEG2 video (text stream header +
-  ``FRAME``-delimited raw planar YUV demux, frame size derived from
-  W/H/colorspace). These paths are fully functional, not stubs.
+  tables, any subsampling, restart markers; encode for re-emit), PNG
+  (``kernels/png.py``: stdlib zlib + all five scanline filters, all
+  color types incl. palette/tRNS, bit depths 1-16; lossless encode for
+  re-emit), uncompressed 24-bit BMP (struct + numpy: decode +
+  nearest-neighbor resize re-emitting valid BMP bytes), PCM WAV
+  (stdlib ``wave``: decode + channel downmix) and Y4M/YUV4MPEG2 video
+  (text stream header + ``FRAME``-delimited raw planar YUV demux,
+  frame size derived from W/H/colorspace). These paths are fully
+  functional, not stubs.
 - **Deterministic test formats** (``RAWDIM:``/``RAWVID:``/``RAWPCM:``)
   keep the plumbing exercisable with arbitrary dims in tests.
-- **Everything else** (PNG/progressive JPEG/MP4/MP3…) raises
+- **Everything else** (progressive JPEG/Adam7 PNG/MP4/MP3…) raises
   ``NotImplementedError`` exactly like a missing codec library would;
   swapping in PIL/ffmpeg later only changes the kernel body, not the
   Ray plumbing — binary column schema, small batch sizes for wide rows,
@@ -84,7 +87,8 @@ def decode_image(payload: bytes) -> tuple[int, int]:
     """(width, height) of an image payload.
 
     REAL decode for baseline JPEG (header scan; full pixel decode lives
-    in ``kernels/jpeg.py``) and uncompressed BMP (pure struct); the
+    in ``kernels/jpeg.py``), PNG (IHDR scan; pixels in
+    ``kernels/png.py``) and uncompressed BMP (pure struct); the
     deterministic test header ``RAWDIM:<w>x<h>;`` also resolves; any
     other format raises NotImplementedError exactly like a missing
     codec would."""
@@ -99,6 +103,9 @@ def decode_image(payload: bytes) -> tuple[int, int]:
     if head.startswith(b"\xff\xd8"):
         from raydoc.kernels.jpeg import jpeg_dims
         return jpeg_dims(payload)
+    if head.startswith(b"\x89PNG\r\n\x1a\n"):
+        from raydoc.kernels.png import png_dims
+        return png_dims(payload)
     raise NotImplementedError("image codec not available in this build")
 
 
@@ -181,25 +188,27 @@ def resize_image(payload: bytes, max_side: int) -> tuple[bytes, int, int]:
     """Aspect-preserving downscale to ``max_side``.
 
     REAL nearest-neighbor resize for baseline JPEG (full decode →
-    resample → re-encode, emitting valid JPEG bytes) and 24-bit BMP
-    (numpy index math, re-emitting valid BMP bytes); the ``RAWDIM:``
-    test format rescales its header; other formats raise like a missing
-    codec would."""
+    resample → re-encode, emitting valid JPEG bytes), PNG (lossless
+    re-emit via ``kernels/png.py``) and 24-bit BMP (numpy index math,
+    re-emitting valid BMP bytes); the ``RAWDIM:`` test format rescales
+    its header; other formats raise like a missing codec would."""
     import numpy as np
     w, h = decode_image(payload)   # raises NotImplementedError for real bytes
     scale = min(1.0, max_side / max(w, h))
     nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+    ys = (np.arange(nh) * (h / nh)).astype(np.int64)
+    xs = (np.arange(nw) * (w / nw)).astype(np.int64)
     if payload[:2] == b"BM":
         px = bmp_pixels(payload)
-        ys = (np.arange(nh) * (h / nh)).astype(np.int64)
-        xs = (np.arange(nw) * (w / nw)).astype(np.int64)
         return make_bmp(px[ys][:, xs]), nw, nh
     if payload[:2] == b"\xff\xd8":
         from raydoc.kernels.jpeg import decode_jpeg, encode_jpeg
         px = decode_jpeg(payload)                 # (h, w, 3) RGB
-        ys = (np.arange(nh) * (h / nh)).astype(np.int64)
-        xs = (np.arange(nw) * (w / nw)).astype(np.int64)
         return encode_jpeg(px[ys][:, xs], quality=85), nw, nh
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from raydoc.kernels.png import decode_png, encode_png
+        px = decode_png(payload)                  # (h, w, 3|4)
+        return encode_png(px[ys][:, xs]), nw, nh
     rest = payload[payload.index(b";") + 1:]
     return b"RAWDIM:%dx%d;" % (nw, nh) + rest, nw, nh
 
@@ -506,10 +515,19 @@ def ahash64(payload: bytes, grid: int = 8) -> int:
     """Average-hash (aHash) of a decodable image: grayscale → grid×grid
     mean-pool → bit = tile mean > global mean → 64-bit fingerprint.
     The standard perceptual-dedup primitive: near-identical images give
-    near-identical bits, so hamming distance ≈ visual difference."""
+    near-identical bits, so hamming distance ≈ visual difference.
+    Decodes BMP, baseline JPEG, and PNG (channel order is irrelevant
+    to the channel mean)."""
     import numpy as np
 
-    px = bmp_pixels(payload)
+    if payload[:2] == b"\xff\xd8":
+        from raydoc.kernels.jpeg import decode_jpeg
+        px = decode_jpeg(payload)
+    elif payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from raydoc.kernels.png import decode_png
+        px = decode_png(payload)[:, :, :3]
+    else:
+        px = bmp_pixels(payload)
     gray = px.astype(np.float64).mean(axis=2)
     h, w = gray.shape
     if h % grid or w % grid:
@@ -741,32 +759,38 @@ def audio_corpus_stats(sf_dir: str) -> pa.Table:
 
 
 def make_test_image(doc_id: int) -> bytes:
-    """Deterministic per-document image payload cycling the three image
-    shapes the corpus audit must handle: JPEG (doc_id % 3 == 0 — drives
-    the real baseline codec), BMP (% 3 == 1), undecodable junk
-    (% 3 == 2). Pixel content derives from md5(doc_id) so reruns are
-    byte-stable."""
+    """Deterministic per-document image payload cycling the four image
+    shapes the corpus audit must handle: JPEG (doc_id % 4 == 0 — drives
+    the real baseline codec), BMP (% 4 == 1), PNG (% 4 == 2 — the real
+    zlib+filters codec), undecodable junk (% 4 == 3). Pixel content
+    derives from md5(doc_id) so reruns are byte-stable; every decodable
+    image is 24×16 so the audit's pixel-area counter is an exact SQL
+    twin."""
     import numpy as np
 
     seed = hashlib.md5(f"img:{doc_id}".encode()).digest()
     rng = np.frombuffer((seed * 72)[: 16 * 24 * 3], np.uint8)
-    if doc_id % 3 == 0:
+    if doc_id % 4 == 0:
         from raydoc.kernels.jpeg import encode_jpeg
         px = rng.reshape(16, 24, 3)
         return encode_jpeg(px, quality=85)
-    if doc_id % 3 == 1:
+    if doc_id % 4 == 1:
         return make_bmp(rng.reshape(16, 24, 3))
+    if doc_id % 4 == 2:
+        from raydoc.kernels.png import encode_png
+        return encode_png(rng.reshape(16, 24, 3).copy())
     return b"\x89GARBAGE" + seed
 
 
 def image_corpus_stats(sf_dir: str) -> pa.Table:
     """One-row image-corpus audit: deterministic per-document payloads
-    (JPEG via the real dependency-free codec / BMP / junk) stream
-    through the MediaMetaActor pool and fold to exact integer counters:
-    media count, decoded, malformed, JPEG-decoded, and total decoded
-    pixel area. Rows-only evidence that compressed-image decode is live
-    in the driver surface; the codec itself is pinned by
-    tests/test_multimodal_codecs.py."""
+    (JPEG and PNG via the real dependency-free codecs / BMP / junk)
+    stream through the MediaMetaActor pool and fold to exact integer
+    counters: media count, decoded, malformed, JPEG-decoded,
+    PNG-decoded, and total decoded pixel area. Every counter is an
+    exact int over the deterministic 24×16 corpus, so the driver's
+    oracle twin is plain SQL over documents.doc_id — a codec that
+    misreads dims or fails a decodable payload breaks the hash."""
     import numpy as np
     import pyarrow.compute as pc
 
@@ -782,14 +806,13 @@ def image_corpus_stats(sf_dir: str) -> pa.Table:
                              "payload": pa.array([], pa.binary()),
                              "mime": pa.array([], pa.string())})
         ids = t.column("doc_id").to_pylist()
+        mimes = {0: "image/jpeg", 1: "image/bmp", 2: "image/png",
+                 3: "application/octet-stream"}
         return pa.table({
             "media_id": pa.array(ids, pa.int64()),
             "payload": pa.array([make_test_image(i) for i in ids],
                                 pa.binary()),
-            "mime": pa.array(
-                ["image/jpeg" if i % 3 == 0 else
-                 "image/bmp" if i % 3 == 1 else
-                 "application/octet-stream" for i in ids], pa.string())})
+            "mime": pa.array([mimes[i % 4] for i in ids], pa.string())})
 
     meta = media_pipeline(ds.map_batches(synth, batch_format="pyarrow"),
                           batch_size=64)
@@ -798,24 +821,28 @@ def image_corpus_stats(sf_dir: str) -> pa.Table:
         z = pa.array([], pa.int64())
         if t.num_rows == 0 or "decoded" not in t.schema.names:
             return pa.table({"k": z, "n_media": z, "n_decoded": z,
-                             "n_malformed": z, "n_jpeg": z, "px_area": z})
+                             "n_malformed": z, "n_jpeg": z, "n_png": z,
+                             "px_area": z})
         dec = t.column("decoded").to_numpy(zero_copy_only=False)
         ids = t.column("media_id").to_numpy(zero_copy_only=False)
         w = np.nan_to_num(t.column("width").to_numpy(
             zero_copy_only=False).astype(np.float64)).astype(np.int64)
         h = np.nan_to_num(t.column("height").to_numpy(
             zero_copy_only=False).astype(np.float64)).astype(np.int64)
-        jpeg = dec & (ids % 3 == 0)
+        jpeg = dec & (ids % 4 == 0)
+        png = dec & (ids % 4 == 2)
         return pa.table({
             "k": pa.array([0], pa.int64()),
             "n_media": pa.array([t.num_rows], pa.int64()),
             "n_decoded": pa.array([int(dec.sum())], pa.int64()),
             "n_malformed": pa.array([int((~dec).sum())], pa.int64()),
             "n_jpeg": pa.array([int(jpeg.sum())], pa.int64()),
+            "n_png": pa.array([int(png.sum())], pa.int64()),
             "px_area": pa.array([int((w[dec] * h[dec]).sum())],
                                 pa.int64())})
 
-    cols = ("n_media", "n_decoded", "n_malformed", "n_jpeg", "px_area")
+    cols = ("n_media", "n_decoded", "n_malformed", "n_jpeg", "n_png",
+            "px_area")
     g = collect_table(partial_groupby(
         meta.map_batches(fold, batch_format="pyarrow"), ["k"],
         {c: (c, "sum") for c in cols}))

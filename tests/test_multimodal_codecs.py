@@ -386,22 +386,26 @@ def test_media_meta_and_resize_decode_jpeg(ray_session):
 
 def test_image_corpus_stats_known_answer(ray_session):
     """Deterministic synthesis → exact expected counters: ids cycle
-    JPEG / BMP / junk by doc_id % 3; every decodable image is 24×16."""
+    JPEG / BMP / PNG / junk by doc_id % 4; every decodable image is
+    24×16."""
     import pyarrow.parquet as pq
     from raydoc.functions.multimodal import image_corpus_stats
 
     sf = "/root/testdata/sf0.001"
     ids = pq.read_table(f"{sf}/documents.parquet",
                         columns=["doc_id"])["doc_id"].to_pylist()
-    want_jpeg = sum(1 for i in ids if i % 3 == 0)
-    want_bmp = sum(1 for i in ids if i % 3 == 1)
-    want_junk = len(ids) - want_jpeg - want_bmp
+    want_jpeg = sum(1 for i in ids if i % 4 == 0)
+    want_bmp = sum(1 for i in ids if i % 4 == 1)
+    want_png = sum(1 for i in ids if i % 4 == 2)
+    want_dec = want_jpeg + want_bmp + want_png
+    want_junk = len(ids) - want_dec
     r = image_corpus_stats(sf).to_pylist()[0]
     assert r["n_media"] == len(ids)
     assert r["n_jpeg"] == want_jpeg
-    assert r["n_decoded"] == want_jpeg + want_bmp
+    assert r["n_png"] == want_png
+    assert r["n_decoded"] == want_dec
     assert r["n_malformed"] == want_junk
-    assert r["px_area"] == (want_jpeg + want_bmp) * 24 * 16
+    assert r["px_area"] == want_dec * 24 * 16
 
 
 def test_jpeg_truncated_and_corrupt_raise_value_error():
@@ -460,3 +464,189 @@ def test_jpeg_fill_bytes_before_markers_accepted():
     out = decode_jpeg(padded)
     assert out.shape == (16, 24, 3)
     assert int(abs(out.astype(int) - 77).max()) == 0
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+    return (struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+
+def test_png_roundtrip_bit_exact():
+    """PNG is lossless: decode ∘ encode must be bit-exact for gray,
+    RGB, and RGBA."""
+    import numpy as np
+    from raydoc.kernels.png import decode_png, encode_png, png_dims
+
+    rng = np.random.RandomState(0)
+    for shape in [(16, 24), (16, 24, 3), (16, 24, 4)]:
+        img = rng.randint(0, 256, shape, dtype=np.uint8)
+        b = encode_png(img)
+        assert b[:8] == b"\x89PNG\r\n\x1a\n"
+        assert png_dims(b) == (24, 16)
+        out = decode_png(b)
+        want = np.stack([img] * 3, 2) if img.ndim == 2 else img
+        assert (out == want).all()
+
+
+def test_png_all_five_filters_decode():
+    """Decoder-only vectors: the same gradient image filtered with each
+    of the five scanline filters (built here from the spec's forward
+    definitions) must decode identically."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from raydoc.kernels.png import decode_png
+
+    w = h = 8
+    img = (np.arange(h)[:, None] * 7
+           + np.arange(w)[None, :] * 3).astype(np.uint8)
+    for f in range(5):
+        raw = bytearray()
+        prev = np.zeros(w, np.int64)
+        for y in range(h):
+            row = img[y].astype(np.int64)
+            filt = row.copy()
+            if f == 1:
+                filt[1:] = (row[1:] - row[:-1]) & 0xFF
+            elif f == 2:
+                filt = (row - prev) & 0xFF
+            elif f == 3:
+                for x in range(w):
+                    left = row[x - 1] if x else 0
+                    filt[x] = (row[x] - ((left + prev[x]) >> 1)) & 0xFF
+            elif f == 4:
+                for x in range(w):
+                    a = row[x - 1] if x else 0
+                    b_ = prev[x]
+                    c = prev[x - 1] if x else 0
+                    p = a + b_ - c
+                    pa_, pb, pc_ = abs(p - a), abs(p - b_), abs(p - c)
+                    pred = (a if pa_ <= pb and pa_ <= pc_
+                            else b_ if pb <= pc_ else c)
+                    filt[x] = (row[x] - pred) & 0xFF
+            raw.append(f)
+            raw += bytes(filt.astype(np.uint8))
+            prev = row
+        payload = (b"\x89PNG\r\n\x1a\n"
+                   + _png_chunk(b"IHDR", struct.pack(
+                       ">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+                   + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+                   + _png_chunk(b"IEND", b""))
+        out = decode_png(payload)
+        assert (out[:, :, 0] == img).all(), f"filter {f} mismatch"
+
+
+def test_png_palette_trns_and_subbyte_depths():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from raydoc.kernels.png import decode_png
+
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [9, 9, 9]],
+                   np.uint8)
+    idx = np.array([[0, 1], [2, 3]], np.uint8)
+    raw = b"".join(bytes([0]) + bytes(idx[y]) for y in range(2))
+    payload = (b"\x89PNG\r\n\x1a\n"
+               + _png_chunk(b"IHDR", struct.pack(
+                   ">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+               + _png_chunk(b"PLTE", pal.tobytes())
+               + _png_chunk(b"tRNS", bytes([128]))
+               + _png_chunk(b"IDAT", zlib.compress(raw))
+               + _png_chunk(b"IEND", b""))
+    out = decode_png(payload)
+    assert out.shape == (2, 2, 4)
+    assert (out[0, 0] == [255, 0, 0, 128]).all()
+    assert (out[1, 1] == [9, 9, 9, 255]).all()
+
+    for depth in (1, 2, 4):            # sub-byte grayscale scales to 255
+        w = 8
+        maxv = (1 << depth) - 1
+        vals = (np.arange(w) % (maxv + 1)).astype(np.uint8)
+        packed = np.packbits(np.unpackbits(
+            vals.reshape(-1, 1), axis=1, count=8)[:, 8 - depth:]
+            .reshape(-1))
+        raw = bytes([0]) + packed.tobytes()
+        payload = (b"\x89PNG\r\n\x1a\n"
+                   + _png_chunk(b"IHDR", struct.pack(
+                       ">IIBBBBB", w, 1, depth, 0, 0, 0, 0))
+                   + _png_chunk(b"IDAT", zlib.compress(raw))
+                   + _png_chunk(b"IEND", b""))
+        out = decode_png(payload)
+        assert (out[0, :, 0]
+                == vals.astype(np.int64) * (255 // maxv)).all()
+
+
+def test_png_corrupt_raises_value_error_and_adam7_raises():
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from raydoc.kernels.png import decode_png, png_dims
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    for bad in (b"notapng", sig + b"XX",
+                sig + _png_chunk(b"IHDR", b"\x00"), sig[:4]):
+        with _pytest.raises(ValueError):
+            decode_png(bad)
+        with _pytest.raises(ValueError):
+            png_dims(bad)
+    adam7 = (sig + _png_chunk(b"IHDR", struct.pack(
+        ">IIBBBBB", 2, 2, 8, 0, 0, 0, 1))
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+        + _png_chunk(b"IEND", b""))
+    with _pytest.raises(NotImplementedError):
+        decode_png(adam7)
+
+
+def test_media_meta_and_resize_decode_png(ray_session):
+    """The actor-pool stages treat PNG as a first-class decodable
+    payload: dims from the IHDR scan, resize re-emits valid PNG —
+    and losslessly (exact nearest-neighbor pixels survive)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raydoc.functions.multimodal import (MediaResizeActor,
+                                             media_pipeline)
+    from raydoc.kernels.png import decode_png, encode_png, png_dims
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (64, 96, 3), np.uint8)
+    payload = encode_png(img)
+    ds = rd.from_items([{"media_id": 1, "payload": payload,
+                         "mime": "image/png"}])
+    meta = media_pipeline(ds).take_all()[0]
+    assert (meta["decoded"], meta["width"], meta["height"]) \
+        == (True, 96, 64)
+
+    resized = MediaResizeActor(max_side=48)(
+        pa.table({"media_id": [1], "payload": [payload]}))
+    row = resized.to_pylist()[0]
+    assert row["resized"] and row["width"] == 48 and row["height"] == 32
+    assert png_dims(row["payload"]) == (48, 32)
+    out = decode_png(row["payload"])
+    ys = (np.arange(32) * 2).astype(np.int64)
+    xs = (np.arange(48) * 2).astype(np.int64)
+    assert (out == img[ys][:, xs]).all()     # lossless resize re-emit
+
+
+def test_ahash64_decodes_jpeg_and_png():
+    """The perceptual hash accepts every real codec; a PNG and BMP of
+    the SAME pixels give the SAME hash (lossless paths agree)."""
+    import numpy as np
+
+    from raydoc.functions.multimodal import ahash64, make_bmp
+    from raydoc.kernels.png import encode_png
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (32, 32, 3), np.uint8)
+    h_png = ahash64(encode_png(img))
+    h_bmp = ahash64(make_bmp(img))       # BGR vs RGB: mean over
+    assert h_png == h_bmp                # channels is order-invariant
