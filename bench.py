@@ -406,6 +406,8 @@ def run_headline(transcripts_dir: str, out_dir: str,
         overrides["extract_concurrency"] = int(os.environ["RAYDOC_EXTRACT_CONCURRENCY"])
     if os.environ.get("RAYDOC_OUTPUT_PARTITIONS"):
         overrides["num_output_partitions"] = int(os.environ["RAYDOC_OUTPUT_PARTITIONS"])
+    if os.environ.get("RAYDOC_EXCHANGE"):
+        overrides["exchange"] = os.environ["RAYDOC_EXCHANGE"]
     cfg = replace(DEFAULT_CONFIG, **overrides)
     shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.perf_counter()

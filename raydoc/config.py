@@ -83,6 +83,30 @@ class PipelineConfig:
     # actor pipeline (no conv_id exchange); when False the general
     # groupby(shuffle_key) path runs. See stages/extract.py FusedFileActor.
     assume_conv_aligned: bool = False
+    # General-path exchange strategy. "sort": Ray's pull-based sort shuffle
+    # (groupby(shuffle_key) — no extra moving parts, but its fixed
+    # sample/sort barrier term caps measured scaling efficiency at ~0.6).
+    # "bucketed": two-stage disk-backed hash exchange — stage 1 streams
+    # extractor output into per-bucket Arrow IPC fragments (O(1) per
+    # batch, no sampling, no sort, no long-lived reducer actors so no
+    # HASH_SHUFFLE/actor-pool deadlock), stage 2 processes each bucket as
+    # an independent task. On a multi-node cluster the spill root must be
+    # shared storage (object store / NFS) — the standard external-shuffle
+    # topology (map writes bucket files, reduce reads them), which also
+    # makes the exchange itself resumable.
+    exchange: str = "sort"
+    # bucketed-exchange buckets = num_output_partitions × spill_fineness
+    # (a multiple of the partition count keeps bucket → part consistent);
+    # fine enough for reduce-side work stealing, coarse enough to bound
+    # fragment counts.
+    spill_fineness: int = 2
+    # stage-1 spill batch size: larger batches → fewer, larger fragments
+    # (fragment count ≈ rows/spill_batch_rows × buckets-touched-per-batch)
+    # but ALSO cap spill-stage parallelism at rows/spill_batch_rows tasks —
+    # 32768 measured as a 4-wide bottleneck at 16 CPUs on the 120k-turn
+    # scaling corpus (stage-1 efficiency 0.54); 8192 keeps ~15 concurrent
+    # spill tasks with a bounded ~1k-fragment exchange
+    spill_batch_rows: int = 2048
     include_doc_markdown: bool = False   # carry full doc markdown on turn 0 rows
     # Skew guard (SURVEY.md §7.4.5): the document stage co-locates a whole
     # conversation, assuming turns/conv ≪ block size. A pathological

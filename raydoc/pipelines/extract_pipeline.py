@@ -87,7 +87,13 @@ def read_transcripts(path: str) -> rd.Dataset:
         return _read_pdf_dir(path)
     if fmt == "textdir":
         return _read_text_dir(path)
-    return rd.read_parquet(path, columns=TRANSCRIPT_COLUMNS)
+    # read tasks at half a CPU: parquet shard reads are IO-bound, and a
+    # full-CPU read task can only run in the 2 slots the extract actor
+    # pool leaves free — measured as the stage-1 critical path at 16
+    # CPUs (actors 69% idle waiting on input). Half-CPU reads interleave
+    # with the pool instead of queueing behind it.
+    return rd.read_parquet(path, columns=TRANSCRIPT_COLUMNS,
+                           ray_remote_args={"num_cpus": 0.5})
 
 
 _FEATHER_EXTS = {".feather", ".arrow", ".ipc"}
@@ -291,6 +297,148 @@ def build_extraction(ds: rd.Dataset,
     return out
 
 
+def build_extraction_bucketed(ds: rd.Dataset,
+                              cfg: PipelineConfig = DEFAULT_CONFIG,
+                              spill_root: str | None = None
+                              ) -> tuple[rd.Dataset, str]:
+    """General-path exchange WITHOUT the global sort barrier.
+
+    Stage 1 (eager): extractor actor pool → each output batch is
+    partitioned by ``shuffle_key % buckets`` with one stable argsort and
+    appended to its buckets as Arrow IPC fragments (atomic tmp+rename) —
+    a disk-backed hash exchange: O(1) per batch, no sampling pass, no
+    sort, and no long-lived reducer actors (the documented
+    HASH_SHUFFLE/actor-pool deadlock cannot occur). Stage 2 (lazy): one
+    independent task per non-empty bucket reads its fragments and runs
+    the document stage — conversations are co-located because the bucket
+    is a function of conv_id alone.
+
+    The only barrier is stage-1 completion (inherent to any hash
+    exchange); its fixed cost is directory setup, not a sample+sort of
+    the dataset — the term that pinned the sort path's measured scaling
+    at ~0.6 (BASELINE.md rounds 2-4). On a multi-node cluster
+    ``spill_root`` must be shared storage — the standard external-
+    shuffle topology (map tasks write bucket files, reduce tasks read
+    them), which additionally makes the exchange resumable at bucket
+    granularity.
+
+    Returns (dataset, spill_root); the caller owns spill cleanup after
+    consuming the dataset."""
+    import uuid
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    nb = cfg.num_output_partitions * max(1, cfg.spill_fineness)
+    if spill_root is None:
+        import tempfile
+        spill_root = os.path.join(
+            tempfile.gettempdir(),
+            f"raydoc_exchange_{uuid.uuid4().hex[:8]}")
+    for k in range(nb):
+        os.makedirs(os.path.join(spill_root, f"b{k:05d}"), exist_ok=True)
+
+    # stage 1 is ONE fused actor stage (extract + partition + fragment
+    # write in the same __call__, emitting only count rows): a separate
+    # spill operator would compete with the extract pool for CPU slots
+    # AND ship every heavy extracted block (pickled elements) through
+    # the object store — fusing removes both. spill_batch_rows sets the
+    # actor batch so each call writes few, reasonably-sized fragments.
+    extracted = ds.map_batches(
+        _SpillingExtractorActor,
+        fn_constructor_kwargs={"cfg": cfg, "spill": spill_root,
+                               "nb": nb},
+        batch_format="pyarrow",
+        batch_size=cfg.spill_batch_rows,
+        concurrency=cfg.extract_concurrency or _default_concurrency(),
+        num_cpus=1,
+    )
+    extracted.sum("rows")   # the exchange barrier: stage-1 completion
+
+    spill = spill_root
+    nonempty = [k for k in range(nb)
+                if os.listdir(os.path.join(spill, f"b{k:05d}"))]
+    if not nonempty:
+        empty = document_block_fn(_empty_extract_block(), cfg)
+        return rd.from_arrow(empty), spill_root
+
+    buckets = rd.from_items([{"bucket": k} for k in nonempty])
+
+    def process_bucket(t: pa.Table) -> pa.Table:
+        k = int(t.column("bucket")[0].as_py())
+        bdir = os.path.join(spill, f"b{k:05d}")
+        frags = sorted(os.path.join(bdir, f) for f in os.listdir(bdir)
+                       if f.endswith(".arrow"))
+        tbl = pa.concat_tables([ipc.open_file(f).read_all()
+                                for f in frags])
+        return document_block_fn(tbl, cfg)
+
+    out = buckets.map_batches(process_bucket, batch_format="pyarrow",
+                              batch_size=1, num_cpus=1)
+    return out, spill_root
+
+
+class _SpillingExtractorActor:
+    """Fused stage-1 worker for the bucketed exchange: runs the normal
+    ExtractorActor kernel on each batch, hash-partitions the result by
+    ``shuffle_key % nb`` with one stable argsort, and appends each run
+    to its bucket directory as an Arrow IPC fragment (atomic
+    tmp+rename). Emits only per-batch row counts — the heavy extracted
+    payload never enters the object store."""
+
+    def __init__(self, cfg: PipelineConfig, spill: str, nb: int) -> None:
+        self._inner = ExtractorActor(cfg=cfg)
+        self._spill = spill
+        self._nb = nb
+
+    def __call__(self, batch) -> "Any":
+        import uuid
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.ipc as ipc
+
+        t = self._inner(batch)
+        if t.num_rows == 0:
+            return pa.table({"rows": pa.array([0], pa.int64())})
+        keys = (t.column("shuffle_key").to_numpy(zero_copy_only=False)
+                .astype(np.int64) % self._nb)
+        order = np.argsort(keys, kind="stable")
+        by_key = t.take(pa.array(order))
+        ks = keys[order]
+        bounds = np.flatnonzero(np.diff(ks)) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(ks)]])
+        tag = uuid.uuid4().hex[:12]
+        for s, e in zip(starts, ends):
+            frag = by_key.slice(int(s), int(e - s))
+            path = os.path.join(self._spill, f"b{int(ks[s]):05d}",
+                                f"{tag}-{int(s)}.arrow")
+            tmp = path + ".tmp"
+            with pa.OSFile(tmp, "wb") as fh, \
+                    ipc.new_file(fh, frag.schema) as w:
+                w.write_table(frag)
+            os.replace(tmp, path)      # readers never see partial frags
+        return pa.table({"rows": pa.array([t.num_rows], pa.int64())})
+
+
+def _empty_extract_block() -> "Any":
+    """Zero-row block with the extractor output schema (for the 0-input
+    edge so the bucketed path still yields a correctly-typed dataset)."""
+    import pyarrow as pa
+    return pa.table({
+        "conv_id": pa.array([], pa.string()),
+        "turn_idx": pa.array([], pa.int32()),
+        "elements": pa.array([], pa.binary()),
+        "was_html": pa.array([], pa.bool_()),
+        "strip_ratio": pa.array([], pa.float32()),
+        "parse_failed": pa.array([], pa.bool_()),
+        "part": pa.array([], pa.int32()),
+        "shuffle_key": pa.array([], pa.int32()),
+    })
+
+
 def list_parquet_files(path: str) -> list[str]:
     if os.path.isfile(path):
         return [path]
@@ -334,6 +482,15 @@ def extract_dataset(path_or_ds, cfg: PipelineConfig = DEFAULT_CONFIG) -> rd.Data
     if isinstance(path_or_ds, str) and cfg.assume_conv_aligned:
         return build_extraction_aligned(path_or_ds, cfg)
     ds = read_transcripts(path_or_ds) if isinstance(path_or_ds, str) else path_or_ds
+    if cfg.exchange == "bucketed":
+        # eager stage-1 exchange; the spill tree lives until process exit
+        # (consumers may iterate the lazy stage-2 dataset any time) — the
+        # checkpointed job path (run_job) instead cleans up per wave
+        import atexit
+        import shutil as _sh
+        out, spill = build_extraction_bucketed(ds, cfg)
+        atexit.register(_sh.rmtree, spill, ignore_errors=True)
+        return out
     return build_extraction(ds, cfg)
 
 
@@ -445,13 +602,26 @@ def _run_partition_wave(input_path: str, out_dir: str, wave_parts: list[int],
             return t.filter(mask)
 
         ds = ds.map_batches(_only_wave, batch_format="pyarrow")
-    ds = build_extraction(ds, cfg)
-    ds.write_parquet(out_dir, partition_cols=["part"])
+    spill = None
+    try:
+        if cfg.exchange == "bucketed":
+            ds, spill = build_extraction_bucketed(ds, cfg)
+        else:
+            ds = build_extraction(ds, cfg)
+        ds.write_parquet(out_dir, partition_cols=["part"])
+    finally:
+        if spill is not None:
+            shutil.rmtree(spill, ignore_errors=True)
     wall = time.perf_counter() - t0
 
     # Per-partition metrics from the (small) written columns → manifests.
-    total_rows = 0
-    for part in wave_parts:
+    # Stamping reads 3 small columns per partition — IO-bound and
+    # independent per partition, so it runs in a thread pool instead of
+    # a serial driver loop (measured ~1-1.5 s serial at 32 partitions:
+    # a FIXED per-job term that dilutes scaling efficiency).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _stamp(part: int) -> int:
         pdir = mstate.partition_dir(out_dir, part)
         if not os.path.isdir(pdir):
             # a pending partition that got NO rows (no conversation hashes
@@ -467,11 +637,10 @@ def _run_partition_wave(input_path: str, out_dir: str, wave_parts: list[int],
                                            "mean_strip_ratio": 0.0,
                                            "wall_sec_job": round(wall, 3),
                                            "turns_per_sec_job": None})
-            continue
+            return 0
         t = pq.read_table(pdir, columns=["conv_id", "strip_ratio",
                                          "parse_failed"])
         rows = t.num_rows
-        total_rows += rows
         metrics = {
             "rows": rows,
             "conversations": len(pc.unique(t.column("conv_id"))),
@@ -484,7 +653,10 @@ def _run_partition_wave(input_path: str, out_dir: str, wave_parts: list[int],
         }
         mstate.write_manifest(out_dir, part, input_fingerprint=fingerprint,
                               config_hash=cfg_hash, metrics=metrics)
-    return total_rows
+        return rows
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        return sum(pool.map(_stamp, wave_parts))
 
 
 HISTORY_LIMIT = 10

@@ -543,3 +543,64 @@ def test_text_dir_source(ray_session, tmp_path):
         want = process_conversation(r["conv_id"], [0],
                                     [docs[r["conv_id"]]])
         assert r["extracted_text"] == want["turn_markdown"][0]
+
+
+def test_bucketed_exchange_equals_sort_path(ray_session,
+                                            transcripts_path):
+    """The disk-backed bucketed hash exchange (cfg.exchange="bucketed")
+    must produce byte-identical rows to the sort-shuffle general path —
+    same conversations co-located, same document-stage output."""
+    from dataclasses import replace
+
+    from raydoc.config import DEFAULT_CONFIG
+    from raydoc.pipelines.extract_pipeline import extract_dataset
+
+    general = extract_dataset(transcripts_path).take_all()
+    cfg = replace(DEFAULT_CONFIG, exchange="bucketed")
+    bucketed = extract_dataset(transcripts_path, cfg).take_all()
+
+    key = lambda r: (r["conv_id"], r["turn_idx"])  # noqa: E731
+    general.sort(key=key)
+    bucketed.sort(key=key)
+    assert len(general) == len(bucketed)
+    for g, b in zip(general, bucketed):
+        assert g["extracted_text"] == b["extracted_text"]
+        assert g["language"] == b["language"]
+        assert g["gate_passed"] == b["gate_passed"]
+        assert g["spans"] == b["spans"]
+        assert g["part"] == b["part"]
+
+
+def test_bucketed_exchange_run_job(ray_session, transcripts_path,
+                                   tmp_path):
+    """run_job with the bucketed exchange writes the same partitioned
+    output as the sort path and cleans its spill directory."""
+    import glob
+    import tempfile
+
+    from dataclasses import replace
+
+    from raydoc.config import DEFAULT_CONFIG
+    from raydoc.pipelines.extract_pipeline import run_job
+
+    out_sort = str(tmp_path / "sort")
+    out_bkt = str(tmp_path / "bucketed")
+    pre = set(glob.glob(os.path.join(tempfile.gettempdir(),
+                                     "raydoc_exchange_*")))
+    r1 = run_job(transcripts_path, out_sort, resume=False)
+    cfg = replace(DEFAULT_CONFIG, exchange="bucketed")
+    r2 = run_job(transcripts_path, out_bkt, cfg=cfg, resume=False)
+    assert r1["rows_written"] == r2["rows_written"] > 0
+
+    t1 = pq.read_table(out_sort).sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending")])
+    t2 = pq.read_table(out_bkt).sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending")])
+    assert t1.column("extracted_text").to_pylist() \
+        == t2.column("extracted_text").to_pylist()
+    assert t1.column("part").to_pylist() == t2.column("part").to_pylist()
+    # the wave runner removed the spill tree ITS job created (dirs from
+    # other tests' lazy extract_dataset calls are out of scope)
+    new_dirs = set(glob.glob(os.path.join(
+        tempfile.gettempdir(), "raydoc_exchange_*"))) - pre
+    assert new_dirs == set()
