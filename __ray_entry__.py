@@ -480,6 +480,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_schema_evolution": table_log.orders_schema_evolution,
         "orders_point_lookup": table_log.orders_point_lookup,
         "catalog_txn_snapshot": catalog.catalog_txn_snapshot,
+        "catalog_cdc_stream": catalog.catalog_cdc_stream,
         "events_matview": matview.events_matview,
         "benford_values": audit.benford_values,
         "cohen_kappa": audit.cohen_kappa,
@@ -4083,6 +4084,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROUND(o_totalprice*100) AS BIGINT) AS cents
             FROM orders WHERE o_custkey IN (SELECT k FROM pk)
             ORDER BY o_orderkey""",
+        "catalog_cdc_stream": """
+            -- twin of state/catalog.py:catalog_cdc_stream: every counter
+            -- of the 8-txn CDC run recomputed from lineitem directly —
+            -- a torn commit / lost shard / double apply breaks the hash
+            WITH h AS (SELECT CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                              AS c FROM lineitem)
+            SELECT CAST(8 AS BIGINT) AS n_txns,
+                   CAST(8 AS BIGINT) AS n_versions,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(c) AS BIGINT) AS sum_cents,
+                   CAST(8 AS BIGINT) AS audit_rows,
+                   CAST(COUNT(*) AS BIGINT) AS audit_total_rows,
+                   CAST(SUM(c) AS BIGINT) AS audit_total_cents
+            FROM h""",
         "catalog_txn_snapshot": """
             -- twin of state/catalog.py:catalog_txn_snapshot: the two
             -- txn halves recomputed directly from orders

@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "orders_schema_evolution",
     "orders_point_lookup",
     "catalog_txn_snapshot",
+    "catalog_cdc_stream",
     "knn_geodesic",
     "label_propagation",
     "ann_recall_report",

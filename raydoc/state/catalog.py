@@ -342,3 +342,107 @@ def catalog_txn_snapshot(sf_dir: str) -> "pa.Table":
                                pa.int64()),
         "audit_total": pa.array([o["audit_total"] for o in out],
                                 pa.int64())})
+
+
+def catalog_cdc_stream(sf_dir: str, n_shards: int = 8) -> "pa.Table":
+    """Corpus-scale ACID exercise (round-5 bench ask): stream the WHOLE
+    lineitem table through the catalog as a CDC-style sequence of
+    ``n_shards`` multi-table transactions (one facts append + its audit
+    row per shard, committed atomically), then read BOTH tables back
+    through the final catalog snapshot and emit exact integer totals.
+
+    One combiner pass computes per-shard (rows, cents) up front — the
+    audit rows the txns must pin with their facts; each txn's facts
+    append is a streaming column-pruned filtered read (no
+    materialization). The oracle twin recomputes every counter from
+    lineitem in SQL, so a torn commit, lost shard, or double-applied
+    append breaks the hash. n_versions pins exactly one catalog commit
+    per shard."""
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from raydoc.functions._collect import collect_table
+    from raydoc.functions.agg import partial_groupby
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"raydoc_catalog_cdc_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(root, ignore_errors=True)
+    facts_dir = os.path.join(root, "facts")
+    audit_dir = os.path.join(root, "audit")
+
+    cols = ["l_orderkey", "l_extendedprice"]
+    src = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=cols)
+
+    def prep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "l_orderkey" not in t.schema.names:
+            return pa.table({"shard": pa.array([], pa.int64()),
+                             "cents": pa.array([], pa.int64())})
+        k = pc.cast(t["l_orderkey"], pa.int64())
+        shard = pc.subtract(k, pc.multiply(
+            pc.divide(k, pa.scalar(n_shards, pa.int64())),
+            pa.scalar(n_shards, pa.int64())))
+        cents = pc.cast(pc.round(pc.multiply(
+            t["l_extendedprice"], 100.0)), pa.int64())
+        return pa.table({"shard": shard, "cents": cents})
+
+    per_shard = collect_table(partial_groupby(
+        src.map_batches(prep, batch_format="pyarrow"), ["shard"],
+        {"n_rows": ("cents", "count"),
+         "sum_cents": ("cents", "sum")})).sort_by("shard")
+    shard_stats = {int(s): (int(n), int(c)) for s, n, c in zip(
+        per_shard["shard"].to_pylist(), per_shard["n_rows"].to_pylist(),
+        per_shard["sum_cents"].to_pylist())}
+
+    for s in range(n_shards):
+        def one_shard(t: pa.Table, s=s) -> pa.Table:
+            if t.num_rows == 0 or "l_orderkey" not in t.schema.names:
+                return t
+            k = pc.cast(t["l_orderkey"], pa.int64())
+            rem = pc.subtract(k, pc.multiply(
+                pc.divide(k, pa.scalar(n_shards, pa.int64())),
+                pa.scalar(n_shards, pa.int64())))
+            return t.filter(pc.equal(rem, pa.scalar(s, pa.int64())))
+
+        n_s, c_s = shard_stats.get(s, (0, 0))
+        audit_row = rd.from_arrow(pa.table({
+            "shard": pa.array([s], pa.int64()),
+            "n_rows": pa.array([n_s], pa.int64()),
+            "sum_cents": pa.array([c_s], pa.int64())}))
+        txn(root, [
+            ("facts",
+             src.map_batches(one_shard, batch_format="pyarrow"),
+             facts_dir),
+            ("audit", audit_row, audit_dir)])
+
+    n_versions = len(list_versions(root))
+    facts = read_catalog_table(root, "facts")
+
+    def cents_only(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "l_extendedprice" not in t.schema.names:
+            return pa.table({"k": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        return pa.table({
+            "k": pa.array([0] * t.num_rows, pa.int64()),
+            "c": pc.cast(pc.round(pc.multiply(
+                t["l_extendedprice"], 100.0)), pa.int64())})
+
+    g = collect_table(partial_groupby(
+        facts.map_batches(cents_only, batch_format="pyarrow"), ["k"],
+        {"n_rows": ("c", "count"), "sum_cents": ("c", "sum")}))
+    audit = collect_table(read_catalog_table(root, "audit"))
+    return pa.table({
+        "n_txns": pa.array([n_shards], pa.int64()),
+        "n_versions": pa.array([n_versions], pa.int64()),
+        "n_rows": pa.array([int(g["n_rows"][0].as_py())], pa.int64()),
+        "sum_cents": pa.array([int(g["sum_cents"][0].as_py())],
+                              pa.int64()),
+        "audit_rows": pa.array([audit.num_rows], pa.int64()),
+        "audit_total_rows": pa.array(
+            [int(pc.sum(audit["n_rows"]).as_py() or 0)], pa.int64()),
+        "audit_total_cents": pa.array(
+            [int(pc.sum(audit["sum_cents"]).as_py() or 0)], pa.int64()),
+    })

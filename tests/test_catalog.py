@@ -262,3 +262,21 @@ def test_adopt_race_repins_on_head(ray_session, tmp_path,
     assert got == [1, 2, 99]          # our rows covered by the head pin
     gb = [r["x"] for r in cat.read_catalog_table(root, "b", v).take_all()]
     assert gb == [7]
+
+
+def test_catalog_cdc_stream_totals(ray_session):
+    """The corpus-scale CDC exercise at sf0.001: 8 atomic txns stream
+    all of lineitem through the catalog; totals equal a direct scan and
+    the audit table mirrors them exactly."""
+    import pyarrow.parquet as pq
+
+    sf = "/root/testdata/sf0.001"
+    r = cat.catalog_cdc_stream(sf).to_pylist()[0]
+    li = pq.read_table(f"{sf}/lineitem.parquet",
+                       columns=["l_extendedprice"])
+    want_rows = li.num_rows
+    want_cents = sum(round(v * 100) for v in
+                     li["l_extendedprice"].to_pylist())
+    assert r["n_txns"] == r["n_versions"] == r["audit_rows"] == 8
+    assert r["n_rows"] == r["audit_total_rows"] == want_rows
+    assert r["sum_cents"] == r["audit_total_cents"] == want_cents
