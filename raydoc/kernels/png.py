@@ -14,8 +14,9 @@ The ENCODER exists for re-emit (resize writes valid PNG back) and
 round-trip tests: 8-bit gray/RGB/RGBA, filter 0 scanlines, one zlib
 IDAT — bit-exact round trips because PNG is lossless.
 
-Adam7 interlacing raises NotImplementedError like a missing codec
-build would. All corrupt-stream failure modes normalize to ValueError
+Adam7 interlacing decodes too (seven independently-filtered passes
+scattered onto the pixel grid). All corrupt-stream failure modes
+normalize to ValueError
 so the actor pools' fail-soft path catches them (same contract as
 kernels/jpeg.py).
 """
@@ -137,6 +138,44 @@ def _unpack_subbyte(recon: np.ndarray, w: int, depth: int) -> np.ndarray:
     return (groups * weights).sum(axis=2)
 
 
+def _samples_of(recon: np.ndarray, w: int, ch: int, depth: int,
+                stride: int) -> np.ndarray:
+    """Unfiltered scanline bytes → (h, w, ch) int64 sample grid."""
+    h = recon.shape[0]
+    if depth == 8:
+        return recon[:, : w * ch].reshape(h, w, ch).astype(np.int64)
+    if depth == 16:                      # high byte ≙ 8-bit downsample
+        return recon.reshape(h, stride // 2, 2)[:, : w * ch, 0] \
+            .reshape(h, w, ch).astype(np.int64)
+    return _unpack_subbyte(recon, w, depth)[..., None]
+
+
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _deinterlace_adam7(raw: bytes, w: int, h: int, ch: int, depth: int,
+                       bpp: int) -> np.ndarray:
+    """Adam7: the inflated stream is seven independently-filtered
+    sub-images; unfilter each pass and scatter its pixels onto the
+    (h, w, ch) grid at the pass's offsets/strides."""
+    out = np.zeros((h, w, ch), np.int64)
+    offset = 0
+    for x0, y0, dx, dy in _ADAM7:
+        wp = (w - x0 + dx - 1) // dx
+        hp = (h - y0 + dy - 1) // dy
+        if wp <= 0 or hp <= 0:
+            continue
+        stride_p = (wp * ch * depth + 7) // 8
+        size = (stride_p + 1) * hp
+        recon = _unfilter(raw[offset:offset + size], hp, stride_p, bpp)
+        offset += size
+        out[y0::dy, x0::dx] = _samples_of(recon, wp, ch, depth,
+                                          stride_p)
+    return out
+
+
 @_corrupt_to_value_error
 def decode_png(payload: bytes) -> np.ndarray:
     """PNG byte stream → (h, w, 3) uint8 RGB, or (h, w, 4) RGBA when the
@@ -160,8 +199,8 @@ def decode_png(payload: bytes) -> np.ndarray:
             idat += data
     if w is None or not idat:
         raise ValueError("truncated PNG (no IHDR/IDAT)")
-    if interlace:
-        raise NotImplementedError("Adam7 interlaced PNG")
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {interlace}")
     if color not in _CHANNELS:
         raise ValueError(f"unknown PNG color type {color}")
     ch = _CHANNELS[color]
@@ -171,17 +210,13 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError(f"illegal PNG depth {depth} for color {color}")
 
     raw = zlib.decompress(bytes(idat))
-    stride = (w * ch * depth + 7) // 8
     bpp = max(1, (ch * depth) // 8)
-    recon = _unfilter(raw, h, stride, bpp)
-
-    if depth == 8:
-        samples = recon[:, : w * ch].reshape(h, w, ch).astype(np.int64)
-    elif depth == 16:                    # high byte ≙ 8-bit downsample
-        samples = recon.reshape(h, stride // 2, 2)[:, : w * ch, 0] \
-            .reshape(h, w, ch).astype(np.int64)
-    else:                                # 1/2/4-bit gray or palette
-        samples = _unpack_subbyte(recon, w, depth)[..., None]
+    if interlace:                        # Adam7: seven filtered passes
+        samples = _deinterlace_adam7(raw, w, h, ch, depth, bpp)
+    else:
+        stride = (w * ch * depth + 7) // 8
+        recon = _unfilter(raw, h, stride, bpp)
+        samples = _samples_of(recon, w, ch, depth, stride)
 
     if color == 3:                       # palette lookup
         if palette is None:

@@ -582,10 +582,7 @@ def test_png_palette_trns_and_subbyte_depths():
                 == vals.astype(np.int64) * (255 // maxv)).all()
 
 
-def test_png_corrupt_raises_value_error_and_adam7_raises():
-    import struct
-    import zlib
-
+def test_png_corrupt_raises_value_error():
     import pytest as _pytest
 
     from raydoc.kernels.png import decode_png, png_dims
@@ -597,12 +594,44 @@ def test_png_corrupt_raises_value_error_and_adam7_raises():
             decode_png(bad)
         with _pytest.raises(ValueError):
             png_dims(bad)
-    adam7 = (sig + _png_chunk(b"IHDR", struct.pack(
-        ">IIBBBBB", 2, 2, 8, 0, 0, 0, 1))
-        + _png_chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
-        + _png_chunk(b"IEND", b""))
-    with _pytest.raises(NotImplementedError):
-        decode_png(adam7)
+
+
+def test_png_adam7_interlaced_decodes():
+    """Adam7 decoder vector: the seven-pass sub-images built here from
+    the spec's pass grid (forward direction) must scatter back to the
+    original pixels, including non-multiple-of-8 and degenerate dims."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from raydoc.kernels.png import decode_png
+
+    passes = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    rng = np.random.RandomState(5)
+    for shape in [(16, 24, 3), (13, 17, 3), (7, 5), (8, 8, 4),
+                  (1, 1, 3), (2, 3, 3)]:
+        img = rng.randint(0, 256, shape, dtype=np.uint8)
+        img3 = img[:, :, None] if img.ndim == 2 else img
+        color = {1: 0, 3: 2, 4: 6}[img3.shape[2]]
+        h, w = img3.shape[:2]
+        raw = bytearray()
+        for x0, y0, dx, dy in passes:
+            sub = img3[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue
+            for y in range(sub.shape[0]):
+                raw.append(0)
+                raw += sub[y].reshape(-1).tobytes()
+        payload = (b"\x89PNG\r\n\x1a\n"
+                   + _png_chunk(b"IHDR", struct.pack(
+                       ">IIBBBBB", w, h, 8, color, 0, 0, 1))
+                   + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+                   + _png_chunk(b"IEND", b""))
+        out = decode_png(payload)
+        want = np.stack([img] * 3, 2) if img.ndim == 2 else img
+        assert (out == want).all(), shape
 
 
 def test_media_meta_and_resize_decode_png(ray_session):
