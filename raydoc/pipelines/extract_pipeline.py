@@ -304,9 +304,13 @@ def build_extraction(ds: rd.Dataset,
     return out
 
 
+_STAGE1_MARKER = "_STAGE1_DONE.json"
+
+
 def build_extraction_bucketed(ds: rd.Dataset,
                               cfg: PipelineConfig = DEFAULT_CONFIG,
-                              spill_root: str | None = None
+                              spill_root: str | None = None,
+                              resume_token: str | None = None
                               ) -> tuple[rd.Dataset, str]:
     """General-path exchange WITHOUT the global sort barrier.
 
@@ -329,8 +333,17 @@ def build_extraction_bucketed(ds: rd.Dataset,
     them), which additionally makes the exchange resumable at bucket
     granularity.
 
+    A ``resume_token`` makes the EXCHANGE ITSELF a checkpoint: when
+    stage 1 completed for the same token (marker file in the spill
+    root), the whole extraction stage is skipped and stage 2 reads the
+    existing fragments — a job that crashed between the exchange and
+    the output write never re-pays extraction. A spill tree WITHOUT a
+    valid marker (crash mid-stage-1) is wiped first, since appending a
+    rerun's fragments over partial ones would duplicate rows.
+
     Returns (dataset, spill_root); the caller owns spill cleanup after
     consuming the dataset."""
+    import json as _json
     import uuid
 
     import numpy as np
@@ -343,25 +356,45 @@ def build_extraction_bucketed(ds: rd.Dataset,
         spill_root = os.path.join(
             tempfile.gettempdir(),
             f"raydoc_exchange_{uuid.uuid4().hex[:8]}")
-    for k in range(nb):
-        os.makedirs(os.path.join(spill_root, f"b{k:05d}"), exist_ok=True)
 
-    # stage 1 is ONE fused actor stage (extract + partition + fragment
-    # write in the same __call__, emitting only count rows): a separate
-    # spill operator would compete with the extract pool for CPU slots
-    # AND ship every heavy extracted block (pickled elements) through
-    # the object store — fusing removes both. spill_batch_rows sets the
-    # actor batch so each call writes few, reasonably-sized fragments.
-    extracted = ds.map_batches(
-        _SpillingExtractorActor,
-        fn_constructor_kwargs={"cfg": cfg, "spill": spill_root,
-                               "nb": nb},
-        batch_format="pyarrow",
-        batch_size=cfg.spill_batch_rows,
-        concurrency=cfg.extract_concurrency or _default_concurrency(),
-        num_cpus=1,
-    )
-    extracted.sum("rows")   # the exchange barrier: stage-1 completion
+    marker = os.path.join(spill_root, _STAGE1_MARKER)
+    stage1_done = False
+    if resume_token is not None and os.path.isfile(marker):
+        try:
+            with open(marker) as fh:
+                stage1_done = _json.load(fh).get("token") == resume_token
+        except (OSError, ValueError):
+            stage1_done = False
+    if not stage1_done and os.path.isdir(spill_root):
+        import shutil as _sh                 # partial stage 1: wipe —
+        _sh.rmtree(spill_root, ignore_errors=True)  # never append over it
+
+    if not stage1_done:
+        for k in range(nb):
+            os.makedirs(os.path.join(spill_root, f"b{k:05d}"),
+                        exist_ok=True)
+        # stage 1 is ONE fused actor stage (extract + partition +
+        # fragment write in the same __call__, emitting only count
+        # rows): a separate spill operator would compete with the
+        # extract pool for CPU slots AND ship every heavy extracted
+        # block (pickled elements) through the object store — fusing
+        # removes both. spill_batch_rows sets the actor batch so each
+        # call writes few, reasonably-sized fragments.
+        extracted = ds.map_batches(
+            _SpillingExtractorActor,
+            fn_constructor_kwargs={"cfg": cfg, "spill": spill_root,
+                                   "nb": nb},
+            batch_format="pyarrow",
+            batch_size=cfg.spill_batch_rows,
+            concurrency=cfg.extract_concurrency or _default_concurrency(),
+            num_cpus=1,
+        )
+        extracted.sum("rows")  # the exchange barrier: stage-1 complete
+        if resume_token is not None:
+            tmp = marker + ".tmp"
+            with open(tmp, "w") as fh:
+                _json.dump({"token": resume_token, "buckets": nb}, fh)
+            os.replace(tmp, marker)
 
     spill = spill_root
     nonempty = [k for k in range(nb)
@@ -610,15 +643,24 @@ def _run_partition_wave(input_path: str, out_dir: str, wave_parts: list[int],
 
         ds = ds.map_batches(_only_wave, batch_format="pyarrow")
     spill = None
-    try:
-        if cfg.exchange == "bucketed":
-            ds, spill = build_extraction_bucketed(ds, cfg)
-        else:
-            ds = build_extraction(ds, cfg)
-        ds.write_parquet(out_dir, partition_cols=["part"])
-    finally:
-        if spill is not None:
-            shutil.rmtree(spill, ignore_errors=True)
+    if cfg.exchange == "bucketed":
+        # stable spill root + token: a rerun of the SAME wave over the
+        # SAME input/config finds the finished exchange and skips
+        # extraction entirely (crash-between-exchange-and-write resume);
+        # cleanup happens only after the wave's manifests are stamped.
+        import hashlib as _h
+        import tempfile
+        token = f"{fingerprint}:{cfg_hash}:w{','.join(map(str, wave_parts))}"
+        spill = os.path.join(
+            tempfile.gettempdir(),
+            "raydoc_exchange_" + _h.blake2s(
+                (os.path.abspath(out_dir) + token).encode(),
+                digest_size=8).hexdigest())
+        ds, _ = build_extraction_bucketed(ds, cfg, spill,
+                                          resume_token=token)
+    else:
+        ds = build_extraction(ds, cfg)
+    ds.write_parquet(out_dir, partition_cols=["part"])
     wall = time.perf_counter() - t0
 
     # Per-partition metrics from the (small) written columns → manifests.
@@ -663,7 +705,10 @@ def _run_partition_wave(input_path: str, out_dir: str, wave_parts: list[int],
         return rows
 
     with ThreadPoolExecutor(max_workers=8) as pool:
-        return sum(pool.map(_stamp, wave_parts))
+        total_rows = sum(pool.map(_stamp, wave_parts))
+    if spill is not None:               # exchange checkpoint no longer
+        shutil.rmtree(spill, ignore_errors=True)   # needed once stamped
+    return total_rows
 
 
 HISTORY_LIMIT = 10

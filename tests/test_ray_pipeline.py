@@ -604,3 +604,60 @@ def test_bucketed_exchange_run_job(ray_session, transcripts_path,
     new_dirs = set(glob.glob(os.path.join(
         tempfile.gettempdir(), "raydoc_exchange_*"))) - pre
     assert new_dirs == set()
+
+
+def test_bucketed_exchange_stage1_checkpoint(ray_session,
+                                             transcripts_path,
+                                             tmp_path):
+    """The exchange itself is a checkpoint: a second build with the SAME
+    resume token skips stage 1 (fragment files untouched byte-for-byte),
+    a junk spill tree without a valid marker is wiped (never appended
+    over), and a DIFFERENT token rebuilds."""
+    import glob
+
+    from dataclasses import replace
+
+    from raydoc.config import DEFAULT_CONFIG
+    from raydoc.pipelines.extract_pipeline import (
+        build_extraction_bucketed, read_transcripts)
+
+    cfg = replace(DEFAULT_CONFIG, exchange="bucketed")
+    spill = str(tmp_path / "spill")
+
+    # junk from a "crashed" prior stage 1 (no marker) must be wiped
+    os.makedirs(os.path.join(spill, "b00000"), exist_ok=True)
+    junk = os.path.join(spill, "b00000", "junk.arrow")
+    with open(junk, "wb") as fh:
+        fh.write(b"partial")
+
+    out1, _ = build_extraction_bucketed(
+        read_transcripts(transcripts_path), cfg, spill,
+        resume_token="tok1")
+    rows1 = sorted((r["conv_id"], r["turn_idx"], r["extracted_text"])
+                   for r in out1.take_all())
+    assert not os.path.exists(junk)
+
+    def frag_state():
+        return {p: os.path.getmtime(p) for p in
+                glob.glob(os.path.join(spill, "b*", "*.arrow"))}
+
+    st1 = frag_state()
+    assert st1
+
+    # same token → stage 1 skipped, fragments byte-identical
+    out2, _ = build_extraction_bucketed(
+        read_transcripts(transcripts_path), cfg, spill,
+        resume_token="tok1")
+    rows2 = sorted((r["conv_id"], r["turn_idx"], r["extracted_text"])
+                   for r in out2.take_all())
+    assert frag_state() == st1
+    assert rows1 == rows2
+
+    # different token → wiped and rebuilt (same output either way)
+    out3, _ = build_extraction_bucketed(
+        read_transcripts(transcripts_path), cfg, spill,
+        resume_token="tok2")
+    rows3 = sorted((r["conv_id"], r["turn_idx"], r["extracted_text"])
+                   for r in out3.take_all())
+    assert set(frag_state()) != set(st1) or frag_state() != st1
+    assert rows1 == rows3
