@@ -93,8 +93,11 @@ class PipelineConfig:
     # an independent task. On a multi-node cluster the spill root must be
     # shared storage (object store / NFS) — the standard external-shuffle
     # topology (map writes bucket files, reduce reads them), which also
-    # makes the exchange itself resumable.
-    exchange: str = "sort"
+    # makes the exchange itself resumable (stage-1 token marker).
+    # Measured (BASELINE.md round 5): bucketed beats sort at every point
+    # (16 CPUs: 11.8-12.6k vs 10.6k turns/s) so it is the default;
+    # "sort" remains the zero-moving-parts fallback.
+    exchange: str = "bucketed"
     # bucketed-exchange buckets = num_output_partitions × spill_fineness
     # (a multiple of the partition count keeps bucket → part consistent);
     # fine enough for reduce-side work stealing, coarse enough to bound
