@@ -433,7 +433,7 @@ class _SpillingExtractorActor:
         self._nb = nb
 
     def __call__(self, batch) -> "Any":
-        import uuid
+        import hashlib as _hl
 
         import numpy as np
         import pyarrow as pa
@@ -450,12 +450,24 @@ class _SpillingExtractorActor:
         bounds = np.flatnonzero(np.diff(ks)) + 1
         starts = np.concatenate([[0], bounds])
         ends = np.concatenate([bounds, [len(ks)]])
-        tag = uuid.uuid4().hex[:12]
+        # fragment tag is a CONTENT hash of the batch's row identities,
+        # not a uuid: a Ray task/actor retry re-running the same batch
+        # produces the same filenames and os.replace overwrites the
+        # first attempt's fragments — the exchange stays exactly-once
+        # under retries instead of duplicating rows
+        h = _hl.blake2s(digest_size=8)
+        h.update(";".join(by_key.column("conv_id").to_pylist()).encode())
+        h.update(by_key.column("turn_idx").to_numpy(
+            zero_copy_only=False).astype(np.int64).tobytes())
+        tag = h.hexdigest()
         for s, e in zip(starts, ends):
             frag = by_key.slice(int(s), int(e - s))
             path = os.path.join(self._spill, f"b{int(ks[s]):05d}",
                                 f"{tag}-{int(s)}.arrow")
-            tmp = path + ".tmp"
+            # pid-scoped tmp: a speculative retry racing the first
+            # attempt must not corrupt its half-written tmp file (both
+            # os.replace to the same final name with identical content)
+            tmp = f"{path}.tmp-{os.getpid()}"
             with pa.OSFile(tmp, "wb") as fh, \
                     ipc.new_file(fh, frag.schema) as w:
                 w.write_table(frag)

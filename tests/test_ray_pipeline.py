@@ -661,3 +661,45 @@ def test_bucketed_exchange_stage1_checkpoint(ray_session,
                    for r in out3.take_all())
     assert set(frag_state()) != set(st1) or frag_state() != st1
     assert rows1 == rows3
+
+
+def test_spilling_actor_retry_is_idempotent(ray_session, tmp_path):
+    """A Ray task/actor retry re-runs a stage-1 batch after some of its
+    fragments already landed. Fragment names are content hashes, so the
+    second attempt OVERWRITES the first — same file set, no duplicated
+    rows — instead of appending a uuid-tagged second copy."""
+    import glob
+
+    import pyarrow as pa
+
+    from raydoc.config import DEFAULT_CONFIG
+    from raydoc.pipelines.extract_pipeline import _SpillingExtractorActor
+
+    spill = str(tmp_path / "spill")
+    nb = 8
+    for k in range(nb):
+        os.makedirs(os.path.join(spill, f"b{k:05d}"), exist_ok=True)
+    batch = pa.table({
+        "conv_id": [f"c{i}" for i in range(12) for _ in range(2)],
+        "turn_idx": pa.array([t for _ in range(12) for t in (0, 1)],
+                             pa.int32()),
+        "text": [f"turn text {i}-{t}" for i in range(12)
+                 for t in (0, 1)],
+    })
+    actor = _SpillingExtractorActor(cfg=DEFAULT_CONFIG, spill=spill,
+                                    nb=nb)
+    r1 = actor(batch)
+    frags1 = sorted(glob.glob(os.path.join(spill, "b*", "*.arrow")))
+    sizes1 = [os.path.getsize(f) for f in frags1]
+    assert frags1
+
+    r2 = actor(batch)                   # the "retry"
+    frags2 = sorted(glob.glob(os.path.join(spill, "b*", "*.arrow")))
+    assert frags2 == frags1             # same file set, nothing appended
+    assert [os.path.getsize(f) for f in frags2] == sizes1
+    assert r1.column("rows").to_pylist() == r2.column("rows").to_pylist()
+
+    # total spilled rows equal the batch's rows exactly once
+    import pyarrow.ipc as ipc
+    total = sum(ipc.open_file(f).read_all().num_rows for f in frags1)
+    assert total == batch.num_rows
