@@ -103,12 +103,13 @@ class PipelineConfig:
     # fine enough for reduce-side work stealing, coarse enough to bound
     # fragment counts.
     spill_fineness: int = 2
-    # stage-1 spill batch size: larger batches → fewer, larger fragments
-    # (fragment count ≈ rows/spill_batch_rows × buckets-touched-per-batch)
-    # but ALSO cap spill-stage parallelism at rows/spill_batch_rows tasks —
-    # 32768 measured as a 4-wide bottleneck at 16 CPUs on the 120k-turn
-    # scaling corpus (stage-1 efficiency 0.54); 8192 keeps ~15 concurrent
-    # spill tasks with a bounded ~1k-fragment exchange
+    # Batch size of the fused stage-1 actor (extract + spill per call).
+    # Trade-off: fragment count ≈ (rows / spill_batch_rows) × buckets-
+    # touched-per-batch, but batch count must stay ≫ actor count for
+    # load balance — 8192 left only 15 batches for 14 actors at 16 CPUs
+    # (a 2-batch straggler tail, stage-1 efficiency 0.54); 2048 gives a
+    # ~1/4-batch tail. At much larger corpus sizes raise it (more rows
+    # per fragment, batch count stays ≫ actors automatically).
     spill_batch_rows: int = 2048
     include_doc_markdown: bool = False   # carry full doc markdown on turn 0 rows
     # Skew guard (SURVEY.md §7.4.5): the document stage co-locates a whole
